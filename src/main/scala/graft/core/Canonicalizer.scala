@@ -1,0 +1,62 @@
+package graft.core
+
+import java.text.Normalizer
+
+/** THE determinism choke point (SURVEY.md par 7.2 item 7).
+  *
+  * Every byte of extracted text funnels through here so that goldens are
+  * byte-identical across JVMs, locales, and parallelism levels (the
+  * north_rule gate; mirrors the reference's determinism contract at
+  * /root/reference/tests/e2e/test_ocr_tesseract.py:163-169 -- same input
+  * must produce identical output).
+  *
+  * Canonical form:
+  *   - Unicode NFC
+  *   - all whitespace runs inside a block collapsed to a single ASCII space
+  *   - blocks trimmed; empty blocks dropped
+  *   - blocks joined with a single '\n'
+  */
+object Canonicalizer {
+
+  /** True for every code point we treat as collapsible whitespace.
+    * ASCII whitespace plus NBSP (entity-decoded) and the Unicode space
+    * separators -- a fixed, documented set rather than
+    * Character.isWhitespace so the contract cannot drift across JDKs.
+    */
+  def isSpace(c: Char): Boolean = {
+    val i = c.toInt
+    i == 0x20 || i == 0x09 || i == 0x0a || i == 0x0d || i == 0x0c ||
+    i == 0x0b || i == 0xa0 || i == 0x1680 ||
+    (i >= 0x2000 && i <= 0x200a) || i == 0x2028 || i == 0x2029 ||
+    i == 0x202f || i == 0x205f || i == 0x3000 || i == 0xfeff
+  }
+
+  /** Collapse whitespace runs to single spaces and trim. Pure, total. */
+  def collapse(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (isSpace(c)) { if (sb.length > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** NFC-normalize. Applied per block (NFC is preserved by our join
+    * because '\n' is inert under composition).
+    */
+  def nfc(s: String): String = Normalizer.normalize(s, Normalizer.Form.NFC)
+
+  /** Canonical block: NFC + collapse. */
+  def block(s: String): String = collapse(nfc(s))
+
+  /** Join already-canonical blocks into the final document text. */
+  def joinBlocks(blocks: Seq[String]): String =
+    blocks.filter(_.nonEmpty).mkString("\n")
+}

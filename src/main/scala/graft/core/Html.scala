@@ -1,0 +1,276 @@
+package graft.core
+
+import java.nio.charset.{Charset, CodingErrorAction, StandardCharsets}
+import java.util.Locale
+
+/** SAX-style HTML tokenizer over raw bytes (SURVEY.md par 2.3 item 11a).
+  *
+  * From scratch, no parser library: charset detection (BOM + meta probe),
+  * entity decoding, script/style/comment/CDATA skipping, tolerant of
+  * malformed fragments (a stray '<' that opens no tag is text). Replaces
+  * the reference's per-document engine.process black box
+  * (/root/reference/src/api/routes/v2/dynamic_routes.py:231-234) with a
+  * deterministic pure function; the per-document timeout
+  * (dynamic_routes.py:231-234, 30 s) becomes the Deadline checked in the
+  * scan loop.
+  */
+object Html {
+
+  sealed trait Tok
+  final case class StartTag(name: String, attrs: List[(String, String)], selfClosing: Boolean) extends Tok
+  final case class EndTag(name: String) extends Tok
+  final case class Text(s: String) extends Tok
+
+  /** Per-document time budget; 0 or negative nanos => unlimited. */
+  final class Deadline(budgetNanos: Long) {
+    private val t0 = System.nanoTime()
+    private var n = 0
+    def expired(): Boolean = {
+      if (budgetNanos <= 0L) return false
+      n += 1
+      // amortize the nanoTime syscall: check every 256 steps
+      (n & 0xff) == 0 && System.nanoTime() - t0 > budgetNanos
+    }
+    def hard(): Boolean = budgetNanos > 0L && System.nanoTime() - t0 > budgetNanos
+  }
+  object Deadline { val unlimited = new Deadline(0L) }
+
+  final class TimeoutException extends RuntimeException("per-document deadline exceeded")
+
+  // ---------------------------------------------------------------- charset
+
+  /** Detect charset: BOM first, then an ASCII probe of the first 1024 bytes
+    * for a meta charset declaration, else UTF-8. Mirrors the magic-byte
+    * idea of the reference's format sniffing
+    * (/root/reference/src/utils/validators.py:31-56).
+    */
+  def detectCharset(bytes: Array[Byte]): Charset = {
+    if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xef && (bytes(1) & 0xff) == 0xbb && (bytes(2) & 0xff) == 0xbf)
+      return StandardCharsets.UTF_8
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff)
+      return StandardCharsets.UTF_16BE
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xfe)
+      return StandardCharsets.UTF_16LE
+    val n = math.min(bytes.length, 1024)
+    val probe = new String(bytes, 0, n, StandardCharsets.ISO_8859_1).toLowerCase(Locale.ROOT)
+    val i = probe.indexOf("charset=")
+    if (i >= 0) {
+      var j = i + 8
+      if (j < probe.length && (probe.charAt(j) == '"' || probe.charAt(j) == '\'')) j += 1
+      val start = j
+      while (j < probe.length && (probe.charAt(j).isLetterOrDigit || probe.charAt(j) == '-' || probe.charAt(j) == '_')) j += 1
+      val name = probe.substring(start, j)
+      try { if (Charset.isSupported(name)) return Charset.forName(name) }
+      catch { case _: Exception => }
+    }
+    StandardCharsets.UTF_8
+  }
+
+  /** Decode with malformed input replaced (never throws on bad bytes). */
+  def decode(bytes: Array[Byte]): String = {
+    val cs = detectCharset(bytes)
+    val dec = cs.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(CodingErrorAction.REPLACE)
+    val out = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    // strip BOM if the decoder left it as U+FEFF
+    if (out.nonEmpty && out.charAt(0) == '﻿') out.substring(1) else out
+  }
+
+  // ---------------------------------------------------------------- entities
+
+  private val named: Map[String, String] = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+    "nbsp" -> " ", "copy" -> "©", "reg" -> "®",
+    "mdash" -> "—", "ndash" -> "–", "hellip" -> "…",
+    "lsquo" -> "‘", "rsquo" -> "’", "ldquo" -> "“",
+    "rdquo" -> "”", "trade" -> "™", "deg" -> "°",
+    "middot" -> "·", "bull" -> "•", "laquo" -> "«",
+    "raquo" -> "»", "times" -> "×", "shy" -> "",
+    "auml" -> "ä", "ouml" -> "ö", "uuml" -> "ü",
+    "Auml" -> "Ä", "Ouml" -> "Ö", "Uuml" -> "Ü",
+    "szlig" -> "ß", "eacute" -> "é", "egrave" -> "è",
+    "agrave" -> "à", "ccedil" -> "ç", "ntilde" -> "ñ",
+  )
+
+  /** Decode character references in a text run. Unknown entities pass
+    * through verbatim (tolerant, like browsers).
+    */
+  def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 12) {
+          val body = s.substring(i + 1, semi)
+          if (body.startsWith("#x") || body.startsWith("#X")) {
+            try {
+              val cp = Integer.parseInt(body.substring(2), 16)
+              if (Character.isValidCodePoint(cp)) { sb.appendCodePoint(cp); i = semi + 1 }
+              else { sb.append(c); i += 1 }
+            } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+          } else if (body.startsWith("#")) {
+            try {
+              val cp = Integer.parseInt(body.substring(1))
+              if (Character.isValidCodePoint(cp)) { sb.appendCodePoint(cp); i = semi + 1 }
+              else { sb.append(c); i += 1 }
+            } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+          } else named.get(body) match {
+            case Some(rep) => sb.append(rep); i = semi + 1
+            case None      => sb.append(c); i += 1
+          }
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  // ---------------------------------------------------------------- tokenizer
+
+  private def isNameStart(c: Char) = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+  private def isNameChar(c: Char) =
+    isNameStart(c) || (c >= '0' && c <= '9') || c == '-' || c == ':' || c == '_'
+
+  /** Tokenize decoded HTML. Emits StartTag/EndTag/Text; script, style,
+    * comment, CDATA and doctype content never reach Text. Throws
+    * TimeoutException when the deadline expires.
+    */
+  def tokenize(html: String, deadline: Deadline = Deadline.unlimited): Iterator[Tok] =
+    new Iterator[Tok] {
+      private val s = html
+      private val n = s.length
+      private var i = 0
+      private var pending: Tok = null
+      private var pendingEnd: Tok = null
+      advance()
+
+      def hasNext: Boolean = pending != null
+      def next(): Tok = { val t = pending; advance(); t }
+
+      private def skipSpaceIn(j0: Int): Int = {
+        var j = j0
+        while (j < n && Character.isWhitespace(s.charAt(j))) j += 1
+        j
+      }
+
+      /** Parse a start/end tag beginning at '<'; returns (token?, newPos).
+        * A '<' that opens nothing valid is literal text.
+        */
+      private def parseTag(lt: Int): (Tok, Int) = {
+        var j = lt + 1
+        if (j >= n) return (null, lt + 1)
+        val c = s.charAt(j)
+        if (c == '!') {
+          if (s.startsWith("<!--", lt)) {
+            val end = s.indexOf("-->", lt + 4)
+            return (null, if (end < 0) n else end + 3)
+          }
+          if (s.regionMatches(true, lt, "<![CDATA[", 0, 9)) {
+            val end = s.indexOf("]]>", lt + 9)
+            return (null, if (end < 0) n else end + 3)
+          }
+          // doctype or other declaration
+          val end = s.indexOf('>', lt + 1)
+          return (null, if (end < 0) n else end + 1)
+        }
+        if (c == '?') { // processing instruction
+          val end = s.indexOf('>', lt + 1)
+          return (null, if (end < 0) n else end + 1)
+        }
+        val closing = c == '/'
+        if (closing) j += 1
+        if (j >= n || !isNameStart(s.charAt(j))) return (null, lt + 1) // literal '<'
+        val nameStart = j
+        while (j < n && isNameChar(s.charAt(j))) j += 1
+        val name = s.substring(nameStart, j).toLowerCase(Locale.ROOT)
+        if (closing) {
+          val end = s.indexOf('>', j)
+          return (EndTag(name), if (end < 0) n else end + 1)
+        }
+        // attributes
+        var attrs = List.newBuilder[(String, String)]
+        var selfClosing = false
+        var done = false
+        while (!done) {
+          j = skipSpaceIn(j)
+          if (j >= n) { done = true }
+          else {
+            val ch = s.charAt(j)
+            if (ch == '>') { j += 1; done = true }
+            else if (ch == '/' && j + 1 < n && s.charAt(j + 1) == '>') { selfClosing = true; j += 2; done = true }
+            else if (isNameStart(ch)) {
+              val as = j
+              while (j < n && isNameChar(s.charAt(j))) j += 1
+              val aname = s.substring(as, j).toLowerCase(Locale.ROOT)
+              var k = skipSpaceIn(j)
+              var avalue = ""
+              if (k < n && s.charAt(k) == '=') {
+                k = skipSpaceIn(k + 1)
+                if (k < n && (s.charAt(k) == '"' || s.charAt(k) == '\'')) {
+                  val q = s.charAt(k)
+                  val vend = s.indexOf(q, k + 1)
+                  if (vend < 0) { avalue = s.substring(k + 1); k = n }
+                  else { avalue = s.substring(k + 1, vend); k = vend + 1 }
+                } else {
+                  val vs = k
+                  while (k < n && !Character.isWhitespace(s.charAt(k)) && s.charAt(k) != '>' && s.charAt(k) != '/') k += 1
+                  avalue = s.substring(vs, k)
+                }
+                j = k
+              }
+              attrs += (aname -> decodeEntities(avalue))
+            } else j += 1 // junk char inside tag; skip
+          }
+        }
+        (StartTag(name, attrs.result(), selfClosing), j)
+      }
+
+      private def advance(): Unit = {
+        pending = null
+        if (pendingEnd != null) { pending = pendingEnd; pendingEnd = null; return }
+        while (pending == null && i < n) {
+          if (deadline.expired()) throw new TimeoutException
+          val c = s.charAt(i)
+          if (c == '<') {
+            val (tok, next) = parseTag(i)
+            if (tok == null && next == i + 1) {
+              // a '<' that opens no tag is literal text
+              i = next
+              pending = Text("<")
+            } else {
+            i = next
+            tok match {
+              case st @ StartTag(nm, _, false) if nm == "script" || nm == "style" || nm == "textarea" || nm == "noscript" =>
+                // raw-text element: skip to matching close tag
+                val close = "</" + nm
+                var k = s.indexOf(close, i)
+                // tolerate missing close: consume to EOF
+                if (k < 0) { i = n }
+                else {
+                  val gt = s.indexOf('>', k + close.length)
+                  i = if (gt < 0) n else gt + 1
+                }
+                // emit the start tag now; the raw content is skipped entirely
+                // and the close tag we consumed is re-emitted on the next pull
+                pending = st
+                pendingEnd = EndTag(nm)
+              case t => pending = t
+            }
+            }
+          } else {
+            val lt0 = s.indexOf('<', i)
+            val end = if (lt0 < 0) n else lt0
+            val raw = s.substring(i, end)
+            i = end
+            val txt = decodeEntities(raw)
+            if (txt.nonEmpty) pending = Text(txt)
+          }
+        }
+      }
+
+      override def toString = s"HtmlTokenizer@$i/$n"
+    }
+}

@@ -1,0 +1,54 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Run metrics as flat hash aggregates (partial+final map-side combine for
+  * free) — the reference's Prometheus surface re-expressed as tables
+  * (SURVEY.md par 2.4): request counters by (engine, status)
+  * (/root/reference/src/utils/metrics.py:63-67), duration histogram
+  * (metrics.py:69-74), file-size histogram (metrics.py:82-87), timeout
+  * counter (metrics.py:76-80).
+  */
+object MetricsStage {
+
+  /** Counter: requests by (engine, status). */
+  def statusCounts(results: Dataset[ResultRow]): DataFrame =
+    results.groupBy("engine", "status").agg(count(lit(1)).as("n"))
+
+  /** Histogram: per-engine duration percentiles + mean (the Prometheus
+    * histogram's information content without fixed buckets).
+    */
+  def durationStats(results: Dataset[ResultRow]): DataFrame =
+    results.groupBy("engine").agg(
+      count(lit(1)).as("n"),
+      round(avg(col("duration_ms")), 3).as("avg_ms"),
+      percentile_approx(col("duration_ms"), array(lit(0.5), lit(0.95), lit(0.99)), lit(10000))
+        .as("p50_p95_p99_ms"),
+    )
+
+  /** Histogram: exact bucket parity with the reference's file-size buckets
+    * (10 KB ... 5 MB) via a CASE ladder + groupBy — `width_bucket` style.
+    */
+  def sizeHistogram(pages: DataFrame): DataFrame = {
+    val len = length(col("html"))
+    val bucket = when(len <= 10240, "le_10KB")
+      .when(len <= 51200, "le_50KB")
+      .when(len <= 102400, "le_100KB")
+      .when(len <= 512000, "le_500KB")
+      .when(len <= 1048576, "le_1MB")
+      .when(len <= 5242880, "le_5MB")
+      .otherwise("gt_5MB")
+    pages.groupBy(bucket.as("size_bucket")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Timeout counter per engine (metrics.py:76-80). */
+  def timeouts(results: Dataset[ResultRow]): DataFrame =
+    results.filter(col("status") === "timeout").groupBy("engine").agg(count(lit(1)).as("n"))
+
+  /** Persist the run's metrics next to the table (parity with /metrics). */
+  def write(results: Dataset[ResultRow], root: String, runId: String)(implicit spark: SparkSession): Unit = {
+    statusCounts(results).withColumn("run_id", lit(runId))
+      .write.mode("append").parquet(s"$root/_metrics/status_counts")
+  }
+}
