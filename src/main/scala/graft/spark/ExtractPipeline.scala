@@ -34,27 +34,38 @@ object ExtractPipeline {
     concat_ws("#", col("bucket"),
       pmod(xxhash64(col("url"), lit(0x5a17)), lit(conf.salt)))
 
-  /** Full transform: typed results, no side effects. */
-  def run(pages: Dataset[PageRow], conf: ExtractConf = ExtractConf())(implicit spark: SparkSession): Dataset[ResultRow] = {
-    import spark.implicits._
-    val numParts = math.max(conf.buckets, spark.sparkContext.defaultParallelism)
-    val deduped = pages.toDF().dropDuplicates("url")
-    val bucketed = withBucket(deduped, conf)
-      // cheap Catalyst gate first (fail-fast ordering — the reference checks
-      // size before reading content, validators.py:90-99); oversized rows
-      // skip the kernel but still reach the results table as answers
+  /** Ingest prep: dedup re-crawls, derive the commit bucket, apply the
+    * cheap Catalyst size gate first (fail-fast ordering — the reference
+    * checks size before reading content, validators.py:90-99). Split out
+    * so the resume filter (a bucket predicate) can sit between prep and
+    * the shuffle, pruning committed buckets before any kernel work.
+    */
+  def prepared(pages: Dataset[PageRow], conf: ExtractConf): DataFrame =
+    withBucket(pages.toDF().dropDuplicates("url"), conf)
       .withColumn("status_pre",
         when(length(col("html")) > lit(conf.maxBytes), lit(Status.RejectedSize)))
+
+  /** Shuffle on the salted bucket key, then run the kernel once per row.
+    * Oversized rows skip the kernel but still reach the results table as
+    * answers (error-as-data).
+    */
+  def extractFrom(bucketed: DataFrame, conf: ExtractConf)(implicit spark: SparkSession): Dataset[ResultRow] = {
+    import spark.implicits._
+    val numParts = math.max(conf.buckets, spark.sparkContext.defaultParallelism)
+    bucketed
       .repartition(numParts * conf.salt, saltedKey(conf))
       .select(col("url"), col("html"), col("status_pre"), col("bucket"))
       .as[(String, Array[Byte], String, Int)]
-
-    bucketed.mapPartitions { rows =>
-      rows.map { case (url, html, statusPre, bucket) =>
-        Kernel.process(url, html, statusPre, bucket, conf)
+      .mapPartitions { rows =>
+        rows.map { case (url, html, statusPre, bucket) =>
+          Kernel.process(url, html, statusPre, bucket, conf)
+        }
       }
-    }
   }
+
+  /** Full transform: typed results, no side effects. */
+  def run(pages: Dataset[PageRow], conf: ExtractConf = ExtractConf())(implicit spark: SparkSession): Dataset[ResultRow] =
+    extractFrom(prepared(pages, conf), conf)
 
   /** Per-executor extraction kernel. Object = one lazy init per JVM
     * executor, thread-safe for free (SURVEY.md par 2.3 item 13).

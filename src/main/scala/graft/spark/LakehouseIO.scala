@@ -87,22 +87,27 @@ object LakehouseIO {
 
     results.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
 
+    val bucketDirs = Files.list(staging).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("bucket="))
+      .toSeq.sortBy(_.getFileName.toString.stripPrefix("bucket=").toInt)
+
     // per-bucket stats for the ledger (request-counter parity, SURVEY.md
-    // par 2.4 item 18) — one tiny aggregate over the staged output
-    val stats = spark.read.parquet(staging.toString)
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("rows"),
-        sum(when(col("status") === "ok", 1L).otherwise(0L)).as("ok_rows"))
-      .collect()
-      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
-      .toMap
+    // par 2.4 item 18) — one tiny aggregate over the staged output. A
+    // fully-resumed run stages zero rows (no part files → no inferable
+    // schema), hence the emptiness guard.
+    val stats: Map[Int, (Long, Long)] =
+      if (bucketDirs.isEmpty) Map.empty
+      else spark.read.schema(results.schema).parquet(staging.toString)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("rows"),
+          sum(when(col("status") === "ok", 1L).otherwise(0L)).as("ok_rows"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
 
     val already = committedBuckets(root)
     val ledgers = Seq.newBuilder[BucketLedger]
     var committed = 0
-    val bucketDirs = Files.list(staging).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("bucket="))
-      .toSeq.sortBy(_.getFileName.toString.stripPrefix("bucket=").toInt)
 
     bucketDirs.foreach { src =>
       val b = src.getFileName.toString.stripPrefix("bucket=").toInt

@@ -1,0 +1,244 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.Base64
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.gen.PagesGen
+import graft.spark._
+
+/** Spark integration layer (SURVEY.md par 5.2): status taxonomy, dedup,
+  * golden byte-equality (the north_rule gate), resume-after-kill,
+  * skew-salt balance, metrics, retention — mirrors the reference's
+  * integration suite (tests/integration/api/v2/test_dynamic_process.py).
+  */
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def conf = SparkEntry.conf
+
+  private lazy val results: Array[ResultRow] = {
+    implicit val s: SparkSession = spark
+    spark.sparkContext.setLogLevel("WARN")
+    ExtractPipeline.run(PagesGen.fromDocuments(spark, sfDir), conf).collect()
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmpDir(name: String): String = {
+    val p = Files.createTempDirectory(s"graft-$name")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  // ------------------------------------------------------- status taxonomy
+
+  test("status taxonomy matches the generator's kind distribution") {
+    val ids = (0L until 500L).toSeq
+    val expected = ids.map(PagesGen.kindOf).groupBy(identity).view.mapValues(_.size).toMap
+    val got = results.groupBy(_.status).view.mapValues(_.length).toMap
+    assert(got(core.Status.Ok) == expected("html") + expected("pdf"))
+    assert(got(core.Status.RejectedFormat) == expected("junk"))
+    assert(got(core.Status.RejectedSize) == expected("oversize"))
+    assert(!got.contains(core.Status.Timeout) && !got.contains(core.Status.Error))
+    // error codes ride along (error-as-data, parity with the 400/413 taxonomy)
+    results.filter(_.status == core.Status.RejectedFormat)
+      .foreach(r => assert(r.error_code == "unsupported_format"))
+    results.filter(_.status == core.Status.RejectedSize)
+      .foreach(r => assert(r.error_code == "file_too_large"))
+  }
+
+  test("dedup: re-crawled urls collapse to one result row") {
+    assert(results.length == 500) // generator emits ~525 rows (dups for id%20==3)
+    assert(results.map(_.url).distinct.length == results.length)
+  }
+
+  test("ok rows satisfy output invariants (hOCR validate parity)") {
+    results.filter(_.status == core.Status.Ok).foreach { r =>
+      assert(r.pages >= 1, r.url)
+      assert(r.spans.nonEmpty, r.url)
+      val pageSpans = r.spans.filter(_.kind == "page")
+      assert(pageSpans.size == r.pages, r.url)
+      r.spans.foreach(s => assert(s.begin >= 0 && s.end <= r.text.length && s.begin <= s.end))
+    }
+  }
+
+  // ------------------------------------------------------------ golden gate
+
+  test("GOLDEN: byte-identical extracted text + pinned spans per url") {
+    val goldenPath = Paths.get(GoldenGen.GoldenPath)
+    assert(Files.exists(goldenPath),
+      s"golden file missing — run: sbt 'Test/runMain graft.GoldenGen'")
+    val golden = Files.readAllLines(goldenPath, StandardCharsets.UTF_8)
+    val byUrl = results.map(r => r.url -> r).toMap
+    assert(golden.size == results.length, "row count drifted vs golden")
+    golden.forEach { ln =>
+      val Array(url, status, engine, pages, nSpans, spansSha, textB64) = ln.split("\t", 7)
+      val r = byUrl.getOrElse(url, fail(s"url missing from results: $url"))
+      assert(r.status == status, url)
+      assert(r.engine == engine, url)
+      assert(r.pages == pages.toInt, url)
+      assert(r.spans.size == nSpans.toInt, url)
+      assert(GoldenGen.spansDigest(r.spans) == spansSha, s"spans drifted: $url")
+      val goldenBytes = Base64.getDecoder.decode(textB64)
+      val gotBytes = r.text.getBytes(StandardCharsets.UTF_8)
+      assert(java.util.Arrays.equals(gotBytes, goldenBytes),
+        s"TEXT BYTES drifted: $url")
+    }
+  }
+
+  test("golden gate both-ways except is empty (set equality)") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val got = spark.createDataset(results.toSeq.map(r => (r.url, r.text)))
+      .toDF("url", "text")
+    val golden = spark.createDataset(
+      Files.readAllLines(Paths.get(GoldenGen.GoldenPath), StandardCharsets.UTF_8)
+        .toArray(Array.empty[String]).toSeq.map { ln =>
+          val f = ln.split("\t", 7)
+          (f(0), new String(Base64.getDecoder.decode(f(6)), StandardCharsets.UTF_8))
+        }).toDF("url", "text")
+    assert(got.exceptAll(golden).isEmpty && golden.exceptAll(got).isEmpty)
+  }
+
+  // ----------------------------------------------------------------- resume
+
+  test("resume: killed run re-processes only uncommitted buckets; output byte-identical") {
+    implicit val s: SparkSession = spark
+    val input = sfDir
+    val full = tmpDir("full")
+    val crashed = tmpDir("crashed")
+
+    // uninterrupted reference run
+    val (fullLedgers, _) = ExtractMain.runJob(spark,
+      ExtractMain.Args(input = input, table = full, runId = "full-run",
+        buckets = conf.buckets, salt = conf.salt, maxBytes = conf.maxBytes))
+    assert(fullLedgers.nonEmpty)
+
+    // run 1: crash injected after 3 bucket commits
+    val crash = intercept[RuntimeException] {
+      ExtractMain.runJob(spark,
+        ExtractMain.Args(input = input, table = crashed, runId = "run-1",
+          buckets = conf.buckets, salt = conf.salt, maxBytes = conf.maxBytes,
+          failAfterBuckets = Some(3)))
+    }
+    assert(crash.getMessage.contains("injected failure"))
+    val committedAfterCrash = LakehouseIO.committedBuckets(crashed)
+    assert(committedAfterCrash.size == 3)
+
+    // run 2: resume — must commit exactly the remaining buckets
+    val (resumeLedgers, _) = ExtractMain.runJob(spark,
+      ExtractMain.Args(input = input, table = crashed, runId = "run-2",
+        buckets = conf.buckets, salt = conf.salt, maxBytes = conf.maxBytes))
+    assert(resumeLedgers.map(_.bucket).toSet.intersect(committedAfterCrash).isEmpty,
+      "resume re-committed an already-committed bucket")
+    assert(LakehouseIO.committedBuckets(crashed) ==
+      fullLedgers.map(_.bucket).toSet)
+
+    // ledger lineage: run-1 rows survive, run-2 owns the rest
+    val ledgerRuns = LakehouseIO.committedBuckets(crashed).toSeq.map { b =>
+      val json = new String(Files.readAllBytes(
+        LakehouseIO.ledgerDir(crashed).resolve(s"bucket-$b.json")), StandardCharsets.UTF_8)
+      if (json.contains("\"run-1\"")) "run-1" else "run-2"
+    }
+    assert(ledgerRuns.count(_ == "run-1") == 3)
+
+    // final output byte-identical to the uninterrupted run
+    def snapshot(root: String): Array[(String, String, String, Int)] =
+      LakehouseIO.readResults(root)
+        .select("url", "text", "status", "pages")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3)))
+        .sortBy(_._1)
+    assert(snapshot(crashed).sameElements(snapshot(full)))
+  }
+
+  test("resume: fully-committed table is a no-op (idempotent re-run)") {
+    implicit val s: SparkSession = spark
+    val root = tmpDir("noop")
+    val (l1, _) = ExtractMain.runJob(spark,
+      ExtractMain.Args(input = sfDir, table = root, runId = "a",
+        buckets = conf.buckets, salt = conf.salt, maxBytes = conf.maxBytes))
+    val (l2, rows2) = ExtractMain.runJob(spark,
+      ExtractMain.Args(input = sfDir, table = root, runId = "b",
+        buckets = conf.buckets, salt = conf.salt, maxBytes = conf.maxBytes))
+    assert(l1.nonEmpty && l2.isEmpty && rows2 == 0)
+  }
+
+  // ------------------------------------------------------------------- skew
+
+  test("salted repartition balances partitions despite the skewed host") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val bucketed = ExtractPipeline.prepared(PagesGen.fromDocuments(spark, sfDir), conf)
+    val parts = bucketed
+      .repartition(conf.buckets * conf.salt, ExtractPipeline.saltedKey(conf))
+      .mapPartitions(it => Iterator.single(it.size))
+      .collect()
+    val nonEmpty = parts.filter(_ > 0)
+    val mean = nonEmpty.sum.toDouble / nonEmpty.length
+    assert(nonEmpty.max <= mean * 3 + 8,
+      s"partition skew: max=${nonEmpty.max} mean=$mean")
+  }
+
+  // ---------------------------------------------------------------- metrics
+
+  test("metrics: status counts and size histogram aggregate correctly") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val ds = spark.createDataset(results.toSeq)
+    val counts = MetricsStage.statusCounts(ds).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val expected = results.groupBy(r => (r.engine, r.status)).view.mapValues(_.length.toLong)
+    expected.foreach { case (k, v) => assert(counts(k) == v, k) }
+    assert(MetricsStage.timeouts(ds).collect().isEmpty)
+    val hist = MetricsStage.sizeHistogram(
+      PagesGen.fromDocuments(spark, sfDir).toDF()).collect()
+    assert(hist.map(_.getLong(1)).sum == 525) // pre-dedup rows incl. re-crawls
+  }
+
+  // -------------------------------------------------------------- retention
+
+  test("retention: expire removes old snapshots and staging, keeps fresh") {
+    val root = tmpDir("ttl")
+    val snaps = LakehouseIO.snapshotsDir(root)
+    Files.createDirectories(snaps)
+    LakehouseIO.atomicWrite(snaps.resolve("old.json"), "{}")
+    LakehouseIO.atomicWrite(snaps.resolve("new.json"), "{}")
+    val old = snaps.resolve("old.json")
+    Files.setLastModifiedTime(old,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 100 * 3600 * 1000L))
+    val stg = Paths.get(root, "_staging", "dead-run")
+    Files.createDirectories(stg)
+    Files.setLastModifiedTime(stg,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 100 * 3600 * 1000L))
+    val removed = LakehouseIO.expire(root, 48L * 3600 * 1000)
+    assert(removed == 2)
+    assert(Files.exists(snaps.resolve("new.json")) && !Files.exists(old) && !Files.exists(stg))
+  }
+
+  // ------------------------------------------------------------- entrypoint
+
+  test("ExtractMain.parse: required args and defaults") {
+    val a = ExtractMain.parse(Array("--input", "/x", "--table", "/y", "--buckets", "7"))
+    assert(a.input == "/x" && a.table == "/y" && a.buckets == 7 && a.salt == 4)
+    intercept[IllegalArgumentException](ExtractMain.parse(Array("--input", "/x")))
+    intercept[IllegalArgumentException](ExtractMain.parse(Array("--bogus", "1")))
+  }
+
+  test("engines discovery surface has both kernels with param schemas") {
+    val rows = ExtractPipeline.engines(spark).collect()
+    assert(rows.map(_.getString(0)).sorted.sameElements(Array("html", "pdf")))
+    rows.foreach(r => assert(r.getString(3).contains(":")))
+  }
+}
