@@ -1,5 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.spark.{ExtractConf, ExtractPipeline, PageRow}
+
+/** Driver-run benchmark: times every SparkEntry query, then measures
+  * sustained extraction throughput (docs/sec) on a replicated corpus —
+  * the headline metric from BASELINE.md. One JSON line on stdout.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,6 +14,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", (2 * 1024 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (64 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -18,7 +28,32 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // sustained-throughput measure: replicated corpus, kernel-dominated,
+    // one warm-up pass then one timed pass
+    val defaultReplicas = if (cpus.toInt >= 16) "120" else "40" // keep gen+run bounded on small drivers
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICAS", defaultReplicas).toInt
+    val conf = ExtractConf(maxBytes = 64L * 1024, buckets = 64, salt = 2)
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val corpus = "/tmp/graft_bench_corpus_" +
+      java.nio.file.Paths.get(sfDir).getFileName.toString + s"_$replicas"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(corpus, "_SUCCESS")))
+      graft.gen.PagesGen.replicated(spark, sfDir, replicas)
+        .write.mode("overwrite").parquet(corpus)
+    def pass(): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = ExtractPipeline.run(spark.read.parquet(corpus).as[PageRow], conf)
+        .toDF().agg(count(lit(1)), sum(length(col("text")))).collect()(0).getLong(0)
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    pass() // warm-up (JIT + page cache)
+    val (docs, sec) = pass()
+    val tput = docs / sec
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""throughput_docs":$docs,"throughput_sec":$sec,"docs_per_sec":$tput,""" +
+      s""""docs_per_sec_per_core":${tput / cpus.toInt},"cores":$cpus}""")
     spark.stop()
   }
 }

@@ -69,12 +69,14 @@ object SparkEntry {
     "e4_metrics_status" -> ((s, dir) => {
       MetricsStage.statusCounts(extracted(s, dir, "all"))
     }),
-    // par 2.8 items 40-41: span introspection via higher-order array fns
+    // par 2.8 items 40-41: span introspection — block spans via
+    // higher-order array fns, word count derived from the canonical text
+    // (word offsets are a pure function of text and are not stored)
     "e5_span_counts" -> ((s, dir) => {
       extracted(s, dir, "html").toDF().select(
         col("url"),
         size(filter(col("spans"), x => x.getField("kind") === "block")).as("n_blocks"),
-        size(filter(col("spans"), x => x.getField("kind") === "word")).as("n_words"),
+        size(split(col("text"), "[ \n]")).as("n_words"),
         col("pages"))
     }),
     // par 2.9: ingest dedup (re-crawled urls collapse to one row)
@@ -86,6 +88,29 @@ object SparkEntry {
     // par 2.4 item 20: file-size histogram over the synthesized corpus
     "e8_size_histogram" -> ((s, dir) => {
       MetricsStage.sizeHistogram(pagesOf(s, docs(s, dir)).toDF())
+    }),
+    // par 2.9 joins: results joined back to the pages table on url (the
+    // golden-gate join shape) + flat aggregation of span-derived word
+    // counts by language
+    "e9_words_by_lang" -> ((s, dir) => {
+      val pages = pagesOf(s, onlyKind(docs(s, dir), "html")).toDF()
+        .select(col("url"), col("lang")).dropDuplicates("url")
+      extracted(s, dir, "html").toDF()
+        .join(pages, "url")
+        .groupBy("lang")
+        .agg(
+          sum(size(split(col("text"), "[ \n]"))).as("n_words"),
+          count(lit(1)).as("n_docs"))
+    }),
+    // par 2.10 scalar functions: host parse (regexp) + per-host counts —
+    // the skew-observability aggregate (FIXTURES.md par 1: one host
+    // carries ~30% of urls)
+    "e10_host_counts" -> ((s, dir) => {
+      extracted(s, dir, "all").toDF()
+        .withColumn("host", regexp_extract(col("url"), "https://([^/]+)/", 1))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("status") === "ok", 1L).otherwise(0L)).as("n_ok"))
     }),
   )
 
@@ -135,6 +160,16 @@ object SparkEntry {
         ("SELECT 'html' AS name, '1.0.0' AS version, 'text/html' AS supported_formats, " +
           "'maxLinkDensity:double=0.33,minWordsDense:int=10' AS params " +
           "UNION ALL SELECT 'pdf', '1.0.0', 'application/pdf', 'xGap:double=60.0,yGap:double=25.0'"),
+      "e9_words_by_lang" ->
+        (s"WITH d AS (SELECT lang, $words AS w FROM documents WHERE $htmlKinds) " +
+          "SELECT lang, CAST(SUM(len(w)) AS BIGINT) AS n_words, count(*) AS n_docs FROM d GROUP BY lang"),
+      "e10_host_counts" ->
+        (s"WITH d AS (SELECT doc_id, $kindCase AS kind, " +
+          "CASE WHEN doc_id % 10 < 3 THEN 'big.example.com' ELSE 'h' || (doc_id % 97) || '.example.com' END AS host " +
+          "FROM documents) " +
+          "SELECT host, count(*) AS n_docs, " +
+          "CAST(SUM(CASE WHEN kind IN ('html','pdf') THEN 1 ELSE 0 END) AS BIGINT) AS n_ok " +
+          "FROM d GROUP BY host"),
     )
   }
 }

@@ -62,6 +62,20 @@ object BlockBuilder {
     c
   }
 
+  /** Word count over raw (un-canonicalized) text: non-whitespace runs,
+    * using the same whitespace set the Canonicalizer collapses — identical
+    * count, no allocation (NFC never alters whitespace-ness).
+    */
+  private def countWordsRaw(s: String): Int = {
+    var c = 0; var in = false; var i = 0
+    while (i < s.length) {
+      if (Canonicalizer.isSpace(s.charAt(i))) in = false
+      else if (!in) { c += 1; in = true }
+      i += 1
+    }
+    c
+  }
+
   /** Consume the token stream into classified-ready blocks. */
   def build(toks: Iterator[Html.Tok]): Vector[Block] = {
     val out = Vector.newBuilder[Block]
@@ -97,7 +111,7 @@ object BlockBuilder {
     }
 
     toks.foreach {
-      case Html.StartTag(name, _, selfClosing) =>
+      case Html.StartTag(name, selfClosing) =>
         if (blockTags.contains(name)) flush()
         if (!voidTags.contains(name) && !selfClosing) {
           stack += name
@@ -129,7 +143,7 @@ object BlockBuilder {
           // a block spanning into/out of boiler scope stays conservative
           blockBoiler = blockBoiler || boilerDepth > 0
         }
-        if (anchorDepth > 0) pendingLinkWords += countWords(Canonicalizer.block(t))
+        if (anchorDepth > 0) pendingLinkWords += countWordsRaw(t)
         buf.append(t)
         buf.append(' ') // token boundary between text runs; collapsed later
     }

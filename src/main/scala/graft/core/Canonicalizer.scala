@@ -49,9 +49,16 @@ object Canonicalizer {
   }
 
   /** NFC-normalize. Applied per block (NFC is preserved by our join
-    * because '\n' is inert under composition).
+    * because '\n' is inert under composition). Pure-ASCII fast path:
+    * NFC is the identity on ASCII, and most web-text blocks are ASCII,
+    * so skip the (expensive) Normalizer call when possible — result is
+    * byte-identical either way.
     */
-  def nfc(s: String): String = Normalizer.normalize(s, Normalizer.Form.NFC)
+  def nfc(s: String): String = {
+    var i = 0
+    while (i < s.length && s.charAt(i) < 0x80) i += 1
+    if (i == s.length) s else Normalizer.normalize(s, Normalizer.Form.NFC)
+  }
 
   /** Canonical block: NFC + collapse. */
   def block(s: String): String = collapse(nfc(s))

@@ -7,9 +7,49 @@ package graft.core
   * [begin, end) character offsets per the north_star.
   *
   * kind: page | block | line | word
-  * path: tag path (html) or "page/<n>/col/<m>" (pdf)
+  * path: tag path (html) or "page/<n>/col/<m>" (pdf). Word (and line)
+  * spans carry `""`: their path is the enclosing block's, and word spans
+  * are ~90% of all spans — repeating the block path on each would double
+  * the result row's serialized size (felt at every shuffle/write at
+  * 100 TB; recover it when needed with a range join on [begin,end)).
   */
 final case class Span(kind: String, path: String, begin: Int, end: Int)
+
+object Span {
+  /** Interned empty path for containment-derived spans. */
+  val NoPath = ""
+
+  /** Derive word spans from canonical text: maximal runs of non-space
+    * characters within [begin, end). This is the inverse of the
+    * Canonicalizer's single-space join — word offsets are fully
+    * determined by the text, which is why they are NOT stored.
+    */
+  def wordSpans(text: String, begin: Int = 0, endOpt: Int = -1): Vector[Span] = {
+    val end = if (endOpt < 0) text.length else endOpt
+    val out = Vector.newBuilder[Span]
+    var i = begin
+    while (i < end) {
+      while (i < end && text.charAt(i) == ' ') i += 1
+      val ws = i
+      while (i < end && text.charAt(i) != ' ' && text.charAt(i) != '\n') i += 1
+      if (i > ws) out += Span("word", NoPath, ws, i)
+      if (i < end && text.charAt(i) == '\n') i += 1
+    }
+    out.result()
+  }
+
+  /** Word count of canonical text without allocating spans. */
+  def wordCount(text: String): Int = {
+    var c = 0; var in = false; var i = 0
+    while (i < text.length) {
+      val ch = text.charAt(i)
+      if (ch == ' ' || ch == '\n') in = false
+      else if (!in) { c += 1; in = true }
+      i += 1
+    }
+    c
+  }
+}
 
 /** Kernel output for one document (pre-Spark, pure). */
 final case class Extracted(text: String, spans: Vector[Span], pages: Int)
@@ -48,9 +88,9 @@ object ContentType {
     while (i < bytes.length && (bytes(i) == ' ' || bytes(i) == '\t' || bytes(i) == '\n' || bytes(i) == '\r')) i += 1
     if (i < bytes.length && bytes(i) == '<') return Html
     val n = math.min(bytes.length, 1024)
-    val head = new String(bytes, 0, n, java.nio.charset.StandardCharsets.ISO_8859_1)
-      .toLowerCase(java.util.Locale.ROOT)
-    if (head.contains("<html") || head.contains("<!doctype")) Html else Unknown
+    if (graft.core.Html.indexOfAsciiIgnoreCase(bytes, n, "<html") >= 0 ||
+      graft.core.Html.indexOfAsciiIgnoreCase(bytes, n, "<!doctype") >= 0) ContentType.Html
+    else Unknown
   }
 
   private def startsWith(b: Array[Byte], prefix: Array[Byte], off: Int): Boolean = {
@@ -92,6 +132,13 @@ object HtmlExtractor extends Extractor {
 
   /** Build (text, spans, pages=1) from canonical (blockText, path) pairs.
     * Shared with tests and goldens.
+    *
+    * Stored spans are page + block (+ line for pdf) only: word offsets
+    * are a pure function of the canonical text (maximal non-space runs —
+    * [[Span.wordSpans]]), so persisting them would multiply every result
+    * row's serialized size ~4x through every shuffle and write at 100 TB
+    * for zero information. The hOCR renderer and span queries derive
+    * them on demand.
     */
   def assemble(blocks: Seq[(String, String)]): Extracted = {
     val sb = new java.lang.StringBuilder
@@ -104,14 +151,6 @@ object HtmlExtractor extends Extractor {
         val b0 = sb.length
         sb.append(text)
         spans += Span("block", path, b0, sb.length)
-        // word spans inside the block
-        var i = 0
-        while (i < text.length) {
-          while (i < text.length && text.charAt(i) == ' ') i += 1
-          val ws = i
-          while (i < text.length && text.charAt(i) != ' ') i += 1
-          if (i > ws) spans += Span("word", path, b0 + ws, b0 + i)
-        }
       }
     }
     val text = sb.toString

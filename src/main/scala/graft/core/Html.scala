@@ -17,7 +17,12 @@ import java.util.Locale
 object Html {
 
   sealed trait Tok
-  final case class StartTag(name: String, attrs: List[(String, String)], selfClosing: Boolean) extends Tok
+  /** Attributes are scanned for tag-end correctness but not materialized:
+    * no downstream consumer reads them, and skipping the per-attribute
+    * tuple/list/entity-decode allocations measurably lifts 32-thread
+    * throughput (the kernel is allocation-bound at high core counts).
+    */
+  final case class StartTag(name: String, selfClosing: Boolean) extends Tok
   final case class EndTag(name: String) extends Tok
   final case class Text(s: String) extends Tok
 
@@ -51,19 +56,46 @@ object Html {
       return StandardCharsets.UTF_16BE
     if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xfe)
       return StandardCharsets.UTF_16LE
+    // byte-scan the first 1024 bytes for "charset=" (ASCII,
+    // case-insensitive) — no probe String allocation per document
     val n = math.min(bytes.length, 1024)
-    val probe = new String(bytes, 0, n, StandardCharsets.ISO_8859_1).toLowerCase(Locale.ROOT)
-    val i = probe.indexOf("charset=")
+    val i = indexOfAsciiIgnoreCase(bytes, n, "charset=")
     if (i >= 0) {
       var j = i + 8
-      if (j < probe.length && (probe.charAt(j) == '"' || probe.charAt(j) == '\'')) j += 1
+      def at(k: Int): Char = (bytes(k) & 0xff).toChar
+      if (j < n && (at(j) == '"' || at(j) == '\'')) j += 1
       val start = j
-      while (j < probe.length && (probe.charAt(j).isLetterOrDigit || probe.charAt(j) == '-' || probe.charAt(j) == '_')) j += 1
-      val name = probe.substring(start, j)
+      while (j < n && {
+        val c = at(j)
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '-' || c == '_'
+      }) j += 1
+      val name = new String(bytes, start, j - start, StandardCharsets.ISO_8859_1)
+        .toLowerCase(Locale.ROOT)
       try { if (Charset.isSupported(name)) return Charset.forName(name) }
       catch { case _: Exception => }
     }
     StandardCharsets.UTF_8
+  }
+
+  /** First index of the lowercase ASCII `needle` in bytes[0,n), matching
+    * case-insensitively. Allocation-free.
+    */
+  private[core] def indexOfAsciiIgnoreCase(bytes: Array[Byte], n: Int, needle: String): Int = {
+    val m = needle.length
+    var i = 0
+    while (i + m <= n) {
+      var k = 0
+      var ok = true
+      while (ok && k < m) {
+        var c = (bytes(i + k) & 0xff)
+        if (c >= 'A' && c <= 'Z') c += 32
+        if (c != needle.charAt(k)) ok = false
+        k += 1
+      }
+      if (ok) return i
+      i += 1
+    }
+    -1
   }
 
   /** Decode with malformed input replaced (never throws on bad bytes). */
@@ -156,42 +188,50 @@ object Html {
         j
       }
 
-      /** Parse a start/end tag beginning at '<'; returns (token?, newPos).
-        * A '<' that opens nothing valid is literal text.
+      /** Token produced by the last parseTag call (null = none). Field
+        * instead of a (Tok, Int) tuple return: the tuple boxed the Int and
+        * allocated a Tuple2 per tag — measurable at 32 threads.
         */
-      private def parseTag(lt: Int): (Tok, Int) = {
+      private var tagTok: Tok = null
+
+      /** Parse a start/end tag beginning at '<'; sets tagTok, returns the
+        * new position. A '<' that opens nothing valid is literal text.
+        */
+      private def parseTag(lt: Int): Int = {
+        tagTok = null
         var j = lt + 1
-        if (j >= n) return (null, lt + 1)
+        if (j >= n) return lt + 1
         val c = s.charAt(j)
         if (c == '!') {
           if (s.startsWith("<!--", lt)) {
             val end = s.indexOf("-->", lt + 4)
-            return (null, if (end < 0) n else end + 3)
+            return if (end < 0) n else end + 3
           }
           if (s.regionMatches(true, lt, "<![CDATA[", 0, 9)) {
             val end = s.indexOf("]]>", lt + 9)
-            return (null, if (end < 0) n else end + 3)
+            return if (end < 0) n else end + 3
           }
           // doctype or other declaration
           val end = s.indexOf('>', lt + 1)
-          return (null, if (end < 0) n else end + 1)
+          return if (end < 0) n else end + 1
         }
         if (c == '?') { // processing instruction
           val end = s.indexOf('>', lt + 1)
-          return (null, if (end < 0) n else end + 1)
+          return if (end < 0) n else end + 1
         }
         val closing = c == '/'
         if (closing) j += 1
-        if (j >= n || !isNameStart(s.charAt(j))) return (null, lt + 1) // literal '<'
+        if (j >= n || !isNameStart(s.charAt(j))) return lt + 1 // literal '<'
         val nameStart = j
         while (j < n && isNameChar(s.charAt(j))) j += 1
         val name = s.substring(nameStart, j).toLowerCase(Locale.ROOT)
         if (closing) {
           val end = s.indexOf('>', j)
-          return (EndTag(name), if (end < 0) n else end + 1)
+          tagTok = EndTag(name)
+          return if (end < 0) n else end + 1
         }
-        // attributes
-        var attrs = List.newBuilder[(String, String)]
+        // attributes: scan past them (quote-aware so a '>' inside a quoted
+        // value doesn't end the tag) without materializing anything
         var selfClosing = false
         var done = false
         while (!done) {
@@ -202,30 +242,24 @@ object Html {
             if (ch == '>') { j += 1; done = true }
             else if (ch == '/' && j + 1 < n && s.charAt(j + 1) == '>') { selfClosing = true; j += 2; done = true }
             else if (isNameStart(ch)) {
-              val as = j
               while (j < n && isNameChar(s.charAt(j))) j += 1
-              val aname = s.substring(as, j).toLowerCase(Locale.ROOT)
               var k = skipSpaceIn(j)
-              var avalue = ""
               if (k < n && s.charAt(k) == '=') {
                 k = skipSpaceIn(k + 1)
                 if (k < n && (s.charAt(k) == '"' || s.charAt(k) == '\'')) {
                   val q = s.charAt(k)
                   val vend = s.indexOf(q, k + 1)
-                  if (vend < 0) { avalue = s.substring(k + 1); k = n }
-                  else { avalue = s.substring(k + 1, vend); k = vend + 1 }
+                  k = if (vend < 0) n else vend + 1
                 } else {
-                  val vs = k
                   while (k < n && !Character.isWhitespace(s.charAt(k)) && s.charAt(k) != '>' && s.charAt(k) != '/') k += 1
-                  avalue = s.substring(vs, k)
                 }
                 j = k
               }
-              attrs += (aname -> decodeEntities(avalue))
             } else j += 1 // junk char inside tag; skip
           }
         }
-        (StartTag(name, attrs.result(), selfClosing), j)
+        tagTok = StartTag(name, selfClosing)
+        j
       }
 
       private def advance(): Unit = {
@@ -235,7 +269,8 @@ object Html {
           if (deadline.expired()) throw new TimeoutException
           val c = s.charAt(i)
           if (c == '<') {
-            val (tok, next) = parseTag(i)
+            val next = parseTag(i)
+            val tok = tagTok
             if (tok == null && next == i + 1) {
               // a '<' that opens no tag is literal text
               i = next
@@ -243,7 +278,7 @@ object Html {
             } else {
             i = next
             tok match {
-              case st @ StartTag(nm, _, false) if nm == "script" || nm == "style" || nm == "textarea" || nm == "noscript" =>
+              case st @ StartTag(nm, false) if nm == "script" || nm == "style" || nm == "textarea" || nm == "noscript" =>
                 // raw-text element: skip to matching close tag
                 val close = "</" + nm
                 var k = s.indexOf(close, i)

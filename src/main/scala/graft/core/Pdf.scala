@@ -30,6 +30,15 @@ object Pdf {
 
   // ------------------------------------------------------------------- lexer
 
+  /** Exact powers of ten for the lexer's manual number parse. */
+  private val POW10: Array[Double] = Array.tabulate(16)(i => math.pow(10, i))
+
+  /** Operators/keywords the lexer interns (most-frequent first). */
+  private val Keywords: Array[String] = Array(
+    "Tj", "TJ", "Td", "TD", "Tm", "Tf", "TL", "T*", "BT", "ET",
+    "obj", "endobj", "stream", "endstream", "xref", "trailer",
+    "startxref", "true", "false", "null", "'", "\"")
+
   private def isWs(b: Int) = b == ' ' || b == '\t' || b == '\r' || b == '\n' || b == '\f' || b == 0
   private def isDelim(b: Int) =
     b == '(' || b == ')' || b == '<' || b == '>' || b == '[' || b == ']' || b == '{' || b == '}' || b == '/' || b == '%'
@@ -48,12 +57,29 @@ object Pdf {
       }
     }
 
-    /** Next bare keyword/operator token (letters, digits, quotes, stars). */
+    /** Next bare keyword/operator token (letters, digits, quotes, stars).
+      * Known operators return interned constants — content streams are
+      * mostly operators, and a fresh String per operator was a top
+      * allocation site.
+      */
     def keyword(): String = {
       skipWs()
       val start = pos
       while (!eof && !isWs(peek) && !isDelim(peek)) pos += 1
-      new String(bytes, start, pos - start, StandardCharsets.ISO_8859_1)
+      val len = pos - start
+      val known = Keywords
+      var k = 0
+      while (k < known.length) {
+        val w = known(k)
+        if (w.length == len) {
+          var i = 0
+          var ok = true
+          while (ok && i < len) { if ((bytes(start + i) & 0xff) != w.charAt(i)) ok = false; i += 1 }
+          if (ok) return w
+        }
+        k += 1
+      }
+      new String(bytes, start, len, StandardCharsets.ISO_8859_1)
     }
 
     def parseString(): String = {
@@ -120,11 +146,41 @@ object Pdf {
       PName(new String(bytes, start, pos - start, StandardCharsets.ISO_8859_1))
     }
 
+    /** Manual digit parse — no substring/parseDouble allocation per
+      * number (numbers are the most common token in a content stream).
+      * Exact: mantissa and 10^k are exact longs, one correctly-rounded
+      * division — identical to parseDouble for this writer's subset
+      * (<= 15 significant digits).
+      */
     def parseNumber(): Double = {
       val start = pos
-      if (peek == '+' || peek == '-') pos += 1
-      while (!eof && ((peek >= '0' && peek <= '9') || peek == '.')) pos += 1
-      java.lang.Double.parseDouble(new String(bytes, start, pos - start, StandardCharsets.ISO_8859_1))
+      var neg = false
+      if (peek == '+') pos += 1
+      else if (peek == '-') { neg = true; pos += 1 }
+      var mant = 0L
+      var digits = 0
+      var fracDigits = 0
+      var seenDot = false
+      var overflow = false
+      while (!eof && ((peek >= '0' && peek <= '9') || peek == '.')) {
+        val b = peek
+        if (b == '.') {
+          if (seenDot) overflow = true // malformed: defer to parseDouble's error
+          seenDot = true
+        } else {
+          if (digits < 15) { // 15 digits stay exact in a double's mantissa
+            mant = mant * 10 + (b - '0')
+            digits += 1
+            if (seenDot) fracDigits += 1
+          } else overflow = true
+        }
+        pos += 1
+      }
+      if (digits == 0 || overflow)
+        return java.lang.Double.parseDouble(
+          new String(bytes, start, pos - start, StandardCharsets.ISO_8859_1))
+      val v = if (fracDigits == 0) mant.toDouble else mant.toDouble / POW10(fracDigits)
+      if (neg) -v else v
     }
 
     /** Parse one object value (dicts/arrays/refs/scalars). */
@@ -517,34 +573,26 @@ object PdfExtractor extends Extractor {
       val leaves = Pdf.xyCut(chunks)
       var blockIdx = 0
       leaves.foreach { lines =>
-        val blockText = Canonicalizer.block(
-          lines.map(line => line.map(_.text).mkString(" ")).mkString(" "))
+        // canonicalize each line once; the block text is their single-space
+        // join (identical to canonicalizing the joined raw text, since
+        // line texts are trimmed and NFC never composes across a space)
+        val lineTexts = lines.map(line => Canonicalizer.block(line.map(_.text).mkString(" ")))
+          .filter(_.nonEmpty)
+        val blockText = lineTexts.mkString(" ")
         if (blockText.nonEmpty) {
           if (!first) sb.append('\n')
           first = false
           val b0 = sb.length
           val path = s"page/$pageIdx/block/$blockIdx"
-          // line spans: recompute per line against canonical block text
           var cursor = b0
-          lines.foreach { line =>
-            val lt = Canonicalizer.block(line.map(_.text).mkString(" "))
-            if (lt.nonEmpty) {
-              if (cursor > b0) { /* single space between lines */ }
-              val l0 = if (cursor == b0) cursor else cursor + 1
-              spans += Span("line", path, l0, l0 + lt.length)
-              cursor = l0 + lt.length
-            }
+          lineTexts.foreach { lt =>
+            val l0 = if (cursor == b0) cursor else cursor + 1
+            spans += Span("line", Span.NoPath, l0, l0 + lt.length)
+            cursor = l0 + lt.length
           }
           sb.append(blockText)
           spans += Span("block", path, b0, sb.length)
-          // word spans
-          var i = 0
-          while (i < blockText.length) {
-            while (i < blockText.length && blockText.charAt(i) == ' ') i += 1
-            val ws = i
-            while (i < blockText.length && blockText.charAt(i) != ' ') i += 1
-            if (i > ws) spans += Span("word", path, b0 + ws, b0 + i)
-          }
+          // word spans derived on demand (Span.wordSpans), not stored
           blockIdx += 1
         }
       }

@@ -73,11 +73,15 @@ object PagesGen {
     * Bench/ScalingBench only. Generation happens inside tasks so the
     * driver never materializes payloads.
     */
-  def replicated(spark: SparkSession, sfDir: String, replicas: Int): Dataset[PageRow] = {
+  def replicated(spark: SparkSession, sfDir: String, replicas: Int, outParts: Int = 64): Dataset[PageRow] = {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text", "lang")
       .as[(Long, String, String)]
+      // spread generation across tasks AND produce one output file per
+      // partition — a single-file corpus caps the downstream scan (and
+      // with it the map-stage kernel) at one task
+      .repartition(outParts)
     docs.flatMap { case (id, text, lang) =>
       (0 until replicas).iterator.map { k =>
         row(id + k.toLong * 1000000L, text, lang)

@@ -6,11 +6,23 @@ import graft.core._
 
 /** The extraction job spine (SURVEY.md par 3.1 "Spark equivalent"):
   *
-  *   pages --dropDuplicates(url)--> size gate (Catalyst predicate)
-  *     --repartition(buckets*salt, salted url-hash)--> mapPartitions(kernel)
+  *   pages --size gate--> mapPartitions(kernel)   [map-only, in the scan stage]
+  *     --repartition(buckets*salt, salted url-hash)--> partition-local dedup
+  *     --> bucketed write
   *
-  * One shuffle total. The kernel is a per-executor object (JVM lazy
-  * singleton = the reference's double-checked-lock engine cache,
+  * One shuffle total, and it carries EXTRACTED RESULTS (text + spans,
+  * ~10-15% of raw html), never the raw payload. At 100 TB input this is
+  * the difference between shuffling 100 TB twice (dedup + repartition of
+  * raw bytes — the naive plan) and shuffling ~15 TB once: the kernel runs
+  * in the scan stage with zero data movement, and deduplication happens
+  * AFTER the salted shuffle, partition-locally, because the shuffle key
+  * derives from the url so re-crawls of the same url always co-locate.
+  * Latest warc_ts wins (deterministic; re-crawled pages keep the newest
+  * capture), via a spill-aware sortWithinPartitions rather than a
+  * hash-map, so a hot partition cannot OOM.
+  *
+  * The kernel is a per-executor object (JVM lazy singleton = the
+  * reference's double-checked-lock engine cache,
   * /root/reference/src/services/ocr/registry_v2.py:332-357); the
   * per-document deadline replaces asyncio.wait_for
   * (dynamic_routes.py:231-234); all failures are error-as-data rows so a
@@ -18,6 +30,11 @@ import graft.core._
   * circuit breaker, registry_v2.py:473-551).
   */
 object ExtractPipeline {
+
+  /** Kernel-stage row: extraction result + the crawl timestamp that
+    * decides which re-crawl of a url survives dedup.
+    */
+  final case class KernelOut(ts: Long, r: ResultRow)
 
   /** Add the url-hash bucket column — the commit/lineage/resume unit
     * (north_rule: "url-hash bucketed partitioning").
@@ -34,31 +51,63 @@ object ExtractPipeline {
     concat_ws("#", col("bucket"),
       pmod(xxhash64(col("url"), lit(0x5a17)), lit(conf.salt)))
 
-  /** Ingest prep: dedup re-crawls, derive the commit bucket, apply the
-    * cheap Catalyst size gate first (fail-fast ordering — the reference
-    * checks size before reading content, validators.py:90-99). Split out
-    * so the resume filter (a bucket predicate) can sit between prep and
-    * the shuffle, pruning committed buckets before any kernel work.
+  /** Ingest prep: derive the commit bucket and apply the cheap Catalyst
+    * size gate first (fail-fast ordering — the reference checks size
+    * before reading content, validators.py:90-99). Split out so the
+    * resume filter (a bucket predicate) sits between prep and the kernel,
+    * pruning committed buckets before any kernel work — with Parquet/
+    * Iceberg bucket metadata this prunes whole files at the scan.
     */
   def prepared(pages: Dataset[PageRow], conf: ExtractConf): DataFrame =
-    withBucket(pages.toDF().dropDuplicates("url"), conf)
+    withBucket(pages.toDF(), conf)
       .withColumn("status_pre",
         when(length(col("html")) > lit(conf.maxBytes), lit(Status.RejectedSize)))
 
-  /** Shuffle on the salted bucket key, then run the kernel once per row.
+  /** Kernel in the scan stage (map-only, zero data movement), then ONE
+    * shuffle of the much smaller results on the salted url-hash key,
+    * then partition-local dedup (latest warc_ts wins; co-location is
+    * guaranteed because the shuffle key is a pure function of url).
     * Oversized rows skip the kernel but still reach the results table as
     * answers (error-as-data).
     */
   def extractFrom(bucketed: DataFrame, conf: ExtractConf)(implicit spark: SparkSession): Dataset[ResultRow] = {
     import spark.implicits._
     val numParts = math.max(conf.buckets, spark.sparkContext.defaultParallelism)
-    bucketed
-      .repartition(numParts * conf.salt, saltedKey(conf))
-      .select(col("url"), col("html"), col("status_pre"), col("bucket"))
-      .as[(String, Array[Byte], String, Int)]
+    val kernelOut = bucketed
+      .select(col("url"), col("warc_ts"), col("html"), col("status_pre"), col("bucket"))
+      .as[(String, java.sql.Timestamp, Array[Byte], String, Int)]
       .mapPartitions { rows =>
-        rows.map { case (url, html, statusPre, bucket) =>
-          Kernel.process(url, html, statusPre, bucket, conf)
+        // per-partition breaker state — task-scoped, like the reference's
+        // per-worker engine health (registry_v2.py:473-551); a poison
+        // streak sheds the failing kernel for the rest of the task
+        val breaker = new Kernel.Breaker(conf.breakerThreshold)
+        rows.map { case (url, ts, html, statusPre, bucket) =>
+          KernelOut(if (ts == null) 0L else ts.getTime,
+            Kernel.process(url, html, statusPre, bucket, conf, breaker))
+        }
+      }
+    kernelOut
+      .repartition(numParts * conf.salt,
+        concat_ws("#", col("r.bucket"),
+          pmod(xxhash64(col("r.url"), lit(0x5a17)), lit(conf.salt))))
+      // spill-aware clustering of re-crawls; ties broken by text so the
+      // survivor is deterministic even for same-ts crawls
+      .sortWithinPartitions(col("r.url"), col("ts").desc, col("r.text"))
+      .as[KernelOut]
+      .mapPartitions { it =>
+        new Iterator[ResultRow] {
+          private var nextRow: ResultRow = _
+          private var lastUrl: String = null
+          advance()
+          private def advance(): Unit = {
+            nextRow = null
+            while (nextRow == null && it.hasNext) {
+              val k = it.next()
+              if (k.r.url != lastUrl) { lastUrl = k.r.url; nextRow = k.r }
+            }
+          }
+          def hasNext: Boolean = nextRow != null
+          def next(): ResultRow = { val r = nextRow; advance(); r }
         }
       }
   }
@@ -71,7 +120,29 @@ object ExtractPipeline {
     * executor, thread-safe for free (SURVEY.md par 2.3 item 13).
     */
   object Kernel extends Serializable {
-    def process(url: String, html: Array[Byte], statusPre: String, bucket: Int, conf: ExtractConf): ResultRow = {
+
+    /** Per-partition circuit breaker: opens for a kernel after N
+      * consecutive failures (timeout counts as failure, like the
+      * reference's 504-inc path) and sheds that kernel's remaining rows
+      * in the task as `error/circuit_open` — the batch mapping of the
+      * reference's 503-when-open behavior (dynamic_routes.py:208-218).
+      * State is task-scoped by design: the reference's breaker is
+      * per-worker-process too (its docs call out that workers don't
+      * share it, main.py:48-59).
+      */
+    final class Breaker(threshold: Int) {
+      private val fails = scala.collection.mutable.HashMap.empty[String, Int]
+      def isOpen(engine: String): Boolean =
+        threshold > 0 && fails.getOrElse(engine, 0) >= threshold
+      def recordFailure(engine: String): Unit =
+        if (threshold > 0) fails.update(engine, fails.getOrElse(engine, 0) + 1)
+      def recordSuccess(engine: String): Unit =
+        if (threshold > 0) fails.update(engine, 0)
+    }
+    object Breaker { val disabled = new Breaker(0) }
+
+    def process(url: String, html: Array[Byte], statusPre: String, bucket: Int,
+        conf: ExtractConf, breaker: Breaker = Breaker.disabled): ResultRow = {
       val t0 = System.nanoTime()
       def durMs = (System.nanoTime() - t0) / 1e6
       if (statusPre != null)
@@ -80,15 +151,20 @@ object ExtractPipeline {
       Extractors.forType(ct) match {
         case None =>
           ResultRow(url, "", Nil, 0, "none", Status.RejectedFormat, "unsupported_format", durMs, bucket)
+        case Some(ex) if breaker.isOpen(ex.name) =>
+          ResultRow(url, "", Nil, 0, ex.name, Status.Error, "circuit_open", durMs, bucket)
         case Some(ex) =>
           try {
             val deadline = new Html.Deadline(conf.docBudgetNanos)
             val r = ex.extract(html, deadline)
+            breaker.recordSuccess(ex.name)
             ResultRow(url, r.text, r.spans, r.pages, ex.name, Status.Ok, null, durMs, bucket)
           } catch {
             case _: Html.TimeoutException =>
+              breaker.recordFailure(ex.name)
               ResultRow(url, "", Nil, 0, ex.name, Status.Timeout, "deadline_exceeded", durMs, bucket)
             case e: Exception =>
+              breaker.recordFailure(ex.name)
               ResultRow(url, "", Nil, 0, ex.name, Status.Error, e.getClass.getSimpleName, durMs, bucket)
           }
       }

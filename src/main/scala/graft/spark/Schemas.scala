@@ -42,8 +42,10 @@ final case class ExtractConf(
     buckets: Int = 32,                 // url-hash commit buckets
     salt: Int = 4,                     // skew salt factor within a bucket
     docBudgetNanos: Long = 30L * 1000 * 1000 * 1000, // per-doc deadline (30 s)
+    breakerThreshold: Int = 5,         // consecutive kernel failures that open the per-partition breaker (0 = disabled); reference: CIRCUIT_BREAKER_FAILURE_THRESHOLD=5, config.py:66-84
 ) {
   require(maxBytes > 0, "maxBytes must be positive")
   require(buckets > 0 && buckets <= (1 << 20), "buckets out of range")
   require(salt > 0, "salt must be positive")
+  require(breakerThreshold >= 0, "breakerThreshold must be >= 0")
 }

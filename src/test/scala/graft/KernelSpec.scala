@@ -100,7 +100,7 @@ class KernelSpec extends AnyFunSuite {
 
   // ------------------------------------------------------------------ spans
 
-  test("spans: offsets are within text, words partition blocks") {
+  test("spans: offsets are within text, derived words partition blocks") {
     val text = words(85)
     val r = HtmlExtractor.extract(HtmlGen.render(7L, text, "en"), Html.Deadline.unlimited)
     val page = r.spans.filter(_.kind == "page")
@@ -108,14 +108,22 @@ class KernelSpec extends AnyFunSuite {
     r.spans.foreach { s =>
       assert(s.begin >= 0 && s.end <= r.text.length && s.begin <= s.end)
     }
-    val wordSpans = r.spans.filter(_.kind == "word")
+    // word spans are derived (not stored): pure function of canonical text
+    val wordSpans = Span.wordSpans(r.text)
     assert(wordSpans.size == 85)
+    assert(Span.wordCount(r.text) == 85)
     wordSpans.foreach { s =>
       val w = r.text.substring(s.begin, s.end)
-      assert(!w.contains(" ") && w.nonEmpty)
+      assert(!w.contains(" ") && !w.contains("\n") && w.nonEmpty)
     }
     val blocks = r.spans.filter(_.kind == "block")
     assert(blocks.size == 3) // ceil(85/40)
+    // derived words within each block reconstruct the block text
+    blocks.foreach { b =>
+      val ws = Span.wordSpans(r.text, b.begin, b.end)
+      assert(ws.map(s => r.text.substring(s.begin, s.end)).mkString(" ") ==
+        r.text.substring(b.begin, b.end))
+    }
   }
 
   // -------------------------------------------------------------------- pdf
@@ -148,7 +156,7 @@ class KernelSpec extends AnyFunSuite {
     val r = PdfExtractor.extract(PdfGen.render(4L, text), Html.Deadline.unlimited)
     assert(r.pages == 2)
     assert(r.spans.count(_.kind == "page") == 2)
-    assert(r.spans.count(_.kind == "word") == 130)
+    assert(Span.wordCount(r.text) == 130)
     r.spans.filter(_.kind == "line").foreach { s =>
       assert(!r.text.substring(s.begin, s.end).contains("\n"))
     }

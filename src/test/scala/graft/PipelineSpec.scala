@@ -236,6 +236,26 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](ExtractMain.parse(Array("--bogus", "1")))
   }
 
+  test("circuit breaker: opens after N consecutive failures, sheds the rest of the partition") {
+    // 1 ns budget => every html doc times out (failure); threshold 3
+    val tconf = ExtractConf(maxBytes = 1 << 20, buckets = 4, salt = 1,
+      docBudgetNanos = 1L, breakerThreshold = 3)
+    val breaker = new ExtractPipeline.Kernel.Breaker(tconf.breakerThreshold)
+    val bigText = (0 until 10000).map(i => s"w$i").mkString(" ")
+    val html = graft.gen.HtmlGen.render(1L, bigText, "en")
+    val statuses = (0 until 5).map { i =>
+      ExtractPipeline.Kernel.process(s"https://x/$i", html, null, 0, tconf, breaker)
+    }.map(r => (r.status, r.error_code))
+    assert(statuses.take(3).forall(_ == (core.Status.Timeout, "deadline_exceeded")))
+    assert(statuses.drop(3).forall(_ == (core.Status.Error, "circuit_open")))
+    // a success resets the streak (3-success reset degenerates to 1 in
+    // batch: any success proves the kernel healthy again)
+    val ok = ExtractPipeline.Kernel.process("https://x/ok",
+      graft.gen.HtmlGen.render(2L, "tiny body", "en"), null, 0,
+      tconf.copy(docBudgetNanos = 0L), new ExtractPipeline.Kernel.Breaker(3))
+    assert(ok.status == core.Status.Ok)
+  }
+
   test("engines discovery surface has both kernels with param schemas") {
     val rows = ExtractPipeline.engines(spark).collect()
     assert(rows.map(_.getString(0)).sorted.sameElements(Array("html", "pdf")))

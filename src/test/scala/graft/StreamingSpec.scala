@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.gen.PagesGen
+import graft.spark._
+import graft.streaming.StreamingExtract
+
+/** Streaming-mode integration: AvailableNow drains the input, a second
+  * wave of files appends through the same checkpoint, and the union of
+  * micro-batch commits equals the batch pipeline's output byte-for-byte.
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmpDir(name: String): String = {
+    val p = Files.createTempDirectory(s"graft-$name")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  test("streaming: two waves through one checkpoint == batch output") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    val sfDir = "/root/testdata/sf0.001"
+    val in = tmpDir("stream-in")
+    val table = tmpDir("stream-table")
+    val conf = SparkEntry.conf
+
+    val all = PagesGen.fromDocuments(spark, sfDir)
+    val wave1 = all.filter(r => (r.url.hashCode & 1) == 0)
+    val wave2 = all.filter(r => (r.url.hashCode & 1) == 1)
+
+    wave1.write.mode("append").parquet(in)
+    StreamingExtract.start(spark, in, table, conf).awaitTermination()
+    val afterWave1 = StreamingExtract.readAll(spark, table).count()
+    assert(afterWave1 == wave1.map(_.url).distinct().count())
+
+    wave2.write.mode("append").parquet(in)
+    StreamingExtract.start(spark, in, table, conf).awaitTermination()
+
+    val streamed = StreamingExtract.readAll(spark, table)
+      .select("url", "text", "status", "pages")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3)))
+      .sortBy(_._1)
+    val batch = ExtractPipeline.run(all, conf).toDF()
+      .select("url", "text", "status", "pages")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3)))
+      .sortBy(_._1)
+    assert(streamed.length == batch.length)
+    assert(streamed.sameElements(batch))
+  }
+}
