@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.datapipe.TrainingOps
 import graft.gen.PagesGen
 import graft.spark._
 
@@ -23,6 +24,9 @@ object SparkEntry {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
 
   /** kind predicate mirrors PagesGen.kindOf — precedence junk > oversize > pdf. */
   private def onlyKind(df: DataFrame, kind: String): DataFrame = kind match {
@@ -112,6 +116,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("status") === "ok", 1L).otherwise(0L)).as("n_ok"))
     }),
+
+    // --- training-data pipeline ops (graft.datapipe.TrainingOps) ---
+    "d1_dedup_exact" -> ((s, dir) => TrainingOps.dedupExact(docs(s, dir))),
+    "d2_dedup_minhash_lsh" -> ((s, dir) => TrainingOps.minhashPairs(docs(s, dir))),
+    "d3_dedup_simhash" -> ((s, dir) => TrainingOps.simhash(docs(s, dir))),
+    "d4_dedup_jaccard" -> ((s, dir) => TrainingOps.jaccardVerify(docs(s, dir))),
+    "d5_ann_cosine_topk" -> ((s, dir) => TrainingOps.annCosineTopK(embs(s, dir))),
+    "d6_ann_lsh_buckets" -> ((s, dir) => TrainingOps.annLshBuckets(embs(s, dir))),
+    "t1_lang_id" -> ((s, dir) => TrainingOps.langId(docs(s, dir))),
+    "t2_quality_score" -> ((s, dir) => TrainingOps.qualityScore(docs(s, dir))),
+    "t3_token_counts" -> ((s, dir) => TrainingOps.tokenCounts(docs(s, dir))),
+    "t4_fingerprint" -> ((s, dir) => TrainingOps.fingerprint(docs(s, dir))),
+    "m1_binary_features" -> ((s, dir) => TrainingOps.binaryFeatures(s, docs(s, dir))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -170,6 +187,110 @@ object SparkEntry {
           "SELECT host, count(*) AS n_docs, " +
           "CAST(SUM(CASE WHEN kind IN ('html','pdf') THEN 1 ELSE 0 END) AS BIGINT) AS n_ok " +
           "FROM d GROUP BY host"),
+    ) ++ trainingOracles
+  }
+
+  /** Oracles for the training-data pipeline ops. All hashing is md5 so
+    * DuckDB reproduces Spark bit-for-bit; every float output is rounded
+    * from identically-ordered double arithmetic; sums that DuckDB would
+    * widen to HUGEINT are cast back (pandas renders HUGEINT as float).
+    */
+  private def trainingOracles: Map[String, String] = {
+    val w = "regexp_split_to_array(trim(text), '\\s+')"
+    // 3-word shingles of w (needs len(w) >= 3)
+    val sh3 = "list_transform(range(len(w)-2), i -> array_to_string(w[i+1:i+3], ' '))"
+    val minhashBands =
+      s"WITH f AS (SELECT doc_id, $w AS w FROM documents WHERE len($w) >= 3), " +
+        s"sh AS (SELECT doc_id, $sh3 AS s FROM f), " +
+        "sig AS (SELECT doc_id, list_transform(range(12), k -> " +
+        "list_min(list_transform(s, x -> md5(k || ':' || x)))) AS g FROM sh), " +
+        "bands AS (SELECT doc_id, t.bd, md5(g[bd*3+1] || '|' || g[bd*3+2] || '|' || g[bd*3+3]) AS bv " +
+        "FROM sig, range(4) t(bd)), " +
+        "pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x " +
+        "JOIN bands y ON x.bd = y.bd AND x.bv = y.bv AND x.doc_id < y.doc_id)"
+    val stopEn = "('the','a','of','and','to','in','is','it')"
+    Map(
+      "d1_dedup_exact" ->
+        ("SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n_copies, " +
+          "min(doc_id) AS keeper FROM documents GROUP BY 1"),
+      "d2_dedup_minhash_lsh" ->
+        (minhashBands + " SELECT a, b FROM pairs"),
+      "d3_dedup_simhash" ->
+        (s"WITH f AS (SELECT doc_id, $w AS w FROM documents WHERE len($w) >= 1), " +
+          "hs AS (SELECT doc_id, list_transform(w, x -> ('0x' || substr(md5(x),1,15))::BIGINT) AS h FROM f) " +
+          "SELECT doc_id, CAST(list_sum(list_transform(range(60), j -> " +
+          "CASE WHEN list_sum(list_transform(h, v -> CASE WHEN (v >> j) % 2 = 1 THEN 1 ELSE -1 END)) > 0 " +
+          "THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS simhash FROM hs"),
+      "d4_dedup_jaccard" ->
+        (minhashBands + ", sets AS (SELECT doc_id, list_distinct(" + sh3 + ") AS s " +
+          s"FROM (SELECT doc_id, $w AS w FROM documents WHERE len($w) >= 3)) " +
+          "SELECT a, b, jaccard FROM (SELECT p.a, p.b, " +
+          "round(len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(sa.s || sb.s)), 4) AS jaccard " +
+          "FROM pairs p JOIN sets sa ON sa.doc_id = p.a JOIN sets sb ON sb.doc_id = p.b) " +
+          "WHERE jaccard >= 0.4"),
+      "d5_ann_cosine_topk" ->
+        ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+          "p AS (SELECT vec_id AS q_id, v AS q FROM e WHERE vec_id % 50 = 0), " +
+          "s AS (SELECT q_id, vec_id, round(" +
+          "list_sum(list_transform(range(len(q)), i -> q[i+1]*v[i+1])) / " +
+          "(sqrt(list_sum(list_transform(range(len(q)), i -> q[i+1]*q[i+1]))) * " +
+          "sqrt(list_sum(list_transform(range(len(v)), i -> v[i+1]*v[i+1])))), 6) AS score " +
+          "FROM e, p WHERE vec_id <> q_id), " +
+          "r AS (SELECT q_id, vec_id, score, row_number() OVER " +
+          "(PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk FROM s) " +
+          "SELECT q_id, CAST(rk AS INT) AS rank, vec_id, score FROM r WHERE rk <= 5"),
+      "d6_ann_lsh_buckets" ->
+        ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) " +
+          "SELECT vec_id, CAST(list_sum(list_transform(range(16), j -> " +
+          "CASE WHEN list_sum(list_transform(range(len(v)), i -> " +
+          "(('0x' || substr(md5(j || ':' || i),1,15))::BIGINT / pow(2,59) - 1.0) * v[i+1])) > 0 " +
+          "THEN (1 << j) ELSE 0 END)) AS INT) AS bucket FROM e"),
+      "t1_lang_id" ->
+        (s"WITH f AS (SELECT doc_id, $w AS w FROM documents WHERE len($w) >= 1), " +
+          "sc AS (SELECT doc_id, CAST(len(w) AS INT) AS n_words, " +
+          s"len(list_filter(w, x -> x IN $stopEn)) AS s_en, " +
+          "len(list_filter(w, x -> x IN ('der','die','das','und','ist','ein','zu','den'))) AS s_de, " +
+          "len(list_filter(w, x -> x IN ('el','la','los','las','una','es','y','que'))) AS s_es, " +
+          "len(list_filter(w, x -> x IN ('le','les','des','une','est','et','dans','pour'))) AS s_fr, " +
+          "len(list_filter(w, x -> x IN ('的','是','了','在','我','有','和','不'))) AS s_zh FROM f) " +
+          "SELECT doc_id, CASE " +
+          "WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en' " +
+          "WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de' " +
+          "WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es' " +
+          "WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS lang_pred, " +
+          "CAST(greatest(s_en, s_de, s_es, s_fr, s_zh) AS INT) AS n_stop, n_words FROM sc"),
+      "t2_quality_score" ->
+        (s"WITH f AS (SELECT doc_id, text, $w AS w FROM documents WHERE length(text) >= 1), " +
+          "b AS (SELECT doc_id, CAST(length(text) AS INT) AS n_chars, CAST(len(w) AS INT) AS n_words, " +
+          "list_sum(list_transform(w, x -> length(x))) AS sum_wlen, " +
+          "length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit, " +
+          "length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct, " +
+          s"len(list_filter(w, x -> x IN $stopEn)) AS s_en FROM f) " +
+          "SELECT doc_id, n_chars, n_words, " +
+          "round(sum_wlen::DOUBLE / n_words, 4) AS mean_wlen, " +
+          "round(n_digit::DOUBLE / n_chars, 4) AS digit_ratio, " +
+          "round(n_punct::DOUBLE / n_chars, 4) AS punct_ratio, " +
+          "round(s_en::DOUBLE / n_words, 4) AS stop_ratio, " +
+          "round(least(1.0::DOUBLE, n_words::DOUBLE / 100.0::DOUBLE) * " +
+          "(1.0::DOUBLE - n_digit::DOUBLE / n_chars) * " +
+          "(1.0::DOUBLE - least(1.0::DOUBLE, 5.0::DOUBLE * n_punct::DOUBLE / n_chars)), 4) AS quality FROM b"),
+      "t3_token_counts" ->
+        (s"SELECT doc_id, CAST(len($w) AS INT) AS ws_tokens, " +
+          "CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS re_tokens " +
+          "FROM documents WHERE length(text) >= 1"),
+      "t4_fingerprint" ->
+        (s"WITH f AS (SELECT doc_id, $w AS w FROM documents WHERE len($w) >= 8), " +
+          "hs AS (SELECT doc_id, list_transform(range(len(w)-3), i -> " +
+          "('0x' || substr(md5(array_to_string(w[i+1:i+4], ' ')),1,15))::BIGINT) AS h FROM f) " +
+          "SELECT doc_id, CAST(len(h) AS INT) AS n_grams, " +
+          "md5(array_to_string(list_transform(list_sort(list_distinct(" +
+          "list_transform(range(len(h)-4), i -> list_min(h[i+1:i+5])))), x -> x::VARCHAR), ',')) AS fp " +
+          "FROM hs"),
+      "m1_binary_features" ->
+        ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS content_md5, " +
+          "CASE WHEN octet_length(encode(text)) = 0 THEN 'empty' " +
+          "WHEN octet_length(encode(text)) % 2 = 0 THEN 'image' ELSE 'audio' END AS modality " +
+          "FROM documents"),
     )
   }
 }

@@ -150,6 +150,109 @@ object BlockBuilder {
     flush()
     out.result()
   }
+
+  /** Streaming builder over [[Html.parse]] — byte-identical output to
+    * [[build]](tokenize) (pinned by KernelSpec) with near-zero transient
+    * allocation: text runs land in one buffer via bulk entity-aware
+    * appends, the tag path is a checkpointed StringBuilder instead of a
+    * per-block mkString, and no token objects exist at all.
+    */
+  def buildStreaming(html: String, deadline: Html.Deadline): Vector[Block] = {
+    val sink = new StreamSink
+    Html.parse(html, sink, deadline)
+    sink.finish()
+  }
+
+  private final class StreamSink extends Html.Sink {
+    private val out = Vector.newBuilder[Block]
+    private val stack = ArrayBuffer.empty[String]
+    private val pathSb = new java.lang.StringBuilder
+    private val pathLens = ArrayBuffer.empty[Int] // pathSb length before each push
+    private var anchorDepth = 0
+    private var boilerDepth = 0
+    private var contentDepth = 0
+    private val buf = new java.lang.StringBuilder
+    private var blockPath = ""
+    private var pendingLinkWords = 0
+    private var blockBoiler = false
+    private var blockContent = false
+
+    private def flush(): Unit = {
+      if (buf.length == 0) { pendingLinkWords = 0; return }
+      val canon = Canonicalizer.blockOf(buf)
+      buf.setLength(0)
+      val lw = pendingLinkWords
+      pendingLinkWords = 0
+      if (canon.nonEmpty) {
+        out += Block(
+          text = canon,
+          tagPath = blockPath,
+          words = countWords(canon),
+          linkWords = lw,
+          inBoiler = blockBoiler,
+          inContent = blockContent,
+        )
+      }
+    }
+
+    def startTag(name: String, selfClosing: Boolean): Unit = {
+      if (blockTags.contains(name)) flush()
+      if (!voidTags.contains(name) && !selfClosing) {
+        stack += name
+        pathLens += pathSb.length
+        if (pathSb.length > 0) pathSb.append('/')
+        pathSb.append(name)
+        if (name == "a") anchorDepth += 1
+        if (boilerTags.contains(name)) boilerDepth += 1
+        if (contentTags.contains(name)) contentDepth += 1
+      }
+    }
+
+    def endTag(name: String): Unit = {
+      if (blockTags.contains(name)) flush()
+      val idx = stack.lastIndexOf(name)
+      if (idx >= 0) {
+        var k = stack.length - 1
+        while (k >= idx) {
+          val t = stack.remove(k)
+          pathSb.setLength(pathLens.remove(k))
+          if (t == "a") anchorDepth -= 1
+          if (boilerTags.contains(t)) boilerDepth -= 1
+          if (contentTags.contains(t)) contentDepth -= 1
+          k -= 1
+        }
+      }
+    }
+
+    def text(s: String, from: Int, to: Int): Unit = {
+      val b0 = buf.length
+      Html.appendDecoded(buf, s, from, to)
+      val b1 = buf.length
+      if (b1 == b0) return // run decoded to nothing (e.g. only &shy;)
+      if (b0 == 0) {
+        blockPath = pathSb.toString
+        blockBoiler = boilerDepth > 0
+        blockContent = contentDepth > 0
+      } else {
+        blockBoiler = blockBoiler || boilerDepth > 0
+      }
+      if (anchorDepth > 0) pendingLinkWords += countWordsIn(buf, b0, b1)
+      buf.append(' ') // token boundary between text runs; collapsed later
+    }
+
+    def finish(): Vector[Block] = { flush(); out.result() }
+  }
+
+  /** [[countWordsRaw]] over a buffer range (same whitespace set). */
+  private def countWordsIn(sb: java.lang.StringBuilder, from: Int, to: Int): Int = {
+    var c = 0; var in = false; var i = from
+    while (i < to) {
+      if (Canonicalizer.isSpace(sb.charAt(i))) in = false
+      else if (!in) { c += 1; in = true }
+      i += 1
+    }
+    c
+  }
 }
 
 /** Boilerpipe/Readability-class density rules with a Trafilatura-style

@@ -32,7 +32,7 @@ object Canonicalizer {
   }
 
   /** Collapse whitespace runs to single spaces and trim. Pure, total. */
-  def collapse(s: String): String = {
+  def collapse(s: CharSequence): String = {
     val sb = new java.lang.StringBuilder(s.length)
     var pendingSpace = false
     var i = 0
@@ -46,6 +46,19 @@ object Canonicalizer {
       i += 1
     }
     sb.toString
+  }
+
+  /** [[block]] over a reusable buffer: ASCII blocks (the common case)
+    * collapse straight out of the buffer with no intermediate String;
+    * non-ASCII blocks take the exact original path (toString -> NFC ->
+    * collapse) so bytes are identical either way. NFC runs BEFORE
+    * collapse in both paths — composition must see the original
+    * character sequence.
+    */
+  def blockOf(buf: java.lang.StringBuilder): String = {
+    var i = 0
+    while (i < buf.length && buf.charAt(i) < 0x80) i += 1
+    if (i == buf.length) collapse(buf) else block(buf.toString)
   }
 
   /** NFC-normalize. Applied per block (NFC is preserved by our join

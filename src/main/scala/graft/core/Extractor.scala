@@ -125,7 +125,7 @@ object HtmlExtractor extends Extractor {
 
   def extract(bytes: Array[Byte], deadline: Html.Deadline): Extracted = {
     val decoded = Html.decode(bytes)
-    val blocks = BlockBuilder.build(Html.tokenize(decoded, deadline))
+    val blocks = BlockBuilder.buildStreaming(decoded, deadline)
     val content = BoilerplateClassifier.classify(blocks)
     assemble(content.map(b => (b.text, b.tagPath)))
   }

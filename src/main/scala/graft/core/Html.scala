@@ -98,13 +98,17 @@ object Html {
     -1
   }
 
-  /** Decode with malformed input replaced (never throws on bad bytes). */
+  /** Decode with malformed input replaced (never throws on bad bytes).
+    * `new String(bytes, cs)` replaces malformed/unmappable input exactly
+    * like a REPLACE-configured CharsetDecoder, but builds the String in
+    * one copy (and compact-string-compresses ASCII to 1 byte/char) where
+    * the decoder path costs a CharBuffer + toString — two full copies of
+    * every document. The kernel is memory-bandwidth-bound at 32 threads,
+    * so document-sized copies are the scaling currency.
+    */
   def decode(bytes: Array[Byte]): String = {
     val cs = detectCharset(bytes)
-    val dec = cs.newDecoder()
-      .onMalformedInput(CodingErrorAction.REPLACE)
-      .onUnmappableCharacter(CodingErrorAction.REPLACE)
-    val out = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    val out = new String(bytes, cs)
     // strip BOM if the decoder left it as U+FEFF
     if (out.nonEmpty && out.charAt(0) == '﻿') out.substring(1) else out
   }
@@ -131,33 +135,44 @@ object Html {
   def decodeEntities(s: String): String = {
     if (s.indexOf('&') < 0) return s
     val sb = new java.lang.StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
+    appendDecoded(sb, s, 0, s.length)
+    sb.toString
+  }
+
+  /** Append s[from,to) to sb with character references decoded — the
+    * zero-copy form of [[decodeEntities]]: entity-free stretches land as
+    * bulk appends, no per-run substring. Hot path: the streaming parser
+    * feeds every text run through here.
+    */
+  def appendDecoded(sb: java.lang.StringBuilder, s: String, from: Int, to: Int): Unit = {
+    var i = from
+    while (i < to) {
+      val amp = s.indexOf('&', i)
+      if (amp < 0 || amp >= to) { sb.append(s, i, to); return }
+      sb.append(s, i, amp) // entity-free prefix, bulk
+      i = amp
       val c = s.charAt(i)
-      if (c == '&') {
-        val semi = s.indexOf(';', i + 1)
-        if (semi > i && semi - i <= 12) {
-          val body = s.substring(i + 1, semi)
-          if (body.startsWith("#x") || body.startsWith("#X")) {
-            try {
-              val cp = Integer.parseInt(body.substring(2), 16)
-              if (Character.isValidCodePoint(cp)) { sb.appendCodePoint(cp); i = semi + 1 }
-              else { sb.append(c); i += 1 }
-            } catch { case _: NumberFormatException => sb.append(c); i += 1 }
-          } else if (body.startsWith("#")) {
-            try {
-              val cp = Integer.parseInt(body.substring(1))
-              if (Character.isValidCodePoint(cp)) { sb.appendCodePoint(cp); i = semi + 1 }
-              else { sb.append(c); i += 1 }
-            } catch { case _: NumberFormatException => sb.append(c); i += 1 }
-          } else named.get(body) match {
-            case Some(rep) => sb.append(rep); i = semi + 1
-            case None      => sb.append(c); i += 1
-          }
-        } else { sb.append(c); i += 1 }
+      val semi = s.indexOf(';', i + 1)
+      if (semi > i && semi < to && semi - i <= 12) {
+        val body = s.substring(i + 1, semi)
+        if (body.startsWith("#x") || body.startsWith("#X")) {
+          try {
+            val cp = Integer.parseInt(body.substring(2), 16)
+            if (Character.isValidCodePoint(cp)) { sb.appendCodePoint(cp); i = semi + 1 }
+            else { sb.append(c); i += 1 }
+          } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+        } else if (body.startsWith("#")) {
+          try {
+            val cp = Integer.parseInt(body.substring(1))
+            if (Character.isValidCodePoint(cp)) { sb.appendCodePoint(cp); i = semi + 1 }
+            else { sb.append(c); i += 1 }
+          } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+        } else named.get(body) match {
+          case Some(rep) => sb.append(rep); i = semi + 1
+          case None      => sb.append(c); i += 1
+        }
       } else { sb.append(c); i += 1 }
     }
-    sb.toString
   }
 
   // ---------------------------------------------------------------- tokenizer
@@ -308,4 +323,137 @@ object Html {
 
       override def toString = s"HtmlTokenizer@$i/$n"
     }
+
+  // ------------------------------------------------------------- streaming
+
+  /** SAX-style event sink for [[parse]]. Text arrives as (s, from, to)
+    * index ranges into the decoded document — no per-run substring — with
+    * entities NOT yet decoded (route through [[appendDecoded]]).
+    */
+  trait Sink {
+    def startTag(name: String, selfClosing: Boolean): Unit
+    def endTag(name: String): Unit
+    def text(s: String, from: Int, to: Int): Unit
+  }
+
+  /** Streaming equivalent of [[tokenize]]: same token boundaries, same
+    * raw-text-element skipping, but zero per-token allocation (no Tok
+    * objects, no text substrings). [[tokenize]] remains the reference
+    * implementation; KernelSpec pins their equivalence. The kernel is
+    * allocation/bandwidth-bound at 32 threads, and tokenizer garbage was
+    * the largest remaining per-document source.
+    */
+  def parse(html: String, sink: Sink, deadline: Deadline = Deadline.unlimited): Unit = {
+    val s = html
+    val n = s.length
+    var i = 0
+    var tagName: String = null   // null = no tag at this position
+    var tagClosing = false
+    var tagSelfClosing = false
+
+    // Scan one tag starting at '<'; set tagName/tagClosing/tagSelfClosing;
+    // return the position after the tag. Mirrors the Iterator tokenizer's
+    // parseTag exactly (KernelSpec pins the equivalence).
+    def parseTag(lt: Int): Int = {
+      tagName = null
+      tagClosing = false
+      tagSelfClosing = false
+      var j = lt + 1
+      if (j >= n) return lt + 1
+      val c = s.charAt(j)
+      if (c == '!') {
+        if (s.startsWith("<!--", lt)) {
+          val end = s.indexOf("-->", lt + 4)
+          return if (end < 0) n else end + 3
+        }
+        if (s.regionMatches(true, lt, "<![CDATA[", 0, 9)) {
+          val end = s.indexOf("]]>", lt + 9)
+          return if (end < 0) n else end + 3
+        }
+        val end = s.indexOf('>', lt + 1)
+        return if (end < 0) n else end + 1
+      }
+      if (c == '?') {
+        val end = s.indexOf('>', lt + 1)
+        return if (end < 0) n else end + 1
+      }
+      val closing = c == '/'
+      if (closing) j += 1
+      if (j >= n || !isNameStart(s.charAt(j))) return lt + 1 // literal '<'
+      val nameStart = j
+      while (j < n && isNameChar(s.charAt(j))) j += 1
+      val name = s.substring(nameStart, j).toLowerCase(Locale.ROOT)
+      if (closing) {
+        val end = s.indexOf('>', j)
+        tagName = name
+        tagClosing = true
+        return if (end < 0) n else end + 1
+      }
+      var selfClosing = false
+      var done = false
+      while (!done) {
+        while (j < n && Character.isWhitespace(s.charAt(j))) j += 1
+        if (j >= n) { done = true }
+        else {
+          val ch = s.charAt(j)
+          if (ch == '>') { j += 1; done = true }
+          else if (ch == '/' && j + 1 < n && s.charAt(j + 1) == '>') { selfClosing = true; j += 2; done = true }
+          else if (isNameStart(ch)) {
+            while (j < n && isNameChar(s.charAt(j))) j += 1
+            var k = j
+            while (k < n && Character.isWhitespace(s.charAt(k))) k += 1
+            if (k < n && s.charAt(k) == '=') {
+              k += 1
+              while (k < n && Character.isWhitespace(s.charAt(k))) k += 1
+              if (k < n && (s.charAt(k) == '"' || s.charAt(k) == '\'')) {
+                val q = s.charAt(k)
+                val vend = s.indexOf(q, k + 1)
+                k = if (vend < 0) n else vend + 1
+              } else {
+                while (k < n && !Character.isWhitespace(s.charAt(k)) && s.charAt(k) != '>' && s.charAt(k) != '/') k += 1
+              }
+              j = k
+            }
+          } else j += 1
+        }
+      }
+      tagName = name
+      tagSelfClosing = selfClosing
+      j
+    }
+
+    while (i < n) {
+      if (deadline.expired()) throw new TimeoutException
+      if (s.charAt(i) == '<') {
+        val next = parseTag(i)
+        if (tagName == null) {
+          if (next == i + 1) sink.text(s, i, i + 1) // literal '<'
+          // else: comment/doctype/PI — consumed silently
+          i = next
+        } else {
+          i = next
+          if (tagClosing) sink.endTag(tagName)
+          else if (!tagSelfClosing &&
+            (tagName == "script" || tagName == "style" || tagName == "textarea" || tagName == "noscript")) {
+            // raw-text element: emit start, skip content, emit end
+            val name = tagName
+            sink.startTag(name, selfClosing = false)
+            val close = "</" + name
+            val k = s.indexOf(close, i)
+            if (k < 0) i = n
+            else {
+              val gt = s.indexOf('>', k + close.length)
+              i = if (gt < 0) n else gt + 1
+            }
+            sink.endTag(name)
+          } else sink.startTag(tagName, tagSelfClosing)
+        }
+      } else {
+        val lt = s.indexOf('<', i)
+        val end = if (lt < 0) n else lt
+        if (end > i) sink.text(s, i, end)
+        i = end
+      }
+    }
+  }
 }

@@ -1,0 +1,290 @@
+package graft.datapipe
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over the generic `documents` /
+  * `embeddings` tables: the operations a large-scale pretraining-corpus
+  * pipeline runs downstream of extraction (dedup, near-dup detection,
+  * similarity search, text analysis, multimodal plumbing).
+  *
+  * Design rules:
+  *   - Everything is built-in Catalyst expressions (higher-order array
+  *     functions, codegen'd) — no Scala UDFs in any hot path; the one
+  *     `mapPartitions` (binaryFeatures) exists precisely to demonstrate
+  *     the opaque-binary plumbing pattern.
+  *   - All hashing is md5-based so every operator is exactly
+  *     reproducible by the DuckDB oracle (xxhash64/murmur are
+  *     engine-specific; md5 of identical UTF-8 bytes is not). At 100 TB
+  *     you would swap md5 for xxhash64 (one constant); the shapes are
+  *     identical.
+  *   - Scale notes per operator: candidate generation is always
+  *     shuffle-on-small-keys (band signatures, buckets), never a raw
+  *     cross join; exact verification runs only on candidate pairs.
+  */
+object TrainingOps {
+
+  /** 60-bit hash from the md5 hex prefix — fits a signed long, and both
+    * engines can compute it (`conv(substr(md5(x),1,15),16,10)`).
+    */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  private def words(c: Column): Column = split(trim(c), "\\s+")
+
+  // ------------------------------------------------------------ dedup
+
+  /** Exact dedup groups: hash-groupBy on md5(text). Map-side partial
+    * aggregation; at scale this is one shuffle of (16-byte key, counts),
+    * never of the documents themselves.
+    */
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper"))
+
+  /** Word-shingle MinHash signatures + banded LSH candidate pairs
+    * (shingle -> minhash -> band -> bucket-join). 3-word shingles,
+    * 12 hash functions, 4 bands x 3 rows. Candidates = documents sharing
+    * any band value; the classic recall/precision dial is (bands, rows).
+    *
+    * Scale: the self-join shuffles only (band, 16-byte bucket) keys —
+    * at 10^12 docs the band table is ~4 rows/doc and the join is
+    * skew-safe because identical-band groups are the (rare) near-dup
+    * clusters themselves.
+    */
+  def minhashPairs(docs: DataFrame): DataFrame = {
+    val sigs = 12
+    val bandRows = 3
+    val bands = sigs / bandRows
+    val base = docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        transform(sequence(lit(0), size(col("w")) - 3),
+          i => concat_ws(" ", slice(col("w"), i + 1, lit(3)))).as("sh"))
+    val sigCols = (0 until sigs).map { s =>
+      array_min(transform(col("sh"), x => md5(concat(lit(s + ":"), x)))).as(s"g$s")
+    }
+    val sig = base.select(col("doc_id") +: sigCols: _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", (0 until bandRows).map(r => col(s"g${b * bandRows + r}")): _*)).as("bv"))
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** SimHash document fingerprint: 60-bit signature where bit j is the
+    * sign of the sum over words of +-1 by bit j of the word hash.
+    * Near-dup docs differ in a few bits (verify with bit_count(xor)).
+    * Pure per-row expression work — embarrassingly parallel, no shuffle.
+    */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 1)
+      .select(col("doc_id"),
+        expr("transform(w, x -> cast(conv(substring(md5(x),1,15),16,10) as bigint))").as("hs"))
+      .select(col("doc_id"),
+        expr(
+          """aggregate(sequence(0,59), cast(0 as bigint), (s, j) ->
+            |  s + IF(aggregate(hs, 0, (c, h) -> c + IF(shiftright(h, j) % 2 = 1, 1, -1)) > 0,
+            |         shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""".stripMargin).as("simhash"))
+
+  /** Exact n-gram Jaccard verification of the MinHash candidates — the
+    * standard two-phase near-dup pipeline (cheap LSH recall, exact
+    * precision pass on candidates only). Jaccard over DISTINCT 3-word
+    * shingles, rounded to 4 decimals.
+    */
+  def jaccardVerify(docs: DataFrame): DataFrame = {
+    val sets = docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        array_distinct(transform(sequence(lit(0), size(col("w")) - 3),
+          i => concat_ws(" ", slice(col("w"), i + 1, lit(3))))).as("s"))
+    minhashPairs(docs)
+      .join(sets.select(col("doc_id").as("a"), col("s").as("sa")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("s").as("sb")), "b")
+      .select(col("a"), col("b"),
+        round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.4)
+  }
+
+  // ------------------------------------------------- similarity search
+
+  /** Brute-force cosine top-k over the embedding column: every probe
+    * (vec_id % 50 == 0) against all candidates. The probe set is
+    * broadcast, so candidates never shuffle; ranking is a per-probe
+    * window. This is the correctness baseline for [[annLshBuckets]];
+    * at scale replace the global window with per-partition top-k +
+    * merge (same results, bounded memory).
+    */
+  def annCosineTopK(emb: DataFrame, k: Int = 5): DataFrame = {
+    val e = emb.select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val p = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("q"))
+    val dot = expr("aggregate(zip_with(q, v, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)")
+    val nq = sqrt(expr("aggregate(zip_with(q, q, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"))
+    val nv = sqrt(expr("aggregate(zip_with(v, v, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"))
+    val scored = e.crossJoin(broadcast(p))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), round(dot / (nq * nv), 6).as("score"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("score"))
+  }
+
+  /** Random-hyperplane LSH bucketing — the scale path for cosine ANN:
+    * 16 deterministic pseudo-random hyperplanes (derived from md5(j:i),
+    * precomputed on the DRIVER and inlined as a literal, the broadcast
+    * pattern), bucket = 16 sign bits. Same-bucket vectors are cosine
+    * candidates; search cost drops from O(n) to O(n / 2^16) per probe.
+    */
+  def annLshBuckets(emb: DataFrame): DataFrame = {
+    val planes: Seq[Seq[Double]] = (0 until 16).map { j =>
+      (0 until 64).map { i =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$j:$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 15)
+        java.lang.Long.parseLong(hex, 16).toDouble / math.pow(2, 59) - 1.0
+      }
+    }
+    val e = emb.select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("planes", typedLit(planes))
+    e.select(col("vec_id"),
+      expr(
+        """aggregate(sequence(0,15), 0, (s, j) ->
+          |  s + IF(aggregate(zip_with(element_at(planes, j + 1), v, (p, x) -> p * x),
+          |                   cast(0 as double), (d, x) -> d + x) > 0,
+          |         shiftleft(1, j), 0))""".stripMargin).as("bucket"))
+  }
+
+  // ------------------------------------------------------ text analysis
+
+  private val stop = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "den"),
+    "es" -> Seq("el", "la", "los", "las", "una", "es", "y", "que"),
+    "fr" -> Seq("le", "les", "des", "une", "est", "et", "dans", "pour"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"),
+  )
+  private val langOrder = Seq("en", "de", "es", "fr", "zh")
+
+  private def stopCount(lang: String): Column = {
+    val set = stop(lang).map(w => s"'$w'").mkString(",")
+    expr(s"size(filter(w, x -> x IN ($set)))")
+  }
+
+  /** Stopword-profile language ID (n-gram-class heuristic): count
+    * stopword hits per language, argmax with a fixed precedence order
+    * for ties (deterministic). Per-row expression work only.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 1)
+      .select(Seq(col("doc_id"), size(col("w")).as("n_words")) ++
+        langOrder.map(l => stopCount(l).as(s"s_$l")): _*)
+    val pred = langOrder.init.zipWithIndex.foldRight(lit(langOrder.last)) {
+      case ((l, idx), elseCol) =>
+        val rest = langOrder.drop(idx + 1)
+        when(rest.map(r => col(s"s_$l") >= col(s"s_$r")).reduce(_ && _), lit(l))
+          .otherwise(elseCol)
+    }
+    base.select(col("doc_id"), pred.as("lang_pred"),
+      greatest(langOrder.map(l => col(s"s_$l")): _*).as("n_stop"), col("n_words"))
+  }
+
+  /** Quality scoring: length, mean word length, digit/punctuation
+    * ratios, stopword ratio, and a composite score — the standard cheap
+    * pre-filters of a pretraining pipeline. Per-row, codegen'd.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"), words(col("text")).as("w"))
+      .filter(length(col("text")) >= 1)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(col("w")).as("n_words"),
+        expr("aggregate(w, 0, (s, x) -> s + length(x))").as("sum_wlen"),
+        length(regexp_replace(col("text"), "[^0-9]", "")).as("n_digit"),
+        length(regexp_replace(col("text"), "[^.,;:!?]", "")).as("n_punct"),
+        stopCount("en").as("s_en"))
+    base.select(
+      col("doc_id"), col("n_chars"), col("n_words"),
+      round(col("sum_wlen") / col("n_words").cast("double"), 4).as("mean_wlen"),
+      round(col("n_digit") / col("n_chars").cast("double"), 4).as("digit_ratio"),
+      round(col("n_punct") / col("n_chars").cast("double"), 4).as("punct_ratio"),
+      round(col("s_en") / col("n_words").cast("double"), 4).as("stop_ratio"),
+      round(
+        least(lit(1.0), col("n_words") / lit(100.0)) *
+          (lit(1.0) - col("n_digit") / col("n_chars").cast("double")) *
+          (lit(1.0) - least(lit(1.0), lit(5.0) * col("n_punct") / col("n_chars").cast("double"))), 4)
+        .as("quality"))
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish regex tokenization
+    * (alnum runs + single non-alnum marks) — the token-budget accounting
+    * column of a corpus pipeline.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.filter(length(col("text")) >= 1).select(
+      col("doc_id"),
+      size(words(col("text"))).as("ws_tokens"),
+      size(expr("""regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]', 0)""")).as("re_tokens"))
+
+  /** Winnowing document fingerprint (rolling-hash family): 4-word
+    * shingle hashes, sliding window of 5, keep each window's minimum,
+    * fingerprint = md5 of the sorted distinct minima. Robust to small
+    * edits; equal fingerprints => heavily overlapping documents.
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 8)
+      .select(col("doc_id"),
+        expr("transform(sequence(0, size(w) - 4), i -> " +
+          "cast(conv(substring(md5(concat_ws(' ', slice(w, i + 1, 4))),1,15),16,10) as bigint))").as("hs"))
+      .select(col("doc_id"), size(col("hs")).as("n_grams"),
+        expr("md5(concat_ws(',', transform(array_sort(array_distinct(" +
+          "transform(sequence(0, size(hs) - 5), i -> array_min(slice(hs, i + 1, 5))))), " +
+          "x -> cast(x as string))))").as("fp"))
+
+  // ---------------------------------------------------- multimodal stub
+
+  /** Opaque-binary feature extraction through typed mapPartitions — the
+    * multimodal plumbing pattern (binary payload column + per-executor
+    * decoder). The "decoder" here is a clearly-marked deterministic STUB
+    * (no image/audio libraries exist in this environment): it computes
+    * real byte-level features (length, md5) and a fake modality tag.
+    * The Spark-side shape — binary column in, typed struct out, heavy
+    * init once per partition — is the real, tested part.
+    */
+  def binaryFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init (the real decoder would load its model here)
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          val payload = if (bytes == null) Array.emptyByteArray else bytes
+          digest.reset()
+          val h = digest.digest(payload).map("%02x".format(_)).mkString
+          // STUB modality classifier: deterministic fake (parity-of-length)
+          val modality =
+            if (payload.isEmpty) "empty" else if (payload.length % 2 == 0) "image" else "audio"
+          (id, payload.length.toLong, h, modality)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "content_md5", "modality")
+  }
+}

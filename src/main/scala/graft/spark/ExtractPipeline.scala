@@ -74,15 +74,18 @@ object ExtractPipeline {
     import spark.implicits._
     val numParts = math.max(conf.buckets, spark.sparkContext.defaultParallelism)
     val kernelOut = bucketed
-      .select(col("url"), col("warc_ts"), col("html"), col("status_pre"), col("bucket"))
-      .as[(String, java.sql.Timestamp, Array[Byte], String, Int)]
+      // warc_ts as raw epoch micros: decoding to java.sql.Timestamp costs
+      // an allocation + calendar math per row for a value only compared
+      .select(col("url"), unix_micros(col("warc_ts")).as("ts_us"), col("html"),
+        col("status_pre"), col("bucket"))
+      .as[(String, java.lang.Long, Array[Byte], String, Int)]
       .mapPartitions { rows =>
         // per-partition breaker state — task-scoped, like the reference's
         // per-worker engine health (registry_v2.py:473-551); a poison
         // streak sheds the failing kernel for the rest of the task
         val breaker = new Kernel.Breaker(conf.breakerThreshold)
-        rows.map { case (url, ts, html, statusPre, bucket) =>
-          KernelOut(if (ts == null) 0L else ts.getTime,
+        rows.map { case (url, tsUs, html, statusPre, bucket) =>
+          KernelOut(if (tsUs == null) 0L else tsUs.longValue(),
             Kernel.process(url, html, statusPre, bucket, conf, breaker))
         }
       }

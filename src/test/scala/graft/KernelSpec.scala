@@ -187,6 +187,27 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming parser == iterator tokenizer (block-identical over corpus)") {
+    // buildStreaming must be byte-identical to build(tokenize): generated
+    // corpus pages (several shapes + langs), plus hand-built edge cases
+    val edge = Seq(
+      "<p>a &amp; b &nbsp; c&shy;d</p>",
+      "<div>x<a href='q'>link &copy; text</a>y</div>",
+      "plain < not-a-tag & loose &unknown; text",
+      "<ul><li>one<li>two</ul><script>var x = '<p>';</script><p>after",
+      "<!-- c --><![CDATA[z]]><!doctype html><?pi?><article>m&#65;in</article>",
+      "<P CLASS='x'>Upper <B>case</B> tags</P>",
+      "<textarea><p>ignored</p></textarea><p>kept</p>",
+      "&#x48;ex &#72;dec &#xZZ; bad",
+    )
+    val corpus = (0L to 40L).map(id => new String(HtmlGen.render(id, words(90, id.toInt), "de"), "UTF-8"))
+    for (html <- edge ++ corpus) {
+      val a = BlockBuilder.build(Html.tokenize(html))
+      val b = BlockBuilder.buildStreaming(html, Html.Deadline.unlimited)
+      assert(a == b, s"mismatch for: ${html.take(80)}")
+    }
+  }
+
   test("deadline trips on pathological input") {
     val huge = ("<div>" * 200000 + "deep text " * 1000).getBytes("UTF-8")
     val tiny = new Html.Deadline(1L) // 1 ns budget
