@@ -11,14 +11,22 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", (2 * 1024 * 1024).toString)
       .config("spark.sql.files.openCostInBytes", (64 * 1024).toString)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      // Tungsten sort/shuffle buffers off-heap: on-heap they outlive young
+      // collections and promote, turning GC into the 32-thread bottleneck
+      // (see ScalingBench.session)
+      .config("spark.memory.offHeap.enabled", "true")
+      .config("spark.memory.offHeap.size", "4g")
+    // shuffle to tmpfs when available: one shared spinning vda otherwise
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+      builder.config("spark.local.dir", "/dev/shm/graft-spark-bench")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{Html, HtmlExtractor}
+import graft.gen.{HtmlGen, PdfGen}
+
+/** SQL-surface kernel expressions (graft.functions): extension
+  * registration, codegen participation, and equality with the typed
+  * kernel path.
+  */
+class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("functions-spec")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def words(n: Int, seed: Int) = {
+    val pool = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    (0 until n).map(i => pool((i * 31 + seed) % pool.length)).mkString(" ")
+  }
+
+  test("extract_text via SQL == typed kernel output; pdf pages count") {
+    val s = spark; import s.implicits._
+    val rows = (0L to 20L).map { id =>
+      val bytes =
+        if (id % 5 == 4) PdfGen.render(id, words(150, id.toInt))
+        else HtmlGen.render(id, words(60, id.toInt), "en")
+      (id, bytes)
+    }
+    rows.toSeq.toDF("id", "html").createOrReplaceTempView("pages_v")
+    val out = spark.sql(
+      "SELECT id, extract_text(html) AS text, extract_pages(html) AS pages FROM pages_v")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    rows.foreach { case (id, bytes) =>
+      val expect = graft.core.Extractors
+        .forType(graft.core.ContentType.detect(bytes)).get
+        .extract(bytes, Html.Deadline.unlimited)
+      assert(out(id)._1 == expect.text, s"text mismatch for doc $id")
+      assert(out(id)._2 == expect.pages, s"pages mismatch for doc $id")
+    }
+  }
+
+  test("unknown format and null yield SQL NULL (error-as-data)") {
+    val s = spark; import s.implicits._
+    Seq((1L, HtmlGen.junkBytes(7L)), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "html").createOrReplaceTempView("junk_v")
+    val out = spark.sql("SELECT extract_text(html), extract_pages(html) FROM junk_v").collect()
+    out.foreach { r => assert(r.isNullAt(0) && r.isNullAt(1)) }
+  }
+
+  test("expression participates in whole-stage codegen") {
+    val s = spark; import s.implicits._
+    // a local relation constant-folds to LocalTableScan (interpreted), so
+    // drive the expression from a real scan
+    val dir = java.nio.file.Files.createTempDirectory("fnspec").toString
+    (0L to 8L).map(id => (id, HtmlGen.render(id, words(40, id.toInt), "en")))
+      .toDF("id", "html").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir).selectExpr("length(extract_text(html)) AS n")
+    val exec = df.queryExecution.executedPlan
+    // the starred nodes ("*(1) Project") are WholeStageCodegenExec spans
+    val inCodegen = exec.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(inCodegen.nonEmpty, s"no WholeStageCodegenExec in:\n$exec")
+    assert(!exec.toString.contains("CodegenFallback"), s"fell back to interpretation:\n$exec")
+    assert(df.collect().forall(_.getInt(0) > 0))
+  }
+}

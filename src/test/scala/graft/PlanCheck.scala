@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.datapipe.TrainingOps
+import graft.spark._
+
+/** Dev tool: dump formatted physical plans for the load-bearing claims
+  * (run with `sbt "Test/runMain graft.PlanCheck"`):
+  *   1. extraction spine = scan-stage kernel + ONE exchange of results
+  *   2. metrics-only read of the results table prunes text/spans columns
+  *   3. size gate is a pushable scan-level filter shape
+  *   4. minhash LSH self-join shuffles only (band, bv) keys
+  *   5. ann top-k broadcasts the probe side (no candidate shuffle)
+  */
+object PlanCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    implicit val s: SparkSession = spark
+    import s.implicits._
+
+    val sf = "/root/testdata/sf0.001"
+    val out = "/tmp/plancheck_results"
+    val pages = graft.gen.PagesGen.fromDocuments(spark, sf)
+
+    println("==== 1. extraction spine ====")
+    ExtractPipeline.run(pages, ExtractConf()).toDF().explain("formatted")
+
+    println("==== 2. metrics-only read of results (column pruning) ====")
+    ExtractPipeline.run(pages, ExtractConf()).toDF()
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out).groupBy("engine", "status").count().explain("formatted")
+
+    println("==== 3. size-gate predicate placement ====")
+    ExtractPipeline.prepared(pages, ExtractConf()).explain("formatted")
+
+    println("==== 4. minhash LSH candidate join ====")
+    TrainingOps.minhashPairs(spark.read.parquet(s"$sf/documents.parquet")).explain("formatted")
+
+    println("==== 5. ann top-k probe broadcast ====")
+    TrainingOps.annCosineTopK(spark.read.parquet(s"$sf/embeddings.parquet")).explain("formatted")
+
+    spark.stop()
+  }
+}
