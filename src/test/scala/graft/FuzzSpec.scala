@@ -1,0 +1,91 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+
+/** Property-based fuzzing of the extraction kernel (SURVEY.md par 5.2):
+  * totality, determinism, span invariants, and streaming/iterator parser
+  * equivalence over adversarial tag soup — inputs the corpus generators
+  * would never produce.
+  */
+class FuzzSpec extends AnyFunSuite {
+
+  /** Run a ScalaCheck property (500 cases) and fail the suite on the
+    * first counterexample (bare scalacheck; no scalatestplus bridge in
+    * the offline cache).
+    */
+  private def check(prop: Prop): Unit = {
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(500)
+      .withInitialSeed(org.scalacheck.rng.Seed(42L))
+    val res = SCTest.check(params, prop)
+    assert(res.passed, org.scalacheck.util.Pretty.pretty(res))
+  }
+
+  private val tagNames = Gen.oneOf("p", "div", "a", "script", "style", "b",
+    "article", "nav", "li", "ul", "td", "tr", "span", "h1", "br", "img",
+    "textarea", "noscript", "x-custom", "q1")
+
+  private val fragment: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(12)),
+    Gen.oneOf(" ", "\t", "\n", "  "),
+    Gen.oneOf("&amp;", "&lt;", "&nbsp;", "&#65;", "&#x42;", "&bogus;", "&", ";", "&#xZZ;"),
+    Gen.oneOf("<", ">", "</", "/>", "<!", "<!--", "-->", "<![CDATA[", "]]>", "<?", "?>"),
+    tagNames.map(t => s"<$t>"),
+    tagNames.map(t => s"</$t>"),
+    tagNames.map(t => s"<$t class='x' data-k=\"v\">"),
+    tagNames.map(t => s"<$t/>"),
+    Gen.oneOf("<p attr=unquoted>", "<div =junk>", "<a href='un closed>", "<b q=\"no-close>"),
+    Gen.oneOf("éß€", "中文", "é", "﻿"),
+  )
+
+  private val soup: Gen[String] =
+    Gen.chooseNum(0, 60).flatMap(n => Gen.listOfN(n, fragment).map(_.mkString))
+
+  test("extraction is total and deterministic on arbitrary tag soup") {
+    check(Prop.forAll(soup) { s =>
+      val bytes = s.getBytes("UTF-8")
+      val a = HtmlExtractor.extract(bytes, Html.Deadline.unlimited)
+      val b = HtmlExtractor.extract(bytes, Html.Deadline.unlimited)
+      a == b
+    })
+  }
+
+  test("streaming parser == iterator tokenizer on arbitrary tag soup") {
+    check(Prop.forAll(soup) { s =>
+      val viaIterator = BlockBuilder.build(Html.tokenize(s))
+      val viaStream = BlockBuilder.buildStreaming(s, Html.Deadline.unlimited)
+      viaIterator == viaStream
+    })
+  }
+
+  test("span invariants: within bounds, blocks non-overlapping, page covers text") {
+    check(Prop.forAll(soup) { s =>
+      val r = HtmlExtractor.extract(s.getBytes("UTF-8"), Html.Deadline.unlimited)
+      val inBounds = r.spans.forall(sp => sp.begin >= 0 && sp.begin <= sp.end && sp.end <= r.text.length)
+      val blocks = r.spans.filter(_.kind == "block").sortBy(_.begin)
+      val nonOverlap = blocks.zip(blocks.drop(1)).forall { case (x, y) => x.end <= y.begin }
+      val page = r.spans.find(_.kind == "page")
+      inBounds && nonOverlap && page.exists(p => p.begin == 0 && p.end == r.text.length)
+    })
+  }
+
+  test("canonical text has no whitespace runs and no leading/trailing space per block") {
+    check(Prop.forAll(soup) { s =>
+      val r = HtmlExtractor.extract(s.getBytes("UTF-8"), Html.Deadline.unlimited)
+      val noRuns = !r.text.contains("  ") && !r.text.contains(" \n") && !r.text.contains("\n ")
+      val blockLines = if (r.text.isEmpty) Array.empty[String] else r.text.split("\n", -1)
+      noRuns && blockLines.forall(l => l == l.trim)
+    })
+  }
+
+  test("decode is total on arbitrary byte arrays (magic sniff + charset)") {
+    check(Prop.forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bs =>
+      val bytes = bs.toArray
+      ContentType.detect(bytes) // must not throw
+      Html.decode(bytes)        // must not throw
+      true
+    })
+  }
+}
