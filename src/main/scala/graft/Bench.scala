@@ -23,8 +23,10 @@ object Bench {
       // (see ScalingBench.session)
       .config("spark.memory.offHeap.enabled", "true")
       .config("spark.memory.offHeap.size", "4g")
-    // shuffle to tmpfs when available: one shared spinning vda otherwise
-    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+    // shuffle to tmpfs when it exists AND is big enough (containers often
+    // mount a 64 MB /dev/shm — ENOSPC mid-job is worse than slow disk)
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.getUsableSpace > 4L * 1024 * 1024 * 1024)
       builder.config("spark.local.dir", "/dev/shm/graft-spark-bench")
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

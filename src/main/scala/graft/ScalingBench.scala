@@ -43,7 +43,7 @@ object ScalingBench {
   def session(cores: Int): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    val s = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
       .config("spark.sql.shuffle.partitions", cores.toString)
@@ -55,16 +55,19 @@ object ScalingBench {
       // local-mode analog of production's 128MB-over-thousands-of-files
       .config("spark.sql.files.maxPartitionBytes", (2 * 1024 * 1024).toString)
       .config("spark.sql.files.openCostInBytes", (64 * 1024).toString)
-      // shuffle to tmpfs: the sandbox's /tmp is one spinning vda shared by
-      // 32 threads; real executors shuffle to local NVMe
-      .config("spark.local.dir", "/dev/shm/graft-spark")
       // Tungsten sort/shuffle buffers off-heap: on-heap they survive young
       // GCs, promote, and trigger old-gen collections that steal cores
       // from the kernel (measured: up to 40% of task time in GC at 32
       // threads). Off-heap leaves the heap to die-young kernel garbage.
       .config("spark.memory.offHeap.enabled", "true")
       .config("spark.memory.offHeap.size", sys.env.getOrElse("SPARK_GRAFT_OFFHEAP", "8g"))
-      .getOrCreate()
+    // shuffle to tmpfs when it exists AND is big enough (the sandbox's
+    // /tmp is one spinning vda shared by 32 threads; real executors
+    // shuffle to local NVMe) — containers often mount a tiny /dev/shm
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.getUsableSpace > 4L * 1024 * 1024 * 1024)
+      builder.config("spark.local.dir", "/dev/shm/graft-spark")
+    val s = builder.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
@@ -136,19 +139,41 @@ object ScalingBench {
   private def forkMeasure(cores: Int, corpus: String): (Long, Double, Double) = {
     val java = Paths.get(System.getProperty("java.home"), "bin", "java").toString
     val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")
-    val gcFlags = sys.env.getOrElse("GRAFT_CHILD_GC", "-XX:+UseParallelGC -Xmn16g")
+    // young gen must fit the heap: -Xmn16g against e.g. -Xmx8g refuses to
+    // boot, so derive it (2/3 of heap, capped at 16g) from the mem knob
+    val memGb = mem.toLowerCase match {
+      case s if s.endsWith("g") => s.dropRight(1).toDouble
+      case s if s.endsWith("m") => s.dropRight(1).toDouble / 1024
+      case s                    => s.toDouble / (1024 * 1024 * 1024)
+    }
+    val xmnGb = math.min(16, (memGb * 2 / 3).toInt)
+    val defaultGc =
+      if (xmnGb >= 1) s"-XX:+UseParallelGC -Xmn${xmnGb}g" else "-XX:+UseParallelGC"
+    val gcFlags = sys.env.getOrElse("GRAFT_CHILD_GC", defaultGc)
       .split("\\s+").toSeq.filter(_.nonEmpty)
     val cmd: Seq[String] = Seq(java) ++ addOpens ++ gcFlags ++ Seq(
       s"-Xmx$mem", "-Dspark.ui.enabled=false",
       "-Dspark.sql.session.timeZone=UTC",
       "-cp", System.getProperty("java.class.path"),
       "graft.ScalingBench", "--measure", cores.toString, corpus)
-    val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(false)
+    // stderr must drain CONCURRENTLY with stdout: a child emitting more
+    // than a pipe buffer of Spark logs / STAGE diagnostics on stderr
+    // would otherwise block while the parent blocks reading stdout
+    val errFile = Files.createTempFile("graft-child-err", ".log").toFile
+    val pb = new ProcessBuilder(cmd: _*)
+      .redirectErrorStream(false)
+      .redirectError(ProcessBuilder.Redirect.to(errFile))
     pb.environment().putAll(System.getenv())
     val p = pb.start()
     val out = new String(p.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
-    new String(p.getErrorStream.readAllBytes(), StandardCharsets.UTF_8) // drain
-    require(p.waitFor() == 0, s"child local[$cores] failed")
+    val ok = p.waitFor() == 0
+    // forward the child's diagnostic lines (STAGE stats), drop Spark noise
+    try {
+      val err = Files.readString(errFile.toPath)
+      err.linesIterator.filter(_.startsWith("STAGE")).foreach(System.err.println)
+      if (!ok) System.err.println(err.takeRight(2000))
+    } finally errFile.delete()
+    require(ok, s"child local[$cores] failed")
     val m = out.linesIterator.find(_.startsWith("MEASURE ")).getOrElse(
       throw new IllegalStateException(s"no MEASURE line from child local[$cores]"))
     val Array(_, d, t) = m.split(" ")

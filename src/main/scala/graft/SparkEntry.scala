@@ -196,7 +196,9 @@ object SparkEntry {
     * widen to HUGEINT are cast back (pandas renders HUGEINT as float).
     */
   private def trainingOracles: Map[String, String] = {
-    val w = "regexp_split_to_array(trim(text), '\\s+')"
+    // explicit whitespace class, matching TrainingOps.wsClass: Java \s
+    // includes \x0B, RE2 \s does not — never use \s in a shared contract
+    val w = "regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f\\x0B]+')"
     // 3-word shingles of w (needs len(w) >= 3)
     val sh3 = "list_transform(range(len(w)-2), i -> array_to_string(w[i+1:i+3], ' '))"
     val minhashBands =
@@ -276,7 +278,7 @@ object SparkEntry {
           "(1.0::DOUBLE - least(1.0::DOUBLE, 5.0::DOUBLE * n_punct::DOUBLE / n_chars)), 4) AS quality FROM b"),
       "t3_token_counts" ->
         (s"SELECT doc_id, CAST(len($w) AS INT) AS ws_tokens, " +
-          "CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS re_tokens " +
+          "CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f\\x0B]')) AS INT) AS re_tokens " +
           "FROM documents WHERE length(text) >= 1"),
       "t4_fingerprint" ->
         (s"WITH f AS (SELECT doc_id, $w AS w FROM documents WHERE len($w) >= 8), " +

@@ -1,6 +1,6 @@
 package graft.core
 
-import java.nio.charset.{Charset, CodingErrorAction, StandardCharsets}
+import java.nio.charset.{Charset, StandardCharsets}
 import java.util.Locale
 
 /** SAX-style HTML tokenizer over raw bytes (SURVEY.md par 2.3 item 11a).
@@ -147,13 +147,20 @@ object Html {
   def appendDecoded(sb: java.lang.StringBuilder, s: String, from: Int, to: Int): Unit = {
     var i = from
     while (i < to) {
-      val amp = s.indexOf('&', i)
-      if (amp < 0 || amp >= to) { sb.append(s, i, to); return }
+      // bounded scans only: String.indexOf would run to the next '&'/';'
+      // ANYWHERE in the document (or EOF), making parse quadratic in
+      // runs x doc-length for entity-sparse documents
+      var amp = i
+      while (amp < to && s.charAt(amp) != '&') amp += 1
+      if (amp == to) { sb.append(s, i, to); return }
       sb.append(s, i, amp) // entity-free prefix, bulk
       i = amp
       val c = s.charAt(i)
-      val semi = s.indexOf(';', i + 1)
-      if (semi > i && semi < to && semi - i <= 12) {
+      val semiLimit = math.min(to, i + 13) // entity body <= 12 chars
+      var semi = i + 1
+      while (semi < semiLimit && s.charAt(semi) != ';') semi += 1
+      if (semi == semiLimit) semi = -1
+      if (semi > i) {
         val body = s.substring(i + 1, semi)
         if (body.startsWith("#x") || body.startsWith("#X")) {
           try {

@@ -26,12 +26,20 @@ import org.apache.spark.sql.functions._
 object TrainingOps {
 
   /** 60-bit hash from the md5 hex prefix — fits a signed long, and both
-    * engines can compute it (`conv(substr(md5(x),1,15),16,10)`).
+    * engines can compute it (`conv(substr(md5(x),1,15),16,10)`); the
+    * driver-side planes in [[annLshBuckets]] implement the same formula
+    * in Scala. The single place to swap md5 -> xxhash64 at scale.
     */
   private def h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  private def words(c: Column): Column = split(trim(c), "\\s+")
+  /** Whitespace as an EXPLICIT class, not `\s`: Java regex counts
+    * vertical tab (\x0B) in `\s`, RE2 (DuckDB) does not — `\s` would be
+    * a latent bit-for-bit oracle break on real crawled text.
+    */
+  private[datapipe] val wsClass = "[ \\t\\n\\r\\f\\x0B]"
+
+  private def words(c: Column): Column = split(trim(c), wsClass + "+")
 
   // ------------------------------------------------------------ dedup
 
@@ -89,8 +97,7 @@ object TrainingOps {
   def simhash(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 1)
-      .select(col("doc_id"),
-        expr("transform(w, x -> cast(conv(substring(md5(x),1,15),16,10) as bigint))").as("hs"))
+      .select(col("doc_id"), transform(col("w"), x => h60(x)).as("hs"))
       .select(col("doc_id"),
         expr(
           """aggregate(sequence(0,59), cast(0 as bigint), (s, j) ->
@@ -240,7 +247,8 @@ object TrainingOps {
     docs.filter(length(col("text")) >= 1).select(
       col("doc_id"),
       size(words(col("text"))).as("ws_tokens"),
-      size(expr("""regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]', 0)""")).as("re_tokens"))
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f\\x0B]"), lit(0))).as("re_tokens"))
 
   /** Winnowing document fingerprint (rolling-hash family): 4-word
     * shingle hashes, sliding window of 5, keep each window's minimum,
@@ -251,8 +259,8 @@ object TrainingOps {
     docs.select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 8)
       .select(col("doc_id"),
-        expr("transform(sequence(0, size(w) - 4), i -> " +
-          "cast(conv(substring(md5(concat_ws(' ', slice(w, i + 1, 4))),1,15),16,10) as bigint))").as("hs"))
+        transform(sequence(lit(0), size(col("w")) - 4),
+          i => h60(concat_ws(" ", slice(col("w"), i + 1, lit(4))))).as("hs"))
       .select(col("doc_id"), size(col("hs")).as("n_grams"),
         expr("md5(concat_ws(',', transform(array_sort(array_distinct(" +
           "transform(sequence(0, size(hs) - 5), i -> array_min(slice(hs, i + 1, 5))))), " +

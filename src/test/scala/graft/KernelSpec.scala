@@ -208,6 +208,19 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("entity-sparse large doc parses in linear time (bounded entity scan)") {
+    // regression: appendDecoded once scanned indexOf('&') to EOF per text
+    // run — quadratic in runs x doc-length (~10 s for this input); the
+    // bounded scan finishes in well under a second
+    val run = "<b>word and another phrase</b>"
+    val html = ("<html><body><div>" + (run * 120000) + "</div></body></html>").getBytes("UTF-8")
+    val t0 = System.nanoTime()
+    val r = HtmlExtractor.extract(html, Html.Deadline.unlimited)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(r.text.nonEmpty)
+    assert(sec < 5.0, f"large entity-free doc took $sec%.1f s — quadratic scan regressed")
+  }
+
   test("deadline trips on pathological input") {
     val huge = ("<div>" * 200000 + "deep text " * 1000).getBytes("UTF-8")
     val tiny = new Html.Deadline(1L) // 1 ns budget
