@@ -123,6 +123,10 @@ object SparkEntry {
     "d3_dedup_simhash" -> ((s, dir) => TrainingOps.simhash(docs(s, dir))),
     "d4_dedup_jaccard" -> ((s, dir) => TrainingOps.jaccardVerify(docs(s, dir))),
     "d5_ann_cosine_topk" -> ((s, dir) => TrainingOps.annCosineTopK(embs(s, dir))),
+    "d7_ann_topk_scalable" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      TrainingOps.annCosineTopKScalable(embs(s, dir))
+    }),
     "d6_ann_lsh_buckets" -> ((s, dir) => TrainingOps.annLshBuckets(embs(s, dir))),
     "t1_lang_id" -> ((s, dir) => TrainingOps.langId(docs(s, dir))),
     "t2_quality_score" -> ((s, dir) => TrainingOps.qualityScore(docs(s, dir))),
@@ -231,6 +235,19 @@ object SparkEntry {
           "FROM pairs p JOIN sets sa ON sa.doc_id = p.a JOIN sets sb ON sb.doc_id = p.b) " +
           "WHERE jaccard >= 0.4"),
       "d5_ann_cosine_topk" ->
+        ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+          "p AS (SELECT vec_id AS q_id, v AS q FROM e WHERE vec_id % 50 = 0), " +
+          "s AS (SELECT q_id, vec_id, round(" +
+          "list_sum(list_transform(range(len(q)), i -> q[i+1]*v[i+1])) / " +
+          "(sqrt(list_sum(list_transform(range(len(q)), i -> q[i+1]*q[i+1]))) * " +
+          "sqrt(list_sum(list_transform(range(len(v)), i -> v[i+1]*v[i+1])))), 6) AS score " +
+          "FROM e, p WHERE vec_id <> q_id), " +
+          "r AS (SELECT q_id, vec_id, score, row_number() OVER " +
+          "(PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk FROM s) " +
+          "SELECT q_id, CAST(rk AS INT) AS rank, vec_id, score FROM r WHERE rk <= 5"),
+      // the scalable per-partition-heap variant must produce the exact
+      // same rows as the brute-force baseline — same oracle
+      "d7_ann_topk_scalable" ->
         ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
           "p AS (SELECT vec_id AS q_id, v AS q FROM e WHERE vec_id % 50 = 0), " +
           "s AS (SELECT q_id, vec_id, round(" +

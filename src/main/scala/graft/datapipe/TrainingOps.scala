@@ -151,6 +151,51 @@ object TrainingOps {
       .select(col("q_id"), col("rank"), col("vec_id"), col("score"))
   }
 
+  /** The scale path for exact top-k: per-partition bounded heaps (one
+    * k-heap per probe per partition — memory O(probes x k), never
+    * O(candidates)) followed by a final rank over the tiny partial set
+    * (numPartitions x probes x k rows). Output contract is identical to
+    * [[annCosineTopK]] — same oracle SQL verifies both — but the global
+    * window over every scored row is gone, so no single partition ever
+    * holds more than the partials. Deterministic tie-break everywhere:
+    * (score desc, vec_id asc).
+    */
+  def annCosineTopKScalable(emb: DataFrame, k: Int = 5)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val e = emb.select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val p = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("q"))
+    val dot = expr("aggregate(zip_with(q, v, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)")
+    val nq = sqrt(expr("aggregate(zip_with(q, q, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"))
+    val nv = sqrt(expr("aggregate(zip_with(v, v, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"))
+    val scored = e.crossJoin(broadcast(p))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), round(dot / (nq * nv), 6).as("score"))
+      .as[(Long, Long, Double)]
+    // "greater" = worse (lower score, then higher vec_id), so the heap
+    // root is always the eviction candidate
+    val worseFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+      def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
+    val partials = scored.mapPartitions { it =>
+      val heaps = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+      it.foreach { case (q, v, s) =>
+        val h = heaps.getOrElseUpdate(q, scala.collection.mutable.PriorityQueue.empty(worseFirst))
+        if (h.size < k) h.enqueue((s, v))
+        else if (worseFirst.compare((s, v), h.head) < 0) { h.dequeue(); h.enqueue((s, v)) }
+      }
+      heaps.iterator.flatMap { case (q, h) => h.iterator.map { case (s, v) => (q, v, s) } }
+    }.toDF("q_id", "vec_id", "score")
+    partials
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("score"))
+  }
+
   /** Random-hyperplane LSH bucketing — the scale path for cosine ANN:
     * 16 deterministic pseudo-random hyperplanes (derived from md5(j:i),
     * precomputed on the DRIVER and inlined as a literal, the broadcast

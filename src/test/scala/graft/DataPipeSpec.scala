@@ -85,6 +85,15 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("scalable top-k (partition heaps + merge) == brute-force baseline") {
+    implicit val sp: SparkSession = spark
+    val base = TrainingOps.annCosineTopK(embs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val scal = TrainingOps.annCosineTopKScalable(embs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(scal == base)
+  }
+
   test("ann lsh buckets: deterministic and correlated with cosine neighbors") {
     val b1 = TrainingOps.annLshBuckets(embs).collect().map(r => (r.getLong(0), r.getInt(1))).toMap
     val b2 = TrainingOps.annLshBuckets(embs).collect().map(r => (r.getLong(0), r.getInt(1))).toMap
