@@ -63,4 +63,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.length == batch.length)
     assert(streamed.sameElements(batch))
   }
+
+  test("streaming: many small micro-batches (maxFilesPerTrigger=1) == batch output") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    val sfDir = "/root/testdata/sf0.001"
+    val in = tmpDir("stream-mb-in")
+    val table = tmpDir("stream-mb-table")
+    val conf = SparkEntry.conf
+
+    val all = PagesGen.fromDocuments(spark, sfDir)
+    // several input files -> several micro-batches under maxFilesPerTrigger=1.
+    // Hash-partition by url: dedup is per-micro-batch (append semantics,
+    // see StreamingExtract scaladoc), so a re-crawl pair split across
+    // batches would legitimately yield two rows — co-locate them.
+    all.repartition(5, org.apache.spark.sql.functions.col("url"))
+      .write.mode("append").parquet(in)
+    StreamingExtract.start(spark, in, table, conf,
+      maxFilesPerTrigger = Some(1)).awaitTermination()
+
+    val batchRoots = java.nio.file.Files.list(
+      java.nio.file.Paths.get(table, "batches")).count()
+    assert(batchRoots >= 2, s"expected multiple micro-batches, got $batchRoots")
+
+    val streamed = StreamingExtract.readAll(spark, table)
+      .select("url", "text", "status", "pages").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3))).sortBy(_._1)
+    val batch = ExtractPipeline.run(all, conf).toDF()
+      .select("url", "text", "status", "pages").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3))).sortBy(_._1)
+    assert(streamed.length == batch.length)
+    assert(streamed.sameElements(batch))
+
+    // idempotency: restarting the drained stream commits nothing new
+    StreamingExtract.start(spark, in, table, conf,
+      maxFilesPerTrigger = Some(1)).awaitTermination()
+    assert(StreamingExtract.readAll(spark, table).count() == streamed.length)
+  }
 }
