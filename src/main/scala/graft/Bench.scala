@@ -61,9 +61,15 @@ object Bench {
     val (docs, sec) = pass()
     val tput = docs / sec
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""throughput_docs":$docs,"throughput_sec":$sec,"docs_per_sec":$tput,""" +
-      s""""docs_per_sec_per_core":${tput / cpus.toInt},"cores":$cpus}""")
+      s""""docs_per_sec_per_core":${tput / cpus.toInt},"cores":$cpus}"""
+    println(json)
+    // durable copy: sbt log decoration made the stdout line unparseable in
+    // round 1 (BENCH_r01.json parsed:null) — a file survives any wrapper
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

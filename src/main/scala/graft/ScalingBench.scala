@@ -248,9 +248,10 @@ object ScalingBench {
         s""""sf":"$sfDir","replicas":$replicas}"""
     println(json)
 
-    // double leading pipe: stripMargin below consumes the first as margin
+    // spliced AFTER stripMargin (placeholder below) so every row keeps
+    // exactly one leading pipe regardless of position
     val roundRows = pairs.zipWithIndex.map { case ((mLo, mHi, eff), i) =>
-      f"|| ${i + 1} | ${mLo._2}%.2f | ${mHi._2}%.2f | $eff%.3f |"
+      f"| ${i + 1} | ${mLo._2}%.2f | ${mHi._2}%.2f | $eff%.3f |"
     }.mkString("\n")
     val md =
       s"""# BENCH — measured throughput & scaling (this sandbox)
@@ -279,7 +280,7 @@ object ScalingBench {
          |
          || Round | local[$lo] wall (s) | local[$hi] wall (s) | efficiency |
          ||---|---|---|---|
-         |$roundRows
+         |@@ROUND_ROWS@@
          |
          |**Scaling efficiency ($lo -> $hi cores): median of paired rounds
          |${f"$efficiency%.3f"}; capability (best wall per level across rounds)
@@ -296,7 +297,7 @@ object ScalingBench {
          |```json
          |$json
          |```
-         |""".stripMargin
+         |""".stripMargin.replace("@@ROUND_ROWS@@", roundRows)
     Files.write(Paths.get("BENCH.md"), md.getBytes(StandardCharsets.UTF_8))
   }
 }

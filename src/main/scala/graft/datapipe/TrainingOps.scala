@@ -202,23 +202,34 @@ object TrainingOps {
     * pattern), bucket = 16 sign bits. Same-bucket vectors are cosine
     * candidates; search cost drops from O(n) to O(n / 2^16) per probe.
     */
-  def annLshBuckets(emb: DataFrame): DataFrame = {
+  def annLshBuckets(emb: DataFrame, dimOpt: Option[Int] = None): DataFrame = {
+    val e = emb.select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    // plane length must equal the embedding dimension: zip_with null-pads
+    // on mismatch, which would silently zero every bucket. Derive it from
+    // the data (one-row lookup) unless the caller pins it.
+    val dim = dimOpt.getOrElse {
+      val h = e.select(size(col("v"))).head(1)
+      if (h.isEmpty) 1 else math.max(1, h(0).getInt(0))
+    }
     val planes: Seq[Seq[Double]] = (0 until 16).map { j =>
-      (0 until 64).map { i =>
+      (0 until dim).map { i =>
         val hex = java.security.MessageDigest.getInstance("MD5")
           .digest(s"$j:$i".getBytes("UTF-8"))
           .map("%02x".format(_)).mkString.substring(0, 15)
         java.lang.Long.parseLong(hex, 16).toDouble / math.pow(2, 59) - 1.0
       }
     }
-    val e = emb.select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-      .withColumn("planes", typedLit(planes))
-    e.select(col("vec_id"),
-      expr(
-        """aggregate(sequence(0,15), 0, (s, j) ->
-          |  s + IF(aggregate(zip_with(element_at(planes, j + 1), v, (p, x) -> p * x),
-          |                   cast(0 as double), (d, x) -> d + x) > 0,
-          |         shiftleft(1, j), 0))""".stripMargin).as("bucket"))
+    val bucket = expr(
+      """aggregate(sequence(0,15), 0, (s, j) ->
+        |  s + IF(aggregate(zip_with(element_at(planes, j + 1), v, (p, x) -> p * x),
+        |                   cast(0 as double), (d, x) -> d + x) > 0,
+        |         shiftleft(1, j), 0))""".stripMargin)
+    e.withColumn("planes", typedLit(planes))
+      .select(col("vec_id"),
+        when(size(col("v")) === dim, bucket)
+          .otherwise(raise_error(concat(
+            lit(s"annLshBuckets: embedding dimension mismatch (planes=$dim, got "),
+            size(col("v")), lit(")")))).as("bucket"))
   }
 
   // ------------------------------------------------------ text analysis

@@ -126,21 +126,42 @@ object ExtractPipeline {
 
     /** Per-partition circuit breaker: opens for a kernel after N
       * consecutive failures (timeout counts as failure, like the
-      * reference's 504-inc path) and sheds that kernel's remaining rows
-      * in the task as `error/circuit_open` — the batch mapping of the
+      * reference's 504-inc path) and sheds that kernel's rows in the
+      * task as `error/circuit_open` — the batch mapping of the
       * reference's 503-when-open behavior (dynamic_routes.py:208-218).
       * State is task-scoped by design: the reference's breaker is
       * per-worker-process too (its docs call out that workers don't
       * share it, main.py:48-59).
+      *
+      * HALF-OPEN probing (reference: 300 s retry window then probe,
+      * registry_v2.py:473-551): while open, every `probeEvery`-th
+      * document is attempted for real instead of shed; a probe success
+      * closes the breaker. In a batch task the time axis is the row
+      * stream, so "retry after 300 s" maps to "probe every Nth row" —
+      * this bounds the cost of a genuinely broken kernel to 1/probeEvery
+      * of remaining rows while guaranteeing that a poison STREAK (bad
+      * pages from one site, co-located by input-file order) can never
+      * permanently shed the healthy documents behind it. Unlike an
+      * open-until-task-end breaker, output no longer depends on row
+      * order for healthy documents.
       */
-    final class Breaker(threshold: Int) {
+    final class Breaker(threshold: Int, probeEvery: Int = 16) {
+      require(probeEvery > 0, "probeEvery must be positive")
       private val fails = scala.collection.mutable.HashMap.empty[String, Int]
-      def isOpen(engine: String): Boolean =
-        threshold > 0 && fails.getOrElse(engine, 0) >= threshold
+      private val shedSince = scala.collection.mutable.HashMap.empty[String, Int]
+      /** True => shed this doc as circuit_open; false => attempt it
+        * (closed, or open-and-probing).
+        */
+      def shouldShed(engine: String): Boolean = {
+        if (threshold <= 0 || fails.getOrElse(engine, 0) < threshold) return false
+        val n = shedSince.getOrElse(engine, 0)
+        shedSince.update(engine, n + 1)
+        n % probeEvery != 0 // row 0 after opening is a probe, then every Nth
+      }
       def recordFailure(engine: String): Unit =
         if (threshold > 0) fails.update(engine, fails.getOrElse(engine, 0) + 1)
       def recordSuccess(engine: String): Unit =
-        if (threshold > 0) fails.update(engine, 0)
+        if (threshold > 0) { fails.update(engine, 0); shedSince.remove(engine) }
     }
     object Breaker { val disabled = new Breaker(0) }
 
@@ -154,7 +175,7 @@ object ExtractPipeline {
       Extractors.forType(ct) match {
         case None =>
           ResultRow(url, "", Nil, 0, "none", Status.RejectedFormat, "unsupported_format", durMs, bucket)
-        case Some(ex) if breaker.isOpen(ex.name) =>
+        case Some(ex) if breaker.shouldShed(ex.name) =>
           ResultRow(url, "", Nil, 0, ex.name, Status.Error, "circuit_open", durMs, bucket)
         case Some(ex) =>
           try {

@@ -27,15 +27,49 @@ object StreamingExtract {
   def batchRoot(tableRoot: String, batchId: Long): String =
     s"$tableRoot/batches/batch=$batchId"
 
-  /** All committed results across micro-batches. */
+  /** All committed results across micro-batches. A stream that has
+    * committed nothing yet (missing or empty `batches/` dir) yields an
+    * empty DataFrame of the results schema rather than throwing.
+    *
+    * NOTE cross-batch semantics: a url re-crawled in a LATER micro-batch
+    * appears once per batch here (per-batch dedup only); use
+    * [[readAllDeduped]] for the batch pipeline's one-row-per-url view.
+    */
   def readAll(spark: SparkSession, tableRoot: String): org.apache.spark.sql.DataFrame = {
     val base = java.nio.file.Paths.get(tableRoot, "batches")
-    val roots = java.nio.file.Files.list(base).iterator()
-    val dfs = scala.jdk.CollectionConverters.IteratorHasAsScala(roots).asScala
-      .filter(p => p.getFileName.toString.startsWith("batch="))
+    val batchDirs =
+      if (!java.nio.file.Files.isDirectory(base)) Seq.empty
+      else {
+        val s = java.nio.file.Files.list(base)
+        try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala
+          .filter(p => p.getFileName.toString.startsWith("batch="))
+          .toSeq
+        finally s.close()
+      }
+    val dfs = batchDirs.sortBy(_.getFileName.toString)
       .map(p => LakehouseIO.readResults(p.toString)(spark))
-      .toSeq
-    dfs.reduce(_ unionByName _)
+    if (dfs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.Encoders.product[ResultRow].schema)
+    else dfs.reduce(_ unionByName _)
+  }
+
+  /** One-row-per-url view across all batches — the same contract as the
+    * batch pipeline's partition-local dedup (latest batch wins; within a
+    * batch the per-batch dedup already kept the newest warc_ts). Windowed
+    * on url, so the shuffle key matches the per-batch bucket derivation.
+    */
+  def readAllDeduped(spark: SparkSession, tableRoot: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val withBatch = readAll(spark, tableRoot)
+      .withColumn("batch_id",
+        regexp_extract(input_file_name(), "batch=(\\d+)", 1).cast("long"))
+    withBatch
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("url")).orderBy(col("batch_id").desc, col("text"))))
+      .filter(col("rn") === 1)
+      .drop("rn", "batch_id")
   }
 
   /** Start the stream: new page files appearing under `inputDir` are

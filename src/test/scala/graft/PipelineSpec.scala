@@ -236,24 +236,42 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](ExtractMain.parse(Array("--bogus", "1")))
   }
 
-  test("circuit breaker: opens after N consecutive failures, sheds the rest of the partition") {
+  test("circuit breaker: opens after N failures, half-opens via probes, recovers on success") {
     // 1 ns budget => every html doc times out (failure); threshold 3
     val tconf = ExtractConf(maxBytes = 1 << 20, buckets = 4, salt = 1,
       docBudgetNanos = 1L, breakerThreshold = 3)
-    val breaker = new ExtractPipeline.Kernel.Breaker(tconf.breakerThreshold)
+    val breaker = new ExtractPipeline.Kernel.Breaker(tconf.breakerThreshold, probeEvery = 4)
     val bigText = (0 until 10000).map(i => s"w$i").mkString(" ")
     val html = graft.gen.HtmlGen.render(1L, bigText, "en")
-    val statuses = (0 until 5).map { i =>
+    val statuses = (0 until 9).map { i =>
       ExtractPipeline.Kernel.process(s"https://x/$i", html, null, 0, tconf, breaker)
     }.map(r => (r.status, r.error_code))
+    // 3 real failures open it; doc 3 is the half-open probe (real attempt,
+    // fails again), docs 4-6 shed, doc 7 probes, doc 8 shed
     assert(statuses.take(3).forall(_ == (core.Status.Timeout, "deadline_exceeded")))
-    assert(statuses.drop(3).forall(_ == (core.Status.Error, "circuit_open")))
-    // a success resets the streak (3-success reset degenerates to 1 in
-    // batch: any success proves the kernel healthy again)
-    val ok = ExtractPipeline.Kernel.process("https://x/ok",
-      graft.gen.HtmlGen.render(2L, "tiny body", "en"), null, 0,
-      tconf.copy(docBudgetNanos = 0L), new ExtractPipeline.Kernel.Breaker(3))
-    assert(ok.status == core.Status.Ok)
+    assert(statuses(3) == ((core.Status.Timeout, "deadline_exceeded")))
+    assert(statuses.slice(4, 7).forall(_ == (core.Status.Error, "circuit_open")))
+    assert(statuses(7) == ((core.Status.Timeout, "deadline_exceeded")))
+    assert(statuses(8) == ((core.Status.Error, "circuit_open")))
+    // a probe SUCCESS closes the breaker: after a poison streak, healthy
+    // docs behind it are extracted, not shed — at most probeEvery-1 healthy
+    // docs are lost to shedding (the batch mapping of the reference's
+    // 300 s half-open window, registry_v2.py:473-551)
+    val b2 = new ExtractPipeline.Kernel.Breaker(3, probeEvery = 4)
+    (0 until 3).foreach { i => // poison streak opens it
+      ExtractPipeline.Kernel.process(s"https://p/$i", html, null, 0, tconf, b2)
+    }
+    val okHtml = graft.gen.HtmlGen.render(2L, "tiny healthy body", "en")
+    val okConf = tconf.copy(docBudgetNanos = 0L)
+    val tail = (0 until 6).map { i =>
+      ExtractPipeline.Kernel.process(s"https://p/ok$i", okHtml, null, 0, okConf, b2)
+    }.map(_.status)
+    // first healthy doc is the probe => ok, closes the breaker => rest ok
+    assert(tail.forall(_ == core.Status.Ok))
+    // default batch conf keeps the breaker DISABLED: per-doc failures are
+    // document properties, shedding neighbors would make output depend on
+    // row order (ADVICE r1)
+    assert(ExtractConf().breakerThreshold == 0)
   }
 
   test("engines discovery surface has both kernels with param schemas") {
