@@ -14,7 +14,6 @@ run / fork := true
 // Pass the forked process's stdout through UNPREFIXED: sbt's default
 // LoggedOutput wraps every line in "[info] ", which broke machine parsing
 // of Bench's single JSON result line (BENCH_r01.json parsed:null).
-run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -205,15 +205,22 @@ object SparkEntry {
     val w = "regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f\\x0B]+')"
     // 3-word shingles of w (needs len(w) >= 3)
     val sh3 = "list_transform(range(len(w)-2), i -> array_to_string(w[i+1:i+3], ' '))"
+    // exact-dedup pre-pass (rep = min doc_id per distinct text), DISTINCT
+    // shingle sets, and the band-bucket cap — mirrors TrainingOps.repSets/
+    // bandedPairs (MaxBandBucket = 64)
     val minhashBands =
-      s"WITH f AS (SELECT doc_id, $w AS w FROM documents WHERE len($w) >= 3), " +
-        s"sh AS (SELECT doc_id, $sh3 AS s FROM f), " +
+      "WITH r AS (SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text " +
+        "FROM documents GROUP BY md5(text)), " +
+        s"f AS (SELECT doc_id, $w AS w FROM r WHERE len($w) >= 3), " +
+        s"sh AS (SELECT doc_id, list_distinct($sh3) AS s FROM f), " +
         "sig AS (SELECT doc_id, list_transform(range(12), k -> " +
         "list_min(list_transform(s, x -> md5(k || ':' || x)))) AS g FROM sh), " +
         "bands AS (SELECT doc_id, t.bd, md5(g[bd*3+1] || '|' || g[bd*3+2] || '|' || g[bd*3+3]) AS bv " +
         "FROM sig, range(4) t(bd)), " +
-        "pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x " +
-        "JOIN bands y ON x.bd = y.bd AND x.bv = y.bv AND x.doc_id < y.doc_id)"
+        "bc AS (SELECT bd, bv FROM bands GROUP BY bd, bv HAVING count(*) BETWEEN 2 AND 64), " +
+        "gb AS (SELECT b.doc_id, b.bd, b.bv FROM bands b JOIN bc USING (bd, bv)), " +
+        "pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM gb x " +
+        "JOIN gb y ON x.bd = y.bd AND x.bv = y.bv AND x.doc_id < y.doc_id)"
     val stopEn = "('the','a','of','and','to','in','is','it')"
     Map(
       "d1_dedup_exact" ->
@@ -228,11 +235,9 @@ object SparkEntry {
           "CASE WHEN list_sum(list_transform(h, v -> CASE WHEN (v >> j) % 2 = 1 THEN 1 ELSE -1 END)) > 0 " +
           "THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS simhash FROM hs"),
       "d4_dedup_jaccard" ->
-        (minhashBands + ", sets AS (SELECT doc_id, list_distinct(" + sh3 + ") AS s " +
-          s"FROM (SELECT doc_id, $w AS w FROM documents WHERE len($w) >= 3)) " +
-          "SELECT a, b, jaccard FROM (SELECT p.a, p.b, " +
+        (minhashBands + " SELECT a, b, jaccard FROM (SELECT p.a, p.b, " +
           "round(len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(sa.s || sb.s)), 4) AS jaccard " +
-          "FROM pairs p JOIN sets sa ON sa.doc_id = p.a JOIN sets sb ON sb.doc_id = p.b) " +
+          "FROM pairs p JOIN sh sa ON sa.doc_id = p.a JOIN sh sb ON sb.doc_id = p.b) " +
           "WHERE jaccard >= 0.4"),
       "d5_ann_cosine_topk" ->
         ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +

@@ -51,30 +51,53 @@ object TrainingOps {
     docs.groupBy(md5(col("text")).as("h"))
       .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper"))
 
-  /** Word-shingle MinHash signatures + banded LSH candidate pairs
-    * (shingle -> minhash -> band -> bucket-join). 3-word shingles,
-    * 12 hash functions, 4 bands x 3 rows. Candidates = documents sharing
-    * any band value; the classic recall/precision dial is (bands, rows).
-    *
-    * Scale: the self-join shuffles only (band, 16-byte bucket) keys —
-    * at 10^12 docs the band table is ~4 rows/doc and the join is
-    * skew-safe because identical-band groups are the (rare) near-dup
-    * clusters themselves.
+  /** Band buckets holding more than this many DISTINCT texts are dropped
+    * before the candidate self-join. After exact-dedup, a bucket this
+    * large is a degenerate near-dup family (templated boilerplate) whose
+    * m²/2 pair expansion would dominate the join; production LSH always
+    * caps it (the recall loss is confined to that one family). Part of
+    * the d2/d4 oracle contract (mirrored in SparkEntry.trainingOracles).
     */
-  def minhashPairs(docs: DataFrame): DataFrame = {
-    val sigs = 12
-    val bandRows = 3
-    val bands = sigs / bandRows
-    val base = docs
+  val MaxBandBucket = 64
+
+  /** Distinct-text shingle sets — the shared front of the MinHash/Jaccard
+    * pipeline. The exact-dedup pre-pass (group by md5(text), representative
+    * = min doc_id) is the skew armor: Common-Crawl-scale corpora carry
+    * massive EXACT-duplicate clusters (mirrors, boilerplate), and banding
+    * raw doc_ids would put a cluster of m identical docs into the same
+    * bucket in every band — m²/2 candidate pairs per band. Exact duplicates
+    * are d1's job ([[dedupExact]] carries the multiplicity); near-dup
+    * detection only ever needs distinct texts.
+    *
+    * Scale: the pre-pass shuffles (16-byte md5, doc_id) with map-side
+    * combine on the text payloads (min_by keeps one text per distinct hash
+    * per map partition); output is one row per distinct text.
+    */
+  private def repSets(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("th"))
+      .agg(min("doc_id").as("doc_id"), min_by(col("text"), col("doc_id")).as("text"))
       .select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
-        transform(sequence(lit(0), size(col("w")) - 3),
-          i => concat_ws(" ", slice(col("w"), i + 1, lit(3)))).as("sh"))
+        array_distinct(transform(sequence(lit(0), size(col("w")) - 3),
+          i => concat_ws(" ", slice(col("w"), i + 1, lit(3))))).as("s"))
+
+  /** Banded-LSH candidate pairs over distinct-text shingle sets
+    * (doc_id, s). 12 minhashes, 4 bands x 3 rows; min over the DISTINCT
+    * shingle set equals min over the raw multiset, so signatures are
+    * unchanged by the dedup pre-pass. Buckets are size-capped (see
+    * [[MaxBandBucket]]) and singleton buckets pruned before the self-join,
+    * so the join shuffles only surviving (band, 16-byte bv) keys and no
+    * single key can explode.
+    */
+  private def bandedPairs(sets: DataFrame, maxBandBucket: Int): DataFrame = {
+    val sigs = 12
+    val bandRows = 3
+    val bands = sigs / bandRows
     val sigCols = (0 until sigs).map { s =>
-      array_min(transform(col("sh"), x => md5(concat(lit(s + ":"), x)))).as(s"g$s")
+      array_min(transform(col("s"), x => md5(concat(lit(s + ":"), x)))).as(s"g$s")
     }
-    val sig = base.select(col("doc_id") +: sigCols: _*)
+    val sig = sets.select(col("doc_id") +: sigCols: _*)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|", (0 until bandRows).map(r => col(s"g${b * bandRows + r}")): _*)).as("bv"))
@@ -82,12 +105,26 @@ object TrainingOps {
     val banded = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
-    banded.as("x").join(banded.as("y"),
+    val surviving = banded.groupBy("band", "bv")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") >= 2 && col("bn") <= maxBandBucket)
+      .select("band", "bv")
+    val pruned = banded.join(surviving, Seq("band", "bv"))
+    pruned.as("x").join(pruned.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
   }
+
+  /** MinHash+LSH near-duplicate candidate pairs over DISTINCT texts
+    * (shingle -> minhash -> band -> capped bucket-join). Pairs are between
+    * exact-dedup representatives (min doc_id per distinct text); exact
+    * duplicates never reach the banding (see [[repSets]]) — compose with
+    * [[dedupExact]] to expand a representative back to its cluster.
+    */
+  def minhashPairs(docs: DataFrame, maxBandBucket: Int = MaxBandBucket): DataFrame =
+    bandedPairs(repSets(docs), maxBandBucket)
 
   /** SimHash document fingerprint: 60-bit signature where bit j is the
     * sign of the sum over words of +-1 by bit j of the word hash.
@@ -107,16 +144,17 @@ object TrainingOps {
   /** Exact n-gram Jaccard verification of the MinHash candidates — the
     * standard two-phase near-dup pipeline (cheap LSH recall, exact
     * precision pass on candidates only). Jaccard over DISTINCT 3-word
-    * shingles, rounded to 4 decimals.
+    * shingles of the exact-dedup representatives, rounded to 4 decimals.
+    *
+    * The shingle sets are built ONCE and persisted: the candidate branch
+    * (minhash/banding) and both sides of the verification join read the
+    * same cached sets instead of re-running dedup + shingling three times
+    * (r1 bench: recomputation made d4 cost ~2x d2). At cluster scale the
+    * persist becomes a checkpoint into the lakehouse; the shape is the same.
     */
-  def jaccardVerify(docs: DataFrame): DataFrame = {
-    val sets = docs
-      .select(col("doc_id"), words(col("text")).as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"),
-        array_distinct(transform(sequence(lit(0), size(col("w")) - 3),
-          i => concat_ws(" ", slice(col("w"), i + 1, lit(3))))).as("s"))
-    minhashPairs(docs)
+  def jaccardVerify(docs: DataFrame, maxBandBucket: Int = MaxBandBucket): DataFrame = {
+    val sets = repSets(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bandedPairs(sets, maxBandBucket)
       .join(sets.select(col("doc_id").as("a"), col("s").as("sa")), "a")
       .join(sets.select(col("doc_id").as("b"), col("s").as("sb")), "b")
       .select(col("a"), col("b"),

@@ -37,23 +37,66 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(g == n)
   }
 
-  test("minhash LSH finds exact duplicates as candidate pairs") {
-    // exact dups (same text, different doc_id) are near-dups at jaccard 1.0
-    // and MUST appear among LSH candidates (identical signatures)
-    val dupPair = docs.as("x").join(docs.as("y"),
-        col("x.text") === col("y.text") && col("x.doc_id") < col("y.doc_id"))
-      .filter(length(col("x.text")) > 50)
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .collect()
+  test("minhash LSH: pairs are between exact-dedup representatives only") {
+    // exact duplicates are d1's job: the pre-pass collapses them before
+    // banding, so no candidate pair may join two identical texts, and
+    // every pair endpoint must be a cluster representative (min doc_id
+    // for its text)
     val cands = TrainingOps.minhashPairs(docs).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    dupPair.foreach { r =>
-      assert(cands.contains((r.getLong(0), r.getLong(1))),
-        s"exact dup pair ${r.getLong(0)}-${r.getLong(1)} missed by LSH")
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(cands.nonEmpty)
+    val reps = TrainingOps.dedupExact(docs).collect().map(_.getLong(2)).toSet
+    cands.foreach { case (a, b) =>
+      assert(reps.contains(a) && reps.contains(b),
+        s"pair $a-$b includes a non-representative doc_id")
+    }
+    val textOf = docs.select(col("doc_id"), md5(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    cands.foreach { case (a, b) =>
+      assert(textOf(a) != textOf(b), s"pair $a-$b joins two identical texts")
     }
   }
 
-  test("jaccard verify: scores in (0,1], exact dups score 1.0") {
+  test("LSH skew armor: 10k-doc exact-duplicate cluster yields zero banding blow-up") {
+    val sp = spark; import sp.implicits._
+    // a Common-Crawl-style mirror cluster: 10k copies of one boilerplate
+    // page. Banding raw doc_ids would enqueue ~10k²/2 pairs per band;
+    // the exact-dedup pre-pass must reduce the cluster to ONE representative.
+    val boiler = (0 until 60).map(i => s"mirror boilerplate word$i").mkString(" ")
+    val nearA = (0 until 60).map(i => s"alpha shared text token$i").mkString(" ")
+    val nearB = (0 until 59).map(i => s"alpha shared text token$i").mkString(" ") + " changed"
+    val rows = (0L until 10000L).map(i => (i, boiler)) ++ Seq((20001L, nearA), (20002L, nearB))
+    val adv = rows.toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val pairs = TrainingOps.minhashPairs(adv).collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    // the only possible pairs are among the 3 distinct texts
+    assert(pairs.length <= 3, s"${pairs.length} pairs — cluster leaked into banding")
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((20001L, 20002L)),
+      "near-dup pair lost by the pre-pass")
+    assert(sec < 60.0, f"skew run took $sec%.1f s — quadratic blow-up")
+    // multiplicity is preserved by d1, not lost
+    val d1 = TrainingOps.dedupExact(adv).filter(col("n_copies") === 10000L).collect()
+    assert(d1.length == 1 && d1(0).getLong(2) == 0L)
+  }
+
+  test("LSH band-bucket cap drops degenerate near-dup families") {
+    val sp = spark; import sp.implicits._
+    // 100 distinct texts differing in one word: most bands agree across
+    // the whole family, so uncapped banding yields ~100*99/2 pairs; the
+    // cap (64) must drop those buckets entirely
+    val family = (0 until 100).map { i =>
+      val ws = (0 until 50).map(j => if (j == 25) s"variant$i" else s"common word$j")
+      (i.toLong, ws.mkString(" "))
+    }
+    val fam = family.toDF("doc_id", "text")
+    val uncapped = TrainingOps.minhashPairs(fam, maxBandBucket = 1 << 20).count()
+    val capped = TrainingOps.minhashPairs(fam, maxBandBucket = 64).count()
+    assert(uncapped > 1000, s"family not degenerate enough: $uncapped")
+    assert(capped < uncapped / 10, s"cap ineffective: $capped vs $uncapped")
+  }
+
+  test("jaccard verify: scores in (0,1] over representative pairs") {
     val rows = TrainingOps.jaccardVerify(docs).collect()
     assert(rows.nonEmpty, "no candidate survived jaccard >= 0.4")
     rows.foreach { r =>
