@@ -189,27 +189,53 @@ object TrainingOps {
       .select(col("q_id"), col("rank"), col("vec_id"), col("score"))
   }
 
-  /** The scale path for exact top-k: per-partition bounded heaps (one
-    * k-heap per probe per partition — memory O(probes x k), never
-    * O(candidates)) followed by a final rank over the tiny partial set
-    * (numPartitions x probes x k rows). Output contract is identical to
-    * [[annCosineTopK]] — same oracle SQL verifies both — but the global
-    * window over every scored row is gone, so no single partition ever
-    * holds more than the partials. Deterministic tie-break everywhere:
-    * (score desc, vec_id asc).
+  /** The scale path for exact top-k: PROBE CHUNKING x per-partition
+    * bounded heaps x tiny final merge.
+    *
+    * The probe set is processed in `probeChunks` disjoint slices
+    * (chunk = (vec_id div 50) mod probeChunks), one broadcast + candidate
+    * pass per slice — a block nested-loop join. Broadcast memory is
+    * O(|probes| / probeChunks) and heap memory per task is
+    * O(|probes|/probeChunks x k), BOTH bounded by the chunk count, never
+    * by the table: a probe set that grows with the corpus (as here, 1/50th
+    * of the table) stops being a broadcast-limit time bomb — pick
+    * probeChunks = ceil(probeBytes / broadcastBudget) at scale. The trade
+    * is `probeChunks` scans of the candidate table, the standard
+    * brute-force-ANN batching trade (each scan is map-only, no shuffle).
+    *
+    * Per chunk, each task keeps one k-heap per probe (never O(candidates))
+    * and emits numPartitions x chunkProbes x k partial rows; the final
+    * rank runs over that tiny union. Output contract is identical to
+    * [[annCosineTopK]] — same oracle SQL verifies both. Deterministic
+    * tie-break everywhere: (score desc, vec_id asc).
     */
-  def annCosineTopKScalable(emb: DataFrame, k: Int = 5)(implicit spark: SparkSession): DataFrame = {
-    import spark.implicits._
+  def annCosineTopKScalable(emb: DataFrame, k: Int = 5, probeChunks: Int = 4)(implicit spark: SparkSession): DataFrame = {
+    require(probeChunks > 0, "probeChunks must be positive")
     val e = emb.select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-    val p = e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("q_id"), col("v").as("q"))
     val dot = expr("aggregate(zip_with(q, v, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)")
     val nq = sqrt(expr("aggregate(zip_with(q, q, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"))
     val nv = sqrt(expr("aggregate(zip_with(v, v, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"))
-    val scored = e.crossJoin(broadcast(p))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), round(dot / (nq * nv), 6).as("score"))
-      .as[(Long, Long, Double)]
+    val partials = (0 until probeChunks).map { c =>
+      val p = e.filter(col("vec_id") % 50 === 0 &&
+          pmod(expr("vec_id div 50"), lit(probeChunks)) === c)
+        .select(col("vec_id").as("q_id"), col("v").as("q"))
+      val scored = e.crossJoin(broadcast(p))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), round(dot / (nq * nv), 6).as("score"))
+      partialTopK(scored, k)
+    }.reduce(_ union _)
+    partials
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("score"))
+  }
+
+  /** Per-partition bounded k-heaps over (q_id, vec_id, score) rows:
+    * each task retains at most k rows per probe seen in its partition.
+    */
+  private def partialTopK(scored: DataFrame, k: Int)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
     // "greater" = worse (lower score, then higher vec_id), so the heap
     // root is always the eviction candidate
     val worseFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
@@ -218,7 +244,7 @@ object TrainingOps {
         if (c != 0) c else java.lang.Long.compare(a._2, b._2)
       }
     }
-    val partials = scored.mapPartitions { it =>
+    scored.as[(Long, Long, Double)].mapPartitions { it =>
       val heaps = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
       it.foreach { case (q, v, s) =>
         val h = heaps.getOrElseUpdate(q, scala.collection.mutable.PriorityQueue.empty(worseFirst))
@@ -227,11 +253,6 @@ object TrainingOps {
       }
       heaps.iterator.flatMap { case (q, h) => h.iterator.map { case (s, v) => (q, v, s) } }
     }.toDF("q_id", "vec_id", "score")
-    partials
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("vec_id"), col("score"))
   }
 
   /** Random-hyperplane LSH bucketing — the scale path for cosine ANN:

@@ -128,13 +128,27 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("scalable top-k (partition heaps + merge) == brute-force baseline") {
+  test("scalable top-k (probe chunks + partition heaps + merge) == brute-force baseline") {
     implicit val sp: SparkSession = spark
     val base = TrainingOps.annCosineTopK(embs).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
-    val scal = TrainingOps.annCosineTopKScalable(embs.repartition(7)).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
-    assert(scal == base)
+    // result must be invariant to BOTH physical partitioning and probe
+    // chunking (each chunk broadcasts only its slice of the probe set)
+    Seq(1, 3, 7).foreach { chunks =>
+      val scal = TrainingOps.annCosineTopKScalable(embs.repartition(7), probeChunks = chunks)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(scal == base, s"probeChunks=$chunks diverged from baseline")
+    }
+    // chunk predicates partition the probe set: disjoint and complete
+    val probeIds = embs.filter(col("vec_id") % 50 === 0).collect().map(_.getLong(0)).toSet
+    val chunked = (0 until 3).map { c =>
+      embs.filter(col("vec_id") % 50 === 0 &&
+          pmod(expr("vec_id div 50"), lit(3)) === c)
+        .collect().map(_.getLong(0)).toSet
+    }
+    assert(chunked.map(_.size).sum == probeIds.size, "chunks overlap or drop probes")
+    assert(chunked.reduce(_ ++ _) == probeIds)
   }
 
   test("ann lsh buckets: deterministic and correlated with cosine neighbors") {
