@@ -31,6 +31,10 @@ object ExtractMain {
       buckets: Int = 32,
       salt: Int = 4,
       maxBytes: Long = 64L * 1024,
+      maxLinkDensity: Double = graft.core.HtmlParams().maxLinkDensity,
+      minWordsDense: Int = graft.core.HtmlParams().minWordsDense,
+      xGap: Double = graft.core.PdfParams().xGap,
+      yGap: Double = graft.core.PdfParams().yGap,
       expireTtlHours: Option[Long] = None,
       failAfterBuckets: Option[Int] = None,
   )
@@ -44,6 +48,10 @@ object ExtractMain {
       case "--buckets" :: v :: t          => loop(t, a.copy(buckets = v.toInt))
       case "--salt" :: v :: t             => loop(t, a.copy(salt = v.toInt))
       case "--max-bytes" :: v :: t        => loop(t, a.copy(maxBytes = v.toLong))
+      case "--max-link-density" :: v :: t => loop(t, a.copy(maxLinkDensity = v.toDouble))
+      case "--min-words-dense" :: v :: t  => loop(t, a.copy(minWordsDense = v.toInt))
+      case "--x-gap" :: v :: t            => loop(t, a.copy(xGap = v.toDouble))
+      case "--y-gap" :: v :: t            => loop(t, a.copy(yGap = v.toDouble))
       case "--expire-ttl-hours" :: v :: t => loop(t, a.copy(expireTtlHours = Some(v.toLong)))
       case "--fail-after-buckets" :: v :: t => loop(t, a.copy(failAfterBuckets = Some(v.toInt)))
       case Nil                            => a
@@ -70,7 +78,11 @@ object ExtractMain {
     */
   def runJob(spark: SparkSession, a: Args): (Seq[LakehouseIO.BucketLedger], Long) = {
     implicit val s: SparkSession = spark
-    val conf = ExtractConf(maxBytes = a.maxBytes, buckets = a.buckets, salt = a.salt)
+    // param validation happens HERE at plan build (HtmlParams/PdfParams
+    // require = the reference's 400-before-processing path)
+    val conf = ExtractConf(maxBytes = a.maxBytes, buckets = a.buckets, salt = a.salt,
+      htmlParams = graft.core.HtmlParams(a.maxLinkDensity, a.minWordsDense),
+      pdfParams = graft.core.PdfParams(a.xGap, a.yGap))
     val pages = loadPages(spark, a.input)
     val todo = LakehouseIO.resumeFilter(ExtractPipeline.prepared(pages, conf), a.table)
     val results = ExtractPipeline.extractFrom(todo, conf)

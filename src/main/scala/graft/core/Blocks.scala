@@ -261,8 +261,10 @@ object BlockBuilder {
   */
 object BoilerplateClassifier {
 
-  /** Thresholds are part of the golden contract (SURVEY.md par 7.5 item 2):
-    * changing any constant is a golden-regeneration event.
+  /** DEFAULT thresholds are part of the golden contract (SURVEY.md par 7.5
+    * item 2): changing any default is a golden-regeneration event. The
+    * primary/smoothing thresholds are overridable per run via
+    * [[HtmlParams]] (validated at plan build).
     */
   val maxLinkDensity = 0.33
   val minWordsDense = 10
@@ -273,13 +275,15 @@ object BoilerplateClassifier {
   /** Pass 1 precision rules; pass 2 Boilerpipe-style neighbor smoothing;
     * fallback ladder if nothing classified as content.
     */
-  def classify(blocks: Vector[Block]): Vector[Block] = {
+  def classify(blocks: Vector[Block], params: HtmlParams = HtmlParams()): Vector[Block] = {
     if (blocks.isEmpty) return Vector.empty
+    val maxLd = params.maxLinkDensity
+    val minWd = params.minWordsDense
 
     val primary: Array[Boolean] = blocks.map { b =>
       !b.inBoiler && (
         (b.inContent && b.words >= 1 && b.linkDensity < 0.66) ||
-          (b.words >= minWordsDense && b.linkDensity <= maxLinkDensity)
+          (b.words >= minWd && b.linkDensity <= maxLd)
       )
     }.toArray
 
@@ -292,7 +296,7 @@ object BoilerplateClassifier {
         val b = blocks(i)
         val prevC = i > 0 && primary(i - 1)
         val nextC = i + 1 < blocks.length && primary(i + 1)
-        if (!b.inBoiler && b.words >= neighborMinWords && b.linkDensity <= maxLinkDensity && (prevC || nextC))
+        if (!b.inBoiler && b.words >= neighborMinWords && b.linkDensity <= maxLd && (prevC || nextC))
           smoothed(i) = true
       }
       i += 1

@@ -100,6 +100,30 @@ object ContentType {
   }
 }
 
+/** Validated per-engine parameters — the reference's per-request param
+  * model with range validation (/root/reference/src/services/ocr/
+  * registry_v2.py:427-471, specs/schemas.py:42-54). `require` at
+  * construction is the 400-before-processing path: an out-of-range value
+  * fails at plan build on the driver, never inside a task.
+  */
+final case class HtmlParams(
+    maxLinkDensity: Double = 0.33,
+    minWordsDense: Int = 10,
+) {
+  require(maxLinkDensity > 0.0 && maxLinkDensity < 1.0,
+    s"maxLinkDensity must be in (0,1), got $maxLinkDensity")
+  require(minWordsDense >= 1 && minWordsDense <= 10000,
+    s"minWordsDense must be in [1,10000], got $minWordsDense")
+}
+
+final case class PdfParams(
+    xGap: Double = 60.0,
+    yGap: Double = 25.0,
+) {
+  require(xGap > 0.0 && xGap <= 10000.0, s"xGap must be in (0,10000], got $xGap")
+  require(yGap > 0.0 && yGap <= 10000.0, s"yGap must be in (0,10000], got $yGap")
+}
+
 /** Per-format extraction kernel. The moral equivalent of the reference's
   * OCREngine.process contract (/root/reference/tests/mocks/
   * mock_engines.py:26-42), minus the filesystem: Array[Byte] in,
@@ -118,17 +142,30 @@ trait Extractor extends Serializable {
 }
 
 /** HTML main-content extractor: tokenizer -> block builder -> density
-  * classifier -> canonical join, with spans.
+  * classifier -> canonical join, with spans. Classifier thresholds come
+  * from the validated [[HtmlParams]] (the defaults are the golden
+  * contract; non-default params are a caller opt-in).
   */
-object HtmlExtractor extends Extractor {
+class HtmlExtractor(val params: HtmlParams) extends Extractor {
   val name = "html"
 
   def extract(bytes: Array[Byte], deadline: Html.Deadline): Extracted = {
     val decoded = Html.decode(bytes)
     val blocks = BlockBuilder.buildStreaming(decoded, deadline)
-    val content = BoilerplateClassifier.classify(blocks)
-    assemble(content.map(b => (b.text, b.tagPath)))
+    val content = BoilerplateClassifier.classify(blocks, params)
+    HtmlExtractor.assemble(content.map(b => (b.text, b.tagPath)))
   }
+
+  def describe: Map[String, String] = Map(
+    "name" -> name,
+    "version" -> "1.0.0",
+    "supported_formats" -> "text/html",
+    "params" -> s"maxLinkDensity:double=${params.maxLinkDensity},minWordsDense:int=${params.minWordsDense}",
+  )
+}
+
+/** Default-params instance + the span assembler shared with tests/goldens. */
+object HtmlExtractor extends HtmlExtractor(HtmlParams()) {
 
   /** Build (text, spans, pages=1) from canonical (blockText, path) pairs.
     * Shared with tests and goldens.
@@ -156,13 +193,6 @@ object HtmlExtractor extends Extractor {
     val text = sb.toString
     Extracted(text, Span("page", "page/0", 0, text.length) +: spans.result(), pages = 1)
   }
-
-  val describe: Map[String, String] = Map(
-    "name" -> name,
-    "version" -> "1.0.0",
-    "supported_formats" -> "text/html",
-    "params" -> "maxLinkDensity:double=0.33,minWordsDense:int=10",
-  )
 }
 
 /** Registry of extraction kernels — the static-Scala equivalent of the
@@ -176,6 +206,18 @@ object Extractors {
     ContentType.Html -> HtmlExtractor,
     ContentType.Pdf -> PdfExtractor,
   )
+
+  /** Registry with caller-supplied params — the applied-params analog of
+    * the reference's per-request param resolution (registry_v2.py:427-471).
+    * Default params return the shared singletons (no allocation).
+    */
+  def forParams(html: HtmlParams, pdf: PdfParams): Map[String, Extractor] = {
+    if (html == HtmlParams() && pdf == PdfParams()) all
+    else Map(
+      ContentType.Html -> new HtmlExtractor(html),
+      ContentType.Pdf -> new PdfExtractor(pdf),
+    )
+  }
 
   def forType(contentType: String): Option[Extractor] = all.get(contentType)
 

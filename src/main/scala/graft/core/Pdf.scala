@@ -557,7 +557,7 @@ object Pdf {
 /** PDF extraction kernel: parse -> per-page chunks -> XY-cut -> canonical
   * text + page/block/line/word spans.
   */
-object PdfExtractor extends Extractor {
+class PdfExtractor(val params: PdfParams) extends Extractor {
   val name = "pdf"
 
   def extract(bytes: Array[Byte], deadline: Html.Deadline): Extracted = {
@@ -570,7 +570,7 @@ object PdfExtractor extends Extractor {
     pages.foreach { content =>
       val p0 = if (first) 0 else sb.length + 1
       val chunks = Pdf.contentChunks(content, deadline)
-      val leaves = Pdf.xyCut(chunks)
+      val leaves = Pdf.xyCut(chunks, params.xGap, params.yGap)
       var blockIdx = 0
       leaves.foreach { lines =>
         // canonicalize each line once; the block text is their single-space
@@ -604,10 +604,13 @@ object PdfExtractor extends Extractor {
     Extracted(text, spans.result(), pages = math.max(pages.length, 1))
   }
 
-  val describe: Map[String, String] = Map(
+  def describe: Map[String, String] = Map(
     "name" -> name,
     "version" -> "1.0.0",
     "supported_formats" -> "application/pdf",
-    "params" -> "xGap:double=60.0,yGap:double=25.0",
+    "params" -> s"xGap:double=${params.xGap},yGap:double=${params.yGap}",
   )
 }
+
+/** Default-params instance (the golden contract). */
+object PdfExtractor extends PdfExtractor(PdfParams())

@@ -82,11 +82,14 @@ object ExtractPipeline {
       .mapPartitions { rows =>
         // per-partition breaker state — task-scoped, like the reference's
         // per-worker engine health (registry_v2.py:473-551); a poison
-        // streak sheds the failing kernel for the rest of the task
+        // streak sheds the failing kernel until a half-open probe succeeds
         val breaker = new Kernel.Breaker(conf.breakerThreshold)
+        // per-task registry carrying the run's validated kernel params
+        // (default params reuse the shared singletons)
+        val extractors = Extractors.forParams(conf.htmlParams, conf.pdfParams)
         rows.map { case (url, tsUs, html, statusPre, bucket) =>
           KernelOut(if (tsUs == null) 0L else tsUs.longValue(),
-            Kernel.process(url, html, statusPre, bucket, conf, breaker))
+            Kernel.process(url, html, statusPre, bucket, conf, breaker, extractors))
         }
       }
     kernelOut
@@ -166,13 +169,14 @@ object ExtractPipeline {
     object Breaker { val disabled = new Breaker(0) }
 
     def process(url: String, html: Array[Byte], statusPre: String, bucket: Int,
-        conf: ExtractConf, breaker: Breaker = Breaker.disabled): ResultRow = {
+        conf: ExtractConf, breaker: Breaker = Breaker.disabled,
+        extractors: Map[String, Extractor] = Extractors.all): ResultRow = {
       val t0 = System.nanoTime()
       def durMs = (System.nanoTime() - t0) / 1e6
       if (statusPre != null)
         return ResultRow(url, "", Nil, 0, "none", statusPre, "file_too_large", durMs, bucket)
       val ct = ContentType.detect(html)
-      Extractors.forType(ct) match {
+      extractors.get(ct) match {
         case None =>
           ResultRow(url, "", Nil, 0, "none", Status.RejectedFormat, "unsupported_format", durMs, bucket)
         case Some(ex) if breaker.shouldShed(ex.name) =>
@@ -198,10 +202,18 @@ object ExtractPipeline {
   /** Discovery surface — parity with GET /v2/ocr/engines
     * (/root/reference/src/api/routes/v2/dynamic_routes.py:656-713).
     */
-  def engines(spark: SparkSession): DataFrame = {
+  def engines(spark: SparkSession): DataFrame = engines(spark, ExtractConf())
+
+  /** Discovery reflects the APPLIED params of the given conf, not the
+    * defaults (parity with GET /v2/ocr/engines/{engine}/info after
+    * param resolution, registry_v2.py:367-471).
+    */
+  def engines(spark: SparkSession, conf: ExtractConf): DataFrame = {
     import spark.implicits._
-    Extractors.describeAll
+    Extractors.forParams(conf.htmlParams, conf.pdfParams).values
+      .map(_.describe)
       .map(m => (m("name"), m("version"), m("supported_formats"), m("params")))
+      .toSeq
       .toDF("name", "version", "supported_formats", "params")
   }
 }

@@ -1,7 +1,7 @@
 package graft.spark
 
 import java.sql.Timestamp
-import graft.core.Span
+import graft.core.{HtmlParams, PdfParams, Span}
 
 /** One row of the pages table — exactly BASELINE.json:input_hint
   * (url:string, warc_ts:timestamp, html:binary, text:string, lang:string).
@@ -43,6 +43,8 @@ final case class ExtractConf(
     salt: Int = 4,                     // skew salt factor within a bucket
     docBudgetNanos: Long = 30L * 1000 * 1000 * 1000, // per-doc deadline (30 s)
     breakerThreshold: Int = 0,         // consecutive kernel failures that open the per-partition breaker (0 = disabled — the batch default: failures here are per-DOCUMENT properties of a pure kernel, not shared-backend health, so shedding neighbors would turn row order into output; enable for resident/streaming modes). Reference: CIRCUIT_BREAKER_FAILURE_THRESHOLD=5, config.py:66-84; when enabled the breaker half-opens (probes every 16th doc) so a success can close it.
+    htmlParams: HtmlParams = HtmlParams(), // html kernel thresholds (validated at construction — the 400 path)
+    pdfParams: PdfParams = PdfParams(),    // pdf XY-cut gaps (validated at construction)
 ) {
   require(maxBytes > 0, "maxBytes must be positive")
   require(buckets > 0 && buckets <= (1 << 20), "buckets out of range")
