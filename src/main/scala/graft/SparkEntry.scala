@@ -34,6 +34,8 @@ object SparkEntry {
       df.filter(col("doc_id") % 37 =!= 0 && col("doc_id") % 41 =!= 0 && col("doc_id") % 10 =!= 7)
     case "pdf" =>
       df.filter(col("doc_id") % 37 =!= 0 && col("doc_id") % 41 =!= 0 && col("doc_id") % 10 === 7)
+    case "nonpdf" =>
+      df.filter(!(col("doc_id") % 37 =!= 0 && col("doc_id") % 41 =!= 0 && col("doc_id") % 10 === 7))
     case _ => df
   }
 
@@ -89,9 +91,13 @@ object SparkEntry {
     }),
     // par 2.7 items 34/36: engine discovery surface
     "e7_engines" -> ((s, _) => ExtractPipeline.engines(s)),
-    // par 2.4 item 20: file-size histogram over the synthesized corpus
+    // par 2.4 item 20: file-size histogram over the synthesized corpus.
+    // Scope: non-pdf payloads — their byte length is a pure string
+    // function of (doc_id, text, lang) that the DuckDB oracle reproduces
+    // byte-for-byte; pdf payload length depends on Deflate output, which
+    // SQL cannot compute (pdf inclusion is covered by a unit test).
     "e8_size_histogram" -> ((s, dir) => {
-      MetricsStage.sizeHistogram(pagesOf(s, docs(s, dir)).toDF())
+      MetricsStage.sizeHistogram(pagesOf(s, onlyKind(docs(s, dir), "nonpdf")).toDF())
     }),
     // par 2.9 joins: results joined back to the pages table on url (the
     // golden-gate join shape) + flat aggregation of span-derived word
@@ -191,7 +197,49 @@ object SparkEntry {
           "SELECT host, count(*) AS n_docs, " +
           "CAST(SUM(CASE WHEN kind IN ('html','pdf') THEN 1 ELSE 0 END) AS BIGINT) AS n_ok " +
           "FROM d GROUP BY host"),
-    ) ++ trainingOracles
+    ) ++ Map("e8_size_histogram" -> e8Oracle) ++ trainingOracles
+  }
+
+  /** e8 oracle: DuckDB reconstructs the HtmlGen payload BYTE-FOR-BYTE
+    * from (doc_id, text, lang) — every literal below mirrors a line of
+    * gen/HtmlGen.scala render() — then buckets octet_length like
+    * MetricsStage.sizeHistogram. junk = 256 bytes (junkBytes), oversize =
+    * base + 12 + (70*1024 - base + 1024) + 13 = 72729 when the base page
+    * fits (oversizedBytes filler arithmetic), re-crawled urls
+    * (doc_id % 20 = 3) count twice (PagesGen.isDup emits the row twice).
+    * PDF payloads are excluded (Deflate output length is not computable
+    * in SQL); the Spark query applies the same non-pdf filter.
+    */
+  private def e8Oracle: String = {
+    val charset =
+      """CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN '<meta charset="utf-8">' WHEN 1 THEN '<meta charset=UTF-8>' WHEN 2 THEN '<meta http-equiv="Content-Type" content="text/html; charset=utf-8">' ELSE e'<meta charset=\'utf-8\'>' END"""
+    val nav =
+      """array_to_string(list_transform(range(5), i -> '<li><a href="/cat/' || ((doc_id + i) % 13) || '">Category ' || ((doc_id + i) % 13) || '</a>' || CASE WHEN doc_id % 4 = 1 THEN '' ELSE '</li>' END), e'\n      ')"""
+    val rel =
+      """array_to_string(list_transform(range(4), i -> '      <li><a href="/rel/' || ((doc_id * 7 + i) % 31) || '">Related post ' || ((doc_id * 7 + i) % 31) || ' &hellip;</a></li>'), e'\n')"""
+    val paras =
+      """array_to_string(list_transform(range(CAST(ceil(len(w) / 40.0) AS BIGINT)), i -> e'      <p>' || array_to_string(w[(i*40+1):least((i+1)*40, len(w))], ' ') || e'</p>\n'), '')"""
+    val htmlStr =
+      """e'<!DOCTYPE html>\n<html lang="' || lang || e'">\n<head>\n  ' || """ + charset +
+        """ || e'\n  <title>Synthetic document ' || doc_id || """ +
+        """e'</title>\n  <style>body { color: #333; } .x > .y { margin: 0; }</style>\n  <script>var gnarly = 1 < 2 && "</div>"; // <p>not text</p></script>\n</head>\n<body>\n  <header>\n    <h1><a href="/">Müller &amp; Söhne &laquo;Webkorpus&raquo; #' || doc_id || """ +
+        """e'</a></h1>\n    <nav>\n      <ul>\n      ' || """ + nav +
+        """ || e'\n      </ul>\n    </nav>\n  </header>\n  <!-- boilerplate below; comment with <fake tags> and -- dashes -->\n  <aside class="cookie" data-x=\'q"uote\'>We use cookies to improve your experience <a href="/privacy">Learn more</a> <button>OK ' || doc_id || """ +
+        """e'</button> stray < bracket</aside>\n  <main>\n    <article>\n' || """ + paras +
+        """ || e'    </article>\n  </main>\n  <aside>\n    <ul>\n' || """ + rel +
+        """ || e'\n    </ul>\n  </aside>\n  <footer><p>&copy; 2026 Example Corp &middot; <a href="/imprint">Impressum</a> &#8211; id&nbsp;' || doc_id || """ +
+        """e'</p></footer>\n</body>\n</html>\n'"""
+    "WITH d AS (SELECT doc_id, lang, text, regexp_split_to_array(trim(text), '\\s+') AS w, " +
+      "CASE WHEN doc_id % 37 = 0 THEN 'junk' WHEN doc_id % 41 = 0 THEN 'oversize' ELSE 'html' END AS kind, " +
+      "CASE WHEN doc_id % 20 = 3 THEN 2 ELSE 1 END AS copies " +
+      "FROM documents WHERE NOT (doc_id % 37 <> 0 AND doc_id % 41 <> 0 AND doc_id % 10 = 7)), " +
+      s"h AS (SELECT kind, copies, octet_length(encode($htmlStr)) AS blen FROM d), " +
+      "sz AS (SELECT kind, copies, CASE kind WHEN 'junk' THEN 256 " +
+      "WHEN 'oversize' THEN (CASE WHEN blen > 71680 THEN blen ELSE 72729 END) ELSE blen END AS nb FROM h) " +
+      "SELECT CASE WHEN nb <= 10240 THEN 'le_10KB' WHEN nb <= 51200 THEN 'le_50KB' " +
+      "WHEN nb <= 102400 THEN 'le_100KB' WHEN nb <= 512000 THEN 'le_500KB' " +
+      "WHEN nb <= 1048576 THEN 'le_1MB' WHEN nb <= 5242880 THEN 'le_5MB' ELSE 'gt_5MB' END AS size_bucket, " +
+      "CAST(SUM(copies) AS BIGINT) AS n FROM sz GROUP BY 1"
   }
 
   /** Oracles for the training-data pipeline ops. All hashing is md5 so
