@@ -112,6 +112,24 @@ object SparkEntry {
           sum(size(split(col("text"), "[ \n]"))).as("n_words"),
           count(lit(1)).as("n_docs"))
     }),
+    // par 2.4 row 21: timeout counter with DETERMINISTIC timeouts — the
+    // per-doc budget is a parse-STEP budget (Html.Deadline's deterministic
+    // twin of the wall deadline), so which docs time out is a pure
+    // function of the corpus (StepCalib pins steps = A_v + 4*paras;
+    // budget 148 => timeout iff paras >= 3, or >= 4 for the v=1 variant)
+    "e11_timeout_metrics" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val budgeted = conf.copy(docBudgetSteps = 148)
+      MetricsStage.statusCounts(
+        ExtractPipeline.run(pagesOf(s, onlyKind(docs(s, dir), "html")), budgeted))
+    }),
+    // par 2.4 row 19: duration histogram — wall times are not
+    // oracle-able, so the driver checks the oracle-able projection
+    // (per-engine observation counts); the percentile/avg columns are
+    // covered by PipelineSpec
+    "e12_duration_metrics" -> ((s, dir) => {
+      MetricsStage.durationStats(extracted(s, dir, "all")).select(col("engine"), col("n"))
+    }),
     // par 2.10 scalar functions: host parse (regexp) + per-host counts —
     // the skew-observability aggregate (FIXTURES.md par 1: one host
     // carries ~30% of urls)
@@ -187,6 +205,15 @@ object SparkEntry {
         ("SELECT 'html' AS name, '1.0.0' AS version, 'text/html' AS supported_formats, " +
           "'maxLinkDensity:double=0.33,minWordsDense:int=10' AS params " +
           "UNION ALL SELECT 'pdf', '1.0.0', 'application/pdf', 'xGap:double=60.0,yGap:double=25.0'"),
+      "e11_timeout_metrics" ->
+        (s"WITH d AS (SELECT doc_id, $words AS w FROM documents WHERE $htmlKinds) " +
+          "SELECT 'html' AS engine, CASE WHEN CAST(ceil(len(w)/40.0) AS BIGINT) >= " +
+          "(CASE WHEN doc_id % 4 = 1 THEN 4 ELSE 3 END) THEN 'timeout' ELSE 'ok' END AS status, " +
+          "count(*) AS n FROM d GROUP BY 1, 2"),
+      "e12_duration_metrics" ->
+        (s"WITH d AS (SELECT $kindCase AS kind FROM documents) " +
+          "SELECT CASE kind WHEN 'pdf' THEN 'pdf' WHEN 'html' THEN 'html' ELSE 'none' END AS engine, " +
+          "count(*) AS n FROM d GROUP BY 1"),
       "e9_words_by_lang" ->
         (s"WITH d AS (SELECT lang, $words AS w FROM documents WHERE $htmlKinds) " +
           "SELECT lang, CAST(SUM(len(w)) AS BIGINT) AS n_words, count(*) AS n_docs FROM d GROUP BY lang"),

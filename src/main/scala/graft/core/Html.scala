@@ -26,15 +26,26 @@ object Html {
   final case class EndTag(name: String) extends Tok
   final case class Text(s: String) extends Tok
 
-  /** Per-document time budget; 0 or negative nanos => unlimited. */
-  final class Deadline(budgetNanos: Long) {
+  /** Per-document budget; 0 or negative => unlimited on that axis.
+    *
+    * Two axes: wall time (the reference's asyncio.wait_for analog) and
+    * parse STEPS — one step per scan-loop iteration (one tag or one text
+    * run). The step budget is the deterministic twin of the wall budget:
+    * identical on every machine and run, so timeout behavior can be
+    * oracle-verified (wall-clock timeouts can't be), while bounding the
+    * same quantity (kernel work per document).
+    */
+  final class Deadline(budgetNanos: Long, budgetSteps: Long = 0L) {
     private val t0 = System.nanoTime()
-    private var n = 0
+    private var n = 0L
+    /** Scan-loop iterations so far (calibration + tests). */
+    def steps: Long = n
     def expired(): Boolean = {
-      if (budgetNanos <= 0L) return false
       n += 1
+      if (budgetSteps > 0L && n > budgetSteps) return true
+      if (budgetNanos <= 0L) return false
       // amortize the nanoTime syscall: check every 256 steps
-      (n & 0xff) == 0 && System.nanoTime() - t0 > budgetNanos
+      (n & 0xffL) == 0L && System.nanoTime() - t0 > budgetNanos
     }
     def hard(): Boolean = budgetNanos > 0L && System.nanoTime() - t0 > budgetNanos
   }

@@ -183,7 +183,7 @@ object ExtractPipeline {
           ResultRow(url, "", Nil, 0, ex.name, Status.Error, "circuit_open", durMs, bucket)
         case Some(ex) =>
           try {
-            val deadline = new Html.Deadline(conf.docBudgetNanos)
+            val deadline = new Html.Deadline(conf.docBudgetNanos, conf.docBudgetSteps)
             val r = ex.extract(html, deadline)
             breaker.recordSuccess(ex.name)
             ResultRow(url, r.text, r.spans, r.pages, ex.name, Status.Ok, null, durMs, bucket)

@@ -42,6 +42,7 @@ final case class ExtractConf(
     buckets: Int = 32,                 // url-hash commit buckets
     salt: Int = 4,                     // skew salt factor within a bucket
     docBudgetNanos: Long = 30L * 1000 * 1000 * 1000, // per-doc deadline (30 s)
+    docBudgetSteps: Long = 0,          // per-doc parse-step budget (0 = unlimited) — the deterministic twin of the wall deadline (Html.Deadline scaladoc)
     breakerThreshold: Int = 0,         // consecutive kernel failures that open the per-partition breaker (0 = disabled — the batch default: failures here are per-DOCUMENT properties of a pure kernel, not shared-backend health, so shedding neighbors would turn row order into output; enable for resident/streaming modes). Reference: CIRCUIT_BREAKER_FAILURE_THRESHOLD=5, config.py:66-84; when enabled the breaker half-opens (probes every 16th doc) so a success can close it.
     htmlParams: HtmlParams = HtmlParams(), // html kernel thresholds (validated at construction — the 400 path)
     pdfParams: PdfParams = PdfParams(),    // pdf XY-cut gaps (validated at construction)
