@@ -1,10 +1,10 @@
 package graft.spark
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.nio.charset.StandardCharsets
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions._
-import scala.jdk.CollectionConverters._
+import org.apache.spark.util.AccumulatorV2
 
 /** Iceberg-shaped table layer over Parquet + JSON metadata (SURVEY.md
   * par 7.1: no Iceberg jars in the sandbox, so this reproduces the
@@ -12,18 +12,27 @@ import scala.jdk.CollectionConverters._
   * metadata with lineage + throughput, snapshot expiry — behind call
   * sites where `format("iceberg")` is a drop-in swap).
   *
+  * All filesystem ops go through the Hadoop `FileSystem` API, so the same
+  * commit protocol runs unchanged against file://, hdfs://, or any
+  * Hadoop-compatible store (rename-atomicity caveat: object stores
+  * without atomic rename — raw S3A — need the Iceberg swap or an
+  * S3-committer underneath, exactly as they do for Spark's own output
+  * committers). Local paths resolve through RawLocalFileSystem, where
+  * rename is the same atomic rename(2) the earlier java.nio
+  * implementation used.
+  *
   * Layout under the table root:
-  *   data/bucket=N/ (parquet)  committed results (move = commit point)
+  *   data/bucket=N/ (parquet)  committed results (rename = commit point)
   *   _ledger/bucket-N.json     per-bucket lineage record (exists <=> committed)
   *   _snapshots/<runId>.json   run-level snapshot metadata
   *   _staging/<runId>/...      uncommitted writer output
   *
   * Commit protocol: write everything to _staging via partitionBy(bucket),
-  * then per bucket atomically move the directory into data/ and write the
-  * ledger record. A killed run leaves only _staging garbage; re-running
-  * anti-joins committed buckets away and processes the rest (north_rule:
-  * "resumes from the last committed partition"). This replaces the
-  * reference's request-id logging + result persistence
+  * then per bucket atomically rename the directory into data/ and write
+  * the ledger record. A killed run leaves only _staging garbage;
+  * re-running anti-joins committed buckets away and processes the rest
+  * (north_rule: "resumes from the last committed partition"). This
+  * replaces the reference's request-id logging + result persistence
   * (/root/reference/src/api/middleware/logging.py:17-61,
   * src/services/file_handler.py:99-121) with (run_id, bucket) lineage.
   */
@@ -39,17 +48,28 @@ object LakehouseIO {
 
   private def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
-  def ledgerDir(root: String): Path = Paths.get(root, "_ledger")
-  def dataDir(root: String): Path = Paths.get(root, "data")
-  def snapshotsDir(root: String): Path = Paths.get(root, "_snapshots")
-  def stagingDir(root: String, runId: String): Path = Paths.get(root, "_staging", runId)
+  def ledgerDir(root: String): Path = new Path(root, "_ledger")
+  def dataDir(root: String): Path = new Path(root, "data")
+  def snapshotsDir(root: String): Path = new Path(root, "_snapshots")
+  def stagingDir(root: String, runId: String): Path = new Path(new Path(root, "_staging"), runId)
+
+  /** FileSystem for a path: the Spark session's Hadoop conf when one is
+    * active (cluster credentials, fs.defaultFS), a vanilla conf otherwise.
+    */
+  private def fsOf(p: Path): FileSystem = {
+    val conf = SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+    p.getFileSystem(conf)
+  }
 
   /** Buckets already committed (ledger record exists). */
   def committedBuckets(root: String): Set[Int] = {
     val dir = ledgerDir(root)
-    if (!Files.isDirectory(dir)) return Set.empty
-    Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
+    val fs = fsOf(dir)
+    if (!fs.isDirectory(dir)) return Set.empty
+    fs.listStatus(dir).iterator
+      .map(_.getPath.getName)
       .collect { case s if s.startsWith("bucket-") && s.endsWith(".json") =>
         s.stripPrefix("bucket-").stripSuffix(".json").toInt
       }
@@ -64,7 +84,35 @@ object LakehouseIO {
   def resumeFilter(bucketed: DataFrame, root: String): DataFrame = {
     val done = committedBuckets(root)
     if (done.isEmpty) bucketed
-    else bucketed.filter(!col("bucket").isin(done.toSeq: _*))
+    else bucketed.filter(!org.apache.spark.sql.functions.col("bucket").isin(done.toSeq: _*))
+  }
+
+  /** Per-bucket (rows, okRows) tallied DURING the result write — replaces
+    * the round-1 second scan of the staged parquet. Merge is a map union;
+    * the value is informational lineage (ledger stats), where Spark's
+    * at-least-once accumulator semantics under task retry are acceptable —
+    * commit atomicity never depends on it.
+    */
+  private final class BucketStatsAcc
+      extends AccumulatorV2[(Int, Boolean), Map[Int, (Long, Long)]] {
+    private val m = scala.collection.mutable.HashMap.empty[Int, (Long, Long)]
+    def isZero: Boolean = m.isEmpty
+    def copy(): BucketStatsAcc = {
+      val c = new BucketStatsAcc
+      m.foreach { case (k, v) => c.m.update(k, v) }
+      c
+    }
+    def reset(): Unit = m.clear()
+    def add(v: (Int, Boolean)): Unit = {
+      val (rows, ok) = m.getOrElse(v._1, (0L, 0L))
+      m.update(v._1, (rows + 1, if (v._2) ok + 1 else ok))
+    }
+    def merge(other: AccumulatorV2[(Int, Boolean), Map[Int, (Long, Long)]]): Unit =
+      other.value.foreach { case (k, (r, o)) =>
+        val (rows, ok) = m.getOrElse(k, (0L, 0L))
+        m.update(k, (rows + r, ok + o))
+      }
+    def value: Map[Int, (Long, Long)] = m.toMap
   }
 
   /** Write results with per-bucket atomic commits; returns committed
@@ -78,52 +126,49 @@ object LakehouseIO {
       inputPath: String,
       failAfterBuckets: Option[Int] = None,
   )(implicit spark: SparkSession): Seq[BucketLedger] = {
+    import spark.implicits._
     val t0 = System.currentTimeMillis()
     val staging = stagingDir(root, runId)
-    Files.createDirectories(staging)
-    Files.createDirectories(dataDir(root))
-    Files.createDirectories(ledgerDir(root))
-    Files.createDirectories(snapshotsDir(root))
-
-    results.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
-
-    val bucketDirs = Files.list(staging).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("bucket="))
-      .toSeq.sortBy(_.getFileName.toString.stripPrefix("bucket=").toInt)
+    val fs = fsOf(new Path(root))
+    fs.mkdirs(staging)
+    fs.mkdirs(dataDir(root))
+    fs.mkdirs(ledgerDir(root))
+    fs.mkdirs(snapshotsDir(root))
 
     // per-bucket stats for the ledger (request-counter parity, SURVEY.md
-    // par 2.4 item 18) — one tiny aggregate over the staged output. A
-    // fully-resumed run stages zero rows (no part files → no inferable
-    // schema), hence the emptiness guard.
-    val stats: Map[Int, (Long, Long)] =
-      if (bucketDirs.isEmpty) Map.empty
-      else spark.read.schema(results.schema).parquet(staging.toString)
-        .groupBy("bucket")
-        .agg(count(lit(1)).as("rows"),
-          sum(when(col("status") === "ok", 1L).otherwise(0L)).as("ok_rows"))
-        .collect()
-        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
-        .toMap
+    // par 2.4 item 18), tallied in the same pass that writes the parquet
+    val acc = new BucketStatsAcc
+    spark.sparkContext.register(acc, s"bucketStats-$runId")
+    val instrumented = results.map { r => acc.add((r.bucket, r.status == graft.core.Status.Ok)); r }
+    instrumented.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
+    val stats: Map[Int, (Long, Long)] = acc.value
+
+    val bucketDirs =
+      (if (fs.isDirectory(staging)) fs.listStatus(staging).toSeq else Seq.empty)
+        .map(_.getPath)
+        .filter(_.getName.startsWith("bucket="))
+        .sortBy(_.getName.stripPrefix("bucket=").toInt)
 
     val already = committedBuckets(root)
     val ledgers = Seq.newBuilder[BucketLedger]
     var committed = 0
 
     bucketDirs.foreach { src =>
-      val b = src.getFileName.toString.stripPrefix("bucket=").toInt
+      val b = src.getName.stripPrefix("bucket=").toInt
       failAfterBuckets.foreach { k =>
         if (committed >= k) throw new RuntimeException(s"injected failure after $k bucket commits")
       }
       if (!already.contains(b)) {
-        val dst = dataDir(root).resolve(s"bucket=$b")
-        if (Files.exists(dst)) deleteRecursively(dst) // stale partial from a dead run
-        Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+        val dst = new Path(dataDir(root), s"bucket=$b")
+        if (fs.exists(dst)) fs.delete(dst, true) // stale partial from a dead run
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"commit rename failed: $src -> $dst")
         val (rows, ok) = stats.getOrElse(b, (0L, 0L))
         val lg = BucketLedger(b, runId, rows, ok, System.currentTimeMillis())
         val json =
           s"""{"bucket":${lg.bucket},"run_id":${q(lg.runId)},"rows":${lg.rows},""" +
             s""""ok_rows":${lg.okRows},"committed_at_ms":${lg.committedAtMs}}"""
-        atomicWrite(ledgerDir(root).resolve(s"bucket-$b.json"), json)
+        atomicWrite(new Path(ledgerDir(root), s"bucket-$b.json"), json)
         ledgers += lg
         committed += 1
       }
@@ -141,8 +186,8 @@ object LakehouseIO {
         s""""wall_ms":$wallMs,""" +
         s""""docs_per_sec":${if (wallMs > 0) totalRows * 1000.0 / wallMs else 0.0},""" +
         s""""committed_at_ms":${System.currentTimeMillis()}}"""
-    atomicWrite(snapshotsDir(root).resolve(s"$runId.json"), snapshot)
-    deleteRecursively(staging)
+    atomicWrite(new Path(snapshotsDir(root), s"$runId.json"), snapshot)
+    fs.delete(staging, true)
     ls
   }
 
@@ -158,32 +203,39 @@ object LakehouseIO {
     */
   def expire(root: String, ttlMs: Long, nowMs: Long = System.currentTimeMillis()): Int = {
     var n = 0
+    val fs = fsOf(new Path(root))
     val snaps = snapshotsDir(root)
-    if (Files.isDirectory(snaps)) {
-      Files.list(snaps).iterator().asScala.toSeq.foreach { p =>
-        if (nowMs - Files.getLastModifiedTime(p).toMillis > ttlMs && !Files.isSymbolicLink(p)) {
-          Files.deleteIfExists(p); n += 1
+    if (fs.isDirectory(snaps)) {
+      fs.listStatus(snaps).foreach { st =>
+        if (nowMs - st.getModificationTime > ttlMs && !st.isSymlink) {
+          if (fs.delete(st.getPath, false)) n += 1
         }
       }
     }
-    val stg = Paths.get(root, "_staging")
-    if (Files.isDirectory(stg)) {
-      Files.list(stg).iterator().asScala.toSeq.foreach { p =>
-        if (nowMs - Files.getLastModifiedTime(p).toMillis > ttlMs) { deleteRecursively(p); n += 1 }
+    val stg = new Path(root, "_staging")
+    if (fs.isDirectory(stg)) {
+      fs.listStatus(stg).foreach { st =>
+        if (nowMs - st.getModificationTime > ttlMs) {
+          if (fs.delete(st.getPath, true)) n += 1
+        }
       }
     }
     n
   }
 
+  /** Write-temp-then-rename through the Hadoop FS. Ledger and snapshot
+    * names are unique per (bucket | runId), so the delete-before-rename
+    * replace path only ever runs for idempotent re-writes of the same
+    * content.
+    */
   def atomicWrite(path: Path, content: String): Unit = {
-    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
-    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
-
-  def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS))
-      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
-    Files.deleteIfExists(p)
+    val fs = fsOf(path)
+    val tmp = new Path(path.getParent, path.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(path)) fs.delete(path, false)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"atomic write rename failed: $tmp -> $path")
   }
 }

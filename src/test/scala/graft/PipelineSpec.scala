@@ -148,7 +148,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // ledger lineage: run-1 rows survive, run-2 owns the rest
     val ledgerRuns = LakehouseIO.committedBuckets(crashed).toSeq.map { b =>
       val json = new String(Files.readAllBytes(
-        LakehouseIO.ledgerDir(crashed).resolve(s"bucket-$b.json")), StandardCharsets.UTF_8)
+        Paths.get(LakehouseIO.ledgerDir(crashed).toUri.getPath, s"bucket-$b.json")), StandardCharsets.UTF_8)
       if (json.contains("\"run-1\"")) "run-1" else "run-2"
     }
     assert(ledgerRuns.count(_ == "run-1") == 3)
@@ -207,15 +207,35 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hist.map(_.getLong(1)).sum == 525) // pre-dedup rows incl. re-crawls
   }
 
+  test("lakehouse commit protocol works against an explicit file:// URI root") {
+    implicit val s: SparkSession = spark
+    // same protocol, scheme-qualified path — exercises the Hadoop
+    // FileSystem resolution rather than OS-path assumptions
+    val root = "file://" + tmpDir("fsuri")
+    val ds = spark.createDataset(results.toSeq)(org.apache.spark.sql.Encoders.product[ResultRow])
+    val ledgers = LakehouseIO.writeCommitted(ds, root, "uri-run", sfDir)
+    assert(ledgers.nonEmpty)
+    assert(ledgers.map(_.rows).sum == results.length)
+    assert(ledgers.map(_.okRows).sum == results.count(_.status == core.Status.Ok))
+    assert(LakehouseIO.committedBuckets(root) == ledgers.map(_.bucket).toSet)
+    assert(LakehouseIO.readResults(root).count() == results.length)
+    // idempotent re-run: everything already committed => no new ledgers
+    assert(LakehouseIO.writeCommitted(
+      LakehouseIO.resumeFilter(ds.toDF(), root).as[ResultRow](org.apache.spark.sql.Encoders.product[ResultRow]),
+      root, "uri-run-2", sfDir).isEmpty)
+  }
+
   // -------------------------------------------------------------- retention
 
   test("retention: expire removes old snapshots and staging, keeps fresh") {
     val root = tmpDir("ttl")
-    val snaps = LakehouseIO.snapshotsDir(root)
-    Files.createDirectories(snaps)
-    LakehouseIO.atomicWrite(snaps.resolve("old.json"), "{}")
-    LakehouseIO.atomicWrite(snaps.resolve("new.json"), "{}")
-    val old = snaps.resolve("old.json")
+    // snapshotsDir is a Hadoop Path now (expire itself runs through the
+    // Hadoop FS); the nio view is used only to age files for the test
+    val snapsNio = Paths.get(LakehouseIO.snapshotsDir(root).toUri.getPath)
+    Files.createDirectories(snapsNio)
+    LakehouseIO.atomicWrite(new org.apache.hadoop.fs.Path(LakehouseIO.snapshotsDir(root), "old.json"), "{}")
+    LakehouseIO.atomicWrite(new org.apache.hadoop.fs.Path(LakehouseIO.snapshotsDir(root), "new.json"), "{}")
+    val old = snapsNio.resolve("old.json")
     Files.setLastModifiedTime(old,
       java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 100 * 3600 * 1000L))
     val stg = Paths.get(root, "_staging", "dead-run")
@@ -224,7 +244,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 100 * 3600 * 1000L))
     val removed = LakehouseIO.expire(root, 48L * 3600 * 1000)
     assert(removed == 2)
-    assert(Files.exists(snaps.resolve("new.json")) && !Files.exists(old) && !Files.exists(stg))
+    assert(Files.exists(snapsNio.resolve("new.json")) && !Files.exists(old) && !Files.exists(stg))
   }
 
   // ------------------------------------------------------------- entrypoint
