@@ -28,15 +28,22 @@ object SparkEntry {
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
-  /** kind predicate mirrors PagesGen.kindOf — precedence junk > oversize > pdf. */
-  private def onlyKind(df: DataFrame, kind: String): DataFrame = kind match {
-    case "html" =>
-      df.filter(col("doc_id") % 37 =!= 0 && col("doc_id") % 41 =!= 0 && col("doc_id") % 10 =!= 7)
-    case "pdf" =>
-      df.filter(col("doc_id") % 37 =!= 0 && col("doc_id") % 41 =!= 0 && col("doc_id") % 10 === 7)
-    case "nonpdf" =>
-      df.filter(!(col("doc_id") % 37 =!= 0 && col("doc_id") % 41 =!= 0 && col("doc_id") % 10 === 7))
-    case _ => df
+  /** kind predicate mirrors PagesGen.kindOf (precedence junk > oversize >
+    * pdf) and HtmlGen.familyOf for the html template families.
+    */
+  private def onlyKind(df: DataFrame, kind: String): DataFrame = {
+    val isHtml = col("doc_id") % 37 =!= 0 && col("doc_id") % 41 =!= 0 && col("doc_id") % 10 =!= 7
+    val isPdf = col("doc_id") % 37 =!= 0 && col("doc_id") % 41 =!= 0 && col("doc_id") % 10 === 7
+    val isBc = col("doc_id") % 23 === 5 || col("doc_id") % 23 === 11
+    kind match {
+      case "html"    => df.filter(isHtml)
+      case "html_a"  => df.filter(isHtml && !isBc)
+      case "html_b"  => df.filter(isHtml && col("doc_id") % 23 === 5)
+      case "html_c"  => df.filter(isHtml && col("doc_id") % 23 === 11)
+      case "pdf"     => df.filter(isPdf)
+      case "e8scope" => df.filter(!isPdf && !(isHtml && isBc)) // SQL-derivable payload sizes
+      case _         => df
+    }
   }
 
   private def pagesOf(s: SparkSession, df: DataFrame) = {
@@ -61,7 +68,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- extraction spine (SURVEY.md par 2.3 item 11a: HTML kernel) ---
     "e1_extract_html" -> ((s, dir) => {
-      extracted(s, dir, "html").toDF().select("url", "text")
+      extracted(s, dir, "html_a").toDF().select("url", "text")
     }),
     // par 2.3 item 11b: PDF kernel (XY-cut + reading order)
     "e2_extract_pdf" -> ((s, dir) => {
@@ -79,7 +86,7 @@ object SparkEntry {
     // higher-order array fns, word count derived from the canonical text
     // (word offsets are a pure function of text and are not stored)
     "e5_span_counts" -> ((s, dir) => {
-      extracted(s, dir, "html").toDF().select(
+      extracted(s, dir, "html_a").toDF().select(
         col("url"),
         size(filter(col("spans"), x => x.getField("kind") === "block")).as("n_blocks"),
         size(split(col("text"), "[ \n]")).as("n_words"),
@@ -97,15 +104,15 @@ object SparkEntry {
     // byte-for-byte; pdf payload length depends on Deflate output, which
     // SQL cannot compute (pdf inclusion is covered by a unit test).
     "e8_size_histogram" -> ((s, dir) => {
-      MetricsStage.sizeHistogram(pagesOf(s, onlyKind(docs(s, dir), "nonpdf")).toDF())
+      MetricsStage.sizeHistogram(pagesOf(s, onlyKind(docs(s, dir), "e8scope")).toDF())
     }),
     // par 2.9 joins: results joined back to the pages table on url (the
     // golden-gate join shape) + flat aggregation of span-derived word
     // counts by language
     "e9_words_by_lang" -> ((s, dir) => {
-      val pages = pagesOf(s, onlyKind(docs(s, dir), "html")).toDF()
+      val pages = pagesOf(s, onlyKind(docs(s, dir), "html_a")).toDF()
         .select(col("url"), col("lang")).dropDuplicates("url")
-      extracted(s, dir, "html").toDF()
+      extracted(s, dir, "html_a").toDF()
         .join(pages, "url")
         .groupBy("lang")
         .agg(
@@ -121,7 +128,7 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       val budgeted = conf.copy(docBudgetSteps = 148)
       MetricsStage.statusCounts(
-        ExtractPipeline.run(pagesOf(s, onlyKind(docs(s, dir), "html")), budgeted))
+        ExtractPipeline.run(pagesOf(s, onlyKind(docs(s, dir), "html_a")), budgeted))
     }),
     // par 2.4 row 19: duration histogram — wall times are not
     // oracle-able, so the driver checks the oracle-able projection
@@ -129,6 +136,18 @@ object SparkEntry {
     // covered by PipelineSpec
     "e12_duration_metrics" -> ((s, dir) => {
       MetricsStage.durationStats(extracted(s, dir, "all")).select(col("engine"), col("n"))
+    }),
+    // par 2.3 item 11a, DENSITY path: template families without
+    // article/main markers — classification runs purely on text-density /
+    // link-density / neighbor smoothing (core/Blocks.scala:279-312), with
+    // near-threshold boilerplate on both sides of the 0.33 line; expected
+    // text is a pure function of (doc_id, text) (DensitySpec pins the
+    // kernel; the oracle re-derives it in SQL)
+    "e13_density_family_b" -> ((s, dir) => {
+      extracted(s, dir, "html_b").toDF().select("url", "text")
+    }),
+    "e14_density_family_c" -> ((s, dir) => {
+      extracted(s, dir, "html_c").toDF().select("url", "text")
     }),
     // par 2.10 scalar functions: host parse (regexp) + per-host counts —
     // the skew-observability aggregate (FIXTURES.md par 1: one host
@@ -167,6 +186,10 @@ object SparkEntry {
       "'https://' || CASE WHEN doc_id % 10 < 3 THEN 'big.example.com' " +
         "ELSE 'h' || (doc_id % 97) || '.example.com' END || '/doc/' || doc_id"
     val htmlKinds = "doc_id % 37 <> 0 AND doc_id % 41 <> 0 AND doc_id % 10 <> 7"
+    // template families within html kind (HtmlGen.familyOf)
+    val htmlKindsA = htmlKinds + " AND doc_id % 23 <> 5 AND doc_id % 23 <> 11"
+    val famB = htmlKinds + " AND doc_id % 23 = 5"
+    val famC = htmlKinds + " AND doc_id % 23 = 11"
     val pdfKinds = "doc_id % 37 <> 0 AND doc_id % 41 <> 0 AND doc_id % 10 = 7"
     val words = "regexp_split_to_array(trim(text), '\\s+')"
     def chunked(sz: Int) =
@@ -177,7 +200,7 @@ object SparkEntry {
         "WHEN doc_id % 10 = 7 THEN 'pdf' ELSE 'html' END"
     Map(
       "e1_extract_html" ->
-        (s"WITH d AS (SELECT doc_id, $words AS w FROM documents WHERE $htmlKinds) " +
+        (s"WITH d AS (SELECT doc_id, $words AS w FROM documents WHERE $htmlKindsA) " +
           s"SELECT $urlExpr AS url, ${chunked(40)} AS text FROM d"),
       "e2_extract_pdf" ->
         (s"WITH d AS (SELECT doc_id, $words AS w FROM documents WHERE $pdfKinds) " +
@@ -196,7 +219,7 @@ object SparkEntry {
           "CASE kind WHEN 'junk' THEN 'rejected_format' WHEN 'oversize' THEN 'rejected_size' ELSE 'ok' END AS status, " +
           "count(*) AS n FROM d GROUP BY 1, 2"),
       "e5_span_counts" ->
-        (s"WITH d AS (SELECT doc_id, $words AS w FROM documents WHERE $htmlKinds) " +
+        (s"WITH d AS (SELECT doc_id, $words AS w FROM documents WHERE $htmlKindsA) " +
           s"SELECT $urlExpr AS url, CAST(ceil(len(w)/40.0) AS INT) AS n_blocks, " +
           "CAST(len(w) AS INT) AS n_words, 1 AS pages FROM d"),
       "e6_dedup_count" ->
@@ -206,7 +229,7 @@ object SparkEntry {
           "'maxLinkDensity:double=0.33,minWordsDense:int=10' AS params " +
           "UNION ALL SELECT 'pdf', '1.0.0', 'application/pdf', 'xGap:double=60.0,yGap:double=25.0'"),
       "e11_timeout_metrics" ->
-        (s"WITH d AS (SELECT doc_id, $words AS w FROM documents WHERE $htmlKinds) " +
+        (s"WITH d AS (SELECT doc_id, $words AS w FROM documents WHERE $htmlKindsA) " +
           "SELECT 'html' AS engine, CASE WHEN CAST(ceil(len(w)/40.0) AS BIGINT) >= " +
           "(CASE WHEN doc_id % 4 = 1 THEN 4 ELSE 3 END) THEN 'timeout' ELSE 'ok' END AS status, " +
           "count(*) AS n FROM d GROUP BY 1, 2"),
@@ -215,7 +238,7 @@ object SparkEntry {
           "SELECT CASE kind WHEN 'pdf' THEN 'pdf' WHEN 'html' THEN 'html' ELSE 'none' END AS engine, " +
           "count(*) AS n FROM d GROUP BY 1"),
       "e9_words_by_lang" ->
-        (s"WITH d AS (SELECT lang, $words AS w FROM documents WHERE $htmlKinds) " +
+        (s"WITH d AS (SELECT lang, $words AS w FROM documents WHERE $htmlKindsA) " +
           "SELECT lang, CAST(SUM(len(w)) AS BIGINT) AS n_words, count(*) AS n_docs FROM d GROUP BY lang"),
       "e10_host_counts" ->
         (s"WITH d AS (SELECT doc_id, $kindCase AS kind, " +
@@ -224,6 +247,42 @@ object SparkEntry {
           "SELECT host, count(*) AS n_docs, " +
           "CAST(SUM(CASE WHEN kind IN ('html','pdf') THEN 1 ELSE 0 END) AS BIGINT) AS n_ok " +
           "FROM d GROUP BY host"),
+      "e13_density_family_b" -> {
+        // expected family-B extraction (HtmlGen.expectedTextB): the fixed
+        // near-threshold keeper block, then the 40/5/40... chunk layout
+        // (>= 90 words) or plain 40s, dropping a trailing <= 3-word chunk
+        def join(off: String, n: String) =
+          s"array_to_string(list_transform(range($n), i -> " +
+            s"array_to_string(w[$off + i*40 + 1 : least($off + (i+1)*40, nw)], ' ')), chr(10))"
+        s"WITH d AS (SELECT doc_id, $words AS w FROM documents WHERE $famB), " +
+          "x AS (SELECT doc_id, w, len(w) AS nw FROM d), " +
+          "y AS (SELECT doc_id, w, nw, CAST(ceil(nw/40.0) AS BIGINT) AS ncha, " +
+          "CAST(ceil((nw-45)/40.0) AS BIGINT) AS nrc FROM x), " +
+          "z AS (SELECT doc_id, w, nw, " +
+          "ncha - (CASE WHEN nw - (ncha-1)*40 <= 3 THEN 1 ELSE 0 END) AS keepa, " +
+          "nrc - (CASE WHEN (nw-45) - (nrc-1)*40 <= 3 THEN 1 ELSE 0 END) AS keepr FROM y) " +
+          s"SELECT $urlExpr AS url, " +
+          s"'${gen.HtmlGen.PickText}' || " +
+          "CASE WHEN nw >= 90 THEN chr(10) || array_to_string(w[1:40], ' ') || " +
+          "chr(10) || array_to_string(w[41:45], ' ') || " +
+          s"(CASE WHEN keepr > 0 THEN chr(10) || ${join("45", "keepr")} ELSE '' END) " +
+          s"ELSE (CASE WHEN keepa > 0 THEN chr(10) || ${join("0", "keepa")} ELSE '' END) END AS text " +
+          "FROM z"
+      },
+      "e14_density_family_c" -> {
+        // expected family-C extraction (HtmlGen.expectedTextC): fixed
+        // intro anchor + 25-word chunks, dropping a trailing <= 3-word chunk
+        val join25 = "array_to_string(list_transform(range(keep), i -> " +
+          "array_to_string(w[i*25 + 1 : least((i+1)*25, nw)], ' ')), chr(10))"
+        s"WITH d AS (SELECT doc_id, $words AS w FROM documents WHERE $famC), " +
+          "x AS (SELECT doc_id, w, len(w) AS nw FROM d), " +
+          "y AS (SELECT doc_id, w, nw, CAST(ceil(nw/25.0) AS BIGINT) AS nch FROM x), " +
+          "z AS (SELECT doc_id, w, nw, " +
+          "nch - (CASE WHEN nw - (nch-1)*25 <= 3 THEN 1 ELSE 0 END) AS keep FROM y) " +
+          s"SELECT $urlExpr AS url, " +
+          s"'${gen.HtmlGen.IntroText}' || " +
+          s"(CASE WHEN keep > 0 THEN chr(10) || $join25 ELSE '' END) AS text FROM z"
+      },
     ) ++ Map("e8_size_histogram" -> e8Oracle) ++ trainingOracles
   }
 
@@ -259,7 +318,8 @@ object SparkEntry {
     "WITH d AS (SELECT doc_id, lang, text, regexp_split_to_array(trim(text), '\\s+') AS w, " +
       "CASE WHEN doc_id % 37 = 0 THEN 'junk' WHEN doc_id % 41 = 0 THEN 'oversize' ELSE 'html' END AS kind, " +
       "CASE WHEN doc_id % 20 = 3 THEN 2 ELSE 1 END AS copies " +
-      "FROM documents WHERE NOT (doc_id % 37 <> 0 AND doc_id % 41 <> 0 AND doc_id % 10 = 7)), " +
+      "FROM documents WHERE NOT (doc_id % 37 <> 0 AND doc_id % 41 <> 0 AND doc_id % 10 = 7) " +
+      "AND NOT (doc_id % 37 <> 0 AND doc_id % 41 <> 0 AND doc_id % 10 <> 7 AND (doc_id % 23 = 5 OR doc_id % 23 = 11))), " +
       s"h AS (SELECT kind, copies, octet_length(encode($htmlStr)) AS blen FROM d), " +
       "sz AS (SELECT kind, copies, CASE kind WHEN 'junk' THEN 256 " +
       "WHEN 'oversize' THEN (CASE WHEN blen > 71680 THEN blen ELSE 72729 END) ELSE blen END AS nb FROM h) " +

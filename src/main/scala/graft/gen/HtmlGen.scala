@@ -69,6 +69,104 @@ object HtmlGen {
     sb.result().getBytes(StandardCharsets.UTF_8)
   }
 
+  // ------------------------------------------------------ template families
+  //
+  // Family A (render above) marks content explicitly (<article>/<main>),
+  // so the classifier's inContent rule decides. Families B and C have NO
+  // content markers: classification runs purely on the density rules,
+  // neighbor smoothing, and link-density thresholds
+  // (core/Blocks.scala:279-312), with near-threshold boilerplate on both
+  // sides of the 0.33 line — each family's expected extraction is a pure
+  // function of (doc_id, text) mirrored in SparkEntry's oracle SQL.
+
+  /** Family split for html-kind docs (routed by PagesGen.payload; the
+    * junk/oversize/pdf precedence applies first, and oversize bases stay
+    * family A).
+    */
+  def familyOf(docId: Long): String =
+    if (docId % 23 == 5) "B" else if (docId % 23 == 11) "C" else "A"
+
+  /** Family B fixed 13-word block, 3 words linked => linkDensity 0.23 —
+    * just UNDER the 0.33 threshold, so the density rule keeps it (words
+    * >= 10). Guarantees every family-B page has a primary block, pinning
+    * the classifier to the density path (never the fallback rungs).
+    */
+  val PickText = "Editors pick of the week stays readable without heavy markup read more now"
+
+  /** Family B fixed 12-word block with 4 words linked => linkDensity
+    * 0.3333 — just OVER the threshold: must be dropped.
+    */
+  val PromoText = "Todays promotion brings savings across categories shop the big sale everywhere online"
+
+  /** Family C fixed 11-word intro (no links): the density-rule anchor. */
+  val IntroText = "This page collects field notes gathered quietly over several seasons here"
+
+  /** Family B paragraph sizes: one 40-word para, one 5-word para (kept
+    * only by NEIGHBOR SMOOTHING: 4 <= words < 10 between primaries), then
+    * 40s — when the text is long enough (>= 90 words) for the 5-word
+    * para to sit strictly between two primary blocks; plain 40s otherwise.
+    */
+  private def chunksB(words: Array[String]): Seq[Array[String]] =
+    if (words.length >= 90)
+      Seq(words.slice(0, 40), words.slice(40, 45)) ++ words.drop(45).grouped(40)
+    else words.grouped(40).toSeq
+
+  /** Classifier-kept content chunks: a trailing chunk of <= 3 words fails
+    * both the density rule and smoothing (neighborMinWords = 4) and has
+    * no inContent rescue in families B/C — it is dropped.
+    */
+  private def keptChunks(chunks: Seq[Array[String]]): Seq[Array[String]] =
+    if (chunks.nonEmpty && chunks.last.length <= 3) chunks.dropRight(1) else chunks
+
+  def expectedTextB(text: String): String = {
+    val words = text.trim.split("\\s+").filter(_.nonEmpty)
+    (PickText +: keptChunks(chunksB(words)).map(_.mkString(" "))).mkString("\n")
+  }
+
+  def expectedTextC(text: String): String = {
+    val words = text.trim.split("\\s+").filter(_.nonEmpty)
+    (IntroText +: keptChunks(words.grouped(25).toSeq).map(_.mkString(" "))).mkString("\n")
+  }
+
+  /** Family B: link-farm (ld 1.0 — dropped even by the last fallback
+    * rung), near-threshold keeper (0.23), bare <div>/<p> content, 5-word
+    * smoothing para, near-threshold dropper (0.3333). No article/main.
+    */
+  def renderB(docId: Long, text: String, lang: String): Array[Byte] = {
+    val words = text.trim.split("\\s+").filter(_.nonEmpty)
+    val sb = new StringBuilder(4096)
+    sb ++= "<!DOCTYPE html>\n"
+    sb ++= s"""<html lang="$lang">\n<head>\n  <meta charset="utf-8">\n  <title>Feed $docId</title>\n</head>\n<body>\n"""
+    sb ++= "  <div class=\"toplinks\"><a href=\"/f/0\">top stories</a> <a href=\"/f/1\">world news</a> " +
+      "<a href=\"/f/2\">local sport</a> <a href=\"/f/3\">tech desk</a> " +
+      "<a href=\"/f/4\">art corner</a> <a href=\"/f/5\">site map</a></div>\n"
+    sb ++= s"""  <div class="pick">Editors pick of the week stays readable without heavy markup <a href="/pick/$docId">read more now</a></div>\n"""
+    sb ++= "  <div class=\"body\">\n"
+    chunksB(words).foreach { c => sb ++= s"    <p>${c.mkString(" ")}</p>\n" }
+    sb ++= "  </div>\n"
+    sb ++= s"""  <div class="promo">Todays promotion brings savings across categories <a href="/promo/$docId">shop the big sale</a> everywhere online</div>\n"""
+    sb ++= "</body>\n</html>\n"
+    sb.result().getBytes(StandardCharsets.UTF_8)
+  }
+
+  /** Family C: fixed no-link intro, 25-word paragraphs in bare divs, and
+    * a tag cloud at ld 0.5 (above threshold, below rung-1's 0.55 — only
+    * the primary+smoothing path may run, and it must drop it).
+    */
+  def renderC(docId: Long, text: String, lang: String): Array[Byte] = {
+    val words = text.trim.split("\\s+").filter(_.nonEmpty)
+    val sb = new StringBuilder(4096)
+    sb ++= "<!DOCTYPE html>\n"
+    sb ++= s"""<html lang="$lang">\n<head>\n  <meta charset="utf-8">\n  <title>Notes $docId</title>\n</head>\n<body>\n"""
+    sb ++= "  <div class=\"wrap\">\n"
+    sb ++= s"    <p>$IntroText</p>\n"
+    words.grouped(25).foreach { c => sb ++= s"    <p>${c.mkString(" ")}</p>\n" }
+    sb ++= "    <div class=\"tags\">Browse more topics <a href=\"/t/a\">alpha beta</a> and <a href=\"/t/g\">gamma delta</a></div>\n"
+    sb ++= "  </div>\n"
+    sb ++= "</body>\n</html>\n"
+    sb.result().getBytes(StandardCharsets.UTF_8)
+  }
+
   /** Deterministic pseudo-random junk payload (rejected_format rows). */
   def junkBytes(docId: Long, n: Int = 256): Array[Byte] = {
     val out = new Array[Byte](n)

@@ -41,7 +41,11 @@ object PagesGen {
     case "junk"     => HtmlGen.junkBytes(docId)
     case "oversize" => HtmlGen.oversizedBytes(docId, text, lang, OversizeLen)
     case "pdf"      => PdfGen.render(docId, text)
-    case _          => HtmlGen.render(docId, text, lang)
+    case _ => HtmlGen.familyOf(docId) match { // html: template family split
+      case "B" => HtmlGen.renderB(docId, text, lang)
+      case "C" => HtmlGen.renderC(docId, text, lang)
+      case _   => HtmlGen.render(docId, text, lang)
+    }
   }
 
   def row(docId: Long, text: String, lang: String): PageRow =
