@@ -30,6 +30,11 @@ object Bench {
       builder.config("spark.local.dir", "/dev/shm/graft-spark-bench")
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm-up OUTSIDE the timed loop: absorb JVM/codegen/session one-time
+    // costs so the first timed query isn't charged ~5s of warm-up (r1/r2
+    // benches showed whichever query ran first inflated 5-10x)
+    SparkEntry.entry(spark).count()
+    spark.range(1000000L).selectExpr("sum(id)").collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -46,7 +51,7 @@ object Bench {
     val conf = ExtractConf(maxBytes = 64L * 1024, buckets = 64, salt = 2)
     implicit val s: SparkSession = spark
     import s.implicits._
-    val corpus = "/tmp/graft_bench_corpus_" +
+    val corpus = "/tmp/graft_bench_corpus_v" + graft.gen.PagesGen.GenVersion + "_" +
       java.nio.file.Paths.get(sfDir).getFileName.toString + s"_$replicas"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(corpus, "_SUCCESS")))
       graft.gen.PagesGen.replicated(spark, sfDir, replicas)

@@ -196,7 +196,7 @@ object ScalingBench {
     // in BASELINE.md as the full-saturation bound.
     val Array(lo, hi) = sys.env.getOrElse("SPARK_GRAFT_LEVELS", "4,16").split(",").map(_.trim.toInt)
     val sfName = Paths.get(sfDir).getFileName.toString
-    val corpus = s"/tmp/graft_scaling_corpus_${sfName}_$replicas"
+    val corpus = s"/tmp/graft_scaling_corpus_v${graft.gen.PagesGen.GenVersion}_${sfName}_$replicas"
 
     if (!Files.exists(Paths.get(corpus, "_SUCCESS"))) {
       val gen = session(hi)

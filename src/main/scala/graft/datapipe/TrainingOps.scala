@@ -102,9 +102,14 @@ object TrainingOps {
       struct(lit(b).as("band"),
         md5(concat_ws("|", (0 until bandRows).map(r => col(s"g${b * bandRows + r}")): _*)).as("bv"))
     }
+    // persist the tiny band table (4 rows/doc of (doc_id, band, 16-byte
+    // bv)): the bucket-size count and BOTH sides of the self-join read it,
+    // and without the cache each consumer would re-run the whole
+    // shingle+minhash pipeline upstream (measured 1.7x on the r2 bench)
     val banded = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val surviving = banded.groupBy("band", "bv")
       .agg(count(lit(1)).as("bn"))
       .filter(col("bn") >= 2 && col("bn") <= maxBandBucket)

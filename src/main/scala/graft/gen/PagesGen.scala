@@ -19,6 +19,12 @@ import graft.spark.PageRow
   */
 object PagesGen {
 
+  /** Bump when generator output changes (payload bytes or row taxonomy):
+    * benchmark corpora cached under /tmp are keyed by this, so a stale
+    * cache can never silently measure an old generator.
+    */
+  val GenVersion = 2
+
   val Epoch: Long = 1767225600000L // 2026-01-01T00:00:00Z
 
   def kindOf(docId: Long): String =
