@@ -20,6 +20,8 @@ import graft.spark._
   *     --input <pages.parquet | sfDir with documents.parquet> \
   *     --table <results table root> \
   *     [--run-id <id>] [--buckets 32] [--salt 4] [--max-bytes 65536] \
+  *     [--max-link-density 0.33] [--min-words-dense 10] \
+  *     [--x-gap 60.0] [--y-gap 25.0] \
   *     [--expire-ttl-hours 48] [--fail-after-buckets K (test hook)]
   */
 object ExtractMain {

@@ -171,6 +171,7 @@ object SparkEntry {
       TrainingOps.annCosineTopKScalable(embs(s, dir))
     }),
     "d6_ann_lsh_buckets" -> ((s, dir) => TrainingOps.annLshBuckets(embs(s, dir))),
+    "d8_dedup_embedding" -> ((s, dir) => TrainingOps.embCosinePairs(embs(s, dir))),
     "t1_lang_id" -> ((s, dir) => TrainingOps.langId(docs(s, dir))),
     "t2_quality_score" -> ((s, dir) => TrainingOps.qualityScore(docs(s, dir))),
     "t3_token_counts" -> ((s, dir) => TrainingOps.tokenCounts(docs(s, dir))),
@@ -404,6 +405,24 @@ object SparkEntry {
           "CASE WHEN list_sum(list_transform(range(len(v)), i -> " +
           "(('0x' || substr(md5(j || ':' || i),1,15))::BIGINT / pow(2,59) - 1.0) * v[i+1])) > 0 " +
           "THEN (1 << j) ELSE 0 END)) AS INT) AS bucket FROM e"),
+      // embedding-cosine near-dup: 8-plane LSH bucket join (size-capped)
+      // + exact cosine on candidates only — mirrors TrainingOps.embCosinePairs
+      "d8_dedup_embedding" ->
+        ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+          "b AS (SELECT vec_id, CAST(list_sum(list_transform(range(8), j -> " +
+          "CASE WHEN list_sum(list_transform(range(len(v)), i -> " +
+          "(('0x' || substr(md5(j || ':' || i),1,15))::BIGINT / pow(2,59) - 1.0) * v[i+1])) > 0 " +
+          "THEN (1 << j) ELSE 0 END)) AS INT) AS bucket FROM e), " +
+          "bc AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) BETWEEN 2 AND 4096), " +
+          "gb AS (SELECT b.vec_id, b.bucket FROM b JOIN bc USING (bucket)), " +
+          "p AS (SELECT x.vec_id AS a, y.vec_id AS b2 FROM gb x " +
+          "JOIN gb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id) " +
+          "SELECT a, b2 AS b, cos FROM (SELECT p.a, p.b2, " +
+          "round(list_sum(list_transform(range(len(ea.v)), i -> ea.v[i+1]*eb.v[i+1])) / " +
+          "(sqrt(list_sum(list_transform(range(len(ea.v)), i -> ea.v[i+1]*ea.v[i+1]))) * " +
+          "sqrt(list_sum(list_transform(range(len(eb.v)), i -> eb.v[i+1]*eb.v[i+1])))), 6) AS cos " +
+          "FROM p JOIN e ea ON ea.vec_id = p.a JOIN e eb ON eb.vec_id = p.b2) " +
+          "WHERE cos >= 0.1"),
       "t1_lang_id" ->
         (s"WITH f AS (SELECT doc_id, $w AS w FROM documents WHERE len($w) >= 1), " +
           "sc AS (SELECT doc_id, CAST(len(w) AS INT) AS n_words, " +

@@ -266,7 +266,16 @@ object TrainingOps {
     * pattern), bucket = 16 sign bits. Same-bucket vectors are cosine
     * candidates; search cost drops from O(n) to O(n / 2^16) per probe.
     */
-  def annLshBuckets(emb: DataFrame, dimOpt: Option[Int] = None): DataFrame = {
+  def annLshBuckets(emb: DataFrame, dimOpt: Option[Int] = None): DataFrame =
+    lshBuckets(emb, 16, dimOpt)
+
+  /** Sign-bit bucketing over `nPlanes` deterministic pseudo-random
+    * hyperplanes (derived from md5(j:i), precomputed on the DRIVER and
+    * inlined as a literal — the broadcast pattern). `nPlanes` is the
+    * recall/precision dial: more planes → smaller buckets → fewer
+    * candidates per probe.
+    */
+  private def lshBuckets(emb: DataFrame, nPlanes: Int, dimOpt: Option[Int] = None): DataFrame = {
     val e = emb.select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
     // plane length must equal the embedding dimension: zip_with null-pads
     // on mismatch, which would silently zero every bucket. Derive it from
@@ -275,7 +284,7 @@ object TrainingOps {
       val h = e.select(size(col("v"))).head(1)
       if (h.isEmpty) 1 else math.max(1, h(0).getInt(0))
     }
-    val planes: Seq[Seq[Double]] = (0 until 16).map { j =>
+    val planes: Seq[Seq[Double]] = (0 until nPlanes).map { j =>
       (0 until dim).map { i =>
         val hex = java.security.MessageDigest.getInstance("MD5")
           .digest(s"$j:$i".getBytes("UTF-8"))
@@ -284,16 +293,50 @@ object TrainingOps {
       }
     }
     val bucket = expr(
-      """aggregate(sequence(0,15), 0, (s, j) ->
-        |  s + IF(aggregate(zip_with(element_at(planes, j + 1), v, (p, x) -> p * x),
-        |                   cast(0 as double), (d, x) -> d + x) > 0,
-        |         shiftleft(1, j), 0))""".stripMargin)
+      s"""aggregate(sequence(0,${nPlanes - 1}), 0, (s, j) ->
+         |  s + IF(aggregate(zip_with(element_at(planes, j + 1), v, (p, x) -> p * x),
+         |                   cast(0 as double), (d, x) -> d + x) > 0,
+         |         shiftleft(1, j), 0))""".stripMargin)
     e.withColumn("planes", typedLit(planes))
       .select(col("vec_id"),
         when(size(col("v")) === dim, bucket)
           .otherwise(raise_error(concat(
-            lit(s"annLshBuckets: embedding dimension mismatch (planes=$dim, got "),
+            lit(s"lshBuckets: embedding dimension mismatch (planes=$dim, got "),
             size(col("v")), lit(")")))).as("bucket"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs — the vector analog of the
+    * minhash two-phase pipeline: hyperplane-LSH bucket join for candidate
+    * generation (8 planes by default — coarser than [[annLshBuckets]]'s
+    * 16, trading candidate volume for recall), then EXACT cosine on the
+    * candidate pairs only, thresholded.
+    *
+    * Scale shape mirrors d2: the persisted bucket table is (vec_id, int);
+    * the self-join shuffles only bucket keys, buckets above
+    * `maxBucket` distinct vectors are dropped (degenerate families —
+    * all-zero embeddings, mirrored shards), and the exact verification
+    * joins embeddings back by vec_id for candidate pairs only.
+    */
+  def embCosinePairs(emb: DataFrame, nPlanes: Int = 8, minCos: Double = 0.1,
+      maxBucket: Int = 4096): DataFrame = {
+    val e = emb.select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val b = lshBuckets(emb, nPlanes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val surviving = b.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") >= 2 && col("bn") <= maxBucket)
+      .select("bucket")
+    val pruned = b.join(surviving, Seq("bucket"))
+    val pairs = pruned.as("x").join(pruned.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+    val dot = expr("aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)")
+    val na = sqrt(expr("aggregate(zip_with(va, va, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"))
+    val nb = sqrt(expr("aggregate(zip_with(vb, vb, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"))
+    pairs
+      .join(e.select(col("vec_id").as("a"), col("v").as("va")), "a")
+      .join(e.select(col("vec_id").as("b"), col("v").as("vb")), "b")
+      .select(col("a"), col("b"), round(dot / (na * nb), 6).as("cos"))
+      .filter(col("cos") >= minCos)
   }
 
   // ------------------------------------------------------ text analysis

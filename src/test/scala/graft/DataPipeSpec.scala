@@ -164,6 +164,23 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"top-1 neighbors average ${hams.sum.toDouble / hams.length} of 16 bits differing — LSH uncorrelated")
   }
 
+  test("embedding-cosine near-dup: bucketed candidates, exact scores, threshold monotone") {
+    val all = TrainingOps.embCosinePairs(embs, minCos = -1.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    all.foreach { case (a, b, c) =>
+      assert(a < b, "pair order must be a < b")
+      assert(c >= -1.000001 && c <= 1.000001, s"cosine $c out of range")
+    }
+    // threshold filters candidates monotonically, and candidate generation
+    // is deterministic across runs
+    val thr = TrainingOps.embCosinePairs(embs, minCos = 0.1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(thr.subsetOf(all.map(t => (t._1, t._2)).toSet))
+    val again = TrainingOps.embCosinePairs(embs, minCos = -1.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(again.sortBy(t => (t._1, t._2)).sameElements(all.sortBy(t => (t._1, t._2))))
+  }
+
   test("language id: deterministic argmax with fixed tie order") {
     val out = TrainingOps.langId(docs).collect()
     assert(out.nonEmpty)

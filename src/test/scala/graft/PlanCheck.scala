@@ -45,6 +45,14 @@ object PlanCheck {
     println("==== 5. ann top-k probe broadcast ====")
     TrainingOps.annCosineTopK(spark.read.parquet(s"$sf/embeddings.parquet")).explain("formatted")
 
+    println("==== 6. d7 scalable top-k: one bounded broadcast per probe chunk ====")
+    TrainingOps.annCosineTopKScalable(spark.read.parquet(s"$sf/embeddings.parquet"))
+      .explain("formatted")
+
+    println("==== 7. d8 embedding near-dup: capped bucket join + candidate-only cosine ====")
+    TrainingOps.embCosinePairs(spark.read.parquet(s"$sf/embeddings.parquet"))
+      .explain("formatted")
+
     spark.stop()
   }
 }
