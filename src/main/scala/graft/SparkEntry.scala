@@ -149,6 +149,21 @@ object SparkEntry {
     "e14_density_family_c" -> ((s, dir) => {
       extracted(s, dir, "html_c").toDF().select("url", "text")
     }),
+    // par 2.8 rows 40-42: hOCR surface round-trip — render each result as
+    // the reference's hOCR wire format (page/carea/word hierarchy, cspan
+    // titles) and parse it back with the introspection utility; the
+    // oracle predicts the parsed counts from the raw text alone, so BOTH
+    // the renderer and the parser are oracle-gated
+    "e15_hocr_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      extracted(s, dir, "html_a")
+        .map { r =>
+          val h = graft.core.Hocr.render(
+            graft.core.Extracted(r.text, r.spans.toVector, r.pages), r.engine)
+          val (pc, wc, hs) = graft.core.Hocr.info(h)
+          (r.url, pc, wc, hs)
+        }.toDF("url", "page_count", "word_count", "has_spans")
+    }),
     // par 2.10 scalar functions: host parse (regexp) + per-host counts —
     // the skew-observability aggregate (FIXTURES.md par 1: one host
     // carries ~30% of urls)
@@ -248,6 +263,10 @@ object SparkEntry {
           "SELECT host, count(*) AS n_docs, " +
           "CAST(SUM(CASE WHEN kind IN ('html','pdf') THEN 1 ELSE 0 END) AS BIGINT) AS n_ok " +
           "FROM d GROUP BY host"),
+      "e15_hocr_roundtrip" ->
+        (s"WITH d AS (SELECT doc_id, $words AS w FROM documents WHERE $htmlKindsA) " +
+          s"SELECT $urlExpr AS url, 1 AS page_count, CAST(len(w) AS INT) AS word_count, " +
+          "TRUE AS has_spans FROM d"),
       "e13_density_family_b" -> {
         // expected family-B extraction (HtmlGen.expectedTextB): the fixed
         // near-threshold keeper block, then the 40/5/40... chunk layout
