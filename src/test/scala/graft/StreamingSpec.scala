@@ -101,4 +101,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       maxFilesPerTrigger = Some(1)).awaitTermination()
     assert(StreamingExtract.readAll(spark, table).count() == streamed.length)
   }
+
+  test("streaming: cross-batch re-crawl dedups to one row via readAllDeduped") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    val sfDir = "/root/testdata/sf0.001"
+    val in = tmpDir("stream-dd-in")
+    val table = tmpDir("stream-dd-table")
+    val conf = SparkEntry.conf
+
+    val all = PagesGen.fromDocuments(spark, sfDir).limit(60).cache()
+    val urls = all.map(_.url).distinct().count()
+    // wave 1: everything; wave 2: the SAME pages re-crawled — a later
+    // micro-batch re-delivering known urls
+    all.write.mode("append").parquet(in)
+    StreamingExtract.start(spark, in, table, conf).awaitTermination()
+    all.write.mode("append").parquet(in)
+    StreamingExtract.start(spark, in, table, conf).awaitTermination()
+
+    // raw view: one row per (url, batch) — documented append semantics
+    val raw = StreamingExtract.readAll(spark, table).count()
+    assert(raw == 2 * urls, s"expected $urls urls twice, got $raw")
+    // deduped view restores the batch pipeline's one-row-per-url contract
+    val dd = StreamingExtract.readAllDeduped(spark, table)
+      .select("url", "text", "status").collect()
+    assert(dd.length == urls)
+    assert(dd.map(_.getString(0)).distinct.length == urls)
+    // empty table: readAll yields an empty frame, not an exception
+    assert(StreamingExtract.readAll(spark, tmpDir("stream-empty")).count() == 0)
+  }
 }
