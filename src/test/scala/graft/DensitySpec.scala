@@ -26,6 +26,15 @@ class DensitySpec extends AnyFunSuite {
     }
   }
 
+  test("families B and C: kernel == expected rule EXHAUSTIVELY for 0..200 words") {
+    // every chunk-boundary / smoothing / trailing-drop edge in one sweep
+    (0 to 200).foreach { n =>
+      val t = words(n)
+      assert(extractB(51L, t) == HtmlGen.expectedTextB(t), s"family B nw=$n")
+      assert(extractC(57L, t) == HtmlGen.expectedTextC(t), s"family C nw=$n")
+    }
+  }
+
   test("family B: near-threshold blocks land on the right side of 0.33") {
     val out = extractB(28L, words(50))
     assert(out.contains(HtmlGen.PickText), "ld=0.23 block (13 words, 3 linked) must be kept")
