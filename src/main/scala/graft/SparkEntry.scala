@@ -192,6 +192,7 @@ object SparkEntry {
     "t3_token_counts" -> ((s, dir) => TrainingOps.tokenCounts(docs(s, dir))),
     "t4_fingerprint" -> ((s, dir) => TrainingOps.fingerprint(docs(s, dir))),
     "m1_binary_features" -> ((s, dir) => TrainingOps.binaryFeatures(s, docs(s, dir))),
+    "m2_frame_sample" -> ((s, dir) => TrainingOps.frameSample(s, docs(s, dir))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -483,6 +484,12 @@ object SparkEntry {
           "md5(array_to_string(list_transform(list_sort(list_distinct(" +
           "list_transform(range(len(h)-4), i -> list_min(h[i+1:i+5])))), x -> x::VARCHAR), ',')) AS fp " +
           "FROM hs"),
+      "m2_frame_sample" ->
+        ("WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) >= 1), " +
+          "x AS (SELECT doc_id, text, unnest(range(CAST(ceil(n/512.0) AS BIGINT))) AS f FROM d) " +
+          "SELECT doc_id, CAST(f AS INT) AS frame_idx, " +
+          "md5(substr(text, CAST(f*512+1 AS INT), 256)) AS frame_md5, " +
+          "CAST(length(substr(text, CAST(f*512+1 AS INT), 256)) AS INT) AS frame_chars FROM x"),
       "m1_binary_features" ->
         ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS content_md5, " +
           "CASE WHEN octet_length(encode(text)) = 0 THEN 'empty' " +

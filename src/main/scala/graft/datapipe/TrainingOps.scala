@@ -439,6 +439,43 @@ object TrainingOps {
     * The Spark-side shape — binary column in, typed struct out, heavy
     * init once per partition — is the real, tested part.
     */
+  /** Frame sampling — the video/audio ROW-EXPLOSION plumbing pattern: one
+    * payload row flatMaps into many frame rows through a LAZY iterator
+    * (no per-doc frame list ever materializes — a 2 h video at scale
+    * streams its frames through the task). Per-partition decoder init,
+    * like [[binaryFeatures]]; the "decode" is the honest stub (frames are
+    * fixed-length char windows at a stride; a real decoder would seek
+    * keyframes), the Spark-side shape — typed flatMap, bounded memory,
+    * deterministic frame ids — is the real, oracle-checked part.
+    *
+    * Frames are CHAR windows (not bytes) so the DuckDB oracle reproduces
+    * them with substr(); corpus is BMP-only (surrogate pairs would split
+    * differently between Java UTF-16 and code-point substr — a real
+    * binary decoder wouldn't have this caveat).
+    */
+  def frameSample(spark: SparkSession, docs: DataFrame,
+      frameLen: Int = 256, stride: Int = 512): DataFrame = {
+    import spark.implicits._
+    require(frameLen > 0 && stride > 0, "frameLen and stride must be positive")
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .filter(r => r._2 != null && r._2.nonEmpty)
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5") // per-partition init
+        it.flatMap { case (id, text) =>
+          val n = text.length
+          val frames = (n + stride - 1) / stride
+          (0 until frames).iterator.map { f =>
+            val s = text.substring(f * stride, math.min(f * stride + frameLen, n))
+            digest.reset()
+            val h = digest.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+            (id, f, h, s.length)
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame_md5", "frame_chars")
+  }
+
   def binaryFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))

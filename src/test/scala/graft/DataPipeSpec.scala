@@ -209,6 +209,22 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(clash == 0)
   }
 
+  test("frame sampling: lazy row explosion covers the text at the stride") {
+    val rows = TrainingOps.frameSample(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    val lens = docs.select(col("doc_id"), length(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.groupBy(_._1).foreach { case (id, fs) =>
+      val n = lens(id)
+      assert(fs.length == (n + 511) / 512, s"doc $id frame count")
+      assert(fs.map(_._2).sorted.toSeq == fs.indices.toSeq, s"doc $id frame ids")
+      fs.foreach { case (_, f, _, chars) =>
+        assert(chars == math.min(256, n - f * 512), s"doc $id frame $f length")
+      }
+    }
+  }
+
   test("binary features stub: md5 and byte length match the payload") {
     val out = TrainingOps.binaryFeatures(spark, docs)
       .join(docs.select(col("doc_id"), col("text")), "doc_id")
