@@ -187,6 +187,7 @@ object SparkEntry {
     }),
     "d6_ann_lsh_buckets" -> ((s, dir) => TrainingOps.annLshBuckets(embs(s, dir))),
     "d8_dedup_embedding" -> ((s, dir) => TrainingOps.embCosinePairs(embs(s, dir))),
+    "d9_ann_ivf_topk" -> ((s, dir) => TrainingOps.annIvfTopK(embs(s, dir))),
     "t1_lang_id" -> ((s, dir) => TrainingOps.langId(docs(s, dir))),
     "t2_quality_score" -> ((s, dir) => TrainingOps.qualityScore(docs(s, dir))),
     "t3_token_counts" -> ((s, dir) => TrainingOps.tokenCounts(docs(s, dir))),
@@ -425,6 +426,25 @@ object SparkEntry {
           "CASE WHEN list_sum(list_transform(range(len(v)), i -> " +
           "(('0x' || substr(md5(j || ':' || i),1,15))::BIGINT / pow(2,59) - 1.0) * v[i+1])) > 0 " +
           "THEN (1 << j) ELSE 0 END)) AS INT) AS bucket FROM e"),
+      // IVF-cell ANN: nearest-of-16 deterministic centroids (argmin as
+      // array_min of [dist2, cell] — identical left-fold arithmetic on
+      // both engines), probes search only their own cell
+      "d9_ann_ivf_topk" ->
+        ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+          "cells AS (SELECT vec_id, v, CAST(list_min(list_transform(range(16), j -> " +
+          "[list_sum(list_transform(range(len(v)), i -> " +
+          "((('0x' || substr(md5('c:' || j || ':' || i),1,15))::BIGINT / pow(2,59) - 1.0 - v[i+1]) * " +
+          "(('0x' || substr(md5('c:' || j || ':' || i),1,15))::BIGINT / pow(2,59) - 1.0 - v[i+1])))), " +
+          "j::DOUBLE]))[2] AS INT) AS cell FROM e), " +
+          "p AS (SELECT vec_id AS q_id, v AS q, cell FROM cells WHERE vec_id % 50 = 0), " +
+          "s AS (SELECT p.q_id, c.vec_id, round(" +
+          "list_sum(list_transform(range(len(p.q)), i -> p.q[i+1]*c.v[i+1])) / " +
+          "(sqrt(list_sum(list_transform(range(len(p.q)), i -> p.q[i+1]*p.q[i+1]))) * " +
+          "sqrt(list_sum(list_transform(range(len(c.v)), i -> c.v[i+1]*c.v[i+1])))), 6) AS score " +
+          "FROM cells c JOIN p ON c.cell = p.cell AND c.vec_id <> p.q_id), " +
+          "r AS (SELECT q_id, vec_id, score, row_number() OVER " +
+          "(PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk FROM s) " +
+          "SELECT q_id, CAST(rk AS INT) AS rank, vec_id, score FROM r WHERE rk <= 5"),
       // embedding-cosine near-dup: 8-plane LSH bucket join (size-capped)
       // + exact cosine on candidates only — mirrors TrainingOps.embCosinePairs
       "d8_dedup_embedding" ->

@@ -305,6 +305,60 @@ object TrainingOps {
             size(col("v")), lit(")")))).as("bucket"))
   }
 
+  /** IVF-style ANN top-k — the coarse-quantizer alternative to
+    * hyperplane-LSH ([[annLshBuckets]]): vectors are assigned to the
+    * nearest of `nCells` deterministic centroids (argmin of squared
+    * distance, lexicographic (dist, cell) tie-break), and each probe
+    * searches ONLY its own cell — exact cosine within the cell, so search
+    * cost drops to O(n / nCells) per probe at the price of recall at cell
+    * boundaries (a real IVF adds nProbe neighboring cells; one cell keeps
+    * the oracle exact and the shape identical).
+    *
+    * Scale: centroids are driver-precomputed and inlined (broadcast
+    * pattern); the persisted assignment table is (vec_id, int); probes
+    * broadcast per cell; candidates never shuffle. A probe alone in its
+    * cell returns no rows (documented IVF recall property).
+    */
+  def annIvfTopK(emb: DataFrame, k: Int = 5, nCells: Int = 16,
+      dimOpt: Option[Int] = None): DataFrame = {
+    val e = emb.select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val dim = dimOpt.getOrElse {
+      val h = e.select(size(col("v"))).head(1)
+      if (h.isEmpty) 1 else math.max(1, h(0).getInt(0))
+    }
+    val cents: Seq[Seq[Double]] = (0 until nCells).map { c =>
+      (0 until dim).map { i =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"c:$c:$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 15)
+        java.lang.Long.parseLong(hex, 16).toDouble / math.pow(2, 59) - 1.0
+      }
+    }
+    // argmin over cells as array_min of [dist2, cellIdx] pairs — the same
+    // left-fold double arithmetic on both engines, so the assignment is
+    // bit-reproducible by the oracle
+    val cellExpr = expr(
+      s"""CAST(element_at(array_min(transform(sequence(0,${nCells - 1}), j ->
+         |  array(aggregate(zip_with(element_at(cents, j + 1), v, (p, x) -> (p - x) * (p - x)),
+         |                  cast(0 as double), (s, x) -> s + x),
+         |        cast(j as double)))), 2) AS INT)""".stripMargin)
+    val cells = e.withColumn("cents", typedLit(cents))
+      .select(col("vec_id"), col("v"), cellExpr.as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p = cells.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("q"), col("cell"))
+    val dot = expr("aggregate(zip_with(q, v, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)")
+    val nq = sqrt(expr("aggregate(zip_with(q, q, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"))
+    val nv = sqrt(expr("aggregate(zip_with(v, v, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"))
+    cells.join(broadcast(p), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), round(dot / (nq * nv), 6).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("score"))
+  }
+
   /** Embedding-cosine near-duplicate pairs — the vector analog of the
     * minhash two-phase pipeline: hyperplane-LSH bucket join for candidate
     * generation (8 planes by default — coarser than [[annLshBuckets]]'s

@@ -164,6 +164,26 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"top-1 neighbors average ${hams.sum.toDouble / hams.length} of 16 bits differing — LSH uncorrelated")
   }
 
+  test("IVF top-k: candidates confined to the probe's cell, ranks dense and ordered") {
+    val out = TrainingOps.annIvfTopK(embs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.length <= 5, s"probe $q returned ${rs.length} rows")
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length), s"probe $q ranks not dense")
+      val byRank = rs.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b }, s"probe $q scores")
+      assert(!rs.exists(_._3 == q), s"probe $q includes itself")
+    }
+    // IVF restricts recall to the cell: every IVF hit also appears in the
+    // unrestricted brute-force scoring with the identical score
+    val brute = TrainingOps.annCosineTopK(embs, k = Int.MaxValue - 1).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    out.foreach { case (q, _, v, s) =>
+      assert(brute.get((q, v)).contains(s), s"IVF score for ($q,$v) diverges from exact")
+    }
+  }
+
   test("embedding-cosine near-dup: bucketed candidates, exact scores, threshold monotone") {
     val all = TrainingOps.embCosinePairs(embs, minCos = -1.0).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
