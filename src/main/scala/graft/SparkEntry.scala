@@ -164,6 +164,23 @@ object SparkEntry {
           (r.url, pc, wc, hs)
         }.toDF("url", "page_count", "word_count", "has_spans")
     }),
+    // par 2.3 rows 15-16 + par 2.6 row 30: searchable-PDF re-render —
+    // every ok extraction (HTML- or PDF-sourced, the image→PDF /
+    // PDF→searchable-PDF family, reference dynamic_routes.py:253-364) is
+    // re-rendered as a deterministic searchable PDF (core/PdfRender) and
+    // re-extracted with the PDF kernel: the round-trip text must equal
+    // the original extraction byte-for-byte and the rendered page count
+    // is a pure function of the text — both oracle-gated
+    "e16_searchable_pdf" -> ((s, dir) => {
+      import s.implicits._
+      extracted(s, dir, "html_a").union(extracted(s, dir, "pdf"))
+        .filter(_.status == "ok")
+        .map { r =>
+          val pdf = graft.core.PdfRender.render(r.text)
+          val re = graft.core.PdfExtractor.extract(pdf, graft.core.Html.Deadline.unlimited)
+          (r.url, re.text, re.pages)
+        }.toDF("url", "rt_text", "pdf_pages")
+    }),
     // par 2.10 scalar functions: host parse (regexp) + per-host counts —
     // the skew-observability aggregate (FIXTURES.md par 1: one host
     // carries ~30% of urls)
@@ -265,6 +282,17 @@ object SparkEntry {
           "SELECT host, count(*) AS n_docs, " +
           "CAST(SUM(CASE WHEN kind IN ('html','pdf') THEN 1 ELSE 0 END) AS BIGINT) AS n_ok " +
           "FROM d GROUP BY host"),
+      // searchable-PDF round-trip: rt_text equals the expected extraction
+      // (family-A 40-word chunks; pdf 60-word chunks) and the rendered
+      // page count is GREATEST(1, ceil(blocks/10)) per PdfRender's layout
+      "e16_searchable_pdf" ->
+        (s"WITH a AS (SELECT doc_id, $words AS w FROM documents WHERE $htmlKindsA), " +
+          s"p AS (SELECT doc_id, $words AS w FROM documents WHERE $pdfKinds), " +
+          s"u AS (SELECT $urlExpr AS url, ${chunked(40)} AS rt_text, " +
+          "CAST(ceil(len(w)/40.0) AS BIGINT) AS blocks FROM a " +
+          s"UNION ALL SELECT $urlExpr AS url, ${chunked(60)} AS rt_text, " +
+          "CAST(ceil(len(w)/60.0) AS BIGINT) AS blocks FROM p) " +
+          "SELECT url, rt_text, GREATEST(1, CAST(ceil(blocks/10.0) AS INT)) AS pdf_pages FROM u"),
       "e15_hocr_roundtrip" ->
         (s"WITH d AS (SELECT doc_id, $words AS w FROM documents WHERE $htmlKindsA) " +
           s"SELECT $urlExpr AS url, 1 AS page_count, CAST(len(w) AS INT) AS word_count, " +
