@@ -205,6 +205,7 @@ object SparkEntry {
     "d6_ann_lsh_buckets" -> ((s, dir) => TrainingOps.annLshBuckets(embs(s, dir))),
     "d8_dedup_embedding" -> ((s, dir) => TrainingOps.embCosinePairs(embs(s, dir))),
     "d9_ann_ivf_topk" -> ((s, dir) => TrainingOps.annIvfTopK(embs(s, dir))),
+    "d10_dup_clusters" -> ((s, dir) => TrainingOps.dupClusters(docs(s, dir))),
     "t1_lang_id" -> ((s, dir) => TrainingOps.langId(docs(s, dir))),
     "t2_quality_score" -> ((s, dir) => TrainingOps.qualityScore(docs(s, dir))),
     "t3_token_counts" -> ((s, dir) => TrainingOps.tokenCounts(docs(s, dir))),
@@ -424,6 +425,22 @@ object SparkEntry {
           "round(len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(sa.s || sb.s)), 4) AS jaccard " +
           "FROM pairs p JOIN sh sa ON sa.doc_id = p.a JOIN sh sb ON sb.doc_id = p.b) " +
           "WHERE jaccard >= 0.4"),
+      // cluster resolution: transitive closure over the verified-pair
+      // graph (reach = recursive reachability from each rep; cluster =
+      // min reachable id), expanded through the exact-dup groups
+      "d10_dup_clusters" ->
+        (minhashBands.replaceFirst("WITH ", "WITH RECURSIVE ") +
+          ", jp AS (SELECT a, b FROM (SELECT p.a, p.b, " +
+          "round(len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(sa.s || sb.s)), 4) AS jaccard " +
+          "FROM pairs p JOIN sh sa ON sa.doc_id = p.a JOIN sh sb ON sb.doc_id = p.b) WHERE jaccard >= 0.4), " +
+          "sym AS (SELECT a, b FROM jp UNION SELECT b AS a, a AS b FROM jp), " +
+          "reach(src, dst) AS (SELECT doc_id, doc_id FROM r " +
+          "UNION SELECT reach.src, sym.b FROM reach JOIN sym ON reach.dst = sym.a), " +
+          "cl AS (SELECT src AS rep, MIN(dst) AS cluster_id FROM reach GROUP BY src), " +
+          "dm AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep FROM documents), " +
+          "x AS (SELECT dm.doc_id, cl.cluster_id FROM dm JOIN cl ON dm.rep = cl.rep) " +
+          "SELECT doc_id, cluster_id, CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size, " +
+          "doc_id = cluster_id AS is_keeper FROM x"),
       "d5_ann_cosine_topk" ->
         ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
           "p AS (SELECT vec_id AS q_id, v AS q FROM e WHERE vec_id % 50 = 0), " +

@@ -168,6 +168,70 @@ object TrainingOps {
       .filter(col("jaccard") >= 0.4)
   }
 
+  /** Duplicate-CLUSTER resolution — the step production dedup pipelines
+    * run after pair generation: pairs alone don't say which rows to keep
+    * once near-duplicity chains (A~B, B~C but never A~C as a pair).
+    * Builds the duplicate graph over exact-dedup representatives (edges =
+    * the jaccard-verified near-dup pairs from [[jaccardVerify]]), finds
+    * connected components, and expands back through the exact-dup groups:
+    * every document gets `(cluster_id, cluster_size, is_keeper)` where
+    * `cluster_id` is the minimum doc_id of its component (so the keeper
+    * is a real document) and `is_keeper` marks exactly one row per
+    * cluster.
+    *
+    * Algorithm: iterative min-label propagation to a fixpoint —
+    * per round, one join of the (id, lbl) label table against the
+    * symmetric edge list and a min-aggregate; convergence is detected by
+    * the strictly-decreasing label sum (one tiny agg action per round),
+    * and the fixpoint is the exact component minimum, independent of
+    * iteration order. Rounds needed = graph diameter; near-dup components
+    * are dense families with tiny diameters (the [[MaxBandBucket]] cap
+    * also bounds banding fan-in), so the cap of `maxIters` is a safety
+    * net — on adversarial long-chain graphs switch to large-star/
+    * small-star (Kiveris et al.), same per-round join shape.
+    *
+    * Scale: the label and edge tables carry only (long, long) rows —
+    * never the documents; each round shuffles labels once on id; the
+    * doc→rep expansion is the same md5-keyed shuffle as [[dedupExact]];
+    * AQE absorbs component skew in the final size join.
+    */
+  def dupClusters(docs: DataFrame, maxBandBucket: Int = MaxBandBucket,
+      maxIters: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val docRep = docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .select("doc_id", "rep")
+    val pairs = jaccardVerify(docs, maxBandBucket).select("a", "b")
+    val sym = pairs
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .persist(lvl)
+    var labels = docRep.select(col("rep").as("id")).distinct()
+      .withColumn("lbl", col("id")).persist(lvl)
+    var lblSum = labels.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val viaEdges = labels.join(sym, labels("id") === sym("a"))
+        .select(col("b").as("id"), col("lbl"))
+      val next = labels.select("id", "lbl").union(viaEdges)
+        .groupBy("id").agg(min("lbl").as("lbl")).persist(lvl)
+      val nextSum = next.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+      converged = nextSum.compareTo(lblSum) == 0
+      labels.unpersist()
+      labels = next
+      lblSum = nextSum
+      it += 1
+    }
+    sym.unpersist()
+    val clustered = docRep
+      .join(labels.select(col("id").as("rep"), col("lbl").as("cluster_id")), "rep")
+      .select("doc_id", "cluster_id")
+    val sizes = clustered.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    clustered.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_keeper"))
+  }
+
   // ------------------------------------------------- similarity search
 
   /** Brute-force cosine top-k over the embedding column: every probe

@@ -184,6 +184,62 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dup clusters: partition the corpus, transitive over pairs, keeper = min id") {
+    val out = TrainingOps.dupClusters(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.length == docs.count())
+    val byCluster = out.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid, s"cluster $cid id is not its min doc_id")
+      assert(members.forall(_._3 == members.length), s"cluster $cid size column wrong")
+      assert(members.count(_._4) == 1 && members.find(_._4).get._1 == cid,
+        s"cluster $cid keeper flag wrong")
+    }
+    // transitivity: every verified near-dup pair landed in one cluster
+    val cidOf = out.map(m => m._1 -> m._2).toMap
+    TrainingOps.jaccardVerify(docs).collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(cidOf(a) == cidOf(b), s"pair ($a,$b) split across clusters")
+    }
+    // exact duplicates share a cluster with their representative
+    val repOf = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).values.flatMap { g =>
+        val rep = g.map(_._1).min; g.map(d => d._1 -> rep)
+      }.toMap
+    out.foreach { case (id, cid, _, _) =>
+      assert(cidOf(repOf(id)) == cid, s"doc $id not clustered with its exact rep")
+    }
+  }
+
+  test("dup clusters: a near-dup chain A~B~C plus exact dups collapse to one cluster (synthetic)") {
+    val s = spark
+    import s.implicits._
+    val base = (0 until 30).map(i => s"word$i")
+    def shifted(by: Int): String =
+      base.drop(by).mkString(" ") + " " + (0 until by).map(i => s"extra$by-$i").mkString(" ")
+    val synth = (Seq(
+      (1L, base.mkString(" ")),        // A
+      (2L, shifted(2)),                // B: heavy shingle overlap with A
+      (3L, shifted(4)),                // C: overlaps B (and A) — chain closes
+      (4L, base.mkString(" ")),        // exact dup of A
+      (9L, "unrelated words entirely different content here now")
+    ) ++ (100 until 110).map(i => (i.toLong, (0 until 8).map(j => s"tail$i-$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    // precondition: LSH+jaccard actually produced chain edges
+    val pairSet = TrainingOps.jaccardVerify(synth).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet.exists(p => Set(p._1, p._2).subsetOf(Set(1L, 2L, 3L))),
+      s"expected near-dup pairs among {1,2,3}, got $pairSet")
+    val out = TrainingOps.dupClusters(synth).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val cidOf = out.map(m => m._1 -> m._2).toMap
+    assert(cidOf(1L) == 1L && cidOf(2L) == 1L && cidOf(3L) == 1L && cidOf(4L) == 1L,
+      s"chain + exact dup must collapse to cluster 1: $cidOf")
+    assert(cidOf(9L) == 9L, "doc 9 must be its own singleton cluster")
+    assert(out.find(_._1 == 4L).get._3 == 4L, "cluster {1,2,3,4} size must be 4")
+    assert(out.find(_._1 == 9L).get._3 == 1L)
+  }
+
   test("embedding-cosine near-dup: bucketed candidates, exact scores, threshold monotone") {
     val all = TrainingOps.embCosinePairs(embs, minCos = -1.0).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
