@@ -53,6 +53,14 @@ object PlanCheck {
     TrainingOps.embCosinePairs(spark.read.parquet(s"$sf/embeddings.parquet"))
       .explain("formatted")
 
+    println("==== 8. d9 IVF top-k: cell-restricted broadcast join, no cartesian ====")
+    TrainingOps.annIvfTopK(spark.read.parquet(s"$sf/embeddings.parquet"))
+      .explain("formatted")
+
+    println("==== 9. d10 dup clusters: (long,long) label/size joins only ====")
+    TrainingOps.dupClusters(spark.read.parquet(s"$sf/documents.parquet"))
+      .explain("formatted")
+
     spark.stop()
   }
 }
