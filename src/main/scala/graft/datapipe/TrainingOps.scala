@@ -197,35 +197,48 @@ object TrainingOps {
     */
   def dupClusters(docs: DataFrame, maxBandBucket: Int = MaxBandBucket,
       maxIters: Int = 20): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val docRep = docs.select(col("doc_id"), md5(col("text")).as("h"))
       .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(col("h"))))
       .select("doc_id", "rep")
     val pairs = jaccardVerify(docs, maxBandBucket).select("a", "b")
+    // localCheckpoint (eager) rather than persist: an iterative algorithm
+    // must TRUNCATE lineage, not just cache it — with plain persist every
+    // round nests the whole upstream LSH plan again and Catalyst replans
+    // a few-hundred-node tree per action (measured: ~5 s of pure planning
+    // per count at sf0.001, growing with rounds). After the checkpoint the
+    // edge/label tables are plan LEAVES. On a multi-executor cluster use
+    // setCheckpointDir + checkpoint() for the same truncation with
+    // fault-tolerant storage.
     val sym = pairs
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .persist(lvl)
-    var labels = docRep.select(col("rep").as("id")).distinct()
-      .withColumn("lbl", col("id")).persist(lvl)
-    var lblSum = labels.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+      .localCheckpoint(true)
+    // iterate ONLY over the active subgraph (nodes with >= 1 edge): on a
+    // crawl corpus the pair graph is orders of magnitude smaller than the
+    // rep set, and every isolated rep trivially keeps its identity label
+    // (re-attached by the final left join) — so each propagation round
+    // joins tables sized by the near-dup population, not the corpus
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint(true)
+    var lblSum = Option(labels.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0))
+      .getOrElse(java.math.BigDecimal.ZERO)
     var it = 0
-    var converged = false
+    var converged = lblSum.signum() == 0 && labels.isEmpty
     while (!converged && it < maxIters) {
       val viaEdges = labels.join(sym, labels("id") === sym("a"))
         .select(col("b").as("id"), col("lbl"))
       val next = labels.select("id", "lbl").union(viaEdges)
-        .groupBy("id").agg(min("lbl").as("lbl")).persist(lvl)
+        .groupBy("id").agg(min("lbl").as("lbl")).localCheckpoint(true)
       val nextSum = next.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
       converged = nextSum.compareTo(lblSum) == 0
-      labels.unpersist()
       labels = next
       lblSum = nextSum
       it += 1
     }
-    sym.unpersist()
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[dupClusters] iterations=$it converged=$converged")
     val clustered = docRep
-      .join(labels.select(col("id").as("rep"), col("lbl").as("cluster_id")), "rep")
-      .select("doc_id", "cluster_id")
+      .join(labels.select(col("id").as("rep"), col("lbl").as("cl")), Seq("rep"), "left")
+      .select(col("doc_id"), coalesce(col("cl"), col("rep")).as("cluster_id"))
     val sizes = clustered.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     clustered.join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
