@@ -196,11 +196,14 @@ object TrainingOps {
     * AQE absorbs component skew in the final size join.
     */
   def dupClusters(docs: DataFrame, maxBandBucket: Int = MaxBandBucket,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20, precomputedPairs: Option[DataFrame] = None): DataFrame = {
     val docRep = docs.select(col("doc_id"), md5(col("text")).as("h"))
       .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(col("h"))))
       .select("doc_id", "rep")
-    val pairs = jaccardVerify(docs, maxBandBucket).select("a", "b")
+    // a pipeline that already ran the verify phase (d4) passes its (a, b)
+    // pairs here instead of paying the LSH+jaccard pass a second time
+    val pairs = precomputedPairs.map(_.select("a", "b"))
+      .getOrElse(jaccardVerify(docs, maxBandBucket).select("a", "b"))
     // localCheckpoint (eager) rather than persist: an iterative algorithm
     // must TRUNCATE lineage, not just cache it — with plain persist every
     // round nests the whole upstream LSH plan again and Catalyst replans

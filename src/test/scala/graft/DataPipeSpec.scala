@@ -209,6 +209,12 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     out.foreach { case (id, cid, _, _) =>
       assert(cidOf(repOf(id)) == cid, s"doc $id not clustered with its exact rep")
     }
+    // injecting precomputed pairs must give the identical clustering
+    val injected = TrainingOps.dupClusters(docs,
+        precomputedPairs = Some(TrainingOps.jaccardVerify(docs)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(injected.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq,
+      "precomputed-pairs path diverged from the standalone path")
   }
 
   test("dup clusters: a near-dup chain A~B~C plus exact dups collapse to one cluster (synthetic)") {
