@@ -181,6 +181,24 @@ object SparkEntry {
           (r.url, re.text, re.pages)
         }.toDF("url", "rt_text", "pdf_pages")
     }),
+    // par 2.4 row 22 (time dimension): requests by (event-time window,
+    // engine, status) — the Prometheus time series as a windowed agg;
+    // results re-join the pages table for warc_ts (ResultRow carries no
+    // event time by design — it's an ingest property, not an extraction
+    // output). Batch here; the streaming twin (same plan + watermark)
+    // is pinned by StreamingSpec.
+    "e17_windowed_counts" -> ((s, dir) => {
+      // (url, warc_ts) straight from doc_id (mirrors PagesGen.urlOf/row)
+      // instead of re-generating payload bytes for a 2-column join side
+      val pages = docs(s, dir).select(
+        concat(lit("https://"),
+          when(col("doc_id") % 10 < 3, lit("big.example.com"))
+            .otherwise(concat(lit("h"), col("doc_id") % 97, lit(".example.com"))),
+          lit("/doc/"), col("doc_id")).as("url"),
+        (col("doc_id") + lit(PagesGen.Epoch / 1000L)).cast("timestamp").as("warc_ts"))
+      MetricsStage.windowedStatusCounts(
+        extracted(s, dir, "all").toDF().join(pages, "url"))
+    }),
     // par 2.10 scalar functions: host parse (regexp) + per-host counts —
     // the skew-observability aggregate (FIXTURES.md par 1: one host
     // carries ~30% of urls)
@@ -269,6 +287,12 @@ object SparkEntry {
           "SELECT 'html' AS engine, CASE WHEN CAST(ceil(len(w)/40.0) AS BIGINT) >= " +
           "(CASE WHEN doc_id % 4 = 1 THEN 4 ELSE 3 END) THEN 'timeout' ELSE 'ok' END AS status, " +
           "count(*) AS n FROM d GROUP BY 1, 2"),
+      "e17_windowed_counts" ->
+        (s"WITH d AS (SELECT doc_id, $kindCase AS kind FROM documents) " +
+          "SELECT CAST(floor((1767225600 + doc_id) / 600) * 600 AS BIGINT) AS win_start, " +
+          "CASE kind WHEN 'pdf' THEN 'pdf' WHEN 'html' THEN 'html' ELSE 'none' END AS engine, " +
+          "CASE kind WHEN 'junk' THEN 'rejected_format' WHEN 'oversize' THEN 'rejected_size' ELSE 'ok' END AS status, " +
+          "count(*) AS n FROM d GROUP BY 1, 2, 3"),
       "e12_duration_metrics" ->
         (s"WITH d AS (SELECT $kindCase AS kind FROM documents) " +
           "SELECT CASE kind WHEN 'pdf' THEN 'pdf' WHEN 'html' THEN 'html' ELSE 'none' END AS engine, " +

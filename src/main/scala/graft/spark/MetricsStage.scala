@@ -46,6 +46,25 @@ object MetricsStage {
   def timeouts(results: Dataset[ResultRow]): DataFrame =
     results.filter(col("status") === "timeout").groupBy("engine").agg(count(lit(1)).as("n"))
 
+  /** Time-series counters: requests by (event-time window, engine, status)
+    * — the scrape-interval dimension of the reference's Prometheus counters
+    * (metrics.py:63-67 sampled over time) re-expressed as an event-time
+    * windowed aggregate over `warc_ts`. The SAME declarative plan runs
+    * batch and streaming: pass `watermark` in streaming mode so append
+    * output emits each window exactly once (when the watermark passes its
+    * end) and closed-window state is dropped — an unbounded stream holds
+    * O(open windows) state, not O(history). Windows align to the epoch, so
+    * `win_start` is SQL-reproducible as floor(epoch_s / window) * window.
+    */
+  def windowedStatusCounts(results: DataFrame, windowDur: String = "10 minutes",
+      watermark: Option[String] = None): DataFrame = {
+    val src = watermark.map(d => results.withWatermark("warc_ts", d)).getOrElse(results)
+    src.groupBy(window(col("warc_ts"), windowDur), col("engine"), col("status"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("engine"), col("status"), col("n"))
+  }
+
   /** Persist the run's metrics next to the table (parity with /metrics). */
   def write(results: Dataset[ResultRow], root: String, runId: String)(implicit spark: SparkSession): Unit = {
     statusCounts(results).withColumn("run_id", lit(runId))

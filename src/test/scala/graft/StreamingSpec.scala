@@ -131,4 +131,54 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // empty table: readAll yields an empty frame, not an exception
     assert(StreamingExtract.readAll(spark, tmpDir("stream-empty")).count() == 0)
   }
+
+  test("streaming: windowed status counts emit once per closed window; late rows dropped") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    spark.sparkContext.setLogLevel("WARN")
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def ts(min: Int) = new java.sql.Timestamp(PagesGen.Epoch + min * 60000L)
+    val mem = MemoryStream[(java.sql.Timestamp, String, String)]
+    val counts = MetricsStage.windowedStatusCounts(
+      mem.toDF().toDF("warc_ts", "engine", "status"),
+      windowDur = "10 minutes", watermark = Some("5 minutes"))
+    val q = counts.writeStream.format("memory").queryName("wincounts")
+      .outputMode("append").start()
+    def table() = spark.table("wincounts")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2))
+
+    try {
+      // all rows inside the first 10-min window; watermark (3 - 5 min < 0)
+      // hasn't passed its end -> append emits nothing yet
+      mem.addData((ts(1), "html", "ok"), (ts(2), "html", "ok"), (ts(3), "pdf", "ok"))
+      q.processAllAvailable()
+      assert(table().isEmpty, "open window must not emit in append mode")
+
+      // event time jumps to 20 min -> watermark 15 min closes [0, 10)
+      mem.addData((ts(20), "html", "ok"))
+      q.processAllAvailable()
+      mem.addData((ts(21), "html", "ok")) // one more batch so the advanced watermark is applied
+      q.processAllAvailable()
+      val epochS = PagesGen.Epoch / 1000
+      assert(table().toSeq == Seq((epochS, "html", "ok", 2L), (epochS, "pdf", "ok", 1L)),
+        s"closed [0,10) windows must emit exactly once, got ${table().toSeq}")
+
+      // a row 13+ min below the watermark is dropped, not re-aggregated:
+      // advancing event time further must close [20, 30) WITHOUT the late row
+      mem.addData((ts(2), "html", "ok")) // too late for [0, 10)
+      q.processAllAvailable()
+      mem.addData((ts(40), "html", "ok"))
+      q.processAllAvailable()
+      mem.addData((ts(41), "html", "ok"))
+      q.processAllAvailable()
+      val out = table().toSeq
+      assert(out.count(_._1 == epochS) == 2 && out.filter(_._1 == epochS).map(_._4).sum == 3,
+        s"late row must not reopen or re-emit [0,10): $out")
+      assert(out.contains((epochS + 1200, "html", "ok", 2L)),
+        s"[20,30) must close with its two on-time rows: $out")
+    } finally q.stop()
+  }
 }
