@@ -61,6 +61,9 @@ object PlanCheck {
     TrainingOps.dupClusters(spark.read.parquet(s"$sf/documents.parquet"))
       .explain("formatted")
 
+    println("==== 10. e17 windowed counts: 2-col event-time side, pruned join ====")
+    SparkEntry.queries("e17_windowed_counts")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
