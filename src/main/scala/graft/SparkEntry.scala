@@ -188,14 +188,11 @@ object SparkEntry {
     // output). Batch here; the streaming twin (same plan + watermark)
     // is pinned by StreamingSpec.
     "e17_windowed_counts" -> ((s, dir) => {
-      // (url, warc_ts) straight from doc_id (mirrors PagesGen.urlOf/row)
+      // (url, warc_ts) straight from doc_id via PagesGen's Column twins
       // instead of re-generating payload bytes for a 2-column join side
       val pages = docs(s, dir).select(
-        concat(lit("https://"),
-          when(col("doc_id") % 10 < 3, lit("big.example.com"))
-            .otherwise(concat(lit("h"), col("doc_id") % 97, lit(".example.com"))),
-          lit("/doc/"), col("doc_id")).as("url"),
-        (col("doc_id") + lit(PagesGen.Epoch / 1000L)).cast("timestamp").as("warc_ts"))
+        PagesGen.urlCol(col("doc_id")).as("url"),
+        PagesGen.warcTsCol(col("doc_id")).as("warc_ts"))
       MetricsStage.windowedStatusCounts(
         extracted(s, dir, "all").toDF().join(pages, "url"))
     }),

@@ -50,8 +50,18 @@ object PdfRender {
     math.max(1, (blocks.length + BlocksPerPage - 1) / BlocksPerPage)
   }
 
-  private def blocksOf(text: String): Array[String] =
+  /** The round-trip identity holds only for CANONICAL extraction text
+    * (blocks joined by single `\n`, no empty blocks — what
+    * [[Canonicalizer]] emits). Empty blocks cannot be represented in the
+    * rendered layout (a block is >= 1 line), so rather than silently
+    * dropping them and returning a lossy round trip, reject the input.
+    */
+  private def blocksOf(text: String): Array[String] = {
+    require(!text.startsWith("\n") && !text.endsWith("\n") && !text.contains("\n\n"),
+      "PdfRender expects canonical extraction text (single-\\n block joins, " +
+        "no empty/leading/trailing blocks); empty blocks would not survive the round trip")
     text.split("\n").filter(_.nonEmpty)
+  }
 
   private def esc(s: String): String = {
     val sb = new StringBuilder(s.length + 8)

@@ -90,7 +90,15 @@ object TrainingOps {
     * so the join shuffles only surviving (band, 16-byte bv) keys and no
     * single key can explode.
     */
-  private def bandedPairs(sets: DataFrame, maxBandBucket: Int): DataFrame = {
+  private def bandedPairs(sets: DataFrame, maxBandBucket: Int): DataFrame =
+    bandedPairsCached(sets, maxBandBucket)._1
+
+  /** As [[bandedPairs]], also returning the internally-persisted frames so
+    * an iterative caller ([[dupClusters]]) can release them once it has
+    * checkpointed the pair list — otherwise the band cache stays pinned in
+    * executor storage memory for the whole downstream job.
+    */
+  private def bandedPairsCached(sets: DataFrame, maxBandBucket: Int): (DataFrame, Seq[DataFrame]) = {
     val sigs = 12
     val bandRows = 3
     val bands = sigs / bandRows
@@ -115,11 +123,12 @@ object TrainingOps {
       .filter(col("bn") >= 2 && col("bn") <= maxBandBucket)
       .select("band", "bv")
     val pruned = banded.join(surviving, Seq("band", "bv"))
-    pruned.as("x").join(pruned.as("y"),
+    val out = pruned.as("x").join(pruned.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
+    (out, Seq(banded))
   }
 
   /** MinHash+LSH near-duplicate candidate pairs over DISTINCT texts
@@ -157,15 +166,24 @@ object TrainingOps {
     * (r1 bench: recomputation made d4 cost ~2x d2). At cluster scale the
     * persist becomes a checkpoint into the lakehouse; the shape is the same.
     */
-  def jaccardVerify(docs: DataFrame, maxBandBucket: Int = MaxBandBucket): DataFrame = {
+  def jaccardVerify(docs: DataFrame, maxBandBucket: Int = MaxBandBucket): DataFrame =
+    jaccardVerifyCached(docs, maxBandBucket)._1
+
+  /** As [[jaccardVerify]], also returning the internally-persisted frames
+    * (shingle sets + band table) for callers that checkpoint the result
+    * and want the caches released (see [[bandedPairsCached]]).
+    */
+  private def jaccardVerifyCached(docs: DataFrame, maxBandBucket: Int): (DataFrame, Seq[DataFrame]) = {
     val sets = repSets(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    bandedPairs(sets, maxBandBucket)
+    val (pairs, caches) = bandedPairsCached(sets, maxBandBucket)
+    val out = pairs
       .join(sets.select(col("doc_id").as("a"), col("s").as("sa")), "a")
       .join(sets.select(col("doc_id").as("b"), col("s").as("sb")), "b")
       .select(col("a"), col("b"),
         round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
           size(array_union(col("sa"), col("sb"))), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.4)
+    (out, sets +: caches)
   }
 
   /** Duplicate-CLUSTER resolution — the step production dedup pipelines
@@ -202,8 +220,12 @@ object TrainingOps {
       .select("doc_id", "rep")
     // a pipeline that already ran the verify phase (d4) passes its (a, b)
     // pairs here instead of paying the LSH+jaccard pass a second time
-    val pairs = precomputedPairs.map(_.select("a", "b"))
-      .getOrElse(jaccardVerify(docs, maxBandBucket).select("a", "b"))
+    val (pairs, verifyCaches) = precomputedPairs match {
+      case Some(p) => (p.select("a", "b"), Seq.empty[DataFrame])
+      case None =>
+        val (vp, cs) = jaccardVerifyCached(docs, maxBandBucket)
+        (vp.select("a", "b"), cs)
+    }
     // localCheckpoint (eager) rather than persist: an iterative algorithm
     // must TRUNCATE lineage, not just cache it — with plain persist every
     // round nests the whole upstream LSH plan again and Catalyst replans
@@ -212,9 +234,15 @@ object TrainingOps {
     // edge/label tables are plan LEAVES. On a multi-executor cluster use
     // setCheckpointDir + checkpoint() for the same truncation with
     // fault-tolerant storage.
-    val sym = pairs
-      .union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint(true)
+    // Checkpoint BEFORE symmetrizing: a union of two copies of the
+    // un-checkpointed plan would execute the whole verify tree twice
+    // (no CSE across union branches); after the checkpoint the flipped
+    // copy is a projection of a leaf. The verify-phase caches are dead
+    // once the checkpoint has materialized — release the storage memory
+    // before the propagation rounds.
+    val p0 = pairs.localCheckpoint(true)
+    verifyCaches.foreach(_.unpersist(false))
+    val sym = p0.union(p0.select(col("b").as("a"), col("a").as("b")))
     // iterate ONLY over the active subgraph (nodes with >= 1 edge): on a
     // crawl corpus the pair graph is orders of magnitude smaller than the
     // rep set, and every isolated rep trivially keeps its identity label
@@ -237,8 +265,15 @@ object TrainingOps {
       lblSum = nextSum
       it += 1
     }
-    if (sys.env.contains("GRAFT_CC_DEBUG"))
-      System.err.println(s"[dupClusters] iterations=$it converged=$converged")
+    if (!converged)
+      // non-convergence means one true component may carry SPLIT labels
+      // (and a cluster whose id points into another cluster has no keeper
+      // row) — surface it always, not only under the debug flag
+      System.err.println(s"[dupClusters] WARNING: stopped at maxIters=$maxIters " +
+        "before label fixpoint; cluster ids may split components — raise maxIters " +
+        "or switch to star-contraction rounds for long-chain graphs")
+    else if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[dupClusters] iterations=$it converged=true")
     val clustered = docRep
       .join(labels.select(col("id").as("rep"), col("lbl").as("cl")), Seq("rep"), "left")
       .select(col("doc_id"), coalesce(col("cl"), col("rep")).as("cluster_id"))

@@ -1,7 +1,8 @@
 package graft.gen
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{Column, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.spark.PageRow
 
 /** Deterministic pages-table synthesis (FIXTURES.md par 1) seeded from the
@@ -37,6 +38,20 @@ object PagesGen {
     if (docId % 10 < 3) "big.example.com" else s"h${docId % 97}.example.com"
 
   def urlOf(docId: Long): String = s"https://${hostOf(docId)}/doc/$docId"
+
+  /** Column twins of [[hostOf]]/[[urlOf]] and [[row]]'s `warc_ts` — the ONE
+    * Catalyst mirror of the row contract, for queries that need
+    * (url, warc_ts) from doc_id without paying payload generation (e17's
+    * join side). Any change to hostOf/urlOf/Epoch must change these too.
+    */
+  def urlCol(docId: Column): Column =
+    concat(lit("https://"),
+      when(docId % 10 < 3, lit("big.example.com"))
+        .otherwise(concat(lit("h"), docId % 97, lit(".example.com"))),
+      lit("/doc/"), docId)
+
+  def warcTsCol(docId: Column): Column =
+    (docId + lit(Epoch / 1000L)).cast("timestamp")
 
   def isDup(docId: Long): Boolean = docId % 20 == 3
 

@@ -56,6 +56,13 @@ class PdfRenderSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("non-canonical text (empty blocks) is rejected, not silently lossy") {
+    Seq("a\n\nb", "\na", "a\n").foreach { bad =>
+      intercept[IllegalArgumentException](PdfRender.render(bad))
+      intercept[IllegalArgumentException](PdfRender.pagesFor(bad))
+    }
+  }
+
   test("page count formula: ceil(blocks/10), min 1, blocks never split across pages") {
     assert(rt("")._2 == 1 && PdfRender.pagesFor("") == 1)
     assert(rt("")._1 == "")
