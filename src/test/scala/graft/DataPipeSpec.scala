@@ -246,6 +246,22 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.find(_._1 == 9L).get._3 == 1L)
   }
 
+  test("dup clusters: long chain converges to one component via precomputed pairs") {
+    val s = spark
+    import s.implicits._
+    // a 30-node path graph P30 (diameter 29 > default maxIters=20):
+    // min-label propagation moves the min one hop per round, so this
+    // pins both the precomputedPairs path and the deep-convergence case
+    val n = 30
+    val docsDf = (0 until n).map(i => (i.toLong + 1, s"chain text $i")).toDF("doc_id", "text")
+    val pairsDf = (0 until n - 1).map(i => (i.toLong + 1, i.toLong + 2)).toDF("a", "b")
+    val out = TrainingOps.dupClusters(docsDf, precomputedPairs = Some(pairsDf), maxIters = n + 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.forall(_._2 == 1L), s"all $n chain nodes must share cluster 1: ${out.toSeq.sortBy(_._1)}")
+    assert(out.forall(_._3 == n.toLong))
+    assert(out.count(_._4) == 1 && out.find(_._4).get._1 == 1L, "exactly one keeper, the min id")
+  }
+
   test("embedding-cosine near-dup: bucketed candidates, exact scores, threshold monotone") {
     val all = TrainingOps.embCosinePairs(embs, minCos = -1.0).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
