@@ -221,10 +221,26 @@ object SparkEntry {
     "d8_dedup_embedding" -> ((s, dir) => TrainingOps.embCosinePairs(embs(s, dir))),
     "d9_ann_ivf_topk" -> ((s, dir) => TrainingOps.annIvfTopK(embs(s, dir))),
     "d10_dup_clusters" -> ((s, dir) => TrainingOps.dupClusters(docs(s, dir))),
+    "d11_paragraph_dedup" -> ((s, dir) => TrainingOps.paragraphDedup(docs(s, dir))),
     "t1_lang_id" -> ((s, dir) => TrainingOps.langId(docs(s, dir))),
     "t2_quality_score" -> ((s, dir) => TrainingOps.qualityScore(docs(s, dir))),
     "t3_token_counts" -> ((s, dir) => TrainingOps.tokenCounts(docs(s, dir))),
     "t4_fingerprint" -> ((s, dir) => TrainingOps.fingerprint(docs(s, dir))),
+    // PII detection over a deterministically PII-augmented corpus: the
+    // raw word-soup corpus contains no PII, so (like pagesOf) the query
+    // synthesizes the sensitive substrings from doc_id — the oracle
+    // mirrors the augmentation, making the counts non-trivial
+    "t5_pii" -> ((s, dir) => {
+      val aug = docs(s, dir).select(col("doc_id"), concat(
+        col("text"), lit(" contact user"), col("doc_id"),
+        lit("@mail.example.com or admin@h"), col("doc_id") % 97,
+        lit(".example.org ip 10."), col("doc_id") % 256,
+        lit(".0.1 tel +1-555-"), (col("doc_id") % 9000 + 1000),
+        when(col("doc_id") % 3 === 0, lit(" dup@example.com")).otherwise(lit(""))
+      ).as("text"))
+      TrainingOps.piiStats(aug)
+    }),
+    "t6_repetition" -> ((s, dir) => TrainingOps.repetitionStats(docs(s, dir))),
     "m1_binary_features" -> ((s, dir) => TrainingOps.binaryFeatures(s, docs(s, dir))),
     "m2_frame_sample" -> ((s, dir) => TrainingOps.frameSample(s, docs(s, dir))),
   )
@@ -529,6 +545,47 @@ object SparkEntry {
           "sqrt(list_sum(list_transform(range(len(eb.v)), i -> eb.v[i+1]*eb.v[i+1])))), 6) AS cos " +
           "FROM p JOIN e ea ON ea.vec_id = p.a JOIN e eb ON eb.vec_id = p.b2) " +
           "WHERE cos >= 0.1"),
+      // paragraph-level cross-doc dedup: 8-word windows, keep = the
+      // corpus-first occurrence of the content by (doc_id, idx) — the
+      // window rn=1 is exactly Spark's min(struct(doc_id, idx)) rule
+      "d11_paragraph_dedup" ->
+        (s"WITH d AS (SELECT doc_id, $w AS w FROM documents WHERE len($w) >= 1), " +
+          "u AS (SELECT doc_id, unnest(list_transform(range(CAST(ceil(len(w)/8.0) AS BIGINT)), " +
+          "i -> {'idx': CAST(i AS BIGINT), " +
+          "'para': array_to_string(w[i*8+1:least((i+1)*8, len(w))], ' ')})) AS s FROM d), " +
+          "c AS (SELECT doc_id, s.idx AS idx, s.para AS para FROM u), " +
+          "k AS (SELECT doc_id, idx, para, " +
+          "row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, idx) AS rn FROM c) " +
+          "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras, " +
+          "CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept, " +
+          "md5(coalesce(string_agg(para, ' ' ORDER BY idx) FILTER (WHERE rn = 1), '')) AS clean_md5 " +
+          "FROM k GROUP BY doc_id"),
+      // PII counts over the same deterministic augmentation as the query;
+      // patterns are the shared Java/RE2 subset (TrainingOps.emailRe etc.)
+      "t5_pii" ->
+        ("WITH a AS (SELECT doc_id, text || ' contact user' || doc_id || " +
+          "'@mail.example.com or admin@h' || (doc_id % 97) || '.example.org ip 10.' || " +
+          "(doc_id % 256) || '.0.1 tel +1-555-' || (doc_id % 9000 + 1000) || " +
+          "CASE WHEN doc_id % 3 = 0 THEN ' dup@example.com' ELSE '' END AS text " +
+          "FROM documents WHERE length(text) >= 1), " +
+          "c AS (SELECT doc_id, " +
+          "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails, " +
+          "CAST(len(regexp_extract_all(text, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS INT) AS n_ipv4, " +
+          "CAST(len(regexp_extract_all(text, '\\+[0-9]{1,3}-[0-9]{3,4}-[0-9]{4}')) AS INT) AS n_phones FROM a) " +
+          "SELECT doc_id, n_emails, n_ipv4, n_phones, " +
+          "(n_emails + n_ipv4 + n_phones) > 0 AS has_pii FROM c"),
+      // repetition stats: top-word fraction, duplicate 3-gram fraction,
+      // duplicate 8-word-paragraph fraction — mirrors repetitionStats
+      "t6_repetition" ->
+        (s"WITH f AS (SELECT doc_id, $w AS w FROM documents WHERE len($w) >= 1), " +
+          "g AS (SELECT doc_id, w, len(w) AS n, " +
+          s"CASE WHEN len(w) >= 3 THEN $sh3 ELSE []::VARCHAR[] END AS g3, " +
+          "list_transform(range(CAST(ceil(len(w)/8.0) AS BIGINT)), i -> " +
+          "array_to_string(w[i*8+1:least((i+1)*8, len(w))], ' ')) AS pp FROM f) " +
+          "SELECT doc_id, CAST(n AS INT) AS n_words, " +
+          "round(list_max(list_transform(list_distinct(w), x -> len(list_filter(w, y -> y = x))))::DOUBLE / n, 4) AS top_word_frac, " +
+          "round(CASE WHEN len(g3) >= 1 THEN (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3) ELSE 0.0 END, 4) AS dup_3gram_frac, " +
+          "round((len(pp) - len(list_distinct(pp)))::DOUBLE / len(pp), 4) AS dup_para_frac FROM g"),
       "t1_lang_id" ->
         (s"WITH f AS (SELECT doc_id, $w AS w FROM documents WHERE len($w) >= 1), " +
           "sc AS (SELECT doc_id, CAST(len(w) AS INT) AS n_words, " +

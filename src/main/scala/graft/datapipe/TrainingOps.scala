@@ -283,6 +283,56 @@ object TrainingOps {
         (col("doc_id") === col("cluster_id")).as("is_keeper"))
   }
 
+  /** Paragraph-level cross-document dedup — the CCNet/RefinedWeb-style
+    * pass that removes boilerplate shared BETWEEN documents (cookie
+    * banners, footers, mirrored intros) that document-level dedup can't
+    * see. "Paragraphs" are fixed windows of `paraWords` words (this
+    * corpus carries no newline structure; on real text split on \n\n
+    * first — the shape below is identical). An occurrence is KEPT iff it
+    * is the corpus-first occurrence of its content, by (doc_id, idx)
+    * order — a deterministic, order-independent rule (the min over a
+    * group), unlike the seen-before streaming rule it replaces. Output
+    * per document: paragraph counts and the md5 of the re-joined kept
+    * text (an exact duplicate of an earlier document keeps nothing:
+    * n_kept = 0, clean_md5 = md5('')).
+    *
+    * Scale: two shuffles, both on small keys — (16-byte md5) for the
+    * first-occurrence group/join (one row per DISTINCT paragraph on the
+    * build side; a boilerplate paragraph occurring billions of times is
+    * one hot join key that AQE's skew split absorbs), then doc_id for
+    * reassembly. Paragraph text rides the shuffles once; at 100 TB you'd
+    * pre-project (ph, doc_id, idx) for the membership pass and re-join
+    * paragraphs by (doc_id, idx) from the source scan instead.
+    */
+  def paragraphDedup(docs: DataFrame, paraWords: Int = 8): DataFrame = {
+    require(paraWords > 0, "paraWords must be positive")
+    val chunkArr = transform(
+      sequence(lit(0), floor((size(col("w")) - 1) / lit(paraWords)).cast("int")),
+      i => concat_ws(" ", slice(col("w"), i * paraWords + 1, lit(paraWords))))
+    // persisted: the totals agg, the first-occurrence agg, and the join
+    // probe side all read it — without the cache each would re-run the
+    // split/chunk pipeline from the scan
+    val chunks = docs.select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 1)
+      .select(col("doc_id"), posexplode(chunkArr).as(Seq("idx", "para")))
+      .withColumn("ph", md5(col("para")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val firsts = chunks.groupBy("ph")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
+    val kept = chunks.join(firsts, "ph")
+      .filter(col("doc_id") === col("first.doc_id") && col("idx") === col("first.idx"))
+    val totals = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_paras"))
+    val keptAgg = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      md5(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("idx"), col("para")))),
+          x => x.getField("para")))).as("clean_md5"))
+    totals.join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+  }
+
   // ------------------------------------------------- similarity search
 
   /** Brute-force cosine top-k over the embedding column: every probe
@@ -581,6 +631,66 @@ object TrainingOps {
       size(words(col("text"))).as("ws_tokens"),
       size(regexp_extract_all(col("text"),
         lit("[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f\\x0B]"), lit(0))).as("re_tokens"))
+
+  /** PII-pattern regexes — the shared Java-regex/RE2 subset (explicit
+    * character classes, bounded quantifiers, no `\b`/`\s`/backreferences:
+    * both engines resolve these patterns leftmost-first to identical
+    * non-overlapping match sets). Swap in jurisdiction-specific packs at
+    * deployment; the counting shape below is the part that scales.
+    */
+  private[datapipe] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[datapipe] val ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  private[datapipe] val phoneRe = "\\+[0-9]{1,3}-[0-9]{3,4}-[0-9]{4}"
+
+  /** PII / sensitive-pattern detection — the scrubbing pre-pass of a
+    * training-data pipeline: per-document counts of email-, IPv4- and
+    * phone-shaped substrings plus a has_pii routing flag. Pure per-row
+    * regexp_extract_all (codegen'd), no shuffle; the downstream redaction
+    * pass is regexp_replace over the same patterns.
+    */
+  def piiStats(docs: DataFrame): DataFrame = {
+    def n(re: String) = size(regexp_extract_all(col("text"), lit(re), lit(0)))
+    docs.filter(length(col("text")) >= 1)
+      .select(col("doc_id"),
+        n(emailRe).as("n_emails"), n(ipv4Re).as("n_ipv4"), n(phoneRe).as("n_phones"))
+      .withColumn("has_pii", (col("n_emails") + col("n_ipv4") + col("n_phones")) > 0)
+  }
+
+  /** Repetition-based quality stats (Gopher-class filters): the
+    * within-document repetition signals a pretraining pipeline thresholds
+    * on — top-word frequency fraction, duplicate 3-gram fraction, and
+    * duplicate paragraph fraction (fixed `paraWords`-word windows, the
+    * same paragraph convention as [[paragraphDedup]]). Pure per-row array
+    * expressions, no shuffle.
+    *
+    * top_word_frac is O(distinct x words) per row via filter-count over
+    * the distinct set — fine at web-document vocabulary (hundreds); for
+    * pathological documents switch to sort + run-length (O(n log n)),
+    * same result.
+    */
+  def repetitionStats(docs: DataFrame, paraWords: Int = 8): DataFrame = {
+    require(paraWords > 0, "paraWords must be positive")
+    val n = size(col("w"))
+    val g3 = when(n >= 3,
+      transform(sequence(lit(0), n - 3), i => concat_ws(" ", slice(col("w"), i + 1, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+    val pp = transform(sequence(lit(0), floor((n - 1) / lit(paraWords)).cast("int")),
+      i => concat_ws(" ", slice(col("w"), i * paraWords + 1, lit(paraWords))))
+    docs.select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 1)
+      .select(col("doc_id"), col("w"), g3.as("g3"), pp.as("pp"))
+      .select(
+        col("doc_id"),
+        size(col("w")).as("n_words"),
+        round(array_max(transform(array_distinct(col("w")), x =>
+          size(filter(col("w"), y => y === x)))).cast("double") / size(col("w")), 4)
+          .as("top_word_frac"),
+        round(when(size(col("g3")) >= 1,
+          (size(col("g3")) - size(array_distinct(col("g3")))).cast("double") / size(col("g3")))
+          .otherwise(0.0), 4).as("dup_3gram_frac"),
+        round((size(col("pp")) - size(array_distinct(col("pp")))).cast("double") / size(col("pp")), 4)
+          .as("dup_para_frac"))
+  }
 
   /** Winnowing document fingerprint (rolling-hash family): 4-word
     * shingle hashes, sliding window of 5, keep each window's minimum,
