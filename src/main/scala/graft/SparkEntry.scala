@@ -28,6 +28,28 @@ object SparkEntry {
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** PII detection/redaction over a deterministically PII-augmented
+    * corpus: the raw word-soup corpus contains no PII, so (like pagesOf)
+    * this synthesizes the sensitive substrings from doc_id — the oracle
+    * CTE [[piiAugSql]] mirrors it, making t5/t7 non-trivial.
+    */
+  private def piiAug(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), concat(
+      col("text"), lit(" contact user"), col("doc_id"),
+      lit("@mail.example.com or admin@h"), col("doc_id") % 97,
+      lit(".example.org ip 10."), col("doc_id") % 256,
+      lit(".0.1 tel +1-555-"), (col("doc_id") % 9000 + 1000),
+      when(col("doc_id") % 3 === 0, lit(" dup@example.com")).otherwise(lit(""))
+    ).as("text"))
+
+  /** DuckDB twin of [[piiAug]], shared by the t5/t7 oracles. */
+  private val piiAugSql: String =
+    "SELECT doc_id, text || ' contact user' || doc_id || " +
+      "'@mail.example.com or admin@h' || (doc_id % 97) || '.example.org ip 10.' || " +
+      "(doc_id % 256) || '.0.1 tel +1-555-' || (doc_id % 9000 + 1000) || " +
+      "CASE WHEN doc_id % 3 = 0 THEN ' dup@example.com' ELSE '' END AS text " +
+      "FROM documents WHERE length(text) >= 1"
+
   /** kind predicate mirrors PagesGen.kindOf (precedence junk > oversize >
     * pdf) and HtmlGen.familyOf for the html template families.
     */
@@ -230,16 +252,8 @@ object SparkEntry {
     // raw word-soup corpus contains no PII, so (like pagesOf) the query
     // synthesizes the sensitive substrings from doc_id — the oracle
     // mirrors the augmentation, making the counts non-trivial
-    "t5_pii" -> ((s, dir) => {
-      val aug = docs(s, dir).select(col("doc_id"), concat(
-        col("text"), lit(" contact user"), col("doc_id"),
-        lit("@mail.example.com or admin@h"), col("doc_id") % 97,
-        lit(".example.org ip 10."), col("doc_id") % 256,
-        lit(".0.1 tel +1-555-"), (col("doc_id") % 9000 + 1000),
-        when(col("doc_id") % 3 === 0, lit(" dup@example.com")).otherwise(lit(""))
-      ).as("text"))
-      TrainingOps.piiStats(aug)
-    }),
+    "t5_pii" -> ((s, dir) => TrainingOps.piiStats(piiAug(docs(s, dir)))),
+    "t7_pii_redact" -> ((s, dir) => TrainingOps.piiRedact(piiAug(docs(s, dir)))),
     "t6_repetition" -> ((s, dir) => TrainingOps.repetitionStats(docs(s, dir))),
     "m1_binary_features" -> ((s, dir) => TrainingOps.binaryFeatures(s, docs(s, dir))),
     "m2_frame_sample" -> ((s, dir) => TrainingOps.frameSample(s, docs(s, dir))),
@@ -563,17 +577,27 @@ object SparkEntry {
       // PII counts over the same deterministic augmentation as the query;
       // patterns are the shared Java/RE2 subset (TrainingOps.emailRe etc.)
       "t5_pii" ->
-        ("WITH a AS (SELECT doc_id, text || ' contact user' || doc_id || " +
-          "'@mail.example.com or admin@h' || (doc_id % 97) || '.example.org ip 10.' || " +
-          "(doc_id % 256) || '.0.1 tel +1-555-' || (doc_id % 9000 + 1000) || " +
-          "CASE WHEN doc_id % 3 = 0 THEN ' dup@example.com' ELSE '' END AS text " +
-          "FROM documents WHERE length(text) >= 1), " +
+        (s"WITH a AS ($piiAugSql), " +
           "c AS (SELECT doc_id, " +
           "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails, " +
           "CAST(len(regexp_extract_all(text, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS INT) AS n_ipv4, " +
           "CAST(len(regexp_extract_all(text, '\\+[0-9]{1,3}-[0-9]{3,4}-[0-9]{4}')) AS INT) AS n_phones FROM a) " +
           "SELECT doc_id, n_emails, n_ipv4, n_phones, " +
           "(n_emails + n_ipv4 + n_phones) > 0 AS has_pii FROM c"),
+      // PII redaction: sequential global replace email -> ipv4 -> phone,
+      // the same order as TrainingOps.piiRedact; replacements contain no
+      // digits or '@' so later passes can't match inside earlier tokens
+      "t7_pii_redact" ->
+        (s"WITH a AS ($piiAugSql) " +
+          "SELECT doc_id, md5(regexp_replace(regexp_replace(regexp_replace(text, " +
+          "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+          "'[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g'), " +
+          "'\\+[0-9]{1,3}-[0-9]{3,4}-[0-9]{4}', '<PHONE>', 'g')) AS red_md5, " +
+          "CAST(length(regexp_replace(regexp_replace(regexp_replace(text, " +
+          "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+          "'[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g'), " +
+          "'\\+[0-9]{1,3}-[0-9]{3,4}-[0-9]{4}', '<PHONE>', 'g')) AS INT) AS red_len " +
+          "FROM a"),
       // repetition stats: top-word fraction, duplicate 3-gram fraction,
       // duplicate 8-word-paragraph fraction — mirrors repetitionStats
       "t6_repetition" ->

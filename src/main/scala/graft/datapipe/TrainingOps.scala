@@ -656,6 +656,22 @@ object TrainingOps {
       .withColumn("has_pii", (col("n_emails") + col("n_ipv4") + col("n_phones")) > 0)
   }
 
+  /** PII redaction — the scrub pass paired with [[piiStats]]: global
+    * replace of each pattern family with a typed placeholder, applied in
+    * a fixed order (email -> ipv4 -> phone; placeholders contain no
+    * digits or '@', so later passes can't match inside earlier tokens).
+    * Emits md5 + length of the redacted text rather than the text itself
+    * (the bench/oracle contract); production callers redact in place
+    * with the same nested `regexp_replace`. Pure per-row codegen'd
+    * expressions, no shuffle.
+    */
+  def piiRedact(docs: DataFrame): DataFrame = {
+    val red = regexp_replace(regexp_replace(regexp_replace(col("text"),
+      emailRe, "<EMAIL>"), ipv4Re, "<IP>"), phoneRe, "<PHONE>")
+    docs.filter(length(col("text")) >= 1)
+      .select(col("doc_id"), md5(red).as("red_md5"), length(red).as("red_len"))
+  }
+
   /** Repetition-based quality stats (Gopher-class filters): the
     * within-document repetition signals a pretraining pipeline thresholds
     * on — top-word frequency fraction, duplicate 3-gram fraction, and

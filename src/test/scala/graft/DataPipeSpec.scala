@@ -323,6 +323,98 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("paragraph dedup: corpus-first occurrence kept, exact dup keeps nothing") {
+    val sp = spark; import sp.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val p0 = (0 until 8).map(i => s"shared$i").mkString(" ")
+    val p1 = (0 until 8).map(i => s"tail$i").mkString(" ")
+    val pU = (0 until 8).map(i => s"unique$i").mkString(" ")
+    val synth = Seq(
+      (1L, s"$p0 $p1"), // both paragraphs are corpus-first
+      (2L, s"$p0 $p1"), // exact dup of 1: keeps nothing
+      (3L, s"$p0 $pU")  // shares p0 with doc 1, keeps only pU
+    ).toDF("doc_id", "text")
+    val out = TrainingOps.paragraphDedup(synth).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 2L, md5hex(s"$p0 $p1"))))
+    assert(out(2L) == ((2L, 0L, md5hex(""))))
+    assert(out(3L) == ((2L, 1L, md5hex(pU))))
+    // each distinct paragraph content is kept exactly once corpus-wide
+    assert(out.values.map(_._2).sum == 3L)
+    // result is invariant to physical partitioning (the keep rule is a
+    // group min, not a seen-before scan order)
+    val rep = TrainingOps.paragraphDedup(synth.repartition(5)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(rep == out)
+    // over the corpus: kept paragraphs never exceed totals, sums consistent
+    val corpus = TrainingOps.paragraphDedup(docs).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach(r => assert(r.getLong(2) <= r.getLong(1) && r.getLong(1) >= 1))
+  }
+
+  test("pii stats: pattern counts and routing flag on crafted rows") {
+    val sp = spark; import sp.implicits._
+    val synth = Seq(
+      (1L, "reach john.doe@example.com or 10.0.0.1 call +44-7911-1234"),
+      (2L, "no sensitive content just plain words here"),
+      (3L, "two mails a@b.co c@d.org and ip 192.168.1.1")
+    ).toDF("doc_id", "text")
+    val out = TrainingOps.piiStats(synth).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((1, 1, 1, true)))
+    assert(out(2L) == ((0, 0, 0, false)))
+    assert(out(3L) == ((2, 1, 0, true)))
+  }
+
+  test("pii redact: placeholders substituted globally in fixed order") {
+    val sp = spark; import sp.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val synth = Seq(
+      (1L, "mail a@bb.co then 10.0.0.1 and +1-555-1234 end"),
+      (2L, "two mails x@y.org z@y.org no more"),
+      (3L, "clean text stays clean")
+    ).toDF("doc_id", "text")
+    val expected = Map(
+      1L -> "mail <EMAIL> then <IP> and <PHONE> end",
+      2L -> "two mails <EMAIL> <EMAIL> no more",
+      3L -> "clean text stays clean")
+    val out = TrainingOps.piiRedact(synth).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    expected.foreach { case (id, txt) =>
+      assert(out(id) == ((md5hex(txt), txt.length)), s"doc $id redaction mismatch")
+    }
+    // redacted text carries no residual PII: re-running stats on the
+    // expected strings yields zero counts
+    val restat = TrainingOps.piiStats(
+        expected.toSeq.toDF("doc_id", "text"))
+      .collect()
+    restat.foreach(r => assert(r.getInt(1) + r.getInt(2) + r.getInt(3) == 0))
+  }
+
+  test("repetition stats: degenerate and all-distinct documents") {
+    val sp = spark; import sp.implicits._
+    val synth = Seq(
+      (1L, Seq.fill(10)("w").mkString(" ")),            // one word x10
+      (2L, (0 until 12).map(i => s"a$i").mkString(" ")) // all distinct
+    ).toDF("doc_id", "text")
+    val out = TrainingOps.repetitionStats(synth).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // 10 identical words: 8 identical 3-grams -> 7/8 dup; the two
+    // paragraphs ("w"x8, "w"x2) differ -> no dup paragraph
+    assert(out(1L) == ((10, 1.0, 0.875, 0.0)))
+    assert(out(2L) == ((12, 0.0833, 0.0, 0.0)))
+    // corpus-wide: all fractions in [0,1]
+    TrainingOps.repetitionStats(docs).collect().foreach { r =>
+      Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4)).foreach(f =>
+        assert(f >= 0.0 && f <= 1.0))
+    }
+  }
+
   test("binary features stub: md5 and byte length match the payload") {
     val out = TrainingOps.binaryFeatures(spark, docs)
       .join(docs.select(col("doc_id"), col("text")), "doc_id")

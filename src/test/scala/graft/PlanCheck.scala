@@ -64,6 +64,10 @@ object PlanCheck {
     println("==== 10. e17 windowed counts: 2-col event-time side, pruned join ====")
     SparkEntry.queries("e17_windowed_counts")(spark, sf).explain("formatted")
 
+    println("==== 11. d11 paragraph dedup: md5-key first-occurrence join over cached chunks ====")
+    TrainingOps.paragraphDedup(spark.read.parquet(s"$sf/documents.parquet"))
+      .explain("formatted")
+
     spark.stop()
   }
 }
