@@ -354,6 +354,26 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     corpus.foreach(r => assert(r.getLong(2) <= r.getLong(1) && r.getLong(1) >= 1))
   }
 
+  test("paragraph dedup: 10k-doc shared-boilerplate hot key resolves correctly") {
+    val sp = spark; import sp.implicits._
+    // the Common-Crawl case the operator exists for: one cookie-banner
+    // paragraph shared by every document — a single hot ph key in the
+    // membership join (10k occurrences against its 1-row firsts entry)
+    val boiler = (0 until 8).map(i => s"cookiebanner$i").mkString(" ")
+    val synth = (0L until 10000L).map(i =>
+        (i, s"$boiler " + (0 until 8).map(j => s"own$i-$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val out = TrainingOps.paragraphDedup(synth).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(out.size == 10000)
+    // doc 0 keeps both paragraphs; every other doc keeps only its own tail
+    assert(out(0L) == ((2L, 2L)))
+    (1L until 10000L).foreach(i => assert(out(i) == ((2L, 1L)), s"doc $i"))
+    assert(sec < 60.0, f"hot-key run took $sec%.1f s")
+  }
+
   test("pii stats: pattern counts and routing flag on crafted rows") {
     val sp = spark; import sp.implicits._
     val synth = Seq(
