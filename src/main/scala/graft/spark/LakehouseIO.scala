@@ -197,6 +197,104 @@ object LakehouseIO {
       .option("basePath", dataDir(root).toString)
       .parquet(dataDir(root).toString)
 
+  /** Parsed ledger records of all committed buckets (the table's commit
+    * history — one record per bucket, fields as written by
+    * [[writeCommitted]]).
+    */
+  def bucketLedgers(root: String): Seq[BucketLedger] = {
+    val dir = ledgerDir(root)
+    val fs = fsOf(dir)
+    if (!fs.isDirectory(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("bucket-") && n.endsWith(".json")
+      }
+      .map { st =>
+        val in = fs.open(st.getPath)
+        val content =
+          try {
+            val buf = new Array[Byte](st.getLen.toInt)
+            in.readFully(0, buf)
+            new String(buf, StandardCharsets.UTF_8)
+          } finally in.close()
+        def num(k: String): Long =
+          ("\"" + k + "\":(\\d+)").r.findFirstMatchIn(content)
+            .getOrElse(throw new java.io.IOException(s"ledger ${st.getPath}: missing $k"))
+            .group(1).toLong
+        val runId = "\"run_id\":\"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(content)
+          .getOrElse(throw new java.io.IOException(s"ledger ${st.getPath}: missing run_id"))
+          .group(1).replace("\\\"", "\"").replace("\\\\", "\\")
+        BucketLedger(num("bucket").toInt, runId, num("rows"), num("ok_rows"),
+          num("committed_at_ms"))
+      }
+      .sortBy(_.bucket)
+  }
+
+  /** Time-travel read: the table as of a past instant — only buckets whose
+    * ledger commit time is <= `asOfMs` (the stand-in for Iceberg's
+    * `VERSION AS OF`/`TIMESTAMP AS OF`; bucket ledgers are this layer's
+    * snapshot log, and a bucket is immutable once committed). Partition
+    * pruning is structural: only the selected bucket directories are even
+    * listed, so a narrow time-travel read of a 10^12-doc table scans just
+    * the buckets that existed then.
+    */
+  def readAsOf(root: String, asOfMs: Long)(implicit spark: SparkSession): DataFrame = {
+    val picked = bucketLedgers(root).filter(_.committedAtMs <= asOfMs).map(_.bucket)
+    if (picked.isEmpty) {
+      import spark.implicits._
+      spark.emptyDataset[ResultRow].toDF()
+    } else
+      spark.read
+        .option("basePath", dataDir(root).toString)
+        .parquet(picked.map(b => new Path(dataDir(root), s"bucket=$b").toString): _*)
+  }
+
+  /** Small-file compaction — the table-maintenance job a long-lived
+    * 100 TB table needs (many runs x many buckets => many small parquet
+    * files; scan cost and NameNode/object-store metadata pressure grow
+    * with file COUNT, not bytes). Rewrites each committed bucket holding
+    * more than `maxFilesPerBucket` data files into exactly
+    * `maxFilesPerBucket`, preserving rows byte-for-byte and the ledger
+    * (rows/lineage are unchanged — compaction is not a commit).
+    *
+    * Swap protocol per bucket: rewrite into _staging, rename old dir to a
+    * trash name, rename new dir in, delete trash; on a failed second
+    * rename the old dir is restored. Readers racing the two renames can
+    * observe the bucket absent (same caveat as Spark/Hive
+    * rename-based maintenance; the Iceberg swap makes it snapshot-atomic).
+    * Returns the number of buckets rewritten.
+    */
+  def compact(root: String, maxFilesPerBucket: Int = 1)(implicit spark: SparkSession): Int = {
+    require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
+    val data = dataDir(root)
+    val fs = fsOf(data)
+    if (!fs.isDirectory(data)) return 0
+    var n = 0
+    fs.listStatus(data).filter(_.getPath.getName.startsWith("bucket=")).foreach { st =>
+      val dataFiles = fs.listStatus(st.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      if (dataFiles.length > maxFilesPerBucket) {
+        val b = st.getPath.getName.stripPrefix("bucket=")
+        val tmp = new Path(new Path(root, "_staging"), s"compact-$b")
+        val trash = new Path(new Path(root, "_staging"), s"compact-trash-$b")
+        Seq(tmp, trash).foreach(p => if (fs.exists(p)) fs.delete(p, true))
+        spark.read.parquet(st.getPath.toString)
+          .coalesce(maxFilesPerBucket)
+          .write.mode("overwrite").parquet(tmp.toString)
+        if (!fs.rename(st.getPath, trash))
+          throw new java.io.IOException(s"compact: move-aside failed for bucket $b")
+        if (!fs.rename(tmp, st.getPath)) {
+          fs.rename(trash, st.getPath) // restore — table state unchanged
+          throw new java.io.IOException(s"compact: swap-in failed for bucket $b")
+        }
+        fs.delete(trash, true)
+        n += 1
+      }
+    }
+    n
+  }
+
   /** Retention sweep — the reference's TTL cleanup loop
     * (/root/reference/src/services/cleanup.py:22-58, 48 h TTL) as a
     * scheduled maintenance call: expire old snapshots and orphaned staging.

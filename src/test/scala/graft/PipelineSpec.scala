@@ -225,6 +225,70 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       root, "uri-run-2", sfDir).isEmpty)
   }
 
+  test("compaction: many small files per bucket collapse to one, rows and ledger intact") {
+    implicit val s: SparkSession = spark
+    val root = tmpDir("compact")
+    // 24 writer partitions over 16 buckets => several part files per bucket
+    val ds = spark.createDataset(results.toSeq)(org.apache.spark.sql.Encoders.product[ResultRow])
+      .repartition(24)
+    LakehouseIO.writeCommitted(ds, root, "c-run", sfDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    def fileCounts: Map[Int, Int] =
+      fs.listStatus(LakehouseIO.dataDir(root))
+        .filter(_.getPath.getName.startsWith("bucket=")).map { st =>
+          st.getPath.getName.stripPrefix("bucket=").toInt ->
+            fs.listStatus(st.getPath).count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        }.toMap
+    val countsBefore = fileCounts
+    assert(countsBefore.values.exists(_ > 1), "precondition: no bucket has multiple files")
+    val before = LakehouseIO.readResults(root).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(5))).sortBy(_._1)
+    val ledgersBefore = LakehouseIO.bucketLedgers(root)
+
+    val n = LakehouseIO.compact(root)
+    assert(n == countsBefore.count(_._2 > 1), "compacted-bucket count wrong")
+    assert(fileCounts.values.forall(_ == 1), "a bucket still has multiple files")
+    val after = LakehouseIO.readResults(root).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(5))).sortBy(_._1)
+    assert(after.sameElements(before), "compaction changed table contents")
+    assert(LakehouseIO.bucketLedgers(root) == ledgersBefore, "compaction touched the ledger")
+    assert(LakehouseIO.compact(root) == 0, "second compaction must be a no-op")
+    // no staging leftovers
+    val stg = new org.apache.hadoop.fs.Path(root, "_staging")
+    assert(!fs.isDirectory(stg) || fs.listStatus(stg).isEmpty)
+  }
+
+  test("time travel: readAsOf sees exactly the buckets committed by then") {
+    implicit val s: SparkSession = spark
+    val root = tmpDir("asof")
+    val ds = spark.createDataset(results.toSeq)(org.apache.spark.sql.Encoders.product[ResultRow])
+    // wave 1: crash after 3 bucket commits
+    intercept[RuntimeException] {
+      LakehouseIO.writeCommitted(ds, root, "w1", sfDir, failAfterBuckets = Some(3))
+    }
+    val wave1 = LakehouseIO.bucketLedgers(root)
+    assert(wave1.size == 3)
+    val t1 = wave1.map(_.committedAtMs).max
+    Thread.sleep(5) // ensure wave 2's ms timestamps are strictly later
+    // wave 2: resume commits the rest
+    LakehouseIO.writeCommitted(
+      LakehouseIO.resumeFilter(ds.toDF(), root)
+        .as[ResultRow](org.apache.spark.sql.Encoders.product[ResultRow]),
+      root, "w2", sfDir)
+
+    assert(LakehouseIO.readAsOf(root, 0L).count() == 0)
+    val asOf1 = LakehouseIO.readAsOf(root, t1)
+    val wave1Buckets = wave1.map(_.bucket).toSet
+    assert(asOf1.count() == results.count(r => wave1Buckets.contains(r.bucket)))
+    assert(asOf1.select("bucket").distinct().collect().map(_.getInt(0)).toSet == wave1Buckets)
+    assert(LakehouseIO.readAsOf(root, System.currentTimeMillis()).count() == results.length)
+    // ledger round-trip: parsed records reproduce what writeCommitted reported
+    val lg = LakehouseIO.bucketLedgers(root)
+    assert(lg.map(_.rows).sum == results.length)
+    assert(lg.forall(l => l.runId == (if (wave1Buckets.contains(l.bucket)) "w1" else "w2")))
+  }
+
   // -------------------------------------------------------------- retention
 
   test("retention: expire removes old snapshots and staging, keeps fresh") {
