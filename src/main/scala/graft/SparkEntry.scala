@@ -34,7 +34,8 @@ object SparkEntry {
     * CTE [[piiAugSql]] mirrors it, making t5/t7 non-trivial.
     */
   private def piiAug(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), concat(
+    d.filter(length(col("text")) >= 1) // same raw-text filter as the oracle CTE
+      .select(col("doc_id"), concat(
       col("text"), lit(" contact user"), col("doc_id"),
       lit("@mail.example.com or admin@h"), col("doc_id") % 97,
       lit(".example.org ip 10."), col("doc_id") % 256,
@@ -588,16 +589,12 @@ object SparkEntry {
       // the same order as TrainingOps.piiRedact; replacements contain no
       // digits or '@' so later passes can't match inside earlier tokens
       "t7_pii_redact" ->
-        (s"WITH a AS ($piiAugSql) " +
-          "SELECT doc_id, md5(regexp_replace(regexp_replace(regexp_replace(text, " +
+        (s"WITH a AS ($piiAugSql), " +
+          "r AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text, " +
           "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
           "'[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g'), " +
-          "'\\+[0-9]{1,3}-[0-9]{3,4}-[0-9]{4}', '<PHONE>', 'g')) AS red_md5, " +
-          "CAST(length(regexp_replace(regexp_replace(regexp_replace(text, " +
-          "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
-          "'[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g'), " +
-          "'\\+[0-9]{1,3}-[0-9]{3,4}-[0-9]{4}', '<PHONE>', 'g')) AS INT) AS red_len " +
-          "FROM a"),
+          "'\\+[0-9]{1,3}-[0-9]{3,4}-[0-9]{4}', '<PHONE>', 'g') AS red FROM a) " +
+          "SELECT doc_id, md5(red) AS red_md5, CAST(length(red) AS INT) AS red_len FROM r"),
       // repetition stats: top-word fraction, duplicate 3-gram fraction,
       // duplicate 8-word-paragraph fraction — mirrors repetitionStats
       "t6_repetition" ->

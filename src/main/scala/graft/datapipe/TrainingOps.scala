@@ -41,6 +41,16 @@ object TrainingOps {
 
   private def words(c: Column): Column = split(trim(c), wsClass + "+")
 
+  /** Fixed `paraWords`-word paragraph windows over a word array — the ONE
+    * paragraph convention shared by [[paragraphDedup]] and
+    * [[repetitionStats]] (their DuckDB oracles hardcode the same /8
+    * windows; change all four together).
+    */
+  private def paraChunks(w: Column, paraWords: Int): Column =
+    transform(
+      sequence(lit(0), floor((size(w) - 1) / lit(paraWords)).cast("int")),
+      i => concat_ws(" ", slice(w, i * paraWords + 1, lit(paraWords))))
+
   // ------------------------------------------------------------ dedup
 
   /** Exact dedup groups: hash-groupBy on md5(text). Map-side partial
@@ -306,31 +316,37 @@ object TrainingOps {
     */
   def paragraphDedup(docs: DataFrame, paraWords: Int = 8): DataFrame = {
     require(paraWords > 0, "paraWords must be positive")
-    val chunkArr = transform(
-      sequence(lit(0), floor((size(col("w")) - 1) / lit(paraWords)).cast("int")),
-      i => concat_ws(" ", slice(col("w"), i * paraWords + 1, lit(paraWords))))
-    // persisted: the totals agg, the first-occurrence agg, and the join
-    // probe side all read it — without the cache each would re-run the
-    // split/chunk pipeline from the scan
+    // persisted: the first-occurrence agg (build side) and the join probe
+    // side both read it — without the cache each would re-run the
+    // split/chunk pipeline from the scan. Released below once the result
+    // has materialized.
     val chunks = docs.select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 1)
-      .select(col("doc_id"), posexplode(chunkArr).as(Seq("idx", "para")))
+      .select(col("doc_id"), posexplode(paraChunks(col("w"), paraWords)).as(Seq("idx", "para")))
       .withColumn("ph", md5(col("para")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val firsts = chunks.groupBy("ph")
       .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
-    val kept = chunks.join(firsts, "ph")
-      .filter(col("doc_id") === col("first.doc_id") && col("idx") === col("first.idx"))
-    val totals = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_paras"))
-    val keptAgg = kept.groupBy("doc_id").agg(
-      count(lit(1)).as("n_kept"),
-      md5(concat_ws(" ",
-        transform(array_sort(collect_list(struct(col("idx"), col("para")))),
-          x => x.getField("para")))).as("clean_md5"))
-    totals.join(keptAgg, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_paras"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+    // every chunk's ph is in firsts by construction, so the inner join
+    // preserves all rows; ONE groupBy then yields totals, kept counts and
+    // the kept-text digest together (collect_list skips the nulls of
+    // non-first occurrences; an all-dup doc gets the empty concat -> md5(''))
+    val isFirst = col("doc_id") === col("first.doc_id") && col("idx") === col("first.idx")
+    val result = chunks.join(firsts, "ph")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_paras"),
+        count(when(isFirst, 1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(when(isFirst, struct(col("idx"), col("para"))))),
+            x => x.getField("para")))).as("clean_md5"))
+    // eager localCheckpoint (the d10 pattern): materializes the small
+    // per-doc result so the big exploded-paragraph cache can be released
+    // NOW instead of pinning storage memory for the session; on a
+    // multi-executor cluster use checkpoint() for fault-tolerant storage
+    val out = result.localCheckpoint(true)
+    chunks.unpersist(false)
+    out
   }
 
   // ------------------------------------------------- similarity search
@@ -690,8 +706,7 @@ object TrainingOps {
     val g3 = when(n >= 3,
       transform(sequence(lit(0), n - 3), i => concat_ws(" ", slice(col("w"), i + 1, lit(3)))))
       .otherwise(array().cast("array<string>"))
-    val pp = transform(sequence(lit(0), floor((n - 1) / lit(paraWords)).cast("int")),
-      i => concat_ws(" ", slice(col("w"), i * paraWords + 1, lit(paraWords))))
+    val pp = paraChunks(col("w"), paraWords)
     docs.select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 1)
       .select(col("doc_id"), col("w"), g3.as("g3"), pp.as("pp"))

@@ -250,6 +250,43 @@ object LakehouseIO {
         .parquet(picked.map(b => new Path(dataDir(root), s"bucket=$b").toString): _*)
   }
 
+  def maintenanceDir(root: String): Path = new Path(root, "_maintenance")
+
+  /** Crash recovery for [[compact]]'s two-rename swap: restore any bucket
+    * whose move-aside survived but whose swap-in didn't, and sweep
+    * leftovers. `_maintenance/trash-N` with `data/bucket=N` absent means
+    * the crash hit between the renames — the trash IS the committed data,
+    * rename it back; with `data/bucket=N` present the swap completed and
+    * the trash is the superseded copy — delete it. Orphan `compact-N`
+    * rewrite dirs are garbage. Runs automatically at every [[compact]]
+    * entry, so the first maintenance pass after a crash self-heals; kept
+    * public as the operator's explicit recovery hook. Returns buckets
+    * restored.
+    *
+    * Lives under `_maintenance`, NOT `_staging`: [[expire]] TTL-sweeps
+    * _staging, and TTL-deleting a not-yet-restored trash dir would make a
+    * crash loss permanent (the ledger says committed, so nothing would
+    * ever rewrite the bucket).
+    */
+  def repairCompaction(root: String): Int = {
+    val dir = maintenanceDir(root)
+    val fs = fsOf(dir)
+    if (!fs.isDirectory(dir)) return 0
+    var restored = 0
+    fs.listStatus(dir).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("trash-")) {
+        val dst = new Path(dataDir(root), s"bucket=${name.stripPrefix("trash-")}")
+        if (!fs.exists(dst)) {
+          if (!fs.rename(st.getPath, dst))
+            throw new java.io.IOException(s"repair: restore failed: ${st.getPath} -> $dst")
+          restored += 1
+        } else fs.delete(st.getPath, true)
+      } else if (name.startsWith("compact-")) fs.delete(st.getPath, true)
+    }
+    restored
+  }
+
   /** Small-file compaction — the table-maintenance job a long-lived
     * 100 TB table needs (many runs x many buckets => many small parquet
     * files; scan cost and NameNode/object-store metadata pressure grow
@@ -258,17 +295,21 @@ object LakehouseIO {
     * `maxFilesPerBucket`, preserving rows byte-for-byte and the ledger
     * (rows/lineage are unchanged — compaction is not a commit).
     *
-    * Swap protocol per bucket: rewrite into _staging, rename old dir to a
-    * trash name, rename new dir in, delete trash; on a failed second
-    * rename the old dir is restored. Readers racing the two renames can
-    * observe the bucket absent (same caveat as Spark/Hive
-    * rename-based maintenance; the Iceberg swap makes it snapshot-atomic).
-    * Returns the number of buckets rewritten.
+    * Swap protocol per bucket: rewrite into `_maintenance/compact-N`,
+    * rename old dir to `_maintenance/trash-N`, rename new dir in, delete
+    * trash. Every failure mode is recoverable: a failed swap-in restores
+    * the old dir in-line (rename back, checked); a CRASH between the two
+    * renames leaves the data in trash-N, which [[repairCompaction]] —
+    * run first thing on every compact() — renames back. Readers racing
+    * the two renames can observe the bucket absent (same caveat as any
+    * Spark/Hive rename-based maintenance; the Iceberg swap makes it
+    * snapshot-atomic). Returns the number of buckets rewritten.
     */
   def compact(root: String, maxFilesPerBucket: Int = 1)(implicit spark: SparkSession): Int = {
     require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
     val data = dataDir(root)
     val fs = fsOf(data)
+    repairCompaction(root)
     if (!fs.isDirectory(data)) return 0
     var n = 0
     fs.listStatus(data).filter(_.getPath.getName.startsWith("bucket=")).foreach { st =>
@@ -276,8 +317,8 @@ object LakehouseIO {
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       if (dataFiles.length > maxFilesPerBucket) {
         val b = st.getPath.getName.stripPrefix("bucket=")
-        val tmp = new Path(new Path(root, "_staging"), s"compact-$b")
-        val trash = new Path(new Path(root, "_staging"), s"compact-trash-$b")
+        val tmp = new Path(maintenanceDir(root), s"compact-$b")
+        val trash = new Path(maintenanceDir(root), s"trash-$b")
         Seq(tmp, trash).foreach(p => if (fs.exists(p)) fs.delete(p, true))
         spark.read.parquet(st.getPath.toString)
           .coalesce(maxFilesPerBucket)
@@ -285,8 +326,11 @@ object LakehouseIO {
         if (!fs.rename(st.getPath, trash))
           throw new java.io.IOException(s"compact: move-aside failed for bucket $b")
         if (!fs.rename(tmp, st.getPath)) {
-          fs.rename(trash, st.getPath) // restore — table state unchanged
-          throw new java.io.IOException(s"compact: swap-in failed for bucket $b")
+          if (!fs.rename(trash, st.getPath)) // restore — table state unchanged
+            throw new java.io.IOException(
+              s"compact: swap-in AND restore failed for bucket $b — data is in $trash; " +
+                "run repairCompaction")
+          throw new java.io.IOException(s"compact: swap-in failed for bucket $b (restored)")
         }
         fs.delete(trash, true)
         n += 1

@@ -31,6 +31,10 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
   test("exact dedup partitions the corpus: group sizes sum to row count") {
     val n = docs.count()
     val g = TrainingOps.dedupExact(docs).agg(sum("n_copies")).collect()(0).getLong(0)
@@ -325,9 +329,6 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("paragraph dedup: corpus-first occurrence kept, exact dup keeps nothing") {
     val sp = spark; import sp.implicits._
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
     val p0 = (0 until 8).map(i => s"shared$i").mkString(" ")
     val p1 = (0 until 8).map(i => s"tail$i").mkString(" ")
     val pU = (0 until 8).map(i => s"unique$i").mkString(" ")
@@ -390,9 +391,6 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("pii redact: placeholders substituted globally in fixed order") {
     val sp = spark; import sp.implicits._
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
     val synth = Seq(
       (1L, "mail a@bb.co then 10.0.0.1 and +1-555-1234 end"),
       (2L, "two mails x@y.org z@y.org no more"),

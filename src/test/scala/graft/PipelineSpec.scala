@@ -254,9 +254,38 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.sameElements(before), "compaction changed table contents")
     assert(LakehouseIO.bucketLedgers(root) == ledgersBefore, "compaction touched the ledger")
     assert(LakehouseIO.compact(root) == 0, "second compaction must be a no-op")
-    // no staging leftovers
-    val stg = new org.apache.hadoop.fs.Path(root, "_staging")
-    assert(!fs.isDirectory(stg) || fs.listStatus(stg).isEmpty)
+    // no maintenance leftovers
+    val mnt = LakehouseIO.maintenanceDir(root)
+    assert(!fs.isDirectory(mnt) || fs.listStatus(mnt).isEmpty)
+  }
+
+  test("compaction crash repair: bucket stranded in trash is restored, stale trash swept") {
+    implicit val s: SparkSession = spark
+    val root = tmpDir("repair")
+    val ds = spark.createDataset(results.toSeq)(org.apache.spark.sql.Encoders.product[ResultRow])
+    LakehouseIO.writeCommitted(ds, root, "r-run", sfDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    val buckets = LakehouseIO.committedBuckets(root).toSeq.sorted
+    val crashed = buckets.head
+    val swapped = buckets(1)
+    fs.mkdirs(LakehouseIO.maintenanceDir(root))
+    // crash state 1: move-aside happened, swap-in didn't — data only in trash
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(LakehouseIO.dataDir(root), s"bucket=$crashed"),
+      new org.apache.hadoop.fs.Path(LakehouseIO.maintenanceDir(root), s"trash-$crashed")))
+    // crash state 2: swap-in completed, trash delete didn't — stale copy in trash
+    val staleTrash = new org.apache.hadoop.fs.Path(LakehouseIO.maintenanceDir(root), s"trash-$swapped")
+    fs.mkdirs(staleTrash)
+    // plus an orphan rewrite dir
+    fs.mkdirs(new org.apache.hadoop.fs.Path(LakehouseIO.maintenanceDir(root), "compact-99"))
+
+    assert(LakehouseIO.repairCompaction(root) == 1, "exactly one bucket needed restoring")
+    assert(fs.isDirectory(
+      new org.apache.hadoop.fs.Path(LakehouseIO.dataDir(root), s"bucket=$crashed")))
+    assert(fs.listStatus(LakehouseIO.maintenanceDir(root)).isEmpty, "maintenance dir not swept")
+    assert(LakehouseIO.readResults(root).count() == results.length,
+      "repair lost rows")
   }
 
   test("time travel: readAsOf sees exactly the buckets committed by then") {
