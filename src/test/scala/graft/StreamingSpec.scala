@@ -132,6 +132,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(StreamingExtract.readAll(spark, tmpDir("stream-empty")).count() == 0)
   }
 
+  test("streaming: stateless datapipe ops (pii, repetition) == batch on the same rows") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    spark.sparkContext.setLogLevel("WARN")
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // per-row ops contain no aggregation, so the same Column expressions
+    // compose directly onto readStream frames — one definition, two
+    // execution modes (the north-rule batch==streaming parity, extended
+    // to the training-data ops)
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(20).collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val crafted = Seq(
+      (9001L, "mail a@bb.co then 10.0.0.1 and +1-555-1234 end"),
+      (9002L, Seq.fill(10)("w").mkString(" ")))
+    val rows = corpus ++ crafted
+
+    val mem = MemoryStream[(Long, String)]
+    val streamDf = mem.toDF().toDF("doc_id", "text")
+    val q1 = graft.datapipe.TrainingOps.piiStats(streamDf)
+      .writeStream.format("memory").queryName("pii_stream").outputMode("append").start()
+    val q2 = graft.datapipe.TrainingOps.repetitionStats(streamDf)
+      .writeStream.format("memory").queryName("rep_stream").outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q1.processAllAvailable()
+      q2.processAllAvailable()
+      val batchDf = rows.toDF("doc_id", "text")
+      def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.collect().map(_.mkString("|")).toSeq.sorted
+      assert(canon(spark.table("pii_stream")) ==
+        canon(graft.datapipe.TrainingOps.piiStats(batchDf)))
+      assert(canon(spark.table("rep_stream")) ==
+        canon(graft.datapipe.TrainingOps.repetitionStats(batchDf)))
+      assert(spark.table("pii_stream").count() == rows.length)
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("streaming: windowed status counts emit once per closed window; late rows dropped") {
     implicit val s: SparkSession = spark
     import s.implicits._
