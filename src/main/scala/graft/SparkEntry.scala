@@ -51,6 +51,27 @@ object SparkEntry {
       "CASE WHEN doc_id % 3 = 0 THEN ' dup@example.com' ELSE '' END AS text " +
       "FROM documents WHERE length(text) >= 1"
 
+  /** Decontamination needs benchmark/training overlap the word-soup
+    * corpus barely has organically, so (like [[piiAug]]) d12 appends a
+    * deterministic "benchmark probe" tail keyed by doc_id % 23: the tail
+    * contributes exactly two fully-internal 5-grams per key, shared by
+    * every doc with that key — eval docs (doc_id % 61 = 7) cover ~9 keys,
+    * so a predictable ~40% of training docs are contaminated. The oracle
+    * CTE [[contAugSql]] mirrors it byte-for-byte.
+    */
+  private def contAug(d: DataFrame): DataFrame = {
+    val k = col("doc_id") % 23
+    d.select(col("doc_id"), concat(col("text"),
+      lit(" evalmark a"), k, lit(" b"), k, lit(" c"), k, lit(" d"), k,
+      lit(" e"), k).as("text"))
+  }
+
+  /** DuckDB twin of [[contAug]], the d12 oracle's augmentation CTE. */
+  private val contAugSql: String =
+    "SELECT doc_id, text || ' evalmark a' || (doc_id % 23) || ' b' || (doc_id % 23) || " +
+      "' c' || (doc_id % 23) || ' d' || (doc_id % 23) || ' e' || (doc_id % 23) AS text " +
+      "FROM documents"
+
   /** kind predicate mirrors PagesGen.kindOf (precedence junk > oversize >
     * pdf) and HtmlGen.familyOf for the html template families.
     */
@@ -256,6 +277,18 @@ object SparkEntry {
     "t5_pii" -> ((s, dir) => TrainingOps.piiStats(piiAug(docs(s, dir)))),
     "t7_pii_redact" -> ((s, dir) => TrainingOps.piiRedact(piiAug(docs(s, dir)))),
     "t6_repetition" -> ((s, dir) => TrainingOps.repetitionStats(docs(s, dir))),
+    // corpus assembly (SURVEY.md par 2.10 T19-T22): decontamination over
+    // the probe-augmented corpus (eval set = doc_id % 61 = 7), hash-
+    // deterministic stratified sampling, fractional source mixing, and
+    // shard-local sequence packing
+    "d12_decontaminate" -> ((s, dir) =>
+      TrainingOps.decontaminate(contAug(docs(s, dir)), col("doc_id") % 61 === 7)),
+    "t8_stratified_sample" -> ((s, dir) => TrainingOps.stratifiedSample(docs(s, dir))),
+    "t9_source_mix" -> ((s, dir) => TrainingOps.sourceMix(docs(s, dir))),
+    // seqLen 512 (not the 2048 default) so the sf0.01 corpus actually
+    // crosses sequence boundaries (docs spanning two sequences, several
+    // sequences per shard) — the oracle hardcodes the same length
+    "t10_sequence_pack" -> ((s, dir) => TrainingOps.sequencePack(docs(s, dir), seqLen = 512)),
     "m1_binary_features" -> ((s, dir) => TrainingOps.binaryFeatures(s, docs(s, dir))),
     "m2_frame_sample" -> ((s, dir) => TrainingOps.frameSample(s, docs(s, dir))),
   )
@@ -659,6 +692,50 @@ object SparkEntry {
           "CASE WHEN octet_length(encode(text)) = 0 THEN 'empty' " +
           "WHEN octet_length(encode(text)) % 2 = 0 THEN 'image' ELSE 'audio' END AS modality " +
           "FROM documents"),
+      // benchmark decontamination over the probe-augmented corpus:
+      // distinct 5-gram md5s per doc, bench set = eval docs' grams,
+      // n_hits = |doc grams ∩ bench grams| — mirrors
+      // TrainingOps.decontaminate(contAug(docs), doc_id % 61 = 7)
+      "d12_decontaminate" ->
+        (s"WITH a AS ($contAugSql), " +
+          s"f AS (SELECT doc_id, $w AS w FROM a), " +
+          "g AS (SELECT doc_id, list_distinct(list_transform(range(len(w)-4), " +
+          "i -> md5(array_to_string(w[i+1:i+5], ' ')))) AS g FROM f WHERE len(w) >= 5), " +
+          "bench AS (SELECT DISTINCT gh FROM (SELECT unnest(g) AS gh FROM g WHERE doc_id % 61 = 7)), " +
+          "tr AS (SELECT doc_id, unnest(g) AS gh FROM g WHERE doc_id % 61 <> 7), " +
+          "hits AS (SELECT doc_id, count(*) AS n_hits FROM tr JOIN bench USING (gh) GROUP BY doc_id) " +
+          "SELECT b.doc_id, coalesce(h.n_hits, 0::BIGINT) AS n_hits, " +
+          "coalesce(h.n_hits, 0::BIGINT) > 0 AS contaminated " +
+          "FROM (SELECT doc_id FROM a WHERE doc_id % 61 <> 7) b LEFT JOIN hits h USING (doc_id)"),
+      // hash-deterministic stratified sampling: keep iff
+      // h60('smp:'||doc_id) mod 1e6 < ratePpm(lang) — mirrors
+      // TrainingOps.stratifiedSample(DefaultSampleRatesPpm, 50000)
+      "t8_stratified_sample" ->
+        ("WITH s AS (SELECT doc_id, lang, " +
+          "CAST(('0x' || substr(md5('smp:' || doc_id),1,15))::BIGINT % 1000000 AS INT) AS u_ppm, " +
+          "CAST(CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000 WHEN 'es' THEN 250000 " +
+          "WHEN 'fr' THEN 125000 WHEN 'zh' THEN 125000 ELSE 50000 END AS INT) AS rate_ppm " +
+          "FROM documents) SELECT doc_id, lang, u_ppm, rate_ppm FROM s WHERE u_ppm < rate_ppm"),
+      // fractional source mixing: src<k> -> 2*weight = k%5+2, replicate
+      // floor(w) times + 1 more iff hash < frac(w) — mirrors sourceMix
+      "t9_source_mix" ->
+        ("WITH m AS (SELECT doc_id, source, " +
+          "(CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INT) % 5 + 2) AS wx2, " +
+          "('0x' || substr(md5('mix:' || doc_id),1,15))::BIGINT % 1000000 AS u FROM documents), " +
+          "n AS (SELECT doc_id, source, wx2 // 2 + " +
+          "CASE WHEN wx2 % 2 = 1 AND u < 500000 THEN 1 ELSE 0 END AS n_epochs FROM m) " +
+          "SELECT doc_id, source, CAST(unnest(range(n_epochs)) AS INT) AS epoch FROM n"),
+      // shard-local sequence packing: running token sum per shard
+      // (doc_id % 16) in doc_id order, integer-div sequence assignment —
+      // mirrors sequencePack(seqLen=512, nShards=16)
+      "t10_sequence_pack" ->
+        (s"WITH f AS (SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard, " +
+          s"CAST(len($w) AS INT) AS n_tokens FROM documents WHERE length(text) >= 1), " +
+          "c AS (SELECT doc_id, shard, n_tokens, CAST(sum(n_tokens) OVER " +
+          "(PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM f) " +
+          "SELECT doc_id, shard, n_tokens, (cum - n_tokens) // 512 AS seq_id, " +
+          "CAST((cum - n_tokens) % 512 AS INT) AS seq_offset, " +
+          "CAST((cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS INT) AS n_seqs FROM c"),
     )
   }
 }

@@ -739,6 +739,117 @@ object TrainingOps {
           "transform(sequence(0, size(hs) - 5), i -> array_min(slice(hs, i + 1, 5))))), " +
           "x -> cast(x as string))))").as("fp"))
 
+  // ----------------------------------------------- corpus assembly
+  // The steps between "clean documents" and "training batches":
+  // benchmark decontamination, stratified downsampling, source mixing,
+  // and sequence packing. All deterministic (hash-derived randomness),
+  // so a re-run — or a different engine — reproduces the same corpus.
+
+  /** Benchmark decontamination — the eval-overlap scrub a pretraining
+    * pipeline runs before training (the GPT-3/Gopher n-gram rule): a
+    * training document is contaminated iff it shares at least one
+    * n-word gram with the benchmark (eval) corpus.
+    *
+    * Shape at scale: the benchmark side is SMALL (a full eval-suite
+    * collection is a few million distinct grams), so its gram hashes
+    * broadcast and the training side never shuffles text — per-doc
+    * distinct grams explode map-side into a broadcast hash join, and the
+    * only exchanges carry (doc_id, count) pairs. n defaults to 5 to suit
+    * the short synthetic corpus; production decontamination uses 8-13.
+    */
+  def decontaminate(docs: DataFrame, isEval: Column, n: Int = 5): DataFrame = {
+    require(n >= 2, "gram length must be >= 2")
+    def grams(d: DataFrame) =
+      d.select(col("doc_id"), words(col("text")).as("w"))
+        .filter(size(col("w")) >= n)
+        .select(col("doc_id"),
+          array_distinct(transform(sequence(lit(0), size(col("w")) - n),
+            i => md5(concat_ws(" ", slice(col("w"), i + 1, lit(n)))))).as("g"))
+    val bench = grams(docs.filter(isEval))
+      .select(explode(col("g")).as("gh")).distinct()
+    val hits = grams(docs.filter(!isEval))
+      .select(col("doc_id"), explode(col("g")).as("gh"))
+      .join(broadcast(bench), "gh") // map-side; training grams never shuffle
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits")) // grams are distinct within a doc
+    docs.filter(!isEval).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Per-stratum keep rates (parts per million) for
+    * [[stratifiedSample]] — a language-rebalancing profile (downsample
+    * dominant English, keep more of the rarer strata). Production
+    * supplies its own map; this one is part of the t8 oracle contract.
+    */
+  val DefaultSampleRatesPpm: Map[String, Int] = Map(
+    "en" -> 500000, "de" -> 250000, "es" -> 250000, "fr" -> 125000, "zh" -> 125000)
+
+  /** Deterministic stratified sampling — downsample each stratum (lang)
+    * at its own rate using a hash-derived uniform: keep a row iff
+    * h(doc_id) mod 1e6 < ratePpm(stratum). No RNG state, no global
+    * count, no shuffle — a pure per-row filter (pushdown-eligible), and
+    * the sample is bit-reproducible across runs, partitionings, and
+    * engines (the property `df.sample()` deliberately does not have).
+    */
+  def stratifiedSample(docs: DataFrame,
+      ratesPpm: Map[String, Int] = DefaultSampleRatesPpm,
+      defaultPpm: Int = 50000): DataFrame = {
+    require((defaultPpm +: ratesPpm.values.toSeq).forall(r => r >= 0 && r <= 1000000),
+      "rates must be in [0, 1000000] ppm")
+    val u = (h60(concat(lit("smp:"), col("doc_id").cast("string"))) % 1000000L).cast("int")
+    val rate = coalesce(element_at(typedLit(ratesPpm), col("lang")), lit(defaultPpm))
+    docs.select(col("doc_id"), col("lang"), u.as("u_ppm"), rate.as("rate_ppm"))
+      .filter(col("u_ppm") < col("rate_ppm"))
+  }
+
+  /** Source mixing / epoch weighting — upsample high-value sources by a
+    * FRACTIONAL weight w: every document replicates floor(w) times, plus
+    * one more with probability frac(w) decided by a deterministic hash
+    * (same reproducibility argument as [[stratifiedSample]]). The weight
+    * here derives from the source name (src<k> -> 1.0 + (k mod 5)/2);
+    * production supplies a weights table and broadcast-joins it. Pure
+    * map-side flatMap (explode of a sequence) — rows multiply without a
+    * shuffle, and the epoch tag lets downstream stages spread replicas.
+    */
+  def sourceMix(docs: DataFrame): DataFrame = {
+    val k = regexp_extract(col("source"), "src([0-9]+)", 1).cast("int")
+    val wx2 = k % 5 + 2 // 2*weight in {2..6} => weight in {1.0, 1.5, ..., 3.0}
+    val u = h60(concat(lit("mix:"), col("doc_id").cast("string"))) % 1000000L
+    val extra = when(wx2 % 2 === 1 && u < 500000L, 1).otherwise(0)
+    docs.select(col("doc_id"), col("source"), (wx2 / lit(2)).cast("int") + extra as "n_epochs")
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0), col("n_epochs") - 1)).as("epoch"))
+  }
+
+  /** Sequence packing — assign documents to fixed-length training
+    * sequences of `seqLen` tokens by concatenation order. Packing is
+    * SHARD-LOCAL (shard = doc_id mod nShards): at scale the shard is the
+    * repartition key, each task packs its shard with an O(1)-state
+    * running sum, and no global total order (a full sort of the corpus)
+    * is ever needed. Within a shard, a document starting at stream
+    * offset b occupies sequences floor(b/seqLen)..floor((b+tokens-1)/
+    * seqLen). One shuffle (the window's partitionBy) carrying only
+    * (doc_id, shard, n_tokens); integer `div` arithmetic throughout so
+    * results are exact at any stream length.
+    */
+  def sequencePack(docs: DataFrame, seqLen: Int = 2048, nShards: Int = 16): DataFrame = {
+    require(seqLen > 0 && nShards > 0, "seqLen and nShards must be positive")
+    val byShard = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.filter(length(col("text")) >= 1)
+      .select(col("doc_id"), (col("doc_id") % nShards).cast("int").as("shard"),
+        size(words(col("text"))).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(byShard))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $seqLen").as("seq_id"),
+        ((col("cum") - col("n_tokens")) % seqLen).cast("int").as("seq_offset"),
+        expr(s"cast((cum - 1) div $seqLen - (cum - n_tokens) div $seqLen + 1 as int)")
+          .as("n_seqs"))
+  }
+
   // ---------------------------------------------------- multimodal stub
 
   /** Opaque-binary feature extraction through typed mapPartitions — the

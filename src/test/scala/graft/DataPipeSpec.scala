@@ -440,4 +440,65 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
         length(encode(col("text"), "UTF-8")) =!= col("n_bytes"))
     assert(out.count() == 0)
   }
+
+  test("decontamination flags exactly the docs sharing an n-gram with the eval set") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // eval
+      (2L, "x alpha beta gamma delta epsilon y"),  // shares ONE 5-gram with eval
+      (3L, "one two three four five six seven"),   // clean
+      (4L, "tiny doc")                             // < 5 words: clean, still reported
+    ).toDF("doc_id", "text")
+    val out = TrainingOps.decontaminate(df, col("doc_id") === 1L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out.keySet == Set(2L, 3L, 4L)) // eval docs never appear in the output
+    assert(out(2L) == ((1L, true)))
+    assert(out(3L) == ((0L, false)))
+    assert(out(4L) == ((0L, false)))
+  }
+
+  test("stratified sampling: deterministic, per-stratum thresholds, degenerate rates") {
+    val a = TrainingOps.stratifiedSample(docs).collect()
+    val b = TrainingOps.stratifiedSample(docs).collect().map(_.getLong(0)).sorted
+    assert(a.nonEmpty && a.map(_.getLong(0)).sorted.sameElements(b))
+    a.foreach { r =>
+      val (lang, u, rate) = (r.getString(1), r.getInt(2), r.getInt(3))
+      assert(u >= 0 && u < 1000000 && u < rate)
+      assert(rate == TrainingOps.DefaultSampleRatesPpm.getOrElse(lang, 50000))
+    }
+    // rate 1e6 keeps everything; rate 0 keeps nothing
+    assert(TrainingOps.stratifiedSample(docs, Map.empty, 1000000).count() == docs.count())
+    assert(TrainingOps.stratifiedSample(docs, Map.empty, 0).count() == 0)
+  }
+
+  test("source mixing: floor(w) or ceil(w) replicas per doc, dense epoch ids") {
+    val byDoc = TrainingOps.sourceMix(docs).collect().groupBy(_.getLong(0))
+    assert(byDoc.nonEmpty)
+    var sawExtra = false
+    byDoc.foreach { case (_, rows) =>
+      val wx2 = rows.head.getString(1).stripPrefix("src").toInt % 5 + 2
+      val n = rows.length
+      assert(n == wx2 / 2 || n == wx2 / 2 + (wx2 % 2), s"bad replica count $n for 2w=$wx2")
+      if (n > wx2 / 2) sawExtra = true
+      assert(rows.map(_.getInt(2)).sorted.sameElements(0 until n))
+    }
+    assert(sawExtra, "fractional weights never rolled the extra epoch")
+  }
+
+  test("sequence packing: shard-local contiguity and exact sequence spans") {
+    val seqLen = 64 // small enough that sf0.001 docs straddle boundaries
+    val out = TrainingOps.sequencePack(docs, seqLen = seqLen).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4), r.getInt(5)))
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      var begin = 0L // shard-local stream offset replay
+      rows.sortBy(_._1).foreach { case (id, _, tokens, seqId, off, nSeqs) =>
+        assert(seqId == begin / seqLen, s"doc $id in shard $shard: seq_id")
+        assert(off == (begin % seqLen).toInt, s"doc $id: offset")
+        assert(nSeqs == ((begin + tokens - 1) / seqLen - begin / seqLen + 1).toInt,
+          s"doc $id: span count")
+        begin += tokens
+      }
+    }
+    assert(out.exists(_._6 >= 2), "expected at least one boundary-spanning doc")
+  }
 }
