@@ -72,6 +72,24 @@ object SparkEntry {
       "' c' || (doc_id % 23) || ' d' || (doc_id % 23) || ' e' || (doc_id % 23) AS text " +
       "FROM documents"
 
+  /** The word-soup corpus has zero organic exact duplicates (every text
+    * is distinct), so d13's increment-vs-corpus dedup needs a dup
+    * augmentation: docs with doc_id % 5 = 4 collapse onto one of 17
+    * canonical texts (keyed by doc_id % 17), giving cross-split dup
+    * families; all other docs keep their unique text. The oracle CTE
+    * [[dupAugSql]] mirrors it. The increment is doc_id % 10 >= 8 (20%).
+    */
+  private def dupAug(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      when(col("doc_id") % 5 === 4,
+        concat(lit("canonical page "), col("doc_id") % 17))
+        .otherwise(col("text")).as("text"))
+
+  /** DuckDB twin of [[dupAug]], the d13 oracle's augmentation CTE. */
+  private val dupAugSql: String =
+    "SELECT doc_id, CASE WHEN doc_id % 5 = 4 THEN 'canonical page ' || (doc_id % 17) " +
+      "ELSE text END AS text FROM documents"
+
   /** kind predicate mirrors PagesGen.kindOf (precedence junk > oversize >
     * pdf) and HtmlGen.familyOf for the html template families.
     */
@@ -289,6 +307,14 @@ object SparkEntry {
     // crosses sequence boundaries (docs spanning two sequences, several
     // sequences per shard) — the oracle hardcodes the same length
     "t10_sequence_pack" -> ((s, dir) => TrainingOps.sequencePack(docs(s, dir), seqLen = 512)),
+    // daily-ingest incremental dedup over the dup-augmented corpus:
+    // increment = doc_id % 10 >= 8, corpus = the rest
+    "d13_incremental_dedup" -> ((s, dir) => {
+      val a = dupAug(docs(s, dir))
+      TrainingOps.incrementalDedup(
+        a.filter(col("doc_id") % 10 >= 8), a.filter(col("doc_id") % 10 < 8))
+    }),
+    "t11_global_shuffle" -> ((s, dir) => TrainingOps.globalShuffle(docs(s, dir))),
     "m1_binary_features" -> ((s, dir) => TrainingOps.binaryFeatures(s, docs(s, dir))),
     "m2_frame_sample" -> ((s, dir) => TrainingOps.frameSample(s, docs(s, dir))),
   )
@@ -736,6 +762,27 @@ object SparkEntry {
           "SELECT doc_id, shard, n_tokens, (cum - n_tokens) // 512 AS seq_id, " +
           "CAST((cum - n_tokens) % 512 AS INT) AS seq_offset, " +
           "CAST((cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS INT) AS n_seqs FROM c"),
+      // incremental dedup over the dup-augmented corpus: increment rows
+      // flagged as already-in-corpus / first-in-batch / keep — mirrors
+      // incrementalDedup(dupAug % 10 >= 8, dupAug % 10 < 8); the bloom
+      // pre-filter is invisible here because the output is exact
+      "d13_incremental_dedup" ->
+        (s"WITH a AS ($dupAugSql), " +
+          "inc AS (SELECT doc_id, md5(text) AS h FROM a WHERE doc_id % 10 >= 8), " +
+          "corp AS (SELECT DISTINCT md5(text) AS h FROM a WHERE doc_id % 10 < 8) " +
+          "SELECT i.doc_id, (c.h IS NOT NULL) AS dup_of_corpus, " +
+          "i.doc_id = min(i.doc_id) OVER (PARTITION BY i.h) AS first_in_batch, " +
+          "(c.h IS NULL) AND i.doc_id = min(i.doc_id) OVER (PARTITION BY i.h) AS keep " +
+          "FROM inc i LEFT JOIN corp c ON i.h = c.h"),
+      // deterministic global shuffle: shard = top 4 bits of the 60-bit
+      // sort key, pos = dense global rank by (key, doc_id) — the sharded
+      // Spark enumeration equals the flat window because shard is
+      // monotone in the key; mirrors globalShuffle(nShards=16)
+      "t11_global_shuffle" ->
+        ("WITH s AS (SELECT doc_id, " +
+          "('0x' || substr(md5('shuf:' || doc_id),1,15))::BIGINT AS k FROM documents) " +
+          "SELECT doc_id, CAST(k // 72057594037927936 AS INT) AS shard, " +
+          "row_number() OVER (ORDER BY k, doc_id) - 1 AS pos FROM s"),
     )
   }
 }

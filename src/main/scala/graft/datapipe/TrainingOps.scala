@@ -850,6 +850,89 @@ object TrainingOps {
           .as("n_seqs"))
   }
 
+  /** Incremental dedup — the daily-ingest op: which documents of a new
+    * crawl `increment` are genuinely new relative to the already-ingested
+    * `corpus` (and first within their own batch)? Exactness comes from a
+    * hash anti-join; the interesting scale piece is the BLOOM PRE-FILTER:
+    * the corpus hashes fold into a Bloom filter (one distributed
+    * treeAggregate pass — in production built once per corpus snapshot
+    * and reused across every increment), the filter broadcasts, and rows
+    * whose hash definitely isn't in the corpus (no false negatives) skip
+    * the join entirely. Only bloom-HIT rows — true dups plus an fpp
+    * fraction of false positives — shuffle into the exact confirm join,
+    * so join traffic is O(dup rate + fpp), not O(increment). Output is
+    * exact regardless of fpp.
+    *
+    * The bloom probe runs in a typed mapPartitions (Spark's
+    * `BloomFilterMightContain` expression is optimizer-internal, not a
+    * public function) over (doc_id, hash, flag) rows only — never text.
+    * Per document: `dup_of_corpus`, `first_in_batch`, and the verdict
+    * `keep` = new to corpus AND first in batch.
+    */
+  def incrementalDedup(increment: DataFrame, corpus: DataFrame,
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    val spark = increment.sparkSession
+    import spark.implicits._
+    val corpusH = corpus.select(md5(col("text")).as("h"))
+    val bloomB = spark.sparkContext.broadcast(
+      corpusH.stat.bloomFilter("h", expectedItems, fpp))
+    val flagged = increment
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("first_in_batch",
+        col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .as[(Long, String, Boolean)]
+      .mapPartitions { it =>
+        val bf = bloomB.value
+        it.map { case (id, h, fb) => (id, h, fb, bf.mightContainString(h)) }
+      }
+      .toDF("doc_id", "h", "first_in_batch", "bloom_hit")
+      .persist()
+    val confirmed = flagged.filter(col("bloom_hit"))
+      .join(corpusH.distinct().withColumn("in_c", lit(true)), Seq("h"), "left")
+      .select(col("doc_id"), col("first_in_batch"),
+        coalesce(col("in_c"), lit(false)).as("dup_of_corpus"))
+    val definiteNew = flagged.filter(!col("bloom_hit"))
+      .select(col("doc_id"), col("first_in_batch"), lit(false).as("dup_of_corpus"))
+    confirmed.union(definiteNew)
+      .select(col("doc_id"), col("dup_of_corpus"), col("first_in_batch"),
+        (!col("dup_of_corpus") && col("first_in_batch")).as("keep"))
+  }
+
+  /** Deterministic global shuffle — assign every document a unique
+    * position in a pseudo-random total order (the training-order shuffle
+    * a corpus gets before sequence packing), WITHOUT a global sort-to-one
+    * -partition window. The sort key is a per-doc hash; its TOP bits pick
+    * one of `nShards` shards, so shard id is monotone in the key and
+    * (shard, key) order IS global key order. Each shard ranks its own
+    * rows (one shuffle on the uniform shard key), shard row-counts — a
+    * `nShards`-row aggregate — turn into starting offsets on the driver
+    * side of a broadcast join, and position = shard offset + local rank.
+    * Scale: the only data shuffle carries (doc_id, 8-byte key); the
+    * offsets table is nShards rows. Deterministic across runs, engines,
+    * and partitionings; collisions tie-break on doc_id.
+    */
+  def globalShuffle(docs: DataFrame, nShards: Int = 16): DataFrame = {
+    require(nShards > 0 && (nShards & (nShards - 1)) == 0 && nShards <= (1 << 30),
+      "nShards must be a power of two")
+    val shardBits = 31 - Integer.numberOfLeadingZeros(nShards)
+    val keyed = docs.select(col("doc_id"),
+      h60(concat(lit("shuf:"), col("doc_id").cast("string"))).as("k"))
+      .withColumn("shard", shiftright(col("k"), 60 - shardBits).cast("int"))
+    val byShard = Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+    val offsets = keyed.groupBy("shard").agg(count(lit(1)).as("n"))
+      .withColumn("offset", // nShards rows: the single-partition window is a non-issue
+        coalesce(sum(col("n")).over(
+          Window.orderBy(col("shard")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("shard", "offset")
+    keyed
+      .withColumn("rn", row_number().over(byShard))
+      .join(broadcast(offsets), "shard")
+      .select(col("doc_id"), col("shard"),
+        (col("offset") + col("rn") - 1).as("pos"))
+  }
+
   // ---------------------------------------------------- multimodal stub
 
   /** Opaque-binary feature extraction through typed mapPartitions — the

@@ -501,4 +501,45 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(out.exists(_._6 >= 2), "expected at least one boundary-spanning doc")
   }
+
+  test("incremental dedup: exact flags, and exact even under a saturated bloom") {
+    val sp = spark; import sp.implicits._
+    val corpus = Seq((1L, "shared alpha"), (2L, "corpus only"), (3L, "shared beta"))
+      .toDF("doc_id", "text")
+    val inc = Seq(
+      (10L, "shared alpha"),  // dup of corpus
+      (11L, "brand new"),     // new, unique in batch
+      (12L, "batch twin"),    // new, first of an in-batch pair
+      (13L, "batch twin"),    // new, second of the pair
+      (14L, "shared beta"),   // dup of corpus
+      (15L, "shared beta")    // dup of corpus AND second in batch
+    ).toDF("doc_id", "text")
+    val expect = Map( // (dup_of_corpus, first_in_batch, keep)
+      10L -> ((true, true, false)), 11L -> ((false, true, true)),
+      12L -> ((false, true, true)), 13L -> ((false, false, false)),
+      14L -> ((true, true, false)), 15L -> ((true, false, false)))
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(asMap(TrainingOps.incrementalDedup(inc, corpus)) == expect)
+    // a deliberately undersized bloom (1 expected item, fpp 0.5 — a
+    // couple of bits, saturated by 3 corpus inserts) floods the confirm
+    // join with false positives — output must not change
+    assert(asMap(TrainingOps.incrementalDedup(inc, corpus, 1L, 0.5)) == expect)
+  }
+
+  test("global shuffle: a permutation, ordered by key, invariant to partitioning") {
+    val out = TrainingOps.globalShuffle(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val n = docs.count()
+    assert(out.length == n)
+    assert(out.map(_._3).sorted.sameElements(0L until n), "positions must be 0..n-1")
+    // positions ordered by (shard, key): shard ids must be non-decreasing in pos
+    val byPos = out.sortBy(_._3)
+    assert(byPos.map(_._2).sliding(2).forall(w => w(0) <= w(1)),
+      "shard must be monotone in position (shard = top bits of the sort key)")
+    // repartitioning the input must not move anyone
+    val re = TrainingOps.globalShuffle(docs.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.forall { case (id, _, pos) => re(id) == pos })
+  }
 }
