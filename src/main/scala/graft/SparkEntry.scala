@@ -315,6 +315,7 @@ object SparkEntry {
         a.filter(col("doc_id") % 10 >= 8), a.filter(col("doc_id") % 10 < 8))
     }),
     "t11_global_shuffle" -> ((s, dir) => TrainingOps.globalShuffle(docs(s, dir))),
+    "t12_lm_familiarity" -> ((s, dir) => TrainingOps.unigramFamiliarity(docs(s, dir))),
     "m1_binary_features" -> ((s, dir) => TrainingOps.binaryFeatures(s, docs(s, dir))),
     "m2_frame_sample" -> ((s, dir) => TrainingOps.frameSample(s, docs(s, dir))),
   )
@@ -774,6 +775,21 @@ object SparkEntry {
           "i.doc_id = min(i.doc_id) OVER (PARTITION BY i.h) AS first_in_batch, " +
           "(c.h IS NULL) AND i.doc_id = min(i.doc_id) OVER (PARTITION BY i.h) AS keep " +
           "FROM inc i LEFT JOIN corp c ON i.h = c.h"),
+      // unigram-LM familiarity: top-256 corpus vocabulary (count desc,
+      // word asc), per-doc OOV count + summed corpus frequencies —
+      // mirrors unigramFamiliarity(vocabSize=256); transcendental-free
+      // so the single IEEE division is bit-identical across engines
+      "t12_lm_familiarity" ->
+        (s"WITH f AS (SELECT doc_id, $w AS w FROM documents WHERE length(text) >= 1), " +
+          "tok AS (SELECT doc_id, unnest(w) AS word FROM f), " +
+          "vocab AS (SELECT word, count(*) AS c FROM tok GROUP BY word " +
+          "ORDER BY c DESC, word LIMIT 256), " +
+          "j AS (SELECT t.doc_id, v.c FROM tok t LEFT JOIN vocab v USING (word)) " +
+          "SELECT doc_id, CAST(count(*) AS INT) AS n_tokens, " +
+          "CAST(count(*) FILTER (WHERE c IS NULL) AS BIGINT) AS n_oov, " +
+          "CAST(sum(coalesce(c, 0)) AS BIGINT) AS sum_freq, " +
+          "CAST(sum(coalesce(c, 0)) AS DOUBLE) / count(*) AS familiarity " +
+          "FROM j GROUP BY doc_id"),
       // deterministic global shuffle: shard = top 4 bits of the 60-bit
       // sort key, pos = dense global rank by (key, doc_id) — the sharded
       // Spark enumeration equals the flat window because shard is

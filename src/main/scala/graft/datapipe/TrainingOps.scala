@@ -850,6 +850,41 @@ object TrainingOps {
           .as("n_seqs"))
   }
 
+  /** Unigram-LM familiarity scoring — the shape of the CCNet/KenLM
+    * perplexity filter: score each document by how typical its tokens
+    * are of the corpus. Phase 1 builds the corpus unigram table (one
+    * map-side-combined shuffle of (word, count)) and keeps the top
+    * `vocabSize` words — a global top-k (`TakeOrderedAndProject`), ties
+    * broken by word so the vocabulary is deterministic. Phase 2 inlines
+    * that small vocab as a map literal (the driver-side broadcast
+    * pattern of [[annLshBuckets]]) and scores every document map-side —
+    * ZERO shuffle of tokens: per doc, `n_oov` (tokens outside the
+    * vocab), `sum_freq` (summed corpus counts), and `familiarity` =
+    * sum_freq / n_tokens. Deliberately transcendental-free (counts and
+    * one IEEE division, no log) so the oracle reproduces it bit-for-bit;
+    * a real perplexity filter would apply log-probs to the same plumbing.
+    */
+  def unigramFamiliarity(docs: DataFrame, vocabSize: Int = 256): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val vocab: Map[String, Long] = docs.filter(length(col("text")) >= 1)
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word"))
+      .limit(vocabSize)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m = typedLit(vocab)
+    docs.filter(length(col("text")) >= 1)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).as("n_tokens"),
+        aggregate(col("w"), lit(0L),
+          (acc, wd) => acc + when(element_at(m, wd).isNull, 1L).otherwise(0L))
+          .as("n_oov"),
+        aggregate(col("w"), lit(0L),
+          (acc, wd) => acc + coalesce(element_at(m, wd), lit(0L)))
+          .as("sum_freq"))
+      .withColumn("familiarity", col("sum_freq").cast("double") / col("n_tokens"))
+  }
+
   /** Incremental dedup — the daily-ingest op: which documents of a new
     * crawl `increment` are genuinely new relative to the already-ingested
     * `corpus` (and first within their own batch)? Exactness comes from a

@@ -502,6 +502,27 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.exists(_._6 >= 2), "expected at least one boundary-spanning doc")
   }
 
+  test("unigram familiarity: OOV accounting and common-vs-rare ordering") {
+    val sp = spark; import sp.implicits._
+    // "the" x6, "cat" x3, "runs" x2, singletons: vocabSize=3 keeps {the, cat, runs}
+    val df = Seq(
+      (1L, "the cat runs"), (2L, "the cat runs"), (3L, "the cat the"),
+      (4L, "the zebra quux"), (5L, "the xylo")
+    ).toDF("doc_id", "text")
+    val out = TrainingOps.unigramFamiliarity(df, vocabSize = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out(1L) == ((3, 0L, 6L + 3L + 2L, 11.0 / 3)))
+    assert(out(3L) == ((3, 0L, 6L + 3L + 6L, 5.0)))
+    assert(out(4L) == ((3, 2L, 6L, 2.0))) // zebra/quux OOV contribute 0
+    // all-common doc scores strictly above the mostly-rare doc
+    assert(out(1L)._4 > out(4L)._4)
+    // vocabulary is deterministic: same input twice, identical rows
+    val again = TrainingOps.unigramFamiliarity(df, vocabSize = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(out.forall { case (id, (_, _, sf, _)) => again(id) == sf })
+  }
+
   test("incremental dedup: exact flags, and exact even under a saturated bloom") {
     val sp = spark; import sp.implicits._
     val corpus = Seq((1L, "shared alpha"), (2L, "corpus only"), (3L, "shared beta"))
