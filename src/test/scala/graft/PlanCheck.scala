@@ -68,6 +68,20 @@ object PlanCheck {
     TrainingOps.paragraphDedup(spark.read.parquet(s"$sf/documents.parquet"))
       .explain("formatted")
 
+    println("==== 12. d12 decontamination: eval grams BROADCAST, training grams never shuffle ====")
+    SparkEntry.queries("d12_decontaminate")(spark, sf).explain("formatted")
+
+    println("==== 13. d13 incremental dedup: confirm join sees bloom-hit rows only ====")
+    SparkEntry.queries("d13_incremental_dedup")(spark, sf).explain("formatted")
+
+    println("==== 14. t11 global shuffle: one data exchange on shard, offsets broadcast ====")
+    TrainingOps.globalShuffle(spark.read.parquet(s"$sf/documents.parquet"))
+      .explain("formatted")
+
+    println("==== 15. t12 unigram familiarity: vocab inlined, scoring pass map-only ====")
+    TrainingOps.unigramFamiliarity(spark.read.parquet(s"$sf/documents.parquet"))
+      .explain("formatted")
+
     spark.stop()
   }
 }
