@@ -156,10 +156,18 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .writeStream.format("memory").queryName("pii_stream").outputMode("append").start()
     val q2 = graft.datapipe.TrainingOps.repetitionStats(streamDf)
       .writeStream.format("memory").queryName("rep_stream").outputMode("append").start()
+    // stratified sampling is a stateless hash filter — same parity claim;
+    // lang derived deterministically from doc_id on both sides
+    import org.apache.spark.sql.functions.{element_at, typedLit, col}
+    def withLang(df: org.apache.spark.sql.DataFrame) = df.withColumn("lang",
+      element_at(typedLit(Seq("en", "de", "xx")), (col("doc_id") % 3 + 1).cast("int")))
+    val q3 = graft.datapipe.TrainingOps.stratifiedSample(withLang(streamDf))
+      .writeStream.format("memory").queryName("smp_stream").outputMode("append").start()
     try {
       mem.addData(rows: _*)
       q1.processAllAvailable()
       q2.processAllAvailable()
+      q3.processAllAvailable()
       val batchDf = rows.toDF("doc_id", "text")
       def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
         df.collect().map(_.mkString("|")).toSeq.sorted
@@ -167,8 +175,10 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         canon(graft.datapipe.TrainingOps.piiStats(batchDf)))
       assert(canon(spark.table("rep_stream")) ==
         canon(graft.datapipe.TrainingOps.repetitionStats(batchDf)))
+      assert(canon(spark.table("smp_stream")) ==
+        canon(graft.datapipe.TrainingOps.stratifiedSample(withLang(batchDf))))
       assert(spark.table("pii_stream").count() == rows.length)
-    } finally { q1.stop(); q2.stop() }
+    } finally { q1.stop(); q2.stop(); q3.stop() }
   }
 
   test("streaming: windowed status counts emit once per closed window; late rows dropped") {
