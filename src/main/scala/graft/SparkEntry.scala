@@ -316,6 +316,34 @@ object SparkEntry {
     }),
     "t11_global_shuffle" -> ((s, dir) => TrainingOps.globalShuffle(docs(s, dir))),
     "t12_lm_familiarity" -> ((s, dir) => TrainingOps.unigramFamiliarity(docs(s, dir))),
+    // the flagship COMPOSED pipeline: quality filter -> exact dedup ->
+    // decontaminate -> stratified sample -> sequence pack, all public
+    // TrainingOps chained by doc_id semi-joins into ONE lazy plan (one
+    // materialization at the sink). Augmentations give each stage real
+    // work on the word-soup corpus: canonical-collapse (dup families,
+    // before dedup) and eval-probe tails (before decontamination), both
+    // mirrored in the oracle CTE chain. At sf0.01: 500 -> 371 -> 288 ->
+    // 206 -> 65 docs -> packed sequences.
+    "p1_corpus_pipeline" -> ((s, dir) => {
+      val k17 = col("doc_id") % 17
+      val k23 = col("doc_id") % 23
+      val aug = docs(s, dir).select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 5 === 4,
+          concat(lit("lorem canonical page " * 30), k17))
+          .otherwise(col("text")).as("text"))
+      val q = aug.join(TrainingOps.qualityScore(aug)
+        .filter(col("quality") >= 0.4).select("doc_id"), "doc_id")
+      val d = q.join(TrainingOps.dedupExact(q)
+        .select(col("keeper").as("doc_id")), "doc_id")
+      val a2 = d.select(col("doc_id"), col("lang"), concat(col("text"),
+        lit(" evalmark a"), k23, lit(" b"), k23, lit(" c"), k23,
+        lit(" d"), k23, lit(" e"), k23).as("text"))
+      val clean = a2.join(TrainingOps.decontaminate(a2, col("doc_id") % 61 === 7)
+        .filter(!col("contaminated")).select("doc_id"), "doc_id")
+      val smp = clean.join(TrainingOps.stratifiedSample(clean)
+        .select("doc_id"), "doc_id")
+      TrainingOps.sequencePack(smp, seqLen = 512)
+    }),
     "m1_binary_features" -> ((s, dir) => TrainingOps.binaryFeatures(s, docs(s, dir))),
     "m2_frame_sample" -> ((s, dir) => TrainingOps.frameSample(s, docs(s, dir))),
   )
@@ -775,6 +803,45 @@ object SparkEntry {
           "i.doc_id = min(i.doc_id) OVER (PARTITION BY i.h) AS first_in_batch, " +
           "(c.h IS NULL) AND i.doc_id = min(i.doc_id) OVER (PARTITION BY i.h) AS keep " +
           "FROM inc i LEFT JOIN corp c ON i.h = c.h"),
+      // the composed corpus pipeline, as one CTE chain mirroring the five
+      // chained TrainingOps stages of p1 (quality >= 0.4 -> exact-dedup
+      // keepers -> no eval 5-gram overlap -> stratified sample -> pack 512)
+      "p1_corpus_pipeline" ->
+        ("WITH aug AS (SELECT doc_id, lang, CASE WHEN doc_id % 5 = 4 THEN " +
+          "repeat('lorem canonical page ', 30) || (doc_id % 17) ELSE text END AS text " +
+          "FROM documents), " +
+          s"f AS (SELECT doc_id, lang, text, $w AS w FROM aug WHERE length(text) >= 1), " +
+          "b AS (SELECT doc_id, lang, text, CAST(len(w) AS INT) AS n_words, " +
+          "CAST(length(text) AS INT) AS n_chars, " +
+          "length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit, " +
+          "length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct FROM f), " +
+          "q AS (SELECT doc_id, lang, text FROM b WHERE " +
+          "round(least(1.0::DOUBLE, n_words::DOUBLE / 100.0) * (1 - n_digit::DOUBLE / n_chars) * " +
+          "(1 - least(1.0::DOUBLE, 5.0 * n_punct::DOUBLE / n_chars)), 4) >= 0.4), " +
+          "d AS (SELECT doc_id, lang, text FROM (SELECT *, min(doc_id) OVER " +
+          "(PARTITION BY md5(text)) AS rep FROM q) WHERE doc_id = rep), " +
+          "a2 AS (SELECT doc_id, lang, text || ' evalmark a' || (doc_id % 23) || " +
+          "' b' || (doc_id % 23) || ' c' || (doc_id % 23) || ' d' || (doc_id % 23) || " +
+          "' e' || (doc_id % 23) AS text FROM d), " +
+          s"f2 AS (SELECT doc_id, lang, text, $w AS w FROM a2), " +
+          "g AS (SELECT doc_id, list_distinct(list_transform(range(len(w)-4), " +
+          "i -> md5(array_to_string(w[i+1:i+5], ' ')))) AS g FROM f2 WHERE len(w) >= 5), " +
+          "bench AS (SELECT DISTINCT gh FROM (SELECT unnest(g) AS gh FROM g WHERE doc_id % 61 = 7)), " +
+          "tr AS (SELECT doc_id, unnest(g) AS gh FROM g WHERE doc_id % 61 <> 7), " +
+          "hits AS (SELECT doc_id, count(*) AS n_hits FROM tr JOIN bench USING (gh) GROUP BY doc_id), " +
+          "dec AS (SELECT t.doc_id, lang, text FROM (SELECT doc_id, lang, text FROM a2 " +
+          "WHERE doc_id % 61 <> 7) t LEFT JOIN hits h USING (doc_id) WHERE coalesce(h.n_hits, 0) = 0), " +
+          "smp AS (SELECT doc_id, lang, text FROM dec WHERE " +
+          "CAST(('0x' || substr(md5('smp:' || doc_id),1,15))::BIGINT % 1000000 AS INT) < " +
+          "CAST(CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000 WHEN 'es' THEN 250000 " +
+          "WHEN 'fr' THEN 125000 WHEN 'zh' THEN 125000 ELSE 50000 END AS INT)), " +
+          s"pk AS (SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard, CAST(len($w) AS INT) AS n_tokens " +
+          "FROM smp WHERE length(text) >= 1), " +
+          "c AS (SELECT doc_id, shard, n_tokens, CAST(sum(n_tokens) OVER " +
+          "(PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM pk) " +
+          "SELECT doc_id, shard, n_tokens, (cum - n_tokens) // 512 AS seq_id, " +
+          "CAST((cum - n_tokens) % 512 AS INT) AS seq_offset, " +
+          "CAST((cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS INT) AS n_seqs FROM c"),
       // unigram-LM familiarity: top-256 corpus vocabulary (count desc,
       // word asc), per-doc OOV count + summed corpus frequencies —
       // mirrors unigramFamiliarity(vocabSize=256); transcendental-free
