@@ -318,8 +318,13 @@ object SparkEntry {
     "t12_lm_familiarity" -> ((s, dir) => TrainingOps.unigramFamiliarity(docs(s, dir))),
     // the flagship COMPOSED pipeline: quality filter -> exact dedup ->
     // decontaminate -> stratified sample -> sequence pack, all public
-    // TrainingOps chained by doc_id semi-joins into ONE lazy plan (one
-    // materialization at the sink). Augmentations give each stage real
+    // TrainingOps chained by doc_id semi-joins. Every stage that feeds
+    // TWO consumers (the op and the join-back) is persisted — without
+    // that, each branch recomputes its whole upstream and the lazy plan
+    // re-reads the source 32 times (measured); with it, one scan + one
+    // materialization per stage, which is exactly what a production
+    // pipeline does between major phases (at 100 TB: checkpoint to the
+    // lakehouse instead of memory). Augmentations give each stage real
     // work on the word-soup corpus: canonical-collapse (dup families,
     // before dedup) and eval-probe tails (before decontamination), both
     // mirrored in the oracle CTE chain. At sf0.01: 500 -> 371 -> 288 ->
@@ -330,16 +335,16 @@ object SparkEntry {
       val aug = docs(s, dir).select(col("doc_id"), col("lang"),
         when(col("doc_id") % 5 === 4,
           concat(lit("lorem canonical page " * 30), k17))
-          .otherwise(col("text")).as("text"))
+          .otherwise(col("text")).as("text")).persist()
       val q = aug.join(TrainingOps.qualityScore(aug)
-        .filter(col("quality") >= 0.4).select("doc_id"), "doc_id")
+        .filter(col("quality") >= 0.4).select("doc_id"), "doc_id").persist()
       val d = q.join(TrainingOps.dedupExact(q)
         .select(col("keeper").as("doc_id")), "doc_id")
       val a2 = d.select(col("doc_id"), col("lang"), concat(col("text"),
         lit(" evalmark a"), k23, lit(" b"), k23, lit(" c"), k23,
-        lit(" d"), k23, lit(" e"), k23).as("text"))
+        lit(" d"), k23, lit(" e"), k23).as("text")).persist()
       val clean = a2.join(TrainingOps.decontaminate(a2, col("doc_id") % 61 === 7)
-        .filter(!col("contaminated")).select("doc_id"), "doc_id")
+        .filter(!col("contaminated")).select("doc_id"), "doc_id").persist()
       val smp = clean.join(TrainingOps.stratifiedSample(clean)
         .select("doc_id"), "doc_id")
       TrainingOps.sequencePack(smp, seqLen = 512)
