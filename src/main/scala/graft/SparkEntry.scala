@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.datapipe.TrainingOps
+import graft.datapipe.{RelationalOps, TrainingOps}
 import graft.gen.PagesGen
 import graft.spark._
 
@@ -349,6 +349,18 @@ object SparkEntry {
         .select("doc_id"), "doc_id")
       TrainingOps.sequencePack(smp, seqLen = 512)
     }),
+    // as-of join over the events table: each click gets the latest error
+    // of the same user at or before its timestamp (point-in-time lookup)
+    "e18_asof_join" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      RelationalOps.asofJoin(
+        ev.filter(col("event_type") === "click")
+          .select("event_id", "ts", "user_id", "value"),
+        ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("err_event_id"), col("ts").as("err_ts"),
+            col("user_id"), col("value").as("err_value")),
+        key = "user_id", leftTs = "ts", rightTs = "err_ts")
+    }),
     "m1_binary_features" -> ((s, dir) => TrainingOps.binaryFeatures(s, docs(s, dir))),
     "m2_frame_sample" -> ((s, dir) => TrainingOps.frameSample(s, docs(s, dir))),
   )
@@ -414,6 +426,15 @@ object SparkEntry {
           "CASE kind WHEN 'pdf' THEN 'pdf' WHEN 'html' THEN 'html' ELSE 'none' END AS engine, " +
           "CASE kind WHEN 'junk' THEN 'rejected_format' WHEN 'oversize' THEN 'rejected_size' ELSE 'ok' END AS status, " +
           "count(*) AS n FROM d GROUP BY 1, 2, 3"),
+      // as-of join: DuckDB's NATIVE ASOF JOIN — an algorithm-independent
+      // oracle (range-scan argmax) for the union+carry-forward window
+      // implementation in RelationalOps.asofJoin
+      "e18_asof_join" ->
+        ("WITH l AS (SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'click'), " +
+          "r AS (SELECT event_id AS err_event_id, ts AS err_ts, user_id, value AS err_value " +
+          "FROM events WHERE event_type = 'error') " +
+          "SELECT l.event_id, l.ts, l.user_id, l.value, r.err_event_id, r.err_ts, r.err_value " +
+          "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.err_ts <= l.ts"),
       "e12_duration_metrics" ->
         (s"WITH d AS (SELECT $kindCase AS kind FROM documents) " +
           "SELECT CASE kind WHEN 'pdf' THEN 'pdf' WHEN 'html' THEN 'html' ELSE 'none' END AS engine, " +

@@ -1,0 +1,57 @@
+package graft.datapipe
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operators Spark lacks natively, built from compositions of
+  * built-in operators (SURVEY.md par 2.10 / the custom-operator ladder:
+  * compose before dropping to custom plans).
+  */
+object RelationalOps {
+
+  /** As-of join (point-in-time-correct join): for every left row, attach
+    * the LATEST right row of the same `key` whose `rightTs` is at or
+    * before the left row's `leftTs` — the state-at-event-time lookup of
+    * event/feature pipelines (quotes-at-trade-time, config-at-crawl-time).
+    *
+    * Algorithm: the union + carry-forward trick, not a range join — tag
+    * both sides, union, ONE window per key ordered by (time, side) with
+    * right rows sorting first at equal timestamps (inclusive `<=`
+    * semantics), and `last(_, ignoreNulls)` carries the most recent right
+    * payload forward onto every left row. One shuffle of (key, ts,
+    * payload) rows, a single linear pass per partition, and — unlike the
+    * naive `l JOIN r ON key AND r.ts <= l.ts` + argmax — ZERO pair
+    * explosion: a key with m left and n right rows costs m+n, not m*n.
+    * Hot-key skew shows up as a big window partition; the standard
+    * escape is two-level bucketing (key, coarse time bucket) with
+    * boundary carry-in, same shape.
+    *
+    * Contract: right's non-`key` column names (including `rightTs`) must
+    * be disjoint from left's; right should be unique per (key, rightTs)
+    * for the match to be well-defined (the same contract DuckDB's ASOF
+    * JOIN — the oracle — imposes). Unmatched left rows keep nulls in the
+    * right columns (LEFT OUTER semantics).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String): DataFrame = {
+    val rCols = right.columns.filterNot(_ == key)
+    val overlap = rCols.toSet.intersect(left.columns.toSet)
+    require(overlap.isEmpty,
+      s"right columns must not collide with left columns: ${overlap.mkString(", ")}")
+    val lStruct = struct(left.columns.map(left(_)).toIndexedSeq: _*)
+    val rStruct = struct(rCols.map(right(_)).toIndexedSeq: _*)
+    val lType = left.select(lStruct).schema.head.dataType
+    val rType = right.select(rStruct).schema.head.dataType
+    val lT = left.select(col(key).as("__k"), col(leftTs).as("__t"),
+      lit(1).as("__side"), lStruct.as("__l"), lit(null).cast(rType).as("__r"))
+    val rT = right.select(col(key).as("__k"), col(rightTs).as("__t"),
+      lit(0).as("__side"), lit(null).cast(lType).as("__l"), rStruct.as("__r"))
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lT.unionByName(rT)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__l.*"), col("__m.*"))
+  }
+}

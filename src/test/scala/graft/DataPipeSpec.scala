@@ -502,6 +502,27 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.exists(_._6 >= 2), "expected at least one boundary-spanning doc")
   }
 
+  test("as-of join: inclusive ties, carry-forward, unmatched nulls, collision guard") {
+    val sp = spark; import sp.implicits._
+    val left = Seq( // (id, t, key, v)
+      (1L, 10L, "a", 1.0), // before any right row -> null match
+      (2L, 20L, "a", 2.0), // exactly at right t=20 -> inclusive match
+      (3L, 35L, "a", 3.0), // between 30 and future -> carries t=30
+      (4L, 50L, "b", 4.0)  // other key, no right rows at all
+    ).toDF("event_id", "ts", "user_id", "value")
+    val right = Seq((100L, 20L, "a", -1.0), (101L, 30L, "a", -2.0))
+      .toDF("r_id", "r_ts", "user_id", "r_value")
+    val out = graft.datapipe.RelationalOps
+      .asofJoin(left, right, "user_id", "ts", "r_ts").collect()
+      .map(r => r.getLong(0) -> Option(r.get(4)).map(_.asInstanceOf[Long])).toMap
+    assert(out == Map(1L -> None, 2L -> Some(100L), 3L -> Some(101L), 4L -> None))
+    // colliding right column names fail loudly at plan build
+    val bad = right.withColumnRenamed("r_value", "value")
+    assertThrows[IllegalArgumentException] {
+      graft.datapipe.RelationalOps.asofJoin(left, bad, "user_id", "ts", "r_ts")
+    }
+  }
+
   test("unigram familiarity: OOV accounting and common-vs-rare ordering") {
     val sp = spark; import sp.implicits._
     // "the" x6, "cat" x3, "runs" x2, singletons: vocabSize=3 keeps {the, cat, runs}
