@@ -361,6 +361,18 @@ object SparkEntry {
             col("user_id"), col("value").as("err_value")),
         key = "user_id", leftTs = "ts", rightTs = "err_ts")
     }),
+    // range join: views landing inside 15-minute post-purchase windows
+    // (bin-bucketized equi-join, not a nested-loop range join)
+    "e19_range_join" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      RelationalOps.rangeJoin(
+        ev.filter(col("event_type") === "view")
+          .select("event_id", "ts", "user_id", "value"),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("win_id"), col("ts").as("win_start"),
+            (col("ts") + expr("INTERVAL 15 MINUTES")).as("win_end")),
+        leftTs = "ts", start = "win_start", end = "win_end")
+    }),
     "m1_binary_features" -> ((s, dir) => TrainingOps.binaryFeatures(s, docs(s, dir))),
     "m2_frame_sample" -> ((s, dir) => TrainingOps.frameSample(s, docs(s, dir))),
   )
@@ -435,6 +447,15 @@ object SparkEntry {
           "FROM events WHERE event_type = 'error') " +
           "SELECT l.event_id, l.ts, l.user_id, l.value, r.err_event_id, r.err_ts, r.err_value " +
           "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.err_ts <= l.ts"),
+      // range join: plain-SQL interval predicate — again an independent
+      // formulation (DuckDB plans it as its own IEJoin) checking the
+      // bin-bucketized equi-join in RelationalOps.rangeJoin
+      "e19_range_join" ->
+        ("WITH l AS (SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'view'), " +
+          "r AS (SELECT event_id AS win_id, ts AS win_start, ts + INTERVAL 15 MINUTE AS win_end " +
+          "FROM events WHERE event_type = 'purchase') " +
+          "SELECT l.event_id, l.ts, l.user_id, l.value, r.win_id, r.win_start, r.win_end " +
+          "FROM l JOIN r ON l.ts >= r.win_start AND l.ts < r.win_end"),
       "e12_duration_metrics" ->
         (s"WITH d AS (SELECT $kindCase AS kind FROM documents) " +
           "SELECT CASE kind WHEN 'pdf' THEN 'pdf' WHEN 'html' THEN 'html' ELSE 'none' END AS engine, " +

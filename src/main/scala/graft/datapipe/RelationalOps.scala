@@ -54,4 +54,43 @@ object RelationalOps {
       .filter(col("__side") === 1)
       .select(col("__l.*"), col("__m.*"))
   }
+
+  /** Range (interval) join: every left row pairs with every right
+    * interval containing its timestamp (`start <= ts < end`) — the
+    * event-in-window join. Spark plans a raw `ON l.ts BETWEEN r.s AND
+    * r.e` as BroadcastNestedLoopJoin (quadratic, broadcast-bound); this
+    * instead BUCKETIZES time into `binSeconds` bins: each interval
+    * explodes to the bins it overlaps, each left row maps to its single
+    * bin, and the match becomes an EQUI-join on the bin key plus the
+    * exact range filter. One hash shuffle on (bin), interval replication
+    * = ceil(span/bin) rows — pick `binSeconds` near the typical interval
+    * span so replication stays O(1) per interval. Works at any scale
+    * where intervals are bounded; unbounded intervals want the
+    * [[asofJoin]] carry-forward shape instead.
+    *
+    * Contract: right's column names must be disjoint from left's;
+    * intervals with `end <= start` are empty and dropped (inner-join
+    * semantics). Timestamps compare at microsecond precision.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame,
+      leftTs: String, start: String, end: String,
+      binSeconds: Long = 900): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    val overlap = right.columns.toSet.intersect(left.columns.toSet)
+    require(overlap.isEmpty,
+      s"right columns must not collide with left columns: ${overlap.mkString(", ")}")
+    val binUs = binSeconds * 1000000L
+    // cast handles TIMESTAMP_NTZ inputs: both sides shift by the same
+    // session-timezone offset, so bin assignment stays consistent and
+    // the exact range filter below compares the original values
+    def us(c: String) = s"unix_micros(cast($c as timestamp))"
+    val lB = left.withColumn("__bin", expr(s"${us(leftTs)} div $binUs"))
+    val rB = right.filter(col(end) > col(start))
+      .withColumn("__bin", explode(sequence(
+        expr(s"${us(start)} div $binUs"),
+        expr(s"(${us(end)} - 1) div $binUs"))))
+    lB.join(rB, Seq("__bin"))
+      .filter(col(leftTs) >= col(start) && col(leftTs) < col(end))
+      .drop("__bin")
+  }
 }

@@ -523,6 +523,34 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("range join: half-open bounds, multi-bin intervals, overlap fan-out, collision guard") {
+    val sp = spark; import sp.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val left = Seq( // (id, t)
+      (1L, ts(5)),   // inside A only
+      (2L, ts(10)),  // == A.end (exclusive) and == B.start (inclusive) -> B only
+      (3L, ts(95)),  // deep inside B, different bin from B.start at binSeconds=30
+      (4L, ts(100)), // == B.end -> no match
+      (5L, ts(50))   // inside both B and C -> fan-out to 2 rows
+    ).toDF("event_id", "ts")
+    val right = Seq(
+      ("A", ts(0), ts(10)),   // single-bin interval
+      ("B", ts(10), ts(100)), // spans 4 bins at binSeconds=30
+      ("C", ts(45), ts(60)),  // overlaps B
+      ("D", ts(70), ts(70))   // empty interval, dropped
+    ).toDF("win_id", "win_start", "win_end")
+    val out = graft.datapipe.RelationalOps
+      .rangeJoin(left, right, "ts", "win_start", "win_end", binSeconds = 30)
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(out.sorted.toSeq == Seq(
+      (1L, "A"), (2L, "B"), (3L, "B"), (5L, "B"), (5L, "C")))
+    // colliding column names fail loudly at plan build
+    assertThrows[IllegalArgumentException] {
+      graft.datapipe.RelationalOps.rangeJoin(
+        left, right.withColumnRenamed("win_id", "ts"), "ts", "win_start", "win_end")
+    }
+  }
+
   test("unigram familiarity: OOV accounting and common-vs-rare ordering") {
     val sp = spark; import sp.implicits._
     // "the" x6, "cat" x3, "runs" x2, singletons: vocabSize=3 keeps {the, cat, runs}
