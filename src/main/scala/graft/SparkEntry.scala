@@ -373,6 +373,21 @@ object SparkEntry {
             (col("ts") + expr("INTERVAL 15 MINUTES")).as("win_end")),
         leftTs = "ts", start = "win_start", end = "win_end")
     }),
+    // sessionization: per-user activity sessions at a 4-hour inactivity
+    // gap (built-in session_window aggregation — the streaming-identical
+    // plan). value summed as exact millis so the aggregate is
+    // order-independent (double sums are not)
+    "e20_sessionize" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("value_milli", floor(col("value") * 1000 + 0.5).cast("long"))
+      RelationalOps.sessionize(ev, key = "user_id", ts = "ts", gap = "4 hours",
+        sum(col("value_milli")).as("sum_value_milli"))
+    }),
+    // multi-level metrics: (engine, status) counts + per-engine subtotals
+    // + grand total in ONE rollup pass (single shuffle, no groupBy union)
+    "e21_status_rollup" -> ((s, dir) => {
+      MetricsStage.statusRollup(extracted(s, dir, "all"))
+    }),
     "m1_binary_features" -> ((s, dir) => TrainingOps.binaryFeatures(s, docs(s, dir))),
     "m2_frame_sample" -> ((s, dir) => TrainingOps.frameSample(s, docs(s, dir))),
   )
@@ -456,6 +471,25 @@ object SparkEntry {
           "FROM events WHERE event_type = 'purchase') " +
           "SELECT l.event_id, l.ts, l.user_id, l.value, r.win_id, r.win_start, r.win_end " +
           "FROM l JOIN r ON l.ts >= r.win_start AND l.ts < r.win_end"),
+      // sessionization oracle: gaps-and-islands (lag + running break sum)
+      // — an algorithm-independent formulation of the session_window
+      // merging exec. Boundary pinned at > gap -> new session (Spark
+      // merges TOUCHING windows: an event exactly gap after its
+      // predecessor still extends the session).
+      "e20_sessionize" ->
+        ("WITH o AS (SELECT user_id, ts, CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm, " +
+          "CASE WHEN ts - lag(ts) OVER w > INTERVAL 4 HOUR OR lag(ts) OVER w IS NULL " +
+          "THEN 1 ELSE 0 END AS brk FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+          "s AS (SELECT user_id, ts, vm, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM o) " +
+          "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, " +
+          "count(*) AS n_events, CAST(SUM(vm) AS BIGINT) AS sum_value_milli FROM s GROUP BY user_id, sid"),
+      // rollup oracle: DuckDB's native ROLLUP + GROUPING bitmask
+      "e21_status_rollup" ->
+        (s"WITH d AS (SELECT doc_id, $kindCase AS kind FROM documents), " +
+          "e AS (SELECT CASE kind WHEN 'pdf' THEN 'pdf' WHEN 'html' THEN 'html' ELSE 'none' END AS engine, " +
+          "CASE kind WHEN 'junk' THEN 'rejected_format' WHEN 'oversize' THEN 'rejected_size' ELSE 'ok' END AS status FROM d) " +
+          "SELECT engine, status, count(*) AS n, GROUPING(engine, status) AS lvl " +
+          "FROM e GROUP BY ROLLUP(engine, status)"),
       "e12_duration_metrics" ->
         (s"WITH d AS (SELECT $kindCase AS kind FROM documents) " +
           "SELECT CASE kind WHEN 'pdf' THEN 'pdf' WHEN 'html' THEN 'html' ELSE 'none' END AS engine, " +

@@ -1,6 +1,6 @@
 package graft.datapipe
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -72,6 +72,35 @@ object RelationalOps {
     * intervals with `end <= start` are empty and dropped (inner-join
     * semantics). Timestamps compare at microsecond precision.
     */
+  /** Sessionization: group each key's events into sessions separated by
+    * inactivity gaps of at least `gap` — the canonical clickstream /
+    * crawl-visit operator. Spark-first: the built-in [[session_window]]
+    * aggregation (one hash shuffle on key, sessions merged per partition
+    * by Spark's native merging-sessions exec — the same plan Structured
+    * Streaming uses, so the batch and streaming formulations coincide).
+    * Emits one row per session: key, session bounds (min/max EVENT time,
+    * not the window's `end = last + gap`, so results are gap-independent
+    * facts about the data), event count, plus any caller aggregates.
+    *
+    * Boundary semantics (pinned by spec + oracle): an event exactly `gap`
+    * after its predecessor still EXTENDS the session — Spark merges
+    * touching windows (`next.start <= current.end`); only a strictly
+    * larger gap closes a session.
+    *
+    * Scale: state is per-(key, session), never per-event, and the shuffle
+    * carries only the projected aggregate inputs. Hot keys (one user with
+    * millions of events) land in one task — the standard escape is a
+    * coarse time-bucket pre-split with boundary merge, same shape as
+    * [[asofJoin]]'s skew note.
+    */
+  def sessionize(events: DataFrame, key: String, ts: String, gap: String,
+      extraAggs: Column*): DataFrame =
+    events
+      .groupBy(col(key), session_window(col(ts), gap))
+      .agg(min(col(ts)).as("session_start"),
+        (Seq(max(col(ts)).as("session_end"), count(lit(1)).as("n_events")) ++ extraAggs): _*)
+      .drop("session_window")
+
   def rangeJoin(left: DataFrame, right: DataFrame,
       leftTs: String, start: String, end: String,
       binSeconds: Long = 900): DataFrame = {

@@ -65,6 +65,18 @@ object MetricsStage {
         col("engine"), col("status"), col("n"))
   }
 
+  /** Multi-level counters in ONE pass: (engine, status) counts plus the
+    * per-engine subtotals and the grand total the reference's dashboard
+    * derives from its flat Prometheus counters — `rollup` computes all
+    * three levels in a single partial+final hash aggregate (one shuffle,
+    * no union of three groupBys, no second scan). `lvl` is the grouping
+    * bitmask (0 = leaf, 1 = per-engine subtotal, 3 = grand total)
+    * disambiguating aggregate rows from genuine NULL dimension values.
+    */
+  def statusRollup(results: Dataset[ResultRow]): DataFrame =
+    results.rollup("engine", "status")
+      .agg(count(lit(1)).as("n"), grouping_id().as("lvl"))
+
   /** Persist the run's metrics next to the table (parity with /metrics). */
   def write(results: Dataset[ResultRow], root: String, runId: String)(implicit spark: SparkSession): Unit = {
     statusCounts(results).withColumn("run_id", lit(runId))

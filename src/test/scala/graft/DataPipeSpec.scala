@@ -551,6 +551,25 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sessionization: exact-gap events extend the session, larger gaps close it") {
+    val sp = spark; import sp.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, "u1", ts(0), 100L),
+      (2L, "u1", ts(60), 10L),  // exactly 60s after ev1: touching windows MERGE
+      (3L, "u1", ts(121), 1L),  // 61s after ev2 -> strictly larger gap -> NEW session
+      (4L, "u2", ts(0), 7L)
+    ).toDF("event_id", "user_id", "ts", "value_milli")
+    val out = graft.datapipe.RelationalOps
+      .sessionize(ev, "user_id", "ts", "60 seconds",
+        sum(col("value_milli")).as("sv"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000,
+        r.getTimestamp(2).getTime / 1000, r.getLong(3), r.getLong(4))).toSet
+    assert(out == Set(
+      ("u1", 0L, 60L, 2L, 110L), ("u1", 121L, 121L, 1L, 1L), ("u2", 0L, 0L, 1L, 7L)))
+  }
+
   test("unigram familiarity: OOV accounting and common-vs-rare ordering") {
     val sp = spark; import sp.implicits._
     // "the" x6, "cat" x3, "runs" x2, singletons: vocabSize=3 keeps {the, cat, runs}
