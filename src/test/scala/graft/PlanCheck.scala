@@ -82,6 +82,12 @@ object PlanCheck {
     TrainingOps.unigramFamiliarity(spark.read.parquet(s"$sf/documents.parquet"))
       .explain("formatted")
 
+    println("==== 16. e20 sessionize: one key shuffle + native merging-sessions exec ====")
+    SparkEntry.queries("e20_sessionize")(spark, sf).explain("formatted")
+
+    println("==== 17. e21 status rollup: one Expand + partial/final agg, no union ====")
+    SparkEntry.queries("e21_status_rollup")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
