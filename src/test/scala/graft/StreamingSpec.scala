@@ -181,6 +181,72 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { q1.stop(); q2.stop(); q3.stop() }
   }
 
+  test("streaming: sessionize emits a session once its gap closes; == batch on on-time rows") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, sum}
+    spark.sparkContext.setLogLevel("WARN")
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def ts(min: Int) = new java.sql.Timestamp(PagesGen.Epoch + min * 60000L)
+    val mem = MemoryStream[(String, java.sql.Timestamp, Long)]
+    // the SAME sessionize call as the batch query (one definition, two
+    // modes): only the watermark is streaming-specific, applied upstream
+    val sessions = graft.datapipe.RelationalOps.sessionize(
+      mem.toDF().toDF("user_id", "ts", "value_milli")
+        .withWatermark("ts", "5 minutes"),
+      key = "user_id", ts = "ts", gap = "10 minutes",
+      sum(col("value_milli")).as("sv"))
+    val q = sessions.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    def rows() = spark.table("sess_stream").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3), r.getLong(4)))
+      .sortBy(x => (x._1, x._2.getTime))
+
+    try {
+      // one u1 session at minutes 1..2; session window end = 2 + gap = 12.
+      // watermark (2 - 5 < 0) hasn't passed it -> append emits nothing
+      mem.addData(("u1", ts(1), 100L), ("u1", ts(2), 10L))
+      q.processAllAvailable()
+      assert(rows().isEmpty, "open session must not emit in append mode")
+
+      // event time jumps to 20 -> watermark 15 > 12 closes the session
+      // (the jump event starts u1's SECOND session, still open)
+      mem.addData(("u1", ts(20), 1L))
+      q.processAllAvailable()
+      mem.addData(("u1", ts(21), 2L)) // extra batch so the watermark applies
+      q.processAllAvailable()
+      assert(rows().toSeq == Seq(("u1", ts(1), ts(2), 2L, 110L)),
+        s"closed session must emit exactly once with event-time bounds: ${rows().toSeq}")
+
+      // a row below the watermark is dropped — the closed session must
+      // not re-emit or absorb it; the second session closes with 20,21 only
+      mem.addData(("u1", ts(3), 999L))
+      q.processAllAvailable()
+      mem.addData(("u1", ts(45), 5L))
+      q.processAllAvailable()
+      mem.addData(("u1", ts(46), 5L))
+      q.processAllAvailable()
+      val out = rows().toSeq
+      assert(out.take(2) == Seq(
+        ("u1", ts(1), ts(2), 2L, 110L), ("u1", ts(20), ts(21), 2L, 3L)),
+        s"late row must not reopen the first session or join the second: $out")
+
+      // batch == streaming on the on-time rows (late ts(3) excluded)
+      val batch = graft.datapipe.RelationalOps.sessionize(
+          Seq(("u1", ts(1), 100L), ("u1", ts(2), 10L), ("u1", ts(20), 1L),
+            ("u1", ts(21), 2L)).toDF("user_id", "ts", "value_milli"),
+          key = "user_id", ts = "ts", gap = "10 minutes",
+          sum(col("value_milli")).as("sv"))
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3), r.getLong(4)))
+        .sortBy(x => (x._1, x._2.getTime))
+      assert(out.take(2) == batch.toSeq,
+        s"streamed closed sessions must equal the batch plan: $out vs ${batch.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming: windowed status counts emit once per closed window; late rows dropped") {
     implicit val s: SparkSession = spark
     import s.implicits._
