@@ -42,7 +42,13 @@ object Bench {
     // and inflate later queries 5-15x (r2 sweep: d9 45s dirty vs 2.7s
     // clean). Clearing between queries measures each op as a user running
     // it in a fresh job would see it.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // min-of-2 passes per query: the host VM's effective CPU speed drifts
+    // in multi-minute windows (BASELINE.md "Scaling evidence" — three
+    // identical r2 sweeps measured 60/93/421 s), so a single pass can
+    // charge a query 5-10x for landing in a slow window. The min of two
+    // passes taken minutes apart is a far tighter estimator of the code's
+    // cost, and also stops charging pass 1 for cold codegen.
+    def sweep(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -50,6 +56,8 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       name -> dt
     }
+    val (s1, s2) = (sweep(), sweep())
+    val results = s1.map { case (k, v) => k -> math.min(v, s2(k)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -73,7 +81,12 @@ object Bench {
       (n, (System.nanoTime() - t0) / 1e9)
     }
     pass() // warm-up (JIT + page cache)
-    val (docs, sec) = pass()
+    // best-of-2 timed passes — same drift argument as the query sweep
+    // (r2 evidence: identical binaries measured 5.7k/8.8k/28.7k docs/s
+    // in single-pass runs minutes apart)
+    val (d1, t1) = pass()
+    val (d2, t2) = pass()
+    val (docs, sec) = if (t1 <= t2) (d1, t1) else (d2, t2)
     val tput = docs / sec
 
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +

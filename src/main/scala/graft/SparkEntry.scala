@@ -303,6 +303,9 @@ object SparkEntry {
       TrainingOps.decontaminate(contAug(docs(s, dir)), col("doc_id") % 61 === 7)),
     "t8_stratified_sample" -> ((s, dir) => TrainingOps.stratifiedSample(docs(s, dir))),
     "t9_source_mix" -> ((s, dir) => TrainingOps.sourceMix(docs(s, dir))),
+    // per-source doc cap (salted two-stage top-N); cap 10 so the sf0.01
+    // sources (~dozens of docs each) actually get pruned
+    "t13_source_cap" -> ((s, dir) => TrainingOps.sourceCap(docs(s, dir), maxPerSource = 10)),
     // seqLen 512 (not the 2048 default) so the sf0.01 corpus actually
     // crosses sequence boundaries (docs spanning two sequences, several
     // sequences per shard) — the oracle hardcodes the same length
@@ -861,6 +864,13 @@ object SparkEntry {
           "n AS (SELECT doc_id, source, wx2 // 2 + " +
           "CASE WHEN wx2 % 2 = 1 AND u < 500000 THEN 1 ELSE 0 END AS n_epochs FROM m) " +
           "SELECT doc_id, source, CAST(unnest(range(n_epochs)) AS INT) AS epoch FROM n"),
+      // per-source cap oracle: the plain one-stage window formulation —
+      // algorithm-independent of sourceCap's salted two-stage plan
+      "t13_source_cap" ->
+        ("SELECT doc_id, source, n_chars, CAST(rk AS INT) AS rk FROM (" +
+          "SELECT doc_id, source, n_chars, " +
+          "row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk " +
+          "FROM documents) WHERE rk <= 10"),
       // shard-local sequence packing: running token sum per shard
       // (doc_id % 16) in doc_id order, integer-div sequence assignment —
       // mirrors sequencePack(seqLen=512, nShards=16)

@@ -824,6 +824,40 @@ object TrainingOps {
         explode(sequence(lit(0), col("n_epochs") - 1)).as("epoch"))
   }
 
+  /** Per-source document cap — keep at most `maxPerSource` documents per
+    * source, preferring longer documents (the RefinedWeb/C4-style
+    * "limit docs per domain" anti-SEO-farm curation step). Ranking is
+    * fully deterministic: (n_chars DESC, doc_id ASC), so the kept set is
+    * a pure function of the data.
+    *
+    * Scale shape — the skew problem with a plain
+    * `row_number() OVER (PARTITION BY source ...)` is that one mega-host
+    * (a link farm with 100 M pages) lands in ONE task. So the top-N is
+    * SALTED two-stage: stage 1 ranks within (source, doc_id mod salt) —
+    * the hot source spreads over `salt` tasks — and keeps each group's
+    * top `maxPerSource`; stage 2 re-ranks the survivors per source
+    * (input now <= salt x maxPerSource rows per source, bounded no
+    * matter how hot the host) and keeps the true top `maxPerSource`.
+    * Any global top-N row is top-N within its salt group, so the result
+    * is salt-INDEPENDENT (pinned by spec); shuffle 1 carries 3 small
+    * columns, shuffle 2 is capped rows only.
+    */
+  def sourceCap(docs: DataFrame, maxPerSource: Int = 10, salt: Int = 8): DataFrame = {
+    require(maxPerSource >= 1, "maxPerSource must be >= 1")
+    require(salt >= 1, "salt must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val order = Seq(col("n_chars").desc, col("doc_id").asc)
+    val local = Window.partitionBy(col("source"), pmod(col("doc_id"), lit(salt.toLong)))
+      .orderBy(order: _*)
+    val global = Window.partitionBy(col("source")).orderBy(order: _*)
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("lrk", row_number().over(local))
+      .filter(col("lrk") <= maxPerSource)
+      .drop("lrk")
+      .withColumn("rk", row_number().over(global))
+      .filter(col("rk") <= maxPerSource)
+  }
+
   /** Sequence packing — assign documents to fixed-length training
     * sequences of `seqLen` tokens by concatenation order. Packing is
     * SHARD-LOCAL (shard = doc_id mod nShards): at scale the shard is the

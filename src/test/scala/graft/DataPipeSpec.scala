@@ -570,6 +570,27 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("u1", 0L, 60L, 2L, 110L), ("u1", 121L, 121L, 1L, 1L), ("u2", 0L, 0L, 1L, 7L)))
   }
 
+  test("source cap: hot source capped, ties broken by doc_id, salt-independent") {
+    val sp = spark; import sp.implicits._
+    // one hot source (40 docs), one small source (2 docs, below the cap);
+    // n_chars = doc_id % 7 forces length ties so the doc_id tiebreak matters
+    val docs = ((0L until 40L).map(i => (i, "hot", i % 7)) ++
+      Seq((100L, "cold", 5L), (101L, "cold", 3L))).toDF("doc_id", "source", "n_chars")
+    def run(salt: Int) = graft.datapipe.TrainingOps
+      .sourceCap(docs, maxPerSource = 5, salt = salt)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getInt(3)))
+      .sortBy(x => (x._1, x._4)).toSeq
+    val out = run(salt = 8)
+    // expected: per source, order by n_chars desc then doc_id asc, top 5.
+    // hot n_chars=6 docs are ids 6,13,20,27,34 -> all five slots
+    assert(out == Seq(
+      ("cold", 100L, 5L, 1), ("cold", 101L, 3L, 2),
+      ("hot", 6L, 6L, 1), ("hot", 13L, 6L, 2), ("hot", 20L, 6L, 3),
+      ("hot", 27L, 6L, 4), ("hot", 34L, 6L, 5)))
+    // the salted pre-stage must not change the result
+    assert(run(salt = 1) == out && run(salt = 3) == out)
+  }
+
   test("unigram familiarity: OOV accounting and common-vs-rare ordering") {
     val sp = spark; import sp.implicits._
     // "the" x6, "cat" x3, "runs" x2, singletons: vocabSize=3 keeps {the, cat, runs}
