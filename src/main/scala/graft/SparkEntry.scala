@@ -306,6 +306,10 @@ object SparkEntry {
     // per-source doc cap (salted two-stage top-N); cap 10 so the sf0.01
     // sources (~dozens of docs each) actually get pruned
     "t13_source_cap" -> ((s, dir) => TrainingOps.sourceCap(docs(s, dir), maxPerSource = 10)),
+    // Gopher/C4 hard-gate rule bundle (line structure synthesized from
+    // doc_id — piiAug pattern — so every line-level rule has both pass
+    // and fail cases in the corpus)
+    "t14_quality_rules" -> ((s, dir) => TrainingOps.qualityRules(docs(s, dir))),
     // seqLen 512 (not the 2048 default) so the sf0.01 corpus actually
     // crosses sequence boundaries (docs spanning two sequences, several
     // sequences per shard) — the oracle hardcodes the same length
@@ -871,6 +875,38 @@ object SparkEntry {
           "SELECT doc_id, source, n_chars, " +
           "row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk " +
           "FROM documents) WHERE rk <= 10"),
+      // Gopher/C4 rule-bundle oracle: mirrors qualityRules' synthetic
+      // line decoration byte-for-byte (12-word lines, bullet/ellipsis
+      // keys, digit/lorem/brace tails), then re-derives every rule and
+      // the AND-ed keep verdict from the decorated text
+      "t14_quality_rules" -> {
+        val lineExpr =
+          "(CASE WHEN doc_id % 13 = 4 OR (doc_id + i) % 7 = 0 THEN '- ' ELSE '' END) || " +
+            "array_to_string(w0[(i*12+1):least((i+1)*12, len(w0))], ' ') || " +
+            "(CASE WHEN doc_id % 11 = 6 OR (doc_id + i) % 5 = 0 THEN '...' ELSE '.' END)"
+        s"WITH d AS (SELECT doc_id, $w AS w0 FROM documents WHERE length(text) >= 1), " +
+          "l AS (SELECT doc_id, w0, list_transform(range((len(w0)-1) // 12 + 1), i -> " +
+          lineExpr + ") AS lines FROM d), " +
+          "a AS (SELECT doc_id, w0, array_to_string(lines, chr(10)) || " +
+          "(CASE WHEN doc_id % 19 = 2 THEN chr(10) || trim(repeat('7 ', CAST(ceil(len(w0)/2.0) AS BIGINT))) ELSE '' END) || " +
+          "(CASE WHEN doc_id % 31 = 9 THEN chr(10) || 'lorem ipsum dolor sit amet' ELSE '' END) || " +
+          "(CASE WHEN doc_id % 29 = 3 THEN chr(10) || 'function f() { return 1; }' ELSE '' END) AS t FROM l), " +
+          "m AS (SELECT doc_id, w0, t, " +
+          "regexp_split_to_array(t, '[ \\t\\n\\r\\f\\x0B]+') AS lw, " +
+          "string_split(t, chr(10)) AS ls FROM a), " +
+          "r AS (SELECT doc_id, CAST(len(lw) AS INT) AS n_words, " +
+          "round(list_sum(list_transform(lw, x -> length(x)))::DOUBLE / len(lw), 4) AS mean_wlen, " +
+          "round(len(list_filter(ls, x -> x LIKE '- %'))::DOUBLE / len(ls), 4) AS bullet_ratio, " +
+          "round(len(list_filter(ls, x -> x LIKE '%...'))::DOUBLE / len(ls), 4) AS ellipsis_ratio, " +
+          "round(len(list_filter(lw, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE / len(lw), 4) AS alpha_ratio, " +
+          "CAST(" + Seq("the", "a", "of", "and", "to", "in", "is", "it")
+            .map(s0 => s"(CASE WHEN list_contains(w0, '$s0') THEN 1 ELSE 0 END)")
+            .mkString(" + ") + " AS INT) AS n_stop, " +
+          "(instr(t, 'lorem ipsum') > 0) AS has_lorem, (instr(t, '{') > 0) AS has_brace FROM m) " +
+          "SELECT *, (n_words BETWEEN 50 AND 100000 AND mean_wlen BETWEEN 3.0 AND 10.0 " +
+          "AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8 " +
+          "AND n_stop >= 2 AND NOT has_lorem AND NOT has_brace) AS keep FROM r"
+      },
       // shard-local sequence packing: running token sum per shard
       // (doc_id % 16) in doc_id order, integer-div sequence assignment —
       // mirrors sequencePack(seqLen=512, nShards=16)

@@ -637,6 +637,74 @@ object TrainingOps {
         .as("quality"))
   }
 
+  /** Gopher/C4-style quality-RULE bundle — the pass/fail curation gates
+    * (Rae et al. 2021 §A1.1; Raffel et al. 2020 C4 heuristics) as one
+    * per-document verdict: word-count range, mean word length, bullet- and
+    * ellipsis-line ratios, alphabetic-word ratio, a distinct-stopword
+    * floor, and the C4 "lorem ipsum"/curly-brace exclusions, AND-ed into
+    * `keep`. Complements [[qualityScore]] (a continuous score): real
+    * pipelines run the hard gates first, then score what survives.
+    *
+    * The word-soup corpus is single-line, so line-level rules get
+    * deterministic structure synthesized from doc_id (the piiAug pattern):
+    * 12-word lines; `- ` bullets on every line for doc_id%13=4 (fails the
+    * 0.9 gate) else every 7th line; `...` endings on every line for
+    * doc_id%11=6 (fails the 0.3 gate) else every 5th; a digit-token tail
+    * halving alpha_ratio for doc_id%19=2; lorem-ipsum / code-brace tails
+    * for doc_id%31=9 / doc_id%29=3. The oracle mirrors the augmentation
+    * byte-for-byte.
+    *
+    * Scale shape: MAP-ONLY — per-row expressions, no shuffle, no UDF;
+    * every rule is a Catalyst built-in over the decorated text, so the
+    * whole bundle rides inside WholeStageCodegen in the scan stage.
+    */
+  def qualityRules(docs: DataFrame): DataFrame = {
+    val d = docs.filter(length(col("text")) >= 1)
+      .select(col("doc_id"), words(col("text")).as("w0"))
+    val lines = transform(paraChunks(col("w0"), 12), (c, i) =>
+      concat(
+        when(col("doc_id") % 13 === 4 || (col("doc_id") + i) % 7 === 0, lit("- "))
+          .otherwise(lit("")),
+        c,
+        when(col("doc_id") % 11 === 6 || (col("doc_id") + i) % 5 === 0, lit("..."))
+          .otherwise(lit("."))))
+    val t = concat(
+      concat_ws("\n", lines),
+      when(col("doc_id") % 19 === 2,
+        concat(lit("\n"), trim(expr("repeat('7 ', cast(ceil(size(w0)/2.0) as int))"))))
+        .otherwise(lit("")),
+      when(col("doc_id") % 31 === 9, lit("\nlorem ipsum dolor sit amet")).otherwise(lit("")),
+      when(col("doc_id") % 29 === 3, lit("\nfunction f() { return 1; }")).otherwise(lit("")))
+    val m = d.select(col("doc_id"), col("w0"), t.as("t"))
+      .select(col("doc_id"), col("w0"), col("t"),
+        split(col("t"), wsClass + "+").as("lw"),
+        split(col("t"), "\n").as("ls"))
+    val nW = size(col("lw")).cast("double")
+    val nL = size(col("ls")).cast("double")
+    // distinct stopwords present, on the raw words (decoration suffixes
+    // like 'the.' would defeat token-exact matching on the decorated text)
+    val nStop = stop("en").map(s => when(array_contains(col("w0"), s), 1).otherwise(0))
+      .reduce(_ + _)
+    m.select(
+      col("doc_id"),
+      size(col("lw")).as("n_words"),
+      round(expr("aggregate(lw, 0, (s, x) -> s + length(x))") / nW, 4).as("mean_wlen"),
+      round(size(filter(col("ls"), x => x.startsWith("- "))) / nL, 4).as("bullet_ratio"),
+      round(size(filter(col("ls"), x => x.endsWith("..."))) / nL, 4).as("ellipsis_ratio"),
+      round(size(filter(col("lw"), x => x.rlike("[a-zA-Z]"))) / nW, 4).as("alpha_ratio"),
+      nStop.cast("int").as("n_stop"),
+      (instr(col("t"), "lorem ipsum") > 0).as("has_lorem"),
+      (instr(col("t"), "{") > 0).as("has_brace"))
+      .withColumn("keep",
+        col("n_words").between(50, 100000) &&
+          col("mean_wlen").between(3.0, 10.0) &&
+          col("bullet_ratio") <= 0.9 &&
+          col("ellipsis_ratio") <= 0.3 &&
+          col("alpha_ratio") >= 0.8 &&
+          col("n_stop") >= 2 &&
+          !col("has_lorem") && !col("has_brace"))
+  }
+
   /** Token counting: whitespace tokens and a BPE-ish regex tokenization
     * (alnum runs + single non-alnum marks) — the token-budget accounting
     * column of a corpus pipeline.

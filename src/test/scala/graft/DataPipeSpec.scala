@@ -591,6 +591,28 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(salt = 1) == out && run(salt = 3) == out)
   }
 
+  test("quality rules: each gate fails on its keyed doc, clean doc keeps") {
+    val sp = spark; import sp.implicits._
+    // 60 good words (>= 2 stopwords, sane word length); doc_id keys the
+    // deterministic decoration: 4 -> all-bullet, 6 -> all-ellipsis,
+    // 2 -> digit tail, 9 -> lorem, 3 -> brace, 7 -> too short
+    val good = Seq.fill(10)("the quick brown fox jumps of").mkString(" ")
+    val docs = Seq(
+      (1L, good), (2L, good), (3L, good), (4L, good), (6L, good), (9L, good),
+      (7L, "only ten words here the of and to in it"),
+    ).toDF("doc_id", "text")
+    val out = graft.datapipe.TrainingOps.qualityRules(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def keep(id: Long) = out(id).getBoolean(out(id).fieldIndex("keep"))
+    assert(keep(1L))
+    assert(!keep(2L) && out(2L).getDouble(out(2L).fieldIndex("alpha_ratio")) < 0.8)
+    assert(!keep(3L) && out(3L).getBoolean(out(3L).fieldIndex("has_brace")))
+    assert(!keep(4L) && out(4L).getDouble(out(4L).fieldIndex("bullet_ratio")) == 1.0)
+    assert(!keep(6L) && out(6L).getDouble(out(6L).fieldIndex("ellipsis_ratio")) == 1.0)
+    assert(!keep(9L) && out(9L).getBoolean(out(9L).fieldIndex("has_lorem")))
+    assert(!keep(7L) && out(7L).getInt(out(7L).fieldIndex("n_words")) < 50)
+  }
+
   test("unigram familiarity: OOV accounting and common-vs-rare ordering") {
     val sp = spark; import sp.implicits._
     // "the" x6, "cat" x3, "runs" x2, singletons: vocabSize=3 keeps {the, cat, runs}
