@@ -395,6 +395,23 @@ object SparkEntry {
     "e21_status_rollup" -> ((s, dir) => {
       MetricsStage.statusRollup(extracted(s, dir, "all"))
     }),
+    // outlink extraction (the web-graph side of the kernel): every
+    // <a href> with canonicalized anchor text, in document order, from
+    // the raw page bytes. Link scan runs in the SCAN stage (map-side,
+    // raw bytes never shuffle); the re-crawl dedup then carries only
+    // (url, small link array), mirroring the main pipeline's
+    // extract-before-dedup ordering. Oracle: every generator href/anchor
+    // is a pure function of doc_id, reconstructed per template family.
+    "e22_outlinks" -> ((s, dir) => {
+      import s.implicits._
+      pagesOf(s, onlyKind(docs(s, dir), "html"))
+        .map(p => (p.url, graft.core.Links.outlinks(p.html).map(l => (l.href, l.anchor))))
+        .toDF("url", "links")
+        .dropDuplicates("url")
+        .select(col("url"), posexplode(col("links")))
+        .toDF("url", "link_no", "l")
+        .select(col("url"), col("link_no"), col("l._1").as("href"), col("l._2").as("anchor"))
+    }),
     "m1_binary_features" -> ((s, dir) => TrainingOps.binaryFeatures(s, docs(s, dir))),
     "m2_frame_sample" -> ((s, dir) => TrainingOps.frameSample(s, docs(s, dir))),
   )
@@ -561,6 +578,31 @@ object SparkEntry {
           s"SELECT $urlExpr AS url, " +
           s"'${gen.HtmlGen.IntroText}' || " +
           s"(CASE WHEN keep > 0 THEN chr(10) || $join25 ELSE '' END) AS text FROM z"
+      },
+      // outlink oracle: the generator's hrefs/anchors are pure functions
+      // of doc_id (HtmlGen render/renderB/renderC) — reconstruct them per
+      // template family at their exact document positions, entities
+      // pre-decoded (&amp; &laquo; &raquo; &hellip; as their characters)
+      "e22_outlinks" -> {
+        val bAnchors = "['top stories','world news','local sport','tech desk','art corner','site map']"
+        s"WITH a AS (SELECT doc_id FROM documents WHERE $htmlKindsA), " +
+          s"b AS (SELECT doc_id FROM documents WHERE $famB), " +
+          s"c AS (SELECT doc_id FROM documents WHERE $famC), " +
+          "la AS (" +
+          "SELECT doc_id, 0 AS link_no, '/' AS href, 'Müller & Söhne «Webkorpus» #' || doc_id AS anchor FROM a " +
+          "UNION ALL SELECT doc_id, CAST(1 + i AS INT), '/cat/' || ((doc_id + i) % 13), 'Category ' || ((doc_id + i) % 13) FROM a, range(5) t(i) " +
+          "UNION ALL SELECT doc_id, 6, '/privacy', 'Learn more' FROM a " +
+          "UNION ALL SELECT doc_id, CAST(7 + i AS INT), '/rel/' || ((doc_id * 7 + i) % 31), 'Related post ' || ((doc_id * 7 + i) % 31) || ' …' FROM a, range(4) t(i) " +
+          "UNION ALL SELECT doc_id, 11, '/imprint', 'Impressum' FROM a), " +
+          "lb AS (" +
+          s"SELECT doc_id, CAST(i AS INT) AS link_no, '/f/' || i AS href, ($bAnchors)[i + 1] AS anchor FROM b, range(6) t(i) " +
+          "UNION ALL SELECT doc_id, 6, '/pick/' || doc_id, 'read more now' FROM b " +
+          "UNION ALL SELECT doc_id, 7, '/promo/' || doc_id, 'shop the big sale' FROM b), " +
+          "lc AS (" +
+          "SELECT doc_id, 0 AS link_no, '/t/a' AS href, 'alpha beta' AS anchor FROM c " +
+          "UNION ALL SELECT doc_id, 1, '/t/g', 'gamma delta' FROM c), " +
+          "u AS (SELECT * FROM la UNION ALL SELECT * FROM lb UNION ALL SELECT * FROM lc) " +
+          s"SELECT $urlExpr AS url, CAST(link_no AS INT) AS link_no, href, anchor FROM u"
       },
     ) ++ Map("e8_size_histogram" -> e8Oracle) ++ trainingOracles
   }
