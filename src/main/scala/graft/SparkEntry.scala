@@ -412,6 +412,24 @@ object SparkEntry {
         .toDF("url", "link_no", "l")
         .select(col("url"), col("link_no"), col("l._1").as("href"), col("l._2").as("anchor"))
     }),
+    // host-level PageRank over the REAL parsed link graph (the blogroll
+    // cross-host links in template families B/C): pages -> outlinks ->
+    // absolute hrefs -> (src_host, dst_host) edges -> 3 power iterations
+    // in integer arithmetic (bit-reproducible across partitionings; the
+    // oracle unrolls the same iterations in SQL). Host rank is a standard
+    // corpus-curation signal (weight/filter documents by host authority).
+    "e23_host_rank" -> ((s, dir) => {
+      import s.implicits._
+      val links = pagesOf(s, onlyKind(docs(s, dir), "html"))
+        .map(p => (p.url,
+          graft.core.Links.outlinks(p.html).map(_.href).filter(_.startsWith("https://"))))
+        .toDF("url", "hrefs").dropDuplicates("url")
+      val edges = links.select(
+        regexp_extract(col("url"), "https://([^/]+)/", 1).as("src"),
+        explode(col("hrefs")).as("href"))
+        .select(col("src"), regexp_extract(col("href"), "https://([^/]+)/", 1).as("dst"))
+      graft.datapipe.GraphOps.hostRank(edges)
+    }),
     "m1_binary_features" -> ((s, dir) => TrainingOps.binaryFeatures(s, docs(s, dir))),
     "m2_frame_sample" -> ((s, dir) => TrainingOps.frameSample(s, docs(s, dir))),
   )
@@ -597,12 +615,37 @@ object SparkEntry {
           "lb AS (" +
           s"SELECT doc_id, CAST(i AS INT) AS link_no, '/f/' || i AS href, ($bAnchors)[i + 1] AS anchor FROM b, range(6) t(i) " +
           "UNION ALL SELECT doc_id, 6, '/pick/' || doc_id, 'read more now' FROM b " +
-          "UNION ALL SELECT doc_id, 7, '/promo/' || doc_id, 'shop the big sale' FROM b), " +
+          "UNION ALL SELECT doc_id, 7, '/promo/' || doc_id, 'shop the big sale' FROM b " +
+          "UNION ALL SELECT doc_id, CAST(8 + i AS INT), 'https://h' || ((doc_id * 11 + i) % 97) || '.example.com/', 'mirror ' || ((doc_id * 11 + i) % 97) FROM b, range(4) t(i) " +
+          "UNION ALL SELECT doc_id, 12, 'https://big.example.com/', 'hub site' FROM b WHERE doc_id % 2 = 0), " +
           "lc AS (" +
           "SELECT doc_id, 0 AS link_no, '/t/a' AS href, 'alpha beta' AS anchor FROM c " +
-          "UNION ALL SELECT doc_id, 1, '/t/g', 'gamma delta' FROM c), " +
+          "UNION ALL SELECT doc_id, 1, '/t/g', 'gamma delta' FROM c " +
+          "UNION ALL SELECT doc_id, CAST(2 + i AS INT), 'https://h' || ((doc_id * 11 + i) % 97) || '.example.com/', 'mirror ' || ((doc_id * 11 + i) % 97) FROM c, range(4) t(i) " +
+          "UNION ALL SELECT doc_id, 6, 'https://big.example.com/', 'hub site' FROM c WHERE doc_id % 2 = 0), " +
           "u AS (SELECT * FROM la UNION ALL SELECT * FROM lb UNION ALL SELECT * FROM lc) " +
           s"SELECT $urlExpr AS url, CAST(link_no AS INT) AS link_no, href, anchor FROM u"
+      },
+      // host-rank oracle: rebuild the blogroll edge list from the doc_id
+      // formulas, then unroll the SAME three integer power iterations —
+      // floor division everywhere, so the match is bit-exact
+      "e23_host_rank" -> {
+        val srcExpr = "CASE WHEN doc_id % 10 < 3 THEN 'big.example.com' " +
+          "ELSE 'h' || (doc_id % 97) || '.example.com' END"
+        def iterCte(prev: String, out: String): String =
+          s"$out AS (SELECT nodes.h, (SELECT ((1000000000000 * 15) // 100) // n FROM p) + COALESCE(s.c, 0) AS r " +
+            s"FROM nodes LEFT JOIN (SELECT w.dst AS h, SUM(w.wt * ((($prev.r * 85) // 100) // od.outdeg)) AS c " +
+            s"FROM w JOIN od ON w.src = od.src JOIN $prev ON $prev.h = w.src GROUP BY w.dst) s ON nodes.h = s.h)"
+        s"WITH f AS (SELECT doc_id FROM documents WHERE $htmlKinds AND (doc_id % 23 = 5 OR doc_id % 23 = 11)), " +
+          s"e0 AS (SELECT $srcExpr AS src, 'h' || ((doc_id * 11 + i) % 97) || '.example.com' AS dst FROM f, range(4) t(i) " +
+          s"UNION ALL SELECT $srcExpr, 'big.example.com' FROM f WHERE doc_id % 2 = 0), " +
+          "w AS (SELECT src, dst, count(*) AS wt FROM e0 GROUP BY 1, 2), " +
+          "od AS (SELECT src, CAST(SUM(wt) AS BIGINT) AS outdeg FROM w GROUP BY 1), " +
+          "nodes AS (SELECT src AS h FROM w UNION SELECT dst FROM w), " +
+          "p AS (SELECT count(*) AS n FROM nodes), " +
+          "r0 AS (SELECT h, (SELECT 1000000000000 // n FROM p) AS r FROM nodes), " +
+          iterCte("r0", "r1") + ", " + iterCte("r1", "r2") + ", " + iterCte("r2", "r3") + " " +
+          "SELECT h AS host, CAST(r AS BIGINT) AS rank FROM r3"
       },
     ) ++ Map("e8_size_histogram" -> e8Oracle) ++ trainingOracles
   }

@@ -128,6 +128,28 @@ object HtmlGen {
     (IntroText +: keptChunks(words.grouped(25).toSeq).map(_.mkString(" "))).mkString("\n")
   }
 
+  /** Cross-host blogroll appended to families B and C — the LINK-GRAPH
+    * seed: 4 formula-keyed partner hosts plus a hub link on even ids, all
+    * absolute urls into the same host universe as PagesGen.hostOf, so the
+    * host graph has cycles and a skew hub. Boilerplate by construction
+    * (link density 0.8+, above every classifier threshold; 10+ words, so
+    * never smoothing-eligible) — extracted text is unchanged. Mirrored in
+    * SparkEntry's e22/e23 oracles.
+    */
+  def blogrollHosts(docId: Long): Seq[String] =
+    (0 until 4).map(i => s"h${(docId * 11 + i) % 97}.example.com") ++
+      (if (docId % 2 == 0) Seq("big.example.com") else Nil)
+
+  private def blogrollDiv(docId: Long): String = {
+    val items = blogrollHosts(docId).map { h =>
+      val label =
+        if (h == "big.example.com") "hub site"
+        else "mirror " + h.substring(1, h.indexOf('.'))
+      s"""<a href="https://$h/">$label</a>"""
+    }
+    s"""  <div class="blogroll">Partner sites ${items.mkString(" ")}</div>\n"""
+  }
+
   /** Family B: link-farm (ld 1.0 — dropped even by the last fallback
     * rung), near-threshold keeper (0.23), bare <div>/<p> content, 5-word
     * smoothing para, near-threshold dropper (0.3333). No article/main.
@@ -145,6 +167,7 @@ object HtmlGen {
     chunksB(words).foreach { c => sb ++= s"    <p>${c.mkString(" ")}</p>\n" }
     sb ++= "  </div>\n"
     sb ++= s"""  <div class="promo">Todays promotion brings savings across categories <a href="/promo/$docId">shop the big sale</a> everywhere online</div>\n"""
+    sb ++= blogrollDiv(docId)
     sb ++= "</body>\n</html>\n"
     sb.result().getBytes(StandardCharsets.UTF_8)
   }
@@ -163,6 +186,7 @@ object HtmlGen {
     words.grouped(25).foreach { c => sb ++= s"    <p>${c.mkString(" ")}</p>\n" }
     sb ++= "    <div class=\"tags\">Browse more topics <a href=\"/t/a\">alpha beta</a> and <a href=\"/t/g\">gamma delta</a></div>\n"
     sb ++= "  </div>\n"
+    sb ++= blogrollDiv(docId)
     sb ++= "</body>\n</html>\n"
     sb.result().getBytes(StandardCharsets.UTF_8)
   }

@@ -24,7 +24,7 @@ object PagesGen {
     * benchmark corpora cached under /tmp are keyed by this, so a stale
     * cache can never silently measure an old generator.
     */
-  val GenVersion = 2
+  val GenVersion = 3
 
   val Epoch: Long = 1767225600000L // 2026-01-01T00:00:00Z
 

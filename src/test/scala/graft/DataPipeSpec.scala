@@ -613,6 +613,25 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!keep(7L) && out(7L).getInt(out(7L).fieldIndex("n_words")) < 50)
   }
 
+  test("host rank: hand-computed integer iterations, dangling node, partitioning-independent") {
+    val sp = spark; import sp.implicits._
+    // a->{b,c,d}, b->a, c->a (weight 2); d dangling. scale 4000, n=4:
+    // r0=1000, base=150. Hand-unrolled floor arithmetic:
+    // it1: a=150+850+850=1850, b=c=d=150+850//3=433
+    // it2: shares a:1572//3=524 b:368 c:184x2 -> a=886, b=c=d=674
+    // it3: shares a:753//3=251 b:572 c:286x2 -> a=1294, b=c=d=401
+    val edges = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "a"), ("c", "a"), ("c", "a"))
+      .toDF("src", "dst")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.datapipe.GraphOps.hostRank(df, iters = 3, scale = 4000L)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = run(edges)
+    assert(out == Map("a" -> 1294L, "b" -> 401L, "c" -> 401L, "d" -> 401L))
+    // integer arithmetic makes the result a pure function of the graph,
+    // not of physical partitioning
+    assert(run(edges.repartition(5)) == out)
+  }
+
   test("unigram familiarity: OOV accounting and common-vs-rare ordering") {
     val sp = spark; import sp.implicits._
     // "the" x6, "cat" x3, "runs" x2, singletons: vocabSize=3 keeps {the, cat, runs}

@@ -88,6 +88,18 @@ object PlanCheck {
     println("==== 17. e21 status rollup: one Expand + partial/final agg, no union ====")
     SparkEntry.queries("e21_status_rollup")(spark, sf).explain("formatted")
 
+    println("==== 18. t14 quality rules: map-only bundle, zero exchanges ====")
+    TrainingOps.qualityRules(spark.read.parquet(s"$sf/documents.parquet"))
+      .explain("formatted")
+
+    println("==== 19. e22 outlinks: scan-stage link extraction, dedup carries (url, links) only ====")
+    SparkEntry.queries("e22_outlinks")(spark, sf).explain("formatted")
+
+    println("==== 20. e23 host rank: per-iteration (host,long) join + agg (lineage kept for the dump) ====")
+    graft.datapipe.GraphOps.hostRank(
+      Seq(("a", "b"), ("b", "a"), ("a", "c")).toDF("src", "dst"),
+      iters = 2, truncateLineage = false).explain("formatted")
+
     spark.stop()
   }
 }
