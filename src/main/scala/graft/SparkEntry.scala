@@ -282,6 +282,11 @@ object SparkEntry {
     "d6_ann_lsh_buckets" -> ((s, dir) => TrainingOps.annLshBuckets(embs(s, dir))),
     "d8_dedup_embedding" -> ((s, dir) => TrainingOps.embCosinePairs(embs(s, dir))),
     "d9_ann_ivf_topk" -> ((s, dir) => TrainingOps.annIvfTopK(embs(s, dir))),
+    // SemDeDup: cluster-then-pairwise semantic dedup over the IVF cells.
+    // tau=0.4 because the synthetic embeddings are random (no true
+    // semantic near-dups); real corpora run tau≈0.9+ — the dial moves,
+    // the plan shape doesn't
+    "d14_semdedup" -> ((s, dir) => TrainingOps.semDedup(embs(s, dir))),
     "d10_dup_clusters" -> ((s, dir) => TrainingOps.dupClusters(docs(s, dir))),
     "d11_paragraph_dedup" -> ((s, dir) => TrainingOps.paragraphDedup(docs(s, dir))),
     "t1_lang_id" -> ((s, dir) => TrainingOps.langId(docs(s, dir))),
@@ -310,6 +315,10 @@ object SparkEntry {
     // doc_id — piiAug pattern — so every line-level rule has both pass
     // and fail cases in the corpus)
     "t14_quality_rules" -> ((s, dir) => TrainingOps.qualityRules(docs(s, dir))),
+    // corpus-level frequent-trigram mining (boilerplate discovery):
+    // map-side-combined counts, minCount tail prune, salted two-stage
+    // top-K — no global sort of the distinct-ngram set
+    "t15_frequent_ngrams" -> ((s, dir) => TrainingOps.frequentNgrams(docs(s, dir))),
     // seqLen 512 (not the 2048 default) so the sf0.01 corpus actually
     // crosses sequence boundaries (docs spanning two sequences, several
     // sequences per shard) — the oracle hardcodes the same length
@@ -412,6 +421,21 @@ object SparkEntry {
         .toDF("url", "link_no", "l")
         .select(col("url"), col("link_no"), col("l._1").as("href"), col("l._2").as("anchor"))
     }),
+    // canonical resolved link graph: every parsed href resolved against
+    // its page URL (RFC 3986 — relative merge, dot segments, default
+    // ports, fragments) into absolute node ids; non-crawlable schemes
+    // drop. Resolution is a pure per-row kernel in the scan stage —
+    // this is the edge list a crawl frontier / host graph keys on.
+    "e25_resolved_links" -> ((s, dir) => {
+      import s.implicits._
+      pagesOf(s, onlyKind(docs(s, dir), "html"))
+        .map(p => (p.url, graft.core.Links.outlinks(p.html)
+          .flatMap(l => graft.core.Urls.resolve(p.url, l.href))))
+        .toDF("url", "resolved")
+        .dropDuplicates("url")
+        .select(col("url"), posexplode(col("resolved")))
+        .toDF("url", "link_no", "to_url")
+    }),
     // host-level PageRank over the REAL parsed link graph (the blogroll
     // cross-host links in template families B/C): pages -> outlinks ->
     // absolute hrefs -> (src_host, dst_host) edges -> 3 power iterations
@@ -429,6 +453,27 @@ object SparkEntry {
         explode(col("hrefs")).as("href"))
         .select(col("src"), regexp_extract(col("href"), "https://([^/]+)/", 1).as("dst"))
       graft.datapipe.GraphOps.hostRank(edges)
+    }),
+    // inlink anchor-text profile per host (e22's parsed links, e23's
+    // edge derivation): inlinks, distinct linking hosts, top anchor
+    // text. Anchor text is the classic off-page curation signal —
+    // promo-anchored hosts ("shop the big sale") score differently
+    // from topically-anchored ones. No window: top anchor is a
+    // min(struct) aggregate, so every shuffle is host-keyed and
+    // map-side combined.
+    "e24_anchor_profile" -> ((s, dir) => {
+      import s.implicits._
+      val links = pagesOf(s, onlyKind(docs(s, dir), "html"))
+        .map(p => (p.url, graft.core.Links.outlinks(p.html)
+          .filter(_.href.startsWith("https://")).map(l => (l.href, l.anchor))))
+        .toDF("url", "links").dropDuplicates("url")
+      val edges = links.select(
+        regexp_extract(col("url"), "https://([^/]+)/", 1).as("src"),
+        explode(col("links")).as("l"))
+        .select(col("src"),
+          regexp_extract(col("l._1"), "https://([^/]+)/", 1).as("dst"),
+          col("l._2").as("anchor"))
+      graft.datapipe.GraphOps.anchorProfile(edges)
     }),
     "m1_binary_features" -> ((s, dir) => TrainingOps.binaryFeatures(s, docs(s, dir))),
     "m2_frame_sample" -> ((s, dir) => TrainingOps.frameSample(s, docs(s, dir))),
@@ -601,31 +646,18 @@ object SparkEntry {
       // of doc_id (HtmlGen render/renderB/renderC) — reconstruct them per
       // template family at their exact document positions, entities
       // pre-decoded (&amp; &laquo; &raquo; &hellip; as their characters)
-      "e22_outlinks" -> {
-        val bAnchors = "['top stories','world news','local sport','tech desk','art corner','site map']"
-        s"WITH a AS (SELECT doc_id FROM documents WHERE $htmlKindsA), " +
-          s"b AS (SELECT doc_id FROM documents WHERE $famB), " +
-          s"c AS (SELECT doc_id FROM documents WHERE $famC), " +
-          "la AS (" +
-          "SELECT doc_id, 0 AS link_no, '/' AS href, 'Müller & Söhne «Webkorpus» #' || doc_id AS anchor FROM a " +
-          "UNION ALL SELECT doc_id, CAST(1 + i AS INT), '/cat/' || ((doc_id + i) % 13), 'Category ' || ((doc_id + i) % 13) FROM a, range(5) t(i) " +
-          "UNION ALL SELECT doc_id, 6, '/privacy', 'Learn more' FROM a " +
-          "UNION ALL SELECT doc_id, CAST(7 + i AS INT), '/rel/' || ((doc_id * 7 + i) % 31), 'Related post ' || ((doc_id * 7 + i) % 31) || ' …' FROM a, range(4) t(i) " +
-          "UNION ALL SELECT doc_id, 11, '/imprint', 'Impressum' FROM a), " +
-          "lb AS (" +
-          s"SELECT doc_id, CAST(i AS INT) AS link_no, '/f/' || i AS href, ($bAnchors)[i + 1] AS anchor FROM b, range(6) t(i) " +
-          "UNION ALL SELECT doc_id, 6, '/pick/' || doc_id, 'read more now' FROM b " +
-          "UNION ALL SELECT doc_id, 7, '/promo/' || doc_id, 'shop the big sale' FROM b " +
-          "UNION ALL SELECT doc_id, CAST(8 + i AS INT), 'https://h' || ((doc_id * 11 + i) % 97) || '.example.com/', 'mirror ' || ((doc_id * 11 + i) % 97) FROM b, range(4) t(i) " +
-          "UNION ALL SELECT doc_id, 12, 'https://big.example.com/', 'hub site' FROM b WHERE doc_id % 2 = 0), " +
-          "lc AS (" +
-          "SELECT doc_id, 0 AS link_no, '/t/a' AS href, 'alpha beta' AS anchor FROM c " +
-          "UNION ALL SELECT doc_id, 1, '/t/g', 'gamma delta' FROM c " +
-          "UNION ALL SELECT doc_id, CAST(2 + i AS INT), 'https://h' || ((doc_id * 11 + i) % 97) || '.example.com/', 'mirror ' || ((doc_id * 11 + i) % 97) FROM c, range(4) t(i) " +
-          "UNION ALL SELECT doc_id, 6, 'https://big.example.com/', 'hub site' FROM c WHERE doc_id % 2 = 0), " +
-          "u AS (SELECT * FROM la UNION ALL SELECT * FROM lb UNION ALL SELECT * FROM lc) " +
-          s"SELECT $urlExpr AS url, CAST(link_no AS INT) AS link_no, href, anchor FROM u"
-      },
+      "e22_outlinks" -> (linksCte(htmlKindsA, famB, famC) +
+        s"SELECT $urlExpr AS url, CAST(link_no AS INT) AS link_no, href, anchor FROM u"),
+      // resolved-links oracle: the same per-family link reconstruction,
+      // with relative hrefs resolved against the page host (every
+      // generator href is either root-relative or already-canonical
+      // absolute, so resolution is a host prefix — the richer RFC 3986
+      // cases are pinned by the Urls kernel spec)
+      "e25_resolved_links" -> (linksCte(htmlKindsA, famB, famC) +
+        s"SELECT $urlExpr AS url, CAST(link_no AS INT) AS link_no, " +
+        "CASE WHEN href LIKE 'https://%' THEN href ELSE 'https://' || " +
+        "CASE WHEN doc_id % 10 < 3 THEN 'big.example.com' ELSE 'h' || (doc_id % 97) || '.example.com' END " +
+        "|| href END AS to_url FROM u"),
       // host-rank oracle: rebuild the blogroll edge list from the doc_id
       // formulas, then unroll the SAME three integer power iterations —
       // floor division everywhere, so the match is bit-exact
@@ -646,6 +678,24 @@ object SparkEntry {
           "r0 AS (SELECT h, (SELECT 1000000000000 // n FROM p) AS r FROM nodes), " +
           iterCte("r0", "r1") + ", " + iterCte("r1", "r2") + ", " + iterCte("r2", "r3") + " " +
           "SELECT h AS host, CAST(r AS BIGINT) AS rank FROM r3"
+      },
+      // anchor-profile oracle: the same blogroll edge reconstruction as
+      // e23 plus the generator's anchor formulas ('mirror N' for the
+      // rotating blogroll, 'hub site' for the even-doc hub link), then
+      // the profile aggregation expressed with a window (same result as
+      // the Spark side's min(struct) — ties broken by anchor asc)
+      "e24_anchor_profile" -> {
+        val srcExpr = "CASE WHEN doc_id % 10 < 3 THEN 'big.example.com' " +
+          "ELSE 'h' || (doc_id % 97) || '.example.com' END"
+        s"WITH f AS (SELECT doc_id FROM documents WHERE $htmlKinds AND (doc_id % 23 = 5 OR doc_id % 23 = 11)), " +
+          s"e0 AS (SELECT $srcExpr AS src, 'h' || ((doc_id * 11 + i) % 97) || '.example.com' AS dst, " +
+          "'mirror ' || ((doc_id * 11 + i) % 97) AS anchor FROM f, range(4) t(i) " +
+          s"UNION ALL SELECT $srcExpr, 'big.example.com', 'hub site' FROM f WHERE doc_id % 2 = 0), " +
+          "pa AS (SELECT dst, anchor, count(*) AS cnt FROM e0 GROUP BY 1, 2), " +
+          "tp AS (SELECT dst, anchor, cnt, row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, anchor) AS rn FROM pa), " +
+          "st AS (SELECT dst, count(*) AS inlinks, count(DISTINCT src) AS src_hosts FROM e0 GROUP BY 1) " +
+          "SELECT st.dst AS host, st.inlinks, st.src_hosts, tp.anchor AS top_anchor, " +
+          "CAST(tp.cnt AS BIGINT) AS top_anchor_cnt FROM st JOIN tp ON st.dst = tp.dst AND tp.rn = 1"
       },
     ) ++ Map("e8_size_histogram" -> e8Oracle) ++ trainingOracles
   }
@@ -691,6 +741,38 @@ object SparkEntry {
       "WHEN nb <= 102400 THEN 'le_100KB' WHEN nb <= 512000 THEN 'le_500KB' " +
       "WHEN nb <= 1048576 THEN 'le_1MB' WHEN nb <= 5242880 THEN 'le_5MB' ELSE 'gt_5MB' END AS size_bucket, " +
       "CAST(SUM(copies) AS BIGINT) AS n FROM sz GROUP BY 1"
+  }
+
+  /** Shared link-reconstruction CTE for the e22/e25 oracles: every
+    * generator href/anchor is a pure function of doc_id, rebuilt per
+    * template family (HtmlGen render/renderB/renderC) at its exact
+    * document position, entities pre-decoded (&amp; &laquo; &raquo;
+    * &hellip; as their characters). Ends with CTE `u(doc_id, link_no,
+    * href, anchor)` — callers append their SELECT.
+    */
+  private def linksCte(htmlKindsA: String, famB: String, famC: String): String = {
+    val bAnchors = "['top stories','world news','local sport','tech desk','art corner','site map']"
+    s"WITH a AS (SELECT doc_id FROM documents WHERE $htmlKindsA), " +
+      s"b AS (SELECT doc_id FROM documents WHERE $famB), " +
+      s"c AS (SELECT doc_id FROM documents WHERE $famC), " +
+      "la AS (" +
+      "SELECT doc_id, 0 AS link_no, '/' AS href, 'Müller & Söhne «Webkorpus» #' || doc_id AS anchor FROM a " +
+      "UNION ALL SELECT doc_id, CAST(1 + i AS INT), '/cat/' || ((doc_id + i) % 13), 'Category ' || ((doc_id + i) % 13) FROM a, range(5) t(i) " +
+      "UNION ALL SELECT doc_id, 6, '/privacy', 'Learn more' FROM a " +
+      "UNION ALL SELECT doc_id, CAST(7 + i AS INT), '/rel/' || ((doc_id * 7 + i) % 31), 'Related post ' || ((doc_id * 7 + i) % 31) || ' …' FROM a, range(4) t(i) " +
+      "UNION ALL SELECT doc_id, 11, '/imprint', 'Impressum' FROM a), " +
+      "lb AS (" +
+      s"SELECT doc_id, CAST(i AS INT) AS link_no, '/f/' || i AS href, ($bAnchors)[i + 1] AS anchor FROM b, range(6) t(i) " +
+      "UNION ALL SELECT doc_id, 6, '/pick/' || doc_id, 'read more now' FROM b " +
+      "UNION ALL SELECT doc_id, 7, '/promo/' || doc_id, 'shop the big sale' FROM b " +
+      "UNION ALL SELECT doc_id, CAST(8 + i AS INT), 'https://h' || ((doc_id * 11 + i) % 97) || '.example.com/', 'mirror ' || ((doc_id * 11 + i) % 97) FROM b, range(4) t(i) " +
+      "UNION ALL SELECT doc_id, 12, 'https://big.example.com/', 'hub site' FROM b WHERE doc_id % 2 = 0), " +
+      "lc AS (" +
+      "SELECT doc_id, 0 AS link_no, '/t/a' AS href, 'alpha beta' AS anchor FROM c " +
+      "UNION ALL SELECT doc_id, 1, '/t/g', 'gamma delta' FROM c " +
+      "UNION ALL SELECT doc_id, CAST(2 + i AS INT), 'https://h' || ((doc_id * 11 + i) % 97) || '.example.com/', 'mirror ' || ((doc_id * 11 + i) % 97) FROM c, range(4) t(i) " +
+      "UNION ALL SELECT doc_id, 6, 'https://big.example.com/', 'hub site' FROM c WHERE doc_id % 2 = 0), " +
+      "u AS (SELECT * FROM la UNION ALL SELECT * FROM lb UNION ALL SELECT * FROM lc) "
   }
 
   /** Oracles for the training-data pipeline ops. All hashing is md5 so
@@ -803,6 +885,23 @@ object SparkEntry {
           "r AS (SELECT q_id, vec_id, score, row_number() OVER " +
           "(PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk FROM s) " +
           "SELECT q_id, CAST(rk AS INT) AS rank, vec_id, score FROM r WHERE rk <= 5"),
+      // SemDeDup oracle: the d9 cell assignment verbatim, then a
+      // within-cell lower-id pairwise exists at rounded cosine > tau —
+      // mirrors TrainingOps.semDedup(tau=0.4, nCells=16)
+      "d14_semdedup" ->
+        ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+          "cells AS (SELECT vec_id, v, CAST(list_min(list_transform(range(16), j -> " +
+          "[list_sum(list_transform(range(len(v)), i -> " +
+          "((('0x' || substr(md5('c:' || j || ':' || i),1,15))::BIGINT / pow(2,59) - 1.0 - v[i+1]) * " +
+          "(('0x' || substr(md5('c:' || j || ':' || i),1,15))::BIGINT / pow(2,59) - 1.0 - v[i+1])))), " +
+          "j::DOUBLE]))[2] AS INT) AS cell FROM e), " +
+          "dups AS (SELECT DISTINCT c1.vec_id FROM cells c1 JOIN cells c2 " +
+          "ON c1.cell = c2.cell AND c2.vec_id < c1.vec_id " +
+          "WHERE round(list_sum(list_transform(range(len(c1.v)), i -> c1.v[i+1]*c2.v[i+1])) / " +
+          "(sqrt(list_sum(list_transform(range(len(c1.v)), i -> c1.v[i+1]*c1.v[i+1]))) * " +
+          "sqrt(list_sum(list_transform(range(len(c2.v)), i -> c2.v[i+1]*c2.v[i+1])))), 6) > 0.4) " +
+          "SELECT c.vec_id, c.cell, d.vec_id IS NOT NULL AS is_dup " +
+          "FROM cells c LEFT JOIN dups d ON c.vec_id = d.vec_id"),
       // embedding-cosine near-dup: 8-plane LSH bucket join (size-capped)
       // + exact cosine on candidates only — mirrors TrainingOps.embCosinePairs
       "d8_dedup_embedding" ->
@@ -953,6 +1052,18 @@ object SparkEntry {
           "n AS (SELECT doc_id, source, wx2 // 2 + " +
           "CASE WHEN wx2 % 2 = 1 AND u < 500000 THEN 1 ELSE 0 END AS n_epochs FROM m) " +
           "SELECT doc_id, source, CAST(unnest(range(n_epochs)) AS INT) AS epoch FROM n"),
+      // frequent-trigram oracle: plain one-stage global window over the
+      // HAVING-pruned counts — algorithm-independent of the salted
+      // two-stage Spark plan; ties at equal count break by ngram asc on
+      // both sides
+      "t15_frequent_ngrams" ->
+        (s"WITH f AS (SELECT $w AS w FROM documents WHERE length(text) >= 1), " +
+          "g AS (SELECT unnest(list_transform(range(len(w) - 2), " +
+          "i -> array_to_string(w[i+1:i+3], ' '))) AS ngram FROM f WHERE len(w) >= 3), " +
+          "c AS (SELECT ngram, count(*) AS cnt FROM g GROUP BY 1 HAVING count(*) >= 2) " +
+          "SELECT ngram, CAST(cnt AS BIGINT) AS cnt, CAST(rk AS INT) AS rk FROM (" +
+          "SELECT ngram, cnt, row_number() OVER (ORDER BY cnt DESC, ngram) AS rk FROM c) " +
+          "WHERE rk <= 20"),
       // per-source cap oracle: the plain one-stage window formulation —
       // algorithm-independent of sourceCap's salted two-stage plan
       "t13_source_cap" ->

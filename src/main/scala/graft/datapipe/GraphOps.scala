@@ -59,4 +59,34 @@ object GraphOps {
     nodes.unpersist(blocking = false)
     ranks
   }
+
+  /** Inlink anchor-text profile per destination host: total inlinks,
+    * distinct linking hosts, and the most frequent anchor text (ties
+    * broken lexicographically — deterministic across partitionings).
+    * Anchor text is the classic off-page relevance/quality signal for
+    * corpus curation: a host whose inlinks all say "shop the big sale"
+    * is scored differently from one whose anchors are topical.
+    *
+    * Scale shape: the edge table is persisted once (on a real pipeline
+    * this is the materialized link-graph table that [[hostRank]] also
+    * reads), then two aggregation trees run over it — (dst, anchor)
+    * counts reduced map-side before the host-keyed shuffle, and a
+    * distinct-source count (two-phase partial aggregate). The top
+    * anchor is a `min(struct(-cnt, anchor))` aggregate, NOT a global
+    * window — no single-partition sort anywhere; every shuffle carries
+    * only (host, anchor, count) rows. The final join keys two
+    * host-cardinality aggregates (AQE broadcasts the smaller side).
+    */
+  def anchorProfile(edges: DataFrame): DataFrame = {
+    val e = edges.persist()
+    val perAnchor = e.groupBy("dst", "anchor").agg(count(lit(1)).as("cnt"))
+    val top = perAnchor.groupBy("dst").agg(
+      sum("cnt").as("inlinks"),
+      min(struct((-col("cnt")).as("nc"), col("anchor").as("a"))).as("t"))
+    val srcs = e.select("dst", "src").distinct()
+      .groupBy("dst").agg(count(lit(1)).as("src_hosts"))
+    top.join(srcs, "dst").select(
+      col("dst").as("host"), col("inlinks"), col("src_hosts"),
+      col("t.a").as("top_anchor"), (-col("t.nc")).as("top_anchor_cnt"))
+  }
 }

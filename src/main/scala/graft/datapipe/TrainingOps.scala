@@ -500,9 +500,22 @@ object TrainingOps {
     * broadcast per cell; candidates never shuffle. A probe alone in its
     * cell returns no rows (documented IVF recall property).
     */
-  def annIvfTopK(emb: DataFrame, k: Int = 5, nCells: Int = 16,
-      dimOpt: Option[Int] = None): DataFrame = {
-    val e = emb.select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+  /** IVF cell assignment shared by [[annIvfTopK]] and [[semDedup]]:
+    * (vec_id, v, cell) with cell = argmin over `nCells` deterministic
+    * md5-derived centroids (argmin as array_min of [dist2, cellIdx]
+    * pairs — the same left-fold double arithmetic as the DuckDB oracle,
+    * so the assignment is bit-reproducible). Centroids are
+    * driver-precomputed and inlined (broadcast pattern). Returned
+    * persisted: both callers branch over it.
+    */
+  private def ivfCells(emb: DataFrame, nCells: Int, dimOpt: Option[Int]): DataFrame =
+    ivfCellsOf(emb.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v")), nCells, dimOpt)
+
+  /** [[ivfCells]] over an already-prepared (vec_id, v double-array)
+    * frame — [[semDedup]] feeds it post-pre-pass representatives.
+    */
+  private def ivfCellsOf(e: DataFrame, nCells: Int, dimOpt: Option[Int]): DataFrame = {
     val dim = dimOpt.getOrElse {
       val h = e.select(size(col("v"))).head(1)
       if (h.isEmpty) 1 else math.max(1, h(0).getInt(0))
@@ -515,17 +528,19 @@ object TrainingOps {
         java.lang.Long.parseLong(hex, 16).toDouble / math.pow(2, 59) - 1.0
       }
     }
-    // argmin over cells as array_min of [dist2, cellIdx] pairs — the same
-    // left-fold double arithmetic on both engines, so the assignment is
-    // bit-reproducible by the oracle
     val cellExpr = expr(
       s"""CAST(element_at(array_min(transform(sequence(0,${nCells - 1}), j ->
          |  array(aggregate(zip_with(element_at(cents, j + 1), v, (p, x) -> (p - x) * (p - x)),
          |                  cast(0 as double), (s, x) -> s + x),
          |        cast(j as double)))), 2) AS INT)""".stripMargin)
-    val cells = e.withColumn("cents", typedLit(cents))
+    e.withColumn("cents", typedLit(cents))
       .select(col("vec_id"), col("v"), cellExpr.as("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  def annIvfTopK(emb: DataFrame, k: Int = 5, nCells: Int = 16,
+      dimOpt: Option[Int] = None): DataFrame = {
+    val cells = ivfCells(emb, nCells, dimOpt)
     val p = cells.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("q"), col("cell"))
     val dot = expr("aggregate(zip_with(q, v, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)")
@@ -538,6 +553,60 @@ object TrainingOps {
         Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id"), col("score"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup by
+    * clustering-then-pairwise: k-means-style cells (here the [[ivfCells]]
+    * deterministic coarse quantizer) bound the quadratic pairwise-cosine
+    * term to within-cell work, and a vector is marked duplicate iff some
+    * LOWER-vec_id cell-mate sits above `tau` cosine. The keep rule is the
+    * paper's one-per-group greedy with a deterministic representative
+    * (min vec_id) instead of the paper's centroid-distance choice — same
+    * dedup volume, reproducible across runs/partitionings.
+    *
+    * Scale shape: an exact-duplicate pre-pass (groupBy the vector,
+    * min-id representative — verdict-preserving, see inline proof)
+    * keeps mirror/boilerplate clusters out of the quadratic stage; ONE
+    * shuffle then co-partitions the DISTINCT-vector cell table with
+    * itself on the cell key (at the paper's k ≈ sqrt(n) the expected
+    * cell is tiny, and the heavy tail — exact dups — is already gone);
+    * the dup set is a distinct on vec_id; the rep verdict expands back
+    * over the same vector-keyed shuffle the pre-pass paid.
+    */
+  def semDedup(emb: DataFrame, tau: Double = 0.4, nCells: Int = 16,
+      dimOpt: Option[Int] = None): DataFrame = {
+    require(tau > -1.0 && tau < 1.0, s"tau must be in (-1,1), got $tau")
+    val e = emb.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact pre-pass (the d2 hardening): crawled corpora carry massive
+    // EXACT-duplicate clusters (mirrors, boilerplate) which would all
+    // land in one cell and blow the pairwise stage up quadratically.
+    // Only distinct vectors (min-id representative) enter the cells;
+    // the rewrite is verdict-preserving because an exact duplicate has
+    // cos = 1 > tau with its representative, and any non-rep witness
+    // below an id implies a rep witness at the same cosine.
+    val reps = e.groupBy("v").agg(min("vec_id").as("vec_id"))
+      .select(col("vec_id"), col("v"))
+    val cells = ivfCellsOf(reps, nCells, dimOpt)
+    val r = cells.select(col("vec_id").as("r_id"), col("v").as("q"), col("cell"))
+    val dot = expr("aggregate(zip_with(q, v, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)")
+    val nq = sqrt(expr("aggregate(zip_with(q, q, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"))
+    val nv = sqrt(expr("aggregate(zip_with(v, v, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"))
+    val dups = cells.join(r, "cell")
+      .filter(col("r_id") < col("vec_id"))
+      .filter(round(dot / (nq * nv), 6) > tau)
+      .select(col("vec_id")).distinct()
+    val repVerdict = cells.join(dups.withColumn("d", lit(true)), Seq("vec_id"), "left")
+      .select(col("v"), col("vec_id").as("rep"), col("cell"),
+        coalesce(col("d"), lit(false)).as("rep_dup"))
+    // expand back: a non-representative IS a duplicate (cos=1 with its
+    // rep); the join key is the vector itself — the same shuffle the
+    // pre-pass groupBy already paid, and only distinct-v rows broadcast-
+    // or shuffle-join back
+    e.join(repVerdict, "v")
+      .select(col("vec_id"), col("cell"),
+        (col("rep_dup") || col("vec_id") =!= col("rep")).as("is_dup"))
   }
 
   /** Embedding-cosine near-duplicate pairs — the vector analog of the
@@ -924,6 +993,46 @@ object TrainingOps {
       .drop("lrk")
       .withColumn("rk", row_number().over(global))
       .filter(col("rk") <= maxPerSource)
+  }
+
+  /** Corpus-level frequent n-gram mining — the CCNet/C4-style
+    * boilerplate-discovery signal: the globally most frequent word
+    * n-grams in a web corpus are almost always site chrome ("all rights
+    * reserved", cookie banners) and become strip/filter rules for the
+    * next pipeline run.
+    *
+    * Scale shape: the n-gram explode multiplies rows by ~|words|, but
+    * the first groupBy partial-aggregates inside each task BEFORE its
+    * shuffle (map-side combine), so shuffle 1 carries one row per
+    * distinct n-gram per task, never per occurrence. The global top-K
+    * never sorts the corpus: `minCount` prunes the (corpus-sized) long
+    * tail of singletons, a local row_number within hash-salt groups
+    * bounds survivors to salt*topK rows, and only that tiny set crosses
+    * the final single-partition window. Salt-INDEPENDENT by the t13
+    * argument (any global top-K row is top-K within its salt group).
+    * At web scale the production upgrade is a count-min pre-sketch in
+    * place of minCount; the two-stage shape stays the same.
+    */
+  def frequentNgrams(docs: DataFrame, n: Int = 3, topK: Int = 20,
+                     minCount: Long = 2, salt: Int = 8): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    require(topK >= 1 && salt >= 1, "topK and salt must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.filter(length(col("text")) >= 1)
+      .select(words(col("text")).as("w"))
+      .filter(size(col("w")) >= n)
+      .select(explode(expr(
+        s"transform(sequence(0, size(w) - $n), i -> array_join(slice(w, i + 1, $n), ' '))"))
+        .as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val order = Seq(col("cnt").desc, col("ngram").asc)
+    val local = Window.partitionBy(pmod(xxhash64(col("ngram")), lit(salt.toLong)))
+      .orderBy(order: _*)
+    val global = Window.orderBy(order: _*)
+    counts
+      .withColumn("lrk", row_number().over(local)).filter(col("lrk") <= topK).drop("lrk")
+      .withColumn("rk", row_number().over(global)).filter(col("rk") <= topK)
   }
 
   /** Sequence packing — assign documents to fixed-length training

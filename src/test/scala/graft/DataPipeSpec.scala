@@ -613,6 +613,55 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!keep(7L) && out(7L).getInt(out(7L).fieldIndex("n_words")) < 50)
   }
 
+  test("semdedup: lower-id cell-mate above tau marks dup, keeps rep") {
+    val sp = spark; import sp.implicits._
+    // single cell (nCells=1) isolates the pairwise rule: 2 duplicates 1
+    // (cos=1), 4 nearly duplicates 1 (cos≈0.994), 3 is orthogonal
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.9f, 0.1f)),
+    ).toDF("vec_id", "embedding")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.datapipe.TrainingOps.semDedup(df, tau = 0.4, nCells = 1, dimOpt = Some(2))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val out = run(emb)
+    assert(out == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true))
+    assert(run(emb.repartition(5)) == out)
+  }
+
+  test("semdedup: exact-dup mega-cluster bypasses the pairwise stage") {
+    val sp = spark; import sp.implicits._
+    // 2000 byte-identical vectors (a mirrored shard) + 2 distinct: the
+    // pre-pass must reduce the pairwise stage to 3 representatives
+    // (1999*2000/2 ≈ 2M pairs otherwise) and mark all non-reps dups
+    val emb = ((1L to 2000L).map(i => (i, Seq(1.0f, 0.0f))) ++
+      Seq((3000L, Seq(0.0f, 1.0f)), (3001L, Seq(-1.0f, 0.0f)))).toDF("vec_id", "embedding")
+    val out = graft.datapipe.TrainingOps.semDedup(emb, tau = 0.4, nCells = 1, dimOpt = Some(2))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out.size == 2002)
+    assert(!out(1L) && (2L to 2000L).forall(out(_)), "rep keeps, clones drop")
+    assert(!out(3000L) && !out(3001L), "distinct non-similar vectors keep")
+  }
+
+  test("frequent ngrams: counts, minCount prune, ties, salt-independent") {
+    val sp = spark; import sp.implicits._
+    // "a b c" x3, "b c d" x2, singletons pruned by minCount=2; tie at
+    // cnt=2 between "b c d" and "x y z" breaks lexicographically
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c"), (3L, "a b c"),
+      (4L, "x y z"), (5L, "x y z"), (6L, "b c d e"),
+    ).toDF("doc_id", "text")
+    def run(k: Int, salt: Int) =
+      graft.datapipe.TrainingOps.frequentNgrams(docs, n = 3, topK = k, salt = salt)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toList.sortBy(_._3)
+    val out = run(5, 8)
+    assert(out == List(("a b c", 3L, 1), ("b c d", 2L, 2), ("x y z", 2L, 3)))
+    // topK truncates INSIDE the tie deterministically
+    assert(run(2, 8) == out.take(2))
+    // the salted pre-stage must not change the result
+    assert(run(5, 1) == out && run(5, 3) == out)
+  }
+
   test("host rank: hand-computed integer iterations, dangling node, partitioning-independent") {
     val sp = spark; import sp.implicits._
     // a->{b,c,d}, b->a, c->a (weight 2); d dangling. scale 4000, n=4:
@@ -630,6 +679,27 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // integer arithmetic makes the result a pure function of the graph,
     // not of physical partitioning
     assert(run(edges.repartition(5)) == out)
+  }
+
+  test("anchor profile: counts, distinct sources, tie-broken top anchor") {
+    val sp = spark; import sp.implicits._
+    // host x: 3 inlinks from 2 hosts, 'news' wins 2-1; host y: tie
+    // between 'alpha' and 'beta' (1 each) -> lexicographic 'alpha';
+    // same src linking twice counts once in src_hosts but twice in
+    // inlinks
+    val edges = Seq(
+      ("a", "x", "news"), ("b", "x", "news"), ("b", "x", "promo"),
+      ("a", "y", "beta"), ("a", "y", "alpha"),
+    ).toDF("src", "dst", "anchor")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.datapipe.GraphOps.anchorProfile(df).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))))
+        .toMap
+    val out = run(edges)
+    assert(out("x") == ((3L, 2L, "news", 2L)))
+    assert(out("y") == ((2L, 1L, "alpha", 1L)))
+    // aggregate-only plan: result independent of physical partitioning
+    assert(run(edges.repartition(7)) == out)
   }
 
   test("unigram familiarity: OOV accounting and common-vs-rare ordering") {

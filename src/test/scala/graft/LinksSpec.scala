@@ -42,6 +42,37 @@ class LinksSpec extends AnyFunSuite {
     assert(links("""<a href="">x</a><a href="/y">y</a>""") == Vector("/y" -> "y"))
   }
 
+  test("resolve: RFC 3986 reference resolution against an http(s) base") {
+    import graft.core.Urls.resolve
+    val b = "https://ex.com/a/b/c?q0"
+    assert(resolve(b, "d") == Some("https://ex.com/a/b/d"))
+    assert(resolve(b, "./d") == Some("https://ex.com/a/b/d"))
+    assert(resolve(b, "../d") == Some("https://ex.com/a/d"))
+    assert(resolve(b, "../../../d") == Some("https://ex.com/d")) // over-pop clamps
+    assert(resolve(b, "/d/e") == Some("https://ex.com/d/e"))
+    assert(resolve(b, "") == Some("https://ex.com/a/b/c?q0")) // empty ref keeps query
+    assert(resolve(b, "#frag") == Some("https://ex.com/a/b/c?q0")) // fragment dropped
+    assert(resolve(b, "?x=1") == Some("https://ex.com/a/b/c?x=1"))
+    assert(resolve(b, "d?x=2") == Some("https://ex.com/a/b/d?x=2"))
+    assert(resolve(b, "//other.com/p") == Some("https://other.com/p"))
+    assert(resolve("http://ex.com/", "//other.com/p") == Some("http://other.com/p"))
+  }
+
+  test("resolve: canonical form and non-crawlable schemes") {
+    import graft.core.Urls.resolve
+    val b = "https://ex.com/"
+    assert(resolve(b, "HTTP://H.Com:80/P") == Some("http://h.com/P")) // case + default port
+    assert(resolve(b, "https://h.com:8443/p") == Some("https://h.com:8443/p"))
+    assert(resolve(b, "https://h.com") == Some("https://h.com/")) // empty path -> /
+    assert(resolve(b, "https://h.com/a/./x/../c#z") == Some("https://h.com/a/c"))
+    assert(resolve(b, "mailto:x@y.z").isEmpty)
+    assert(resolve(b, "javascript:void(0)").isEmpty)
+    assert(resolve(b, "data:text/plain,hi").isEmpty)
+    assert(resolve("notaurl", "/x").isEmpty) // unparsable base
+    // empty base path: relative merges onto "/"
+    assert(resolve("https://ex.com", "d") == Some("https://ex.com/d"))
+  }
+
   test("outlinks: generator family A pages yield the formula links in order") {
     val html = new String(
       graft.gen.HtmlGen.render(42L, "one two three", "en"),

@@ -100,6 +100,20 @@ object PlanCheck {
       Seq(("a", "b"), ("b", "a"), ("a", "c")).toDF("src", "dst"),
       iters = 2, truncateLineage = false).explain("formatted")
 
+    println("==== 21. e24 anchor profile: two map-combined host aggs, min(struct) top anchor, no window ====")
+    SparkEntry.queries("e24_anchor_profile")(spark, sf).explain("formatted")
+
+    println("==== 22. t15 frequent ngrams: map-combined counts, salted two-stage top-K ====")
+    TrainingOps.frequentNgrams(spark.read.parquet(s"$sf/documents.parquet"))
+      .explain("formatted")
+
+    println("==== 23. d14 semdedup: single cell-key self-join, key-only verdict join ====")
+    TrainingOps.semDedup(spark.read.parquet(s"$sf/embeddings.parquet"))
+      .explain("formatted")
+
+    println("==== 24. e25 resolved links: scan-stage resolution, dedup carries (url, to_urls) only ====")
+    SparkEntry.queries("e25_resolved_links")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }

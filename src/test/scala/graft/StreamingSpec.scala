@@ -296,4 +296,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"[20,30) must close with its two on-time rows: $out")
     } finally q.stop()
   }
+
+  test("streaming: in-flight re-crawl dedup (dropDuplicatesWithinWatermark) keeps first sighting") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    spark.sparkContext.setLogLevel("WARN")
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def ts(min: Int) = new java.sql.Timestamp(PagesGen.Epoch + min * 60000L)
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    // the resident-crawler shape: a url re-surfacing within the watermark
+    // horizon is the SAME crawl observation (mirror hits, retries) and
+    // must not re-enter the pipeline; state is bounded by the horizon,
+    // unlike an unbounded dropDuplicates
+    val deduped = mem.toDF().toDF("url", "warc_ts")
+      .withWatermark("warc_ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("url")
+    val q = deduped.writeStream.format("memory").queryName("crawl_dedup")
+      .outputMode("append").start()
+    def rows() = spark.table("crawl_dedup").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1))).sortBy(x => (x._1, x._2.getTime))
+
+    try {
+      mem.addData(("u/a", ts(1)), ("u/a", ts(2)), ("u/b", ts(3)))
+      q.processAllAvailable()
+      // duplicates within one batch collapse to the first sighting
+      assert(rows().toSeq == Seq(("u/a", ts(1)), ("u/b", ts(3))),
+        s"within-batch re-crawls must collapse: ${rows().toSeq}")
+
+      // a re-crawl in a LATER batch but inside the horizon is still a dup
+      mem.addData(("u/a", ts(5)))
+      q.processAllAvailable()
+      assert(rows().toSeq == Seq(("u/a", ts(1)), ("u/b", ts(3))),
+        s"cross-batch re-crawl inside the horizon must not re-emit: ${rows().toSeq}")
+
+      // once the watermark passes the horizon, the same url is a NEW
+      // observation (state was evicted — bounded memory by construction)
+      mem.addData(("u/z", ts(30))) // advances watermark to 20
+      q.processAllAvailable()
+      mem.addData(("u/a", ts(25)))
+      q.processAllAvailable()
+      val out = rows().toSeq
+      assert(out.contains(("u/a", ts(25))),
+        s"after state eviction the url is a new observation: $out")
+    } finally q.stop()
+  }
 }
