@@ -475,6 +475,20 @@ object SparkEntry {
           col("l._2").as("anchor"))
       graft.datapipe.GraphOps.anchorProfile(edges)
     }),
+    // crawl-frontier construction: distinct resolved targets minus the
+    // crawled set (left anti on the url key), in-degree priority, and
+    // RefinedWeb-style URL rules (spam/nav paths blocked before fetch)
+    "e26_crawl_frontier" -> ((s, dir) => {
+      import s.implicits._
+      val pages = pagesOf(s, onlyKind(docs(s, dir), "html"))
+      val edges = pages
+        .map(p => (p.url, graft.core.Links.outlinks(p.html)
+          .flatMap(l => graft.core.Urls.resolve(p.url, l.href))))
+        .toDF("url", "resolved").dropDuplicates("url")
+        .select(col("url").as("src_url"), explode(col("resolved")).as("to_url"))
+      val crawled = pages.map(_.url).toDF("url").dropDuplicates("url")
+      graft.datapipe.GraphOps.crawlFrontier(edges, crawled)
+    }),
     "m1_binary_features" -> ((s, dir) => TrainingOps.binaryFeatures(s, docs(s, dir))),
     "m2_frame_sample" -> ((s, dir) => TrainingOps.frameSample(s, docs(s, dir))),
   )
@@ -679,6 +693,27 @@ object SparkEntry {
           iterCte("r0", "r1") + ", " + iterCte("r1", "r2") + ", " + iterCte("r2", "r3") + " " +
           "SELECT h AS host, CAST(r AS BIGINT) AS rank FROM r3"
       },
+      // frontier oracle: resolved targets from the shared link CTE,
+      // grouped per target with distinct referrers, minus crawled urls
+      // (disjoint on this corpus — overlap pinned by the unit test),
+      // with the same first-match rule CASE
+      "e26_crawl_frontier" -> (linksCte(htmlKindsA, famB, famC) +
+        s", r AS (SELECT $urlExpr AS src_url, " +
+        "CASE WHEN href LIKE 'https://%' THEN href ELSE 'https://' || " +
+        "CASE WHEN doc_id % 10 < 3 THEN 'big.example.com' ELSE 'h' || (doc_id % 97) || '.example.com' END " +
+        "|| href END AS to_url FROM u), " +
+        "g AS (SELECT to_url, count(*) AS n_refs, count(DISTINCT src_url) AS n_srcs FROM r GROUP BY 1), " +
+        s"cw AS (SELECT $urlExpr AS url FROM documents WHERE $htmlKinds) " +
+        "SELECT to_url, n_refs, n_srcs, " +
+        "CASE WHEN regexp_extract(to_url, 'https://[^/]+(/.*)', 1) LIKE '/promo/%' " +
+        "OR regexp_extract(to_url, 'https://[^/]+(/.*)', 1) LIKE '/pick/%' THEN 'spam_path' " +
+        "WHEN regexp_extract(to_url, 'https://[^/]+(/.*)', 1) IN ('/privacy', '/imprint') THEN 'nav_path' " +
+        "ELSE 'ok' END AS rule, " +
+        "CASE WHEN regexp_extract(to_url, 'https://[^/]+(/.*)', 1) LIKE '/promo/%' " +
+        "OR regexp_extract(to_url, 'https://[^/]+(/.*)', 1) LIKE '/pick/%' THEN FALSE " +
+        "WHEN regexp_extract(to_url, 'https://[^/]+(/.*)', 1) IN ('/privacy', '/imprint') THEN FALSE " +
+        "ELSE TRUE END AS allowed " +
+        "FROM g WHERE to_url NOT IN (SELECT url FROM cw)"),
       // anchor-profile oracle: the same blogroll edge reconstruction as
       // e23 plus the generator's anchor formulas ('mirror N' for the
       // rotating blogroll, 'hub site' for the even-doc hub link), then

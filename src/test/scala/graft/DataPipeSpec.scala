@@ -702,6 +702,25 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(edges.repartition(7)) == out)
   }
 
+  test("crawl frontier: crawled targets pruned, rule precedence, ref counts") {
+    val sp = spark; import sp.implicits._
+    val edges = Seq(
+      ("https://a/doc/1", "https://b/promo/x"),
+      ("https://a/doc/1", "https://b/"), ("https://a/doc/2", "https://b/"),
+      ("https://a/doc/2", "https://b/"), // same src twice: 3 refs, 2 srcs
+      ("https://a/doc/2", "https://c/privacy"),
+      ("https://a/doc/1", "https://seen/"),
+    ).toDF("src_url", "to_url")
+    val crawled = Seq("https://seen/").toDF("url")
+    val out = graft.datapipe.GraphOps.crawlFrontier(edges, crawled).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3), r.getBoolean(4))))
+      .toMap
+    assert(out.size == 3, s"crawled target must be pruned: ${out.keySet}")
+    assert(out("https://b/") == ((3L, 2L, "ok", true)))
+    assert(out("https://b/promo/x") == ((1L, 1L, "spam_path", false)))
+    assert(out("https://c/privacy") == ((1L, 1L, "nav_path", false)))
+  }
+
   test("unigram familiarity: OOV accounting and common-vs-rare ordering") {
     val sp = spark; import sp.implicits._
     // "the" x6, "cat" x3, "runs" x2, singletons: vocabSize=3 keeps {the, cat, runs}

@@ -114,6 +114,9 @@ object PlanCheck {
     println("==== 24. e25 resolved links: scan-stage resolution, dedup carries (url, to_urls) only ====")
     SparkEntry.queries("e25_resolved_links")(spark, sf).explain("formatted")
 
+    println("==== 25. e26 crawl frontier: map-combined target agg + LEFT ANTI on url key ====")
+    SparkEntry.queries("e26_crawl_frontier")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
