@@ -72,6 +72,45 @@ object SparkEntry {
       "' c' || (doc_id % 23) || ' d' || (doc_id % 23) || ' e' || (doc_id % 23) AS text " +
       "FROM documents"
 
+  /** d15 aug: the word-soup corpus has no cross-split NEAR-duplicates,
+    * so fuzzy decontamination synthesizes them deterministically (the
+    * piiAug/contAug/dupAug pattern): eval docs (doc_id % 61 = 7) become
+    * one of 5 canonical eval texts (keyed doc_id % 5); train docs with
+    * doc_id % 61 = 14 become that canonical text plus a short unique
+    * tail (Jaccard ≈ 0.8-0.97 — true fuzzy contamination); train docs
+    * with doc_id % 61 = 21 share only the first 26 of 40 words
+    * (Jaccard ≈ 0.56 — an LSH candidate the 0.6-verify pass must
+    * REJECT, pinning the precision path). Everything else keeps its
+    * original text. Mirrored byte-for-byte by [[fuzzyAugSql]].
+    */
+  private def fuzzyAug(d: DataFrame): DataFrame = {
+    val canon = expr("array_join(transform(sequence(0, 39), " +
+      "i -> concat('ev', ((doc_id % 5) * 7 + i) % 29)), ' ')")
+    val head = expr("array_join(transform(sequence(0, 25), " +
+      "i -> concat('ev', ((doc_id % 5) * 7 + i) % 29)), ' ')")
+    val alt = expr("array_join(transform(sequence(0, 13), " +
+      "i -> concat('ax', (doc_id % 5) * 5 + 26 + i)), ' ')")
+    val tail = expr("array_join(transform(sequence(0, doc_id % 5), " +
+      "i -> concat('tx', doc_id % 7, 'q', i)), ' ')")
+    d.select(col("doc_id"),
+      when(col("doc_id") % 61 === 7, canon)
+        .when(col("doc_id") % 61 === 14, concat(canon, lit(" "), tail))
+        .when(col("doc_id") % 61 === 21, concat(head, lit(" "), alt))
+        .otherwise(col("text")).as("text"))
+  }
+
+  /** DuckDB twin of [[fuzzyAug]], the d15 oracle's augmentation CTE. */
+  private val fuzzyAugSql: String =
+    "SELECT doc_id, CASE WHEN doc_id % 61 = 7 THEN " +
+      "array_to_string(list_transform(range(40), i -> 'ev' || (((doc_id % 5) * 7 + i) % 29)), ' ') " +
+      "WHEN doc_id % 61 = 14 THEN " +
+      "array_to_string(list_transform(range(40), i -> 'ev' || (((doc_id % 5) * 7 + i) % 29)), ' ') || ' ' || " +
+      "array_to_string(list_transform(range(doc_id % 5 + 1), i -> 'tx' || (doc_id % 7) || 'q' || i), ' ') " +
+      "WHEN doc_id % 61 = 21 THEN " +
+      "array_to_string(list_transform(range(26), i -> 'ev' || (((doc_id % 5) * 7 + i) % 29)), ' ') || ' ' || " +
+      "array_to_string(list_transform(range(14), i -> 'ax' || ((doc_id % 5) * 5 + 26 + i)), ' ') " +
+      "ELSE text END AS text FROM documents"
+
   /** The word-soup corpus has zero organic exact duplicates (every text
     * is distinct), so d13's increment-vs-corpus dedup needs a dup
     * augmentation: docs with doc_id % 5 = 4 collapse onto one of 17
@@ -287,6 +326,12 @@ object SparkEntry {
     // semantic near-dups); real corpora run tau≈0.9+ — the dial moves,
     // the plan shape doesn't
     "d14_semdedup" -> ((s, dir) => TrainingOps.semDedup(embs(s, dir))),
+    // fuzzy decontamination over the near-dup-augmented corpus: banded
+    // MinHash containment join (train bands vs broadcast eval bands) +
+    // exact-Jaccard verify at 0.6 — the synthetic tails sit at ~0.8-0.97
+    // (caught) and the half-overlap family at ~0.56 (candidate, rejected)
+    "d15_fuzzy_decontaminate" -> ((s, dir) =>
+      TrainingOps.fuzzyDecontaminate(fuzzyAug(docs(s, dir)), col("doc_id") % 61 === 7)),
     "d10_dup_clusters" -> ((s, dir) => TrainingOps.dupClusters(docs(s, dir))),
     "d11_paragraph_dedup" -> ((s, dir) => TrainingOps.paragraphDedup(docs(s, dir))),
     "t1_lang_id" -> ((s, dir) => TrainingOps.langId(docs(s, dir))),
@@ -855,6 +900,29 @@ object SparkEntry {
           "round(len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(sa.s || sb.s)), 4) AS jaccard " +
           "FROM pairs p JOIN sh sa ON sa.doc_id = p.a JOIN sh sb ON sb.doc_id = p.b) " +
           "WHERE jaccard >= 0.4"),
+      // fuzzy-decontamination oracle: mirrors the two-table banded-LSH
+      // containment pipeline over the fuzzyAug corpus — same shingles,
+      // same 12-minhash/4-band signatures, candidate join, 0.6-Jaccard
+      // verify, rep->clone expansion by md5(text)
+      "d15_fuzzy_decontaminate" ->
+        (s"WITH a AS ($fuzzyAugSql), " +
+          "t AS (SELECT doc_id, text FROM a WHERE doc_id % 61 <> 7), " +
+          "e AS (SELECT doc_id, text FROM a WHERE doc_id % 61 = 7), " +
+          "tr AS (SELECT md5(text) AS th, min(doc_id) AS rep, arg_min(text, doc_id) AS text FROM t GROUP BY 1), " +
+          "er AS (SELECT min(doc_id) AS e_id, arg_min(text, doc_id) AS text FROM e GROUP BY md5(text)), " +
+          s"tsh AS (SELECT rep, list_distinct($sh3) AS st FROM (SELECT rep, $w AS w FROM tr) WHERE len(w) >= 3), " +
+          s"esh AS (SELECT e_id, list_distinct($sh3) AS se FROM (SELECT e_id, $w AS w FROM er) WHERE len(w) >= 3), " +
+          "tsig AS (SELECT rep, list_transform(range(12), k -> list_min(list_transform(st, x -> md5(k || ':' || x)))) AS g FROM tsh), " +
+          "esig AS (SELECT e_id, list_transform(range(12), k -> list_min(list_transform(se, x -> md5(k || ':' || x)))) AS g FROM esh), " +
+          "tband AS (SELECT rep, t.bd, md5(g[bd*3+1] || '|' || g[bd*3+2] || '|' || g[bd*3+3]) AS bv FROM tsig, range(4) t(bd)), " +
+          "eband AS (SELECT e_id, t.bd, md5(g[bd*3+1] || '|' || g[bd*3+2] || '|' || g[bd*3+3]) AS bv FROM esig, range(4) t(bd)), " +
+          "cand AS (SELECT DISTINCT tb.rep, eb.e_id FROM tband tb JOIN eband eb ON tb.bd = eb.bd AND tb.bv = eb.bv), " +
+          "ver AS (SELECT c.rep, round(len(list_intersect(ts.st, es.se))::DOUBLE / len(list_distinct(ts.st || es.se)), 4) AS j " +
+          "FROM cand c JOIN tsh ts ON ts.rep = c.rep JOIN esh es ON es.e_id = c.e_id), " +
+          "hits AS (SELECT rep, count(*) AS n, max(j) AS mj FROM ver WHERE j >= 0.6 GROUP BY rep) " +
+          "SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_eval_hits, " +
+          "coalesce(h.mj, 0.0) AS max_jaccard, coalesce(h.n, 0) > 0 AS contaminated " +
+          "FROM (SELECT doc_id, md5(text) AS th FROM t) d JOIN tr USING (th) LEFT JOIN hits h ON h.rep = tr.rep"),
       // cluster resolution: transitive closure over the verified-pair
       // graph (reach = recursive reachability from each rep; cluster =
       // min reachable id), expanded through the exact-dup groups

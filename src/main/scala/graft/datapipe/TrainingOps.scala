@@ -83,14 +83,40 @@ object TrainingOps {
     * combine on the text payloads (min_by keeps one text per distinct hash
     * per map partition); output is one row per distinct text.
     */
+  /** Distinct 3-word shingles of a word-array column — the one shingle
+    * convention shared by the minhash family (d2/d4/d10/d15).
+    */
+  private def shingles3(w: Column): Column =
+    array_distinct(transform(sequence(lit(0), size(w) - 3),
+      i => concat_ws(" ", slice(w, i + 1, lit(3)))))
+
   private def repSets(docs: DataFrame): DataFrame =
     docs.groupBy(md5(col("text")).as("th"))
       .agg(min("doc_id").as("doc_id"), min_by(col("text"), col("doc_id")).as("text"))
       .select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
-      .select(col("doc_id"),
-        array_distinct(transform(sequence(lit(0), size(col("w")) - 3),
-          i => concat_ws(" ", slice(col("w"), i + 1, lit(3))))).as("s"))
+      .select(col("doc_id"), shingles3(col("w")).as("s"))
+
+  /** 12-minhash / 4-band x 3-row LSH band table over a (id, s shingle
+    * set) frame: (id, band, bv 16-byte md5). The one signature
+    * convention shared by the self-join pipeline ([[bandedPairsCached]])
+    * and the two-table containment join ([[fuzzyDecontaminate]]).
+    */
+  private def bandTable(sets: DataFrame, idCol: String): DataFrame = {
+    val sigs = 12
+    val bandRows = 3
+    val bands = sigs / bandRows
+    val sigCols = (0 until sigs).map { s =>
+      array_min(transform(col("s"), x => md5(concat(lit(s + ":"), x)))).as(s"g$s")
+    }
+    val sig = sets.select(col(idCol) +: sigCols: _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", (0 until bandRows).map(r => col(s"g${b * bandRows + r}")): _*)).as("bv"))
+    }
+    sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bv").as("bv"))
+  }
 
   /** Banded-LSH candidate pairs over distinct-text shingle sets
     * (doc_id, s). 12 minhashes, 4 bands x 3 rows; min over the DISTINCT
@@ -109,24 +135,11 @@ object TrainingOps {
     * executor storage memory for the whole downstream job.
     */
   private def bandedPairsCached(sets: DataFrame, maxBandBucket: Int): (DataFrame, Seq[DataFrame]) = {
-    val sigs = 12
-    val bandRows = 3
-    val bands = sigs / bandRows
-    val sigCols = (0 until sigs).map { s =>
-      array_min(transform(col("s"), x => md5(concat(lit(s + ":"), x)))).as(s"g$s")
-    }
-    val sig = sets.select(col("doc_id") +: sigCols: _*)
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat_ws("|", (0 until bandRows).map(r => col(s"g${b * bandRows + r}")): _*)).as("bv"))
-    }
     // persist the tiny band table (4 rows/doc of (doc_id, band, 16-byte
     // bv)): the bucket-size count and BOTH sides of the self-join read it,
     // and without the cache each consumer would re-run the whole
     // shingle+minhash pipeline upstream (measured 1.7x on the r2 bench)
-    val banded = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val banded = bandTable(sets, "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val surviving = banded.groupBy("band", "bv")
       .agg(count(lit(1)).as("bn"))
@@ -194,6 +207,67 @@ object TrainingOps {
           size(array_union(col("sa"), col("sb"))), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.4)
     (out, sets +: caches)
+  }
+
+  /** Fuzzy benchmark decontamination — the near-duplicate upgrade of the
+    * exact n-gram scrub ([[decontaminate]]): a training document is
+    * contaminated if its 3-shingle Jaccard against ANY eval document
+    * reaches `minJaccard`, found via the same MinHash/banded-LSH recall
+    * pass as d2 but as a TWO-TABLE containment join (train bands against
+    * broadcast eval bands), then exact-Jaccard verified on candidates
+    * only. Catches paraphrased/lightly-edited benchmark leakage that
+    * exact n-gram matching misses.
+    *
+    * Scale shape: the eval side is an eval SUITE (small) — its band
+    * table broadcasts; the train side partial-aggregates its exact-dup
+    * pre-pass (md5 keys) and streams bands map-side, so nothing
+    * document-sized shuffles. No bucket cap: candidate volume is
+    * bounded by eval-side matches, and capping would silently drop
+    * true contamination (recall matters more than balance here —
+    * the opposite trade from d2's self-join). Verdicts computed on
+    * distinct-text representatives, expanded to clones by the md5 key.
+    */
+  def fuzzyDecontaminate(docs: DataFrame, isEval: Column,
+      minJaccard: Double = 0.6): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0,1], got $minJaccard")
+    val keyed = docs.select(col("doc_id"), col("text"), isEval.as("is_eval"))
+      .withColumn("th", md5(col("text")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evalSets = keyed.filter(col("is_eval"))
+      .groupBy("th").agg(min("doc_id").as("e_id"),
+        min_by(col("text"), col("doc_id")).as("text"))
+      .select(col("e_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("e_id"), shingles3(col("w")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val trainReps = keyed.filter(!col("is_eval"))
+      .groupBy("th").agg(min("doc_id").as("rep"),
+        min_by(col("text"), col("doc_id")).as("text"))
+    val tSets = trainReps
+      .select(col("rep"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("rep"), shingles3(col("w")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = bandTable(tSets, "rep")
+      .join(broadcast(bandTable(evalSets.select(col("e_id"), col("s")), "e_id")),
+        Seq("band", "bv"))
+      .select("rep", "e_id").distinct()
+    val verified = cand
+      .join(tSets.select(col("rep"), col("s").as("st")), "rep")
+      .join(evalSets.select(col("e_id"), col("s").as("se")), "e_id")
+      .select(col("rep"),
+        round(size(array_intersect(col("st"), col("se"))).cast("double") /
+          size(array_union(col("st"), col("se"))), 4).as("j"))
+      .filter(col("j") >= minJaccard)
+      .groupBy("rep").agg(count(lit(1)).as("n_eval_hits"), max("j").as("max_jaccard"))
+    keyed.filter(!col("is_eval"))
+      .join(trainReps.select(col("th"), col("rep")), "th")
+      .join(verified, Seq("rep"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
+        coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"),
+        (coalesce(col("n_eval_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
   /** Duplicate-CLUSTER resolution — the step production dedup pipelines

@@ -702,6 +702,27 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(edges.repartition(7)) == out)
   }
 
+  test("fuzzy decontamination: exact and near eval copies flagged, clones expand") {
+    val sp = spark; import sp.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (7L, base),              // the eval doc
+      (1L, base),              // exact copy in train: j = 1
+      (4L, base),              // exact clone of 1: expands via md5 key
+      (2L, base + " tailword"),// near copy: j = 38/39
+      (3L, (1 to 40).map(i => s"z$i").mkString(" ")), // unrelated
+    ).toDF("doc_id", "text")
+    val out = graft.datapipe.TrainingOps
+      .fuzzyDecontaminate(docs, col("doc_id") === 7, minJaccard = 0.6)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    assert(out.size == 4, s"eval docs never appear in the verdict: ${out.keySet}")
+    assert(out(1L) == ((1L, 1.0, true)))
+    assert(out(4L) == out(1L), "exact clone inherits its representative's verdict")
+    assert(out(2L)._3 && out(2L)._2 < 1.0 && out(2L)._2 >= 0.9)
+    assert(out(3L) == ((0L, 0.0, false)))
+  }
+
   test("crawl frontier: crawled targets pruned, rule precedence, ref counts") {
     val sp = spark; import sp.implicits._
     val edges = Seq(

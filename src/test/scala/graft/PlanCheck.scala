@@ -117,6 +117,9 @@ object PlanCheck {
     println("==== 25. e26 crawl frontier: map-combined target agg + LEFT ANTI on url key ====")
     SparkEntry.queries("e26_crawl_frontier")(spark, sf).explain("formatted")
 
+    println("==== 26. d15 fuzzy decontamination: broadcast eval bands, no train-side cap ====")
+    SparkEntry.queries("d15_fuzzy_decontaminate")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
