@@ -51,6 +51,7 @@ object Urls {
         if (ps.nonEmpty && ps.forall(_.isDigit)) (auth.substring(0, pi), ps.toInt)
         else (auth, -1)
     }
+    if (host.isEmpty) return None // "http://:80/x" — a port with no host
     val tail = rest.substring(authEnd)
     val hi = tail.indexOf('#')
     val noFrag = if (hi >= 0) tail.substring(0, hi) else tail

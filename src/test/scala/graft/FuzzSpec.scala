@@ -88,4 +88,51 @@ class FuzzSpec extends AnyFunSuite {
       true
     })
   }
+
+  // --- URL resolver (core/Urls.scala) ---
+
+  private val hrefGen: Gen[String] = {
+    val seg = Gen.oneOf("a", "b9", "..", ".", "index.html", "x%20y", "déjà", "", " ")
+    val path = Gen.chooseNum(0, 5).flatMap(n => Gen.listOfN(n, seg).map(_.mkString("/")))
+    Gen.oneOf(
+      path,
+      path.map("/" + _),
+      path.map("./" + _),
+      path.map("../" + _),
+      path.map(p => s"https://Host.EX:443/$p"),
+      path.map(p => s"http://h.ex:8080/$p?q=1&r=2"),
+      path.map(p => s"//cdn.ex/$p"),
+      path.map(p => s"$p#frag"),
+      path.map(p => s"$p?x=%26"),
+      Gen.oneOf("mailto:a@b.c", "javascript:void(0)", "data:text/plain,x",
+        "tel:+123", "ftp://h/p", "#", "", "?", "https://", "http://:80/x",
+        ":", "a:b", "HTTPS://UP.CASE/P#F"),
+      Gen.listOf(Gen.chooseNum(32.toChar, 255.toChar)).map(_.mkString.take(24)),
+    )
+  }
+
+  test("url resolve: total, idempotent, and always canonical absolute http(s)") {
+    val baseGen = Gen.oneOf(
+      "https://ex.com/a/b/c?q0", "http://ex.com/", "https://h9.ex.com/doc/7",
+      "https://ex.com", "http://ex.com:8080/d/")
+    check(Prop.forAll(baseGen, hrefGen) { (base, href) =>
+      Urls.resolve(base, href) match { // must not throw
+        case None => true
+        case Some(u) =>
+          // canonical: absolute http(s), lowercase scheme+host, no
+          // fragment, no default port, non-empty path
+          val abs = u.startsWith("http://") || u.startsWith("https://")
+          val noFrag = !u.contains('#')
+          val hostEnd = u.indexOf('/', u.indexOf("//") + 2)
+          val authority = u.substring(u.indexOf("//") + 2, if (hostEnd < 0) u.length else hostEnd)
+          val hostLower = authority.takeWhile(_ != ':') == authority.takeWhile(_ != ':').toLowerCase
+          val noDefaultPort = !(u.startsWith("http://") && authority.endsWith(":80")) &&
+            !(u.startsWith("https://") && authority.endsWith(":443"))
+          val hasPath = hostEnd >= 0 // render always emits at least "/"
+          // a canonical URL must resolve to ITSELF against any base
+          val idem = Urls.resolve(base, u) == Some(u)
+          abs && noFrag && hostLower && noDefaultPort && hasPath && idem
+      }
+    })
+  }
 }
