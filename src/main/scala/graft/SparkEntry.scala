@@ -364,6 +364,9 @@ object SparkEntry {
     // map-side-combined counts, minCount tail prune, salted two-stage
     // top-K — no global sort of the distinct-ngram set
     "t15_frequent_ngrams" -> ((s, dir) => TrainingOps.frequentNgrams(docs(s, dir))),
+    // per-doc TF-IDF keywords (linear integer idf — the t12
+    // transcendental-free rule; ties break by word asc)
+    "t16_tfidf_keywords" -> ((s, dir) => TrainingOps.tfidfKeywords(docs(s, dir))),
     // seqLen 512 (not the 2048 default) so the sf0.01 corpus actually
     // crosses sequence boundaries (docs spanning two sequences, several
     // sequences per shard) — the oracle hardcodes the same length
@@ -1167,6 +1170,18 @@ object SparkEntry {
           "SELECT ngram, CAST(cnt AS BIGINT) AS cnt, CAST(rk AS INT) AS rk FROM (" +
           "SELECT ngram, cnt, row_number() OVER (ORDER BY cnt DESC, ngram) AS rk FROM c) " +
           "WHERE rk <= 20"),
+      // tf-idf oracle: same integer idf (floor(1e6*N/df)), same
+      // (score desc, word asc) per-doc ranking
+      "t16_tfidf_keywords" ->
+        (s"WITH f AS (SELECT doc_id, $w AS w FROM documents WHERE length(text) >= 1), " +
+          "tf AS (SELECT doc_id, word, count(*) AS tf FROM (SELECT doc_id, unnest(w) AS word FROM f) GROUP BY 1, 2), " +
+          "n AS (SELECT count(DISTINCT doc_id) AS n FROM tf), " +
+          "df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1), " +
+          "sc AS (SELECT tf.doc_id, tf.word, tf.tf, tf.tf * ((1000000 * (SELECT n FROM n)) // df.df) AS score " +
+          "FROM tf JOIN df USING (word)) " +
+          "SELECT doc_id, CAST(rk AS INT) AS rk, word, CAST(tf AS BIGINT) AS tf, CAST(score AS BIGINT) AS score FROM (" +
+          "SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rk FROM sc) " +
+          "WHERE rk <= 3"),
       // per-source cap oracle: the plain one-stage window formulation —
       // algorithm-independent of sourceCap's salted two-stage plan
       "t13_source_cap" ->

@@ -1069,6 +1069,40 @@ object TrainingOps {
       .filter(col("rk") <= maxPerSource)
   }
 
+  /** Per-document TF-IDF keyword extraction — the classic topical-term
+    * signal (doc tagging, index keys, topic-drift monitoring). IDF is
+    * the LINEAR variant in integer arithmetic — idf = floor(1e6 * N /
+    * df), score = tf * idf — because ln() is transcendental and the
+    * repo's oracle contract is bit-exact parity (the t12 rule: ranking
+    * behavior matches the log variant for the top of the list, where
+    * df << N dominates either way; swap in ln at deployment if the
+    * absolute scale matters).
+    *
+    * Scale shape: the (doc, word, tf) table partial-aggregates map-side
+    * before its shuffle; df is a second map-combined agg over it; the
+    * scoring join is word-keyed carrying (doc_id, word, tf) + (word,
+    * df) — key-only traffic. The per-doc top-k window partitions by
+    * doc_id over per-doc vocab (bounded by document length, never by
+    * corpus size).
+    */
+  def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val tf = docs.filter(length(col("text")) >= 1)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = tf.select(countDistinct(col("doc_id"))).head().getLong(0) // one scalar action
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "word")
+      .select(col("doc_id"), col("word"), col("tf"),
+        (col("tf") * expr(s"${1000000L * n} div df")).as("score"))
+    scored.withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("word"))))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk").cast("int").as("rk"), col("word"),
+        col("tf"), col("score"))
+  }
+
   /** Corpus-level frequent n-gram mining — the CCNet/C4-style
     * boilerplate-discovery signal: the globally most frequent word
     * n-grams in a web corpus are almost always site chrome ("all rights

@@ -702,6 +702,24 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(edges.repartition(7)) == out)
   }
 
+  test("tfidf keywords: rare words outrank common, integer idf, ties by word") {
+    val sp = spark; import sp.implicits._
+    // "common" in all 4 docs (idf 1e6*4/4 = 1e6); "rare" only in doc 1
+    // (idf 4e6). doc 1: rare(tf 1, score 4e6) > common(tf 3, score 3e6)
+    val docs = Seq(
+      (1L, "common common common rare"),
+      (2L, "common x1 y1"), (3L, "common x2 y2"), (4L, "common x3 y3"),
+    ).toDF("doc_id", "text")
+    val out = graft.datapipe.TrainingOps.tfidfKeywords(docs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out((1L, 1)) == (("rare", 1L, 4000000L)))
+    assert(out((1L, 2)) == (("common", 3L, 3000000L)))
+    // doc 2: x1/y1 tie at score 4e6 -> word asc; common (1e6) is cut at k=2
+    assert(out((2L, 1)) == (("x1", 1L, 4000000L)))
+    assert(out((2L, 2)) == (("y1", 1L, 4000000L)))
+  }
+
   test("fuzzy decontamination: exact and near eval copies flagged, clones expand") {
     val sp = spark; import sp.implicits._
     val base = (1 to 40).map(i => s"w$i").mkString(" ")

@@ -120,6 +120,10 @@ object PlanCheck {
     println("==== 26. d15 fuzzy decontamination: broadcast eval bands, no train-side cap ====")
     SparkEntry.queries("d15_fuzzy_decontaminate")(spark, sf).explain("formatted")
 
+    println("==== 27. t16 tf-idf: two map-combined aggs, word-keyed scoring join, per-doc window ====")
+    TrainingOps.tfidfKeywords(spark.read.parquet(s"$sf/documents.parquet"))
+      .explain("formatted")
+
     spark.stop()
   }
 }
