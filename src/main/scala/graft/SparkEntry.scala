@@ -367,6 +367,9 @@ object SparkEntry {
     // per-doc TF-IDF keywords (linear integer idf — the t12
     // transcendental-free rule; ties break by word asc)
     "t16_tfidf_keywords" -> ((s, dir) => TrainingOps.tfidfKeywords(docs(s, dir))),
+    // paragraph-level language-mix detection (majority vote + mixed
+    // flag over the /8 paragraph windows)
+    "t17_lang_mix" -> ((s, dir) => TrainingOps.langMix(docs(s, dir))),
     // seqLen 512 (not the 2048 default) so the sf0.01 corpus actually
     // crosses sequence boundaries (docs spanning two sequences, several
     // sequences per shard) — the oracle hardcodes the same length
@@ -1170,6 +1173,28 @@ object SparkEntry {
           "SELECT ngram, CAST(cnt AS BIGINT) AS cnt, CAST(rk AS INT) AS rk FROM (" +
           "SELECT ngram, cnt, row_number() OVER (ORDER BY cnt DESC, ngram) AS rk FROM c) " +
           "WHERE rk <= 20"),
+      // language-mix oracle: t6's /8 paragraph windows, t1's stopword
+      // argmax per window, majority by (count desc, lang asc)
+      "t17_lang_mix" ->
+        (s"WITH f AS (SELECT doc_id, $w AS w FROM documents WHERE len($w) >= 1), " +
+          "g AS (SELECT doc_id, list_transform(range(CAST(ceil(len(w)/8.0) AS BIGINT)), i -> " +
+          "array_to_string(w[i*8+1:least((i+1)*8, len(w))], ' ')) AS pp FROM f), " +
+          "p AS (SELECT doc_id, regexp_split_to_array(trim(unnest(pp)), '[ \\t\\n\\r\\f\\x0B]+') AS w FROM g), " +
+          s"sc AS (SELECT doc_id, len(list_filter(w, x -> x IN $stopEn)) AS s_en, " +
+          "len(list_filter(w, x -> x IN ('der','die','das','und','ist','ein','zu','den'))) AS s_de, " +
+          "len(list_filter(w, x -> x IN ('el','la','los','las','una','es','y','que'))) AS s_es, " +
+          "len(list_filter(w, x -> x IN ('le','les','des','une','est','et','dans','pour'))) AS s_fr, " +
+          "len(list_filter(w, x -> x IN ('的','是','了','在','我','有','和','不'))) AS s_zh FROM p), " +
+          "lg AS (SELECT doc_id, CASE " +
+          "WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en' " +
+          "WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de' " +
+          "WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es' " +
+          "WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS lg FROM sc), " +
+          "pl AS (SELECT doc_id, lg, count(*) AS c FROM lg GROUP BY 1, 2), " +
+          "m AS (SELECT doc_id, lg, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lg) AS rn FROM pl), " +
+          "a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_paras, CAST(count(*) AS BIGINT) AS n_langs FROM pl GROUP BY 1) " +
+          "SELECT a.doc_id, a.n_paras, a.n_langs, m.lg AS major_lang, a.n_langs > 1 AS mixed " +
+          "FROM a JOIN m ON a.doc_id = m.doc_id AND m.rn = 1"),
       // tf-idf oracle: same integer idf (floor(1e6*N/df)), same
       // (score desc, word asc) per-doc ranking
       "t16_tfidf_keywords" ->

@@ -737,19 +737,56 @@ object TrainingOps {
     * stopword hits per language, argmax with a fixed precedence order
     * for ties (deterministic). Per-row expression work only.
     */
-  def langId(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id"), words(col("text")).as("w"))
-      .filter(size(col("w")) >= 1)
-      .select(Seq(col("doc_id"), size(col("w")).as("n_words")) ++
-        langOrder.map(l => stopCount(l).as(s"s_$l")): _*)
-    val pred = langOrder.init.zipWithIndex.foldRight(lit(langOrder.last)) {
+  /** Stopword-count argmax over the `s_<lang>` columns, ties broken by
+    * [[langOrder]] precedence — the one prediction rule shared by
+    * [[langId]] (whole-doc) and [[langMix]] (per-paragraph).
+    */
+  private def langArgmax: Column =
+    langOrder.init.zipWithIndex.foldRight(lit(langOrder.last)) {
       case ((l, idx), elseCol) =>
         val rest = langOrder.drop(idx + 1)
         when(rest.map(r => col(s"s_$l") >= col(s"s_$r")).reduce(_ && _), lit(l))
           .otherwise(elseCol)
     }
-    base.select(col("doc_id"), pred.as("lang_pred"),
+
+  def langId(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 1)
+      .select(Seq(col("doc_id"), size(col("w")).as("n_words")) ++
+        langOrder.map(l => stopCount(l).as(s"s_$l")): _*)
+    base.select(col("doc_id"), langArgmax.as("lang_pred"),
       greatest(langOrder.map(l => col(s"s_$l")): _*).as("n_stop"), col("n_words"))
+  }
+
+  /** Paragraph-level language-mix detection — the curation upgrade of
+    * [[langId]]: a document whose paragraphs vote for different
+    * languages is usually template chrome around translated content, or
+    * concatenated shards — both low-value for monolingual training
+    * mixes. Runs the SAME stopword-argmax per fixed paragraph window
+    * (the t6/t11 /8 convention), then per doc: paragraph count,
+    * distinct languages, majority language (ties: count desc, lang
+    * asc), mixed flag.
+    *
+    * Scale shape: window explode + per-window scoring is map-only; ONE
+    * doc-keyed map-combined aggregation over (doc, lang) vote counts;
+    * the majority pick is a min(struct) aggregate (the e24 pattern),
+    * not a window.
+    */
+  def langMix(docs: DataFrame, paraWords: Int = 8): DataFrame = {
+    val paras = docs.select(col("doc_id"), words(col("text")).as("dw"))
+      .filter(size(col("dw")) >= 1)
+      .select(col("doc_id"), explode(paraChunks(col("dw"), paraWords)).as("para"))
+      .select(col("doc_id"), words(col("para")).as("w"))
+    val scored = paras.select(Seq(col("doc_id")) ++
+      langOrder.map(l => stopCount(l).as(s"s_$l")): _*)
+    val votes = scored.select(col("doc_id"), langArgmax.as("lg"))
+      .groupBy("doc_id", "lg").agg(count(lit(1)).as("c"))
+    votes.groupBy("doc_id").agg(
+        sum("c").as("n_paras"),
+        count(lit(1)).as("n_langs"),
+        min(struct((-col("c")).as("nc"), col("lg").as("l"))).as("t"))
+      .select(col("doc_id"), col("n_paras"), col("n_langs"),
+        col("t.l").as("major_lang"), (col("n_langs") > 1).as("mixed"))
   }
 
   /** Quality scoring: length, mean word length, digit/punctuation

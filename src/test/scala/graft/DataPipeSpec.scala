@@ -702,6 +702,21 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(edges.repartition(7)) == out)
   }
 
+  test("lang mix: per-paragraph votes, majority tie-break, mixed flag") {
+    val sp = spark; import sp.implicits._
+    // 8-word windows. doc 1: window 1 German, window 2 English -> mixed,
+    // majority tie (1-1) breaks to 'de' (lang asc). doc 2: both windows
+    // English -> not mixed.
+    val de = "der die das und ist ein zu den"
+    val en = "the a of and to in is it"
+    val docs = Seq((1L, s"$de $en"), (2L, s"$en $en")).toDF("doc_id", "text")
+    val out = graft.datapipe.TrainingOps.langMix(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3), r.getBoolean(4))))
+      .toMap
+    assert(out(1L) == ((2L, 2L, "de", true)))
+    assert(out(2L) == ((2L, 1L, "en", false)))
+  }
+
   test("tfidf keywords: rare words outrank common, integer idf, ties by word") {
     val sp = spark; import sp.implicits._
     // "common" in all 4 docs (idf 1e6*4/4 = 1e6); "rare" only in doc 1
