@@ -370,6 +370,8 @@ object SparkEntry {
     // paragraph-level language-mix detection (majority vote + mixed
     // flag over the /8 paragraph windows)
     "t17_lang_mix" -> ((s, dir) => TrainingOps.langMix(docs(s, dir))),
+    // one-row corpus vocabulary stats (tokens, vocab, hapax tail, top word)
+    "t18_corpus_stats" -> ((s, dir) => TrainingOps.corpusStats(docs(s, dir))),
     // seqLen 512 (not the 2048 default) so the sf0.01 corpus actually
     // crosses sequence boundaries (docs spanning two sequences, several
     // sequences per shard) — the oracle hardcodes the same length
@@ -1195,6 +1197,17 @@ object SparkEntry {
           "a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_paras, CAST(count(*) AS BIGINT) AS n_langs FROM pl GROUP BY 1) " +
           "SELECT a.doc_id, a.n_paras, a.n_langs, m.lg AS major_lang, a.n_langs > 1 AS mixed " +
           "FROM a JOIN m ON a.doc_id = m.doc_id AND m.rn = 1"),
+      // corpus-stats oracle: same word table, scalar aggregates
+      "t18_corpus_stats" ->
+        (s"WITH f AS (SELECT doc_id, $w AS w FROM documents WHERE length(text) >= 1), " +
+          "wc AS (SELECT word, count(*) AS c FROM (SELECT unnest(w) AS word FROM f) GROUP BY 1), " +
+          "tp AS (SELECT word, c FROM wc ORDER BY c DESC, word LIMIT 1) " +
+          "SELECT (SELECT CAST(count(*) AS BIGINT) FROM f) AS n_docs, " +
+          "(SELECT CAST(sum(c) AS BIGINT) FROM wc) AS n_tokens, " +
+          "(SELECT CAST(count(*) AS BIGINT) FROM wc) AS vocab_size, " +
+          "(SELECT CAST(count(*) AS BIGINT) FROM wc WHERE c = 1) AS hapax_count, " +
+          "(SELECT word FROM tp) AS top_word, " +
+          "(SELECT CAST(c AS BIGINT) FROM tp) AS top_word_count"),
       // tf-idf oracle: same integer idf (floor(1e6*N/df)), same
       // (score desc, word asc) per-doc ranking
       "t16_tfidf_keywords" ->

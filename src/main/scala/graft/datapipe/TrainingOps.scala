@@ -1106,6 +1106,33 @@ object TrainingOps {
       .filter(col("rk") <= maxPerSource)
   }
 
+  /** Corpus-level vocabulary statistics — the one-row monitoring signal
+    * a pipeline run publishes next to its throughput metrics: token
+    * count, vocabulary size, hapax count (the singleton tail whose
+    * share spikes when OCR noise or mojibake leaks in), and the top
+    * word (which should be a stopword — anything else flags template
+    * spam). All integer/string outputs, bit-exact by construction.
+    *
+    * Scale shape: one map-combined (word, count) aggregation, then a
+    * single-row reduce over the word table (partial aggregation makes
+    * the final single-partition step read one row per upstream task);
+    * the doc count is a second tiny scalar agg cross-joined on.
+    */
+  def corpusStats(docs: DataFrame): DataFrame = {
+    val d = docs.filter(length(col("text")) >= 1)
+    val nd = d.select(count(lit(1)).as("n_docs"))
+    val wc = d.select(explode(words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+    val agg = wc.select(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax_count"),
+        min(struct((-col("c")).as("nc"), col("word").as("w"))).as("t"))
+      .select(col("n_tokens"), col("vocab_size"), col("hapax_count"),
+        col("t.w").as("top_word"), (-col("t.nc")).as("top_word_count"))
+    nd.crossJoin(agg)
+  }
+
   /** Per-document TF-IDF keyword extraction — the classic topical-term
     * signal (doc tagging, index keys, topic-drift monitoring). IDF is
     * the LINEAR variant in integer arithmetic — idf = floor(1e6 * N /

@@ -702,6 +702,17 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(edges.repartition(7)) == out)
   }
 
+  test("corpus stats: tokens, vocab, hapax tail, top word") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((1L, "a b a c"), (2L, "a d"), (3L, "")).toDF("doc_id", "text")
+    val r = graft.datapipe.TrainingOps.corpusStats(docs).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    // 2 non-empty docs, 6 tokens, vocab {a,b,c,d}, hapax {b,c,d}, top "a" x3
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getString(4), row.getLong(5)) == ((2L, 6L, 4L, 3L, "a", 3L)))
+  }
+
   test("lang mix: per-paragraph votes, majority tie-break, mixed flag") {
     val sp = spark; import sp.implicits._
     // 8-word windows. doc 1: window 1 German, window 2 English -> mixed,
