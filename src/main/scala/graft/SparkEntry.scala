@@ -489,6 +489,16 @@ object SparkEntry {
         .select(col("url"), posexplode(col("resolved")))
         .toDF("url", "link_no", "to_url")
     }),
+    // document metadata (first <title>, first <h1>): the index-table
+    // fields next to the extracted body — map-side scan like e22, the
+    // dedup shuffle carries three short strings per url
+    "e27_doc_metadata" -> ((s, dir) => {
+      import s.implicits._
+      pagesOf(s, onlyKind(docs(s, dir), "html"))
+        .map { p => val m = graft.core.Meta.metaOf(p.html); (p.url, m.title, m.h1) }
+        .toDF("url", "title", "h1")
+        .dropDuplicates("url")
+    }),
     // host-level PageRank over the REAL parsed link graph (the blogroll
     // cross-host links in template families B/C): pages -> outlinks ->
     // absolute hrefs -> (src_host, dst_host) edges -> 3 power iterations
@@ -767,6 +777,13 @@ object SparkEntry {
         "WHEN regexp_extract(to_url, 'https://[^/]+(/.*)', 1) IN ('/privacy', '/imprint') THEN FALSE " +
         "ELSE TRUE END AS allowed " +
         "FROM g WHERE to_url NOT IN (SELECT url FROM cw)"),
+      // doc-metadata oracle: titles and h1s are template literals per
+      // family (HtmlGen render/renderB/renderC; B/C have no h1)
+      "e27_doc_metadata" ->
+        (s"SELECT $urlExpr AS url, 'Synthetic document ' || doc_id AS title, " +
+          s"'Müller & Söhne «Webkorpus» #' || doc_id AS h1 FROM documents WHERE $htmlKindsA " +
+          s"UNION ALL SELECT $urlExpr, 'Feed ' || doc_id, '' FROM documents WHERE $famB " +
+          s"UNION ALL SELECT $urlExpr, 'Notes ' || doc_id, '' FROM documents WHERE $famC"),
       // anchor-profile oracle: the same blogroll edge reconstruction as
       // e23 plus the generator's anchor formulas ('mirror N' for the
       // rotating blogroll, 'hub site' for the even-doc hub link), then

@@ -73,6 +73,35 @@ class LinksSpec extends AnyFunSuite {
     assert(resolve("https://ex.com", "d") == Some("https://ex.com/d"))
   }
 
+  test("meta: title RCDATA, h1 text runs, first-wins, implicit close") {
+    import graft.core.Meta
+    def m(s: String) = { val r = Meta.scan(s); (r.title, r.h1) }
+    // RCDATA: tags inside <title> are literal text; entities decode
+    assert(m("<title>a &amp; <b> c</title><h1>H</h1>") == (("a & <b> c", "H")))
+    // first title and first h1 win
+    assert(m("<title>one</title><title>two</title><h1>x</h1><h1>y</h1>") == (("one", "x")))
+    // nested inline markup inside h1 contributes text runs only
+    assert(m("""<h1><a href="/">M&uuml;ller &laquo;W&raquo;</a> #7</h1>""") == (("", "Müller «W» #7")))
+    // a new <h1> implicitly closes an open one; EOF closes tolerantly
+    assert(m("<h1>first<h1>second") == (("", "first")))
+    // script/style bodies and comments never leak into either field
+    assert(m("<script>var t='<title>no</title>'</script><!-- <h1>no</h1> --><title>ok</title>") ==
+      (("ok", "")))
+    // missing fields resolve to empty strings
+    assert(m("<p>plain</p>") == (("", "")))
+  }
+
+  test("meta: generator families yield template titles and h1") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    def of(b: Array[Byte]) = graft.core.Meta.scan(new String(b, UTF_8))
+    val a = of(graft.gen.HtmlGen.render(42L, "one two three", "en"))
+    assert(a.title == "Synthetic document 42" && a.h1 == "Müller & Söhne «Webkorpus» #42")
+    val b = of(graft.gen.HtmlGen.renderB(5L, "one two three", "en"))
+    assert(b.title == "Feed 5" && b.h1 == "")
+    val c = of(graft.gen.HtmlGen.renderC(11L, "one two three", "en"))
+    assert(c.title == "Notes 11" && c.h1 == "")
+  }
+
   test("outlinks: generator family A pages yield the formula links in order") {
     val html = new String(
       graft.gen.HtmlGen.render(42L, "one two three", "en"),
