@@ -552,6 +552,34 @@ object SparkEntry {
       val crawled = pages.map(_.url).toDF("url").dropDuplicates("url")
       graft.datapipe.GraphOps.crawlFrontier(edges, crawled)
     }),
+    // composed WEB pipeline (the e-family analog of p1): ONE parse pass
+    // computes metadata + outlinks per page (kernel runs once in the
+    // scan stage), the link graph and 3-iteration host rank derive from
+    // the persisted parse, and ranks join back host-keyed — per page:
+    // title, external-link count, host authority. This is the page-level
+    // quality table a curation pass filters on.
+    "p2_web_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val parsed = pagesOf(s, onlyKind(docs(s, dir), "html"))
+        .map { p =>
+          val m = graft.core.Meta.metaOf(p.html)
+          val hrefs = graft.core.Links.outlinks(p.html).map(_.href)
+            .filter(_.startsWith("https://"))
+          (p.url, m.title, hrefs)
+        }
+        .toDF("url", "title", "hrefs").dropDuplicates("url")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val host = regexp_extract(col("url"), "https://([^/]+)/", 1)
+      val edges = parsed.select(host.as("src"), explode(col("hrefs")).as("href"))
+        .select(col("src"), regexp_extract(col("href"), "https://([^/]+)/", 1).as("dst"))
+      val ranks = graft.datapipe.GraphOps.hostRank(edges)
+        .withColumnRenamed("host", "rhost")
+      parsed
+        .select(col("url"), col("title"), size(col("hrefs")).as("n_ext_links"), host.as("h"))
+        .join(ranks, col("h") === col("rhost"), "left")
+        .select(col("url"), col("title"), col("n_ext_links"),
+          coalesce(col("rank"), lit(0L)).as("host_rank"))
+    }),
     "m1_binary_features" -> ((s, dir) => TrainingOps.binaryFeatures(s, docs(s, dir))),
     "m2_frame_sample" -> ((s, dir) => TrainingOps.frameSample(s, docs(s, dir))),
   )
@@ -738,23 +766,20 @@ object SparkEntry {
       // host-rank oracle: rebuild the blogroll edge list from the doc_id
       // formulas, then unroll the SAME three integer power iterations —
       // floor division everywhere, so the match is bit-exact
-      "e23_host_rank" -> {
-        val srcExpr = "CASE WHEN doc_id % 10 < 3 THEN 'big.example.com' " +
+      "e23_host_rank" ->
+        (s"WITH ${hostRankCtes(htmlKinds)} " +
+          "SELECT h AS host, CAST(r AS BIGINT) AS rank FROM r3"),
+      // composed web pipeline: per-page title + external-link count
+      // (template formulas) joined to the SAME unrolled rank iterations
+      "p2_web_pipeline" -> {
+        val hostExpr = "CASE WHEN doc_id % 10 < 3 THEN 'big.example.com' " +
           "ELSE 'h' || (doc_id % 97) || '.example.com' END"
-        def iterCte(prev: String, out: String): String =
-          s"$out AS (SELECT nodes.h, (SELECT ((1000000000000 * 15) // 100) // n FROM p) + COALESCE(s.c, 0) AS r " +
-            s"FROM nodes LEFT JOIN (SELECT w.dst AS h, SUM(w.wt * ((($prev.r * 85) // 100) // od.outdeg)) AS c " +
-            s"FROM w JOIN od ON w.src = od.src JOIN $prev ON $prev.h = w.src GROUP BY w.dst) s ON nodes.h = s.h)"
-        s"WITH f AS (SELECT doc_id FROM documents WHERE $htmlKinds AND (doc_id % 23 = 5 OR doc_id % 23 = 11)), " +
-          s"e0 AS (SELECT $srcExpr AS src, 'h' || ((doc_id * 11 + i) % 97) || '.example.com' AS dst FROM f, range(4) t(i) " +
-          s"UNION ALL SELECT $srcExpr, 'big.example.com' FROM f WHERE doc_id % 2 = 0), " +
-          "w AS (SELECT src, dst, count(*) AS wt FROM e0 GROUP BY 1, 2), " +
-          "od AS (SELECT src, CAST(SUM(wt) AS BIGINT) AS outdeg FROM w GROUP BY 1), " +
-          "nodes AS (SELECT src AS h FROM w UNION SELECT dst FROM w), " +
-          "p AS (SELECT count(*) AS n FROM nodes), " +
-          "r0 AS (SELECT h, (SELECT 1000000000000 // n FROM p) AS r FROM nodes), " +
-          iterCte("r0", "r1") + ", " + iterCte("r1", "r2") + ", " + iterCte("r2", "r3") + " " +
-          "SELECT h AS host, CAST(r AS BIGINT) AS rank FROM r3"
+        s"WITH ${hostRankCtes(htmlKinds)}, " +
+          s"pages AS (SELECT doc_id, $urlExpr AS url, 'Synthetic document ' || doc_id AS title, 0 AS nx FROM documents WHERE $htmlKindsA " +
+          s"UNION ALL SELECT doc_id, $urlExpr, 'Feed ' || doc_id, 4 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END FROM documents WHERE $famB " +
+          s"UNION ALL SELECT doc_id, $urlExpr, 'Notes ' || doc_id, 4 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END FROM documents WHERE $famC) " +
+          s"SELECT url, title, CAST(nx AS INT) AS n_ext_links, CAST(COALESCE(r3.r, 0) AS BIGINT) AS host_rank " +
+          s"FROM pages LEFT JOIN r3 ON r3.h = $hostExpr"
       },
       // frontier oracle: resolved targets from the shared link CTE,
       // grouped per target with distinct referrers, minus crawled urls
@@ -846,6 +871,30 @@ object SparkEntry {
       "WHEN nb <= 102400 THEN 'le_100KB' WHEN nb <= 512000 THEN 'le_500KB' " +
       "WHEN nb <= 1048576 THEN 'le_1MB' WHEN nb <= 5242880 THEN 'le_5MB' ELSE 'gt_5MB' END AS size_bucket, " +
       "CAST(SUM(copies) AS BIGINT) AS n FROM sz GROUP BY 1"
+  }
+
+  /** Shared host-rank CTE chain for the e23/p2 oracles: rebuilds the
+    * blogroll edge list from the doc_id formulas, then unrolls the SAME
+    * three integer power iterations as GraphOps.hostRank — floor
+    * division everywhere, so the match is bit-exact. Ends with CTE
+    * `r3(h, r)`; callers prepend "WITH " and append their SELECT.
+    */
+  private def hostRankCtes(htmlKinds: String): String = {
+    val srcExpr = "CASE WHEN doc_id % 10 < 3 THEN 'big.example.com' " +
+      "ELSE 'h' || (doc_id % 97) || '.example.com' END"
+    def iterCte(prev: String, out: String): String =
+      s"$out AS (SELECT nodes.h, (SELECT ((1000000000000 * 15) // 100) // n FROM p) + COALESCE(s.c, 0) AS r " +
+        s"FROM nodes LEFT JOIN (SELECT w.dst AS h, SUM(w.wt * ((($prev.r * 85) // 100) // od.outdeg)) AS c " +
+        s"FROM w JOIN od ON w.src = od.src JOIN $prev ON $prev.h = w.src GROUP BY w.dst) s ON nodes.h = s.h)"
+    s"f AS (SELECT doc_id FROM documents WHERE $htmlKinds AND (doc_id % 23 = 5 OR doc_id % 23 = 11)), " +
+      s"e0 AS (SELECT $srcExpr AS src, 'h' || ((doc_id * 11 + i) % 97) || '.example.com' AS dst FROM f, range(4) t(i) " +
+      s"UNION ALL SELECT $srcExpr, 'big.example.com' FROM f WHERE doc_id % 2 = 0), " +
+      "w AS (SELECT src, dst, count(*) AS wt FROM e0 GROUP BY 1, 2), " +
+      "od AS (SELECT src, CAST(SUM(wt) AS BIGINT) AS outdeg FROM w GROUP BY 1), " +
+      "nodes AS (SELECT src AS h FROM w UNION SELECT dst FROM w), " +
+      "p AS (SELECT count(*) AS n FROM nodes), " +
+      "r0 AS (SELECT h, (SELECT 1000000000000 // n FROM p) AS r FROM nodes), " +
+      iterCte("r0", "r1") + ", " + iterCte("r1", "r2") + ", " + iterCte("r2", "r3")
   }
 
   /** Shared link-reconstruction CTE for the e22/e25 oracles: every
