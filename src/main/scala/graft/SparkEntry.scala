@@ -793,13 +793,13 @@ object SparkEntry {
         "g AS (SELECT to_url, count(*) AS n_refs, count(DISTINCT src_url) AS n_srcs FROM r GROUP BY 1), " +
         s"cw AS (SELECT $urlExpr AS url FROM documents WHERE $htmlKinds) " +
         "SELECT to_url, n_refs, n_srcs, " +
-        "CASE WHEN regexp_extract(to_url, 'https://[^/]+(/.*)', 1) LIKE '/promo/%' " +
-        "OR regexp_extract(to_url, 'https://[^/]+(/.*)', 1) LIKE '/pick/%' THEN 'spam_path' " +
-        "WHEN regexp_extract(to_url, 'https://[^/]+(/.*)', 1) IN ('/privacy', '/imprint') THEN 'nav_path' " +
+        "CASE WHEN regexp_extract(to_url, 'https?://[^/]+(/.*)', 1) LIKE '/promo/%' " +
+        "OR regexp_extract(to_url, 'https?://[^/]+(/.*)', 1) LIKE '/pick/%' THEN 'spam_path' " +
+        "WHEN regexp_extract(to_url, 'https?://[^/]+(/.*)', 1) IN ('/privacy', '/imprint') THEN 'nav_path' " +
         "ELSE 'ok' END AS rule, " +
-        "CASE WHEN regexp_extract(to_url, 'https://[^/]+(/.*)', 1) LIKE '/promo/%' " +
-        "OR regexp_extract(to_url, 'https://[^/]+(/.*)', 1) LIKE '/pick/%' THEN FALSE " +
-        "WHEN regexp_extract(to_url, 'https://[^/]+(/.*)', 1) IN ('/privacy', '/imprint') THEN FALSE " +
+        "CASE WHEN regexp_extract(to_url, 'https?://[^/]+(/.*)', 1) LIKE '/promo/%' " +
+        "OR regexp_extract(to_url, 'https?://[^/]+(/.*)', 1) LIKE '/pick/%' THEN FALSE " +
+        "WHEN regexp_extract(to_url, 'https?://[^/]+(/.*)', 1) IN ('/privacy', '/imprint') THEN FALSE " +
         "ELSE TRUE END AS allowed " +
         "FROM g WHERE to_url NOT IN (SELECT url FROM cw)"),
       // doc-metadata oracle: titles and h1s are template literals per

@@ -21,6 +21,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release each query's persisted frames (several ops cache
+      // document-sized tables for intra-query branch reuse) — without
+      // this the 60+-query session accumulates dead cached corpora in
+      // executor storage (the Bench.sweep convention)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

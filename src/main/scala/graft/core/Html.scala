@@ -143,6 +143,21 @@ object Html {
   /** Decode character references in a text run. Unknown entities pass
     * through verbatim (tolerant, like browsers).
     */
+  /** Case-insensitive indexOf — raw-text close tags match ASCII
+    * case-insensitively in browsers (`</SCRIPT>` closes `<script>`);
+    * shared by all scanners (tokenizer, Links, Meta) so the rule can
+    * never diverge between them.
+    */
+  private[core] def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
+    var i = math.max(0, from)
+    val n = s.length - needle.length
+    while (i <= n) {
+      if (s.regionMatches(true, i, needle, 0, needle.length)) return i
+      i += 1
+    }
+    -1
+  }
+
   def decodeEntities(s: String): String = {
     if (s.indexOf('&') < 0) return s
     val sb = new java.lang.StringBuilder(s.length)
@@ -313,8 +328,9 @@ object Html {
             tok match {
               case st @ StartTag(nm, false) if nm == "script" || nm == "style" || nm == "textarea" || nm == "noscript" =>
                 // raw-text element: skip to matching close tag
+                // (case-insensitive — browsers close on </SCRIPT> too)
                 val close = "</" + nm
-                var k = s.indexOf(close, i)
+                var k = Html.indexOfIgnoreCase(s, close, i)
                 // tolerate missing close: consume to EOF
                 if (k < 0) { i = n }
                 else {
@@ -457,7 +473,7 @@ object Html {
             val name = tagName
             sink.startTag(name, selfClosing = false)
             val close = "</" + name
-            val k = s.indexOf(close, i)
+            val k = Html.indexOfIgnoreCase(s, close, i)
             if (k < 0) i = n
             else {
               val gt = s.indexOf('>', k + close.length)

@@ -145,7 +145,7 @@ object Links {
                 } else if (!lastSelfClosing &&
                   (name == "script" || name == "style" || name == "textarea" || name == "noscript")) {
                   val close = "</" + name
-                  val k = s.indexOf(close, i)
+                  val k = Html.indexOfIgnoreCase(s, close, i)
                   if (k < 0) i = n
                   else {
                     val gt = s.indexOf('>', k + close.length)

@@ -104,7 +104,7 @@ object Meta {
                 i = after
                 if (name == "title" && !lastSelfClosing) {
                   // RCDATA: everything to the first </title is text
-                  val k = indexOfIgnoreCase(s, "</title", i)
+                  val k = Html.indexOfIgnoreCase(s, "</title", i)
                   val end = if (k < 0) n else k
                   if (title == null) {
                     val tb = new java.lang.StringBuilder(end - i)
@@ -122,7 +122,7 @@ object Meta {
                 } else if (!lastSelfClosing &&
                   (name == "script" || name == "style" || name == "textarea" || name == "noscript")) {
                   val close = "</" + name
-                  val k = s.indexOf(close, i)
+                  val k = Html.indexOfIgnoreCase(s, close, i)
                   if (k < 0) i = n
                   else {
                     val gt = s.indexOf('>', k + close.length)
@@ -142,15 +142,5 @@ object Meta {
     }
     closeH1() // EOF closes an open h1 (tolerant)
     DocMeta(if (title == null) "" else title, if (h1 == null) "" else h1)
-  }
-
-  private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
-    var i = from
-    val n = s.length - needle.length
-    while (i <= n) {
-      if (s.regionMatches(true, i, needle, 0, needle.length)) return i
-      i += 1
-    }
-    -1
   }
 }

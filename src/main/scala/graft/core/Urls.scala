@@ -48,8 +48,13 @@ object Urls {
       case -1 => (auth, -1)
       case pi =>
         val ps = auth.substring(pi + 1)
-        if (ps.nonEmpty && ps.forall(_.isDigit)) (auth.substring(0, pi), ps.toInt)
-        else (auth, -1)
+        if (ps.nonEmpty && ps.forall(_.isDigit)) {
+          // digit run after ':' IS a port attempt: out-of-range means the
+          // authority is invalid (browser behavior), never fall back to
+          // treating ':' as a host character. ≤7 digits also guards toInt.
+          if (ps.length > 7 || ps.toInt > 65535) return None
+          (auth.substring(0, pi), ps.toInt)
+        } else (auth, -1)
     }
     if (host.isEmpty) return None // "http://:80/x" — a port with no host
     val tail = rest.substring(authEnd)

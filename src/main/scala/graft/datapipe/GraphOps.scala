@@ -117,7 +117,9 @@ object GraphOps {
     val agg = edges.groupBy("to_url").agg(
       count(lit(1)).as("n_refs"),
       countDistinct(col("src_url")).as("n_srcs"))
-    val path = regexp_extract(col("to_url"), "https://[^/]+(/.*)", 1)
+    // https? — Urls.resolve emits both schemes as crawlable; an
+    // https-only pattern would hand every http:// target rule='ok'
+    val path = regexp_extract(col("to_url"), "https?://[^/]+(/.*)", 1)
     val rule = when(path.startsWith("/promo/") || path.startsWith("/pick/"), "spam_path")
       .when(path === "/privacy" || path === "/imprint", "nav_path")
       .otherwise("ok")

@@ -775,15 +775,17 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("https://a/doc/2", "https://b/"), // same src twice: 3 refs, 2 srcs
       ("https://a/doc/2", "https://c/privacy"),
       ("https://a/doc/1", "https://seen/"),
+      ("https://a/doc/1", "http://d/promo/z"), // http spam must NOT slip past the rules
     ).toDF("src_url", "to_url")
     val crawled = Seq("https://seen/").toDF("url")
     val out = graft.datapipe.GraphOps.crawlFrontier(edges, crawled).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3), r.getBoolean(4))))
       .toMap
-    assert(out.size == 3, s"crawled target must be pruned: ${out.keySet}")
+    assert(out.size == 4, s"crawled target must be pruned: ${out.keySet}")
     assert(out("https://b/") == ((3L, 2L, "ok", true)))
     assert(out("https://b/promo/x") == ((1L, 1L, "spam_path", false)))
     assert(out("https://c/privacy") == ((1L, 1L, "nav_path", false)))
+    assert(out("http://d/promo/z") == ((1L, 1L, "spam_path", false)))
   }
 
   test("unigram familiarity: OOV accounting and common-vs-rare ordering") {

@@ -71,6 +71,25 @@ class LinksSpec extends AnyFunSuite {
     assert(resolve("notaurl", "/x").isEmpty) // unparsable base
     // empty base path: relative merges onto "/"
     assert(resolve("https://ex.com", "d") == Some("https://ex.com/d"))
+    // out-of-range ports are invalid authorities, never a crash and
+    // never treated as part of the host
+    assert(resolve(b, "http://h.com:99999999999/x").isEmpty)
+    assert(resolve(b, "http://h.com:70000/x").isEmpty)
+    assert(resolve(b, "http://h.com:65535/x") == Some("http://h.com:65535/x"))
+    assert(resolve("https://ex.com:99999999999/a", "d").isEmpty) // bad base too
+  }
+
+  test("raw-text close tags match case-insensitively in every scanner") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val html = "<script>var t='<title>no</title><a href=\"/no\">x</a>'</SCRIPT>" +
+      "<title>ok</title><h1>H</h1><a href=\"/yes\">y</a>"
+    val m = graft.core.Meta.scan(html)
+    assert(m.title == "ok" && m.h1 == "H")
+    assert(links(html) == Vector("/yes" -> "y"))
+    // the extraction tokenizer skips the same span (script text never leaks)
+    val r = graft.core.HtmlExtractor.extract(html.getBytes(UTF_8),
+      graft.core.Html.Deadline.unlimited)
+    assert(!r.text.contains("no") && !r.text.contains("var t"))
   }
 
   test("meta: title RCDATA, h1 text runs, first-wins, implicit close") {
