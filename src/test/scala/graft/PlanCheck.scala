@@ -124,6 +124,9 @@ object PlanCheck {
     TrainingOps.tfidfKeywords(spark.read.parquet(s"$sf/documents.parquet"))
       .explain("formatted")
 
+    println("==== 28. p2 web pipeline: one kernel pass (persisted), rank join host-keyed ====")
+    SparkEntry.queries("p2_web_pipeline")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
