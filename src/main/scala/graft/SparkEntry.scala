@@ -364,6 +364,13 @@ object SparkEntry {
     // map-side-combined counts, minCount tail prune, salted two-stage
     // top-K — no global sort of the distinct-ngram set
     "t15_frequent_ngrams" -> ((s, dir) => TrainingOps.frequentNgrams(docs(s, dir))),
+    // sketch-pruned heavy hitters: CMS pre-pass (map-only, counters not
+    // n-grams cross the wire) gates the exact count; output provably
+    // identical to t15's plain formulation — same oracle
+    "t21_cms_heavy_hitters" -> ((s, dir) => TrainingOps.cmsHeavyHitters(docs(s, dir))),
+    // bounded-posting-list inverted index: salted two-stage min-cap
+    // champion lists + exact df joined back word-keyed
+    "t22_inverted_index" -> ((s, dir) => TrainingOps.invertedIndex(docs(s, dir))),
     // per-doc TF-IDF keywords (linear integer idf — the t12
     // transcendental-free rule; ties break by word asc)
     "t16_tfidf_keywords" -> ((s, dir) => TrainingOps.tfidfKeywords(docs(s, dir))),
@@ -372,6 +379,15 @@ object SparkEntry {
     "t17_lang_mix" -> ((s, dir) => TrainingOps.langMix(docs(s, dir))),
     // one-row corpus vocabulary stats (tokens, vocab, hapax tail, top word)
     "t18_corpus_stats" -> ((s, dir) => TrainingOps.corpusStats(docs(s, dir))),
+    // distributed BPE tokenizer training: ONE corpus-sized pass builds the
+    // word-frequency table, then 4 pair-count/argmax/merge iterations run
+    // over the (persisted) vocabulary; the oracle unrolls the identical
+    // iterations as a CTE chain (the e23 pattern)
+    "t19_bpe_merges" -> ((s, dir) => TrainingOps.bpeMerges(docs(s, dir))),
+    // model-based quality filter (CCNet/DCLM shape): hashed-feature linear
+    // classifier trained in one map-combined pass ('en'-vs-rest is the
+    // sandbox label), weights inlined driver-side, map-only scoring
+    "t20_quality_classifier" -> ((s, dir) => TrainingOps.qualityClassifier(docs(s, dir))),
     // seqLen 512 (not the 2048 default) so the sf0.01 corpus actually
     // crosses sequence boundaries (docs spanning two sequences, several
     // sequences per shard) — the oracle hardcodes the same length
@@ -957,6 +973,16 @@ object SparkEntry {
         "pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM gb x " +
         "JOIN gb y ON x.bd = y.bd AND x.bv = y.bv AND x.doc_id < y.doc_id)"
     val stopEn = "('the','a','of','and','to','in','is','it')"
+    // exact top-20 frequent trigrams — shared by t15 (plain groupBy) and
+    // t21 (CMS-gated), whose outputs are provably identical
+    val freqNgramOracle =
+      s"WITH f AS (SELECT $w AS w FROM documents WHERE length(text) >= 1), " +
+        "g AS (SELECT unnest(list_transform(range(len(w) - 2), " +
+        "i -> array_to_string(w[i+1:i+3], ' '))) AS ngram FROM f WHERE len(w) >= 3), " +
+        "c AS (SELECT ngram, count(*) AS cnt FROM g GROUP BY 1 HAVING count(*) >= 2) " +
+        "SELECT ngram, CAST(cnt AS BIGINT) AS cnt, CAST(rk AS INT) AS rk FROM (" +
+        "SELECT ngram, cnt, row_number() OVER (ORDER BY cnt DESC, ngram) AS rk FROM c) " +
+        "WHERE rk <= 20"
     Map(
       "d1_dedup_exact" ->
         ("SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n_copies, " +
@@ -1233,14 +1259,17 @@ object SparkEntry {
       // HAVING-pruned counts — algorithm-independent of the salted
       // two-stage Spark plan; ties at equal count break by ngram asc on
       // both sides
-      "t15_frequent_ngrams" ->
-        (s"WITH f AS (SELECT $w AS w FROM documents WHERE length(text) >= 1), " +
-          "g AS (SELECT unnest(list_transform(range(len(w) - 2), " +
-          "i -> array_to_string(w[i+1:i+3], ' '))) AS ngram FROM f WHERE len(w) >= 3), " +
-          "c AS (SELECT ngram, count(*) AS cnt FROM g GROUP BY 1 HAVING count(*) >= 2) " +
-          "SELECT ngram, CAST(cnt AS BIGINT) AS cnt, CAST(rk AS INT) AS rk FROM (" +
-          "SELECT ngram, cnt, row_number() OVER (ORDER BY cnt DESC, ngram) AS rk FROM c) " +
-          "WHERE rk <= 20"),
+      "t15_frequent_ngrams" -> freqNgramOracle,
+      // the CMS-gated variant must produce the exact same rows as the
+      // plain formulation (sketch overestimates => no false negatives;
+      // exact count removes false positives) — same oracle
+      "t21_cms_heavy_hitters" -> freqNgramOracle,
+      // inverted-index oracle: plain one-stage formulation — exact df,
+      // postings = first `cap` doc_ids ascending (list slice)
+      "t22_inverted_index" ->
+        (s"WITH p AS (SELECT DISTINCT doc_id, unnest($w) AS word FROM documents WHERE length(text) >= 1) " +
+          "SELECT word, CAST(count(*) AS BIGINT) AS df, " +
+          "(list(doc_id ORDER BY doc_id))[1:32] AS postings FROM p GROUP BY word"),
       // language-mix oracle: t6's /8 paragraph windows, t1's stopword
       // argmax per window, majority by (count desc, lang asc)
       "t17_lang_mix" ->
@@ -1274,6 +1303,49 @@ object SparkEntry {
           "(SELECT CAST(count(*) AS BIGINT) FROM wc WHERE c = 1) AS hapax_count, " +
           "(SELECT word FROM tp) AS top_word, " +
           "(SELECT CAST(c AS BIGINT) FROM tp) AS top_word_count"),
+      // BPE-merge oracle: the same 4 iterations unrolled as a CTE chain —
+      // same word table, same '(x)(y)' wrapped-symbol encoding, same
+      // literal-replace merge application (left-to-right non-overlapping
+      // replace IS greedy BPE), same (count DESC, l, r) argmax tie order
+      "t19_bpe_merges" -> {
+        val k = 4
+        val sb = new StringBuilder
+        sb.append("WITH tok AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (" +
+          s"SELECT unnest($w) AS word FROM documents WHERE length(text) >= 1) " +
+          "WHERE regexp_matches(word, '^[a-z]+" + "$" + "') GROUP BY 1), " +
+          "w0 AS (SELECT regexp_replace(word, '(.)', '(\\1)', 'g') AS s, cnt FROM tok)")
+        for (i <- 1 to k) {
+          sb.append(s", p$i AS (SELECT split_part(pr, '|', 1) AS l, " +
+            "split_part(pr, '|', 2) AS r, CAST(sum(cnt) AS BIGINT) AS c FROM (" +
+            "SELECT unnest(list_transform(range(len(sy) - 1), " +
+            "i -> sy[i+1] || '|' || sy[i+2])) AS pr, cnt " +
+            s"FROM (SELECT str_split(s[2:len(s)-1], ')(') AS sy, cnt FROM w${i - 1})) " +
+            "GROUP BY 1, 2)")
+          sb.append(s", m$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1)")
+          if (i < k)
+            sb.append(s", w$i AS (SELECT replace(w${i - 1}.s, " +
+              s"'(' || m$i.l || ')(' || m$i.r || ')', '(' || m$i.l || m$i.r || ')') AS s, " +
+              s"cnt FROM w${i - 1}, m$i)")
+        }
+        sb.append(" " + (1 to k).map(i =>
+          s"SELECT CAST($i AS INT) AS rank, l AS lhs, r AS rhs, c AS pair_count FROM m$i")
+          .mkString(" UNION ALL "))
+        sb.toString
+      },
+      // quality-classifier oracle: same hashed buckets (md5 'qc:' prefix,
+      // mod 256), same integer-ppm class frequencies, same
+      // centroid-difference weights; scoring re-derived as a bucket join
+      // + per-doc sum (algorithm-equivalent to the map-literal lookup)
+      "t20_quality_classifier" ->
+        (s"WITH f AS (SELECT doc_id, lang = 'en' AS pos, $w AS w FROM documents WHERE length(text) >= 1), " +
+          "tk AS (SELECT doc_id, pos, ('0x' || substr(md5('qc:' || unnest(w)),1,15))::BIGINT % 256 AS b FROM f), " +
+          "c AS (SELECT pos, b, count(*) AS c FROM tk GROUP BY 1, 2), " +
+          "n AS (SELECT pos, sum(c) AS n FROM c GROUP BY 1), " +
+          "wt AS (SELECT b, CAST(sum(CASE WHEN pos THEN ppm ELSE -ppm END) AS BIGINT) AS wt FROM (" +
+          "SELECT c.b, c.pos, (1000000 * c.c) // n.n AS ppm FROM c JOIN n USING (pos)) GROUP BY 1), " +
+          "sc AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score FROM tk JOIN wt USING (b) GROUP BY 1) " +
+          "SELECT f.doc_id, CAST(len(f.w) AS INT) AS n_tokens, sc.score, sc.score >= 0 AS keep " +
+          "FROM f JOIN sc USING (doc_id)"),
       // tf-idf oracle: same integer idf (floor(1e6*N/df)), same
       // (score desc, word asc) per-doc ranking
       "t16_tfidf_keywords" ->

@@ -1189,15 +1189,31 @@ object TrainingOps {
                      minCount: Long = 2, salt: Int = 8): DataFrame = {
     require(n >= 1, "n must be >= 1")
     require(topK >= 1 && salt >= 1, "topK and salt must be >= 1")
-    import org.apache.spark.sql.expressions.Window
-    val counts = docs.filter(length(col("text")) >= 1)
+    val counts = ngramStream(docs, n)
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    topKByCount(counts, topK, salt)
+  }
+
+  /** The word n-gram stream (one row per occurrence) — shared by
+    * [[frequentNgrams]] and [[cmsHeavyHitters]].
+    */
+  private def ngramStream(docs: DataFrame, n: Int): DataFrame =
+    docs.filter(length(col("text")) >= 1)
       .select(words(col("text")).as("w"))
       .filter(size(col("w")) >= n)
       .select(explode(expr(
         s"transform(sequence(0, size(w) - $n), i -> array_join(slice(w, i + 1, $n), ' '))"))
         .as("ngram"))
-      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= minCount)
+
+  /** Salted two-stage global top-K over an (ngram, cnt) table — salt-
+    * INDEPENDENT by the t13 argument (any global top-K row is top-K
+    * within its salt group), so no global sort ever sees the full
+    * distinct-ngram set. Shared tail of [[frequentNgrams]] and
+    * [[cmsHeavyHitters]].
+    */
+  private def topKByCount(counts: DataFrame, topK: Int, salt: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val order = Seq(col("cnt").desc, col("ngram").asc)
     val local = Window.partitionBy(pmod(xxhash64(col("ngram")), lit(salt.toLong)))
       .orderBy(order: _*)
@@ -1205,6 +1221,106 @@ object TrainingOps {
     counts
       .withColumn("lrk", row_number().over(local)).filter(col("lrk") <= topK).drop("lrk")
       .withColumn("rk", row_number().over(global)).filter(col("rk") <= topK)
+  }
+
+  /** Count-min-sketch-pruned heavy hitters — the production upgrade
+    * promised at [[frequentNgrams]]: at 10^12 documents the long tail of
+    * DISTINCT n-grams is itself corpus-scale, and even a map-side-combined
+    * groupBy must shuffle one row per distinct n-gram per task. The CMS
+    * pre-pass removes that: a `depth` x `width` counter matrix is built in
+    * one MAP-ONLY pass (per-partition sketches, element-wise treeReduce
+    * merge — counters, not n-grams, cross the wire: depth*width*8 bytes
+    * per partition regardless of corpus size), broadcasts back, and only
+    * n-grams whose sketch estimate reaches `minCount` enter the exact
+    * count — the shuffle now carries candidates (true heavy hitters + the
+    * sketch's false-positive fraction), not the distinct tail.
+    *
+    * The output is PROVABLY identical to the plain formulation: CMS
+    * estimates only ever OVER-count (each counter sums a superset of the
+    * n-gram's occurrences), so `estimate >= true count` and no n-gram
+    * with true count >= minCount is ever pruned; false positives are
+    * removed by the exact count filter that follows. The oracle is
+    * therefore the same algorithm-independent SQL as t15's, and a
+    * deliberately SATURATED sketch (width 1: every estimate = stream
+    * length) still yields exact output — pinned by a test. Sketch hashes
+    * are Murmur3 with per-row seeds: they never leave the JVM, so no
+    * md5-parity constraint applies (and at scale you want the cheap hash).
+    */
+  def cmsHeavyHitters(docs: DataFrame, n: Int = 3, topK: Int = 20,
+                      minCount: Long = 2, depth: Int = 4, width: Int = 8192,
+                      salt: Int = 8): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    require(topK >= 1 && salt >= 1, "topK and salt must be >= 1")
+    require(depth >= 1 && width >= 1, "depth and width must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def cell(row: Int, s: String): Int =
+      math.floorMod(scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c + row), width)
+    val grams = ngramStream(docs, n)
+    // pass 1 (map-only): per-partition sketches, element-wise merge.
+    // treeAggregate so a 10k-partition job merges counters in a tree, not
+    // serially on the driver.
+    val sketch: Array[Long] = grams.as[String].rdd.treeAggregate(
+      new Array[Long](depth * width))(
+      seqOp = (m, g) => {
+        var r = 0
+        while (r < depth) { m(r * width + cell(r, g)) += 1L; r += 1 }
+        m
+      },
+      combOp = (a, b) => {
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      })
+    val bc = spark.sparkContext.broadcast(sketch)
+    // pass 2: sketch-gated exact count — only candidates shuffle
+    val candidates = grams.as[String].mapPartitions { it =>
+      val m = bc.value
+      it.filter { g =>
+        var est = Long.MaxValue
+        var r = 0
+        while (r < depth) {
+          val v = m(r * width + cell(r, g)); if (v < est) est = v; r += 1
+        }
+        est >= minCount
+      }
+    }.toDF("ngram")
+    val counts = candidates.groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount) // drops the sketch's false positives
+    topKByCount(counts, topK, salt)
+  }
+
+  /** Inverted-index construction with BOUNDED posting lists — the IR-side
+    * operator a web corpus feeds (search over the crawl, contamination
+    * lookups, nearest-neighbor seeds): per word, the exact document
+    * frequency plus a "champion list" of the first `cap` doc_ids.
+    *
+    * The bound is the scale piece: a naive
+    * `groupBy(word).agg(collect_list(doc_id))` holds one unbounded buffer
+    * per word — for a stopword at 10^12 docs that is the corpus. Instead
+    * the min-`cap` doc_ids are selected by the salted two-stage pattern
+    * (t13/t26 argument — provably salt-independent): stage 1 ranks within
+    * (word, doc_id mod salt) so a hot word's postings spread over `salt`
+    * tasks, stage 2 re-ranks the <= salt*cap survivors; only then does a
+    * bounded collect_list run. Exact `df` comes from a separate count
+    * aggregation (map-side combined) joined back word-keyed — key-only
+    * traffic. `salt` scales with df_max/task-memory at deployment.
+    */
+  def invertedIndex(docs: DataFrame, cap: Int = 32, salt: Int = 8): DataFrame = {
+    require(cap >= 1 && salt >= 1, "cap and salt must be >= 1")
+    val postings = docs.filter(length(col("text")) >= 1)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .distinct() // one posting per (doc, word)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = postings.groupBy("word").agg(count(lit(1)).as("df"))
+    val local = Window.partitionBy(col("word"), pmod(col("doc_id"), lit(salt.toLong)))
+      .orderBy(col("doc_id"))
+    val global = Window.partitionBy(col("word")).orderBy(col("doc_id"))
+    val champs = postings
+      .withColumn("lrk", row_number().over(local)).filter(col("lrk") <= cap).drop("lrk")
+      .withColumn("rk", row_number().over(global)).filter(col("rk") <= cap)
+      .groupBy("word").agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+    champs.join(df, "word").select(col("word"), col("df"), col("postings"))
   }
 
   /** Sequence packing — assign documents to fixed-length training
@@ -1349,6 +1465,126 @@ object TrainingOps {
       .join(broadcast(offsets), "shard")
       .select(col("doc_id"), col("shard"),
         (col("offset") + col("rn") - 1).as("pos"))
+  }
+
+  /** Model-based quality classifier — the CCNet/DCLM-class pipeline stage
+    * "train a linear classifier against a reference corpus; keep documents
+    * it scores high", as distinct from t2's hand-rolled signals and t14's
+    * hard rules. Features are the HASHING TRICK: token -> one of
+    * `nBuckets` hashed feature buckets, so the model is a fixed-size
+    * weight vector regardless of vocabulary growth.
+    *
+    * Training is real and runs in ONE map-side-combined pass: per-class
+    * bucket frequencies in ppm (integer div — the repo's
+    * transcendental-free oracle rule), weight = ppm_pos - ppm_neg (a
+    * Rocchio/centroid-difference linear model). The `nBuckets`-row weight
+    * vector collects to the driver and inlines as a map literal (the t12
+    * broadcast pattern); SCORING is then map-only, zero shuffle: score =
+    * sum of bucket weights over the document's tokens, keep = score >= 0.
+    *
+    * The 'en'-vs-rest label is the sandbox stand-in for the
+    * reference-vs-crawl label a production filter trains on (CCNet:
+    * Wikipedia vs Common Crawl); the train/serve plumbing — hashed
+    * features, two-level aggregation, broadcast weights, map-only
+    * inference — is the real, oracle-checked part.
+    */
+  def qualityClassifier(docs: DataFrame, nBuckets: Int = 256): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    def bucket(t: Column): Column =
+      pmod(h60(concat(lit("qc:"), t)), lit(nBuckets.toLong))
+    val toks = docs.filter(length(col("text")) >= 1)
+      .select((col("lang") === "en").as("pos"),
+        explode(words(col("text"))).as("t"))
+      .select(col("pos"), bucket(col("t")).as("b"))
+    val counts = toks.groupBy("pos", "b").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("pos").agg(sum("c").as("n"))
+    val weights: Map[Long, Long] = counts.join(totals, "pos")
+      .select(col("b"), col("pos"), expr("(1000000 * c) div n").as("ppm"))
+      .groupBy("b")
+      .agg(sum(when(col("pos"), col("ppm")).otherwise(-col("ppm"))).as("wt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = typedLit(weights)
+    docs.filter(length(col("text")) >= 1)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).as("n_tokens"),
+        aggregate(col("w"), lit(0L),
+          (acc, t) => acc + coalesce(element_at(m, bucket(t)), lit(0L)))
+          .as("score"))
+      .withColumn("keep", col("score") >= 0L)
+  }
+
+  // ---------------------------------------------------- tokenizer training
+
+  /** Distributed BPE tokenizer training — the first `nMerges` merge rules
+    * of byte-pair encoding (Sennrich et al. 2016) learned from the corpus.
+    * This is the tokenizer-training step of a pretraining pipeline, and it
+    * distributes exactly the way production BPE trainers do:
+    *
+    *   - Phase 1 collapses the corpus to its WORD-FREQUENCY table — the
+    *     only corpus-sized pass (one map-side-combined shuffle of
+    *     (word, count)). Every later iteration runs over the vocabulary,
+    *     which by Heaps' law is orders of magnitude smaller than the
+    *     corpus; it is persisted once.
+    *   - Each iteration counts adjacent SYMBOL PAIRS weighted by word
+    *     count (map-side combined again — shuffle carries one row per
+    *     distinct pair per task), takes the argmax with a deterministic
+    *     tie order (count DESC, then (left, right) ASC), and applies the
+    *     merge MAP-ONLY. The one-row argmax collect per iteration is the
+    *     algorithm's inherent sync point — real trainers batch several
+    *     non-interacting merges per pass; the per-merge structure here
+    *     keeps the oracle an exact CTE unroll.
+    *
+    * Words are restricted to `^[a-z]+$` so the symbol alphabet is closed
+    * under merging and symbols never contain the '(' ')' framing below.
+    * A word's symbol sequence is encoded as a wrapped string
+    * "(h)(e)(l)(l)(o)"; applying merge (l,r) is the literal string
+    * replace "(l)(r)" -> "(lr)", whose left-to-right non-overlapping
+    * semantics IS greedy BPE merge application ("aaaa" + (a,a) ->
+    * "(aa)(aa)") — and is identical in Spark and DuckDB, so the oracle
+    * reproduces every iteration bit-for-bit.
+    *
+    * Returns the learned merge table (rank, lhs, rhs, pair_count) — K
+    * rows, built driver-side from the K argmax rows.
+    */
+  def bpeMerges(docs: DataFrame, nMerges: Int = 4): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 64, "nMerges must be in [1, 64]")
+    val spark = docs.sparkSession
+    val vocab = docs.filter(length(col("text")) >= 1)
+      .select(explode(words(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(regexp_replace(col("word"), "(.)", "($1)").as("s"), col("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var cur = vocab
+    var k = 1
+    var exhausted = false
+    while (k <= nMerges && !exhausted) {
+      // adjacent pairs of the symbol array, weighted by word count
+      val top = cur
+        .select(split(regexp_replace(col("s"), "^\\(|\\)$", ""), "\\)\\(").as("a"),
+          col("cnt"))
+        .filter(size(col("a")) >= 2) // sequence(0,-1) would DESCEND, not empty
+        .select(explode(expr(
+          "transform(sequence(0, size(a) - 2), i -> struct(a[i] AS l, a[i+1] AS r))"))
+          .as("p"), col("cnt"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((k, l, r, c))
+        // map-only merge application; symbols are [a-z]+ so the literal is safe
+        cur = cur.select(
+          expr(s"replace(s, '($l)($r)', '($l$r)')").as("s"), col("cnt"))
+        k += 1
+      }
+    }
+    vocab.unpersist(blocking = false)
+    import spark.implicits._
+    merges.result().toDF("rank", "lhs", "rhs", "pair_count")
   }
 
   // ---------------------------------------------------- multimodal stub

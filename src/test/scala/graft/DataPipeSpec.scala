@@ -849,4 +849,79 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(out.forall { case (id, _, pos) => re(id) == pos })
   }
+
+  test("inverted index: bounded champion lists, exact df, salt-independent") {
+    val out = TrainingOps.invertedIndex(docs, cap = 8, salt = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2)))
+    assert(out.nonEmpty)
+    // ground truth from a driver-side build
+    val truth = docs.filter(length(col("text")) >= 1)
+      .select(col("doc_id"), explode(split(trim(col("text")), "[ \\t\\n\\r\\f\\x0B]+")).as("word"))
+      .distinct().collect().map(r => (r.getString(1), r.getLong(0)))
+      .groupBy(_._1).map { case (wd, ps) => wd -> ps.map(_._2).sorted.toSeq }
+    out.foreach { case (wd, df, postings) =>
+      assert(df == truth(wd).size, s"df($wd)")
+      assert(postings == truth(wd).take(8), s"postings($wd) must be the min-8 doc_ids")
+    }
+    // the salt must never change the result (t13 argument)
+    val s1 = TrainingOps.invertedIndex(docs, cap = 8, salt = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2))).sortBy(_._1)
+    assert(s1.toSeq == out.sortBy(_._1).toSeq)
+  }
+
+  test("cms heavy hitters: identical to the plain formulation, even saturated") {
+    val plain = TrainingOps.frequentNgrams(docs).orderBy("rk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(plain.nonEmpty)
+    val cms = TrainingOps.cmsHeavyHitters(docs).orderBy("rk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(cms.toSeq == plain.toSeq, "sketch gating must be lossless")
+    // width=1 saturates every counter to the stream length: every n-gram
+    // becomes a candidate, and the exact count must STILL be right
+    val sat = TrainingOps.cmsHeavyHitters(docs, depth = 2, width = 1)
+      .orderBy("rk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(sat.toSeq == plain.toSeq, "a saturated sketch may cost, never corrupt")
+  }
+
+  test("quality classifier: centroid-difference weights separate the classes") {
+    val s = spark; import s.implicits._
+    // disjoint vocabularies (collision-checked below):
+    //   pos tokens: alpha x3, beta x1  -> ppm 750000 / 250000
+    //   neg tokens: gamma x3, delta x1 -> ppm 750000 / 250000 (negated)
+    val b = (wd: String) => (BigInt(md5hex("qc:" + wd).substring(0, 15), 16) % 256).toInt
+    assert(Seq("alpha", "beta", "gamma", "delta").map(b).distinct.size == 4,
+      "test vocabulary must hash to distinct buckets")
+    val d = Seq(
+      (1L, "en", "alpha beta"), (2L, "en", "alpha alpha"),
+      (3L, "de", "gamma delta"), (4L, "de", "gamma gamma"))
+      .toDF("doc_id", "lang", "text")
+    val out = TrainingOps.qualityClassifier(d).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2, 1000000L, true), (2L, 2, 1500000L, true),
+      (3L, 2, -1000000L, false), (4L, 2, -1500000L, false)))
+  }
+
+  test("bpe merges: greedy application, deterministic ties, weighted counts") {
+    val s = spark; import s.implicits._
+    // word freqs: aaaa x2, banana x3
+    //   iter 1: (a,a)=6 ties (a,n)=6 and (n,a)=6 -> lexicographic (a,a);
+    //           GREEDY application: aaaa -> (aa)(aa), NOT (a)(aa)(a)
+    //   iter 2: (a,n)=6 beats (n,a)=6 lexicographically
+    //   iter 3: banana = (b)(an)(an)(a): three pairs tie at 3 ->
+    //           (an,a) < (an,an) < (b,an)
+    val d = Seq((1L, "aaaa aaaa"), (2L, "banana banana banana"))
+      .toDF("doc_id", "text")
+    val m = TrainingOps.bpeMerges(d, nMerges = 3).orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq == Seq((1, "a", "a", 6L), (2, "a", "n", 6L), (3, "an", "a", 3L)))
+    // exhaustion guard: a corpus of single-letter words has no pairs
+    val none = TrainingOps.bpeMerges(Seq((1L, "a b c")).toDF("doc_id", "text"), 2)
+    assert(none.count() == 0)
+    // non-[a-z] words never reach the symbol table
+    val filtered = TrainingOps.bpeMerges(
+      Seq((1L, "Hello WORLD 123 ok ok")).toDF("doc_id", "text"), 1).collect()
+    assert(filtered.map(r => (r.getString(1), r.getString(2))).toSeq == Seq(("o", "k")))
+  }
 }
