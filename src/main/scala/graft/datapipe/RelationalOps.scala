@@ -101,6 +101,35 @@ object RelationalOps {
         (Seq(max(col(ts)).as("session_end"), count(lit(1)).as("n_events")) ++ extraAggs): _*)
       .drop("session_window")
 
+  /** Stream-stream interval join — the fetch/parse (request/result)
+    * correlation of a resident pipeline: every left event joins right
+    * events of the same key whose timestamp lands in
+    * `[leftTs, leftTs + within]`. Both sides carry watermarks and the
+    * join condition is TIME-BOUNDED — that pair is exactly what lets
+    * Structured Streaming evict join state: a buffered left row is
+    * droppable once the right watermark passes `leftTs + within`, a right
+    * row once the left watermark passes `rightTs`, so state is bounded by
+    * watermark delay + interval span regardless of stream length. An
+    * unbounded-condition stream join would hold both streams forever.
+    *
+    * Inner-join matches emit as soon as both sides have arrived (no
+    * window-close wait). `withWatermark` is a no-op on batch frames, so
+    * the same call runs as a plain interval join on batch inputs —
+    * batch == streaming by construction. Contract: column names disjoint;
+    * `key`/`rightKey` name the two join columns.
+    */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame,
+      key: String, rightKey: String, leftTs: String, rightTs: String,
+      within: String, watermark: String): DataFrame = {
+    val overlap = right.columns.toSet.intersect(left.columns.toSet)
+    require(overlap.isEmpty,
+      s"right columns must not collide with left columns: ${overlap.mkString(", ")}")
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        expr(s"$key = $rightKey AND $rightTs >= $leftTs AND " +
+          s"$rightTs <= $leftTs + interval $within"))
+  }
+
   def rangeJoin(left: DataFrame, right: DataFrame,
       leftTs: String, start: String, end: String,
       binSeconds: Long = 900): DataFrame = {

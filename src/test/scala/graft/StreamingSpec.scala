@@ -297,6 +297,61 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming: stream-stream interval join matches across batches, drops out-of-interval") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    spark.sparkContext.setLogLevel("WARN")
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def ts(min: Int) = new java.sql.Timestamp(PagesGen.Epoch + min * 60000L)
+    val fetches = MemoryStream[(String, java.sql.Timestamp)]
+    val parses = MemoryStream[(String, java.sql.Timestamp, String)]
+    val joined = graft.datapipe.RelationalOps.streamIntervalJoin(
+      fetches.toDF().toDF("url", "fetch_ts"),
+      parses.toDF().toDF("p_url", "parse_ts", "status"),
+      key = "url", rightKey = "p_url", leftTs = "fetch_ts", rightTs = "parse_ts",
+      within = "5 minutes", watermark = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("sj")
+      .outputMode("append").start()
+    def rows() = spark.table("sj").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(3), r.getString(4)))
+      .sortBy(x => (x._1, x._2.getTime, x._3.getTime))
+
+    try {
+      // same-batch match inside the interval
+      fetches.addData(("u/a", ts(1)))
+      parses.addData(("u/a", ts(3), "ok"))
+      q.processAllAvailable()
+      assert(rows().toSeq == Seq(("u/a", ts(1), ts(3), "ok")),
+        s"in-interval match must emit: ${rows().toSeq}")
+
+      // a parse PAST the 5-minute bound never joins
+      parses.addData(("u/a", ts(9), "late-parse"))
+      q.processAllAvailable()
+      assert(rows().length == 1, s"out-of-interval parse must not join: ${rows().toSeq}")
+
+      // cross-batch: the fetch is buffered in state until its parse arrives
+      fetches.addData(("u/b", ts(10)))
+      q.processAllAvailable()
+      parses.addData(("u/b", ts(12), "ok"))
+      q.processAllAvailable()
+      assert(rows().count(_._1 == "u/b") == 1,
+        s"cross-batch match must emit once state pairs up: ${rows().toSeq}")
+
+      // eviction: advance BOTH watermarks far past u/a's interval end,
+      // then replay an in-interval parse for it — the fetch row's state
+      // is gone (bounded-state guarantee), so nothing new emits
+      fetches.addData(("u/z", ts(60)))
+      parses.addData(("u/z", ts(60), "wm"))
+      q.processAllAvailable()
+      parses.addData(("u/a", ts(4), "too-late"))
+      q.processAllAvailable()
+      assert(!rows().exists(_._4 == "too-late"),
+        s"evicted left state must not match a late right row: ${rows().toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming: in-flight re-crawl dedup (dropDuplicatesWithinWatermark) keeps first sighting") {
     implicit val s: SparkSession = spark
     import s.implicits._
