@@ -342,6 +342,44 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ------------------------------------------------------------- entrypoint
 
+  test("bucketed tables: co-located join plans with ZERO exchange") {
+    implicit val s: SparkSession = spark
+    // the 100-TB join strategy: two tables bucketed on the same key with
+    // the same bucket count join WITHOUT any shuffle — at scale this is
+    // how the results table joins the pages table (or its own previous
+    // snapshot) without moving either. Pinned here: the physical plan of
+    // the bucketed join has no Exchange at all, while the identical
+    // non-bucketed join shuffles both sides.
+    val pages = PagesGen.fromDocuments(spark, sfDir).toDF()
+    val left = pages.select(col("url"), col("lang"))
+    val right = pages.select(col("url"), col("warc_ts").as("crawl_ts"))
+    left.write.format("parquet").bucketBy(8, "url").sortBy("url")
+      .option("path", tmpDir("bkt-left")).mode("overwrite").saveAsTable("bkt_left")
+    right.write.format("parquet").bucketBy(8, "url").sortBy("url")
+      .option("path", tmpDir("bkt-right")).mode("overwrite").saveAsTable("bkt_right")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val j = spark.table("bkt_left").join(spark.table("bkt_right"), "url")
+      val expected = pages.groupBy("url").count()
+        .agg(sum(col("count") * col("count"))).head().getLong(0)
+      assert(j.count() == expected, "join result must be exact")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed co-located join must not shuffle either side:\n$plan")
+      // control: the same join over plain parquet DOES exchange
+      val flat = left.join(right, "url")
+      flat.count()
+      assert(flat.queryExecution.executedPlan.toString.contains("Exchange"),
+        "control join over non-bucketed inputs should shuffle")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bkt_left")
+      spark.sql("DROP TABLE IF EXISTS bkt_right")
+    }
+  }
+
   test("ExtractMain.parse: required args and defaults") {
     val a = ExtractMain.parse(Array("--input", "/x", "--table", "/y", "--buckets", "7"))
     assert(a.input == "/x" && a.table == "/y" && a.buckets == 7 && a.salt == 4)
