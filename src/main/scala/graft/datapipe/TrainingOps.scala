@@ -1298,29 +1298,24 @@ object TrainingOps {
     * The bound is the scale piece: a naive
     * `groupBy(word).agg(collect_list(doc_id))` holds one unbounded buffer
     * per word — for a stopword at 10^12 docs that is the corpus. Instead
-    * the min-`cap` doc_ids are selected by the salted two-stage pattern
-    * (t13/t26 argument — provably salt-independent): stage 1 ranks within
-    * (word, doc_id mod salt) so a hot word's postings spread over `salt`
-    * tasks, stage 2 re-ranks the <= salt*cap survivors; only then does a
-    * bounded collect_list run. Exact `df` comes from a separate count
-    * aggregation (map-side combined) joined back word-keyed — key-only
-    * traffic. `salt` scales with df_max/task-memory at deployment.
+    * the min-`cap` doc_ids come from the custom bounded aggregate
+    * [[graft.functions.MinKLongs min_k_longs]] (a
+    * TypedImperativeAggregate): each map task combines its postings into
+    * one `cap`-element heap per word BEFORE the shuffle, the exchange
+    * carries one serialized heap per (task, word), and final merge is
+    * order-independent — O(cap) state per group regardless of df, one
+    * shuffle, no windows, no salt. `df` and the champion list come out
+    * of the SAME aggregation (both map-side combined).
     */
-  def invertedIndex(docs: DataFrame, cap: Int = 32, salt: Int = 8): DataFrame = {
-    require(cap >= 1 && salt >= 1, "cap and salt must be >= 1")
-    val postings = docs.filter(length(col("text")) >= 1)
+  def invertedIndex(docs: DataFrame, cap: Int = 32): DataFrame = {
+    require(cap >= 1, "cap must be >= 1")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    docs.filter(length(col("text")) >= 1)
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
       .distinct() // one posting per (doc, word)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val df = postings.groupBy("word").agg(count(lit(1)).as("df"))
-    val local = Window.partitionBy(col("word"), pmod(col("doc_id"), lit(salt.toLong)))
-      .orderBy(col("doc_id"))
-    val global = Window.partitionBy(col("word")).orderBy(col("doc_id"))
-    val champs = postings
-      .withColumn("lrk", row_number().over(local)).filter(col("lrk") <= cap).drop("lrk")
-      .withColumn("rk", row_number().over(global)).filter(col("rk") <= cap)
-      .groupBy("word").agg(sort_array(collect_list(col("doc_id"))).as("postings"))
-    champs.join(df, "word").select(col("word"), col("df"), col("postings"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("df"),
+        expr(s"min_k_longs(doc_id, $cap)").as("postings"))
   }
 
   /** Sequence packing — assign documents to fixed-length training

@@ -107,14 +107,39 @@ case class ExtractPages(child: Expression) extends UnaryExpression {
   * compile-time SQL function registration.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("extract_text"),
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
+
+/** The SQL function surface, usable two ways: session-wide via
+  * `spark.sql.extensions=graft.functions.GraftExtensions`, or
+  * imperatively on an existing session via [[ensureRegistered]] (the
+  * path library operators use — they cannot assume the caller's session
+  * was built with the extension).
+  */
+object GraftFunctions {
+  private def minKBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 2, "min_k_longs(col, k) takes exactly 2 arguments")
+    val kExpr = children(1)
+    require(kExpr.foldable, "min_k_longs k must be a literal")
+    MinKLongs(children.head, kExpr.eval().asInstanceOf[Number].intValue())
+  }
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("extract_text"),
       new ExpressionInfo(classOf[ExtractText].getName, "extract_text"),
-      (children: Seq[Expression]) => ExtractText(children.head)))
-    ext.injectFunction((
-      new FunctionIdentifier("extract_pages"),
+      (children: Seq[Expression]) => ExtractText(children.head)),
+    (new FunctionIdentifier("extract_pages"),
       new ExpressionInfo(classOf[ExtractPages].getName, "extract_pages"),
-      (children: Seq[Expression]) => ExtractPages(children.head)))
+      (children: Seq[Expression]) => ExtractPages(children.head)),
+    (new FunctionIdentifier("min_k_longs"),
+      new ExpressionInfo(classOf[MinKLongs].getName, "min_k_longs"),
+      minKBuilder _))
+
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    all.foreach { case (id, info, builder) =>
+      if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
+    }
   }
 }

@@ -850,8 +850,8 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.forall { case (id, _, pos) => re(id) == pos })
   }
 
-  test("inverted index: bounded champion lists, exact df, salt-independent") {
-    val out = TrainingOps.invertedIndex(docs, cap = 8, salt = 4).collect()
+  test("inverted index: bounded champion lists, exact df, partitioning-independent") {
+    val out = TrainingOps.invertedIndex(docs, cap = 8).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2)))
     assert(out.nonEmpty)
     // ground truth from a driver-side build
@@ -863,10 +863,17 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(df == truth(wd).size, s"df($wd)")
       assert(postings == truth(wd).take(8), s"postings($wd) must be the min-8 doc_ids")
     }
-    // the salt must never change the result (t13 argument)
-    val s1 = TrainingOps.invertedIndex(docs, cap = 8, salt = 1).collect()
+    // heap merge is order-independent: any input partitioning gives the
+    // same champion lists
+    val re = TrainingOps.invertedIndex(docs.repartition(13), cap = 8).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2))).sortBy(_._1)
-    assert(s1.toSeq == out.sortBy(_._1).toSeq)
+    assert(re.toSeq == out.sortBy(_._1).toSeq)
+    // the heaps combine BEFORE the shuffle: the imperative aggregate
+    // plans as ObjectHashAggregate partial + final around one exchange
+    val plan = TrainingOps.invertedIndex(docs, cap = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"min_k_longs must plan as ObjectHashAggregate (partial/final):\n$plan")
   }
 
   test("cms heavy hitters: identical to the plain formulation, even saturated") {

@@ -62,6 +62,34 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     out.foreach { r => assert(r.isNullAt(0) && r.isNullAt(1)) }
   }
 
+  test("min_k_longs: bounded heap aggregate — exact, partial-merge-safe, null-safe") {
+    val s = spark; import s.implicits._
+    // registered via the session extension AND imperatively (idempotent)
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val rows = (0L until 1000L).map(i => ((i % 7).toString, (i * 2654435761L) % 100003L)) ++
+      Seq(("g0", -5L), ("g0", -5L)) // duplicates + negatives survive
+    val df = rows.toDF("g", "v").repartition(11) // force multi-partition partial merge
+    val out = df.groupBy("g").agg(expr("min_k_longs(v, 5)").as("m"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val truth = rows.groupBy(_._1).map { case (g, vs) =>
+      g -> vs.map(_._2).sorted.take(5).toSeq }
+    assert(out == truth, s"min-5 per group must be exact: $out vs $truth")
+    // k larger than the group returns the whole group, ascending
+    val small = Seq(("a", 3L), ("a", 1L)).toDF("g", "v")
+      .groupBy("g").agg(expr("min_k_longs(v, 10)")).collect()(0).getSeq[Long](1)
+    assert(small == Seq(1L, 3L))
+    // nulls are ignored, not counted
+    val withNull = Seq(("a", Some(2L)), ("a", None), ("a", Some(1L)))
+      .toDF("g", "v").groupBy("g").agg(expr("min_k_longs(v, 2)"))
+      .collect()(0).getSeq[Long](1)
+    assert(withNull == Seq(1L, 2L))
+    // non-literal k fails at plan build, not at runtime
+    intercept[Exception] {
+      Seq(("a", 1L)).toDF("g", "v").groupBy("g")
+        .agg(expr("min_k_longs(v, v)")).collect()
+    }
+  }
+
   test("expression participates in whole-stage codegen") {
     val s = spark; import s.implicits._
     // a local relation constant-folds to LocalTableScan (interpreted), so

@@ -127,6 +127,23 @@ object PlanCheck {
     println("==== 28. p2 web pipeline: one kernel pass (persisted), rank join host-keyed ====")
     SparkEntry.queries("p2_web_pipeline")(spark, sf).explain("formatted")
 
+    println("==== 29. t19 bpe merges: pair counts map-combined over the cached vocab ====")
+    // the per-iteration pair-count plan (the merge loop's repeated unit)
+    TrainingOps.bpeMerges(spark.read.parquet(s"$sf/documents.parquet"), nMerges = 1)
+      .explain("formatted")
+
+    println("==== 30. t20 quality classifier: training agg map-combined; scoring map-only ====")
+    TrainingOps.qualityClassifier(spark.read.parquet(s"$sf/documents.parquet"))
+      .explain("formatted")
+
+    println("==== 31. t21 cms heavy hitters: sketch-gated filter below the exact count ====")
+    TrainingOps.cmsHeavyHitters(spark.read.parquet(s"$sf/documents.parquet"))
+      .explain("formatted")
+
+    println("==== 32. t22 inverted index: ObjectHashAggregate partial/final, one exchange after distinct ====")
+    TrainingOps.invertedIndex(spark.read.parquet(s"$sf/documents.parquet"))
+      .explain("formatted")
+
     spark.stop()
   }
 }
