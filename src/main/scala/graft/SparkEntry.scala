@@ -43,6 +43,35 @@ object SparkEntry {
       when(col("doc_id") % 3 === 0, lit(" dup@example.com")).otherwise(lit(""))
     ).as("text"))
 
+  /** The raw corpus is clean text, so (piiAug pattern) t23 dirties it
+    * deterministically by doc_id: curly quotes (%2), C0 control chars
+    * (%3), space/tab runs (%5), soft hyphen + zero-width (%7) — every
+    * normalization rule gets both firing and non-firing docs (doc_ids
+    * coprime to 2·3·5·7 pass through byte-identical).
+    */
+  private def dirtyAug(d: DataFrame): DataFrame =
+    d.filter(length(col("text")) >= 1)
+      .select(col("doc_id"), concat(
+        when(col("doc_id") % 2 === 0,
+          lit("\u201Cquoted\u201D \u2018x\u2019 ")).otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit(" tail\u0007\u001Fctl")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("  wide   gaps\t\there")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit(" soft\u00ADhyphen zero\u200Bwidth")).otherwise(lit(""))
+      ).as("text"))
+
+  /** DuckDB twin of [[dirtyAug]] (chr() so no control bytes ride in the
+    * oracle JSON), shared by the t23 oracle. */
+  private val dirtyAugSql: String =
+    "SELECT doc_id, " +
+      "CASE WHEN doc_id % 2 = 0 THEN chr(8220) || 'quoted' || chr(8221) || ' ' || chr(8216) || 'x' || chr(8217) || ' ' ELSE '' END || text || " +
+      "CASE WHEN doc_id % 3 = 0 THEN ' tail' || chr(7) || chr(31) || 'ctl' ELSE '' END || " +
+      "CASE WHEN doc_id % 5 = 0 THEN '  wide   gaps' || chr(9) || chr(9) || 'here' ELSE '' END || " +
+      "CASE WHEN doc_id % 7 = 0 THEN ' soft' || chr(173) || 'hyphen zero' || chr(8203) || 'width' ELSE '' END AS text " +
+      "FROM documents WHERE length(text) >= 1"
+
   /** DuckDB twin of [[piiAug]], shared by the t5/t7 oracles. */
   private val piiAugSql: String =
     "SELECT doc_id, text || ' contact user' || doc_id || " +
@@ -321,6 +350,9 @@ object SparkEntry {
     "d6_ann_lsh_buckets" -> ((s, dir) => TrainingOps.annLshBuckets(embs(s, dir))),
     "d8_dedup_embedding" -> ((s, dir) => TrainingOps.embCosinePairs(embs(s, dir))),
     "d9_ann_ivf_topk" -> ((s, dir) => TrainingOps.annIvfTopK(embs(s, dir))),
+    // product-quantization encode: 4 sub-space codes + quantization error,
+    // map-only with driver-inlined codebooks (the d9 centroid family)
+    "d16_pq_codes" -> ((s, dir) => TrainingOps.pqCodes(embs(s, dir))),
     // SemDeDup: cluster-then-pairwise semantic dedup over the IVF cells.
     // tau=0.4 because the synthetic embeddings are random (no true
     // semantic near-dups); real corpora run tau≈0.9+ — the dial moves,
@@ -388,6 +420,12 @@ object SparkEntry {
     // classifier trained in one map-combined pass ('en'-vs-rest is the
     // sandbox label), weights inlined driver-side, map-only scoring
     "t20_quality_classifier" -> ((s, dir) => TrainingOps.qualityClassifier(docs(s, dir))),
+    // ftfy-class text normalization over the deterministically dirtied
+    // corpus (controls, zero-widths, curly quotes, whitespace runs)
+    "t23_normalize" -> ((s, dir) => TrainingOps.normalizeText(dirtyAug(docs(s, dir)))),
+    // composed learn-then-tokenize BPE pipeline: t19's merges applied
+    // map-only to every document (the serving side)
+    "p3_bpe_tokenize" -> ((s, dir) => TrainingOps.bpeTokenize(docs(s, dir))),
     // seqLen 512 (not the 2048 default) so the sf0.01 corpus actually
     // crosses sequence boundaries (docs spanning two sequences, several
     // sequences per shard) — the oracle hardcodes the same length
@@ -950,6 +988,32 @@ object SparkEntry {
     * from identically-ordered double arithmetic; sums that DuckDB would
     * widen to HUGEINT are cast back (pandas renders HUGEINT as float).
     */
+  /** The BPE learn chain as DuckDB CTEs (tok, w0, p1/m1..pK/mK, w1..wK-1)
+    * — shared by the t19 (merge table) and p3 (application) oracles.
+    */
+  private def bpeChainSql(k: Int): String = {
+    val w = "regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f\\x0B]+')"
+    val sb = new StringBuilder
+    sb.append("WITH tok AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (" +
+      s"SELECT unnest($w) AS word FROM documents WHERE length(text) >= 1) " +
+      "WHERE regexp_matches(word, '^[a-z]+" + "$" + "') GROUP BY 1), " +
+      "w0 AS (SELECT regexp_replace(word, '(.)', '(\\1)', 'g') AS s, cnt FROM tok)")
+    for (i <- 1 to k) {
+      sb.append(s", p$i AS (SELECT split_part(pr, '|', 1) AS l, " +
+        "split_part(pr, '|', 2) AS r, CAST(sum(cnt) AS BIGINT) AS c FROM (" +
+        "SELECT unnest(list_transform(range(len(sy) - 1), " +
+        "i -> sy[i+1] || '|' || sy[i+2])) AS pr, cnt " +
+        s"FROM (SELECT str_split(s[2:len(s)-1], ')(') AS sy, cnt FROM w${i - 1})) " +
+        "GROUP BY 1, 2)")
+      sb.append(s", m$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1)")
+      if (i < k)
+        sb.append(s", w$i AS (SELECT replace(w${i - 1}.s, " +
+          s"'(' || m$i.l || ')(' || m$i.r || ')', '(' || m$i.l || m$i.r || ')') AS s, " +
+          s"cnt FROM w${i - 1}, m$i)")
+    }
+    sb.toString
+  }
+
   private def trainingOracles: Map[String, String] = {
     // explicit whitespace class, matching TrainingOps.wsClass: Java \s
     // includes \x0B, RE2 \s does not — never use \s in a shared contract
@@ -1063,6 +1127,23 @@ object SparkEntry {
           "r AS (SELECT q_id, vec_id, score, row_number() OVER " +
           "(PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk FROM s) " +
           "SELECT q_id, CAST(rk AS INT) AS rank, vec_id, score FROM r WHERE rk <= 5"),
+      // PQ-encode oracle: same md5 'pq:' codebooks, same per-subspace
+      // dist² left-fold, same [dist2, j] argmin tie rule, same error sum
+      "d16_pq_codes" -> {
+        def pair(mm: Int): String = {
+          val c = s"((('0x' || substr(md5('pq:$mm:' || j || ':' || i),1,15))::BIGINT / pow(2,59) - 1.0)"
+          val d = s"$c - v[${mm * 16}+i+1])"
+          "list_min(list_transform(range(16), j -> " +
+            s"[list_sum(list_transform(range(16), i -> ($d) * ($d))), j::DOUBLE]))"
+        }
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+          "p AS (SELECT vec_id, " +
+          (0 until 4).map(mm => s"${pair(mm)} AS p$mm").mkString(", ") + " FROM e) " +
+          "SELECT vec_id, " +
+          (0 until 4).map(mm => s"CAST(p$mm[2] AS INT) AS code$mm").mkString(", ") +
+          ", round(" + (0 until 4).map(mm => s"p$mm[1]").mkString(" + ") +
+          ", 6) AS err FROM p"
+      },
       "d6_ann_lsh_buckets" ->
         ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) " +
           "SELECT vec_id, CAST(list_sum(list_transform(range(16), j -> " +
@@ -1307,31 +1388,40 @@ object SparkEntry {
       // same word table, same '(x)(y)' wrapped-symbol encoding, same
       // literal-replace merge application (left-to-right non-overlapping
       // replace IS greedy BPE), same (count DESC, l, r) argmax tie order
-      "t19_bpe_merges" -> {
-        val k = 4
-        val sb = new StringBuilder
-        sb.append("WITH tok AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (" +
-          s"SELECT unnest($w) AS word FROM documents WHERE length(text) >= 1) " +
-          "WHERE regexp_matches(word, '^[a-z]+" + "$" + "') GROUP BY 1), " +
-          "w0 AS (SELECT regexp_replace(word, '(.)', '(\\1)', 'g') AS s, cnt FROM tok)")
-        for (i <- 1 to k) {
-          sb.append(s", p$i AS (SELECT split_part(pr, '|', 1) AS l, " +
-            "split_part(pr, '|', 2) AS r, CAST(sum(cnt) AS BIGINT) AS c FROM (" +
-            "SELECT unnest(list_transform(range(len(sy) - 1), " +
-            "i -> sy[i+1] || '|' || sy[i+2])) AS pr, cnt " +
-            s"FROM (SELECT str_split(s[2:len(s)-1], ')(') AS sy, cnt FROM w${i - 1})) " +
-            "GROUP BY 1, 2)")
-          sb.append(s", m$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1)")
-          if (i < k)
-            sb.append(s", w$i AS (SELECT replace(w${i - 1}.s, " +
-              s"'(' || m$i.l || ')(' || m$i.r || ')', '(' || m$i.l || m$i.r || ')') AS s, " +
-              s"cnt FROM w${i - 1}, m$i)")
-        }
-        sb.append(" " + (1 to k).map(i =>
+      "t19_bpe_merges" ->
+        (bpeChainSql(4) + " " + (1 to 4).map(i =>
           s"SELECT CAST($i AS INT) AS rank, l AS lhs, r AS rhs, c AS pair_count FROM m$i")
-          .mkString(" UNION ALL "))
-        sb.toString
+          .mkString(" UNION ALL ")),
+      // BPE application oracle: the same learned m1..m4 cross-joined onto
+      // every doc as plain columns, the same wrap + in-order replace chain
+      // per [a-z]+ word, symbol count summed per doc
+      "p3_bpe_tokenize" -> {
+        val rep = (1 to 4).foldLeft("regexp_replace(y, '(.)', '(\\1)', 'g')") {
+          (e, i) => s"replace($e, '('||l$i||')('||r$i||')', '('||l$i||r$i||')')"
+        }
+        bpeChainSql(4) +
+          s", d AS (SELECT doc_id, $w AS w FROM documents WHERE length(text) >= 1), " +
+          "x AS (SELECT d.doc_id, d.w, " +
+          (1 to 4).map(i => s"m$i.l AS l$i, m$i.r AS r$i").mkString(", ") +
+          " FROM d, m1, m2, m3, m4) " +
+          "SELECT doc_id, CAST(len(w) AS INT) AS n_words, " +
+          "CAST(coalesce(list_sum(list_transform(list_filter(w, " +
+          "y -> regexp_matches(y, '^[a-z]+" + "$" + "')), " +
+          s"y -> len(str_split(trim($rep, '()'), ')(')))), 0) AS BIGINT) " +
+          "AS n_bpe_tokens FROM x"
       },
+      // normalization oracle: the dirtyAug CTE + the identical ordered
+      // transform chain (controls -> zero-widths -> quotes -> whitespace)
+      "t23_normalize" ->
+        (s"WITH a AS ($dirtyAugSql), " +
+          "n AS (SELECT doc_id, length(text) AS n_raw, md5(text) AS raw_md5, " +
+          "trim(regexp_replace(translate(regexp_replace(regexp_replace(text, " +
+          "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'), " +
+          "'[\\x{00AD}\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g'), " +
+          "chr(8216)||chr(8217)||chr(8220)||chr(8221), chr(39)||chr(39)||chr(34)||chr(34)), " +
+          "'[ \\t]+', ' ', 'g')) AS t FROM a) " +
+          "SELECT doc_id, CAST(n_raw AS INT) AS n_raw, CAST(length(t) AS INT) AS n_norm, " +
+          "md5(t) AS norm_md5, md5(t) <> raw_md5 AS changed FROM n"),
       // quality-classifier oracle: same hashed buckets (md5 'qc:' prefix,
       // mod 256), same integer-ppm class frequencies, same
       // centroid-difference weights; scoring re-derived as a bucket join

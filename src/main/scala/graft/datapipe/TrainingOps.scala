@@ -612,6 +612,54 @@ object TrainingOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** Product-quantization encoding (Jégou et al. 2011) — the third leg
+    * of the ANN family beside hyperplane-LSH buckets (T6) and IVF cells
+    * (T14): compress each vector to `m` sub-space centroid ids (m=4
+    * codes over 16-dim sub-spaces, 16 centroids each = 4 bits/code), the
+    * memory layout that makes 10^12-vector indexes feasible — an ADC
+    * scan reads codes (m bytes/vector), never raw floats. Codebooks are
+    * the d9 deterministic md5 centroids per (subspace, centroid, dim) —
+    * a production PQ trains them with per-subspace k-means; the ENCODE
+    * plumbing (per-subspace dist² argmin with the array_min tie rule,
+    * codebooks inlined driver-side = broadcast pattern, MAP-ONLY zero
+    * shuffle) is identical and is the oracle-checked part. `err` is the
+    * summed per-subspace quantization error — the index-quality signal a
+    * real deployment monitors.
+    */
+  def pqCodes(emb: DataFrame, m: Int = 4, nCents: Int = 16,
+      dimOpt: Option[Int] = None): DataFrame = {
+    require(m >= 1 && nCents >= 1, "m and nCents must be >= 1")
+    val e = emb.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val dim = dimOpt.getOrElse {
+      val h = e.select(size(col("v"))).head(1)
+      if (h.isEmpty) m else math.max(m, h(0).getInt(0))
+    }
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    def h01(s: String): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16).toDouble / math.pow(2, 59) - 1.0
+    }
+    val withPairs = (0 until m).foldLeft(e) { (df, mm) =>
+      val cb: Seq[Seq[Double]] =
+        (0 until nCents).map(j => (0 until sub).map(i => h01(s"pq:$mm:$j:$i")).toSeq)
+      df.withColumn(s"cb$mm", typedLit(cb))
+        .withColumn(s"p$mm", expr(
+          s"""array_min(transform(sequence(0,${nCents - 1}), j ->
+             |  array(aggregate(zip_with(element_at(cb$mm, j + 1),
+             |                           slice(v, ${mm * sub + 1}, $sub),
+             |                           (p, x) -> (p - x) * (p - x)),
+             |                  cast(0 as double), (s, x) -> s + x),
+             |        cast(j as double))))""".stripMargin))
+    }
+    val codes = (0 until m).map(mm =>
+      expr(s"CAST(element_at(p$mm, 2) AS INT)").as(s"code$mm"))
+    val err = round(expr((0 until m).map(mm => s"element_at(p$mm, 1)").mkString(" + ")), 6)
+    withPairs.select(col("vec_id") +: codes :+ err.as("err"): _*)
+  }
+
   def annIvfTopK(emb: DataFrame, k: Int = 5, nCells: Int = 16,
       dimOpt: Option[Int] = None): DataFrame = {
     val cells = ivfCells(emb, nCells, dimOpt)
@@ -1462,6 +1510,39 @@ object TrainingOps {
         (col("offset") + col("rn") - 1).as("pos"))
   }
 
+  /** Corpus text normalization — the ftfy-class cleanup stage every
+    * pipeline runs before analysis (the kernel's Canonicalizer owns NFC
+    * for OUR extractions; this is the corpus-level scrub applied to
+    * third-party text): a fixed, ordered, SQL-mirrorable transform chain —
+    *   1. strip C0 control chars + DEL (keeping \t \n \r),
+    *   2. drop invisible layout chars (soft hyphen, zero-widths, BOM),
+    *   3. straighten curly quotes,
+    *   4. collapse space/tab runs to one space, trim.
+    * MAP-ONLY, all codegen'd built-ins (regexp_replace/translate), zero
+    * shuffle. Output carries lengths + md5 of the normalized text rather
+    * than the text itself (hash compare, no megabyte rows), plus a
+    * `changed` flag — the fraction changed is the run-health signal
+    * (spikes when an upstream starts leaking mojibake/controls).
+    */
+  /** The t23 transform chain as a column expression — exposed so the
+    * idempotence property (normalize∘normalize == normalize, the defining
+    * invariant of a cleanup pass) is testable on the actual expression.
+    */
+  private[graft] def normalizeExpr(raw: Column): Column = {
+    val t1 = regexp_replace(raw, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val t2 = regexp_replace(t1, "[\\x{00AD}\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]", "")
+    val t3 = translate(t2, "‘’“”", "''\"\"")
+    trim(regexp_replace(t3, "[ \\t]+", " "))
+  }
+
+  def normalizeText(docs: DataFrame): DataFrame = {
+    val raw = col("text")
+    val t4 = normalizeExpr(raw)
+    docs.filter(length(raw) >= 1)
+      .select(col("doc_id"), length(raw).as("n_raw"), length(t4).as("n_norm"),
+        md5(t4).as("norm_md5"), (md5(t4) =!= md5(raw)).as("changed"))
+  }
+
   /** Model-based quality classifier — the CCNet/DCLM-class pipeline stage
     * "train a linear classifier against a reference corpus; keep documents
     * it scores high", as distinct from t2's hand-rolled signals and t14's
@@ -1580,6 +1661,35 @@ object TrainingOps {
     vocab.unpersist(blocking = false)
     import spark.implicits._
     merges.result().toDF("rank", "lhs", "rhs", "pair_count")
+  }
+
+  /** BPE tokenizer APPLICATION — the serving side of [[bpeMerges]], and
+    * the composed learn-then-tokenize pipeline: learn `nMerges` rules,
+    * collect the (tiny) merge table to the driver, inline the replace
+    * chain into a map-only expression (the t12 broadcast pattern), and
+    * tokenize every document — per word: wrap to symbols, apply the
+    * merges IN LEARNED ORDER (each a literal "(l)(r)" -> "(lr)" replace,
+    * greedy by construction), count resulting symbols. Only `[a-z]+`
+    * words tokenize (the alphabet the merges were learned on); `n_words`
+    * counts all words. After the learn phase the scoring pass is
+    * MAP-ONLY — zero shuffle, all codegen'd string built-ins.
+    */
+  def bpeTokenize(docs: DataFrame, nMerges: Int = 4): DataFrame = {
+    val merges = bpeMerges(docs, nMerges).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
+    def bpeCount(x: Column): Column = {
+      val wrapped = regexp_replace(x, "(.)", "($1)")
+      val merged = merges.foldLeft(wrapped) { case (c, (l, r)) =>
+        org.apache.spark.sql.functions.replace(c, lit(s"($l)($r)"), lit(s"($l$r)"))
+      }
+      // symbols never start/end with parens, so trim strips exactly the frame
+      size(split(trim(merged, "()"), "\\)\\("))
+    }
+    docs.filter(length(col("text")) >= 1)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).as("n_words"),
+        aggregate(filter(col("w"), x => x.rlike("^[a-z]+$")), lit(0L),
+          (acc, x) => acc + bpeCount(x).cast("long")).as("n_bpe_tokens"))
   }
 
   // ---------------------------------------------------- multimodal stub

@@ -891,6 +891,46 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sat.toSeq == plain.toSeq, "a saturated sketch may cost, never corrupt")
   }
 
+  test("pq codes: valid code range, nonnegative error, partitioning-invariant") {
+    val out = TrainingOps.pqCodes(embs).collect()
+      .map(r => (r.getLong(0), Seq(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)),
+        r.getDouble(5)))
+    assert(out.nonEmpty)
+    out.foreach { case (id, codes, err) =>
+      assert(codes.forall(c => c >= 0 && c < 16), s"vec $id codes out of range: $codes")
+      assert(err >= 0.0, s"vec $id negative quantization error")
+    }
+    assert(out.map(_._2).distinct.size > 1, "all vectors got one code word")
+    val re = TrainingOps.pqCodes(embs.repartition(7)).collect()
+      .map(r => (r.getLong(0), Seq(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)),
+        r.getDouble(5))).sortBy(_._1)
+    assert(re.toSeq == out.sortBy(_._1).toSeq)
+  }
+
+  test("normalize: idempotent, and each rule fires on its dirty case") {
+    val s = spark; import s.implicits._
+    val dirty = Seq(
+      "plain text stays",
+      "curly “quotes” and ‘apostrophes’",
+      "ctl\u0007chars\u001Fgone",
+      "zero\u200Bwidth soft\u00ADhyphen",
+      "  runs \t of\t\twhitespace  ",
+      "\u201Ceverything\u201D \u0007 at\u200B  once\t ")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val once = dirty.select(col("doc_id"), TrainingOps.normalizeExpr(col("text")).as("t"))
+    val twice = once.select(col("doc_id"), TrainingOps.normalizeExpr(col("t")).as("t"))
+    assert(once.collect().map(_.getString(1)).toSeq ==
+      twice.collect().map(_.getString(1)).toSeq,
+      "a cleanup pass must be idempotent")
+    val out = once.orderBy("doc_id").collect().map(_.getString(1))
+    assert(out(0) == "plain text stays")
+    assert(out(1) == "curly \"quotes\" and 'apostrophes'")
+    assert(out(2) == "ctlcharsgone")
+    assert(out(3) == "zerowidth softhyphen")
+    assert(out(4) == "runs of whitespace")
+    assert(out(5) == "\"everything\" at once")
+  }
+
   test("quality classifier: centroid-difference weights separate the classes") {
     val s = spark; import s.implicits._
     // disjoint vocabularies (collision-checked below):
@@ -930,5 +970,12 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val filtered = TrainingOps.bpeMerges(
       Seq((1L, "Hello WORLD 123 ok ok")).toDF("doc_id", "text"), 1).collect()
     assert(filtered.map(r => (r.getString(1), r.getString(2))).toSeq == Seq(("o", "k")))
+    // application (p3 serving side): merges (a,a),(a,n),(an,a) tokenize
+    //   aaaa   -> (aa)(aa)      = 2 tokens
+    //   banana -> (b)(an)(ana)  = 3 tokens (greedy: (an)(a) matches the
+    //             SECOND an — the first is followed by another an)
+    val tok = TrainingOps.bpeTokenize(d, nMerges = 3).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(tok.toSeq == Seq((1L, 2, 4L), (2L, 3, 9L)))
   }
 }

@@ -380,6 +380,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("partitionBy layout: a lang predicate prunes partitions at the scan") {
+    implicit val s: SparkSession = spark
+    // the other half of the 100-TB read story (bucketing covers joins;
+    // this covers scans): a hive-layout partition column turns a
+    // predicate into directory pruning — the scan OPENS only the
+    // selected partition, it doesn't read-then-filter
+    val src = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dir = tmpDir("part-lang")
+    src.write.partitionBy("lang").mode("overwrite").parquet(dir)
+    val nLangs = src.select("lang").distinct().count()
+    assert(nLangs > 1, "corpus must have several langs for pruning to mean anything")
+    val pruned = spark.read.parquet(dir).filter(col("lang") === "en")
+    assert(pruned.count() == src.filter(col("lang") === "en").count())
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected a FileSourceScanExec")
+    assert(scans.head.selectedPartitions.partitionCount == 1,
+      s"scan must open exactly the lang=en directory, " +
+        s"got ${scans.head.selectedPartitions.partitionCount} of $nLangs partitions")
+  }
+
   test("ExtractMain.parse: required args and defaults") {
     val a = ExtractMain.parse(Array("--input", "/x", "--table", "/y", "--buckets", "7"))
     assert(a.input == "/x" && a.table == "/y" && a.buckets == 7 && a.salt == 4)
