@@ -72,6 +72,27 @@ object SparkEntry {
       "CASE WHEN doc_id % 7 = 0 THEN ' soft' || chr(173) || 'hyphen zero' || chr(8203) || 'width' ELSE '' END AS text " +
       "FROM documents WHERE length(text) >= 1"
 
+  /** d18's span augmentation: the word-soup corpus has no organic
+    * cross-doc 8-grams, so docs with doc_id % 3 == 0 get a shared 12-word
+    * template tail keyed by doc_id % 4 — 5 fully-in-tail windows per doc
+    * duplicate across the ~40 same-key docs, boundary windows mostly stay
+    * unique (they straddle per-doc text), and the corpus's organic
+    * exact-dup families contribute fully-duplicated docs (ppm 1e6).
+    */
+  private def spanAug(d: DataFrame): DataFrame =
+    d.filter(length(col("text")) >= 1)
+      .select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 3 === 0, concat(lit(" "),
+          array_join(transform(sequence(lit(0), lit(11)),
+            i => concat(lit("sp"), col("doc_id") % 4, lit("x"), i)), " ")))
+          .otherwise(lit(""))).as("text"))
+
+  /** DuckDB twin of [[spanAug]], shared by the d18 oracle. */
+  private val spanAugSql: String =
+    "SELECT doc_id, text || CASE WHEN doc_id % 3 = 0 THEN ' ' || " +
+      "array_to_string(list_transform(range(12), i -> 'sp' || (doc_id % 4) || 'x' || i), ' ') " +
+      "ELSE '' END AS text FROM documents WHERE length(text) >= 1"
+
   /** DuckDB twin of [[piiAug]], shared by the t5/t7 oracles. */
   private val piiAugSql: String =
     "SELECT doc_id, text || ' contact user' || doc_id || " +
@@ -353,6 +374,14 @@ object SparkEntry {
     // product-quantization encode: 4 sub-space codes + quantization error,
     // map-only with driver-inlined codebooks (the d9 centroid family)
     "d16_pq_codes" -> ((s, dir) => TrainingOps.pqCodes(embs(s, dir))),
+    // ADC search over the PQ code table: probes broadcast, distance =
+    // per-subspace codebook-centroid lookup + fold (codes read, never
+    // raw candidate floats)
+    "d17_adc_topk" -> ((s, dir) => TrainingOps.adcTopK(embs(s, dir))),
+    // Lee et al. 2021 exact-substring duplication signal: stride-1
+    // 8-word windows, cross-doc dup fraction per doc (span-augmented
+    // corpus — shared template tails per doc_id%4 key)
+    "d18_substring_dup" -> ((s, dir) => TrainingOps.substringDup(spanAug(docs(s, dir)))),
     // SemDeDup: cluster-then-pairwise semantic dedup over the IVF cells.
     // tau=0.4 because the synthetic embeddings are random (no true
     // semantic near-dups); real corpora run tau≈0.9+ — the dial moves,
@@ -1144,6 +1173,47 @@ object SparkEntry {
           ", round(" + (0 until 4).map(mm => s"p$mm[1]").mkString(" + ") +
           ", 6) AS err FROM p"
       },
+      // ADC oracle: the d16 code CTE + centroid-of-code distance (the
+      // centroid value re-derived from the code column inside the md5
+      // formula — no codebook materialization needed in SQL)
+      "d17_adc_topk" -> {
+        def pair(mm: Int): String = {
+          val c = s"((('0x' || substr(md5('pq:$mm:' || j || ':' || i),1,15))::BIGINT / pow(2,59) - 1.0)"
+          val d = s"$c - v[${mm * 16}+i+1])"
+          "list_min(list_transform(range(16), j -> " +
+            s"[list_sum(list_transform(range(16), i -> ($d) * ($d))), j::DOUBLE]))"
+        }
+        def adc(mm: Int): String = {
+          val c = s"((('0x' || substr(md5('pq:$mm:' || c.code$mm || ':' || i),1,15))::BIGINT / pow(2,59) - 1.0)"
+          val d = s"$c - p.q[${mm * 16}+i+1])"
+          s"list_sum(list_transform(range(16), i -> ($d) * ($d)))"
+        }
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+          "pc AS (SELECT vec_id, " +
+          (0 until 4).map(mm => s"${pair(mm)} AS p$mm").mkString(", ") + " FROM e), " +
+          "c AS (SELECT vec_id, " +
+          (0 until 4).map(mm => s"CAST(p$mm[2] AS INT) AS code$mm").mkString(", ") + " FROM pc), " +
+          "p AS (SELECT vec_id AS q_id, v AS q FROM e WHERE vec_id % 50 = 0), " +
+          "s AS (SELECT p.q_id, c.vec_id, round(" +
+          (0 until 4).map(adc).mkString(" + ") + ", 6) AS adc " +
+          "FROM p, c WHERE c.vec_id <> p.q_id), " +
+          "r AS (SELECT q_id, vec_id, adc, row_number() OVER " +
+          "(PARTITION BY q_id ORDER BY adc, vec_id) AS rk FROM s) " +
+          "SELECT q_id, CAST(rk AS INT) AS rank, vec_id, adc FROM r WHERE rk <= 5"
+      },
+      // substring-dup oracle: same spanAug, same stride-1 md5 windows,
+      // same cross-doc (distinct docs >= 2) dup rule and integer ppm
+      "d18_substring_dup" ->
+        (s"WITH a AS ($spanAugSql), " +
+          s"b AS (SELECT doc_id, $w AS w FROM a), " +
+          "win AS (SELECT doc_id, unnest(list_transform(range(len(w) - 7), " +
+          "i -> md5(array_to_string(w[i+1:i+8], ' ')))) AS h FROM b WHERE len(w) >= 8), " +
+          "dup AS (SELECT h FROM win GROUP BY h HAVING count(DISTINCT doc_id) >= 2), " +
+          "pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup FROM win JOIN dup USING (h) GROUP BY doc_id) " +
+          "SELECT b.doc_id, CAST(greatest(len(b.w) - 7, 0) AS INT) AS n_windows, " +
+          "coalesce(pd.n_dup, 0) AS n_dup, " +
+          "CASE WHEN len(b.w) >= 8 THEN (1000000 * coalesce(pd.n_dup, 0)) // (len(b.w) - 7) ELSE CAST(0 AS BIGINT) END AS dup_ppm " +
+          "FROM b LEFT JOIN pd USING (doc_id)"),
       "d6_ann_lsh_buckets" ->
         ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) " +
           "SELECT vec_id, CAST(list_sum(list_transform(range(16), j -> " +

@@ -612,6 +612,22 @@ object TrainingOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** md5-derived value in [-1, 1) — the deterministic stand-in for a
+    * trained parameter, shared by the PQ codebooks (same family as the
+    * d6 planes / d9 centroids).
+    */
+  private def h01(s: String): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16).toDouble / math.pow(2, 59) - 1.0
+  }
+
+  /** Sub-space `mm`'s PQ codebook (nCents × sub) — shared by the encode
+    * ([[pqCodes]]) and search ([[adcTopK]]) sides, which MUST agree.
+    */
+  private def pqCodebook(mm: Int, nCents: Int, sub: Int): Seq[Seq[Double]] =
+    (0 until nCents).map(j => (0 until sub).map(i => h01(s"pq:$mm:$j:$i")).toSeq)
+
   /** Product-quantization encoding (Jégou et al. 2011) — the third leg
     * of the ANN family beside hyperplane-LSH buckets (T6) and IVF cells
     * (T14): compress each vector to `m` sub-space centroid ids (m=4
@@ -637,15 +653,8 @@ object TrainingOps {
     }
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val sub = dim / m
-    def h01(s: String): Double = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 15)
-      java.lang.Long.parseLong(hex, 16).toDouble / math.pow(2, 59) - 1.0
-    }
     val withPairs = (0 until m).foldLeft(e) { (df, mm) =>
-      val cb: Seq[Seq[Double]] =
-        (0 until nCents).map(j => (0 until sub).map(i => h01(s"pq:$mm:$j:$i")).toSeq)
-      df.withColumn(s"cb$mm", typedLit(cb))
+      df.withColumn(s"cb$mm", typedLit(pqCodebook(mm, nCents, sub)))
         .withColumn(s"p$mm", expr(
           s"""array_min(transform(sequence(0,${nCents - 1}), j ->
              |  array(aggregate(zip_with(element_at(cb$mm, j + 1),
@@ -658,6 +667,55 @@ object TrainingOps {
       expr(s"CAST(element_at(p$mm, 2) AS INT)").as(s"code$mm"))
     val err = round(expr((0 until m).map(mm => s"element_at(p$mm, 1)").mkString(" + ")), 6)
     withPairs.select(col("vec_id") +: codes :+ err.as("err"): _*)
+  }
+
+  /** ADC top-k search over PQ codes — the serving side of [[pqCodes]]
+    * and the reason PQ exists: candidates are represented ONLY by their
+    * m small codes; a probe's distance to a candidate is the sum of
+    * per-subspace distances to the candidate's CODEBOOK CENTROIDS
+    * (asymmetric distance computation), so the scan touches m ints per
+    * candidate instead of `dim` floats — at 10^12 vectors the code table
+    * is ~250x smaller than the raw vectors and is the only thing read.
+    *
+    * Shape: one encode pass (persisted code table — at scale this is the
+    * prebuilt index, not recomputed per query), probes broadcast against
+    * it (the d5 baseline shape; the d7 probe-chunking escape applies
+    * unchanged when the probe set grows), distance via codebook lookup +
+    * fold — map-only per pair, no raw-vector join. Heavy ADC ties (many
+    * candidates share code words at this corpus size) break by vec_id,
+    * so results are deterministic; a probe's distance to its own
+    * code-mates equals its own quantization error by construction.
+    */
+  def adcTopK(emb: DataFrame, k: Int = 5, m: Int = 4, nCents: Int = 16,
+      dimOpt: Option[Int] = None): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val e = emb.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val dim = dimOpt.getOrElse {
+      val h = e.select(size(col("v"))).head(1)
+      if (h.isEmpty) m else math.max(m, h(0).getInt(0))
+    }
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    val codes = pqCodes(emb, m, nCents, dimOpt).drop("err")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("q"))
+    val joined = (0 until m).foldLeft(
+      codes.join(broadcast(probes), col("vec_id") =!= col("q_id"))) { (df, mm) =>
+      df.withColumn(s"cb$mm", typedLit(pqCodebook(mm, nCents, sub)))
+    }
+    val adc = round(expr((0 until m).map(mm =>
+      s"""aggregate(zip_with(element_at(cb$mm, code$mm + 1),
+         |                   slice(q, ${mm * sub + 1}, $sub),
+         |                   (p, x) -> (p - x) * (p - x)),
+         |          cast(0 as double), (s, x) -> s + x)""".stripMargin)
+      .mkString(" + ")), 6)
+    joined.withColumn("adc", adc)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("adc"))
   }
 
   def annIvfTopK(emb: DataFrame, k: Int = 5, nCells: Int = 16,
@@ -1587,6 +1645,47 @@ object TrainingOps {
           (acc, t) => acc + coalesce(element_at(m, bucket(t)), lit(0L)))
           .as("score"))
       .withColumn("keep", col("score") >= 0L)
+  }
+
+  /** Rolling-window cross-document duplication — the exact-substring-
+    * dedup signal of Lee et al. 2021 ("Deduplicating Training Data Makes
+    * Language Models Better") at word granularity: EVERY position opens a
+    * `win`-word window (stride 1 — unlike d11's disjoint /8 chunks, which
+    * miss duplicated spans straddling chunk boundaries), and a window is
+    * duplicated iff the same word sequence occurs in at least one OTHER
+    * document (within-doc repetition is t6's signal). Per doc: window
+    * count, cross-doc duplicated window count, and dup_ppm — the curation
+    * signal a pipeline thresholds to drop or trim template-heavy docs.
+    *
+    * Scale shape: windows explode MAP-SIDE into (16-byte md5, doc_id)
+    * rows — text never shuffles; the dup-hash table is one map-combined
+    * aggregation (distinct-doc count >= 2 on the hash key); the per-doc
+    * rollup joins hash-keyed (key-only traffic). At 10^12 docs the
+    * stride-1 window table is ~|tokens| rows — the d13 bloom / t21 CMS
+    * pre-filters compose in front of the exact join unchanged.
+    */
+  def substringDup(docs: DataFrame, win: Int = 8): DataFrame = {
+    require(win >= 1, "win must be >= 1")
+    val base = docs.filter(length(col("text")) >= 1)
+      .select(col("doc_id"), words(col("text")).as("w"))
+    val windows = base.filter(size(col("w")) >= win)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $win), i -> md5(array_join(slice(w, i + 1, $win), ' ')))"))
+        .as("h"))
+    val dupHashes = windows.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("h")
+    val perDoc = windows.join(dupHashes, "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    base.select(col("doc_id"),
+        greatest(size(col("w")) - win + 1, lit(0)).as("n_windows"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_ppm",
+        when(col("n_windows") > 0, expr("(1000000 * n_dup) div n_windows"))
+          .otherwise(lit(0L)))
   }
 
   // ---------------------------------------------------- tokenizer training

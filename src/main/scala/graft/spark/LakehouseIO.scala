@@ -250,6 +250,32 @@ object LakehouseIO {
         .parquet(picked.map(b => new Path(dataDir(root), s"bucket=$b").toString): _*)
   }
 
+  /** Incremental read — rows in buckets committed AFTER `sinceMs` and at
+    * or before `untilMs`: the Iceberg incremental-scan analog, and the
+    * consumption pattern every DOWNSTREAM job wants against a long-lived
+    * results table (process only what the last run hasn't seen; `sinceMs`
+    * = the consumer's stored high-watermark, `untilMs` = the snapshot it
+    * advances to). Bucket selection is ledger-driven — structural
+    * partition pruning: only the new buckets' directories are listed or
+    * read, so an incremental pass over a 10^12-row table costs O(new
+    * data), not O(table). Commit-time granularity is the bucket (the
+    * atomic commit unit), matching Iceberg's snapshot granularity.
+    */
+  def readIncremental(root: String, sinceMs: Long, untilMs: Long = Long.MaxValue)
+      (implicit spark: SparkSession): DataFrame = {
+    require(sinceMs <= untilMs, "sinceMs must be <= untilMs")
+    val picked = bucketLedgers(root)
+      .filter(l => l.committedAtMs > sinceMs && l.committedAtMs <= untilMs)
+      .map(_.bucket)
+    if (picked.isEmpty) {
+      import spark.implicits._
+      spark.emptyDataset[ResultRow].toDF()
+    } else
+      spark.read
+        .option("basePath", dataDir(root).toString)
+        .parquet(picked.map(b => new Path(dataDir(root), s"bucket=$b").toString): _*)
+  }
+
   def maintenanceDir(root: String): Path = new Path(root, "_maintenance")
 
   /** Crash recovery for [[compact]]'s two-rename swap: restore any bucket

@@ -907,6 +907,50 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(re.toSeq == out.sortBy(_._1).toSeq)
   }
 
+  test("substring dup: stride-1 windows catch spans disjoint chunks would miss") {
+    val s = spark; import s.implicits._
+    // docs 1 and 2 share an 8-word span at DIFFERENT offsets (0 vs 1) —
+    // exactly the case d11's disjoint chunking misses; doc 3 is clean
+    val d = Seq(
+      (1L, "a b c d e f g h unique one two"),
+      (2L, "x a b c d e f g h other tail"),
+      (3L, "p q r s t u v w y z zz"))
+      .toDF("doc_id", "text")
+    val out = TrainingOps.substringDup(d, win = 8).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 4, 1L, 250000L), (2L, 4, 1L, 250000L), (3L, 4, 0L, 0L)))
+    // within-doc repetition alone is NOT cross-doc duplication (t6's job)
+    val self = TrainingOps.substringDup(
+      Seq((1L, ("r s t u v w y z " * 3).trim)).toDF("doc_id", "text"), win = 8)
+      .collect()(0)
+    assert(self.getLong(2) == 0L, "self-repeats must not count as cross-doc dups")
+  }
+
+  test("adc top-k: ascending ranks, and code-mates sit at the probe's own quantization error") {
+    val out = TrainingOps.adcTopK(embs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1 to byRank.length), s"probe $q ranks not 1..k")
+      val d = byRank.map(_._4)
+      assert(d.zip(d.tail).forall { case (a, b) => a <= b }, s"probe $q adc not ascending")
+      assert(!rs.exists(_._3 == q), s"probe $q matched itself")
+    }
+    // ADC identity: a candidate sharing the probe's codes is scored at
+    // exactly the probe's own quantization error (distance to its own
+    // reconstruction)
+    val pq = TrainingOps.pqCodes(embs).collect()
+      .map(r => r.getLong(0) -> ((Seq(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)),
+        r.getDouble(5)))).toMap
+    out.foreach { case (q, _, cand, adc) =>
+      if (pq(cand)._1 == pq(q)._1)
+        assert(math.abs(adc - pq(q)._2) < 1e-5,
+          s"probe $q code-mate $cand: adc $adc != err ${pq(q)._2}")
+    }
+  }
+
   test("normalize: idempotent, and each rule fires on its dirty case") {
     val s = spark; import s.implicits._
     val dirty = Seq(

@@ -318,6 +318,34 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lg.forall(l => l.runId == (if (wave1Buckets.contains(l.bucket)) "w1" else "w2")))
   }
 
+  test("incremental read: a consumer's watermark sees exactly the new buckets") {
+    implicit val s: SparkSession = spark
+    val root = tmpDir("incr")
+    val ds = spark.createDataset(results.toSeq)(org.apache.spark.sql.Encoders.product[ResultRow])
+    intercept[RuntimeException] {
+      LakehouseIO.writeCommitted(ds, root, "w1", sfDir, failAfterBuckets = Some(3))
+    }
+    val t1 = LakehouseIO.bucketLedgers(root).map(_.committedAtMs).max
+    Thread.sleep(5)
+    LakehouseIO.writeCommitted(
+      LakehouseIO.resumeFilter(ds.toDF(), root)
+        .as[ResultRow](org.apache.spark.sql.Encoders.product[ResultRow]),
+      root, "w2", sfDir)
+    val now = System.currentTimeMillis()
+    // incremental(0, t1) + incremental(t1, now) partition the table
+    val before = LakehouseIO.readIncremental(root, 0L, t1)
+    val after = LakehouseIO.readIncremental(root, t1, now)
+    assert(before.count() + after.count() == results.length)
+    assert(after.count() == results.length - before.count())
+    // the second slice is exactly wave 2's buckets
+    val w2Buckets = LakehouseIO.bucketLedgers(root)
+      .filter(_.runId == "w2").map(_.bucket).toSet
+    assert(after.select("bucket").distinct().collect().map(_.getInt(0)).toSet == w2Buckets)
+    // an up-to-date consumer sees nothing new (empty, correct schema)
+    val idle = LakehouseIO.readIncremental(root, now)
+    assert(idle.count() == 0 && idle.columns.contains("url"))
+  }
+
   // -------------------------------------------------------------- retention
 
   test("retention: expire removes old snapshots and staging, keeps fresh") {
