@@ -635,6 +635,38 @@ object SparkEntry {
       val crawled = pages.map(_.url).toDF("url").dropDuplicates("url")
       graft.datapipe.GraphOps.crawlFrontier(edges, crawled)
     }),
+    // RFC 9309 robots filtering of the frontier: per-host prefix rule
+    // groups synthesized deterministically from the host name (md5 'rb:'
+    // key — a fetcher would populate the table from robots.txt bodies),
+    // exercising longest-match override (/cat disallowed but /cat/1
+    // re-allowed), the allow-wins tie (duplicate /rel rules), root
+    // disallow, and the no-rules default
+    "e28_robots_filter" -> ((s, dir) => {
+      import s.implicits._
+      val pages = pagesOf(s, onlyKind(docs(s, dir), "html"))
+      val edges = pages
+        .map(p => (p.url, graft.core.Links.outlinks(p.html)
+          .flatMap(l => graft.core.Urls.resolve(p.url, l.href))))
+        .toDF("url", "resolved").dropDuplicates("url")
+        .select(col("url").as("src_url"), explode(col("resolved")).as("to_url"))
+      val crawled = pages.map(_.url).toDF("url").dropDuplicates("url")
+      val frontier = graft.datapipe.GraphOps.crawlFrontier(edges, crawled)
+      val hk = frontier
+        .select(regexp_extract(col("to_url"), "https?://([^/]+)", 1).as("host"))
+        .distinct()
+        .select(col("host"),
+          conv(substring(md5(concat(lit("rb:"), col("host"))), 1, 15), 16, 10)
+            .cast("long").as("k"))
+      def rule(pred: org.apache.spark.sql.Column, prefix: String, allow: Boolean) =
+        hk.filter(pred).select(col("host"),
+          lit(prefix).as("prefix"), lit(allow).as("allow"))
+      val rules = rule(col("k") % 2 === 0, "/cat", allow = false)
+        .unionByName(rule(col("k") % 2 === 0, "/cat/1", allow = true))
+        .unionByName(rule(col("k") % 3 === 0, "/rel", allow = false))
+        .unionByName(rule(col("k") % 3 === 0, "/rel", allow = true))
+        .unionByName(rule(col("k") % 7 === 0, "/", allow = false))
+      graft.datapipe.GraphOps.robotsFilter(frontier.select("to_url"), rules)
+    }),
     // composed WEB pipeline (the e-family analog of p1): ONE parse pass
     // computes metadata + outlinks per page (kernel runs once in the
     // scan stage), the link graph and 3-iteration host rank derive from
@@ -885,6 +917,32 @@ object SparkEntry {
         "WHEN regexp_extract(to_url, 'https?://[^/]+(/.*)', 1) IN ('/privacy', '/imprint') THEN FALSE " +
         "ELSE TRUE END AS allowed " +
         "FROM g WHERE to_url NOT IN (SELECT url FROM cw)"),
+      // robots oracle: same frontier targets, same md5-keyed per-host rule
+      // synthesis, but longest-match resolved by a WINDOW (length DESC,
+      // allow DESC) instead of the min(struct) aggregate — an
+      // algorithm-independent formulation of RFC 9309 2.2.2
+      "e28_robots_filter" -> (linksCte(htmlKindsA, famB, famC) +
+        s", r AS (SELECT $urlExpr AS src_url, " +
+        "CASE WHEN href LIKE 'https://%' THEN href ELSE 'https://' || " +
+        "CASE WHEN doc_id % 10 < 3 THEN 'big.example.com' ELSE 'h' || (doc_id % 97) || '.example.com' END " +
+        "|| href END AS to_url FROM u), " +
+        "g AS (SELECT to_url FROM r GROUP BY 1), " +
+        s"cw AS (SELECT $urlExpr AS url FROM documents WHERE $htmlKinds), " +
+        "f AS (SELECT to_url FROM g WHERE to_url NOT IN (SELECT url FROM cw)), " +
+        "uu AS (SELECT to_url, regexp_extract(to_url, 'https?://([^/]+)', 1) AS host, " +
+        "regexp_extract(to_url, 'https?://[^/]+(/.*)', 1) AS path FROM f), " +
+        "hk AS (SELECT host, ('0x' || substr(md5('rb:' || host),1,15))::BIGINT AS k " +
+        "FROM (SELECT DISTINCT host FROM uu)), " +
+        "rules AS (SELECT host, '/cat' AS prefix, FALSE AS allow FROM hk WHERE k % 2 = 0 " +
+        "UNION ALL SELECT host, '/cat/1', TRUE FROM hk WHERE k % 2 = 0 " +
+        "UNION ALL SELECT host, '/rel', FALSE FROM hk WHERE k % 3 = 0 " +
+        "UNION ALL SELECT host, '/rel', TRUE FROM hk WHERE k % 3 = 0 " +
+        "UNION ALL SELECT host, '/', FALSE FROM hk WHERE k % 7 = 0), " +
+        "m AS (SELECT uu.to_url, rl.allow, row_number() OVER (PARTITION BY uu.to_url " +
+        "ORDER BY length(rl.prefix) DESC, rl.allow DESC) AS rn " +
+        "FROM uu JOIN rules rl ON rl.host = uu.host AND starts_with(uu.path, rl.prefix)) " +
+        "SELECT f.to_url, coalesce(m.allow, TRUE) AS robots_allowed " +
+        "FROM f LEFT JOIN m ON m.to_url = f.to_url AND m.rn = 1"),
       // doc-metadata oracle: titles and h1s are template literals per
       // family (HtmlGen render/renderB/renderC; B/C have no h1)
       "e27_doc_metadata" ->

@@ -113,6 +113,38 @@ object GraphOps {
     * path is pinned by the unit test; at real scale it prunes almost
     * everything (most links point at already-crawled pages).
     */
+  /** RFC 9309 robots-rules filter — the protocol-correct companion of
+    * [[crawlFrontier]]'s heuristic URL rules: each URL takes the LONGEST
+    * matching path-prefix rule of its host, ALLOW wins ties at equal
+    * length (RFC 9309 §2.2.2), and a URL with no matching rule (or a
+    * host with no rules at all) is allowed. `rules` is the parsed
+    * per-host robots.txt table (host, prefix, allow) — a fetcher
+    * populates it in production; wildcard/$ extensions are out of scope
+    * (prefix rules only, noted).
+    *
+    * Shape: one host-keyed LEFT join (a host's rule group is small — the
+    * RFC caps robots.txt parse size at 500 KiB — so each URL replicates
+    * by its host's rule count only), then longest-match as a per-url
+    * `min(struct(-prefix_len, disallow_bit))` aggregate — the W3
+    * no-window pattern, map-side combined before the url shuffle. The
+    * oracle deliberately uses the WINDOW formulation instead
+    * (algorithm-independent cross-check).
+    */
+  def robotsFilter(urls: DataFrame, rules: DataFrame): DataFrame = {
+    val host = regexp_extract(col("to_url"), "https?://([^/]+)", 1)
+    val path = regexp_extract(col("to_url"), "https?://[^/]+(/.*)", 1)
+    urls.select(col("to_url"), host.as("host"), path.as("path"))
+      .join(rules, Seq("host"), "left")
+      .withColumn("hit",
+        col("prefix").isNotNull && col("path").startsWith(col("prefix")))
+      .groupBy("to_url")
+      .agg(min(when(col("hit"),
+        struct((-length(col("prefix"))).as("nl"),
+          when(col("allow"), 0).otherwise(1).as("d")))).as("best"))
+      .select(col("to_url"),
+        coalesce(col("best.d") === 0, lit(true)).as("robots_allowed"))
+  }
+
   def crawlFrontier(edges: DataFrame, crawled: DataFrame): DataFrame = {
     val agg = edges.groupBy("to_url").agg(
       count(lit(1)).as("n_refs"),

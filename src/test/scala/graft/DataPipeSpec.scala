@@ -907,6 +907,27 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(re.toSeq == out.sortBy(_._1).toSeq)
   }
 
+  test("robots filter: longest match, allow-wins tie, root disallow, no-rule default") {
+    val s = spark; import s.implicits._
+    val urls = Seq(
+      "https://a.com/cat/10", // /cat disallow beaten by longer /cat/1 allow
+      "https://a.com/cat/3",  // /cat disallow wins over root
+      "https://a.com/x",      // only root '/' matches -> disallowed
+      "https://b.com/rel/1",  // exact tie /rel allow + /rel disallow -> allow wins
+      "https://c.com/free")   // host without rules -> allowed
+      .toDF("to_url")
+    val rules = Seq(
+      ("a.com", "/cat", false), ("a.com", "/cat/1", true), ("a.com", "/", false),
+      ("b.com", "/rel", true), ("b.com", "/rel", false))
+      .toDF("host", "prefix", "allow")
+    val out = graft.datapipe.GraphOps.robotsFilter(urls, rules).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(
+      "https://a.com/cat/10" -> true, "https://a.com/cat/3" -> false,
+      "https://a.com/x" -> false, "https://b.com/rel/1" -> true,
+      "https://c.com/free" -> true), s"got $out")
+  }
+
   test("substring dup: stride-1 windows catch spans disjoint chunks would miss") {
     val s = spark; import s.implicits._
     // docs 1 and 2 share an 8-word span at DIFFERENT offsets (0 vs 1) —

@@ -144,6 +144,25 @@ object PlanCheck {
     TrainingOps.invertedIndex(spark.read.parquet(s"$sf/documents.parquet"))
       .explain("formatted")
 
+    println("==== 33. t23 normalize: map-only transform chain, zero exchanges ====")
+    TrainingOps.normalizeText(spark.read.parquet(s"$sf/documents.parquet"))
+      .explain("formatted")
+
+    println("==== 34. d16 pq codes: map-only encode, codebooks inlined ====")
+    TrainingOps.pqCodes(spark.read.parquet(s"$sf/embeddings.parquet"))
+      .explain("formatted")
+
+    println("==== 35. d17 adc search: probes broadcast against the code table ====")
+    TrainingOps.adcTopK(spark.read.parquet(s"$sf/embeddings.parquet"))
+      .explain("formatted")
+
+    println("==== 36. d18 substring dup: map-side window explode, hash-keyed dup join ====")
+    TrainingOps.substringDup(spark.read.parquet(s"$sf/documents.parquet"))
+      .explain("formatted")
+
+    println("==== 37. e28 robots filter: host-keyed rule join + min(struct) longest match ====")
+    SparkEntry.queries("e28_robots_filter")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
