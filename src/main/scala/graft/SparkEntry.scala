@@ -930,7 +930,8 @@ object SparkEntry {
         s"cw AS (SELECT $urlExpr AS url FROM documents WHERE $htmlKinds), " +
         "f AS (SELECT to_url FROM g WHERE to_url NOT IN (SELECT url FROM cw)), " +
         "uu AS (SELECT to_url, regexp_extract(to_url, 'https?://([^/]+)', 1) AS host, " +
-        "regexp_extract(to_url, 'https?://[^/]+(/.*)', 1) AS path FROM f), " +
+        "CASE WHEN regexp_extract(to_url, 'https?://[^/]+(/.*)', 1) = '' THEN '/' " +
+        "ELSE regexp_extract(to_url, 'https?://[^/]+(/.*)', 1) END AS path FROM f), " +
         "hk AS (SELECT host, ('0x' || substr(md5('rb:' || host),1,15))::BIGINT AS k " +
         "FROM (SELECT DISTINCT host FROM uu)), " +
         "rules AS (SELECT host, '/cat' AS prefix, FALSE AS allow FROM hk WHERE k % 2 = 0 " +
@@ -1524,14 +1525,20 @@ object SparkEntry {
       // every doc as plain columns, the same wrap + in-order replace chain
       // per [a-z]+ word, symbol count summed per doc
       "p3_bpe_tokenize" -> {
+        // exhaustion-safe: if the corpus yields fewer than 4 merges, an
+        // empty m_i must not empty the cross join or null the replace —
+        // LEFT JOIN ON TRUE + a fallback pattern that can never match
+        // (digits are outside the [a-z]+ symbol alphabet)
         val rep = (1 to 4).foldLeft("regexp_replace(y, '(.)', '(\\1)', 'g')") {
-          (e, i) => s"replace($e, '('||l$i||')('||r$i||')', '('||l$i||r$i||')')"
+          (e, i) => s"replace($e, coalesce('('||l$i||')('||r$i||')', '(0)(0)'), " +
+            s"coalesce('('||l$i||r$i||')', '(00)'))"
         }
         bpeChainSql(4) +
           s", d AS (SELECT doc_id, $w AS w FROM documents WHERE length(text) >= 1), " +
           "x AS (SELECT d.doc_id, d.w, " +
           (1 to 4).map(i => s"m$i.l AS l$i, m$i.r AS r$i").mkString(", ") +
-          " FROM d, m1, m2, m3, m4) " +
+          " FROM d " +
+          (1 to 4).map(i => s"LEFT JOIN m$i ON TRUE").mkString(" ") + ") " +
           "SELECT doc_id, CAST(len(w) AS INT) AS n_words, " +
           "CAST(coalesce(list_sum(list_transform(list_filter(w, " +
           "y -> regexp_matches(y, '^[a-z]+" + "$" + "')), " +

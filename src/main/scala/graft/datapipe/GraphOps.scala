@@ -132,7 +132,11 @@ object GraphOps {
     */
   def robotsFilter(urls: DataFrame, rules: DataFrame): DataFrame = {
     val host = regexp_extract(col("to_url"), "https?://([^/]+)", 1)
-    val path = regexp_extract(col("to_url"), "https?://[^/]+(/.*)", 1)
+    // a URL with no path component ("https://a.com") matches as "/" —
+    // RFC 9309 reference parsers normalize the empty path before
+    // matching, so a root Disallow blocks the host's root page too
+    val path = when(regexp_extract(col("to_url"), "https?://[^/]+(/.*)", 1) === "", "/")
+      .otherwise(regexp_extract(col("to_url"), "https?://[^/]+(/.*)", 1))
     urls.select(col("to_url"), host.as("host"), path.as("path"))
       .join(rules, Seq("host"), "left")
       .withColumn("hit",

@@ -677,8 +677,8 @@ object TrainingOps {
     * candidate instead of `dim` floats — at 10^12 vectors the code table
     * is ~250x smaller than the raw vectors and is the only thing read.
     *
-    * Shape: one encode pass (persisted code table — at scale this is the
-    * prebuilt index, not recomputed per query), probes broadcast against
+    * Shape: one encode pass (at scale the code table is a prebuilt
+    * stored index, not recomputed per query), probes broadcast against
     * it (the d5 baseline shape; the d7 probe-chunking escape applies
     * unchanged when the probe set grows), distance via codebook lookup +
     * fold — map-only per pair, no raw-vector join. Heavy ADC ties (many
@@ -697,8 +697,11 @@ object TrainingOps {
     }
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val sub = dim / m
-    val codes = pqCodes(emb, m, nCents, dimOpt).drop("err")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pass the resolved dim down (pqCodes would otherwise re-run the same
+    // one-row inference job); no persist — the code table feeds exactly
+    // one join here, and at scale it is a PREBUILT stored index read from
+    // the lakehouse, not recomputed per query
+    val codes = pqCodes(emb, m, nCents, Some(dim)).drop("err")
     val probes = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("q"))
     val joined = (0 until m).foldLeft(

@@ -122,7 +122,12 @@ object GraftFunctions {
     require(children.length == 2, "min_k_longs(col, k) takes exactly 2 arguments")
     val kExpr = children(1)
     require(kExpr.foldable, "min_k_longs k must be a literal")
-    MinKLongs(children.head, kExpr.eval().asInstanceOf[Number].intValue())
+    val k = kExpr.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"min_k_longs k must be a numeric literal, got ${if (other == null) "NULL" else other}")
+    }
+    MinKLongs(children.head, k)
   }
 
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(

@@ -3,7 +3,7 @@ package graft.functions
 import java.io.{ByteArrayOutputStream, DataOutputStream}
 import java.nio.ByteBuffer
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -27,11 +27,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   */
 case class MinKLongs(child: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.PriorityQueue[java.lang.Long]] {
+  extends TypedImperativeAggregate[java.util.PriorityQueue[java.lang.Long]]
+  with ImplicitCastInputTypes {
 
   require(k >= 1, "k must be >= 1")
 
   override def children: Seq[Expression] = Seq(child)
+  // narrower integrals coerce to BIGINT at analysis; a non-numeric child
+  // fails at plan build instead of a mid-task ClassCastException
+  override def inputTypes: Seq[DataType] = Seq(LongType) // covariant: AbstractDataType is private[sql]
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "min_k_longs"

@@ -239,8 +239,17 @@ object LakehouseIO {
     * listed, so a narrow time-travel read of a 10^12-doc table scans just
     * the buckets that existed then.
     */
-  def readAsOf(root: String, asOfMs: Long)(implicit spark: SparkSession): DataFrame = {
-    val picked = bucketLedgers(root).filter(_.committedAtMs <= asOfMs).map(_.bucket)
+  def readAsOf(root: String, asOfMs: Long)(implicit spark: SparkSession): DataFrame =
+    readBuckets(root,
+      bucketLedgers(root).filter(_.committedAtMs <= asOfMs).map(_.bucket))
+
+  /** Structural-pruning read of an explicit bucket subset — the shared
+    * tail of [[readAsOf]] and [[readIncremental]]: only the named bucket
+    * directories are listed/read; an empty pick yields an empty frame of
+    * the results schema.
+    */
+  private def readBuckets(root: String, picked: Seq[Int])
+      (implicit spark: SparkSession): DataFrame =
     if (picked.isEmpty) {
       import spark.implicits._
       spark.emptyDataset[ResultRow].toDF()
@@ -248,7 +257,6 @@ object LakehouseIO {
       spark.read
         .option("basePath", dataDir(root).toString)
         .parquet(picked.map(b => new Path(dataDir(root), s"bucket=$b").toString): _*)
-  }
 
   /** Incremental read — rows in buckets committed AFTER `sinceMs` and at
     * or before `untilMs`: the Iceberg incremental-scan analog, and the
@@ -264,16 +272,9 @@ object LakehouseIO {
   def readIncremental(root: String, sinceMs: Long, untilMs: Long = Long.MaxValue)
       (implicit spark: SparkSession): DataFrame = {
     require(sinceMs <= untilMs, "sinceMs must be <= untilMs")
-    val picked = bucketLedgers(root)
+    readBuckets(root, bucketLedgers(root)
       .filter(l => l.committedAtMs > sinceMs && l.committedAtMs <= untilMs)
-      .map(_.bucket)
-    if (picked.isEmpty) {
-      import spark.implicits._
-      spark.emptyDataset[ResultRow].toDF()
-    } else
-      spark.read
-        .option("basePath", dataDir(root).toString)
-        .parquet(picked.map(b => new Path(dataDir(root), s"bucket=$b").toString): _*)
+      .map(_.bucket))
   }
 
   def maintenanceDir(root: String): Path = new Path(root, "_maintenance")

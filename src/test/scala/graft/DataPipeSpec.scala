@@ -914,7 +914,8 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "https://a.com/cat/3",  // /cat disallow wins over root
       "https://a.com/x",      // only root '/' matches -> disallowed
       "https://b.com/rel/1",  // exact tie /rel allow + /rel disallow -> allow wins
-      "https://c.com/free")   // host without rules -> allowed
+      "https://c.com/free",   // host without rules -> allowed
+      "https://a.com")        // NO path: normalizes to "/" -> root disallow applies
       .toDF("to_url")
     val rules = Seq(
       ("a.com", "/cat", false), ("a.com", "/cat/1", true), ("a.com", "/", false),
@@ -925,7 +926,7 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map(
       "https://a.com/cat/10" -> true, "https://a.com/cat/3" -> false,
       "https://a.com/x" -> false, "https://b.com/rel/1" -> true,
-      "https://c.com/free" -> true), s"got $out")
+      "https://c.com/free" -> true, "https://a.com" -> false), s"got $out")
   }
 
   test("substring dup: stride-1 windows catch spans disjoint chunks would miss") {

@@ -88,6 +88,15 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("a", 1L)).toDF("g", "v").groupBy("g")
         .agg(expr("min_k_longs(v, v)")).collect()
     }
+    // an INT column coerces to BIGINT at analysis (ImplicitCastInputTypes)
+    val ints = Seq(("a", 3), ("a", 1)).toDF("g", "v")
+      .groupBy("g").agg(expr("min_k_longs(v, 1)")).collect()(0).getSeq[Long](1)
+    assert(ints == Seq(1L))
+    // a NULL or non-numeric k literal fails at plan build with a clear error
+    intercept[Exception] {
+      Seq(("a", 1L)).toDF("g", "v").groupBy("g")
+        .agg(expr("min_k_longs(v, NULL)")).collect()
+    }
   }
 
   test("expression participates in whole-stage codegen") {

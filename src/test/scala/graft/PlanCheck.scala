@@ -127,9 +127,11 @@ object PlanCheck {
     println("==== 28. p2 web pipeline: one kernel pass (persisted), rank join host-keyed ====")
     SparkEntry.queries("p2_web_pipeline")(spark, sf).explain("formatted")
 
-    println("==== 29. t19 bpe merges: pair counts map-combined over the cached vocab ====")
-    // the per-iteration pair-count plan (the merge loop's repeated unit)
-    TrainingOps.bpeMerges(spark.read.parquet(s"$sf/documents.parquet"), nMerges = 1)
+    println("==== 29. p3 bpe tokenize: map-only scoring after the driver-side learn ====")
+    // bpeMerges itself runs its loop eagerly (its result is a driver-built
+    // local frame — nothing to audit); the lazy half is the tokenize
+    // stage, whose plan must be a single map-only projection
+    TrainingOps.bpeTokenize(spark.read.parquet(s"$sf/documents.parquet"), nMerges = 2)
       .explain("formatted")
 
     println("==== 30. t20 quality classifier: training agg map-combined; scoring map-only ====")
