@@ -650,22 +650,27 @@ object SparkEntry {
         .toDF("url", "resolved").dropDuplicates("url")
         .select(col("url").as("src_url"), explode(col("resolved")).as("to_url"))
       val crawled = pages.map(_.url).toDF("url").dropDuplicates("url")
-      val frontier = graft.datapipe.GraphOps.crawlFrontier(edges, crawled)
-      val hk = frontier
+      // branch point (the p1/p2 persist convention): targets feed both the
+      // filter input and the rule synthesis — without the persist the
+      // kernel parse + frontier pipeline re-runs per consumer
+      val targets = graft.datapipe.GraphOps.crawlFrontier(edges, crawled)
+        .select("to_url")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hk = targets
         .select(regexp_extract(col("to_url"), "https?://([^/]+)", 1).as("host"))
         .distinct()
         .select(col("host"),
           conv(substring(md5(concat(lit("rb:"), col("host"))), 1, 15), 16, 10)
             .cast("long").as("k"))
-      def rule(pred: org.apache.spark.sql.Column, prefix: String, allow: Boolean) =
-        hk.filter(pred).select(col("host"),
-          lit(prefix).as("prefix"), lit(allow).as("allow"))
-      val rules = rule(col("k") % 2 === 0, "/cat", allow = false)
-        .unionByName(rule(col("k") % 2 === 0, "/cat/1", allow = true))
-        .unionByName(rule(col("k") % 3 === 0, "/rel", allow = false))
-        .unionByName(rule(col("k") % 3 === 0, "/rel", allow = true))
-        .unionByName(rule(col("k") % 7 === 0, "/", allow = false))
-      graft.datapipe.GraphOps.robotsFilter(frontier.select("to_url"), rules)
+      // ONE pass over the hosts: the 5-row rule template joins broadcast
+      // on its modulo predicate (vs 5 unioned filter branches, each of
+      // which would replay the whole hk pipeline)
+      val template = Seq(("/cat", false, 2L), ("/cat/1", true, 2L),
+        ("/rel", false, 3L), ("/rel", true, 3L), ("/", false, 7L))
+        .toDF("prefix", "allow", "m")
+      val rules = hk.join(broadcast(template), col("k") % col("m") === 0)
+        .select("host", "prefix", "allow")
+      graft.datapipe.GraphOps.robotsFilter(targets, rules)
     }),
     // composed WEB pipeline (the e-family analog of p1): ONE parse pass
     // computes metadata + outlinks per page (kernel runs once in the

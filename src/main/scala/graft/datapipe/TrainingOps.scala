@@ -1665,7 +1665,12 @@ object TrainingOps {
     * aggregation (distinct-doc count >= 2 on the hash key); the per-doc
     * rollup joins hash-keyed (key-only traffic). At 10^12 docs the
     * stride-1 window table is ~|tokens| rows — the d13 bloom / t21 CMS
-    * pre-filters compose in front of the exact join unchanged.
+    * pre-filters compose in front of the exact join unchanged. The window
+    * explode is deliberately RECOMPUTED for the rollup pass rather than
+    * persisted: it is pure map work over the scan, and caching a
+    * corpus-sized intermediate costs more than replaying it (the inverse
+    * of the p1/p2 branch-point rule, which persists only post-reduction
+    * frames).
     */
   def substringDup(docs: DataFrame, win: Int = 8): DataFrame = {
     require(win >= 1, "win must be >= 1")

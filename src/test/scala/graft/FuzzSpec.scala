@@ -135,4 +135,38 @@ class FuzzSpec extends AnyFunSuite {
       }
     })
   }
+
+  test("min_k_longs buffer algebra: any partitioning + merge order + serde == sorted take(k)") {
+    // drives the aggregate's update/merge/serialize/eval functions
+    // directly (no Spark job per case): values split into arbitrary
+    // "partitions", each folded into its own buffer, buffers round-trip
+    // through serialization, then merge in the generated order — the
+    // result must equal the k smallest of the multiset, ascending,
+    // regardless of how the work was split
+    val child = org.apache.spark.sql.catalyst.expressions.BoundReference(
+      0, org.apache.spark.sql.types.LongType, nullable = true)
+    def mk(k: Int) = graft.functions.MinKLongs(child, k)
+    val genVals = Gen.listOf(Gen.chooseNum(Long.MinValue + 1, Long.MaxValue))
+    val genK = Gen.chooseNum(1, 12)
+    val genCuts = Gen.listOf(Gen.chooseNum(0, 64))
+    check(Prop.forAll(genVals, genK, genCuts) { (vals, k, cuts) =>
+      val a = mk(k)
+      // split vals into partitions at pseudo-random cut points
+      val parts = if (vals.isEmpty) Seq(Seq.empty[Long]) else {
+        val n = (cuts.map(_ % vals.length).toSet + 0 + vals.length).toSeq.sorted
+        n.zip(n.tail).map { case (b, e) => vals.slice(b, e) }
+      }
+      val buffers = parts.map { p =>
+        val buf = p.foldLeft(a.createAggregationBuffer()) { (b, v) =>
+          a.update(b, org.apache.spark.sql.catalyst.InternalRow(v)) // production path
+        }
+        a.deserialize(a.serialize(buf)) // serde round-trip per partition
+      }
+      val merged = buffers.reduce(a.merge)
+      val got = a.eval(merged)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+        .toLongArray().toSeq
+      got == vals.sorted.take(k)
+    })
+  }
 }
