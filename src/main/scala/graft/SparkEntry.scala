@@ -455,6 +455,16 @@ object SparkEntry {
     // composed learn-then-tokenize BPE pipeline: t19's merges applied
     // map-only to every document (the serving side)
     "p3_bpe_tokenize" -> ((s, dir) => TrainingOps.bpeTokenize(docs(s, dir))),
+    // one-row corpus release datasheet composing the library's own
+    // aggregates (size/tokens/vocab, dup rate, quality keep rate, top
+    // lang); input is the dup-augmented corpus (the d13 convention, lang
+    // kept) so the duplicate-rate column is non-trivial — the raw word
+    // soup has no exact dups
+    "p4_corpus_datasheet" -> ((s, dir) => TrainingOps.corpusDatasheet(
+      docs(s, dir).select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 5 === 4,
+          concat(lit("canonical page "), col("doc_id") % 17))
+          .otherwise(col("text")).as("text")))),
     // seqLen 512 (not the 2048 default) so the sf0.01 corpus actually
     // crosses sequence boundaries (docs spanning two sequences, several
     // sequences per shard) — the oracle hardcodes the same length
@@ -1107,6 +1117,39 @@ object SparkEntry {
     sb.toString
   }
 
+  /** The t14 quality-rules oracle (decorated text + every gate + keep) —
+    * a val-shaped helper so the p4 datasheet oracle can embed it as a
+    * parenthesized subquery.
+    */
+  private def t14Oracle(w: String): String = {
+    val lineExpr =
+      "(CASE WHEN doc_id % 13 = 4 OR (doc_id + i) % 7 = 0 THEN '- ' ELSE '' END) || " +
+        "array_to_string(w0[(i*12+1):least((i+1)*12, len(w0))], ' ') || " +
+        "(CASE WHEN doc_id % 11 = 6 OR (doc_id + i) % 5 = 0 THEN '...' ELSE '.' END)"
+    s"WITH d AS (SELECT doc_id, $w AS w0 FROM documents WHERE length(text) >= 1), " +
+      "l AS (SELECT doc_id, w0, list_transform(range((len(w0)-1) // 12 + 1), i -> " +
+      lineExpr + ") AS lines FROM d), " +
+      "a AS (SELECT doc_id, w0, array_to_string(lines, chr(10)) || " +
+      "(CASE WHEN doc_id % 19 = 2 THEN chr(10) || trim(repeat('7 ', CAST(ceil(len(w0)/2.0) AS BIGINT))) ELSE '' END) || " +
+      "(CASE WHEN doc_id % 31 = 9 THEN chr(10) || 'lorem ipsum dolor sit amet' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 29 = 3 THEN chr(10) || 'function f() { return 1; }' ELSE '' END) AS t FROM l), " +
+      "m AS (SELECT doc_id, w0, t, " +
+      "regexp_split_to_array(t, '[ \\t\\n\\r\\f\\x0B]+') AS lw, " +
+      "string_split(t, chr(10)) AS ls FROM a), " +
+      "r AS (SELECT doc_id, CAST(len(lw) AS INT) AS n_words, " +
+      "round(list_sum(list_transform(lw, x -> length(x)))::DOUBLE / len(lw), 4) AS mean_wlen, " +
+      "round(len(list_filter(ls, x -> x LIKE '- %'))::DOUBLE / len(ls), 4) AS bullet_ratio, " +
+      "round(len(list_filter(ls, x -> x LIKE '%...'))::DOUBLE / len(ls), 4) AS ellipsis_ratio, " +
+      "round(len(list_filter(lw, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE / len(lw), 4) AS alpha_ratio, " +
+      "CAST(" + Seq("the", "a", "of", "and", "to", "in", "is", "it")
+        .map(s0 => s"(CASE WHEN list_contains(w0, '$s0') THEN 1 ELSE 0 END)")
+        .mkString(" + ") + " AS INT) AS n_stop, " +
+      "(instr(t, 'lorem ipsum') > 0) AS has_lorem, (instr(t, '{') > 0) AS has_brace FROM m) " +
+      "SELECT *, (n_words BETWEEN 50 AND 100000 AND mean_wlen BETWEEN 3.0 AND 10.0 " +
+      "AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8 " +
+      "AND n_stop >= 2 AND NOT has_lorem AND NOT has_brace) AS keep FROM r"
+  }
+
   private def trainingOracles: Map[String, String] = {
     // explicit whitespace class, matching TrainingOps.wsClass: Java \s
     // includes \x0B, RE2 \s does not — never use \s in a shared contract
@@ -1599,33 +1642,32 @@ object SparkEntry {
       // line decoration byte-for-byte (12-word lines, bullet/ellipsis
       // keys, digit/lorem/brace tails), then re-derives every rule and
       // the AND-ed keep verdict from the decorated text
-      "t14_quality_rules" -> {
-        val lineExpr =
-          "(CASE WHEN doc_id % 13 = 4 OR (doc_id + i) % 7 = 0 THEN '- ' ELSE '' END) || " +
-            "array_to_string(w0[(i*12+1):least((i+1)*12, len(w0))], ' ') || " +
-            "(CASE WHEN doc_id % 11 = 6 OR (doc_id + i) % 5 = 0 THEN '...' ELSE '.' END)"
-        s"WITH d AS (SELECT doc_id, $w AS w0 FROM documents WHERE length(text) >= 1), " +
-          "l AS (SELECT doc_id, w0, list_transform(range((len(w0)-1) // 12 + 1), i -> " +
-          lineExpr + ") AS lines FROM d), " +
-          "a AS (SELECT doc_id, w0, array_to_string(lines, chr(10)) || " +
-          "(CASE WHEN doc_id % 19 = 2 THEN chr(10) || trim(repeat('7 ', CAST(ceil(len(w0)/2.0) AS BIGINT))) ELSE '' END) || " +
-          "(CASE WHEN doc_id % 31 = 9 THEN chr(10) || 'lorem ipsum dolor sit amet' ELSE '' END) || " +
-          "(CASE WHEN doc_id % 29 = 3 THEN chr(10) || 'function f() { return 1; }' ELSE '' END) AS t FROM l), " +
-          "m AS (SELECT doc_id, w0, t, " +
-          "regexp_split_to_array(t, '[ \\t\\n\\r\\f\\x0B]+') AS lw, " +
-          "string_split(t, chr(10)) AS ls FROM a), " +
-          "r AS (SELECT doc_id, CAST(len(lw) AS INT) AS n_words, " +
-          "round(list_sum(list_transform(lw, x -> length(x)))::DOUBLE / len(lw), 4) AS mean_wlen, " +
-          "round(len(list_filter(ls, x -> x LIKE '- %'))::DOUBLE / len(ls), 4) AS bullet_ratio, " +
-          "round(len(list_filter(ls, x -> x LIKE '%...'))::DOUBLE / len(ls), 4) AS ellipsis_ratio, " +
-          "round(len(list_filter(lw, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE / len(lw), 4) AS alpha_ratio, " +
-          "CAST(" + Seq("the", "a", "of", "and", "to", "in", "is", "it")
-            .map(s0 => s"(CASE WHEN list_contains(w0, '$s0') THEN 1 ELSE 0 END)")
-            .mkString(" + ") + " AS INT) AS n_stop, " +
-          "(instr(t, 'lorem ipsum') > 0) AS has_lorem, (instr(t, '{') > 0) AS has_brace FROM m) " +
-          "SELECT *, (n_words BETWEEN 50 AND 100000 AND mean_wlen BETWEEN 3.0 AND 10.0 " +
-          "AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8 " +
-          "AND n_stop >= 2 AND NOT has_lorem AND NOT has_brace) AS keep FROM r"
+      "t14_quality_rules" -> t14Oracle(w),
+      // datasheet oracle: the same dup augmentation (lang kept), the t18
+      // token/vocab scalars, a grouped-dup rate, the FULL t14 oracle
+      // embedded as a subquery for the keep rate, and the majority lang —
+      // all integer-ppm, cross-joined one-row frames
+      "p4_corpus_datasheet" -> {
+        val aug = "SELECT doc_id, lang, CASE WHEN doc_id % 5 = 4 THEN " +
+          "'canonical page ' || (doc_id % 17) ELSE text END AS text FROM documents"
+        val t14OnAug = t14Oracle(w).replace("FROM documents", "FROM aug")
+        s"WITH aug AS ($aug), " +
+          s"f AS (SELECT doc_id, $w AS w FROM aug WHERE length(text) >= 1), " +
+          "wc AS (SELECT word, count(*) AS c FROM (SELECT unnest(w) AS word FROM f) GROUP BY 1), " +
+          "base AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM f) AS n_docs, " +
+          "(SELECT CAST(sum(c) AS BIGINT) FROM wc) AS n_tokens, " +
+          "(SELECT CAST(count(*) AS BIGINT) FROM wc) AS vocab_size), " +
+          "dup AS (SELECT CAST(count(*) AS BIGINT) AS n_distinct, CAST(sum(n) AS BIGINT) AS n_total FROM " +
+          "(SELECT count(*) AS n FROM aug GROUP BY md5(text))), " +
+          s"keep AS (SELECT CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_keep, " +
+          s"CAST(count(*) AS BIGINT) AS n_rated FROM ($t14OnAug) q), " +
+          "lg AS (SELECT lang AS top_lang, CAST(count(*) AS BIGINT) AS top_lang_docs FROM aug " +
+          "WHERE length(text) >= 1 GROUP BY lang ORDER BY count(*) DESC, lang LIMIT 1) " +
+          "SELECT base.n_docs, base.n_tokens, base.vocab_size, " +
+          "base.n_tokens // base.n_docs AS mean_doc_tokens, " +
+          "(1000000 * (dup.n_total - dup.n_distinct)) // dup.n_total AS exact_dup_ppm, " +
+          "(1000000 * keep.n_keep) // keep.n_rated AS quality_keep_ppm, " +
+          "lg.top_lang, lg.top_lang_docs FROM base, dup, keep, lg"
       },
       // shard-local sequence packing: running token sum per shard
       // (doc_id % 16) in doc_id order, integer-div sequence assignment —

@@ -1799,6 +1799,34 @@ object TrainingOps {
           (acc, x) => acc + bpeCount(x).cast("long")).as("n_bpe_tokens"))
   }
 
+  /** Corpus datasheet — the one-row release artifact every published
+    * corpus ships (Datasheets for Datasets, Gebru et al.): size, token
+    * and vocabulary counts, mean document length, exact-duplicate rate,
+    * quality keep rate (the t14 gate bundle), and the dominant language.
+    * Pure COMPOSITION of the library's own aggregates — each signal
+    * reduces to a scalar frame, scalars cross-join into one row (every
+    * join side is one row; no data-sized join anywhere), and integer-ppm
+    * arithmetic keeps the oracle bit-exact.
+    */
+  def corpusDatasheet(docs: DataFrame): DataFrame = {
+    val cs = corpusStats(docs).select("n_docs", "n_tokens", "vocab_size")
+    val dup = dedupExact(docs).agg(
+      count(lit(1)).as("n_distinct"), sum("n_copies").as("n_total"))
+    val keep = qualityRules(docs).agg(
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+      count(lit(1)).as("n_rated"))
+    val lg = docs.filter(length(col("text")) >= 1)
+      .groupBy("lang").agg(count(lit(1)).as("c"))
+      .agg(min(struct((-col("c")).as("nc"), col("lang").as("lg"))).as("m"))
+      .select(col("m.lg").as("top_lang"), (-col("m.nc")).as("top_lang_docs"))
+    cs.crossJoin(dup).crossJoin(keep).crossJoin(lg).select(
+      col("n_docs"), col("n_tokens"), col("vocab_size"),
+      expr("n_tokens div n_docs").as("mean_doc_tokens"),
+      expr("(1000000 * (n_total - n_distinct)) div n_total").as("exact_dup_ppm"),
+      expr("(1000000 * n_keep) div n_rated").as("quality_keep_ppm"),
+      col("top_lang"), col("top_lang_docs"))
+  }
+
   // ---------------------------------------------------- multimodal stub
 
   /** Opaque-binary feature extraction through typed mapPartitions — the

@@ -713,6 +713,27 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
       row.getString(4), row.getLong(5)) == ((2L, 6L, 4L, 3L, "a", 3L)))
   }
 
+  test("corpus datasheet: hand-computed scalars, dup counts empties, partitioning-invariant") {
+    val sp = spark; import sp.implicits._
+    // doc 2 exact-dups doc 1; doc 4 is empty (excluded from tokens/keep/
+    // lang but still a dedup group member — the dup rate is over ALL rows)
+    val docs = Seq(
+      (1L, "en", "a b a c"), (2L, "en", "a b a c"),
+      (3L, "de", "x y"), (4L, "de", "")).toDF("doc_id", "lang", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TrainingOps.corpusDatasheet(d).collect()(0)
+    val r = run(docs)
+    // n_docs=3 non-empty, tokens 4+4+2, vocab {a,b,c,x,y}, 10 div 3 = 3;
+    // dup groups over 4 rows = {"a b a c"x2, "x y", ""} -> 1/4 = 250000 ppm;
+    // every doc fails the 50-word gate -> keep 0 ppm; en 2 > de 1
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 10L, 5L, 3L)))
+    assert(r.getLong(4) == 250000L)
+    assert(r.getLong(5) == 0L)
+    assert((r.getString(6), r.getLong(7)) == (("en", 2L)))
+    assert(run(docs.repartition(7)).toSeq == r.toSeq)
+  }
+
   test("lang mix: per-paragraph votes, majority tie-break, mixed flag") {
     val sp = spark; import sp.implicits._
     // 8-word windows. doc 1: window 1 German, window 2 English -> mixed,
