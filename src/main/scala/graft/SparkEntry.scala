@@ -682,6 +682,23 @@ object SparkEntry {
         .select("host", "prefix", "allow")
       graft.datapipe.GraphOps.robotsFilter(targets, rules)
     }),
+    // per-host politeness fetch schedule over the allowed frontier:
+    // budget-capped per host per cycle (salted two-stage top-N, the t13
+    // pattern — a mega-host's frontier never pins one task), in-degree
+    // priority, slot * delayMs fetch offsets a host-partitioned fetcher
+    // fleet obeys with zero coordination
+    "e29_politeness_schedule" -> ((s, dir) => {
+      import s.implicits._
+      val pages = pagesOf(s, onlyKind(docs(s, dir), "html"))
+      val edges = pages
+        .map(p => (p.url, graft.core.Links.outlinks(p.html)
+          .flatMap(l => graft.core.Urls.resolve(p.url, l.href))))
+        .toDF("url", "resolved").dropDuplicates("url")
+        .select(col("url").as("src_url"), explode(col("resolved")).as("to_url"))
+      val crawled = pages.map(_.url).toDF("url").dropDuplicates("url")
+      graft.datapipe.GraphOps.politenessSchedule(
+        graft.datapipe.GraphOps.crawlFrontier(edges, crawled))
+    }),
     // composed WEB pipeline (the e-family analog of p1): ONE parse pass
     // computes metadata + outlinks per page (kernel runs once in the
     // scan stage), the link graph and 3-iteration host rank derive from
@@ -959,6 +976,25 @@ object SparkEntry {
         "FROM uu JOIN rules rl ON rl.host = uu.host AND starts_with(uu.path, rl.prefix)) " +
         "SELECT f.to_url, coalesce(m.allow, TRUE) AS robots_allowed " +
         "FROM f LEFT JOIN m ON m.to_url = f.to_url AND m.rn = 1"),
+      // politeness-schedule oracle: the same frontier targets (allowed
+      // only), then the plain one-window formulation (row_number per
+      // host by n_refs DESC, url) the salted two-stage provably equals
+      "e29_politeness_schedule" -> (linksCte(htmlKindsA, famB, famC) +
+        s", r AS (SELECT $urlExpr AS src_url, " +
+        "CASE WHEN href LIKE 'https://%' THEN href ELSE 'https://' || " +
+        "CASE WHEN doc_id % 10 < 3 THEN 'big.example.com' ELSE 'h' || (doc_id % 97) || '.example.com' END " +
+        "|| href END AS to_url FROM u), " +
+        "g AS (SELECT to_url, count(*) AS n_refs FROM r GROUP BY 1), " +
+        s"cw AS (SELECT $urlExpr AS url FROM documents WHERE $htmlKinds), " +
+        "f AS (SELECT to_url, n_refs, regexp_extract(to_url, 'https?://([^/]+)', 1) AS host " +
+        "FROM g WHERE to_url NOT IN (SELECT url FROM cw) " +
+        "AND NOT (regexp_extract(to_url, 'https?://[^/]+(/.*)', 1) LIKE '/promo/%' " +
+        "OR regexp_extract(to_url, 'https?://[^/]+(/.*)', 1) LIKE '/pick/%' " +
+        "OR regexp_extract(to_url, 'https?://[^/]+(/.*)', 1) IN ('/privacy', '/imprint'))), " +
+        "rk AS (SELECT to_url, host, row_number() OVER (PARTITION BY host " +
+        "ORDER BY n_refs DESC, to_url) AS rn FROM f) " +
+        "SELECT to_url, host, CAST(rn - 1 AS INT) AS slot, " +
+        "CAST((rn - 1) * 1000 AS BIGINT) AS fetch_offset_ms FROM rk WHERE rn <= 4"),
       // doc-metadata oracle: titles and h1s are template literals per
       // family (HtmlGen render/renderB/renderC; B/C have no h1)
       "e27_doc_metadata" ->

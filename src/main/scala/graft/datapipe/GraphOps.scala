@@ -149,6 +149,56 @@ object GraphOps {
         coalesce(col("best.d") === 0, lit(true)).as("robots_allowed"))
   }
 
+  /** Per-host politeness fetch schedule over the allowed frontier — the
+    * crawl-side step between frontier construction ([[crawlFrontier]] /
+    * [[robotsFilter]]) and the fetcher fleet: each host's queue is
+    * serialized (one request per `delayMs`, the Crawl-delay contract)
+    * and each crawl cycle takes at most `budget` URLs per host (the
+    * RefinedWeb/Common-Crawl per-host budget). URLs are prioritized by
+    * in-degree (`n_refs` DESC, url ASC tiebreak), so the kept set and
+    * the slot order are pure functions of the data;
+    * `fetch_offset_ms = slot * delayMs` is a coordination-free schedule
+    * a fetcher fleet partitioned by host can obey independently.
+    *
+    * Scale shape — the t13 salted two-stage top-N: a plain
+    * `row_number() OVER (PARTITION BY host)` would put a mega-host's
+    * entire frontier in ONE task, so stage 1 ranks within
+    * (host, h60(url) mod salt) — the hot host spreads over `salt`
+    * tasks — and keeps each group's top `budget`; stage 2 re-ranks the
+    * survivors (<= salt x budget rows per host, bounded however hot the
+    * host). Any global top-`budget` row is top-`budget` within its salt
+    * group AND every row ordered above it also survives stage 1, so
+    * kept rows and slots equal the plain one-window formulation (the
+    * oracle's form) for any salt — pinned by spec. Both shuffles carry
+    * only (url, host, count) rows.
+    *
+    * `frontier` needs (to_url, n_refs, allowed) — [[crawlFrontier]]'s
+    * shape, or [[robotsFilter]] output joined back on the frontier.
+    */
+  def politenessSchedule(frontier: DataFrame, budget: Int = 4,
+      delayMs: Long = 1000L, salt: Int = 8): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    require(delayMs >= 0, "delayMs must be >= 0")
+    require(salt >= 1, "salt must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val host = regexp_extract(col("to_url"), "https?://([^/]+)", 1)
+    val order = Seq(col("n_refs").desc, col("to_url").asc)
+    val urlSalt = pmod(
+      conv(substring(md5(col("to_url")), 1, 15), 16, 10).cast("long"),
+      lit(salt.toLong))
+    val local = Window.partitionBy(col("host"), urlSalt).orderBy(order: _*)
+    val global = Window.partitionBy(col("host")).orderBy(order: _*)
+    frontier.filter(col("allowed"))
+      .select(col("to_url"), host.as("host"), col("n_refs"))
+      .withColumn("lrk", row_number().over(local))
+      .filter(col("lrk") <= budget).drop("lrk")
+      .withColumn("rk", row_number().over(global))
+      .filter(col("rk") <= budget)
+      .select(col("to_url"), col("host"),
+        (col("rk") - 1).cast("int").as("slot"),
+        ((col("rk") - 1).cast("long") * delayMs).as("fetch_offset_ms"))
+  }
+
   def crawlFrontier(edges: DataFrame, crawled: DataFrame): DataFrame = {
     val agg = edges.groupBy("to_url").agg(
       count(lit(1)).as("n_refs"),

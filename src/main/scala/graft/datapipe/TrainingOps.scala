@@ -1807,15 +1807,23 @@ object TrainingOps {
     * reduces to a scalar frame, scalars cross-join into one row (every
     * join side is one row; no data-sized join anywhere), and integer-ppm
     * arithmetic keeps the oracle bit-exact.
+    *
+    * The input is the BRANCH POINT (the p1/p2 convention): four aggregate
+    * trees consume it, so without the persist any upstream derivation
+    * (augmentation, a prior pipeline stage) re-runs once per signal. At
+    * lakehouse scale the input is a materialized table and the persist
+    * degenerates to four column-pruned scans of the same files — both
+    * shapes are one pass per signal over cached bytes, never a re-parse.
     */
   def corpusDatasheet(docs: DataFrame): DataFrame = {
-    val cs = corpusStats(docs).select("n_docs", "n_tokens", "vocab_size")
-    val dup = dedupExact(docs).agg(
+    val d = docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cs = corpusStats(d).select("n_docs", "n_tokens", "vocab_size")
+    val dup = dedupExact(d).agg(
       count(lit(1)).as("n_distinct"), sum("n_copies").as("n_total"))
-    val keep = qualityRules(docs).agg(
+    val keep = qualityRules(d).agg(
       sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
       count(lit(1)).as("n_rated"))
-    val lg = docs.filter(length(col("text")) >= 1)
+    val lg = d.filter(length(col("text")) >= 1)
       .groupBy("lang").agg(count(lit(1)).as("c"))
       .agg(min(struct((-col("c")).as("nc"), col("lang").as("lg"))).as("m"))
       .select(col("m.lg").as("top_lang"), (-col("m.nc")).as("top_lang_docs"))

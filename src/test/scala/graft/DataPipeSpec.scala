@@ -950,6 +950,34 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "https://c.com/free" -> true, "https://a.com" -> false), s"got $out")
   }
 
+  test("politeness schedule: budget cap, in-degree priority, salt independence") {
+    val s = spark; import s.implicits._
+    val fr = Seq(
+      ("https://a.com/p1", 5L, true), ("https://a.com/p2", 9L, true),
+      ("https://a.com/p3", 9L, true), ("https://a.com/p4", 1L, true),
+      ("https://a.com/p5", 7L, true), ("https://a.com/promo", 99L, false),
+      ("https://b.com/only", 2L, true))
+      .toDF("to_url", "n_refs", "allowed")
+    def run(salt: Int) = graft.datapipe.GraphOps
+      .politenessSchedule(fr, budget = 3, delayMs = 500L, salt = salt)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    val out = run(salt = 8)
+    // a.com keeps top-3 by (n_refs DESC, url): p2, p3 (9-refs tie broken
+    // by url), p5; p1/p4 over budget; the disallowed url never schedules
+    // regardless of its in-degree; b.com's singleton gets slot 0
+    assert(out == Set(
+      ("https://a.com/p2", "a.com", 0, 0L),
+      ("https://a.com/p3", "a.com", 1, 500L),
+      ("https://a.com/p5", "a.com", 2, 1000L),
+      ("https://b.com/only", "b.com", 0, 0L)), s"got $out")
+    // salt-independence: salt=1 collapses the two-stage to the plain
+    // window; any salt must give identical slots
+    assert(run(salt = 1) == out)
+    assert(run(salt = 5) == out)
+  }
+
   test("substring dup: stride-1 windows catch spans disjoint chunks would miss") {
     val s = spark; import s.implicits._
     // docs 1 and 2 share an 8-word span at DIFFERENT offsets (0 vs 1) —
