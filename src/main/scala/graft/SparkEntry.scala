@@ -699,6 +699,19 @@ object SparkEntry {
       graft.datapipe.GraphOps.politenessSchedule(
         graft.datapipe.GraphOps.crawlFrontier(edges, crawled))
     }),
+    // recrawl/snapshot delta: two deterministic snapshot views of the
+    // corpus (old misses doc_id%7==3 -> 'new'; new misses %7==5 ->
+    // 'gone'; %4==1 texts get an edit -> 'changed'; rest 'unchanged')
+    // diffed by content hash on the key — the CDX-style crawl-
+    // maintenance signal and the incremental-processing gate
+    "e30_recrawl_delta" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val oldSnap = d.filter(col("doc_id") % 7 =!= 3).select(col("doc_id"), col("text"))
+      val newSnap = d.filter(col("doc_id") % 7 =!= 5).select(col("doc_id"),
+        when(col("doc_id") % 4 === 1, concat(col("text"), lit(" upd")))
+          .otherwise(col("text")).as("text"))
+      graft.datapipe.RelationalOps.snapshotDelta(oldSnap, newSnap, keyCol = "doc_id")
+    }),
     // composed WEB pipeline (the e-family analog of p1): ONE parse pass
     // computes metadata + outlinks per page (kernel runs once in the
     // scan stage), the link graph and 3-iteration host rank derive from
@@ -995,6 +1008,16 @@ object SparkEntry {
         "ORDER BY n_refs DESC, to_url) AS rn FROM f) " +
         "SELECT to_url, host, CAST(rn - 1 AS INT) AS slot, " +
         "CAST((rn - 1) * 1000 AS BIGINT) AS fetch_offset_ms FROM rk WHERE rn <= 4"),
+      // recrawl-delta oracle: the same twin snapshot CTEs, full-outer
+      // joined on the key, verdict as the same CASE ladder
+      "e30_recrawl_delta" ->
+        ("WITH o AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 <> 3), " +
+          "n AS (SELECT doc_id, md5(CASE WHEN doc_id % 4 = 1 THEN text || ' upd' ELSE text END) AS h " +
+          "FROM documents WHERE doc_id % 7 <> 5) " +
+          "SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, " +
+          "CASE WHEN o.doc_id IS NULL THEN 'new' WHEN n.doc_id IS NULL THEN 'gone' " +
+          "WHEN o.h = n.h THEN 'unchanged' ELSE 'changed' END AS status " +
+          "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"),
       // doc-metadata oracle: titles and h1s are template literals per
       // family (HtmlGen render/renderB/renderC; B/C have no h1)
       "e27_doc_metadata" ->

@@ -33,6 +33,34 @@ object RelationalOps {
     * JOIN — the oracle — imposes). Unmatched left rows keep nulls in the
     * right columns (LEFT OUTER semantics).
     */
+  /** Recrawl / snapshot delta — classify every key across two crawl
+    * snapshots by content hash: `unchanged`, `changed`, `new` (only in
+    * the new snapshot), `gone` (only in the old). This is the CDX-style
+    * crawl-maintenance signal that drives recrawl scheduling (changed
+    * pages recrawl sooner), storage dedup (unchanged pages point at the
+    * prior capture), and link-rot tracking (gone) — and, pipeline-side,
+    * the incremental-processing gate: only `new`/`changed` keys re-enter
+    * extraction.
+    *
+    * Scale shape: both snapshots project to (key, 16-byte md5) BEFORE
+    * the join — payloads never move — then ONE full-outer join on the
+    * key. At lakehouse scale both snapshot tables are bucketBy-written
+    * on the key (the pinned zero-exchange co-located pattern), so the
+    * diff of two 10^12-row crawls is an exchange-free per-bucket merge;
+    * the verdict is a pure column CASE on the joined row.
+    */
+  def snapshotDelta(oldSnap: DataFrame, newSnap: DataFrame,
+      keyCol: String = "url"): DataFrame = {
+    val o = oldSnap.select(col(keyCol), md5(col("text")).as("old_h"))
+    val n = newSnap.select(col(keyCol), md5(col("text")).as("new_h"))
+    o.join(n, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("old_h").isNull, lit("new"))
+          .when(col("new_h").isNull, lit("gone"))
+          .when(col("old_h") === col("new_h"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   def asofJoin(left: DataFrame, right: DataFrame,
       key: String, leftTs: String, rightTs: String): DataFrame = {
     val rCols = right.columns.filterNot(_ == key)

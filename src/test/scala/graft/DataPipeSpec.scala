@@ -978,6 +978,27 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(salt = 5) == out)
   }
 
+  test("snapshot delta: all four statuses, hash-only diff semantics") {
+    val s = spark; import s.implicits._
+    val oldSnap = Seq(
+      (1L, "same text"), (2L, "will change"), (3L, "disappears"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq(
+      (1L, "same text"), (2L, "has changed"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val out = graft.datapipe.RelationalOps
+      .snapshotDelta(oldSnap, newSnap, keyCol = "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "gone", 4L -> "new"), s"got $out")
+    // partitioning invariance: the verdict is a pure function of the key
+    // join, not of physical layout
+    val re = graft.datapipe.RelationalOps
+      .snapshotDelta(oldSnap.repartition(7), newSnap.repartition(3), keyCol = "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(re == out)
+  }
+
   test("substring dup: stride-1 windows catch spans disjoint chunks would miss") {
     val s = spark; import s.implicits._
     // docs 1 and 2 share an 8-word span at DIFFERENT offsets (0 vs 1) —

@@ -165,6 +165,12 @@ object PlanCheck {
     println("==== 37. e28 robots filter: host-keyed rule join + min(struct) longest match ====")
     SparkEntry.queries("e28_robots_filter")(spark, sf).explain("formatted")
 
+    println("==== 38. e29 politeness schedule: salted two-stage windows, (url,host,count) shuffles only ====")
+    SparkEntry.queries("e29_politeness_schedule")(spark, sf).explain("formatted")
+
+    println("==== 39. e30 recrawl delta: hash projections below the full-outer key join ====")
+    SparkEntry.queries("e30_recrawl_delta")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
