@@ -51,13 +51,19 @@ object RelationalOps {
     */
   def snapshotDelta(oldSnap: DataFrame, newSnap: DataFrame,
       keyCol: String = "url"): DataFrame = {
-    val o = oldSnap.select(col(keyCol), md5(col("text")).as("old_h"))
-    val n = newSnap.select(col(keyCol), md5(col("text")).as("new_h"))
+    // presence markers, not hash nullability, decide new/gone: a NULL
+    // payload hashes to NULL, which would otherwise masquerade as a
+    // missing key; hashes compare null-safely so two NULL-payload
+    // captures of the same key read as unchanged
+    val o = oldSnap.select(col(keyCol), md5(col("text")).as("old_h"),
+      lit(true).as("old_p"))
+    val n = newSnap.select(col(keyCol), md5(col("text")).as("new_h"),
+      lit(true).as("new_p"))
     o.join(n, Seq(keyCol), "full_outer")
       .select(col(keyCol),
-        when(col("old_h").isNull, lit("new"))
-          .when(col("new_h").isNull, lit("gone"))
-          .when(col("old_h") === col("new_h"), lit("unchanged"))
+        when(col("old_p").isNull, lit("new"))
+          .when(col("new_p").isNull, lit("gone"))
+          .when(col("old_h") <=> col("new_h"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
 

@@ -997,6 +997,16 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .snapshotDelta(oldSnap.repartition(7), newSnap.repartition(3), keyCol = "doc_id")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(re == out)
+    // NULL payloads: presence decides new/gone (a null hash must not
+    // masquerade as a missing key), and two null captures are unchanged
+    val oN = Seq((10L, null.asInstanceOf[String]), (11L, "x"), (12L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val nN = Seq((10L, null.asInstanceOf[String]), (11L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val nu = graft.datapipe.RelationalOps
+      .snapshotDelta(oN, nN, keyCol = "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(nu == Map(10L -> "unchanged", 11L -> "changed", 12L -> "gone"), s"got $nu")
   }
 
   test("substring dup: stride-1 windows catch spans disjoint chunks would miss") {
