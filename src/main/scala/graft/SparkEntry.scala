@@ -206,6 +206,42 @@ object SparkEntry {
       }
   }
 
+  /** The parsed link graph + crawled set the crawl-side queries share:
+    * (src_url, to_url) canonical resolved edges and the distinct crawled
+    * urls, both from one kernel pass over the html pages.
+    */
+  private def linkGraphOf(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val pages = pagesOf(s, onlyKind(docs(s, dir), "html"))
+    val edges = pages
+      .map(p => (p.url, graft.core.Links.outlinks(p.html)
+        .flatMap(l => graft.core.Urls.resolve(p.url, l.href))))
+      .toDF("url", "resolved").dropDuplicates("url")
+      .select(col("url").as("src_url"), explode(col("resolved")).as("to_url"))
+    val crawled = pages.map(_.url).toDF("url").dropDuplicates("url")
+    (edges, crawled)
+  }
+
+  /** The e28/p5 synthetic per-host robots rules (md5 'rb:' key — a
+    * fetcher would populate this table from robots.txt bodies): ONE pass
+    * over the distinct target hosts, the 5-row rule template joined
+    * broadcast on its modulo predicate.
+    */
+  private def syntheticRobotsRules(s: SparkSession, targets: DataFrame): DataFrame = {
+    import s.implicits._
+    val hk = targets
+      .select(regexp_extract(col("to_url"), "https?://([^/]+)", 1).as("host"))
+      .distinct()
+      .select(col("host"),
+        conv(substring(md5(concat(lit("rb:"), col("host"))), 1, 15), 16, 10)
+          .cast("long").as("k"))
+    val template = Seq(("/cat", false, 2L), ("/cat/1", true, 2L),
+      ("/rel", false, 3L), ("/rel", true, 3L), ("/", false, 7L))
+      .toDF("prefix", "allow", "m")
+    hk.join(broadcast(template), col("k") % col("m") === 0)
+      .select("host", "prefix", "allow")
+  }
+
   private def extracted(s: SparkSession, dir: String, kind: String) = {
     implicit val spark: SparkSession = s
     ExtractPipeline.run(pagesOf(s, onlyKind(docs(s, dir), kind)), conf)
@@ -635,14 +671,7 @@ object SparkEntry {
     // crawled set (left anti on the url key), in-degree priority, and
     // RefinedWeb-style URL rules (spam/nav paths blocked before fetch)
     "e26_crawl_frontier" -> ((s, dir) => {
-      import s.implicits._
-      val pages = pagesOf(s, onlyKind(docs(s, dir), "html"))
-      val edges = pages
-        .map(p => (p.url, graft.core.Links.outlinks(p.html)
-          .flatMap(l => graft.core.Urls.resolve(p.url, l.href))))
-        .toDF("url", "resolved").dropDuplicates("url")
-        .select(col("url").as("src_url"), explode(col("resolved")).as("to_url"))
-      val crawled = pages.map(_.url).toDF("url").dropDuplicates("url")
+      val (edges, crawled) = linkGraphOf(s, dir)
       graft.datapipe.GraphOps.crawlFrontier(edges, crawled)
     }),
     // RFC 9309 robots filtering of the frontier: per-host prefix rule
@@ -652,35 +681,14 @@ object SparkEntry {
     // re-allowed), the allow-wins tie (duplicate /rel rules), root
     // disallow, and the no-rules default
     "e28_robots_filter" -> ((s, dir) => {
-      import s.implicits._
-      val pages = pagesOf(s, onlyKind(docs(s, dir), "html"))
-      val edges = pages
-        .map(p => (p.url, graft.core.Links.outlinks(p.html)
-          .flatMap(l => graft.core.Urls.resolve(p.url, l.href))))
-        .toDF("url", "resolved").dropDuplicates("url")
-        .select(col("url").as("src_url"), explode(col("resolved")).as("to_url"))
-      val crawled = pages.map(_.url).toDF("url").dropDuplicates("url")
+      val (edges, crawled) = linkGraphOf(s, dir)
       // branch point (the p1/p2 persist convention): targets feed both the
       // filter input and the rule synthesis — without the persist the
       // kernel parse + frontier pipeline re-runs per consumer
       val targets = graft.datapipe.GraphOps.crawlFrontier(edges, crawled)
         .select("to_url")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val hk = targets
-        .select(regexp_extract(col("to_url"), "https?://([^/]+)", 1).as("host"))
-        .distinct()
-        .select(col("host"),
-          conv(substring(md5(concat(lit("rb:"), col("host"))), 1, 15), 16, 10)
-            .cast("long").as("k"))
-      // ONE pass over the hosts: the 5-row rule template joins broadcast
-      // on its modulo predicate (vs 5 unioned filter branches, each of
-      // which would replay the whole hk pipeline)
-      val template = Seq(("/cat", false, 2L), ("/cat/1", true, 2L),
-        ("/rel", false, 3L), ("/rel", true, 3L), ("/", false, 7L))
-        .toDF("prefix", "allow", "m")
-      val rules = hk.join(broadcast(template), col("k") % col("m") === 0)
-        .select("host", "prefix", "allow")
-      graft.datapipe.GraphOps.robotsFilter(targets, rules)
+      graft.datapipe.GraphOps.robotsFilter(targets, syntheticRobotsRules(s, targets))
     }),
     // per-host politeness fetch schedule over the allowed frontier:
     // budget-capped per host per cycle (salted two-stage top-N, the t13
@@ -688,16 +696,28 @@ object SparkEntry {
     // priority, slot * delayMs fetch offsets a host-partitioned fetcher
     // fleet obeys with zero coordination
     "e29_politeness_schedule" -> ((s, dir) => {
-      import s.implicits._
-      val pages = pagesOf(s, onlyKind(docs(s, dir), "html"))
-      val edges = pages
-        .map(p => (p.url, graft.core.Links.outlinks(p.html)
-          .flatMap(l => graft.core.Urls.resolve(p.url, l.href))))
-        .toDF("url", "resolved").dropDuplicates("url")
-        .select(col("url").as("src_url"), explode(col("resolved")).as("to_url"))
-      val crawled = pages.map(_.url).toDF("url").dropDuplicates("url")
+      val (edges, crawled) = linkGraphOf(s, dir)
       graft.datapipe.GraphOps.politenessSchedule(
         graft.datapipe.GraphOps.crawlFrontier(edges, crawled))
+    }),
+    // composed CRAWL-CYCLE pipeline (the crawl-side analog of p1/p2):
+    // frontier construction -> heuristic URL rules -> RFC 9309 robots
+    // filter -> politeness schedule, in one plan. The frontier persists
+    // at the branch point (it feeds the rule-allowed target set, the
+    // robots rule synthesis through it, AND the scheduler's n_refs); the
+    // schedule ranks only targets that passed BOTH gates, so slots
+    // differ from e29's whenever robots removed a better-ranked url —
+    // the real fetch queue a crawler hands its fleet each cycle
+    "p5_crawl_pipeline" -> ((s, dir) => {
+      val (edges, crawled) = linkGraphOf(s, dir)
+      val frontier = graft.datapipe.GraphOps.crawlFrontier(edges, crawled)
+        .filter(col("allowed"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val targets = frontier.select("to_url")
+      val rb = graft.datapipe.GraphOps
+        .robotsFilter(targets, syntheticRobotsRules(s, targets))
+        .filter(col("robots_allowed")).select("to_url")
+      graft.datapipe.GraphOps.politenessSchedule(frontier.join(rb, "to_url"))
     }),
     // recrawl/snapshot delta: two deterministic snapshot views of the
     // corpus (old misses doc_id%7==3 -> 'new'; new misses %7==5 ->
@@ -1018,6 +1038,41 @@ object SparkEntry {
           "CASE WHEN o.doc_id IS NULL THEN 'new' WHEN n.doc_id IS NULL THEN 'gone' " +
           "WHEN o.h = n.h THEN 'unchanged' ELSE 'changed' END AS status " +
           "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"),
+      // crawl-cycle pipeline oracle: the e26 rule-allowed frontier, the
+      // e28 robots resolution (window form) over it, then the e29 plain
+      // one-window schedule over the doubly-gated targets
+      "p5_crawl_pipeline" -> (linksCte(htmlKindsA, famB, famC) +
+        s", r AS (SELECT $urlExpr AS src_url, " +
+        "CASE WHEN href LIKE 'https://%' THEN href ELSE 'https://' || " +
+        "CASE WHEN doc_id % 10 < 3 THEN 'big.example.com' ELSE 'h' || (doc_id % 97) || '.example.com' END " +
+        "|| href END AS to_url FROM u), " +
+        "g AS (SELECT to_url, count(*) AS n_refs FROM r GROUP BY 1), " +
+        s"cw AS (SELECT $urlExpr AS url FROM documents WHERE $htmlKinds), " +
+        "f AS (SELECT to_url, n_refs, regexp_extract(to_url, 'https?://([^/]+)', 1) AS host " +
+        "FROM g WHERE to_url NOT IN (SELECT url FROM cw) " +
+        "AND NOT (regexp_extract(to_url, 'https?://[^/]+(/.*)', 1) LIKE '/promo/%' " +
+        "OR regexp_extract(to_url, 'https?://[^/]+(/.*)', 1) LIKE '/pick/%' " +
+        "OR regexp_extract(to_url, 'https?://[^/]+(/.*)', 1) IN ('/privacy', '/imprint'))), " +
+        "uu AS (SELECT to_url, host, " +
+        "CASE WHEN regexp_extract(to_url, 'https?://[^/]+(/.*)', 1) = '' THEN '/' " +
+        "ELSE regexp_extract(to_url, 'https?://[^/]+(/.*)', 1) END AS path FROM f), " +
+        "hk AS (SELECT host, ('0x' || substr(md5('rb:' || host),1,15))::BIGINT AS k " +
+        "FROM (SELECT DISTINCT host FROM uu)), " +
+        "rules AS (SELECT host, '/cat' AS prefix, FALSE AS allow FROM hk WHERE k % 2 = 0 " +
+        "UNION ALL SELECT host, '/cat/1', TRUE FROM hk WHERE k % 2 = 0 " +
+        "UNION ALL SELECT host, '/rel', FALSE FROM hk WHERE k % 3 = 0 " +
+        "UNION ALL SELECT host, '/rel', TRUE FROM hk WHERE k % 3 = 0 " +
+        "UNION ALL SELECT host, '/', FALSE FROM hk WHERE k % 7 = 0), " +
+        "m AS (SELECT uu.to_url, rl.allow, row_number() OVER (PARTITION BY uu.to_url " +
+        "ORDER BY length(rl.prefix) DESC, rl.allow DESC) AS rn " +
+        "FROM uu JOIN rules rl ON rl.host = uu.host AND starts_with(uu.path, rl.prefix)), " +
+        "rb AS (SELECT f.to_url, f.n_refs, f.host FROM f " +
+        "LEFT JOIN m ON m.to_url = f.to_url AND m.rn = 1 " +
+        "WHERE coalesce(m.allow, TRUE)), " +
+        "rk AS (SELECT to_url, host, row_number() OVER (PARTITION BY host " +
+        "ORDER BY n_refs DESC, to_url) AS rn FROM rb) " +
+        "SELECT to_url, host, CAST(rn - 1 AS INT) AS slot, " +
+        "CAST((rn - 1) * 1000 AS BIGINT) AS fetch_offset_ms FROM rk WHERE rn <= 4"),
       // doc-metadata oracle: titles and h1s are template literals per
       // family (HtmlGen render/renderB/renderC; B/C have no h1)
       "e27_doc_metadata" ->

@@ -171,6 +171,9 @@ object PlanCheck {
     println("==== 39. e30 recrawl delta: hash projections below the full-outer key join ====")
     SparkEntry.queries("e30_recrawl_delta")(spark, sf).explain("formatted")
 
+    println("==== 40. p5 crawl pipeline: frontier persisted at the branch; schedule over the doubly-gated set ====")
+    SparkEntry.queries("p5_crawl_pipeline")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
