@@ -476,6 +476,10 @@ object SparkEntry {
     "t17_lang_mix" -> ((s, dir) => TrainingOps.langMix(docs(s, dir))),
     // one-row corpus vocabulary stats (tokens, vocab, hapax tail, top word)
     "t18_corpus_stats" -> ((s, dir) => TrainingOps.corpusStats(docs(s, dir))),
+    // HyperLogLog distinct-shingle sketch per lang + max-merged '*' row:
+    // the cardinality companion of the t21 CMS — integer registers,
+    // exact-integer harmonic sum, ONE final IEEE division (no ln/pow)
+    "t24_hll_distinct" -> ((s, dir) => TrainingOps.hllDistinct(docs(s, dir))),
     // distributed BPE tokenizer training: ONE corpus-sized pass builds the
     // word-frequency table, then 4 pair-count/argmax/merge iterations run
     // over the (persisted) vocabulary; the oracle unrolls the identical
@@ -1675,6 +1679,26 @@ object SparkEntry {
           "(SELECT CAST(count(*) AS BIGINT) FROM wc WHERE c = 1) AS hapax_count, " +
           "(SELECT word FROM tp) AS top_word, " +
           "(SELECT CAST(c AS BIGINT) FROM tp) AS top_word_count"),
+      // HLL oracle: identical registers (same h60, bucket = h % 256, rho
+      // via length(bin(...)) — engine-identical), identical max-merge '*'
+      // row, exact-integer harmonic sum, and the ONE shared IEEE division
+      // with the interpolated shortest-round-trip alpha literal
+      "t24_hll_distinct" ->
+        (s"WITH f AS (SELECT lang, $w AS w FROM documents WHERE length(text) >= 1), " +
+          s"g AS (SELECT lang, unnest($sh3) AS g FROM f WHERE len(w) >= 3), " +
+          "hh AS (SELECT lang, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM g), " +
+          "rb AS (SELECT lang, h % 256 AS bucket, " +
+          "CASE WHEN h // 256 = 0 THEN 53 ELSE 53 - length(bin(h // 256)) END AS rho FROM hh), " +
+          "rg AS (SELECT lang, bucket, max(rho) AS r FROM rb GROUP BY 1, 2), " +
+          "rga AS (SELECT lang, bucket, r FROM rg " +
+          "UNION ALL SELECT '*', bucket, max(r) FROM rg GROUP BY 2), " +
+          "ag AS (SELECT lang, count(*) AS present, " +
+          "sum(CAST(1 AS BIGINT) << (53 - r)) AS s FROM rga GROUP BY 1), " +
+          "dn AS (SELECT lang, present, " +
+          "CAST(s + (256 - present) * 9007199254740992 AS BIGINT) AS harmonic_denom FROM ag) " +
+          "SELECT lang, CAST(256 - present AS INT) AS empty_buckets, harmonic_denom, " +
+          s"CAST(floor(${TrainingOps.hllAlphaNum(8)} / CAST(harmonic_denom AS DOUBLE)) AS BIGINT) " +
+          "AS est_distinct FROM dn"),
       // BPE-merge oracle: the same 4 iterations unrolled as a CTE chain —
       // same word table, same '(x)(y)' wrapped-symbol encoding, same
       // literal-replace merge application (left-to-right non-overlapping

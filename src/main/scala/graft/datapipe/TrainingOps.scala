@@ -83,12 +83,21 @@ object TrainingOps {
     * combine on the text payloads (min_by keeps one text per distinct hash
     * per map partition); output is one row per distinct text.
     */
+  /** The raw (multiset) 3-word shingle stream of a word-array column —
+    * requires size(w) >= 3 (callers pre-filter; `sequence(0, size-3)`
+    * DESCENDS for shorter arrays). Shared by [[shingles3]] (the minhash
+    * family's distinct sets) and [[hllDistinct]] (which sketches the raw
+    * stream — a sketch needs no dedup, that is its point).
+    */
+  private def shingleStream3(w: Column): Column =
+    transform(sequence(lit(0), size(w) - 3),
+      i => concat_ws(" ", slice(w, i + 1, lit(3))))
+
   /** Distinct 3-word shingles of a word-array column — the one shingle
     * convention shared by the minhash family (d2/d4/d10/d15).
     */
   private def shingles3(w: Column): Column =
-    array_distinct(transform(sequence(lit(0), size(w) - 3),
-      i => concat_ws(" ", slice(w, i + 1, lit(3)))))
+    array_distinct(shingleStream3(w))
 
   private def repSets(docs: DataFrame): DataFrame =
     docs.groupBy(md5(col("text")).as("th"))
@@ -1569,6 +1578,82 @@ object TrainingOps {
       .join(broadcast(offsets), "shard")
       .select(col("doc_id"), col("shard"),
         (col("offset") + col("rn") - 1).as("pos"))
+  }
+
+  /** Approximate distinct-count sketch — HyperLogLog (Flajolet et al.
+    * 2007) over the corpus's 3-word shingle stream, per language plus a
+    * max-merged global `'*'` row. The cardinality companion of the CMS
+    * frequency sketch ([[cmsHeavyHitters]]): "how many distinct shingles
+    * does this crawl hold per language" is the dedup-planning /
+    * corpus-growth signal (shingle cardinality ~ near-dup workload), and
+    * an exact `count(distinct)` at 10^12 docs is a full shuffle of the
+    * distinct-key set, while the sketch is `m` bytes of state, period.
+    *
+    * Determinism contract (the repo rule: every operator reproduces in
+    * DuckDB bit-for-bit): the hash is the shared md5 [[h60]]; low `p`
+    * bits pick the register, rho = leading-zero rank of the remaining
+    * 60-p bits computed via `length(bin(x))` (identical in both
+    * engines); registers aggregate as `max` (associative+commutative ⇒
+    * map-side combined, and the '*' row IS the sketch-merge operation —
+    * max per register — so distributed mergeability is pinned by the
+    * oracle itself). The harmonic term stays EXACT-INTEGER: with
+    * R = 60-p rank bits, `sum_j 2^-M_j = T / 2^(R+1)` where
+    * `T = Σ_present 2^(R+1-r) + empty·2^(R+1)` is a BIGINT; the only
+    * floating step is the final single IEEE division
+    * `floor(alpha·m²·2^(R+1) / T)` from identical integer inputs —
+    * bit-stable across engines (no ln/pow). The small-range linear-
+    * counting correction is deliberately omitted (it needs `ln`,
+    * transcendental ⇒ not oracle-stable); `empty_buckets` and
+    * `harmonic_denom` ride along so a consumer can apply it.
+    *
+    * Scale shape: the ONLY shuffle carries (lang, bucket, rho) triples,
+    * map-side combined to ≤ m rows per lang per task — a 10^12-doc
+    * corpus streams through with 2^p bytes of per-task state. At a real
+    * deployment the per-PARTITION sketches would merge via
+    * `treeAggregate` exactly like the CMS pass; the groupBy form here is
+    * the same algebra with Catalyst doing the partial aggregation.
+    */
+  /** alpha_m * m^2 * 2^(rankBits+1) — the ONE double literal of the HLL
+    * estimator, exposed so the oracle SQL interpolates the exact same
+    * IEEE value (Scala's toString is the shortest round-trip repr, which
+    * DuckDB parses back to the identical double).
+    */
+  private[graft] def hllAlphaNum(p: Int): Double = {
+    val m = 1 << p
+    0.7213 / (1 + 1.079 / m) * m.toDouble * m.toDouble * math.pow(2.0, 60 - p + 1)
+  }
+
+  def hllDistinct(docs: DataFrame, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, "p must be in [4, 16]")
+    val m = 1 << p
+    val rankBits = 60 - p // h60 is a 60-bit hash
+    val alphaNum = hllAlphaNum(p)
+    val emptyTerm = 1L << (rankBits + 1) // an empty register's 2^(R+1-0)
+    val f = docs.filter(length(col("text")) >= 1)
+      .select(col("lang"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+    val reg = f
+      .select(col("lang"), explode(shingleStream3(col("w"))).as("g"))
+      .select(col("lang"), h60(col("g")).as("h"))
+      .select(col("lang"), pmod(col("h"), lit(m.toLong)).as("bucket"),
+        shiftright(col("h"), p).as("rem"))
+      .select(col("lang"), col("bucket"),
+        when(col("rem") === 0, lit(rankBits + 1))
+          .otherwise(lit(rankBits + 1) - length(bin(col("rem")))).as("rho"))
+    val rg = reg.groupBy("lang", "bucket").agg(max("rho").as("r"))
+    val merged = rg.groupBy("bucket").agg(max("r").as("r"))
+      .select(lit("*").as("lang"), col("bucket"), col("r"))
+    rg.select("lang", "bucket", "r").unionByName(merged)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("present"),
+        sum(expr(s"shiftleft(cast(1 as bigint), ${rankBits + 1} - r)")).as("s"))
+      .withColumn("harmonic_denom",
+        col("s") + (lit(m.toLong) - col("present")) * lit(emptyTerm))
+      .select(col("lang"),
+        (lit(m.toLong) - col("present")).cast("int").as("empty_buckets"),
+        col("harmonic_denom"),
+        floor(lit(alphaNum) / col("harmonic_denom").cast("double"))
+          .cast("long").as("est_distinct"))
   }
 
   /** Corpus text normalization — the ftfy-class cleanup stage every

@@ -713,6 +713,36 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
       row.getString(4), row.getLong(5)) == ((2L, 6L, 4L, 3L, "a", 3L)))
   }
 
+  test("hll distinct: duplicate-blind, merge row == direct sketch, partitioning-invariant, sane") {
+    val d = docs
+    val base = TrainingOps.hllDistinct(d).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    // the defining sketch property: duplicating the whole corpus changes nothing
+    val doubled = TrainingOps.hllDistinct(d.union(d)).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(doubled == base)
+    // registers are an aggregate: invariant to physical partitioning
+    val reparted = TrainingOps.hllDistinct(d.repartition(7)).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(reparted == base)
+    // the '*' row is a true sketch MERGE: max per register over the per-lang
+    // sketches == the sketch computed directly over the undivided corpus
+    val direct = TrainingOps.hllDistinct(d.withColumn("lang", lit("zz"))).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(direct("zz") == base("*") && direct("*") == base("*"))
+    // raw-estimator sanity on the global row (n >> m regime): within 35%
+    // of the exact distinct-shingle count (m=256 => sigma ~ 6.5%)
+    val exact = d.filter(length(col("text")) >= 1)
+      .select(split(trim(col("text")), "[ \\t\\n\\r\\f\\x0B]+").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(explode(transform(sequence(lit(0), size(col("w")) - 3),
+        i => concat_ws(" ", slice(col("w"), i + 1, lit(3))))).as("g"))
+      .agg(countDistinct("g")).collect()(0).getLong(0)
+    val est = base("*")._3
+    assert(math.abs(est - exact).toDouble / exact < 0.35,
+      s"est=$est exact=$exact")
+  }
+
   test("corpus datasheet: hand-computed scalars, dup counts empties, partitioning-invariant") {
     val sp = spark; import sp.implicits._
     // doc 2 exact-dups doc 1; doc 4 is empty (excluded from tokens/keep/

@@ -174,6 +174,9 @@ object PlanCheck {
     println("==== 40. p5 crawl pipeline: frontier persisted at the branch; schedule over the doubly-gated set ====")
     SparkEntry.queries("p5_crawl_pipeline")(spark, sf).explain("formatted")
 
+    println("==== 41. t24 HLL sketch: the only exchange carries (lang, bucket, rho), partial-aggregated map-side ====")
+    SparkEntry.queries("t24_hll_distinct")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
