@@ -723,6 +723,23 @@ object SparkEntry {
         .filter(col("robots_allowed")).select("to_url")
       graft.datapipe.GraphOps.politenessSchedule(frontier.join(rb, "to_url"))
     }),
+    // broadcast Bloom-filter "seen" test over crawl candidates: the
+    // map-only replacement for the frontier's exact anti-join at 10^12
+    // crawled urls — deterministic md5 bit positions so the oracle
+    // rebuilds the identical filter and the false-positive behavior is
+    // itself verified. Candidates = all resolved link targets PLUS a
+    // deterministic md5-sampled third of the crawled urls (re-discovered
+    // links — on this corpus targets and crawled are otherwise disjoint,
+    // so the 'seen' verdict would be vacuous without them)
+    "e31_bloom_seen" -> ((s, dir) => {
+      val (edges, crawled) = linkGraphOf(s, dir)
+      val rediscovered = crawled
+        .filter(pmod(conv(substring(md5(col("url")), 1, 15), 16, 10)
+          .cast("long"), lit(3L)) === 0)
+        .select(col("url").as("to_url"))
+      graft.datapipe.GraphOps.bloomSeen(
+        edges.select("to_url").union(rediscovered), crawled)
+    }),
     // recrawl/snapshot delta: two deterministic snapshot views of the
     // corpus (old misses doc_id%7==3 -> 'new'; new misses %7==5 ->
     // 'gone'; %4==1 texts get an edit -> 'changed'; rest 'unchanged')
@@ -1077,6 +1094,29 @@ object SparkEntry {
         "ORDER BY n_refs DESC, to_url) AS rn FROM rb) " +
         "SELECT to_url, host, CAST(rn - 1 AS INT) AS slot, " +
         "CAST((rn - 1) * 1000 AS BIGINT) AS fetch_offset_ms FROM rk WHERE rn <= 4"),
+      // bloom oracle: rebuild the identical bit set (same k md5 positions
+      // mod 4096) as a DISTINCT position set, probe = all-k-positions-
+      // present (LEFT JOIN + bool_and), same candidate union and the same
+      // verdict CASE order — false positives must MATCH, not just occur
+      "e31_bloom_seen" -> (linksCte(htmlKindsA, famB, famC) +
+        ", r AS (SELECT CASE WHEN href LIKE 'https://%' THEN href ELSE 'https://' || " +
+        "CASE WHEN doc_id % 10 < 3 THEN 'big.example.com' ELSE 'h' || (doc_id % 97) || '.example.com' END " +
+        "|| href END AS to_url FROM u), " +
+        s"cw AS (SELECT $urlExpr AS url FROM documents WHERE $htmlKinds), " +
+        "cand AS (SELECT DISTINCT to_url FROM (SELECT to_url FROM r " +
+        "UNION ALL SELECT url FROM cw WHERE ('0x' || substr(md5(url), 1, 15))::BIGINT % 3 = 0)), " +
+        "pos AS (SELECT DISTINCT ('0x' || substr(md5('bl' || i || ':' || url), 1, 15))::BIGINT % 4096 AS p " +
+        "FROM cw CROSS JOIN range(3) t(i)), " +
+        "cp AS (SELECT to_url, ('0x' || substr(md5('bl' || i || ':' || to_url), 1, 15))::BIGINT % 4096 AS p " +
+        "FROM cand CROSS JOIN range(3) t(i)), " +
+        "hv AS (SELECT cp.to_url, bool_and(pos.p IS NOT NULL) AS bloom_hit " +
+        "FROM cp LEFT JOIN pos ON pos.p = cp.p GROUP BY 1), " +
+        "tc AS (SELECT hv.to_url, hv.bloom_hit, (c2.url IS NOT NULL) AS truly_crawled " +
+        "FROM hv LEFT JOIN (SELECT DISTINCT url FROM cw) c2 ON c2.url = hv.to_url) " +
+        "SELECT to_url, bloom_hit, truly_crawled, " +
+        "CASE WHEN truly_crawled AND bloom_hit THEN 'seen' " +
+        "WHEN bloom_hit THEN 'false_positive' " +
+        "WHEN NOT truly_crawled THEN 'unseen' ELSE 'false_negative' END AS verdict FROM tc"),
       // doc-metadata oracle: titles and h1s are template literals per
       // family (HtmlGen render/renderB/renderC; B/C have no h1)
       "e27_doc_metadata" ->

@@ -1,6 +1,6 @@
 package graft.datapipe
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over edge tables — the web-graph curation
@@ -197,6 +197,77 @@ object GraphOps {
       .select(col("to_url"), col("host"),
         (col("rk") - 1).cast("int").as("slot"),
         ((col("rk") - 1).cast("long") * delayMs).as("fetch_offset_ms"))
+  }
+
+  /** Broadcast Bloom-filter "seen" test over crawl candidates — the
+    * classic frontier-at-scale structure: a fetcher fleet must answer
+    * "have we crawled this url?" for every discovered link, and at
+    * 10^12 crawled urls the exact anti-join ([[crawlFrontier]]'s form)
+    * is the shuffle that dominates the cycle. The Bloom filter replaces
+    * it with a MAP-ONLY membership test against `mBits` broadcast bits:
+    * zero false negatives (every crawled url hits), a tunable false-
+    * positive fraction (a FP means one known url is skipped a cycle —
+    * recall loss, never a re-fetch), no shuffle at probe time.
+    *
+    * Unlike [[graft.datapipe.TrainingOps.incrementalDedup]] (Spark's
+    * built-in murmur bloom as an exactness-preserving pre-gate), this
+    * filter is DETERMINISTIC-BY-CONTRACT: k md5 positions per url
+    * (`h60("bl<i>:" || url) mod mBits`), so the DuckDB oracle rebuilds
+    * the identical bit set and the false-positive behavior itself is
+    * verified, not just tolerated.
+    *
+    * Build shape: positions partial-aggregate into mBits/64 words via
+    * bitwise-OR (associative+commutative ⇒ map-side combined; the
+    * exchange carries at most mBits/64 rows per task), the word table —
+    * bounded by FILTER size, never data size — collects to the driver
+    * and inlines into the probe plan as a literal array (the CMS
+    * broadcast pattern). Probe shape: `forall` over the k positions,
+    * codegen'd array/bit ops, zero exchange. The `truly_crawled` /
+    * `verdict` columns are the AUDIT half (they re-join the exact set to
+    * measure the FP rate and pin the no-false-negative law); production
+    * uses `bloom_hit` alone and never performs that join. Sizing at
+    * scale: mBits ≈ -n·ln(fpp)/ln²2 (1.2 GB per 10^9 urls at 1% — per
+    * EXECUTOR, once, vs a per-cycle shuffle of the crawled set), and
+    * beyond single-broadcast size the filter splits into url-hash
+    * partitioned slabs co-partitioned with the candidates.
+    */
+  def bloomSeen(candidates: DataFrame, crawled: DataFrame,
+                mBits: Int = 4096, k: Int = 3): DataFrame = {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+      "mBits must be a power of two >= 64")
+    require(k >= 1 && k <= 16, "k must be in [1, 16]")
+    def positions(u: Column): Column = array((0 until k).map { i =>
+      pmod(conv(substring(md5(concat(lit(s"bl$i:"), u)), 1, 15), 16, 10)
+        .cast("long"), lit(mBits.toLong))
+    }: _*)
+    val masks = typedlit((0 until 64).map(j => 1L << j))
+    val nWords = mBits / 64
+    val words = new Array[Long](nWords)
+    // branch point (the p1/p2 persist convention): the crawled set feeds
+    // the build action NOW and the audit join later — without the persist
+    // whatever pipeline produced it (here: the kernel parse) runs twice
+    val cw = crawled.select(col("url"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cw
+      .select(explode(positions(col("url"))).as("p"))
+      .select((col("p") / lit(64)).cast("int").as("wi"),
+        element_at(masks, pmod(col("p"), lit(64L)).cast("int") + 1).as("b"))
+      .groupBy("wi").agg(expr("bit_or(b)").as("w"))
+      .collect().foreach(r => words(r.getInt(0)) = r.getLong(1))
+    val wlit = typedlit(words.toSeq)
+    val hit = forall(positions(col("to_url")), p =>
+      element_at(wlit, (p / lit(64)).cast("int") + 1)
+        .bitwiseAND(element_at(masks, pmod(p, lit(64L)).cast("int") + 1)) =!= 0)
+    candidates.select("to_url").distinct()
+      .withColumn("bloom_hit", hit)
+      .join(cw.select(col("url").as("to_url")).distinct()
+        .withColumn("tc", lit(true)), Seq("to_url"), "left")
+      .select(col("to_url"), col("bloom_hit"),
+        coalesce(col("tc"), lit(false)).as("truly_crawled"),
+        when(coalesce(col("tc"), lit(false)) && col("bloom_hit"), "seen")
+          .when(col("bloom_hit"), "false_positive")
+          .when(!coalesce(col("tc"), lit(false)), "unseen")
+          .otherwise("false_negative").as("verdict"))
   }
 
   def crawlFrontier(edges: DataFrame, crawled: DataFrame): DataFrame = {

@@ -839,6 +839,33 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("http://d/promo/z") == ((1L, 1L, "spam_path", false)))
   }
 
+  test("bloom seen: zero false negatives, verdict partition, saturation-safe, partitioning-invariant") {
+    val sp = spark; import sp.implicits._
+    val crawled = (1 to 200).map(i => s"https://h$i/page").toDF("url")
+    val cands = ((1 to 200 by 3).map(i => s"https://h$i/page") ++
+      (1 to 400).map(i => s"https://new$i/x")).toDF("to_url")
+    val out = graft.datapipe.GraphOps.bloomSeen(cands, crawled).collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(1), r.getBoolean(2), r.getString(3)))).toMap
+    // bloom law: a crawled url ALWAYS hits (no false negatives, ever)
+    assert(out.values.forall { case (_, _, v) => v != "false_negative" })
+    assert(out.filter(_._2._2).values.forall { case (h, _, v) => h && v == "seen" })
+    // uncrawled candidates partition into unseen / false_positive
+    assert(out.filterNot(_._2._2).values.forall {
+      case (h, _, v) => (h && v == "false_positive") || (!h && v == "unseen") })
+    assert(out.count(_._2._2) == 67 && out.size == 467)
+    // a deliberately SATURATED filter (64 bits, 200 urls) still obeys the
+    // law: everything hits, uncrawled all become false positives
+    val sat = graft.datapipe.GraphOps.bloomSeen(cands, crawled, mBits = 64).collect()
+      .map(r => (r.getBoolean(1), r.getBoolean(2), r.getString(3)))
+    assert(sat.forall(t => t._1) &&
+      sat.forall(t => t._3 == (if (t._2) "seen" else "false_positive")))
+    // filter bits are a bitwise-OR aggregate: invariant to partitioning
+    val rep = graft.datapipe.GraphOps
+      .bloomSeen(cands.repartition(7), crawled.repartition(5)).collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(1), r.getBoolean(2), r.getString(3)))).toMap
+    assert(rep == out)
+  }
+
   test("unigram familiarity: OOV accounting and common-vs-rare ordering") {
     val sp = spark; import sp.implicits._
     // "the" x6, "cat" x3, "runs" x2, singletons: vocabSize=3 keeps {the, cat, runs}

@@ -177,6 +177,9 @@ object PlanCheck {
     println("==== 41. t24 HLL sketch: the only exchange carries (lang, bucket, rho), partial-aggregated map-side ====")
     SparkEntry.queries("t24_hll_distinct")(spark, sf).explain("formatted")
 
+    println("==== 42. e31 bloom seen: probe is a literal-array map-only test (the audit join is the only exchange) ====")
+    SparkEntry.queries("e31_bloom_seen")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
