@@ -101,6 +101,35 @@ object SparkEntry {
       "CASE WHEN doc_id % 3 = 0 THEN ' dup@example.com' ELSE '' END AS text " +
       "FROM documents WHERE length(text) >= 1"
 
+  /** t25's boilerplate augmentation (the piiAug pattern): the corpus has
+    * no newlines, so each doc is one line plus host-keyed template chrome
+    * appended deterministically — `doc_id % 7 < 4` (57% of every source:
+    * clearly boilerplate), `doc_id % 3 == 0` (33%, straddles the 30%
+    * threshold source by source — some strip it, some keep it), and a
+    * unique per-doc ref line (`% 17 == 1`, df=1: must always survive).
+    * Predicates are coprime with the source key (doc_id % 20) so every
+    * source sees a mix. Keeps `source` (the host key).
+    */
+  private def boilerAug(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("source"), concat(
+      col("text"),
+      when(col("doc_id") % 7 < 4,
+        concat(lit("\nSubscribe to the "), col("source"), lit(" weekly digest")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("\nAll rights reserved by "), col("source"))).otherwise(lit("")),
+      when(col("doc_id") % 17 === 1,
+        concat(lit("\nRef code "), col("doc_id"))).otherwise(lit(""))
+    ).as("text"))
+
+  /** DuckDB twin of [[boilerAug]], shared by the t25 oracle. */
+  private val boilerAugSql: String =
+    "SELECT doc_id, source, text || " +
+      "CASE WHEN doc_id % 7 < 4 THEN chr(10) || 'Subscribe to the ' || source || ' weekly digest' ELSE '' END || " +
+      "CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'All rights reserved by ' || source ELSE '' END || " +
+      "CASE WHEN doc_id % 17 = 1 THEN chr(10) || 'Ref code ' || doc_id ELSE '' END AS text " +
+      "FROM documents"
+
   /** Decontamination needs benchmark/training overlap the word-soup
     * corpus barely has organically, so (like [[piiAug]]) d12 appends a
     * deterministic "benchmark probe" tail keyed by doc_id % 23: the tail
@@ -476,6 +505,11 @@ object SparkEntry {
     "t17_lang_mix" -> ((s, dir) => TrainingOps.langMix(docs(s, dir))),
     // one-row corpus vocabulary stats (tokens, vocab, hapax tail, top word)
     "t18_corpus_stats" -> ((s, dir) => TrainingOps.corpusStats(docs(s, dir))),
+    // CCNet-style per-host boilerplate-line removal over the boilerAug
+    // corpus: host-conditioned df thresholds (integer ppm), detection on
+    // line HASHES only, broadcast per-host sets, map-only strip
+    "t25_host_boilerplate" -> ((s, dir) =>
+      TrainingOps.hostBoilerplate(boilerAug(docs(s, dir)))),
     // HyperLogLog distinct-shingle sketch per lang + max-merged '*' row:
     // the cardinality companion of the t21 CMS — integer registers,
     // exact-integer harmonic sum, ONE final IEEE division (no ln/pow)
@@ -1739,6 +1773,25 @@ object SparkEntry {
           "SELECT lang, CAST(256 - present AS INT) AS empty_buckets, harmonic_denom, " +
           s"CAST(floor(${TrainingOps.hllAlphaNum(8)} / CAST(harmonic_denom AS DOUBLE)) AS BIGINT) " +
           "AS est_distinct FROM dn"),
+      // host-boilerplate oracle: same per-doc-distinct line hashes, same
+      // integer-ppm threshold, same per-host list re-checked by a
+      // list_filter lambda — the strip result compares by md5 (t23 rule)
+      "t25_host_boilerplate" ->
+        (s"WITH ba AS ($boilerAugSql), " +
+          "dl AS (SELECT DISTINCT doc_id, source, line FROM " +
+          "(SELECT doc_id, source, unnest(string_split(text, chr(10))) AS line FROM ba)), " +
+          "df AS (SELECT source, ('0x' || substr(md5(line), 1, 15))::BIGINT AS h, " +
+          "count(*) AS df FROM dl GROUP BY 1, 2), " +
+          "sn AS (SELECT source, count(*) AS n FROM ba GROUP BY 1), " +
+          "bp AS (SELECT df.source, list(h ORDER BY h) AS bph FROM df JOIN sn USING (source) " +
+          "WHERE df >= 2 AND df * 1000000 >= 300000 * n GROUP BY 1), " +
+          "cl AS (SELECT b.doc_id, string_split(b.text, chr(10)) AS ls, " +
+          "list_filter(string_split(b.text, chr(10)), x -> " +
+          "NOT coalesce(list_contains(bp.bph, ('0x' || substr(md5(x), 1, 15))::BIGINT), FALSE)) AS cls " +
+          "FROM ba b LEFT JOIN bp ON bp.source = b.source) " +
+          "SELECT doc_id, CAST(len(ls) AS INT) AS n_lines, " +
+          "CAST(len(ls) - len(cls) AS INT) AS n_removed, " +
+          "md5(array_to_string(cls, chr(10))) AS clean_md5 FROM cl"),
       // BPE-merge oracle: the same 4 iterations unrolled as a CTE chain —
       // same word table, same '(x)(y)' wrapped-symbol encoding, same
       // literal-replace merge application (left-to-right non-overlapping

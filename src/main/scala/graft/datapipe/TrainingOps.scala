@@ -1656,6 +1656,51 @@ object TrainingOps {
           .cast("long").as("est_distinct"))
   }
 
+  /** CCNet-style per-host boilerplate-line removal — the host-CONDITIONED
+    * cleanup the global [[paragraphDedup]] can't express: a line that
+    * appears on ≥ `ratioPpm` of a host's documents (and on ≥ `minDocs` of
+    * them) is that host's template chrome (nav, subscribe banners,
+    * copyright footers) and is stripped from every document of the host,
+    * while the same string on a DIFFERENT host — below ITS threshold —
+    * survives. Thresholds are integer ppm (`df·10^6 ≥ ratioPpm·n_docs`),
+    * the repo's transcendental-free rule.
+    *
+    * Scale shape: detection explodes per-doc DISTINCT line HASHES —
+    * (source, 8-byte h) rows, line text never shuffles — map-side
+    * combined into per-(host, line) document frequencies; the per-host
+    * boilerplate set is tiny (bounded by the host's template diversity,
+    * not its page count) and joins back BROADCAST, so the strip pass is
+    * map-only: a codegen'd `filter` lambda re-hashing each line against
+    * the host's array. At open-web host cardinality the broadcast swaps
+    * for a source-bucketed co-located join (the pinned zero-exchange
+    * pattern). Output is the t23 hash-compare convention (md5 of the
+    * cleaned text, not megabyte rows).
+    */
+  def hostBoilerplate(docs: DataFrame, minDocs: Int = 2,
+                      ratioPpm: Long = 300000L): DataFrame = {
+    require(minDocs >= 1, "minDocs must be >= 1")
+    require(ratioPpm >= 0 && ratioPpm <= 1000000L, "ratioPpm must be in [0, 1e6]")
+    val lines = split(col("text"), "\n")
+    val df = docs
+      .select(col("source"), explode(array_distinct(lines)).as("line"))
+      .select(col("source"), h60(col("line")).as("h"))
+      .groupBy("source", "h").agg(count(lit(1)).as("df"))
+    val sn = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val bp = df.join(sn, "source")
+      .filter(col("df") >= minDocs &&
+        col("df") * lit(1000000L) >= lit(ratioPpm) * col("n_docs"))
+      .groupBy("source").agg(sort_array(collect_set(col("h"))).as("bph"))
+    docs.join(broadcast(bp), Seq("source"), "left")
+      .select(col("doc_id"), lines.as("ls"), col("bph"))
+      .select(col("doc_id"), col("ls"),
+        filter(col("ls"), l =>
+          !coalesce(array_contains(col("bph"), h60(l)), lit(false))).as("cls"))
+      .select(col("doc_id"),
+        size(col("ls")).cast("int").as("n_lines"),
+        (size(col("ls")) - size(col("cls"))).cast("int").as("n_removed"),
+        md5(array_join(col("cls"), "\n")).as("clean_md5"))
+  }
+
   /** Corpus text normalization — the ftfy-class cleanup stage every
     * pipeline runs before analysis (the kernel's Canonicalizer owns NFC
     * for OUR extractions; this is the corpus-level scrub applied to

@@ -866,6 +866,33 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rep == out)
   }
 
+  test("host boilerplate: host-conditioned threshold, per-doc-distinct df, unique lines survive") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "a1 body\nFOOTER", "A"), (2L, "a2 body\nFOOTER", "A"),
+      (3L, "a3 body\nRARE", "A"), (4L, "a4 body", "A"),
+      (11L, "FOOTER", "A"), // all-boilerplate doc: strips to empty
+      // same FOOTER string on host B sits at 1/4 = 25% < 30%: SURVIVES
+      (5L, "b1 body\nFOOTER", "B"), (6L, "b2 body", "B"),
+      (7L, "b3 body", "B"), (8L, "b4 body", "B"),
+      // X twice in ONE doc: per-doc-distinct df = 1, must survive
+      (9L, "X\nX\nc1 body", "C"), (10L, "c2 body", "C"),
+    ).toDF("doc_id", "text", "source")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TrainingOps.hostBoilerplate(d).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    val out = run(docs)
+    // host A: FOOTER df=3/5 (60%) -> stripped; RARE df=1 -> kept
+    assert(out(1L) == ((2, 1, md5hex("a1 body"))))
+    assert(out(3L) == ((2, 0, md5hex("a3 body\nRARE"))))
+    assert(out(11L) == ((1, 1, md5hex(""))))
+    // host B: the SAME string below B's threshold survives
+    assert(out(5L) == ((2, 0, md5hex("b1 body\nFOOTER"))))
+    // within-doc repetition does not inflate df
+    assert(out(9L) == ((3, 0, md5hex("X\nX\nc1 body"))))
+    assert(run(docs.repartition(7)) == out)
+  }
+
   test("unigram familiarity: OOV accounting and common-vs-rare ordering") {
     val sp = spark; import sp.implicits._
     // "the" x6, "cat" x3, "runs" x2, singletons: vocabSize=3 keeps {the, cat, runs}

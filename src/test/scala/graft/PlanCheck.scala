@@ -180,6 +180,9 @@ object PlanCheck {
     println("==== 42. e31 bloom seen: probe is a literal-array map-only test (the audit join is the only exchange) ====")
     SparkEntry.queries("e31_bloom_seen")(spark, sf).explain("formatted")
 
+    println("==== 43. t25 host boilerplate: detection shuffles (source, 8-byte h) only; strip joins BROADCAST ====")
+    SparkEntry.queries("t25_host_boilerplate")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
