@@ -774,6 +774,28 @@ object SparkEntry {
       graft.datapipe.GraphOps.bloomSeen(
         edges.select("to_url").union(rediscovered), crawled)
     }),
+    // SEO-level URL canonicalization over a synthetic fetch log (the
+    // aug pattern — urls decorated with www prefixes, fragments,
+    // tracking params, permuted param order): map-only fold chain whose
+    // canonical key then feeds exact dedup / the bloom seen-set
+    "e32_url_canonical" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val host = when(col("doc_id") % 10 < 3, lit("big.example.com"))
+        .otherwise(concat(lit("h"), col("doc_id") % 97, lit(".example.com")))
+      val raw = concat(
+        lit("https://"),
+        when(col("doc_id") % 6 === 2, lit("www.")).otherwise(lit("")),
+        host, lit("/page/"), col("doc_id") % 50,
+        when(col("doc_id") % 3 === 0,
+          concat(lit("?utm_source=news&utm_campaign=c"), col("doc_id") % 7))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("?b="), col("doc_id") % 5, lit("&utm_medium=email&a=1")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 1, concat(lit("#sec"), col("doc_id") % 3))
+          .otherwise(lit("")))
+      graft.datapipe.GraphOps.canonicalizeUrls(
+        d.select(col("doc_id"), raw.as("url")))
+    }),
     // recrawl/snapshot delta: two deterministic snapshot views of the
     // corpus (old misses doc_id%7==3 -> 'new'; new misses %7==5 ->
     // 'gone'; %4==1 texts get an edit -> 'changed'; rest 'unchanged')
@@ -1151,6 +1173,29 @@ object SparkEntry {
         "CASE WHEN truly_crawled AND bloom_hit THEN 'seen' " +
         "WHEN bloom_hit THEN 'false_positive' " +
         "WHEN NOT truly_crawled THEN 'unseen' ELSE 'false_negative' END AS verdict FROM tc"),
+      // url-canonicalization oracle: identical aug, identical fold chain
+      // (fragment -> www -> split -> drop tracking/empty -> sort ->
+      // reassemble); starts_with (NOT LIKE — '_' is a LIKE wildcard)
+      "e32_url_canonical" ->
+        ("WITH raw AS (SELECT doc_id, 'https://' || " +
+          "CASE WHEN doc_id % 6 = 2 THEN 'www.' ELSE '' END || " +
+          "CASE WHEN doc_id % 10 < 3 THEN 'big.example.com' ELSE 'h' || (doc_id % 97) || '.example.com' END || " +
+          "'/page/' || (doc_id % 50) || " +
+          "CASE WHEN doc_id % 3 = 0 THEN '?utm_source=news&utm_campaign=c' || (doc_id % 7) " +
+          "WHEN doc_id % 3 = 1 THEN '?b=' || (doc_id % 5) || '&utm_medium=email&a=1' ELSE '' END || " +
+          "CASE WHEN doc_id % 4 = 1 THEN '#sec' || (doc_id % 3) ELSE '' END AS url FROM documents), " +
+          "f1 AS (SELECT doc_id, url, " +
+          "regexp_replace(regexp_replace(url, '#.*$', ''), '^(https?://)www\\.', '\\1') AS fd FROM raw), " +
+          "f2 AS (SELECT doc_id, url, regexp_extract(fd, '^[^?]*') AS base, " +
+          "regexp_extract(fd, '\\?(.*)$', 1) AS q FROM f1), " +
+          "f3 AS (SELECT doc_id, url, base, list_filter(string_split(q, '&'), p -> p <> '') AS rawp FROM f2), " +
+          "f4 AS (SELECT doc_id, url, base, rawp, list_sort(list_filter(rawp, p -> NOT (" +
+          "starts_with(p, 'utm_') OR starts_with(p, 'gclid=') OR starts_with(p, 'fbclid=') OR " +
+          "starts_with(p, 'ref=') OR starts_with(p, 'sessionid=')))) AS kept FROM f3), " +
+          "f5 AS (SELECT doc_id, url, rawp, kept, base || " +
+          "CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END AS canonical_url FROM f4) " +
+          "SELECT doc_id, url, canonical_url, CAST(len(rawp) AS INT) AS n_params_raw, " +
+          "CAST(len(kept) AS INT) AS n_params_kept, canonical_url <> url AS changed FROM f5"),
       // doc-metadata oracle: titles and h1s are template literals per
       // family (HtmlGen render/renderB/renderC; B/C have no h1)
       "e27_doc_metadata" ->

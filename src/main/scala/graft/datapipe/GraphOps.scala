@@ -199,6 +199,42 @@ object GraphOps {
         ((col("rk") - 1).cast("long") * delayMs).as("fetch_offset_ms"))
   }
 
+  /** SEO-level URL canonicalization — the crawl-dedup normalization that
+    * sits ABOVE [[graft.core.Urls]]'s RFC 3986 layer (scheme/host case,
+    * ports, dot segments): the same page hides behind `www.` prefixes,
+    * fragments, tracking parameters (utm_*, gclid, fbclid, ref,
+    * sessionid) and permuted query-param order, and a crawler that keys
+    * its seen-set / dedup on the raw string fetches it once per variant.
+    * Fold order (fixed, documented): strip fragment → fold `www.` →
+    * split query → drop tracking + empty params → SORT survivors →
+    * reassemble (empty query drops its `?`).
+    *
+    * Scale shape: entirely MAP-ONLY codegen'd string/array built-ins —
+    * zero shuffle; the collapse it enables is then an exact-dedup
+    * groupBy on `canonical_url` (d1's shape) or the W11 bloom keyed on
+    * the canonical form. Expects (doc_id, url) with absolute http(s)
+    * urls ([[graft.core.Urls.resolve]] output or a fetch log); non-url
+    * strings pass through unchanged (no regexp matches ⇒ identity).
+    */
+  def canonicalizeUrls(urls: DataFrame): DataFrame = {
+    val noFrag = regexp_replace(col("url"), "#.*$", "")
+    val folded = regexp_replace(noFrag, "^(https?://)www\\.", "$1")
+    val base = regexp_extract(folded, "^[^?]*", 0)
+    val query = regexp_extract(folded, "\\?(.*)$", 1)
+    val rawParams = filter(split(query, "&"), p => p =!= "")
+    val tracking = Seq("utm_", "gclid=", "fbclid=", "ref=", "sessionid=")
+    val kept = sort_array(filter(rawParams,
+      p => !tracking.map(t => p.startsWith(t)).reduce(_ || _)))
+    val canon = concat(base,
+      when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+        .otherwise(lit("")))
+    urls.select(col("doc_id"), col("url"),
+      canon.as("canonical_url"),
+      size(rawParams).cast("int").as("n_params_raw"),
+      size(kept).cast("int").as("n_params_kept"),
+      (canon =!= col("url")).as("changed"))
+  }
+
   /** Broadcast Bloom-filter "seen" test over crawl candidates — the
     * classic frontier-at-scale structure: a fetcher fleet must answer
     * "have we crawled this url?" for every discovered link, and at

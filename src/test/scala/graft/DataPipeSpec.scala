@@ -893,6 +893,28 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(docs.repartition(7)) == out)
   }
 
+  test("url canonicalization: www fold, fragment strip, tracking drop, param sort, variants collapse") {
+    val sp = spark; import sp.implicits._
+    val urls = Seq(
+      (1L, "https://www.a.com/p?utm_source=x&b=2&a=1#frag"),
+      (2L, "https://a.com/p?a=1&b=2&gclid=zz"), // permuted params, other tracker
+      (3L, "https://a.com/p?a=1&b=2"),          // already canonical
+      (4L, "https://a.com/p?utm_medium=m"),     // all params tracked: '?' drops
+      (5L, "https://a.com/refuge?refresh=1"),   // ref= must not match ref-prefixed WORDS? (it may: 'ref=' only)
+      (6L, "not a url at all"),                 // passthrough
+    ).toDF("doc_id", "url")
+    val out = graft.datapipe.GraphOps.canonicalizeUrls(urls).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getInt(3), r.getInt(4), r.getBoolean(5)))).toMap
+    // three different raw variants collapse to ONE canonical key
+    assert(out(1L) == (("https://a.com/p?a=1&b=2", 3, 2, true)))
+    assert(out(2L) == (("https://a.com/p?a=1&b=2", 3, 2, true)))
+    assert(out(3L) == (("https://a.com/p?a=1&b=2", 2, 2, false)))
+    assert(out(4L) == (("https://a.com/p", 1, 0, true)))
+    // 'refresh=1' does NOT start with 'ref=' — kept
+    assert(out(5L) == (("https://a.com/refuge?refresh=1", 1, 1, false)))
+    assert(out(6L) == (("not a url at all", 0, 0, false)))
+  }
+
   test("unigram familiarity: OOV accounting and common-vs-rare ordering") {
     val sp = spark; import sp.implicits._
     // "the" x6, "cat" x3, "runs" x2, singletons: vocabSize=3 keeps {the, cat, runs}

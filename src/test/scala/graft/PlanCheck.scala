@@ -183,6 +183,9 @@ object PlanCheck {
     println("==== 43. t25 host boilerplate: detection shuffles (source, 8-byte h) only; strip joins BROADCAST ====")
     SparkEntry.queries("t25_host_boilerplate")(spark, sf).explain("formatted")
 
+    println("==== 44. e32 url canonicalization: pure map-only project, zero exchange ====")
+    SparkEntry.queries("e32_url_canonical")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
