@@ -439,6 +439,9 @@ object SparkEntry {
     // product-quantization encode: 4 sub-space codes + quantization error,
     // map-only with driver-inlined codebooks (the d9 centroid family)
     "d16_pq_codes" -> ((s, dir) => TrainingOps.pqCodes(embs(s, dir))),
+    // Johnson-Lindenstrauss random projection (Rademacher sign planes):
+    // the 4th ANN leg — map-only, planes inlined, long-format output
+    "d19_rp_project" -> ((s, dir) => TrainingOps.rpProject(embs(s, dir))),
     // ADC search over the PQ code table: probes broadcast, distance =
     // per-subspace codebook-centroid lookup + fold (codes read, never
     // raw candidate floats)
@@ -1558,6 +1561,15 @@ object SparkEntry {
           "coalesce(pd.n_dup, 0) AS n_dup, " +
           "CASE WHEN len(b.w) >= 8 THEN (1000000 * coalesce(pd.n_dup, 0)) // (len(b.w) - 7) ELSE CAST(0 AS BIGINT) END AS dup_ppm " +
           "FROM b LEFT JOIN pd USING (doc_id)"),
+      // JL random-projection oracle: identical md5 sign planes (the h01
+      // convention), identical left-fold dot, round(,6), long format
+      "d19_rp_project" ->
+        ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) " +
+          "SELECT vec_id, CAST(j AS INT) AS dim_idx, " +
+          "round(list_sum(list_transform(range(len(v)), i -> " +
+          "(CASE WHEN (('0x' || substr(md5('rp:' || j || ':' || i), 1, 15))::BIGINT / pow(2,59) - 1.0) >= 0 " +
+          "THEN 1.0 ELSE -1.0 END) * v[i+1])), 6) AS val " +
+          "FROM e CROSS JOIN range(16) t(j)"),
       "d6_ann_lsh_buckets" ->
         ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) " +
           "SELECT vec_id, CAST(list_sum(list_transform(range(16), j -> " +

@@ -621,6 +621,53 @@ object TrainingOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** Random-projection (Johnson–Lindenstrauss) dimensionality reduction
+    * — the fourth leg of the ANN family beside hyperplane-LSH buckets
+    * (d6), IVF cells (d9) and PQ codes (d16): project each embedding
+    * onto `outDim` Rademacher ±1 planes (Achlioptas 2003 — sign-only
+    * entries, so a deployment does adds/subtracts, no multiplies).
+    * JL guarantees pairwise distances/cosines survive within
+    * ~1/sqrt(outDim); downstream brute-force or IVF search then reads
+    * dim/outDim× less vector data — the memory-bandwidth lever that
+    * matters when the index IS the working set at 10^12 vectors. The
+    * 1/sqrt(outDim) normalization is deliberately omitted (a global
+    * scale factor — cosine/nearest-neighbor order is scale-invariant,
+    * and sqrt is not oracle-stable); signs come from the shared [[h01]]
+    * md5 convention so the oracle regenerates identical planes in SQL.
+    *
+    * Scale shape: planes are driver-precomputed and inlined (broadcast
+    * pattern), the projection is MAP-ONLY left-fold arithmetic (the
+    * shared aggregate/zip_with == list_sum/list_transform contract,
+    * round(,6)), zero shuffle; output is long-format (vec_id, dim_idx,
+    * val) — array-free, so the driver compare is engine-neutral.
+    */
+  def rpProject(emb: DataFrame, outDim: Int = 16,
+                dimOpt: Option[Int] = None): DataFrame = {
+    require(outDim >= 1, "outDim must be >= 1")
+    val e = emb.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val dim = dimOpt.getOrElse {
+      val h = e.select(size(col("v"))).head(1)
+      if (h.isEmpty) 1 else math.max(1, h(0).getInt(0))
+    }
+    val planes: Seq[Seq[Double]] = (0 until outDim).map { j =>
+      (0 until dim).map(i => if (h01(s"rp:$j:$i") >= 0) 1.0 else -1.0)
+    }
+    val proj = expr(
+      s"""transform(sequence(0, ${outDim - 1}), j ->
+         |  round(aggregate(zip_with(element_at(planes, j + 1), v, (p, x) -> p * x),
+         |                  cast(0 as double), (d, x) -> d + x), 6))""".stripMargin)
+    e.withColumn("planes", typedLit(planes))
+      .select(col("vec_id"),
+        when(size(col("v")) === dim, proj)
+          .otherwise(raise_error(concat(
+            lit(s"rpProject: embedding dimension mismatch (planes=$dim, got "),
+            size(col("v")), lit(")")))).as("proj"))
+      .select(col("vec_id"), posexplode(col("proj")))
+      .select(col("vec_id"), col("pos").cast("int").as("dim_idx"),
+        col("col").as("val"))
+  }
+
   /** md5-derived value in [-1, 1) — the deterministic stand-in for a
     * trained parameter, shared by the PQ codebooks (same family as the
     * d6 planes / d9 centroids).

@@ -915,6 +915,36 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(6L) == (("not a url at all", 0, 0, false)))
   }
 
+  test("rp project: linear map, deterministic, JL cosine preservation on real embeddings") {
+    val sp = spark; import sp.implicits._
+    val e = embs.limit(40).cache()
+    val proj = TrainingOps.rpProject(e).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)) }
+    val orig = e.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map(p => p._1 * p._2).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    // linearity: proj(2v) == 2*proj(v) (up to the round(,6) on each side)
+    val doubled = TrainingOps.rpProject(
+      e.select(col("vec_id"), transform(col("embedding"), x => x * 2).as("embedding")))
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)) }
+    for (id <- proj.keys)
+      proj(id).zip(doubled(id)).foreach { case (v, v2) =>
+        assert(math.abs(v2 - 2 * v) < 1e-4, s"linearity broke at $id") }
+    // JL: projected cosine tracks the original within ~1/sqrt(16)
+    val ids = orig.keys.toSeq.sorted
+    val errs = ids.sliding(2).collect { case Seq(a, b) =>
+      math.abs(cos(orig(a), orig(b)) - cos(proj(a), proj(b))) }.toSeq
+    val meanErr = errs.sum / errs.size
+    assert(meanErr < 0.25, s"mean cosine error $meanErr")
+    e.unpersist()
+  }
+
   test("unigram familiarity: OOV accounting and common-vs-rare ordering") {
     val sp = spark; import sp.implicits._
     // "the" x6, "cat" x3, "runs" x2, singletons: vocabSize=3 keeps {the, cat, runs}
