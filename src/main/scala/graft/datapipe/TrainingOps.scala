@@ -1687,7 +1687,12 @@ object TrainingOps {
       .select(col("lang"), col("bucket"),
         when(col("rem") === 0, lit(rankBits + 1))
           .otherwise(lit(rankBits + 1) - length(bin(col("rem")))).as("rho"))
+    // branch point (the p1/p2 persist convention): the per-lang register
+    // table feeds BOTH union branches — without the persist the whole
+    // corpus-sized shingle+hash pass runs twice (pinned by PlanCheck #41).
+    // The table is tiny: ≤ m rows per lang.
     val rg = reg.groupBy("lang", "bucket").agg(max("rho").as("r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merged = rg.groupBy("bucket").agg(max("r").as("r"))
       .select(lit("*").as("lang"), col("bucket"), col("r"))
     rg.select("lang", "bucket", "r").unionByName(merged)
