@@ -842,6 +842,29 @@ object SparkEntry {
     }),
     "m1_binary_features" -> ((s, dir) => TrainingOps.binaryFeatures(s, docs(s, dir))),
     "m2_frame_sample" -> ((s, dir) => TrainingOps.frameSample(s, docs(s, dir))),
+    // WARC record splitting over synthesized segment blobs: 16 segments,
+    // records concatenated in doc_id order, parsed back imperatively by
+    // Content-Length — the oracle derives offsets ARITHMETICALLY (header
+    // bytes + payload bytes + terminator, cumulative per segment), so
+    // the byte-walking parser is checked against independent arithmetic
+    "m3_warc_records" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val url = concat(lit("https://"),
+        when(col("doc_id") % 10 < 3, lit("big.example.com"))
+          .otherwise(concat(lit("h"), col("doc_id") % 97, lit(".example.com"))),
+        lit("/doc/"), col("doc_id"))
+      val rec = concat(
+        lit("WARC/1.0\r\nWARC-Target-URI: "), url,
+        lit("\r\nContent-Length: "), octet_length(col("text")),
+        lit("\r\n\r\n"), col("text"), lit("\r\n\r\n"))
+      val segs = d
+        .select((col("doc_id") % 16).as("segment_id"),
+          struct(col("doc_id"), rec.as("rec")).as("sr"))
+        .groupBy("segment_id")
+        .agg(encode(array_join(transform(sort_array(collect_list(col("sr"))),
+          x => x.getField("rec")), ""), "UTF-8").as("warc"))
+      TrainingOps.warcRecords(s, segs)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1724,6 +1747,25 @@ object SparkEntry {
           "SELECT doc_id, CAST(f AS INT) AS frame_idx, " +
           "md5(substr(text, CAST(f*512+1 AS INT), 256)) AS frame_md5, " +
           "CAST(length(substr(text, CAST(f*512+1 AS INT), 256)) AS INT) AS frame_chars FROM x"),
+      // WARC oracle: record offsets derived ARITHMETICALLY (header bytes
+      // + Content-Length + 4-byte terminator, cumulative in doc_id order
+      // per segment) — the parser walks bytes, the oracle never does, so
+      // a MATCH means the byte-walk and the arithmetic independently agree
+      "m3_warc_records" ->
+        ("WITH d AS (SELECT doc_id, doc_id % 16 AS segment_id, " +
+          "'https://' || CASE WHEN doc_id % 10 < 3 THEN 'big.example.com' " +
+          "ELSE 'h' || (doc_id % 97) || '.example.com' END || '/doc/' || doc_id AS url, " +
+          "text FROM documents), " +
+          "r AS (SELECT *, 'WARC/1.0' || chr(13) || chr(10) || 'WARC-Target-URI: ' || url || " +
+          "chr(13) || chr(10) || 'Content-Length: ' || strlen(text) || " +
+          "chr(13) || chr(10) || chr(13) || chr(10) AS header FROM d), " +
+          "l AS (SELECT segment_id, doc_id, url, strlen(text) AS cl, md5(text) AS pm, " +
+          "strlen(header) + strlen(text) + 4 AS rlen FROM r), " +
+          "o AS (SELECT segment_id, doc_id, url, cl, pm, " +
+          "coalesce(sum(rlen) OVER (PARTITION BY segment_id ORDER BY doc_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rec_offset FROM l) " +
+          "SELECT segment_id, CAST(rec_offset AS BIGINT) AS rec_offset, url AS target_uri, " +
+          "CAST(cl AS INT) AS content_length, pm AS payload_md5, 'ok' AS status FROM o"),
       "m1_binary_features" ->
         ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS content_md5, " +
           "CASE WHEN octet_length(encode(text)) = 0 THEN 'empty' " +

@@ -945,6 +945,43 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     e.unpersist()
   }
 
+  test("warc records: Content-Length walk (magic inside payload), byte offsets, multibyte, truncation, malformed") {
+    val sp = spark; import sp.implicits._
+    def md5b(b: Array[Byte]): String = java.security.MessageDigest
+      .getInstance("MD5").digest(b).map("%02x".format(_)).mkString
+    def rec(uri: String, payload: Array[Byte]): Array[Byte] =
+      s"WARC/1.0\r\nWARC-Target-URI: $uri\r\nContent-Length: ${payload.length}\r\n\r\n"
+        .getBytes("UTF-8") ++ payload ++ "\r\n\r\n".getBytes("UTF-8")
+    val p1 = "WARC/1.0\r\nWARC-Target-URI: fake\r\n\r\ninner".getBytes("UTF-8")
+    val p2 = "héllo wörld".getBytes("UTF-8") // 13 bytes, 11 chars
+    val good = rec("https://a/1", p1) ++ rec("https://a/2", p2) ++
+      rec("https://a/3", Array.emptyByteArray)
+    val trunc = rec("https://b/1", p2) ++
+      "WARC/1.0\r\nWARC-Target-URI: https://b/2\r\nContent-Length: 99\r\n\r\nshort"
+        .getBytes("UTF-8")
+    val mal = rec("https://c/1", Array.emptyByteArray) ++
+      "GARBAGE\r\nno: headers\r\n\r\nrest".getBytes("UTF-8")
+    val segs = Seq((1L, good), (2L, trunc), (3L, mal)).toDF("segment_id", "warc")
+    val out = TrainingOps.warcRecords(sp, segs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((Option(r.getString(2)), r.getInt(3), Option(r.getString(4)), r.getString(5))))
+      .toMap
+    val o1 = rec("https://a/1", p1).length.toLong
+    val o2 = o1 + rec("https://a/2", p2).length
+    // the embedded "WARC/1.0" inside p1 must NOT split the record
+    assert(out.keys.count(_._1 == 1L) == 3)
+    assert(out((1L, 0L)) == ((Some("https://a/1"), p1.length, Some(md5b(p1)), "ok")))
+    assert(out((1L, o1)) == ((Some("https://a/2"), 13, Some(md5b(p2)), "ok")))
+    assert(out((1L, o2)) == ((Some("https://a/3"), 0,
+      Some(md5b(Array.emptyByteArray)), "ok")))
+    // declared length overruns the segment: truncated, digest withheld
+    assert(out((2L, rec("https://b/1", p2).length.toLong)) ==
+      ((Some("https://b/2"), 99, None, "truncated")))
+    // unparseable header: malformed, segment halts (boundary unknowable)
+    assert(out((3L, rec("https://c/1", Array.emptyByteArray).length.toLong)) ==
+      ((None, 0, None, "malformed")))
+  }
+
   test("unigram familiarity: OOV accounting and common-vs-rare ordering") {
     val sp = spark; import sp.implicits._
     // "the" x6, "cat" x3, "runs" x2, singletons: vocabSize=3 keeps {the, cat, runs}

@@ -186,6 +186,9 @@ object PlanCheck {
     println("==== 44. e32 url canonicalization: pure map-only project, zero exchange ====")
     SparkEntry.queries("e32_url_canonical")(spark, sf).explain("formatted")
 
+    println("==== 45. m3 warc records: segment-parallel byte walk, map-only after the segment build ====")
+    SparkEntry.queries("m3_warc_records")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
