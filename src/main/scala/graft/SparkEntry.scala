@@ -799,6 +799,24 @@ object SparkEntry {
       graft.datapipe.GraphOps.canonicalizeUrls(
         d.select(col("doc_id"), raw.as("url")))
     }),
+    // the host curation table (the crawl-side p4): rank + anchor profile
+    // + crawled-page volume full-outer-composed per host; ONE kernel
+    // link-parse persisted at the branch feeds all three signal trees
+    "p6_host_table" -> ((s, dir) => {
+      import s.implicits._
+      val links = pagesOf(s, onlyKind(docs(s, dir), "html"))
+        .map(p => (p.url, graft.core.Links.outlinks(p.html)
+          .filter(_.href.startsWith("https://")).map(l => (l.href, l.anchor))))
+        .toDF("url", "links").dropDuplicates("url")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hostOf = (c: org.apache.spark.sql.Column) =>
+        regexp_extract(c, "https://([^/]+)/", 1)
+      val hostEdges = links
+        .select(hostOf(col("url")).as("src"), explode(col("links")).as("l"))
+        .select(col("src"), hostOf(col("l._1")).as("dst"), col("l._2").as("anchor"))
+      graft.datapipe.GraphOps.hostTable(hostEdges,
+        links.select(hostOf(col("url")).as("host")))
+    }),
     // recrawl/snapshot delta: two deterministic snapshot views of the
     // corpus (old misses doc_id%7==3 -> 'new'; new misses %7==5 ->
     // 'gone'; %4==1 texts get an edit -> 'changed'; rest 'unchanged')
@@ -1052,6 +1070,30 @@ object SparkEntry {
       "e23_host_rank" ->
         (s"WITH ${hostRankCtes(htmlKinds)} " +
           "SELECT h AS host, CAST(r AS BIGINT) AS rank FROM r3"),
+      // host-table oracle: the e23 unrolled rank iterations, the e24
+      // anchor resolution (window form, a-prefixed CTEs — hostRankCtes
+      // owns f/e0), page volume per host, FULL OUTER + LEFT composed
+      "p6_host_table" -> {
+        val srcExpr = "CASE WHEN doc_id % 10 < 3 THEN 'big.example.com' " +
+          "ELSE 'h' || (doc_id % 97) || '.example.com' END"
+        s"WITH ${hostRankCtes(htmlKinds)}, " +
+          s"ae0 AS (SELECT $srcExpr AS src, 'h' || ((doc_id * 11 + i) % 97) || '.example.com' AS dst, " +
+          "'mirror ' || ((doc_id * 11 + i) % 97) AS anchor FROM f, range(4) t(i) " +
+          s"UNION ALL SELECT $srcExpr, 'big.example.com', 'hub site' FROM f WHERE doc_id % 2 = 0), " +
+          "apa AS (SELECT dst, anchor, count(*) AS cnt FROM ae0 GROUP BY 1, 2), " +
+          "atp AS (SELECT dst, anchor, cnt, row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, anchor) AS rn FROM apa), " +
+          "ast AS (SELECT dst, count(*) AS inlinks, count(DISTINCT src) AS src_hosts FROM ae0 GROUP BY 1), " +
+          "anch AS (SELECT ast.dst AS host, ast.inlinks, ast.src_hosts, atp.anchor AS top_anchor, atp.cnt AS tac " +
+          "FROM ast JOIN atp ON ast.dst = atp.dst AND atp.rn = 1), " +
+          s"pc AS (SELECT host, count(*) AS n_pages FROM (SELECT $srcExpr AS host FROM documents WHERE $htmlKinds) GROUP BY 1), " +
+          "base AS (SELECT coalesce(r3.h, pc.host) AS host, coalesce(r3.r, 0) AS rank, " +
+          "coalesce(pc.n_pages, 0) AS n_pages FROM r3 FULL OUTER JOIN pc ON r3.h = pc.host) " +
+          "SELECT base.host, CAST(base.rank AS BIGINT) AS rank, CAST(base.n_pages AS BIGINT) AS n_pages, " +
+          "CAST(coalesce(anch.inlinks, 0) AS BIGINT) AS inlinks, " +
+          "CAST(coalesce(anch.src_hosts, 0) AS BIGINT) AS src_hosts, anch.top_anchor, " +
+          "CAST(coalesce(anch.tac, 0) AS BIGINT) AS top_anchor_cnt " +
+          "FROM base LEFT JOIN anch ON anch.host = base.host"
+      },
       // composed web pipeline: per-page title + external-link count
       // (template formulas) joined to the SAME unrolled rank iterations
       "p2_web_pipeline" -> {

@@ -306,6 +306,39 @@ object GraphOps {
           .otherwise("false_negative").as("verdict"))
   }
 
+  /** The host curation table — one row per host with every host-level
+    * signal the library computes, the table a crawl ACTUALLY consults
+    * when it prioritizes hosts, weights documents, or blocks spam:
+    * link-authority rank ([[hostRank]]), inlink/anchor profile
+    * ([[anchorProfile]]), and crawled-page volume, full-outer-composed
+    * so a crawled-but-unlinked host appears (rank 0 — a true rank is
+    * always ≥ the damping base > 0, so 0 unambiguously means "not in
+    * the graph") and a linked-but-uncrawled host appears (n_pages 0 —
+    * exactly the rows a frontier scheduler wants most).
+    *
+    * Scale shape: `edges` persists at the branch point (it feeds the
+    * rank iterations AND the anchor profile); every aggregation is
+    * host-keyed on counter rows; the final joins key host-cardinality
+    * aggregates against each other (AQE broadcasts the small sides).
+    * `edges` = (src, dst, anchor) host-level; `pageHosts` = one `host`
+    * row per crawled page.
+    */
+  def hostTable(edges: DataFrame, pageHosts: DataFrame): DataFrame = {
+    val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rank = hostRank(e.select("src", "dst"))
+    val anchors = anchorProfile(e)
+    val pc = pageHosts.groupBy("host").agg(count(lit(1)).as("n_pages"))
+    rank.join(pc, Seq("host"), "full_outer")
+      .select(col("host"), coalesce(col("rank"), lit(0L)).as("rank"),
+        coalesce(col("n_pages"), lit(0L)).as("n_pages"))
+      .join(anchors, Seq("host"), "left")
+      .select(col("host"), col("rank"), col("n_pages"),
+        coalesce(col("inlinks"), lit(0L)).as("inlinks"),
+        coalesce(col("src_hosts"), lit(0L)).as("src_hosts"),
+        col("top_anchor"),
+        coalesce(col("top_anchor_cnt"), lit(0L)).as("top_anchor_cnt"))
+  }
+
   def crawlFrontier(edges: DataFrame, crawled: DataFrame): DataFrame = {
     val agg = edges.groupBy("to_url").agg(
       count(lit(1)).as("n_refs"),

@@ -982,6 +982,30 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
       ((None, 0, None, "malformed")))
   }
 
+  test("host table: crawled-unlinked gets rank 0, linked-uncrawled gets n_pages 0, anchor defaults") {
+    val sp = spark; import sp.implicits._
+    val edges = Seq(
+      ("a", "b", "to b"), ("a", "b", "to b"), ("c", "b", "b rocks"),
+      ("b", "d", "go d"), // d: linked but never crawled
+    ).toDF("src", "dst", "anchor")
+    val pages = Seq("a", "a", "b", "c", "lonely").toDF("host")
+    val out = graft.datapipe.GraphOps.hostTable(edges, pages).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), Option(r.getString(5)), r.getLong(6)))).toMap
+    assert(out.keySet == Set("a", "b", "c", "d", "lonely"))
+    // crawled but not in the link graph: rank EXACTLY 0 (base > 0 for nodes)
+    assert(out("lonely") == ((0L, 1L, 0L, 0L, None, 0L)))
+    // linked but never crawled: ranked, zero pages
+    assert(out("d")._1 > 0L && out("d")._2 == 0L)
+    assert(out("d")._3 == 1L && out("d")._5 == Some("go d"))
+    // b: 3 inlinks from 2 hosts, majority anchor
+    assert(out("b")._2 == 1L && out("b")._3 == 3L && out("b")._4 == 2L &&
+      out("b")._5 == Some("to b") && out("b")._6 == 2L)
+    // a: source-only node is still ranked (graph node), no inlinks
+    assert(out("a")._1 > 0L && out("a")._2 == 2L && out("a")._3 == 0L &&
+      out("a")._5 == None)
+  }
+
   test("unigram familiarity: OOV accounting and common-vs-rare ordering") {
     val sp = spark; import sp.implicits._
     // "the" x6, "cat" x3, "runs" x2, singletons: vocabSize=3 keeps {the, cat, runs}

@@ -189,6 +189,9 @@ object PlanCheck {
     println("==== 45. m3 warc records: segment-parallel byte walk, map-only after the segment build ====")
     SparkEntry.queries("m3_warc_records")(spark, sf).explain("formatted")
 
+    println("==== 46. p6 host table: ONE kernel parse persisted; host-keyed aggregate joins ====")
+    SparkEntry.queries("p6_host_table")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
