@@ -130,6 +130,30 @@ object SparkEntry {
       "CASE WHEN doc_id % 17 = 1 THEN chr(10) || 'Ref code ' || doc_id ELSE '' END AS text " +
       "FROM documents"
 
+  /** t27's repetition augmentation (the piiAug pattern): the word-soup
+    * corpus has no organic intra-doc window repeats, so docs with
+    * doc_id % 4 == 0 get an 8-word block repeated 4 times (32 words)
+    * appended — because the repeat unit length EQUALS the window size,
+    * consecutive full windows inside the span are identical ROTATIONS of
+    * the block regardless of how the append aligns to /8 boundaries, so
+    * every decorated doc is guaranteed dedupable windows; undecorated
+    * docs pass through with n_kept == n_windows.
+    */
+  private def repAug(d: DataFrame): DataFrame =
+    d.filter(length(col("text")) >= 1) // pre-aug, like the oracle CTE: an
+      // empty doc must not become non-empty by decoration
+      .select(col("doc_id"), concat(col("text"),
+      when(col("doc_id") % 4 === 0, concat(lit(" "),
+        array_join(transform(sequence(lit(0), lit(31)),
+          i => concat(lit("rp"), col("doc_id") % 5, lit("w"), i % 8)), " ")))
+        .otherwise(lit(""))).as("text"))
+
+  /** DuckDB twin of [[repAug]], shared by the t27 oracle. */
+  private val repAugSql: String =
+    "SELECT doc_id, text || CASE WHEN doc_id % 4 = 0 THEN ' ' || " +
+      "array_to_string(list_transform(range(32), i -> 'rp' || (doc_id % 5) || 'w' || (i % 8)), ' ') " +
+      "ELSE '' END AS text FROM documents WHERE length(text) >= 1"
+
   /** Decontamination needs benchmark/training overlap the word-soup
     * corpus barely has organically, so (like [[piiAug]]) d12 appends a
     * deterministic "benchmark probe" tail keyed by doc_id % 23: the tail
@@ -508,6 +532,13 @@ object SparkEntry {
     "t17_lang_mix" -> ((s, dir) => TrainingOps.langMix(docs(s, dir))),
     // one-row corpus vocabulary stats (tokens, vocab, hapax tail, top word)
     "t18_corpus_stats" -> ((s, dir) => TrainingOps.corpusStats(docs(s, dir))),
+    // group-aware train/val/test split: keyed on the HOST hash so
+    // same-host near-dups can never straddle splits (leakage-freedom is
+    // structural); integer-ppm fractions, map-only
+    "t26_split" -> ((s, dir) => TrainingOps.splitByGroup(docs(s, dir))),
+    // intra-doc repeated-window removal over the repAug corpus: first
+    // occurrence per /8 window kept, map-only indexed filter lambda
+    "t27_self_dedup" -> ((s, dir) => TrainingOps.selfDedup(repAug(docs(s, dir)))),
     // CCNet-style per-host boilerplate-line removal over the boilerAug
     // corpus: host-conditioned df thresholds (integer ppm), detection on
     // line HASHES only, broadcast per-host sets, map-only strip
@@ -1914,6 +1945,23 @@ object SparkEntry {
           "SELECT lang, CAST(256 - present AS INT) AS empty_buckets, harmonic_denom, " +
           s"CAST(floor(${TrainingOps.hllAlphaNum(8)} / CAST(harmonic_denom AS DOUBLE)) AS BIGINT) " +
           "AS est_distinct FROM dn"),
+      // group-split oracle: the same h60 group hash mod 1e6, same CASE
+      // ladder — per-source assignment, stable under corpus growth
+      "t26_split" ->
+        ("SELECT doc_id, source, " +
+          "CASE WHEN ('0x' || substr(md5('sp:' || source), 1, 15))::BIGINT % 1000000 < 100000 THEN 'test' " +
+          "WHEN ('0x' || substr(md5('sp:' || source), 1, 15))::BIGINT % 1000000 < 200000 THEN 'val' " +
+          "ELSE 'train' END AS split FROM documents"),
+      // self-dedup oracle: the d11 window CTE over the repAug corpus,
+      // first-occurrence keep via the indexed list_filter prefix test
+      "t27_self_dedup" ->
+        (s"WITH ba AS ($repAugSql), " +
+          s"d AS (SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f\\x0B]+') AS w FROM ba), " +
+          "c AS (SELECT doc_id, list_transform(range(CAST(ceil(len(w)/8.0) AS BIGINT)), " +
+          "i -> array_to_string(w[i*8+1:least((i+1)*8, len(w))], ' ')) AS ch FROM d), " +
+          "k AS (SELECT doc_id, ch, list_filter(ch, (x, i) -> NOT list_contains(ch[1:i-1], x)) AS kept FROM c) " +
+          "SELECT doc_id, CAST(len(ch) AS INT) AS n_windows, CAST(len(kept) AS INT) AS n_kept, " +
+          "md5(array_to_string(kept, ' ')) AS clean_md5 FROM k"),
       // host-boilerplate oracle: same per-doc-distinct line hashes, same
       // integer-ppm threshold, same per-host list re-checked by a
       // list_filter lambda — the strip result compares by md5 (t23 rule)

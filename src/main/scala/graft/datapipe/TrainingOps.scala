@@ -1753,6 +1753,51 @@ object TrainingOps {
         md5(array_join(col("cls"), "\n")).as("clean_md5"))
   }
 
+  /** Group-aware train/val/test split — hash-split by GROUP (host), not
+    * by document: same-host pages share templates, boilerplate and
+    * near-duplicate content, so a per-doc split leaks train content into
+    * eval (the classic contamination-by-construction bug); keying the
+    * split on `h60("sp:" || group)` puts every document of a host in ONE
+    * split, and the assignment is a pure function of the group key —
+    * stable across runs, reshards, and corpus growth (new docs of a
+    * known host land in its existing split). Fractions are integer ppm.
+    * MAP-ONLY, zero shuffle; leakage-freedom is structural, not checked.
+    */
+  def splitByGroup(docs: DataFrame, groupCol: String = "source",
+                   valPpm: Long = 100000L, testPpm: Long = 100000L): DataFrame = {
+    require(valPpm >= 0 && testPpm >= 0 && valPpm + testPpm <= 1000000L,
+      "valPpm/testPpm must be nonnegative and sum to <= 1e6")
+    val b = pmod(h60(concat(lit("sp:"), col(groupCol))), lit(1000000L))
+    docs.select(col("doc_id"), col(groupCol),
+      when(b < testPpm, "test")
+        .when(b < testPpm + valPpm, "val")
+        .otherwise("train").as("split"))
+  }
+
+  /** Intra-document repeated-window removal — the WITHIN-doc half of the
+    * repetition story ([[repetitionStats]] measures it, [[paragraphDedup]]
+    * dedupes ACROSS docs; this op strips it): generated/spammy pages
+    * repeat the same block dozens of times, and Gopher/CCNet-class
+    * pipelines drop or trim such spans before training. Keeps the FIRST
+    * occurrence of each /`paraWords` window within the doc (the d11 /8
+    * window convention), drops later repeats. Entirely MAP-ONLY — an
+    * indexed `filter` lambda testing membership in the window prefix,
+    * O(windows²) per doc (bounded by doc length, never corpus size),
+    * zero shuffle; output is the t23 hash-compare convention.
+    */
+  def selfDedup(docs: DataFrame, paraWords: Int = 8): DataFrame = {
+    require(paraWords >= 1, "paraWords must be >= 1")
+    docs.filter(length(col("text")) >= 1)
+      .select(col("doc_id"), paraChunks(words(col("text")), paraWords).as("ch"))
+      .select(col("doc_id"), col("ch"),
+        filter(col("ch"),
+          (c, i) => !array_contains(slice(col("ch"), lit(1), i), c)).as("kept"))
+      .select(col("doc_id"),
+        size(col("ch")).cast("int").as("n_windows"),
+        size(col("kept")).cast("int").as("n_kept"),
+        md5(array_join(col("kept"), " ")).as("clean_md5"))
+  }
+
   /** Corpus text normalization — the ftfy-class cleanup stage every
     * pipeline runs before analysis (the kernel's Canonicalizer owns NFC
     * for OUR extractions; this is the corpus-level scrub applied to

@@ -1006,6 +1006,38 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
       out("a")._5 == None)
   }
 
+  test("group split: every group lands in exactly one split, fractions behave, degenerate ppm") {
+    val sp = spark; import sp.implicits._
+    val d = (1 to 2000).map(i => (i.toLong, s"g${i % 400}")).toDF("doc_id", "source")
+    val out = TrainingOps.splitByGroup(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // leakage-freedom: a group never straddles splits
+    assert(out.groupBy(_._2).values.forall(_.map(_._3).distinct.length == 1))
+    // 10%/10% ppm over 400 groups: both eval splits materially populated
+    val frac = out.groupBy(_._3).view.mapValues(_.length.toDouble / out.length).toMap
+    assert(frac("train") > 0.7 && frac("val") > 0.03 && frac("test") > 0.03, s"$frac")
+    // ppm 0/0: everything trains
+    val all = TrainingOps.splitByGroup(d, valPpm = 0, testPpm = 0).collect()
+    assert(all.forall(_.getString(2) == "train"))
+  }
+
+  test("self dedup: aligned and MISALIGNED block repeats collapse, clean doc untouched") {
+    val sp = spark; import sp.implicits._
+    val block = (0 until 8).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$block $block $block"),          // aligned: 3 identical windows
+      (2L, s"p0 p1 p2 p3 $block $block $block $block"), // misaligned by 4
+      (3L, (1 to 24).map(i => s"u$i").mkString(" ")),   // all distinct
+    ).toDF("doc_id", "text")
+    val out = TrainingOps.selfDedup(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L) == ((3, 1, md5hex(block))))
+    // misaligned: full windows inside the repeat span are equal ROTATIONS
+    // of the block — repeats still collapse even off the /8 grid
+    assert(out(2L)._1 == 5 && out(2L)._2 < 5)
+    assert(out(3L) == ((3, 3, md5hex((1 to 24).map(i => s"u$i").mkString(" ")))))
+  }
+
   test("unigram familiarity: OOV accounting and common-vs-rare ordering") {
     val sp = spark; import sp.implicits._
     // "the" x6, "cat" x3, "runs" x2, singletons: vocabSize=3 keeps {the, cat, runs}
