@@ -154,6 +154,32 @@ object SparkEntry {
       "array_to_string(list_transform(range(32), i -> 'rp' || (doc_id % 5) || 'w' || (i % 8)), ' ') " +
       "ELSE '' END AS text FROM documents WHERE length(text) >= 1"
 
+  /** d20's near-duplicate augmentation: the word-soup corpus has no
+    * organic Hamming<=3 simhash pairs, so docs with doc_id % 29 == 2 are
+    * replaced by a shared 200-word base (40 words x5 — the multiplicity
+    * makes per-bit sums multiples of 5, so only the handful of bits whose
+    * base sum is exactly 0 can flip between variants) plus ONE variant
+    * token in {nv0, nv5, nv15}, a triple SEARCHED offline so the three
+    * signatures sit at pairwise Hamming [3, 3, 2] under the shared h60
+    * convention — inside the search radius but NOT identical, exercising
+    * the block-join + verify path rather than the exact-dup collapse.
+    */
+  private val simBase: String =
+    (0 until 40).flatMap(i => Seq.fill(5)(s"sb$i")).mkString(" ")
+
+  private def simAug(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      when(col("doc_id") % 29 === 2, concat(lit(simBase + " nv"),
+        when(col("doc_id") % 3 === 0, lit("0"))
+          .when(col("doc_id") % 3 === 1, lit("5")).otherwise(lit("15"))))
+        .otherwise(col("text")).as("text"))
+
+  /** DuckDB twin of [[simAug]], shared by the d20 oracle. */
+  private val simAugSql: String =
+    s"SELECT doc_id, CASE WHEN doc_id % 29 = 2 THEN '$simBase nv' || " +
+      "CASE WHEN doc_id % 3 = 0 THEN '0' WHEN doc_id % 3 = 1 THEN '5' ELSE '15' END " +
+      "ELSE text END AS text FROM documents"
+
   /** Decontamination needs benchmark/training overlap the word-soup
     * corpus barely has organically, so (like [[piiAug]]) d12 appends a
     * deterministic "benchmark probe" tail keyed by doc_id % 23: the tail
@@ -451,6 +477,11 @@ object SparkEntry {
     "d1_dedup_exact" -> ((s, dir) => TrainingOps.dedupExact(docs(s, dir))),
     "d2_dedup_minhash_lsh" -> ((s, dir) => TrainingOps.minhashPairs(docs(s, dir))),
     "d3_dedup_simhash" -> ((s, dir) => TrainingOps.simhash(docs(s, dir))),
+    // Manku-style block-banded SimHash pair search over the simAug
+    // corpus: distinct-signature pre-pass, 4x15-bit block equi-join
+    // (exact recall at Hamming<=3 by pigeonhole), bit_count(xor) verify
+    "d20_simhash_pairs" -> ((s, dir) =>
+      TrainingOps.simhashPairs(simAug(docs(s, dir)))),
     "d4_dedup_jaccard" -> ((s, dir) => TrainingOps.jaccardVerify(docs(s, dir))),
     "d5_ann_cosine_topk" -> ((s, dir) => TrainingOps.annCosineTopK(embs(s, dir))),
     "d7_ann_topk_scalable" -> ((s, dir) => {
@@ -1531,6 +1562,26 @@ object SparkEntry {
           "SELECT doc_id, CAST(list_sum(list_transform(range(60), j -> " +
           "CASE WHEN list_sum(list_transform(h, v -> CASE WHEN (v >> j) % 2 = 1 THEN 1 ELSE -1 END)) > 0 " +
           "THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS simhash FROM hs"),
+      // d20 oracle: full simhash chain over the simAug corpus, reps =
+      // min doc_id per DISTINCT signature, 4x15-bit blocks, bucket cap
+      // (2..64, mirroring maxBlockBucket), block equi-join, exact
+      // bit_count(xor) Hamming verify — DuckDB's xor() is bitwise (its
+      // ^ operator is power), Spark's .bitwiseXOR matches
+      "d20_simhash_pairs" ->
+        (s"WITH sa AS ($simAugSql), " +
+          s"f AS (SELECT doc_id, $w AS w FROM sa WHERE len($w) >= 1), " +
+          "hs AS (SELECT doc_id, list_transform(w, x -> ('0x' || substr(md5(x),1,15))::BIGINT) AS h FROM f), " +
+          "sg AS (SELECT doc_id, CAST(list_sum(list_transform(range(60), j -> " +
+          "CASE WHEN list_sum(list_transform(h, v -> CASE WHEN (v >> j) % 2 = 1 THEN 1 ELSE -1 END)) > 0 " +
+          "THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS simhash FROM hs), " +
+          "r AS (SELECT simhash, min(doc_id) AS rep FROM sg GROUP BY 1), " +
+          "bl AS (SELECT rep, simhash, t.blk, (simhash >> (blk * 15)) % 32768 AS bv FROM r, range(4) t(blk)), " +
+          "bc AS (SELECT blk, bv FROM bl GROUP BY blk, bv HAVING count(*) BETWEEN 2 AND 64), " +
+          "gb AS (SELECT b.rep, b.simhash, b.blk, b.bv FROM bl b JOIN bc USING (blk, bv)) " +
+          "SELECT DISTINCT x.rep AS a, y.rep AS b, " +
+          "CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming " +
+          "FROM gb x JOIN gb y ON x.blk = y.blk AND x.bv = y.bv AND x.rep < y.rep " +
+          "WHERE bit_count(xor(x.simhash, y.simhash)) <= 3"),
       "d4_dedup_jaccard" ->
         (minhashBands + " SELECT a, b, jaccard FROM (SELECT p.a, p.b, " +
           "round(len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(sa.s || sb.s)), 4) AS jaccard " +

@@ -187,6 +187,62 @@ object TrainingOps {
             |  s + IF(aggregate(hs, 0, (c, h) -> c + IF(shiftright(h, j) % 2 = 1, 1, -1)) > 0,
             |         shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""".stripMargin).as("simhash"))
 
+  /** SimHash near-duplicate PAIR SEARCH — the missing half of [[simhash]]
+    * (which only fingerprints): Manku/Jain/Das Sarma's block-permutation
+    * scheme (Detecting Near-Duplicates for Web Crawling, WWW 2007 — the
+    * algorithm Google ran over its 8B-page crawl index). The 60-bit
+    * signature splits into `maxHamming + 1` contiguous blocks; by
+    * pigeonhole, two signatures within Hamming distance `maxHamming`
+    * agree on at least one WHOLE block, so equi-joining on (block index,
+    * block value) has exact recall — no probabilistic miss like MinHash
+    * banding — and the exact `bit_count(xor)` verify on candidates makes
+    * precision exact too. Complementary to d2: MinHash targets set-level
+    * Jaccard (robust to reordering), SimHash Hamming targets weighted
+    * token-frequency similarity at ~100x less signature state (8 bytes
+    * vs 12 minhash strings), which is what fits in RAM at 10^12 docs.
+    *
+    * Scale shape, in order of the skew armor:
+    *   1. distinct-SIGNATURE pre-pass (group by simhash, representative =
+    *      min doc_id): exact-duplicate clusters — the dominant mass in a
+    *      web crawl — collapse to ONE row before any join, the same
+    *      hardening as [[repSets]] but one level stronger (Hamming-0
+    *      near-dups collapse too). Expansion back to members is d1's job.
+    *   2. the self-join shuffles only (blk, 15-bit bv, 8-byte simhash)
+    *      rows — never text.
+    *   3. block buckets are size-capped like [[MaxBandBucket]]: a
+    *      template family whose signatures all share a block cannot
+    *      produce a quadratic bucket (the d2 lesson).
+    * Candidate pairs that agree on several blocks dedup via `distinct`
+    * on the (a, b) key, and `hamming` is a pure function of the pair.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      maxBlockBucket: Int = MaxBandBucket): DataFrame = {
+    require(maxHamming >= 1 && 60 % (maxHamming + 1) == 0,
+      s"maxHamming + 1 must divide 60, got $maxHamming")
+    val nBlocks = maxHamming + 1
+    val width = 60 / nBlocks
+    val sigs = simhash(docs)
+      .groupBy(col("simhash")).agg(min(col("doc_id")).as("rep"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val blocks = sigs.select(col("rep"), col("simhash"),
+        explode(sequence(lit(0), lit(nBlocks - 1))).as("blk"))
+      .withColumn("bv",
+        expr(s"shiftright(simhash, blk * $width) % ${1L << width}"))
+    val surviving = blocks.groupBy("blk", "bv")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") >= 2 && col("bn") <= maxBlockBucket)
+      .select("blk", "bv")
+    val pruned = blocks.join(surviving, Seq("blk", "bv"))
+    pruned.as("x").join(pruned.as("y"),
+        col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv") &&
+          col("x.rep") < col("y.rep"))
+      .select(col("x.rep").as("a"), col("y.rep").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Exact n-gram Jaccard verification of the MinHash candidates — the
     * standard two-phase near-dup pipeline (cheap LSH recall, exact
     * precision pass on candidates only). Jaccard over DISTINCT 3-word

@@ -121,6 +121,34 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     pair.foreach(r => assert(r.getInt(0) == 0, "identical text must give identical simhash"))
   }
 
+  test("simhash pairs: block join finds Hamming<=3 pairs, exact dups collapse, partitioning-invariant") {
+    val sp = spark; import sp.implicits._
+    // the d20 aug construction: 200-word shared base (40 x5) + one
+    // variant token from the offline-searched triple at pairwise
+    // Hamming [3, 3, 2]; 12 docs -> 4 exact copies per variant
+    val base = (0 until 40).flatMap(i => Seq.fill(5)(s"sb$i")).mkString(" ")
+    val fam = (0 until 12).map { i =>
+      (i.toLong, s"$base ${Seq("nv0", "nv5", "nv15")(i % 3)}")
+    }
+    val far = Seq(
+      (100L, "totally different words about cabbages and kings today"),
+      (101L, "another unrelated document mentioning ships and sealing wax"))
+    val df = (fam ++ far).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TrainingOps.simhashPairs(d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .sortBy(p => (p._1, p._2)).toSeq
+    val pairs = run(df)
+    // exact-dup collapse: 12 family docs -> 3 distinct signatures with
+    // min-doc_id reps 0/1/2; search finds all three pairs, never members
+    assert(pairs == Seq((0L, 1L, 3), (0L, 2L, 3), (1L, 2L, 2)), s"got $pairs")
+    assert(run(df.repartition(7)) == pairs, "pairs must not depend on partitioning")
+    // skew armor: a pure exact-dup swarm collapses to ONE signature row
+    // -> zero pairs (expansion back to members is d1's job)
+    val swarm = (0 until 50).map(i => (i.toLong, "same text every time")).toDF("doc_id", "text")
+    assert(TrainingOps.simhashPairs(swarm).count() == 0)
+  }
+
   test("ann cosine top-k: k rows per probe, scores descending, self excluded") {
     val rows = TrainingOps.annCosineTopK(embs).collect()
     val byProbe = rows.groupBy(_.getLong(0))

@@ -192,6 +192,9 @@ object PlanCheck {
     println("==== 46. p6 host table: ONE kernel parse persisted; host-keyed aggregate joins ====")
     SparkEntry.queries("p6_host_table")(spark, sf).explain("formatted")
 
+    println("==== 47. d20 simhash pairs: join shuffles (blk, 15-bit bv, 8-byte simhash) rows only; signatures read from the persisted distinct-sig table ====")
+    SparkEntry.queries("d20_simhash_pairs")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
