@@ -861,6 +861,25 @@ object SparkEntry {
       graft.datapipe.GraphOps.canonicalizeUrls(
         d.select(col("doc_id"), raw.as("url")))
     }),
+    // publicsuffix.org registered-domain (eTLD+1) rollup over a host log
+    // exercising every PSL rule class: multi-label suffixes, a private
+    // registry (github.io), a wildcard (*.ck), its exception (!www.ck),
+    // an unknown dotless host, and an 11-host spam-farm collapse
+    "e33_domain_rollup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val host = when(col("doc_id") % 6 === 0,
+          concat(lit("www.site"), col("doc_id") % 5, lit(".co.uk")))
+        .when(col("doc_id") % 6 === 1,
+          concat(lit("a"), col("doc_id") % 3, lit(".b"), col("doc_id") % 2, lit(".github.io")))
+        .when(col("doc_id") % 6 === 2,
+          concat(lit("sub"), col("doc_id") % 7, lit(".farm"), col("doc_id") % 4, lit(".com")))
+        .when(col("doc_id") % 6 === 3,
+          concat(lit("x"), col("doc_id") % 3, lit(".w"), col("doc_id") % 2, lit(".ck")))
+        .when(col("doc_id") % 6 === 4,
+          when(col("doc_id") % 12 === 4, lit("www.ck")).otherwise(lit("intranet")))
+        .otherwise(concat(lit("h"), col("doc_id") % 11, lit(".example.org")))
+      graft.datapipe.GraphOps.domainRollup(d.select(host.as("host")))
+    }),
     // the host curation table (the crawl-side p4): rank + anchor profile
     // + crawled-page volume full-outer-composed per host; ONE kernel
     // link-parse persisted at the branch feeds all three signal trees
@@ -1326,6 +1345,41 @@ object SparkEntry {
           "CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END AS canonical_url FROM f4) " +
           "SELECT doc_id, url, canonical_url, CAST(len(rawp) AS INT) AS n_params_raw, " +
           "CAST(len(kept) AS INT) AS n_params_kept, canonical_url <> url AS changed FROM f5"),
+      // e33 oracle: PSL matching in window/join form (algorithm-
+      // independent of the Spark side's map-only per-rule greatest):
+      // explode host suffixes, join the rule VALUES (wildcards stored as
+      // their tail with the full-rule label count k; exceptions carry
+      // pslen = k - 1), resolve exception-first then longest, default 1
+      "e33_domain_rollup" ->
+        ("WITH ha AS (SELECT doc_id, CASE doc_id % 6 " +
+          "WHEN 0 THEN 'www.site' || (doc_id % 5) || '.co.uk' " +
+          "WHEN 1 THEN 'a' || (doc_id % 3) || '.b' || (doc_id % 2) || '.github.io' " +
+          "WHEN 2 THEN 'sub' || (doc_id % 7) || '.farm' || (doc_id % 4) || '.com' " +
+          "WHEN 3 THEN 'x' || (doc_id % 3) || '.w' || (doc_id % 2) || '.ck' " +
+          "WHEN 4 THEN CASE WHEN doc_id % 12 = 4 THEN 'www.ck' ELSE 'intranet' END " +
+          "ELSE 'h' || (doc_id % 11) || '.example.org' END AS host FROM documents), " +
+          "rules(suf, wild, exc, k) AS (VALUES " +
+          "('com', false, false, 1), ('org', false, false, 1), ('net', false, false, 1), " +
+          "('io', false, false, 1), ('uk', false, false, 1), ('co.uk', false, false, 2), " +
+          "('ac.uk', false, false, 2), ('gov.uk', false, false, 2), ('github.io', false, false, 2), " +
+          "('jp', false, false, 1), ('co.jp', false, false, 2), " +
+          "('ck', true, false, 2), ('www.ck', false, true, 2)), " +
+          "lb AS (SELECT doc_id, host, len(string_split(host, '.')) AS n FROM ha), " +
+          "cand AS (SELECT doc_id, host, n, CAST(t.k AS INT) AS k, " +
+          "array_to_string((string_split(host, '.'))[n-k+1:n], '.') AS s " +
+          "FROM lb, range(1, 7) t(k) WHERE k <= n), " +
+          "m AS (SELECT c.doc_id, r.exc, CASE WHEN r.exc THEN r.k - 1 ELSE r.k END AS pslen " +
+          "FROM cand c JOIN rules r ON " +
+          "(NOT r.wild AND c.k = r.k AND c.s = r.suf) OR " +
+          "(r.wild AND c.k = r.k - 1 AND c.s = r.suf AND c.n >= r.k)), " +
+          "b AS (SELECT l.doc_id, l.host, l.n, " +
+          "coalesce(max(CASE WHEN m.exc THEN m.pslen END), " +
+          "max(CASE WHEN NOT m.exc THEN m.pslen END), 1) AS ps " +
+          "FROM lb l LEFT JOIN m ON m.doc_id = l.doc_id GROUP BY l.doc_id, l.host, l.n), " +
+          "reg AS (SELECT host, CASE WHEN n > ps THEN " +
+          "array_to_string((string_split(host, '.'))[n-ps:n], '.') END AS rd FROM b) " +
+          "SELECT coalesce(rd, '(none)') AS domain, CAST(count(DISTINCT host) AS BIGINT) AS n_hosts, " +
+          "CAST(count(*) AS BIGINT) AS n_pages FROM reg GROUP BY 1"),
       // doc-metadata oracle: titles and h1s are template literals per
       // family (HtmlGen render/renderB/renderC; B/C have no h1)
       "e27_doc_metadata" ->

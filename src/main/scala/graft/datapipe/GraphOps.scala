@@ -339,6 +339,87 @@ object GraphOps {
         coalesce(col("top_anchor_cnt"), lit(0L)).as("top_anchor_cnt"))
   }
 
+  /** One rule in the publicsuffix.org list format: `suffix` is the rule's
+    * label string (for a wildcard rule, the TAIL after the `*.` — the `*`
+    * label is implied), `wild` marks `*.`-rules (every direct child of
+    * the tail is itself a public suffix), `exc` marks `!`-exception rules
+    * (the named domain IS registrable despite a covering wildcard).
+    */
+  final case class PslRule(suffix: String, wild: Boolean = false,
+      exc: Boolean = false) {
+    /** Label count of the FULL rule (a wildcard's `*` counts). */
+    def k: Int = suffix.count(_ == '.') + 1 + (if (wild) 1 else 0)
+  }
+
+  /** A deterministic public-suffix rule set exercising every PSL rule
+    * class — plain TLDs, multi-label suffixes (`co.uk`), a private-
+    * registry suffix (`github.io`: user sites are registration-level
+    * siblings, exactly why per-domain caps must use the PSL and not
+    * "last two labels"), a wildcard (`*.ck`) and its exception
+    * (`!www.ck`). The real list is ~9k rules — still a driver-side
+    * constant at scale (the list is public, versioned, and < 250 KB).
+    */
+  val DefaultPsl: Seq[PslRule] = Seq(
+    PslRule("com"), PslRule("org"), PslRule("net"), PslRule("io"),
+    PslRule("uk"), PslRule("co.uk"), PslRule("ac.uk"), PslRule("gov.uk"),
+    PslRule("github.io"),
+    PslRule("jp"), PslRule("co.jp"),
+    PslRule("ck", wild = true),
+    PslRule("www.ck", exc = true))
+
+  /** Registered domain (eTLD+1) of a host column under publicsuffix.org
+    * matching semantics: the prevailing rule is the exception rule if one
+    * matches, else the matching rule with the most labels, else the
+    * implicit `*` rule (unknown TLD ⇒ public suffix = last label); the
+    * registered domain is the public suffix plus ONE more label, or NULL
+    * when the host IS a public suffix (or a single dotless label).
+    *
+    * The rule set is static, so matching compiles to a pure MAP-ONLY
+    * column expression (a `greatest` of per-rule `when` tests over the
+    * host's label array — the annLshBuckets driver-side-constant
+    * pattern): zero shuffle, codegen'd, safe to apply per-EDGE in graph
+    * pipelines. This is the key a crawl pipeline caps and rolls up on —
+    * spam farms hide behind thousands of subdomains of one registrable
+    * domain, so host-level caps (t13) undercount them and page-level
+    * caps miss them entirely.
+    */
+  def registeredDomain(host: Column,
+      rules: Seq[PslRule] = DefaultPsl): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    // last k labels as a string; start clamps to 1 so the slice never
+    // sees an out-of-range index when n < k (And does not short-circuit
+    // in Catalyst — the guard alone would not protect the slice)
+    def sufStr(k: Int): Column =
+      array_join(slice(labels, greatest(n - lit(k - 1), lit(1)), lit(k)), ".")
+    def best(rs: Seq[PslRule]): Column = {
+      val scores = rs.map { r =>
+        val matchLabels = if (r.wild) r.k - 1 else r.k
+        val cond = (n >= r.k) && (sufStr(matchLabels) === r.suffix)
+        when(cond, lit(if (r.exc) r.k - 1 else r.k)).otherwise(lit(0))
+      }
+      if (scores.isEmpty) lit(0) else greatest(scores :+ lit(0): _*)
+    }
+    val excBest = best(rules.filter(_.exc))
+    val ps = when(excBest > lit(0), excBest)
+      .otherwise(greatest(best(rules.filterNot(_.exc)), lit(1)))
+    when(n > ps,
+      array_join(slice(labels, n - ps, ps + lit(1)), ".")).otherwise(lit(null))
+  }
+
+  /** Per-registered-domain rollup of a page/host table: (domain, distinct
+    * hosts, pages), with PSL-suffix-only and dotless hosts grouped under
+    * `(none)`. The domain key derives map-only; the single aggregation is
+    * host-cardinality (countDistinct partial-aggregates (domain, host)
+    * pairs before the exchange — never page rows).
+    */
+  def domainRollup(pages: DataFrame): DataFrame =
+    pages.select(col("host"),
+        coalesce(registeredDomain(col("host")), lit("(none)")).as("domain"))
+      .groupBy("domain")
+      .agg(countDistinct(col("host")).as("n_hosts"),
+        count(lit(1)).as("n_pages"))
+
   def crawlFrontier(edges: DataFrame, crawled: DataFrame): DataFrame = {
     val agg = edges.groupBy("to_url").agg(
       count(lit(1)).as("n_refs"),

@@ -709,6 +709,31 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(edges.repartition(5)) == out)
   }
 
+  test("registered domain: PSL exception > wildcard > longest match > implicit-star default") {
+    val sp = spark; import sp.implicits._
+    val cases = Seq(
+      "www.bbc.co.uk" -> "bbc.co.uk",    // 2-label suffix beats 'uk'
+      "bbc.co.uk" -> "bbc.co.uk",
+      "co.uk" -> null,                   // host IS a public suffix
+      "foo.github.io" -> "foo.github.io", // private-registry suffix
+      "github.io" -> null,
+      "x.y.ck" -> "x.y.ck",              // *.ck: y.ck is itself a suffix
+      "www.ck" -> "www.ck",              // !www.ck overrides the wildcard
+      "ck" -> null,
+      "weird.unknown" -> "weird.unknown", // implicit * rule: ps = last label
+      "deep.weird.unknown" -> "weird.unknown",
+      "intranet" -> null)                // dotless: nothing registrable
+    val got = cases.map(_._1).toDF("host")
+      .select(col("host"),
+        graft.datapipe.GraphOps.registeredDomain(col("host")).as("rd"))
+      .collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+      .toMap
+    cases.foreach { case (h, want) =>
+      assert(got(h) == want, s"$h -> ${got(h)}, want $want")
+    }
+  }
+
   test("anchor profile: counts, distinct sources, tie-broken top anchor") {
     val sp = spark; import sp.implicits._
     // host x: 3 inlinks from 2 hosts, 'news' wins 2-1; host y: tie

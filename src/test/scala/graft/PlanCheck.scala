@@ -195,6 +195,9 @@ object PlanCheck {
     println("==== 47. d20 simhash pairs: join shuffles (blk, 15-bit bv, 8-byte simhash) rows only; signatures read from the persisted distinct-sig table ====")
     SparkEntry.queries("d20_simhash_pairs")(spark, sf).explain("formatted")
 
+    println("==== 48. e33 domain rollup: PSL match is map-only codegen (no rule-table join); ONE exchange on (domain, host) partial distincts ====")
+    SparkEntry.queries("e33_domain_rollup")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
