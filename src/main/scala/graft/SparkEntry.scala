@@ -964,6 +964,18 @@ object SparkEntry {
           x => x.getField("rec")), ""), "UTF-8").as("warc"))
       TrainingOps.warcRecords(s, segs)
     }),
+    // image-header dimension sniffing over synthesized REAL container
+    // bytes (PNG/GIF/JPEG + truncated/malformed/non-image kinds): the
+    // oracle derives format/dims/status ARITHMETICALLY from doc_id, so
+    // a MATCH means the byte builder and the byte parser agree through
+    // the BE/LE encodings and the JPEG marker walk
+    "m4_image_dims" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = docs(s, dir).select(col("doc_id")).as[Long]
+        .map(id => (id, TrainingOps.syntheticImagePayload(id)))
+        .toDF("doc_id", "payload")
+      TrainingOps.imageDims(s, payloads)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1944,6 +1956,19 @@ object SparkEntry {
           "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rec_offset FROM l) " +
           "SELECT segment_id, CAST(rec_offset AS BIGINT) AS rec_offset, url AS target_uri, " +
           "CAST(cl AS INT) AS content_length, pm AS payload_md5, 'ok' AS status FROM o"),
+      // m4 oracle: format/dims/status derived ARITHMETICALLY from
+      // doc_id (dims are pure functions of the id in the builder), fully
+      // independent of both the byte builder and the byte parser — a
+      // MATCH means container-building and container-walking round-trip
+      // through the real BE/LE encodings and the JPEG segment walk
+      "m4_image_dims" ->
+        ("SELECT doc_id, " +
+          "CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 3 THEN 'png' WHEN 1 THEN 'gif' " +
+          "WHEN 2 THEN 'jpeg' WHEN 5 THEN 'jpeg' ELSE 'unknown' END AS format, " +
+          "CASE WHEN doc_id % 6 IN (0, 1, 2) THEN CAST(16 + doc_id % 640 AS INT) END AS width, " +
+          "CASE WHEN doc_id % 6 IN (0, 1, 2) THEN CAST(16 + doc_id % 480 AS INT) END AS height, " +
+          "CASE doc_id % 6 WHEN 3 THEN 'truncated' WHEN 4 THEN 'unknown' " +
+          "WHEN 5 THEN 'malformed' ELSE 'ok' END AS status FROM documents"),
       "m1_binary_features" ->
         ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS content_md5, " +
           "CASE WHEN octet_length(encode(text)) = 0 THEN 'empty' " +

@@ -2264,4 +2264,151 @@ object TrainingOps {
       .toDF("segment_id", "rec_offset", "target_uri", "content_length",
         "payload_md5", "status")
   }
+
+  /** Deterministic synthetic image-container bytes for [[imageDims]] —
+    * test scaffolding (the m3 segment-builder role): REAL container
+    * layouts (PNG signature + IHDR, GIF89a logical-screen descriptor,
+    * JPEG marker segments incl. a variable-length COM carrying an
+    * embedded `FF D8` and an optional fill byte) with dims a pure
+    * function of the id, so the oracle can derive them arithmetically.
+    * Kinds by id % 6: png / gif / jpeg / truncated-png / plain-text /
+    * jpeg-with-SOS-before-SOF.
+    */
+  def syntheticImagePayload(id: Long): Array[Byte] = {
+    val w = (16 + id % 640).toInt
+    val h = (16 + id % 480).toInt
+    def be2(v: Int) = Array[Byte](((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be4(v: Int) = Array[Byte]((v >>> 24).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def le2(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val pngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val bb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    (id % 6) match {
+      case 0 => // PNG: signature, IHDR (13-byte body), zero CRC, junk tail
+        bb ++= pngSig
+        bb ++= be4(13); bb ++= "IHDR".getBytes("US-ASCII")
+        bb ++= be4(w); bb ++= be4(h)
+        bb ++= Array[Byte](8, 6, 0, 0, 0) // depth, color, comp, filter, interlace
+        bb ++= be4(0)
+        bb ++= s"junk$id".getBytes("US-ASCII")
+      case 1 => // GIF89a: 6-byte magic, LE width/height, flags/bg/aspect
+        bb ++= "GIF89a".getBytes("US-ASCII")
+        bb ++= le2(w); bb ++= le2(h); bb ++= Array[Byte](0, 0, 0)
+        bb ++= s"junk$id".getBytes("US-ASCII")
+      case 2 => // JPEG: SOI, APP0/JFIF, COM (variable length, embedded
+        // FF D8 magic in the body — must be skipped by LENGTH, never by
+        // magic search), optional fill byte, SOF0, EOI
+        bb ++= Array(0xff.toByte, 0xd8.toByte)
+        bb ++= Array(0xff.toByte, 0xe0.toByte); bb ++= be2(16)
+        bb ++= "JFIF".getBytes("US-ASCII"); bb += 0; bb ++= Array.fill[Byte](9)(0)
+        val com = s"c$id".getBytes("US-ASCII") ++
+          Array(0xff.toByte, 0xd8.toByte) ++ Array.fill[Byte]((id % 23).toInt)('x')
+        bb ++= Array(0xff.toByte, 0xfe.toByte); bb ++= be2(com.length + 2); bb ++= com
+        if (id % 4 == 2) bb += 0xff.toByte // fill byte before the next marker
+        bb ++= Array(0xff.toByte, 0xc0.toByte); bb ++= be2(17)
+        bb += 8; bb ++= be2(h); bb ++= be2(w)
+        bb += 3; bb ++= Array.fill[Byte](9)(0)
+        bb ++= Array(0xff.toByte, 0xd9.toByte)
+      case 3 => // truncated PNG: signature + 4 bytes, IHDR never arrives
+        bb ++= pngSig; bb ++= be4(13)
+      case 5 => // malformed JPEG: SOS with no prior SOF — dims unknowable
+        bb ++= Array(0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xda.toByte)
+        bb ++= be2(4); bb ++= "xx".getBytes("US-ASCII")
+      case _ => // not an image at all
+        bb ++= s"plain text payload $id".getBytes("US-ASCII")
+    }
+    bb.toArray
+  }
+
+  /** Image-container dimension sniffing over opaque binary payloads —
+    * the first REAL multimodal decode step (magic-byte routing was m1's
+    * stub; this reads actual container structure, no media library
+    * needed): PNG width/height from the IHDR chunk (big-endian, fixed
+    * offset after the 8-byte signature), GIF from the logical-screen
+    * descriptor (little-endian — the endianness disagreement is exactly
+    * what the round-trip oracle pins), and JPEG by WALKING the marker
+    * segments to SOFn — JPEG dims are NOT at a fixed offset, and the
+    * walk must honor each segment's declared length, never scan for the
+    * next `FF` (markers legally appear inside COM/APPn bodies — the m3
+    * WARC lesson applied to images; pinned by a planted `FF D8` in a COM
+    * body). Fill bytes (runs of `FF` before a marker) are consumed per
+    * spec; standalone markers (TEM, RSTn) carry no length field.
+    *
+    * Error-as-data (the e3 taxonomy): `ok` / `truncated` (magic matched
+    * but the header region overruns the payload) / `malformed` (JPEG
+    * scan start or EOI reached before any SOF — dims structurally
+    * unknowable) / `unknown` (no magic matched). Scale shape: typed
+    * mapPartitions over (doc_id, payload), map-only, zero shuffle, only
+    * header-region bytes are ever touched — a 10 MB JPEG costs the few
+    * hundred bytes before its SOF, which is why this runs as a scan-side
+    * metadata pass in a multimodal ingest, not a post-decode job.
+    */
+  def imageDims(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        def be(b: Array[Byte], i: Int, n: Int): Long = {
+          var v = 0L; var k = 0
+          while (k < n) { v = (v << 8) | (b(i + k) & 0xffL); k += 1 }
+          v
+        }
+        def le(b: Array[Byte], i: Int, n: Int): Long = {
+          var v = 0L; var k = n - 1
+          while (k >= 0) { v = (v << 8) | (b(i + k) & 0xffL); k -= 1 }
+          v
+        }
+        def ascii(b: Array[Byte], i: Int, n: Int): String =
+          if (i + n <= b.length) new String(b, i, n, "US-ASCII") else ""
+        it.map { case (id, raw) =>
+          val b = if (raw == null) Array.emptyByteArray else raw
+          val n = b.length
+          var fmt = "unknown"; var wd: Option[Int] = None
+          var ht: Option[Int] = None; var st = "unknown"
+          if (n >= 8 && be(b, 0, 4) == 0x89504e47L && be(b, 4, 4) == 0x0d0a1a0aL) {
+            fmt = "png"
+            if (n >= 24 && ascii(b, 12, 4) == "IHDR") {
+              wd = Some(be(b, 16, 4).toInt); ht = Some(be(b, 20, 4).toInt); st = "ok"
+            } else st = "truncated"
+          } else if (ascii(b, 0, 6) == "GIF89a" || ascii(b, 0, 6) == "GIF87a") {
+            fmt = "gif"
+            if (n >= 10) {
+              wd = Some(le(b, 6, 2).toInt); ht = Some(le(b, 8, 2).toInt); st = "ok"
+            } else st = "truncated"
+          } else if (n >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+            fmt = "jpeg"; st = null
+            var i = 2
+            while (st == null) {
+              if (i >= n) st = "truncated"
+              else if ((b(i) & 0xff) != 0xff) st = "malformed"
+              else {
+                var j = i
+                while (j < n && (b(j) & 0xff) == 0xff) j += 1 // fill bytes
+                if (j >= n) st = "truncated"
+                else {
+                  val m = b(j) & 0xff
+                  if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i = j + 1
+                  else if (m == 0xd9 || m == 0xda) st = "malformed" // EOI/SOS, no SOF seen
+                  else if (j + 3 > n) st = "truncated"
+                  else {
+                    val len = be(b, j + 1, 2).toInt
+                    if (len < 2) st = "malformed"
+                    else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+                      if (j + 8 > n) st = "truncated"
+                      else {
+                        ht = Some(be(b, j + 4, 2).toInt)
+                        wd = Some(be(b, j + 6, 2).toInt)
+                        st = "ok"
+                      }
+                    } else i = j + 1 + len // skip by declared length
+                  }
+                }
+              }
+            }
+          }
+          (id, fmt, wd, ht, st)
+        }
+      }
+      .toDF("doc_id", "format", "width", "height", "status")
+  }
 }

@@ -734,6 +734,41 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("image dims: header parse honors declared lengths, endianness, fill bytes; error taxonomy") {
+    val sp = spark; import sp.implicits._
+    def parse(rows: Seq[(Long, Array[Byte])]) =
+      TrainingOps.imageDims(sp, rows.toDF("doc_id", "payload")).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1),
+          if (r.isNullAt(2)) -1 else r.getInt(2),
+          if (r.isNullAt(3)) -1 else r.getInt(3), r.getString(4)))).toMap
+    val gif87 = "GIF87a".getBytes("US-ASCII") ++ Array[Byte](0x20, 0x01, 0x40, 0x00)
+    val jpegFull = TrainingOps.syntheticImagePayload(2) // fill byte (2%4==2), FF D8 in COM
+    val jpegNoFill = TrainingOps.syntheticImagePayload(8) // no fill byte (8%4==0)
+    val out = parse(Seq(
+      0L -> TrainingOps.syntheticImagePayload(0), // png 16x16
+      7L -> TrainingOps.syntheticImagePayload(7), // gif 23x23 (LE)
+      2L -> jpegFull, // jpeg 18x18 — parses ONLY if the COM skips by length
+      8L -> jpegNoFill, // jpeg 24x24
+      3L -> TrainingOps.syntheticImagePayload(3), // png sig, IHDR never arrives
+      4L -> TrainingOps.syntheticImagePayload(4), // plain text
+      5L -> TrainingOps.syntheticImagePayload(5), // SOS before SOF
+      100L -> gif87, // GIF87a variant accepted, 288x64
+      101L -> jpegFull.take(12), // cut inside APP0: walk runs off the end
+      102L -> Array.emptyByteArray,
+      103L -> ("GIF89a".getBytes("US-ASCII") ++ Array[Byte](1, 0)))) // magic only
+    assert(out(0L) == (("png", 16, 16, "ok")))
+    assert(out(7L) == (("gif", 23, 23, "ok")))
+    assert(out(2L) == (("jpeg", 18, 18, "ok")))
+    assert(out(8L) == (("jpeg", 24, 24, "ok")))
+    assert(out(3L) == (("png", -1, -1, "truncated")))
+    assert(out(4L) == (("unknown", -1, -1, "unknown")))
+    assert(out(5L) == (("jpeg", -1, -1, "malformed")))
+    assert(out(100L) == (("gif", 288, 64, "ok")))
+    assert(out(101L) == (("jpeg", -1, -1, "truncated")))
+    assert(out(102L) == (("unknown", -1, -1, "unknown")))
+    assert(out(103L) == (("gif", -1, -1, "truncated")))
+  }
+
   test("anchor profile: counts, distinct sources, tie-broken top anchor") {
     val sp = spark; import sp.implicits._
     // host x: 3 inlinks from 2 hosts, 'news' wins 2-1; host y: tie

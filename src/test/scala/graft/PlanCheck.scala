@@ -198,6 +198,9 @@ object PlanCheck {
     println("==== 48. e33 domain rollup: PSL match is map-only codegen (no rule-table join); ONE exchange on (domain, host) partial distincts ====")
     SparkEntry.queries("e33_domain_rollup")(spark, sf).explain("formatted")
 
+    println("==== 49. m4 image dims: typed map-only header walk, zero exchange ====")
+    SparkEntry.queries("m4_image_dims")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
