@@ -630,6 +630,34 @@ object SparkEntry {
     // before dedup) and eval-probe tails (before decontamination), both
     // mirrored in the oracle CTE chain. At sf0.01: 500 -> 371 -> 288 ->
     // 206 -> 65 docs -> packed sequences.
+    // the crawl-to-corpus handoff in ONE plan: raw page bytes -> the
+    // extraction kernel (HTML family-A + PDF spines) -> doc identity
+    // parsed back from the url -> language ID -> the t14 quality-rule
+    // gate -> exact dedup among survivors -> leakage-safe host split.
+    // The extracted table persists at its branch point (lang, quality,
+    // and the dedup/survivor joins all read it); output follows the t23
+    // hash-compare convention (md5 of text, never megabyte rows).
+    "p7_training_handoff" -> ((s, dir) => {
+      val ex = extracted(s, dir, "html_a").toDF().select("url", "text")
+        .unionByName(extracted(s, dir, "pdf").toDF().select("url", "text"))
+        .select(
+          regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          col("url"),
+          regexp_extract(col("url"), "https?://([^/]+)", 1).as("host"),
+          col("text"))
+        .persist()
+      val lang = TrainingOps.langId(ex).select(col("doc_id"), col("lang_pred"))
+      val kept = ex.join(
+        TrainingOps.qualityRules(ex).filter(col("keep")).select("doc_id"), "doc_id")
+        .persist()
+      val surv = kept.join(
+        TrainingOps.dedupExact(kept).select(col("keeper").as("doc_id")), "doc_id")
+      surv.join(lang, "doc_id")
+        .join(TrainingOps.splitByGroup(surv, groupCol = "host")
+          .select("doc_id", "split"), "doc_id")
+        .select(col("doc_id"), col("url"), col("host"), col("lang_pred"),
+          col("split"), md5(col("text")).as("text_md5"))
+    }),
     "p1_corpus_pipeline" -> ((s, dir) => {
       val k17 = col("doc_id") % 17
       val k23 = col("doc_id") % 23
@@ -1083,6 +1111,42 @@ object SparkEntry {
       "e9_words_by_lang" ->
         (s"WITH d AS (SELECT lang, $words AS w FROM documents WHERE $htmlKindsA) " +
           "SELECT lang, CAST(SUM(len(w)) AS BIGINT) AS n_words, count(*) AS n_docs FROM d GROUP BY lang"),
+      // p7 oracle: the e1/e2 extraction reconstructions chained through
+      // the t1 stopword-argmax, the FULL t14 oracle as a subquery (the
+      // p4 embed pattern, retargeted at the extracted table), exact
+      // dedup among keeps, and the t26 host-keyed split
+      "p7_training_handoff" -> {
+        val wsRe = "'[ \\t\\n\\r\\f\\x0B]+'"
+        val q14 = t14Oracle(s"regexp_split_to_array(trim(text), $wsRe)")
+          .replace("FROM documents", "FROM ex")
+        s"WITH exa AS (SELECT doc_id, $words AS w FROM documents WHERE $htmlKindsA), " +
+          s"exp AS (SELECT doc_id, $words AS w FROM documents WHERE $pdfKinds), " +
+          s"ex0 AS (SELECT doc_id, $urlExpr AS url, ${chunked(40)} AS text FROM exa " +
+          s"UNION ALL SELECT doc_id, $urlExpr AS url, ${chunked(60)} AS text FROM exp), " +
+          "ex AS (SELECT doc_id, url, regexp_extract(url, 'https?://([^/]+)', 1) AS host, text FROM ex0), " +
+          s"lwc AS (SELECT doc_id, regexp_split_to_array(trim(text), $wsRe) AS w FROM ex " +
+          s"WHERE len(regexp_split_to_array(trim(text), $wsRe)) >= 1), " +
+          "sc AS (SELECT doc_id, " +
+          "len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','it'))) AS s_en, " +
+          "len(list_filter(w, x -> x IN ('der','die','das','und','ist','ein','zu','den'))) AS s_de, " +
+          "len(list_filter(w, x -> x IN ('el','la','los','las','una','es','y','que'))) AS s_es, " +
+          "len(list_filter(w, x -> x IN ('le','les','des','une','est','et','dans','pour'))) AS s_fr, " +
+          "len(list_filter(w, x -> x IN ('的','是','了','在','我','有','和','不'))) AS s_zh FROM lwc), " +
+          "lng AS (SELECT doc_id, CASE " +
+          "WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en' " +
+          "WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de' " +
+          "WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es' " +
+          "WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS lang_pred FROM sc), " +
+          s"q AS (SELECT doc_id FROM ($q14) t WHERE keep), " +
+          "kept AS (SELECT e.* FROM ex e JOIN q USING (doc_id)), " +
+          "kp AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)), " +
+          "surv AS (SELECT k.* FROM kept k JOIN kp USING (doc_id)) " +
+          "SELECT s.doc_id, s.url, s.host, lng.lang_pred, " +
+          "CASE WHEN ('0x' || substr(md5('sp:' || s.host), 1, 15))::BIGINT % 1000000 < 100000 THEN 'test' " +
+          "WHEN ('0x' || substr(md5('sp:' || s.host), 1, 15))::BIGINT % 1000000 < 200000 THEN 'val' " +
+          "ELSE 'train' END AS split, md5(s.text) AS text_md5 " +
+          "FROM surv s JOIN lng USING (doc_id)"
+      },
       "e10_host_counts" ->
         (s"WITH d AS (SELECT doc_id, $kindCase AS kind, " +
           "CASE WHEN doc_id % 10 < 3 THEN 'big.example.com' ELSE 'h' || (doc_id % 97) || '.example.com' END AS host " +

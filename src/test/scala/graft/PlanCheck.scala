@@ -201,6 +201,9 @@ object PlanCheck {
     println("==== 49. m4 image dims: typed map-only header walk, zero exchange ====")
     SparkEntry.queries("m4_image_dims")(spark, sf).explain("formatted")
 
+    println("==== 50. p7 training handoff: extracted table persisted at the branch (lang/quality/dedup all read the cache, kernel never re-runs); doc_id-keyed joins only ====")
+    SparkEntry.queries("p7_training_handoff")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
