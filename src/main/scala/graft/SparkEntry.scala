@@ -617,6 +617,11 @@ object SparkEntry {
     }),
     "t11_global_shuffle" -> ((s, dir) => TrainingOps.globalShuffle(docs(s, dir))),
     "t12_lm_familiarity" -> ((s, dir) => TrainingOps.unigramFamiliarity(docs(s, dir))),
+    // bigram-LM familiarity: the model is a JOIN-sized table (the t12
+    // contrast — a bigram model cannot broadcast), conditional integer
+    // ppm, pruned at c(l,r) >= 2, oov counted as its own signal
+    "t28_bigram_familiarity" -> ((s, dir) =>
+      TrainingOps.bigramFamiliarity(docs(s, dir))),
     // the flagship COMPOSED pipeline: quality filter -> exact dedup ->
     // decontaminate -> stratified sample -> sequence pack, all public
     // TrainingOps chained by doc_id semi-joins. Every stage that feeds
@@ -2349,6 +2354,24 @@ object SparkEntry {
       // word asc), per-doc OOV count + summed corpus frequencies —
       // mirrors unigramFamiliarity(vocabSize=256); transcendental-free
       // so the single IEEE division is bit-identical across engines
+      // bigram familiarity oracle: pair explode via struct unnest, the
+      // same two-level count derivation (c_l = sum of c_lr, so ppm is a
+      // true conditional), prune, LEFT join on the word pair, per-doc
+      // integer rollup
+      "t28_bigram_familiarity" ->
+        (s"WITH f AS (SELECT doc_id, $w AS w FROM documents WHERE length(text) >= 1), " +
+          "g AS (SELECT doc_id, w FROM f WHERE len(w) >= 2), " +
+          "pl AS (SELECT doc_id, p.l AS l, p.r AS r FROM (SELECT doc_id, " +
+          "unnest(list_transform(range(len(w)-1), i -> struct_pack(l := w[i+1], r := w[i+2]))) AS p FROM g)), " +
+          "clr AS (SELECT l, r, count(*) AS c_lr FROM pl GROUP BY 1, 2), " +
+          "cl AS (SELECT l, sum(c_lr) AS c_l FROM clr GROUP BY 1), " +
+          "model AS (SELECT m.l, m.r, (1000000 * m.c_lr) // c.c_l AS ppm " +
+          "FROM clr m JOIN cl c USING (l) WHERE m.c_lr >= 2), " +
+          "sc AS (SELECT doc_id, count(*) AS nb, " +
+          "count(*) FILTER (WHERE ppm IS NULL) AS n_oov, " +
+          "sum(coalesce(ppm, 0)) AS sp FROM pl LEFT JOIN model USING (l, r) GROUP BY doc_id) " +
+          "SELECT doc_id, CAST(nb AS INT) AS n_bigrams, CAST(n_oov AS BIGINT) AS n_oov, " +
+          "CAST(sp AS BIGINT) AS sum_ppm, CAST(sp // nb AS BIGINT) AS familiarity_ppm FROM sc"),
       "t12_lm_familiarity" ->
         (s"WITH f AS (SELECT doc_id, $w AS w FROM documents WHERE length(text) >= 1), " +
           "tok AS (SELECT doc_id, unnest(w) AS word FROM f), " +

@@ -1600,6 +1600,53 @@ object TrainingOps {
       .withColumn("familiarity", col("sum_freq").cast("double") / col("n_tokens"))
   }
 
+  /** Bigram LM familiarity — the conditional upgrade of
+    * [[unigramFamiliarity]], and deliberately the OTHER scale pattern:
+    * t12's 256-word vocab broadcasts as a `typedLit` map, but a bigram
+    * model is corpus-vocab-squared-sized, so scoring must be a HASH JOIN
+    * against the model table, never a broadcast — the shape every
+    * CCNet-style KenLM filter has at production scale (the model is a
+    * table you join, pruned to bound its size).
+    *
+    * Training is one corpus pass: bigram counts c(l,r) (map-side
+    * combined), history counts c(l) = Σ_r c(l,r) derived from the bigram
+    * table itself (so probabilities are true conditionals — they sum to
+    * 1 over r), conditional ppm = 1000000·c(l,r) div c(l) in integer
+    * arithmetic (transcendental-free: mean conditional ppm ranks docs
+    * the same way mean log-prob does for filtering purposes, without ln
+    * in the oracle contract). The model prunes to c(l,r) >= minCount —
+    * real LM pruning, and what bounds the table by repeated-bigram mass
+    * instead of the distinct-bigram tail; pruned/unseen bigrams score 0
+    * and are COUNTED (`n_oov`, itself a quality signal: high-oov docs
+    * are the unfamiliar ones). Scoring explodes doc bigrams and joins
+    * the model on the (l, r) word pair — the shuffle carries two short
+    * words + a doc_id per bigram, never text (at 10^12 docs, key by
+    * xxhash64 of the pair; one constant). Docs with < 2 words have no
+    * bigram evidence and are excluded, like t12 excludes empty docs.
+    */
+  def bigramFamiliarity(docs: DataFrame, minCount: Long = 2): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val toks = docs.filter(length(col("text")) >= 1)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+    val pairs = toks.select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("w")) - 2),
+          i => struct(element_at(col("w"), i + 1).as("l"),
+            element_at(col("w"), i + 2).as("r")))).as("p"))
+      .select(col("doc_id"), col("p.l").as("l"), col("p.r").as("r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val clr = pairs.groupBy("l", "r").agg(count(lit(1)).as("c_lr"))
+    val cl = clr.groupBy("l").agg(sum("c_lr").as("c_l"))
+    val model = clr.filter(col("c_lr") >= minCount).join(cl, "l")
+      .select(col("l"), col("r"), expr("(1000000 * c_lr) div c_l").as("ppm"))
+    pairs.join(model, Seq("l", "r"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        count(when(col("ppm").isNull, 1)).as("n_oov"),
+        sum(coalesce(col("ppm"), lit(0L))).as("sum_ppm"))
+      .withColumn("familiarity_ppm", expr("sum_ppm div n_bigrams"))
+  }
+
   /** Incremental dedup — the daily-ingest op: which documents of a new
     * crawl `increment` are genuinely new relative to the already-ingested
     * `corpus` (and first within their own batch)? Exactness comes from a

@@ -734,6 +734,23 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bigram familiarity: hand-computed conditional ppm, pruning, oov, short-doc exclusion") {
+    val sp = spark; import sp.implicits._
+    // corpus bigrams: d0 -> ab ba ab bc, d1 -> ab bz. c(a,b)=3, c(b,*)=1
+    // each; c_l(a)=3, c_l(b)=3. minCount=2 prunes all but (a,b): ppm =
+    // 1000000*3 div 3 = 1000000. d2 has one word -> no bigram evidence.
+    val df = Seq((0L, "a b a b c"), (1L, "a b z"), (2L, "x")).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TrainingOps.bigramFamiliarity(d).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+    val out = run(df)
+    assert(out.keySet == Set(0L, 1L))
+    assert(out(0L) == ((4, 2L, 2000000L, 500000L)))
+    assert(out(1L) == ((2, 1L, 1000000L, 500000L)))
+    assert(run(df.repartition(5)) == out, "score must not depend on partitioning")
+  }
+
   test("image dims: header parse honors declared lengths, endianness, fill bytes; error taxonomy") {
     val sp = spark; import sp.implicits._
     def parse(rows: Seq[(Long, Array[Byte])]) =
