@@ -491,6 +491,9 @@ object SparkEntry {
     "d6_ann_lsh_buckets" -> ((s, dir) => TrainingOps.annLshBuckets(embs(s, dir))),
     "d8_dedup_embedding" -> ((s, dir) => TrainingOps.embCosinePairs(embs(s, dir))),
     "d9_ann_ivf_topk" -> ((s, dir) => TrainingOps.annIvfTopK(embs(s, dir))),
+    // index-quality eval: per-probe recall@5 of the IVF index against
+    // the exact brute-force truth, integer ppm
+    "d21_ann_recall" -> ((s, dir) => TrainingOps.annRecall(embs(s, dir))),
     // product-quantization encode: 4 sub-space codes + quantization error,
     // map-only with driver-inlined codebooks (the d9 centroid family)
     "d16_pq_codes" -> ((s, dir) => TrainingOps.pqCodes(embs(s, dir))),
@@ -1761,6 +1764,40 @@ object SparkEntry {
           "x AS (SELECT dm.doc_id, cl.cluster_id FROM dm JOIN cl ON dm.rep = cl.rep) " +
           "SELECT doc_id, cluster_id, CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size, " +
           "doc_id = cluster_id AS is_keeper FROM x"),
+      // d21 oracle: the d5 truth CTEs and the d9 IVF CTEs composed, then
+      // a per-probe hit count + integer recall ppm
+      "d21_ann_recall" ->
+        ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+          "p AS (SELECT vec_id AS q_id, v AS q FROM e WHERE vec_id % 50 = 0), " +
+          "s AS (SELECT q_id, vec_id, round(" +
+          "list_sum(list_transform(range(len(q)), i -> q[i+1]*v[i+1])) / " +
+          "(sqrt(list_sum(list_transform(range(len(q)), i -> q[i+1]*q[i+1]))) * " +
+          "sqrt(list_sum(list_transform(range(len(v)), i -> v[i+1]*v[i+1])))), 6) AS score " +
+          "FROM e, p WHERE vec_id <> q_id), " +
+          "r AS (SELECT q_id, vec_id, row_number() OVER " +
+          "(PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk FROM s), " +
+          "tt AS (SELECT q_id, vec_id FROM r WHERE rk <= 5), " +
+          "cells AS (SELECT vec_id, v, CAST(list_min(list_transform(range(16), j -> " +
+          "[list_sum(list_transform(range(len(v)), i -> " +
+          "((('0x' || substr(md5('c:' || j || ':' || i),1,15))::BIGINT / pow(2,59) - 1.0 - v[i+1]) * " +
+          "(('0x' || substr(md5('c:' || j || ':' || i),1,15))::BIGINT / pow(2,59) - 1.0 - v[i+1])))), " +
+          "j::DOUBLE]))[2] AS INT) AS cell FROM e), " +
+          "p2 AS (SELECT vec_id AS q_id, v AS q, cell FROM cells WHERE vec_id % 50 = 0), " +
+          "s2 AS (SELECT p2.q_id, c.vec_id, round(" +
+          "list_sum(list_transform(range(len(p2.q)), i -> p2.q[i+1]*c.v[i+1])) / " +
+          "(sqrt(list_sum(list_transform(range(len(p2.q)), i -> p2.q[i+1]*p2.q[i+1]))) * " +
+          "sqrt(list_sum(list_transform(range(len(c.v)), i -> c.v[i+1]*c.v[i+1])))), 6) AS score " +
+          "FROM cells c JOIN p2 ON c.cell = p2.cell AND c.vec_id <> p2.q_id), " +
+          "r2 AS (SELECT q_id, vec_id, row_number() OVER " +
+          "(PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk FROM s2), " +
+          "aa AS (SELECT q_id, vec_id FROM r2 WHERE rk <= 5), " +
+          "h AS (SELECT t.q_id, count(*) AS n_hits FROM tt t JOIN aa a " +
+          "ON a.q_id = t.q_id AND a.vec_id = t.vec_id GROUP BY 1), " +
+          "n AS (SELECT q_id, count(*) AS n_truth FROM tt GROUP BY 1) " +
+          "SELECT n.q_id, CAST(n.n_truth AS INT) AS n_truth, " +
+          "CAST(coalesce(h.n_hits, 0) AS INT) AS n_hits, " +
+          "CAST((1000000 * coalesce(h.n_hits, 0)) // n.n_truth AS BIGINT) AS recall_ppm " +
+          "FROM n LEFT JOIN h USING (q_id)"),
       "d5_ann_cosine_topk" ->
         ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
           "p AS (SELECT vec_id AS q_id, v AS q FROM e WHERE vec_id % 50 = 0), " +

@@ -850,6 +850,37 @@ object TrainingOps {
       .select(col("q_id"), col("rank"), col("vec_id"), col("score"))
   }
 
+  /** ANN index-quality evaluation: recall@k of the IVF index
+    * ([[annIvfTopK]]) against the EXACT brute-force truth
+    * ([[annCosineTopK]]) per probe — the eval every production vector
+    * index ships with, because an ANN index without a measured recall
+    * is an unquantified correctness trade (an IVF probe only scans its
+    * own cell, so a true neighbor in another cell is silently missed;
+    * THIS op is what tells you how often). Output: per probe the truth
+    * size, the number of true neighbors the index found, and integer
+    * recall ppm.
+    *
+    * Scale shape: both legs are the already-hardened operators; the
+    * evaluation adds two (q_id, vec_id)-keyed aggregations and one
+    * pointer-sized join — at scale you run it over a SAMPLED probe set
+    * (recall is a statistical property; 1k probes bound it tightly),
+    * so the brute-force truth leg stays affordable while the index
+    * serves the full set.
+    */
+  def annRecall(emb: DataFrame, k: Int = 5, nCells: Int = 16): DataFrame = {
+    val truth = annCosineTopK(emb, k).select(col("q_id"), col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val approx = annIvfTopK(emb, k, nCells).select(col("q_id"), col("vec_id"))
+    val hits = truth.join(approx, Seq("q_id", "vec_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("h"))
+    truth.groupBy("q_id").agg(count(lit(1)).as("n"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n").cast("int").as("n_truth"),
+        coalesce(col("h"), lit(0L)).cast("int").as("n_hits"))
+      .withColumn("recall_ppm",
+        expr("(1000000 * cast(n_hits as bigint)) div n_truth"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup by
     * clustering-then-pairwise: k-means-style cells (here the [[ivfCells]]
     * deterministic coarse quantizer) bound the quadratic pairwise-cosine

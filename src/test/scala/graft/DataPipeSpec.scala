@@ -734,6 +734,21 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ann recall: single-cell IVF equals brute force (recall 1e6); recall bounded in [0, 1e6]") {
+    // nCells = 1 makes the IVF probe scan the whole table, so the index
+    // must return exactly the brute-force truth — the recall law's edge
+    val full = TrainingOps.annRecall(embs, k = 5, nCells = 1).collect()
+    assert(full.nonEmpty)
+    full.foreach(r => assert(r.getLong(3) == 1000000L,
+      s"probe ${r.getLong(0)} recall ${r.getLong(3)} with a full-scan index"))
+    val r16 = TrainingOps.annRecall(embs, k = 5, nCells = 16).collect()
+    assert(r16.length == full.length, "probe set must not depend on the index")
+    r16.foreach { r =>
+      assert(r.getInt(2) <= r.getInt(1), "hits cannot exceed truth size")
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
+    }
+  }
+
   test("bigram familiarity: hand-computed conditional ppm, pruning, oov, short-doc exclusion") {
     val sp = spark; import sp.implicits._
     // corpus bigrams: d0 -> ab ba ab bc, d1 -> ab bz. c(a,b)=3, c(b,*)=1

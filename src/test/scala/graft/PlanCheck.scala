@@ -204,6 +204,9 @@ object PlanCheck {
     println("==== 50. p7 training handoff: extracted table persisted at the branch (lang/quality/dedup all read the cache, kernel never re-runs); doc_id-keyed joins only ====")
     SparkEntry.queries("p7_training_handoff")(spark, sf).explain("formatted")
 
+    println("==== 51. d21 ann recall: truth leg persisted (hits + totals read it); eval joins are (q_id, vec_id) pointer rows ====")
+    SparkEntry.queries("d21_ann_recall")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
