@@ -1012,6 +1012,16 @@ object SparkEntry {
         .toDF("doc_id", "payload")
       TrainingOps.imageDims(s, payloads)
     }),
+    // charset sniffing over synthesized page bytes: BOM > 1024-byte meta
+    // prescan > UTF-8 structural validation > windows-1252 fallback; the
+    // oracle derives every verdict arithmetically from doc_id
+    "m5_charset" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = docs(s, dir).select(col("doc_id")).as[Long]
+        .map(id => (id, TrainingOps.syntheticCharsetPayload(id)))
+        .toDF("doc_id", "payload")
+      TrainingOps.charsetDetect(s, payloads)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2075,6 +2085,18 @@ object SparkEntry {
           "CASE WHEN doc_id % 6 IN (0, 1, 2) THEN CAST(16 + doc_id % 480 AS INT) END AS height, " +
           "CASE doc_id % 6 WHEN 3 THEN 'truncated' WHEN 4 THEN 'unknown' " +
           "WHEN 5 THEN 'malformed' ELSE 'ok' END AS status FROM documents"),
+      // m5 oracle: every verdict arithmetic from doc_id (the m3/m4
+      // pattern) — a MATCH means the byte builder and the three-rung
+      // sniffer agree on BOM precedence, the prescan window bound, and
+      // UTF-8 structural validity
+      "m5_charset" ->
+        ("SELECT doc_id, " +
+          "CASE doc_id % 7 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le' END AS bom, " +
+          "CASE doc_id % 7 WHEN 2 THEN 'utf-8' WHEN 3 THEN 'iso-8859-1' END AS declared, " +
+          "CASE doc_id % 7 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le' WHEN 2 THEN 'utf-8' " +
+          "WHEN 3 THEN 'iso-8859-1' WHEN 5 THEN 'windows-1252' ELSE 'utf-8' END AS detected, " +
+          "CASE WHEN doc_id % 7 IN (1, 5) THEN false ELSE true END AS utf8_valid " +
+          "FROM documents"),
       "m1_binary_features" ->
         ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS content_md5, " +
           "CASE WHEN octet_length(encode(text)) = 0 THEN 'empty' " +

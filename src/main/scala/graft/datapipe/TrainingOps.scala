@@ -2343,6 +2343,148 @@ object TrainingOps {
         "payload_md5", "status")
   }
 
+  /** Charset sniffing over raw page bytes — the step UPSTREAM of any
+    * real extraction kernel (a Common-Crawl payload is bytes, not text;
+    * decoding with the wrong charset is the classic mojibake source that
+    * t23 then has to scrub). Three detection rungs in HTML5 precedence
+    * order:
+    *   1. BOM: `EF BB BF` / `FF FE` / `FE FF` — authoritative, overrides
+    *      any declaration;
+    *   2. meta prescan: the HTML5 encoding-sniffing prescan searches only
+    *      the FIRST 1024 BYTES for a `charset=` declaration (simplified
+    *      here to any case-insensitive `charset=` attribute in the
+    *      window, quoted or bare — the tag-context bookkeeping of the
+    *      full prescan is policy, the 1024-byte bound is the contract,
+    *      and it's pinned: a declaration beyond the window must NOT be
+    *      seen);
+    *   3. content: structural UTF-8 validation (continuation classes,
+    *      overlong rejection, surrogate rejection, <= U+10FFFF) — valid
+    *      payloads detect as utf-8, invalid fall back to windows-1252,
+    *      the HTML5 default.
+    * Emits the evidence separately (`bom`, `declared`, `utf8_valid`) so
+    * downstream policy can differ from the default `detected` verdict.
+    * Typed mapPartitions, MAP-ONLY zero shuffle; rungs 1-2 touch at most
+    * 1024 bytes + the BOM, only rung 3 reads the whole payload.
+    */
+  def charsetDetect(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        def validUtf8(b: Array[Byte]): Boolean = {
+          var i = 0
+          val n = b.length
+          var ok = true
+          while (ok && i < n) {
+            val c = b(i) & 0xff
+            if (c < 0x80) i += 1
+            else if (c < 0xc2) ok = false // bare continuation / overlong lead
+            else if (c < 0xe0) {
+              if (i + 1 >= n || (b(i + 1) & 0xc0) != 0x80) ok = false else i += 2
+            } else if (c < 0xf0) {
+              if (i + 2 >= n) ok = false
+              else {
+                val c1 = b(i + 1) & 0xff
+                if ((c1 & 0xc0) != 0x80 || (b(i + 2) & 0xc0) != 0x80) ok = false
+                else if (c == 0xe0 && c1 < 0xa0) ok = false // overlong
+                else if (c == 0xed && c1 >= 0xa0) ok = false // surrogate
+                else i += 3
+              }
+            } else if (c < 0xf5) {
+              if (i + 3 >= n) ok = false
+              else {
+                val c1 = b(i + 1) & 0xff
+                if ((c1 & 0xc0) != 0x80 || (b(i + 2) & 0xc0) != 0x80 ||
+                  (b(i + 3) & 0xc0) != 0x80) ok = false
+                else if (c == 0xf0 && c1 < 0x90) ok = false // overlong
+                else if (c == 0xf4 && c1 >= 0x90) ok = false // > U+10FFFF
+                else i += 4
+              }
+            } else ok = false
+          }
+          ok
+        }
+        def lower(c: Int): Int = if (c >= 'A' && c <= 'Z') c + 32 else c
+        // first charset= token in the 1024-byte prescan window, or null
+        def prescan(b: Array[Byte]): String = {
+          val lim = math.min(b.length, 1024)
+          val pat = "charset"
+          var i = 0
+          var found: String = null
+          while (found == null && i + pat.length < lim) {
+            var j = 0
+            while (j < pat.length && lower(b(i + j) & 0xff) == pat(j)) j += 1
+            if (j == pat.length) {
+              var p = i + pat.length
+              while (p < lim && (b(p) & 0xff) == ' ') p += 1
+              if (p < lim && (b(p) & 0xff) == '=') {
+                p += 1
+                while (p < lim && (b(p) & 0xff) == ' ') p += 1
+                val quote = if (p < lim && ((b(p) & 0xff) == '"' || (b(p) & 0xff) == '\'')) b(p) & 0xff else 0
+                if (quote != 0) p += 1
+                val sb = new StringBuilder
+                var stop = false
+                while (!stop && p < lim) {
+                  val c = b(p) & 0xff
+                  if (quote != 0 && c == quote) stop = true
+                  else if (quote == 0 && (c == ' ' || c == ';' || c == '>' ||
+                    c == '/' || c == '"' || c == '\'')) stop = true // a bare
+                  // value inside a quoted content="..." ends at the
+                  // enclosing quote, not at the end of the window
+                  else { sb.append(lower(c).toChar); p += 1 }
+                }
+                if (sb.nonEmpty) found = sb.toString
+              }
+              if (found == null) i += pat.length else ()
+            } else i += 1
+          }
+          found
+        }
+        it.map { case (id, raw) =>
+          val b = if (raw == null) Array.emptyByteArray else raw
+          val bom =
+            if (b.length >= 3 && (b(0) & 0xff) == 0xef && (b(1) & 0xff) == 0xbb &&
+              (b(2) & 0xff) == 0xbf) "utf-8"
+            else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xfe) "utf-16le"
+            else if (b.length >= 2 && (b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff) "utf-16be"
+            else null
+          val declared = prescan(b)
+          val valid = validUtf8(b)
+          val detected =
+            if (bom != null) bom
+            else if (declared != null) declared
+            else if (valid) "utf-8"
+            else "windows-1252"
+          (id, Option(bom), Option(declared), detected, valid)
+        }
+      }
+      .toDF("doc_id", "bom", "declared", "detected", "utf8_valid")
+  }
+
+  /** Deterministic synthetic page bytes for [[charsetDetect]] — test
+    * scaffolding covering every detection rung: the three BOMs beat any
+    * declaration, quoted/bare/mixed-case meta declarations inside the
+    * 1024-byte prescan window, a declaration PAST the window (must not
+    * be seen — the prescan bound is the contract), plain valid multibyte
+    * UTF-8, and an invalid byte stream that falls back to windows-1252.
+    * Kinds by id % 7.
+    */
+  def syntheticCharsetPayload(id: Long): Array[Byte] = {
+    def a(s: String) = s.getBytes("US-ASCII")
+    (id % 7) match {
+      case 0 => Array(0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+        a(s"<html>doc $id</html>")
+      case 1 => Array(0xff.toByte, 0xfe.toByte) ++
+        a("h i ") // utf-16le code units
+      case 2 => a(s"""<html><head><META CHARSET="UTF-8"></head><body>doc $id</body></html>""")
+      case 3 => a("<html><head><meta http-equiv='Content-Type' " +
+        s"content='text/html; charset=ISO-8859-1'></head><body>doc $id</body></html>")
+      case 4 => s"café doc $id €".getBytes("UTF-8")
+      case 5 => a("caf") ++ Array(0xe9.toByte) ++ a(s" latin doc $id")
+      case _ => a("x" * 1100 + s"<meta charset=utf-8><body>doc $id</body>")
+    }
+  }
+
   /** Deterministic synthetic image-container bytes for [[imageDims]] —
     * test scaffolding (the m3 segment-builder role): REAL container
     * layouts (PNG signature + IHDR, GIF89a logical-screen descriptor,

@@ -749,6 +749,35 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("charset sniffing: BOM precedence, prescan variants, utf-8 structural validation") {
+    val sp = spark; import sp.implicits._
+    def a(s: String) = s.getBytes("US-ASCII")
+    def run(rows: Seq[(Long, Array[Byte])]) =
+      TrainingOps.charsetDetect(sp, rows.toDF("doc_id", "payload")).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getString(1), r.getString(2), r.getString(3), r.getBoolean(4)))).toMap
+    val out = run(Seq(
+      1L -> (Array(0xfe.toByte, 0xff.toByte) ++ a(" hi")),
+      // BOM beats a meta declaration — the HTML5 precedence pin
+      2L -> (Array(0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ a("<meta charset=latin-1>")),
+      3L -> a("<meta charset=UTF-8>"), // bare value, '>' terminator, case fold
+      4L -> Array(0xc0.toByte, 0x80.toByte), // overlong NUL
+      5L -> Array(0xed.toByte, 0xa0.toByte, 0x80.toByte), // surrogate
+      6L -> Array(0xf0.toByte, 0x9f.toByte, 0x98.toByte, 0x80.toByte), // U+1F600
+      7L -> (a("ok") ++ Array(0xc3.toByte)), // truncated multibyte at end
+      8L -> Array(0xf4.toByte, 0x90.toByte, 0x80.toByte, 0x80.toByte), // > U+10FFFF
+      9L -> Array.emptyByteArray))
+    assert(out(1L) == (("utf-16be", null, "utf-16be", false)))
+    assert(out(2L) == (("utf-8", "latin-1", "utf-8", true)))
+    assert(out(3L) == ((null, "utf-8", "utf-8", true)))
+    assert(out(4L) == ((null, null, "windows-1252", false)))
+    assert(out(5L) == ((null, null, "windows-1252", false)))
+    assert(out(6L) == ((null, null, "utf-8", true)))
+    assert(out(7L) == ((null, null, "windows-1252", false)))
+    assert(out(8L) == ((null, null, "windows-1252", false)))
+    assert(out(9L) == ((null, null, "utf-8", true)))
+  }
+
   test("bigram familiarity: hand-computed conditional ppm, pruning, oov, short-doc exclusion") {
     val sp = spark; import sp.implicits._
     // corpus bigrams: d0 -> ab ba ab bc, d1 -> ab bz. c(a,b)=3, c(b,*)=1

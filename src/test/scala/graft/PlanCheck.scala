@@ -207,6 +207,9 @@ object PlanCheck {
     println("==== 51. d21 ann recall: truth leg persisted (hits + totals read it); eval joins are (q_id, vec_id) pointer rows ====")
     SparkEntry.queries("d21_ann_recall")(spark, sf).explain("formatted")
 
+    println("==== 52. m5 charset: typed map-only three-rung sniff, zero exchange ====")
+    SparkEntry.queries("m5_charset")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
