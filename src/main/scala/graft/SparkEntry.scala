@@ -1012,6 +1012,16 @@ object SparkEntry {
         .toDF("doc_id", "payload")
       TrainingOps.imageDims(s, payloads)
     }),
+    // HTTP response parsing over synthesized record payloads: status
+    // line, routed headers (Content-Type media type, Location), body
+    // addressed without copying; oracle fully arithmetic from doc_id
+    "m6_http_responses" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = docs(s, dir).select(col("doc_id")).as[Long]
+        .map(id => (id, TrainingOps.syntheticHttpPayload(id)))
+        .toDF("doc_id", "payload")
+      TrainingOps.httpResponses(s, payloads)
+    }),
     // charset sniffing over synthesized page bytes: BOM > 1024-byte meta
     // prescan > UTF-8 structural validation > windows-1252 fallback; the
     // oracle derives every verdict arithmetically from doc_id
@@ -2085,6 +2095,27 @@ object SparkEntry {
           "CASE WHEN doc_id % 6 IN (0, 1, 2) THEN CAST(16 + doc_id % 480 AS INT) END AS height, " +
           "CASE doc_id % 6 WHEN 3 THEN 'truncated' WHEN 4 THEN 'unknown' " +
           "WHEN 5 THEN 'malformed' ELSE 'ok' END AS status FROM documents"),
+      // m6 oracle: status/headers/body-address all arithmetic from
+      // doc_id — header byte lengths counted independently (the m3
+      // offset discipline), body md5 recomputed from the composed string
+      "m6_http_responses" ->
+        ("SELECT doc_id, " +
+          "CAST(CASE doc_id % 6 WHEN 0 THEN 200 WHEN 1 THEN 301 WHEN 2 THEN 404 " +
+          "WHEN 3 THEN 200 WHEN 4 THEN 200 END AS INT) AS http_status, " +
+          "CASE doc_id % 6 WHEN 0 THEN 'text/html' WHEN 2 THEN 'text/plain' " +
+          "WHEN 3 THEN 'application/json' WHEN 4 THEN 'text/html' END AS content_type, " +
+          "CASE doc_id % 6 WHEN 1 THEN 'https://h' || (doc_id % 97) || '.example.com/doc/' || doc_id END AS location, " +
+          "CASE doc_id % 6 WHEN 4 THEN 'truncated' WHEN 5 THEN 'malformed' ELSE 'ok' END AS status, " +
+          "CAST(CASE doc_id % 6 WHEN 0 THEN 73 " +
+          "WHEN 1 THEN 46 + strlen('https://h' || (doc_id % 97) || '.example.com/doc/' || doc_id) " +
+          "WHEN 2 THEN 49 WHEN 3 THEN 75 END AS INT) AS body_offset, " +
+          "CAST(CASE doc_id % 6 WHEN 0 THEN strlen('<html>doc ' || doc_id || '</html>') " +
+          "WHEN 1 THEN 0 WHEN 2 THEN strlen('missing ' || doc_id) " +
+          "WHEN 3 THEN strlen('{\"doc\": ' || doc_id || '}') END AS INT) AS body_len, " +
+          "CASE doc_id % 6 WHEN 0 THEN md5('<html>doc ' || doc_id || '</html>') " +
+          "WHEN 1 THEN md5('') WHEN 2 THEN md5('missing ' || doc_id) " +
+          "WHEN 3 THEN md5('{\"doc\": ' || doc_id || '}') END AS body_md5 " +
+          "FROM documents"),
       // m5 oracle: every verdict arithmetic from doc_id (the m3/m4
       // pattern) — a MATCH means the byte builder and the three-rung
       // sniffer agree on BOM precedence, the prescan window bound, and

@@ -2461,6 +2461,112 @@ object TrainingOps {
       .toDF("doc_id", "bom", "declared", "detected", "utf8_valid")
   }
 
+  /** HTTP response parsing over raw record payloads — the layer between
+    * [[warcRecords]] and the page bytes: a WARC `response` record's
+    * payload is `status-line CRLF headers CRLFCRLF body`, and WET-style
+    * text extraction starts by splitting exactly here. Parses the
+    * status line (HTTP version + code), the headers a crawl pipeline
+    * routes on — `Content-Type` (with its parameters stripped to the
+    * media type) and `Location` (the redirect edge the frontier needs)
+    * — and addresses the body (offset, length, md5) WITHOUT copying it.
+    * Header-name matching is case-insensitive per RFC 9110; bare-LF
+    * separators are accepted alongside CRLF (the lenient mode every
+    * real crawler ships, because the web sends both — pinned); first
+    * occurrence of a repeated header wins. Error-as-data: `ok` /
+    * `truncated` (no blank line — the body never starts) / `malformed`
+    * (status line unparseable). Typed mapPartitions, MAP-ONLY zero
+    * shuffle; only the header region is ever scanned, the body is
+    * touched by the digest alone (the m4 discipline).
+    */
+  def httpResponses(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        def lineEnd(b: Array[Byte], from: Int): Int = {
+          var i = from
+          while (i < b.length && b(i) != '\n') i += 1
+          i // index of \n, or length
+        }
+        def lineStr(b: Array[Byte], from: Int, nl: Int): String = {
+          val end = if (nl > from && b(nl - 1) == '\r') nl - 1 else nl
+          new String(b, from, end - from, "ISO-8859-1")
+        }
+        it.map { case (id, raw) =>
+          val b = if (raw == null) Array.emptyByteArray else raw
+          var status: String = null
+          var code: Option[Int] = None
+          var ctype: String = null
+          var loc: String = null
+          var bodyOff: Option[Int] = None
+          val nl0 = lineEnd(b, 0)
+          val sl = lineStr(b, 0, nl0)
+          val slParts = sl.split(" ")
+          if (nl0 >= b.length || !sl.startsWith("HTTP/") || slParts.length < 2 ||
+            slParts(1).isEmpty || slParts(1).length > 5 ||
+            !slParts(1).forall(_.isDigit)) { // length cap: a 6+-digit
+            // "code" is garbage, and toInt on it would throw in the task
+            status = "malformed"
+          } else {
+            code = Some(slParts(1).toInt)
+            var p = nl0 + 1
+            var done = false
+            while (!done && p < b.length) {
+              val nl = lineEnd(b, p)
+              val ln = lineStr(b, p, nl)
+              if (ln.isEmpty) { bodyOff = Some(nl + 1); done = true }
+              else {
+                val ci = ln.indexOf(':')
+                if (ci > 0) {
+                  val name = ln.substring(0, ci).trim.toLowerCase
+                  val value = ln.substring(ci + 1).trim
+                  if (name == "content-type" && ctype == null)
+                    ctype = value.split(";")(0).trim.toLowerCase
+                  else if (name == "location" && loc == null) loc = value
+                }
+                p = nl + 1
+              }
+            }
+            status = if (bodyOff.isEmpty) "truncated" else "ok"
+          }
+          val (bl, bh) = bodyOff match {
+            case Some(o) =>
+              digest.reset(); digest.update(b, o, b.length - o)
+              (Some(b.length - o), digest.digest().map("%02x".format(_)).mkString)
+            case None => (None, null)
+          }
+          (id, code, Option(ctype), Option(loc), status,
+            bodyOff, bl, Option(bh))
+        }
+      }
+      .toDF("doc_id", "http_status", "content_type", "location", "status",
+        "body_offset", "body_len", "body_md5")
+  }
+
+  /** Deterministic synthetic HTTP response bytes for [[httpResponses]] —
+    * kinds by id % 6: a 200 text/html with charset parameter (stripped
+    * to the media type), a 301 with Location, a 404 text/plain with
+    * bare-LF separators (the lenient-parse pin), a 200 with folded
+    * case-variant header names and a repeated Content-Type (first
+    * wins), a truncated response (headers never end), and a malformed
+    * status line.
+    */
+  def syntheticHttpPayload(id: Long): Array[Byte] = {
+    def a(s: String) = s.getBytes("ISO-8859-1")
+    (id % 6) match {
+      case 0 => a("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+        s"Server: srv${id % 9}\r\n\r\n<html>doc $id</html>")
+      case 1 => a("HTTP/1.1 301 Moved Permanently\r\n" +
+        s"Location: https://h${id % 97}.example.com/doc/$id\r\n\r\n")
+      case 2 => a(s"HTTP/1.0 404 Not Found\nContent-Type: text/plain\n\nmissing $id")
+      case 3 => a("HTTP/1.1 200 OK\r\nCONTENT-TYPE: application/json\r\n" +
+        s"Content-Type: text/xml\r\n\r\n{\"doc\": $id}")
+      case 4 => a(s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nX-Doc: $id")
+      case _ => a(s"not-http doc $id\r\n\r\nbody")
+    }
+  }
+
   /** Deterministic synthetic page bytes for [[charsetDetect]] — test
     * scaffolding covering every detection rung: the three BOMs beat any
     * declaration, quoted/bare/mixed-case meta declarations inside the

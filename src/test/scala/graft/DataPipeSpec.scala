@@ -749,6 +749,34 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("http responses: lenient separators, first-header-wins, colon values, status-line garbage") {
+    val sp = spark; import sp.implicits._
+    def a(s: String) = s.getBytes("ISO-8859-1")
+    def run(rows: Seq[(Long, Array[Byte])]) =
+      TrainingOps.httpResponses(sp, rows.toDF("doc_id", "payload")).collect()
+        .map(r => r.getLong(0) -> ((
+          if (r.isNullAt(1)) -1 else r.getInt(1), r.getString(2), r.getString(3),
+          r.getString(4), if (r.isNullAt(6)) -1 else r.getInt(6)))).toMap
+    val out = run(Seq(
+      // bare-LF separators + a colon INSIDE the header value
+      1L -> a("HTTP/1.1 302 Found\nLocation: https://x.example.com/a\n\n"),
+      // colonless garbage header line is skipped, not an infinite loop
+      2L -> a("HTTP/1.1 200 OK\r\ngarbage line\r\nContent-Type: text/css\r\n\r\nbody"),
+      // repeated header: first occurrence wins, case-insensitive names
+      3L -> a("HTTP/1.1 200 OK\r\ncontent-type: a/b\r\nContent-Type: c/d\r\n\r\n"),
+      4L -> a("HTTP/1.1 abc OK\r\n\r\n"), // non-numeric code
+      5L -> a("HTTP/1.1 9999999 OK\r\n\r\n"), // absurd code must not throw
+      6L -> Array.emptyByteArray,
+      7L -> a("HTTP/1.1 204 No Content\r\n\r\n"))) // empty body, ok
+    assert(out(1L) == ((302, null, "https://x.example.com/a", "ok", 0)))
+    assert(out(2L) == ((200, "text/css", null, "ok", 4)))
+    assert(out(3L) == ((200, "a/b", null, "ok", 0)))
+    assert(out(4L)._4 == "malformed")
+    assert(out(5L)._4 == "malformed")
+    assert(out(6L)._4 == "malformed")
+    assert(out(7L) == ((204, null, null, "ok", 0)))
+  }
+
   test("charset sniffing: BOM precedence, prescan variants, utf-8 structural validation") {
     val sp = spark; import sp.implicits._
     def a(s: String) = s.getBytes("US-ASCII")

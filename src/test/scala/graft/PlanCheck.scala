@@ -210,6 +210,9 @@ object PlanCheck {
     println("==== 52. m5 charset: typed map-only three-rung sniff, zero exchange ====")
     SparkEntry.queries("m5_charset")(spark, sf).explain("formatted")
 
+    println("==== 53. m6 http responses: typed map-only header walk, body addressed not copied, zero exchange ====")
+    SparkEntry.queries("m6_http_responses")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
