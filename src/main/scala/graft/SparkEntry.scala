@@ -897,6 +897,22 @@ object SparkEntry {
       graft.datapipe.GraphOps.canonicalizeUrls(
         d.select(col("doc_id"), raw.as("url")))
     }),
+    // redirect-chain resolution over a synthesized Location-edge graph:
+    // per-doc chains of length doc_id%5 plus a closing cycle edge for
+    // doc_id%7==3 — exercises terminal, exactly-at-cap, and cycle paths
+    "e34_resolve_redirects" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val chainLen = col("doc_id") % 5
+      def node(j: org.apache.spark.sql.Column) =
+        concat(lit("https://r"), col("doc_id"), lit(".example.com/"), j)
+      val chain = d
+        .select(col("doc_id"),
+          explode(filter(sequence(lit(0), lit(4)), j => j < chainLen)).as("j"))
+        .select(node(col("j")).as("src"), node(col("j") + 1).as("dst"))
+      val cyc = d.filter(col("doc_id") % 7 === 3 && chainLen >= 1)
+        .select(node(chainLen).as("src"), node(lit(0)).as("dst"))
+      graft.datapipe.GraphOps.resolveRedirects(chain.unionByName(cyc))
+    }),
     // publicsuffix.org registered-domain (eTLD+1) rollup over a host log
     // exercising every PSL rule class: multi-label suffixes, a private
     // registry (github.io), a wildcard (*.ck), its exception (!www.ck),
@@ -1449,6 +1465,26 @@ object SparkEntry {
           "CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END AS canonical_url FROM f4) " +
           "SELECT doc_id, url, canonical_url, CAST(len(rawp) AS INT) AS n_params_raw, " +
           "CAST(len(kept) AS INT) AS n_params_kept, canonical_url <> url AS changed FROM f5"),
+      // e34 oracle: the same edge CTE, the 4-hop resolution UNROLLED as
+      // chained left joins (the e23 iteration-unroll pattern), terminal
+      // status via one more join against the distinct source set
+      "e34_resolve_redirects" -> {
+        val step = (k: Int) => s"f$k AS (SELECT f.origin, coalesce(e.dst, f.cur) AS cur, " +
+          "f.hops + CASE WHEN e.dst IS NULL THEN 0 ELSE 1 END AS hops " +
+          s"FROM f${k - 1} f LEFT JOIN ed e ON e.src = f.cur), "
+        "WITH ed AS (SELECT 'https://r' || doc_id || '.example.com/' || j AS src, " +
+          "'https://r' || doc_id || '.example.com/' || (j + 1) AS dst " +
+          "FROM documents, range(5) t(j) WHERE j < doc_id % 5 " +
+          "UNION ALL SELECT 'https://r' || doc_id || '.example.com/' || (doc_id % 5), " +
+          "'https://r' || doc_id || '.example.com/0' FROM documents " +
+          "WHERE doc_id % 7 = 3 AND doc_id % 5 >= 1), " +
+          "f1 AS (SELECT src AS origin, dst AS cur, 1 AS hops FROM ed), " +
+          step(2) + step(3) + step(4) +
+          "m AS (SELECT DISTINCT src FROM ed) " +
+          "SELECT f.origin AS src, f.cur AS final_url, CAST(f.hops AS INT) AS hops, " +
+          "CASE WHEN m.src IS NULL THEN 'ok' ELSE 'capped' END AS status " +
+          "FROM f4 f LEFT JOIN m ON m.src = f.cur"
+      },
       // e33 oracle: PSL matching in window/join form (algorithm-
       // independent of the Spark side's map-only per-rule greatest):
       // explode host suffixes, join the rule VALUES (wildcards stored as

@@ -420,6 +420,48 @@ object GraphOps {
       .agg(countDistinct(col("host")).as("n_hosts"),
         count(lit(1)).as("n_pages"))
 
+  /** Redirect-chain resolution: follow `Location` edges (one outgoing
+    * redirect per source url — an HTTP response has one Location) to the
+    * final target, capped at `maxHops` like every real crawler (RFC 9110
+    * leaves the limit to policy; browsers use ~20, crawlers ~5): a chain
+    * still unterminated after the cap — including every cycle — is
+    * status `capped`, error-as-data. The canonical consumer is the
+    * frontier: fetching a redirect source is wasted budget, so the
+    * frontier rewrites queued urls to their resolved targets and the
+    * seen-set keys on the FINAL url (redirect aliases collapse).
+    *
+    * Scale shape: `maxHops` rounds of ONE (url-keyed) left join each
+    * between the state (origin, cur, hops) and the edge table — rows
+    * whose chain already terminated miss the join and carry forward
+    * unchanged; lineage truncates per round (localCheckpoint, the
+    * d10/e23 pattern) so the plan never grows with the cap; the final
+    * status is one more left join against the distinct source set
+    * (terminal = no outgoing edge). Everything shuffled is (url, url,
+    * int) rows; at the lakehouse, bucket the edge table by src and the
+    * per-round join co-locates.
+    */
+  def resolveRedirects(edges: DataFrame, maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val e = edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var state = e.select(col("src").as("origin"), col("dst").as("cur"),
+      lit(1).as("hops"))
+    for (_ <- 2 to maxHops) {
+      state = state
+        .join(e.select(col("src").as("cur"), col("dst").as("nxt")),
+          Seq("cur"), "left")
+        .select(col("origin"),
+          coalesce(col("nxt"), col("cur")).as("cur"),
+          (col("hops") + when(col("nxt").isNotNull, 1).otherwise(0)).as("hops"))
+        .localCheckpoint()
+    }
+    state.join(e.select(col("src").as("cur")).distinct()
+        .withColumn("more", lit(true)), Seq("cur"), "left")
+      .select(col("origin").as("src"), col("cur").as("final_url"),
+        col("hops").cast("int").as("hops"),
+        when(col("more").isNull, "ok").otherwise("capped").as("status"))
+  }
+
   def crawlFrontier(edges: DataFrame, crawled: DataFrame): DataFrame = {
     val agg = edges.groupBy("to_url").agg(
       count(lit(1)).as("n_refs"),

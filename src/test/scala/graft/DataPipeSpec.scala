@@ -709,6 +709,27 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(edges.repartition(5)) == out)
   }
 
+  test("redirect resolution: terminal chains, cycles capped, self-loops, hop counts") {
+    val sp = spark; import sp.implicits._
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), // chain: a resolves in 2, b in 1
+      ("x", "y"), ("y", "x"), // 2-cycle: never terminates
+      ("s", "s"), // self-loop
+      ("p", "q")).toDF("src", "dst")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.datapipe.GraphOps.resolveRedirects(df, maxHops = 4).collect()
+        .map(r => r.getString(0) -> ((r.getString(1), r.getInt(2), r.getString(3))))
+        .toMap
+    val out = run(edges)
+    assert(out("a") == (("c", 2, "ok")))
+    assert(out("b") == (("c", 1, "ok")))
+    assert(out("p") == (("q", 1, "ok")))
+    assert(out("x") == (("x", 4, "capped"))) // back where it started, still redirecting
+    assert(out("y") == (("y", 4, "capped")))
+    assert(out("s") == (("s", 4, "capped")))
+    assert(run(edges.repartition(5)) == out)
+  }
+
   test("registered domain: PSL exception > wildcard > longest match > implicit-star default") {
     val sp = spark; import sp.implicits._
     val cases = Seq(

@@ -213,6 +213,9 @@ object PlanCheck {
     println("==== 53. m6 http responses: typed map-only header walk, body addressed not copied, zero exchange ====")
     SparkEntry.queries("m6_http_responses")(spark, sf).explain("formatted")
 
+    println("==== 54. e34 redirect resolution: per-round (url, url, int) joins, lineage truncated per hop ====")
+    SparkEntry.queries("e34_resolve_redirects")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
