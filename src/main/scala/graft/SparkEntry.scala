@@ -1028,6 +1028,42 @@ object SparkEntry {
         .toDF("doc_id", "payload")
       TrainingOps.imageDims(s, payloads)
     }),
+    // the fused Common-Crawl reader: WARC record walk + in-place HTTP
+    // parse per record, one pass — segments synthesized with the m6
+    // payload kinds wrapped in m3's record format
+    "m7_warc_http" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val id = col("doc_id")
+      val url = concat(lit("https://"),
+        when(id % 10 < 3, lit("big.example.com"))
+          .otherwise(concat(lit("h"), id % 97, lit(".example.com"))),
+        lit("/doc/"), id)
+      val payload = when(id % 6 === 0, concat(
+          lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\nServer: srv"),
+          id % 9, lit("\r\n\r\n<html>doc "), id, lit("</html>")))
+        .when(id % 6 === 1, concat(
+          lit("HTTP/1.1 301 Moved Permanently\r\nLocation: https://h"),
+          id % 97, lit(".example.com/doc/"), id, lit("\r\n\r\n")))
+        .when(id % 6 === 2, concat(
+          lit("HTTP/1.0 404 Not Found\nContent-Type: text/plain\n\nmissing "), id))
+        .when(id % 6 === 3, concat(
+          lit("HTTP/1.1 200 OK\r\nCONTENT-TYPE: application/json\r\nContent-Type: text/xml\r\n\r\n{\"doc\": "),
+          id, lit("}")))
+        .when(id % 6 === 4, concat(
+          lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nX-Doc: "), id))
+        .otherwise(concat(lit("not-http doc "), id, lit("\r\n\r\nbody")))
+      val rec = concat(
+        lit("WARC/1.0\r\nWARC-Target-URI: "), url,
+        lit("\r\nContent-Length: "), octet_length(payload),
+        lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+      val segs = d
+        .select((id % 16).as("segment_id"),
+          struct(col("doc_id"), rec.as("rec")).as("sr"))
+        .groupBy("segment_id")
+        .agg(encode(array_join(transform(sort_array(collect_list(col("sr"))),
+          x => x.getField("rec")), ""), "UTF-8").as("warc"))
+      TrainingOps.warcHttpRecords(s, segs)
+    }),
     // HTTP response parsing over synthesized record payloads: status
     // line, routed headers (Content-Type media type, Location), body
     // addressed without copying; oracle fully arithmetic from doc_id
@@ -2131,6 +2167,44 @@ object SparkEntry {
           "CASE WHEN doc_id % 6 IN (0, 1, 2) THEN CAST(16 + doc_id % 480 AS INT) END AS height, " +
           "CASE doc_id % 6 WHEN 3 THEN 'truncated' WHEN 4 THEN 'unknown' " +
           "WHEN 5 THEN 'malformed' ELSE 'ok' END AS status FROM documents"),
+      // m7 oracle: the m3 offset arithmetic (record lengths cumulated
+      // per segment) + the m6 field CASEs — the payload string rebuilds
+      // in SQL so strlen carries every length, no hand-counted constants
+      "m7_warc_http" -> {
+        val C = "chr(13) || chr(10)"
+        val pay = "CASE doc_id % 6 " +
+          s"WHEN 0 THEN 'HTTP/1.1 200 OK' || $C || 'Content-Type: text/html; charset=utf-8' || $C || " +
+          s"'Server: srv' || (doc_id % 9) || $C || $C || '<html>doc ' || doc_id || '</html>' " +
+          s"WHEN 1 THEN 'HTTP/1.1 301 Moved Permanently' || $C || 'Location: https://h' || (doc_id % 97) || " +
+          s"'.example.com/doc/' || doc_id || $C || $C " +
+          "WHEN 2 THEN 'HTTP/1.0 404 Not Found' || chr(10) || 'Content-Type: text/plain' || chr(10) || chr(10) || 'missing ' || doc_id " +
+          s"WHEN 3 THEN 'HTTP/1.1 200 OK' || $C || 'CONTENT-TYPE: application/json' || $C || " +
+          s"'Content-Type: text/xml' || $C || $C || '{\"doc\": ' || doc_id || '}' " +
+          s"WHEN 4 THEN 'HTTP/1.1 200 OK' || $C || 'Content-Type: text/html' || $C || 'X-Doc: ' || doc_id " +
+          s"ELSE 'not-http doc ' || doc_id || $C || $C || 'body' END"
+        "WITH d AS (SELECT doc_id, doc_id % 16 AS segment_id, " +
+          "'https://' || CASE WHEN doc_id % 10 < 3 THEN 'big.example.com' " +
+          "ELSE 'h' || (doc_id % 97) || '.example.com' END || '/doc/' || doc_id AS url, " +
+          s"$pay AS payload FROM documents), " +
+          s"r AS (SELECT *, 'WARC/1.0' || $C || 'WARC-Target-URI: ' || url || $C || " +
+          s"'Content-Length: ' || strlen(payload) || $C || $C AS header FROM d), " +
+          "l AS (SELECT segment_id, doc_id, url, strlen(payload) AS cl, " +
+          "strlen(header) + strlen(payload) + 4 AS rlen FROM r), " +
+          "o AS (SELECT segment_id, doc_id, url, cl, " +
+          "coalesce(sum(rlen) OVER (PARTITION BY segment_id ORDER BY doc_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rec_offset FROM l) " +
+          "SELECT segment_id, CAST(rec_offset AS BIGINT) AS rec_offset, url AS target_uri, " +
+          "CAST(cl AS INT) AS content_length, " +
+          "CAST(CASE doc_id % 6 WHEN 0 THEN 200 WHEN 1 THEN 301 WHEN 2 THEN 404 " +
+          "WHEN 3 THEN 200 WHEN 4 THEN 200 END AS INT) AS http_status, " +
+          "CASE doc_id % 6 WHEN 0 THEN 'text/html' WHEN 2 THEN 'text/plain' " +
+          "WHEN 3 THEN 'application/json' WHEN 4 THEN 'text/html' END AS content_type, " +
+          "CASE doc_id % 6 WHEN 0 THEN md5('<html>doc ' || doc_id || '</html>') " +
+          "WHEN 1 THEN md5('') WHEN 2 THEN md5('missing ' || doc_id) " +
+          "WHEN 3 THEN md5('{\"doc\": ' || doc_id || '}') END AS body_md5, " +
+          "CASE doc_id % 6 WHEN 4 THEN 'truncated' WHEN 5 THEN 'malformed' ELSE 'ok' END AS status " +
+          "FROM o"
+      },
       // m6 oracle: status/headers/body-address all arithmetic from
       // doc_id — header byte lengths counted independently (the m3
       // offset discipline), body md5 recomputed from the composed string

@@ -23,7 +23,12 @@ import org.apache.spark.sql.functions._
   *     shuffle-on-small-keys (band signatures, buckets), never a raw
   *     cross join; exact verification runs only on candidate pairs.
   */
-object TrainingOps {
+object TrainingOps extends Serializable {
+  // Serializable because the byte-walking closures (warcRecords,
+  // warcHttpRecords, httpResponses) call shared object-level helpers
+  // (findBytes, parseHttpRegion) — the object is stateless, so shipping
+  // the module reference is free; without this the task closure fails
+  // with NotSerializableException.
 
   /** 60-bit hash from the md5 hex prefix — fits a signed long, and both
     * engines can compute it (`conv(substr(md5(x),1,15),16,10)`); the
@@ -2283,20 +2288,26 @@ object TrainingOps {
     * file ~1 GB ⇒ one task), output rows are pointer-sized — the scan
     * is map-only, zero shuffle.
     */
+  /** First index of `pat` in `b` at or after `from`, or -1 — shared by
+    * the WARC walkers ([[warcRecords]], [[warcHttpRecords]]).
+    */
+  private def findBytes(b: Array[Byte], pat: Array[Byte], from: Int): Int = {
+    var i = from
+    val last = b.length - pat.length
+    while (i <= last) {
+      var j = 0
+      while (j < pat.length && b(i + j) == pat(j)) j += 1
+      if (j == pat.length) return i
+      i += 1
+    }
+    -1
+  }
+
   def warcRecords(spark: SparkSession, segs: DataFrame): DataFrame = {
     import spark.implicits._
     val CRLF2 = Array[Byte]('\r', '\n', '\r', '\n')
-    def find(b: Array[Byte], pat: Array[Byte], from: Int): Int = {
-      var i = from
-      val last = b.length - pat.length
-      while (i <= last) {
-        var j = 0
-        while (j < pat.length && b(i + j) == pat(j)) j += 1
-        if (j == pat.length) return i
-        i += 1
-      }
-      -1
-    }
+    def find(b: Array[Byte], pat: Array[Byte], from: Int): Int =
+      findBytes(b, pat, from)
     segs.select(col("segment_id"), col("warc"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -2478,70 +2489,155 @@ object TrainingOps {
     * shuffle; only the header region is ever scanned, the body is
     * touched by the digest alone (the m4 discipline).
     */
+  /** Parsed HTTP response region — the shared result of
+    * [[parseHttpRegion]]. `bodyOffset` is RELATIVE to the region start.
+    */
+  private final case class HttpParse(code: Option[Int], ctype: Option[String],
+      loc: Option[String], status: String, bodyOffset: Option[Int],
+      bodyLen: Option[Int], bodyMd5: Option[String])
+
+  /** HTTP response parse over the byte region `[off, end)` — shared by
+    * [[httpResponses]] (whole payload) and [[warcHttpRecords]] (a WARC
+    * record's payload slice, parsed IN PLACE: the region bound is the
+    * record's declared Content-Length, so the parse can never read its
+    * neighbor's bytes, and nothing is copied). A blank "line" formed by
+    * a bare CR at the very end of the region is NOT a header terminator
+    * (the body would start past the region — `truncated`, not a
+    * negative-length digest crash).
+    */
+  private def parseHttpRegion(digest: java.security.MessageDigest,
+      b: Array[Byte], off: Int, end: Int): HttpParse = {
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i < end && b(i) != '\n') i += 1
+      i // index of \n, or end
+    }
+    def lineStr(from: Int, nl: Int): String = {
+      val e = if (nl > from && b(nl - 1) == '\r') nl - 1 else nl
+      new String(b, from, e - from, "ISO-8859-1")
+    }
+    var status: String = null
+    var code: Option[Int] = None
+    var ctype: String = null
+    var loc: String = null
+    var bodyOff: Option[Int] = None
+    val nl0 = lineEnd(off)
+    val sl = lineStr(off, nl0)
+    val slParts = sl.split(" ")
+    if (nl0 >= end || !sl.startsWith("HTTP/") || slParts.length < 2 ||
+      slParts(1).isEmpty || slParts(1).length > 5 ||
+      !slParts(1).forall(_.isDigit)) { // length cap: a 6+-digit "code" is
+      // garbage, and toInt on it would throw in the task
+      status = "malformed"
+    } else {
+      code = Some(slParts(1).toInt)
+      var p = nl0 + 1
+      var done = false
+      while (!done && p < end) {
+        val nl = lineEnd(p)
+        val ln = lineStr(p, nl)
+        if (ln.isEmpty) {
+          if (nl < end) bodyOff = Some(nl + 1) // a real terminator line;
+          // a bare CR at region end never had its \n — headers never end
+          done = true
+        } else {
+          val ci = ln.indexOf(':')
+          if (ci > 0) {
+            val name = ln.substring(0, ci).trim.toLowerCase
+            val value = ln.substring(ci + 1).trim
+            if (name == "content-type" && ctype == null)
+              ctype = value.split(";")(0).trim.toLowerCase
+            else if (name == "location" && loc == null) loc = value
+          }
+          p = nl + 1
+        }
+      }
+      status = if (bodyOff.isEmpty) "truncated" else "ok"
+    }
+    val (bl, bh) = bodyOff match {
+      case Some(o) =>
+        digest.reset(); digest.update(b, o, end - o)
+        (Some(end - o), digest.digest().map("%02x".format(_)).mkString)
+      case None => (None, null)
+    }
+    HttpParse(code, Option(ctype), Option(loc), status,
+      bodyOff.map(_ - off), bl, Option(bh))
+  }
+
   def httpResponses(spark: SparkSession, payloads: DataFrame): DataFrame = {
     import spark.implicits._
     payloads.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val digest = java.security.MessageDigest.getInstance("MD5")
-        def lineEnd(b: Array[Byte], from: Int): Int = {
-          var i = from
-          while (i < b.length && b(i) != '\n') i += 1
-          i // index of \n, or length
-        }
-        def lineStr(b: Array[Byte], from: Int, nl: Int): String = {
-          val end = if (nl > from && b(nl - 1) == '\r') nl - 1 else nl
-          new String(b, from, end - from, "ISO-8859-1")
-        }
         it.map { case (id, raw) =>
           val b = if (raw == null) Array.emptyByteArray else raw
-          var status: String = null
-          var code: Option[Int] = None
-          var ctype: String = null
-          var loc: String = null
-          var bodyOff: Option[Int] = None
-          val nl0 = lineEnd(b, 0)
-          val sl = lineStr(b, 0, nl0)
-          val slParts = sl.split(" ")
-          if (nl0 >= b.length || !sl.startsWith("HTTP/") || slParts.length < 2 ||
-            slParts(1).isEmpty || slParts(1).length > 5 ||
-            !slParts(1).forall(_.isDigit)) { // length cap: a 6+-digit
-            // "code" is garbage, and toInt on it would throw in the task
-            status = "malformed"
-          } else {
-            code = Some(slParts(1).toInt)
-            var p = nl0 + 1
-            var done = false
-            while (!done && p < b.length) {
-              val nl = lineEnd(b, p)
-              val ln = lineStr(b, p, nl)
-              if (ln.isEmpty) { bodyOff = Some(nl + 1); done = true }
-              else {
-                val ci = ln.indexOf(':')
-                if (ci > 0) {
-                  val name = ln.substring(0, ci).trim.toLowerCase
-                  val value = ln.substring(ci + 1).trim
-                  if (name == "content-type" && ctype == null)
-                    ctype = value.split(";")(0).trim.toLowerCase
-                  else if (name == "location" && loc == null) loc = value
-                }
-                p = nl + 1
-              }
-            }
-            status = if (bodyOff.isEmpty) "truncated" else "ok"
-          }
-          val (bl, bh) = bodyOff match {
-            case Some(o) =>
-              digest.reset(); digest.update(b, o, b.length - o)
-              (Some(b.length - o), digest.digest().map("%02x".format(_)).mkString)
-            case None => (None, null)
-          }
-          (id, code, Option(ctype), Option(loc), status,
-            bodyOff, bl, Option(bh))
+          val h = parseHttpRegion(digest, b, 0, b.length)
+          (id, h.code, h.ctype, h.loc, h.status, h.bodyOffset, h.bodyLen, h.bodyMd5)
         }
       }
       .toDF("doc_id", "http_status", "content_type", "location", "status",
         "body_offset", "body_len", "body_md5")
+  }
+
+  /** The fused Common-Crawl reader: [[warcRecords]]'s Content-Length
+    * record walk feeding [[parseHttpRegion]] per record — one pass, one
+    * task, zero copies: each WARC record's payload region parses IN
+    * PLACE, bounded by the record's declared length, so an HTTP parse
+    * can never read its neighbor's bytes (the WARC terminator that
+    * follows a truncated HTTP response is provably outside the region —
+    * pinned). WARC-level failures halt the segment with `warc_truncated`
+    * / `warc_malformed` exactly as in m3; well-formed records carry the
+    * HTTP-level verdict (`ok` / `truncated` / `malformed`) instead. This
+    * is the production shape: fusing the layers costs one function call
+    * per record, while materializing per-record payload rows between
+    * them would shuffle the entire crawl body-bytes once for nothing.
+    */
+  def warcHttpRecords(spark: SparkSession, segs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val CRLF2 = Array[Byte]('\r', '\n', '\r', '\n')
+    segs.select(col("segment_id"), col("warc"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        val uriRe = "(?m)^WARC-Target-URI: (.*)$".r
+        val lenRe = "(?m)^Content-Length: (\\d+)$".r
+        it.flatMap { case (sid, bytes) =>
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, String, Int, Option[Int], Option[String], Option[String], String)]
+          var off = 0
+          var halted = false
+          while (!halted && off < bytes.length) {
+            val he = findBytes(bytes, CRLF2, off)
+            if (he < 0) {
+              out += ((sid, off.toLong, null, 0, None, None, None, "warc_truncated"))
+              halted = true
+            } else {
+              val header = new String(bytes, off, he - off, "UTF-8")
+              val uri = uriRe.findFirstMatchIn(header).map(_.group(1)).orNull
+              val clOpt = lenRe.findFirstMatchIn(header).map(_.group(1).toInt)
+              if (!header.startsWith("WARC/1.0") || uri == null || clOpt.isEmpty) {
+                out += ((sid, off.toLong, uri, 0, None, None, None, "warc_malformed"))
+                halted = true
+              } else {
+                val cl = clOpt.get
+                val ps = he + 4
+                if (ps + cl + 4 > bytes.length) {
+                  out += ((sid, off.toLong, uri, cl, None, None, None, "warc_truncated"))
+                  halted = true
+                } else {
+                  val h = parseHttpRegion(digest, bytes, ps, ps + cl)
+                  out += ((sid, off.toLong, uri, cl, h.code, h.ctype, h.bodyMd5, h.status))
+                  off = ps + cl + 4
+                }
+              }
+            }
+          }
+          out
+        }
+      }
+      .toDF("segment_id", "rec_offset", "target_uri", "content_length",
+        "http_status", "content_type", "body_md5", "status")
   }
 
   /** Deterministic synthetic HTTP response bytes for [[httpResponses]] —

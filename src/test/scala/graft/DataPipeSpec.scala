@@ -770,6 +770,32 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("warc+http fused reader: in-place region parse, warc faults halt, http faults are per-record") {
+    val sp = spark; import sp.implicits._
+    def rec(uri: String, payload: String) =
+      s"WARC/1.0\r\nWARC-Target-URI: $uri\r\nContent-Length: ${payload.length}\r\n\r\n$payload\r\n\r\n"
+    val okHttp = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<b>x</b>"
+    // headers never end INSIDE the record region — the WARC terminator
+    // right after must NOT be absorbed as the HTTP blank line
+    val truncHttp = "HTTP/1.1 200 OK\r\nContent-Type: text/html"
+    val seg1 = (rec("u1", okHttp) + rec("u2", truncHttp) +
+      rec("u3", "nope\r\n\r\nbody")).getBytes("ISO-8859-1")
+    val seg2 = (rec("u4", okHttp) + "GARBAGE").getBytes("ISO-8859-1")
+    val rows = TrainingOps.warcHttpRecords(sp,
+        Seq((1L, seg1), (2L, seg2)).toDF("segment_id", "warc")).collect()
+      .map(r => (r.getLong(0), r.getString(2),
+        if (r.isNullAt(4)) -1 else r.getInt(4),
+        if (r.isNullAt(5)) null else r.getString(5),
+        if (r.isNullAt(6)) null else r.getString(6), r.getString(7)))
+    val byUri = rows.filter(_._2 != null).map(r => r._2 -> r).toMap
+    assert(byUri("u1") == ((1L, "u1", 200, "text/html", md5hex("<b>x</b>"), "ok")))
+    assert(byUri("u2") == ((1L, "u2", 200, "text/html", null, "truncated")))
+    assert(byUri("u3") == ((1L, "u3", -1, null, null, "malformed")))
+    assert(byUri("u4") == ((2L, "u4", 200, "text/html", md5hex("<b>x</b>"), "ok")))
+    val tail = rows.filter(_._2 == null)
+    assert(tail.length == 1 && tail.head._1 == 2L && tail.head._6 == "warc_truncated")
+  }
+
   test("http responses: lenient separators, first-header-wins, colon values, status-line garbage") {
     val sp = spark; import sp.implicits._
     def a(s: String) = s.getBytes("ISO-8859-1")
@@ -788,7 +814,9 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
       4L -> a("HTTP/1.1 abc OK\r\n\r\n"), // non-numeric code
       5L -> a("HTTP/1.1 9999999 OK\r\n\r\n"), // absurd code must not throw
       6L -> Array.emptyByteArray,
-      7L -> a("HTTP/1.1 204 No Content\r\n\r\n"))) // empty body, ok
+      7L -> a("HTTP/1.1 204 No Content\r\n\r\n"), // empty body, ok
+      8L -> a("HTTP/1.1 200 OK\r\n\r"))) // bare CR at end: headers never
+    // ended — must be truncated, not a negative-length digest crash
     assert(out(1L) == ((302, null, "https://x.example.com/a", "ok", 0)))
     assert(out(2L) == ((200, "text/css", null, "ok", 4)))
     assert(out(3L) == ((200, "a/b", null, "ok", 0)))
@@ -796,6 +824,7 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(5L)._4 == "malformed")
     assert(out(6L)._4 == "malformed")
     assert(out(7L) == ((204, null, null, "ok", 0)))
+    assert(out(8L) == ((200, null, null, "truncated", -1)))
   }
 
   test("charset sniffing: BOM precedence, prescan variants, utf-8 structural validation") {

@@ -216,6 +216,9 @@ object PlanCheck {
     println("==== 54. e34 redirect resolution: per-round (url, url, int) joins, lineage truncated per hop ====")
     SparkEntry.queries("e34_resolve_redirects")(spark, sf).explain("formatted")
 
+    println("==== 55. m7 fused warc+http reader: ONE map-only pass after the segment build, zero copies ====")
+    SparkEntry.queries("m7_warc_http")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
