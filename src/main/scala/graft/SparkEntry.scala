@@ -897,6 +897,38 @@ object SparkEntry {
       graft.datapipe.GraphOps.canonicalizeUrls(
         d.select(col("doc_id"), raw.as("url")))
     }),
+    // in-page crawl directives over synthesized html: first
+    // link[rel~=canonical] href + first meta[name=robots] content with
+    // noindex/nofollow flags; decoys pin comment + raw-text immunity
+    "e35_page_directives" -> ((s, dir) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val html = when(id % 5 === 0, concat(
+          lit("<html><head><link rel=\"canonical\" href=\"https://c.example.com/p"),
+          id % 50, lit("\"></head><body>x</body></html>")))
+        .when(id % 5 === 1, concat(
+          lit("<html><head><META NAME=\"ROBOTS\" CONTENT=\"NOINDEX, nofollow\"></head><body>doc "),
+          id, lit("</body></html>")))
+        .when(id % 5 === 2, concat(
+          lit("<html><head><link rel='alternate canonical' href=https://c.example.com/q"),
+          id % 7, lit("><meta name=robots content=none></head><body>y</body></html>")))
+        .when(id % 5 === 3, concat(
+          lit("<html><head><link rel=\"canonical\" href=\"https://first.example.com/a"),
+          id % 3,
+          lit("\"><link rel=\"canonical\" href=\"https://second.example.com/b\">" +
+            "<meta name=\"robots\" content=\"index, follow\"></head><body>z</body></html>")))
+        .otherwise(concat(
+          lit("<html><head><link rel=\"stylesheet\" href=\"/s.css\">" +
+            "<!-- <link rel=\"canonical\" href=\"https://no.example.com\"> -->" +
+            "<script>var x = '<meta name=\"robots\" content=\"noindex\">';</script>" +
+            "</head><body>doc "), id, lit("</body></html>")))
+      docs(s, dir).select(id, html.as("html")).as[(Long, String)]
+        .map { case (i2, h) =>
+          val d = graft.core.Directives.scan(h)
+          (i2, Option(d.canonical), Option(d.robots), d.noindex, d.nofollow)
+        }
+        .toDF("doc_id", "canonical", "robots", "noindex", "nofollow")
+    }),
     // redirect-chain resolution over a synthesized Location-edge graph:
     // per-doc chains of length doc_id%5 plus a closing cycle edge for
     // doc_id%7==3 — exercises terminal, exactly-at-cap, and cycle paths
@@ -1501,6 +1533,19 @@ object SparkEntry {
           "CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END AS canonical_url FROM f4) " +
           "SELECT doc_id, url, canonical_url, CAST(len(rawp) AS INT) AS n_params_raw, " +
           "CAST(len(kept) AS INT) AS n_params_kept, canonical_url <> url AS changed FROM f5"),
+      // e35 oracle: directives arithmetic from doc_id — decoy kinds
+      // (stylesheet rel, commented-out canonical, robots inside script)
+      // must all come back null/false
+      "e35_page_directives" ->
+        ("SELECT doc_id, " +
+          "CASE doc_id % 5 WHEN 0 THEN 'https://c.example.com/p' || (doc_id % 50) " +
+          "WHEN 2 THEN 'https://c.example.com/q' || (doc_id % 7) " +
+          "WHEN 3 THEN 'https://first.example.com/a' || (doc_id % 3) END AS canonical, " +
+          "CASE doc_id % 5 WHEN 1 THEN 'NOINDEX, nofollow' WHEN 2 THEN 'none' " +
+          "WHEN 3 THEN 'index, follow' END AS robots, " +
+          "CASE WHEN doc_id % 5 IN (1, 2) THEN true ELSE false END AS noindex, " +
+          "CASE WHEN doc_id % 5 IN (1, 2) THEN true ELSE false END AS nofollow " +
+          "FROM documents"),
       // e34 oracle: the same edge CTE, the 4-hop resolution UNROLLED as
       // chained left joins (the e23 iteration-unroll pattern), terminal
       // status via one more join against the distinct source set

@@ -1,0 +1,177 @@
+package graft.core
+
+/** In-page crawl-directive scanner: the first `<link rel=canonical>`
+  * href and the first `<meta name=robots>` content of a page — the two
+  * in-band signals every crawl pipeline honors before a page enters the
+  * corpus: rel=canonical is the SITE's own statement of which URL
+  * variant is authoritative (the in-band counterpart of e32's
+  * syntactic URL canonicalization — when both exist, canonical wins,
+  * because only the site knows that `?page=2` is a different page while
+  * `?sort=asc` is not), and robots noindex/nofollow gate indexing and
+  * link-graph expansion. Reference analog: the service validates
+  * per-request processing directives before running an engine
+  * (`/root/reference/src/services/ocr/registry_v2.py:427-471`); a crawl
+  * corpus reads the same kind of directive from the page itself.
+  *
+  * Structural rules mirror [[Links.outlinksOf]] exactly: comments,
+  * CDATA, doctype and PIs are consumed silently (a commented-out
+  * directive is NOT a directive — pinned); script/style/textarea/
+  * noscript bodies never leak (a directive string inside JavaScript is
+  * data, not markup); `<` that opens no tag is literal text. Attribute
+  * parsing is the Links quote-aware state machine, generalized to
+  * capture a small set of named attributes per tag. `rel` is an
+  * HTML5 space-separated TOKEN LIST (`rel="alternate canonical"`
+  * matches), matched ASCII-case-insensitively; robots content parses as
+  * comma-separated tokens with the `none` alias expanding to
+  * noindex + nofollow. First occurrence wins for both directives
+  * (browsers honor the first canonical; for robots, real engines union
+  * repeated tags — first-wins is the documented simplification).
+  */
+object Directives {
+
+  final case class PageDirectives(canonical: String, robots: String,
+      noindex: Boolean, nofollow: Boolean)
+
+  def directives(html: Array[Byte],
+      deadline: Html.Deadline = Html.Deadline.unlimited): PageDirectives =
+    scan(Html.decode(html), deadline)
+
+  def scan(s: String,
+      deadline: Html.Deadline = Html.Deadline.unlimited): PageDirectives = {
+    val n = s.length
+    var canonical: String = null
+    var robots: String = null
+    var i = 0
+
+    def isNameStart(c: Char) = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+    def isNameChar(c: Char) =
+      isNameStart(c) || (c >= '0' && c <= '9') || c == '-' || c == ':' || c == '_'
+
+    // Parse one start tag's attributes from j0 (just past the tag name),
+    // capturing first-occurrence values for `wanted` names. Returns the
+    // position after '>' and fills `captured`.
+    val captured = scala.collection.mutable.HashMap.empty[String, String]
+    var lastSelfClosing = false
+    def parseAttrs(j0: Int, wanted: Set[String]): Int = {
+      captured.clear()
+      lastSelfClosing = false
+      var j = j0
+      var done = false
+      while (!done) {
+        while (j < n && Character.isWhitespace(s.charAt(j))) j += 1
+        if (j >= n) { done = true }
+        else {
+          val ch = s.charAt(j)
+          if (ch == '>') { j += 1; done = true }
+          else if (ch == '/' && j + 1 < n && s.charAt(j + 1) == '>') {
+            lastSelfClosing = true; j += 2; done = true
+          } else if (isNameStart(ch)) {
+            val aStart = j
+            while (j < n && isNameChar(s.charAt(j))) j += 1
+            val aName = s.substring(aStart, j).toLowerCase(java.util.Locale.ROOT)
+            var k = j
+            while (k < n && Character.isWhitespace(s.charAt(k))) k += 1
+            if (k < n && s.charAt(k) == '=') {
+              k += 1
+              while (k < n && Character.isWhitespace(s.charAt(k))) k += 1
+              var vStart = k
+              var vEnd = k
+              if (k < n && (s.charAt(k) == '"' || s.charAt(k) == '\'')) {
+                val q = s.charAt(k)
+                vStart = k + 1
+                val close = s.indexOf(q, k + 1)
+                vEnd = if (close < 0) n else close
+                k = if (close < 0) n else close + 1
+              } else {
+                while (k < n && !Character.isWhitespace(s.charAt(k)) && s.charAt(k) != '>') k += 1
+                vEnd = k
+              }
+              if (wanted.contains(aName) && !captured.contains(aName))
+                captured(aName) = Html.decodeEntities(s.substring(vStart, vEnd))
+              j = k
+            }
+          } else j += 1
+        }
+      }
+      j
+    }
+
+    def relHasCanonical(rel: String): Boolean =
+      rel.split("[ \t\n\r\f]+").exists(_.equalsIgnoreCase("canonical"))
+
+    while (i < n) {
+      if (deadline.expired()) throw new Html.TimeoutException
+      if (s.charAt(i) == '<') {
+        var j = i + 1
+        if (j >= n) { i = n }
+        else {
+          val c = s.charAt(j)
+          if (c == '!') {
+            if (s.startsWith("<!--", i)) {
+              val end = s.indexOf("-->", i + 4)
+              i = if (end < 0) n else end + 3
+            } else if (s.regionMatches(true, i, "<![CDATA[", 0, 9)) {
+              val end = s.indexOf("]]>", i + 9)
+              i = if (end < 0) n else end + 3
+            } else {
+              val end = s.indexOf('>', i + 1)
+              i = if (end < 0) n else end + 1
+            }
+          } else if (c == '?') {
+            val end = s.indexOf('>', i + 1)
+            i = if (end < 0) n else end + 1
+          } else {
+            val closing = c == '/'
+            if (closing) j += 1
+            if (j >= n || !isNameStart(s.charAt(j))) {
+              i = i + 1 // literal '<'
+            } else {
+              val nameStart = j
+              while (j < n && isNameChar(s.charAt(j))) j += 1
+              val name = s.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
+              if (closing) {
+                val end = s.indexOf('>', j)
+                i = if (end < 0) n else end + 1
+              } else {
+                val wanted = name match {
+                  case "link" => Set("rel", "href")
+                  case "meta" => Set("name", "content")
+                  case _ => Set.empty[String]
+                }
+                val after = parseAttrs(j, wanted)
+                i = after
+                if (name == "link" && canonical == null) {
+                  val rel = captured.getOrElse("rel", "")
+                  val href = captured.getOrElse("href", "")
+                  if (relHasCanonical(rel) && href.nonEmpty) canonical = href
+                } else if (name == "meta" && robots == null) {
+                  if (captured.get("name").exists(_.equalsIgnoreCase("robots")))
+                    robots = captured.getOrElse("content", "")
+                } else if (!lastSelfClosing &&
+                  (name == "script" || name == "style" || name == "textarea" || name == "noscript")) {
+                  val close = "</" + name
+                  val k = Html.indexOfIgnoreCase(s, close, i)
+                  if (k < 0) i = n
+                  else {
+                    val gt = s.indexOf('>', k + close.length)
+                    i = if (gt < 0) n else gt + 1
+                  }
+                }
+              }
+            }
+          }
+        }
+      } else {
+        val lt = s.indexOf('<', i)
+        i = if (lt < 0) n else lt
+      }
+    }
+
+    val toks: Set[String] =
+      if (robots == null) Set.empty
+      else robots.split(",").map(_.trim.toLowerCase(java.util.Locale.ROOT)).toSet
+    val none = toks.contains("none")
+    PageDirectives(canonical, robots,
+      none || toks.contains("noindex"), none || toks.contains("nofollow"))
+  }
+}

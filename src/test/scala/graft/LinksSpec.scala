@@ -134,4 +134,28 @@ class LinksSpec extends AnyFunSuite {
       relN.map(k => s"/rel/$k" -> s"Related post $k …") ++
       Vector("/imprint" -> "Impressum"))
   }
+
+  test("directives: token-list rel, first-wins, none alias, comment/rawtext immunity, decoys") {
+    import graft.core.Directives
+    val d1 = Directives.scan(
+      """<html><head>
+        |<script>var s = '<link rel="canonical" href="https://js.example.com">';</script>
+        |<!-- <meta name="robots" content="noindex"> -->
+        |<link rel="stylesheet" href="/s.css">
+        |<link rel="alternate CANONICAL" href="https://real.example.com/page">
+        |<link rel="canonical" href="https://second.example.com/ignored">
+        |<META NAME="Robots" CONTENT=" NOFOLLOW , x ">
+        |</head><body></body></html>""".stripMargin)
+    assert(d1.canonical == "https://real.example.com/page") // token list + first wins
+    assert(d1.robots == " NOFOLLOW , x ") // raw value preserved
+    assert(!d1.noindex && d1.nofollow) // tokens trimmed + case-folded
+    val d2 = Directives.scan("<meta name=robots content=none>")
+    assert(d2.noindex && d2.nofollow) // 'none' expands to both
+    val d3 = Directives.scan("<link rel=canonical><link rel=canonical href=/ok>")
+    assert(d3.canonical == "/ok") // hrefless directive is not a directive
+    val d4 = Directives.scan("<p>charset talk about rel=canonical in text</p>")
+    assert(d4.canonical == null && d4.robots == null && !d4.noindex && !d4.nofollow)
+    val d5 = Directives.scan("""<link rel="canonical" href="/a&amp;b"/>""")
+    assert(d5.canonical == "/a&b") // self-closing + entity decode
+  }
 }

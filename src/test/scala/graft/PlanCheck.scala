@@ -219,6 +219,9 @@ object PlanCheck {
     println("==== 55. m7 fused warc+http reader: ONE map-only pass after the segment build, zero copies ====")
     SparkEntry.queries("m7_warc_http")(spark, sf).explain("formatted")
 
+    println("==== 56. e35 page directives: typed map-only scan, zero exchange ====")
+    SparkEntry.queries("e35_page_directives")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
