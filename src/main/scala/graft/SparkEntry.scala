@@ -620,6 +620,25 @@ object SparkEntry {
     }),
     "t11_global_shuffle" -> ((s, dir) => TrainingOps.globalShuffle(docs(s, dir))),
     "t12_lm_familiarity" -> ((s, dir) => TrainingOps.unigramFamiliarity(docs(s, dir))),
+    // Unicode script mix over the scriptAug corpus: per-script char ppm
+    // + fixed-precedence dominant script — classifies what stopword
+    // lang-ID structurally cannot (scripts with no known stopword list)
+    "t29_script_mix" -> ((s, dir) => {
+      // %13==5: pure-CJK replacement (dominant flips); %13==11: an exact
+      // latin/greek tie ("αβγδ abcd": 4 each) pinning the precedence
+      // order; %13 in {7,9}: appended runs (mixed-script, latin stays
+      // dominant, the ppm columns go non-zero). Pre-aug length filter:
+      // an empty doc must not become non-empty by decoration.
+      val aug = docs(s, dir).filter(length(col("text")) >= 1)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 5, lit("汉字文本内容数据页面"))
+            .when(col("doc_id") % 13 === 11, lit("αβγδ abcd"))
+            .otherwise(concat(col("text"),
+              when(col("doc_id") % 13 === 7, lit(" русский текст страницы")).otherwise(lit("")),
+              when(col("doc_id") % 13 === 9, lit(" نص عربي للصفحة")).otherwise(lit(""))))
+            .as("text"))
+      TrainingOps.scriptMix(aug)
+    }),
     // bigram-LM familiarity: the model is a JOIN-sized table (the t12
     // contrast — a bigram model cannot broadcast), conditional integer
     // ppm, pruned at c(l,r) >= 2, oov counted as its own signal
@@ -2599,6 +2618,30 @@ object SparkEntry {
       // word asc), per-doc OOV count + summed corpus frequencies —
       // mirrors unigramFamiliarity(vocabSize=256); transcendental-free
       // so the single IEEE division is bit-identical across engines
+      // t29 oracle: same aug CTE, single-char class counts via
+      // regexp_extract_all (RE2 \x{} ranges == Java \u ranges), integer
+      // ppm, the same fixed-precedence dominant CASE
+      "t29_script_mix" ->
+        ("WITH sa AS (SELECT doc_id, CASE WHEN doc_id % 13 = 5 THEN '汉字文本内容数据页面' " +
+          "WHEN doc_id % 13 = 11 THEN 'αβγδ abcd' " +
+          "ELSE text || CASE WHEN doc_id % 13 = 7 THEN ' русский текст страницы' ELSE '' END " +
+          "|| CASE WHEN doc_id % 13 = 9 THEN ' نص عربي للصفحة' ELSE '' END END AS text " +
+          "FROM documents WHERE length(text) >= 1), " +
+          "c AS (SELECT doc_id, CAST(length(text) AS INT) AS n_chars, " +
+          "len(regexp_extract_all(text, '[A-Za-z]')) AS latin, " +
+          "len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk, " +
+          "len(regexp_extract_all(text, '[\\x{0400}-\\x{04ff}]')) AS cyrillic, " +
+          "len(regexp_extract_all(text, '[\\x{0600}-\\x{06ff}]')) AS arabic, " +
+          "len(regexp_extract_all(text, '[\\x{0370}-\\x{03ff}]')) AS greek FROM sa) " +
+          "SELECT doc_id, n_chars, " +
+          "CAST((1000000 * latin) // n_chars AS BIGINT) AS latin_ppm, " +
+          "CAST((1000000 * cjk) // n_chars AS BIGINT) AS cjk_ppm, " +
+          "CAST((1000000 * cyrillic) // n_chars AS BIGINT) AS cyrillic_ppm, " +
+          "CAST((1000000 * arabic) // n_chars AS BIGINT) AS arabic_ppm, " +
+          "CASE WHEN latin >= cjk AND latin >= cyrillic AND latin >= arabic AND latin >= greek THEN 'latin' " +
+          "WHEN cjk >= cyrillic AND cjk >= arabic AND cjk >= greek THEN 'cjk' " +
+          "WHEN cyrillic >= arabic AND cyrillic >= greek THEN 'cyrillic' " +
+          "WHEN arabic >= greek THEN 'arabic' ELSE 'greek' END AS dominant FROM c"),
       // bigram familiarity oracle: pair explode via struct unnest, the
       // same two-level count derivation (c_l = sum of c_lr, so ppm is a
       // true conditional), prune, LEFT join on the word pair, per-doc

@@ -1677,6 +1677,44 @@ object TrainingOps extends Serializable {
       .withColumn("familiarity", col("sum_freq").cast("double") / col("n_tokens"))
   }
 
+  /** Unicode script mix — the curation signal [[langId]] structurally
+    * cannot give: stopword lists only separate languages they KNOW, so
+    * a CJK or Cyrillic page scores zero on every list and falls to the
+    * argmax default; counting script-block characters classifies it in
+    * one map-only pass, and the per-script ppm columns expose
+    * mixed-script spam (Latin text stuffed with CJK keywords, the
+    * classic SEO pattern) that no word-level signal sees. Five
+    * single-char classes (Basic Latin letters, CJK Unified, Cyrillic,
+    * Arabic, Greek) counted with codegen'd regexp_extract_all; dominant
+    * script by the t1 fixed-precedence argmax CASE. BMP-only contract
+    * (like frameSample): Spark's length() counts UTF-16 units, DuckDB's
+    * counts code points — equal exactly on the BMP.
+    */
+  def scriptMix(docs: DataFrame): DataFrame = {
+    def cnt(re: String) =
+      size(regexp_extract_all(col("text"), lit(re), lit(0)))
+    val base = docs.filter(length(col("text")) >= 1).select(
+      col("doc_id"),
+      length(col("text")).cast("int").as("n_chars"),
+      cnt("[A-Za-z]").as("latin"),
+      cnt("[\\u4e00-\\u9fff]").as("cjk"),
+      cnt("[\\u0400-\\u04ff]").as("cyrillic"),
+      cnt("[\\u0600-\\u06ff]").as("arabic"),
+      cnt("[\\u0370-\\u03ff]").as("greek"))
+    base.select(col("doc_id"), col("n_chars"),
+      expr("(1000000 * cast(latin as bigint)) div n_chars").as("latin_ppm"),
+      expr("(1000000 * cast(cjk as bigint)) div n_chars").as("cjk_ppm"),
+      expr("(1000000 * cast(cyrillic as bigint)) div n_chars").as("cyrillic_ppm"),
+      expr("(1000000 * cast(arabic as bigint)) div n_chars").as("arabic_ppm"),
+      when(col("latin") >= col("cjk") && col("latin") >= col("cyrillic") &&
+          col("latin") >= col("arabic") && col("latin") >= col("greek"), "latin")
+        .when(col("cjk") >= col("cyrillic") && col("cjk") >= col("arabic") &&
+          col("cjk") >= col("greek"), "cjk")
+        .when(col("cyrillic") >= col("arabic") && col("cyrillic") >= col("greek"), "cyrillic")
+        .when(col("arabic") >= col("greek"), "arabic")
+        .otherwise("greek").as("dominant"))
+  }
+
   /** Bigram LM familiarity — the conditional upgrade of
     * [[unigramFamiliarity]], and deliberately the OTHER scale pattern:
     * t12's 256-word vocab broadcasts as a `typedLit` map, but a bigram

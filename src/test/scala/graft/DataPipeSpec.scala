@@ -755,6 +755,23 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("script mix: per-script ppm, dominant precedence on exact tie, BMP counting") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, "hello world"), // pure latin
+      (2L, "汉字文本"), // pure cjk
+      (3L, "αβγδ abcd"), // exact 4-4 latin/greek tie -> precedence: latin
+      (4L, "abc кирилл"), // mixed: latin 3, cyrillic 6 -> cyrillic
+      (5L, "!!! 123 ...")).toDF("doc_id", "text") // no script at all
+    val out = TrainingOps.scriptMix(df).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getString(6)))).toMap
+    assert(out(1L) == ((11, 1000000L * 10 / 11, "latin")))
+    assert(out(2L)._3 == "cjk" && out(2L)._2 == 0L)
+    assert(out(3L)._3 == "latin", "equal counts must fall to the precedence order")
+    assert(out(4L)._3 == "cyrillic")
+    assert(out(5L)._3 == "latin", "all-zero counts fall to the first branch")
+  }
+
   test("ann recall: single-cell IVF equals brute force (recall 1e6); recall bounded in [0, 1e6]") {
     // nCells = 1 makes the IVF probe scan the whole table, so the index
     // must return exactly the brute-force truth — the recall law's edge

@@ -222,6 +222,9 @@ object PlanCheck {
     println("==== 56. e35 page directives: typed map-only scan, zero exchange ====")
     SparkEntry.queries("e35_page_directives")(spark, sf).explain("formatted")
 
+    println("==== 57. t29 script mix: codegen'd char-class counts, map-only, zero exchange ====")
+    SparkEntry.queries("t29_script_mix")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
