@@ -326,6 +326,29 @@ object SparkEntry {
     ExtractPipeline.run(pagesOf(s, onlyKind(docs(s, dir), kind)), conf)
   }
 
+  /** The shared front of p7/p8: extraction (HTML family-A + PDF spines),
+    * doc identity parsed back from the url, the t14 quality gate, exact
+    * dedup among keeps. Returns (extracted table, survivors) — both
+    * persisted at their branch points; the extraction kernel runs once
+    * no matter how many signals read the result.
+    */
+  private def handoffSurvivors(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ex = extracted(s, dir, "html_a").toDF().select("url", "text")
+      .unionByName(extracted(s, dir, "pdf").toDF().select("url", "text"))
+      .select(
+        regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        col("url"),
+        regexp_extract(col("url"), "https?://([^/]+)", 1).as("host"),
+        col("text"))
+      .persist()
+    val kept = ex.join(
+      TrainingOps.qualityRules(ex).filter(col("keep")).select("doc_id"), "doc_id")
+      .persist()
+    val surv = kept.join(
+      TrainingOps.dedupExact(kept).select(col("keeper").as("doc_id")), "doc_id")
+    (ex, surv)
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     extracted(spark, "/root/testdata/sf0.001", "all").toDF()
@@ -665,25 +688,24 @@ object SparkEntry {
     // and the dedup/survivor joins all read it); output follows the t23
     // hash-compare convention (md5 of text, never megabyte rows).
     "p7_training_handoff" -> ((s, dir) => {
-      val ex = extracted(s, dir, "html_a").toDF().select("url", "text")
-        .unionByName(extracted(s, dir, "pdf").toDF().select("url", "text"))
-        .select(
-          regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
-          col("url"),
-          regexp_extract(col("url"), "https?://([^/]+)", 1).as("host"),
-          col("text"))
-        .persist()
+      val (ex, surv) = handoffSurvivors(s, dir)
       val lang = TrainingOps.langId(ex).select(col("doc_id"), col("lang_pred"))
-      val kept = ex.join(
-        TrainingOps.qualityRules(ex).filter(col("keep")).select("doc_id"), "doc_id")
-        .persist()
-      val surv = kept.join(
-        TrainingOps.dedupExact(kept).select(col("keeper").as("doc_id")), "doc_id")
       surv.join(lang, "doc_id")
         .join(TrainingOps.splitByGroup(surv, groupCol = "host")
           .select("doc_id", "split"), "doc_id")
         .select(col("doc_id"), col("url"), col("host"), col("lang_pred"),
           col("split"), md5(col("text")).as("text_md5"))
+    }),
+    // the corpus RELEASE: p7's surviving documents, train split only,
+    // packed into fixed-length training sequences — raw page bytes to
+    // tensor-ready shards in one plan, the end of the whole pipeline
+    "p8_corpus_release" -> ((s, dir) => {
+      val (_, surv) = handoffSurvivors(s, dir)
+      val train = surv
+        .join(TrainingOps.splitByGroup(surv, groupCol = "host")
+          .filter(col("split") === "train").select("doc_id"), "doc_id")
+        .select(col("doc_id"), col("text"))
+      TrainingOps.sequencePack(train, seqLen = 512)
     }),
     "p1_corpus_pipeline" -> ((s, dir) => {
       val k17 = col("doc_id") % 17
@@ -1157,6 +1179,23 @@ object SparkEntry {
     val kindCase =
       "CASE WHEN doc_id % 37 = 0 THEN 'junk' WHEN doc_id % 41 = 0 THEN 'oversize' " +
         "WHEN doc_id % 10 = 7 THEN 'pdf' ELSE 'html' END"
+    // shared front of the p7/p8 oracles — mirrors handoffSurvivors:
+    // extraction reconstructions, url-derived identity, the full t14
+    // oracle as a quality subquery, exact dedup among keeps
+    val wsRe = "'[ \\t\\n\\r\\f\\x0B]+'"
+    val survChain = {
+      val q14 = t14Oracle(s"regexp_split_to_array(trim(text), $wsRe)")
+        .replace("FROM documents", "FROM ex")
+      s"exa AS (SELECT doc_id, $words AS w FROM documents WHERE $htmlKindsA), " +
+        s"exp AS (SELECT doc_id, $words AS w FROM documents WHERE $pdfKinds), " +
+        s"ex0 AS (SELECT doc_id, $urlExpr AS url, ${chunked(40)} AS text FROM exa " +
+        s"UNION ALL SELECT doc_id, $urlExpr AS url, ${chunked(60)} AS text FROM exp), " +
+        "ex AS (SELECT doc_id, url, regexp_extract(url, 'https?://([^/]+)', 1) AS host, text FROM ex0), " +
+        s"q AS (SELECT doc_id FROM ($q14) t WHERE keep), " +
+        "kept AS (SELECT e.* FROM ex e JOIN q USING (doc_id)), " +
+        "kp AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)), " +
+        "surv AS (SELECT k.* FROM kept k JOIN kp USING (doc_id))"
+    }
     Map(
       "e1_extract_html" ->
         (s"WITH d AS (SELECT doc_id, $words AS w FROM documents WHERE $htmlKindsA) " +
@@ -1247,14 +1286,7 @@ object SparkEntry {
       // p4 embed pattern, retargeted at the extracted table), exact
       // dedup among keeps, and the t26 host-keyed split
       "p7_training_handoff" -> {
-        val wsRe = "'[ \\t\\n\\r\\f\\x0B]+'"
-        val q14 = t14Oracle(s"regexp_split_to_array(trim(text), $wsRe)")
-          .replace("FROM documents", "FROM ex")
-        s"WITH exa AS (SELECT doc_id, $words AS w FROM documents WHERE $htmlKindsA), " +
-          s"exp AS (SELECT doc_id, $words AS w FROM documents WHERE $pdfKinds), " +
-          s"ex0 AS (SELECT doc_id, $urlExpr AS url, ${chunked(40)} AS text FROM exa " +
-          s"UNION ALL SELECT doc_id, $urlExpr AS url, ${chunked(60)} AS text FROM exp), " +
-          "ex AS (SELECT doc_id, url, regexp_extract(url, 'https?://([^/]+)', 1) AS host, text FROM ex0), " +
+        s"WITH $survChain, " +
           s"lwc AS (SELECT doc_id, regexp_split_to_array(trim(text), $wsRe) AS w FROM ex " +
           s"WHERE len(regexp_split_to_array(trim(text), $wsRe)) >= 1), " +
           "sc AS (SELECT doc_id, " +
@@ -1267,16 +1299,27 @@ object SparkEntry {
           "WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en' " +
           "WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de' " +
           "WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es' " +
-          "WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS lang_pred FROM sc), " +
-          s"q AS (SELECT doc_id FROM ($q14) t WHERE keep), " +
-          "kept AS (SELECT e.* FROM ex e JOIN q USING (doc_id)), " +
-          "kp AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)), " +
-          "surv AS (SELECT k.* FROM kept k JOIN kp USING (doc_id)) " +
+          "WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS lang_pred FROM sc) " +
           "SELECT s.doc_id, s.url, s.host, lng.lang_pred, " +
           "CASE WHEN ('0x' || substr(md5('sp:' || s.host), 1, 15))::BIGINT % 1000000 < 100000 THEN 'test' " +
           "WHEN ('0x' || substr(md5('sp:' || s.host), 1, 15))::BIGINT % 1000000 < 200000 THEN 'val' " +
           "ELSE 'train' END AS split, md5(s.text) AS text_md5 " +
           "FROM surv s JOIN lng USING (doc_id)"
+      },
+      // p8 oracle: the shared surv chain, train-split filter (the t26
+      // threshold arithmetic), then the t10 packing window per shard
+      "p8_corpus_release" -> {
+        s"WITH $survChain, " +
+          "tr AS (SELECT s.doc_id, s.text FROM surv s WHERE " +
+          "('0x' || substr(md5('sp:' || s.host), 1, 15))::BIGINT % 1000000 >= 200000), " +
+          s"f2 AS (SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard, " +
+          s"CAST(len(regexp_split_to_array(trim(text), $wsRe)) AS INT) AS n_tokens " +
+          "FROM tr WHERE length(text) >= 1), " +
+          "c2 AS (SELECT doc_id, shard, n_tokens, CAST(sum(n_tokens) OVER " +
+          "(PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM f2) " +
+          "SELECT doc_id, shard, n_tokens, (cum - n_tokens) // 512 AS seq_id, " +
+          "CAST((cum - n_tokens) % 512 AS INT) AS seq_offset, " +
+          "CAST((cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS INT) AS n_seqs FROM c2"
       },
       "e10_host_counts" ->
         (s"WITH d AS (SELECT doc_id, $kindCase AS kind, " +

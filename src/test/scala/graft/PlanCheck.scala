@@ -225,6 +225,9 @@ object PlanCheck {
     println("==== 57. t29 script mix: codegen'd char-class counts, map-only, zero exchange ====")
     SparkEntry.queries("t29_script_mix")(spark, sf).explain("formatted")
 
+    println("==== 58. p8 corpus release: shared survivor front persisted; pack windows partition by shard ====")
+    SparkEntry.queries("p8_corpus_release")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
