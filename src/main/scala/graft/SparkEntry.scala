@@ -970,6 +970,35 @@ object SparkEntry {
         }
         .toDF("doc_id", "canonical", "robots", "noindex", "nofollow")
     }),
+    // hreflang alternate extraction: the multilingual-cluster signal —
+    // link[rel~=alternate][hreflang] pairs in document order; rel token
+    // lists count, an alternate WITHOUT hreflang (RSS feeds) must not
+    "e36_hreflang_alternates" -> ((s, dir) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val html = when(id % 4 === 1, concat(
+          lit("<html><head><link rel=\"alternate\" hreflang=\"en\" href=\"https://x"),
+          id % 9, lit(".example.com/en\">" +
+            "<link rel=\"alternate\" hreflang=\"DE\" href=\"https://x"),
+          id % 9, lit(".example.com/de\">" +
+            "<link rel=\"alternate\" hreflang=\"fr\" href=\"https://x"),
+          id % 9, lit(".example.com/fr\"></head><body>a</body></html>")))
+        .when(id % 4 === 2, concat(
+          lit("<html><head><link rel=\"alternate\" hreflang=\"x-default\" href=\"https://y"),
+          id % 5, lit(".example.com/\">" +
+            "<link rel=\"stylesheet alternate\" hreflang=\"en\" href=\"https://y"),
+          id % 5, lit(".example.com/en\">" +
+            "<link rel=\"alternate\" href=\"/feed.xml\" type=\"application/rss+xml\">" +
+            "</head><body>b</body></html>")))
+        .otherwise(lit("<html><head></head><body>c</body></html>"))
+      docs(s, dir).select(id, html.as("html")).as[(Long, String)]
+        .flatMap { case (i2, h) =>
+          graft.core.Directives.scan(h).alternates.zipWithIndex.map {
+            case ((hl, href), ix) => (i2, ix, hl, href)
+          }
+        }
+        .toDF("doc_id", "idx", "hreflang", "href")
+    }),
     // redirect-chain resolution over a synthesized Location-edge graph:
     // per-doc chains of length doc_id%5 plus a closing cycle edge for
     // doc_id%7==3 — exercises terminal, exactly-at-cap, and cycle paths
@@ -1608,6 +1637,17 @@ object SparkEntry {
           "CASE WHEN doc_id % 5 IN (1, 2) THEN true ELSE false END AS noindex, " +
           "CASE WHEN doc_id % 5 IN (1, 2) THEN true ELSE false END AS nofollow " +
           "FROM documents"),
+      // e36 oracle: arithmetic alternates per kind — the RSS alternate
+      // (no hreflang) contributes NO row, DE case-folds to de
+      "e36_hreflang_alternates" ->
+        ("SELECT doc_id, CAST(t.j AS INT) AS idx, " +
+          "CASE WHEN doc_id % 4 = 1 THEN ['en','de','fr'][CAST(j+1 AS INT)] " +
+          "ELSE ['x-default','en'][CAST(j+1 AS INT)] END AS hreflang, " +
+          "CASE WHEN doc_id % 4 = 1 THEN 'https://x' || (doc_id % 9) || '.example.com/' || ['en','de','fr'][CAST(j+1 AS INT)] " +
+          "WHEN j = 0 THEN 'https://y' || (doc_id % 5) || '.example.com/' " +
+          "ELSE 'https://y' || (doc_id % 5) || '.example.com/en' END AS href " +
+          "FROM documents, range(3) t(j) " +
+          "WHERE (doc_id % 4 = 1 AND j < 3) OR (doc_id % 4 = 2 AND j < 2)"),
       // e34 oracle: the same edge CTE, the 4-hop resolution UNROLLED as
       // chained left joins (the e23 iteration-unroll pattern), terminal
       // status via one more join against the distinct source set

@@ -30,7 +30,12 @@ package graft.core
 object Directives {
 
   final case class PageDirectives(canonical: String, robots: String,
-      noindex: Boolean, nofollow: Boolean)
+      noindex: Boolean, nofollow: Boolean,
+      alternates: Vector[(String, String)] = Vector.empty)
+  // alternates: (hreflang, href) pairs from link[rel~=alternate][hreflang]
+  // in document order, duplicates preserved (cluster reconciliation —
+  // e.g. conflicting hreflang maps across a cluster — is the consumer's
+  // job, not the scanner's)
 
   def directives(html: Array[Byte],
       deadline: Html.Deadline = Html.Deadline.unlimited): PageDirectives =
@@ -41,6 +46,7 @@ object Directives {
     val n = s.length
     var canonical: String = null
     var robots: String = null
+    val alternates = Vector.newBuilder[(String, String)]
     var i = 0
 
     def isNameStart(c: Char) = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
@@ -96,8 +102,8 @@ object Directives {
       j
     }
 
-    def relHasCanonical(rel: String): Boolean =
-      rel.split("[ \t\n\r\f]+").exists(_.equalsIgnoreCase("canonical"))
+    def relHas(rel: String, token: String): Boolean =
+      rel.split("[ \t\n\r\f]+").exists(_.equalsIgnoreCase(token))
 
     while (i < n) {
       if (deadline.expired()) throw new Html.TimeoutException
@@ -134,16 +140,20 @@ object Directives {
                 i = if (end < 0) n else end + 1
               } else {
                 val wanted = name match {
-                  case "link" => Set("rel", "href")
+                  case "link" => Set("rel", "href", "hreflang")
                   case "meta" => Set("name", "content")
                   case _ => Set.empty[String]
                 }
                 val after = parseAttrs(j, wanted)
                 i = after
-                if (name == "link" && canonical == null) {
+                if (name == "link") {
                   val rel = captured.getOrElse("rel", "")
                   val href = captured.getOrElse("href", "")
-                  if (relHasCanonical(rel) && href.nonEmpty) canonical = href
+                  if (canonical == null && relHas(rel, "canonical") && href.nonEmpty)
+                    canonical = href
+                  val hl = captured.getOrElse("hreflang", "")
+                  if (relHas(rel, "alternate") && hl.nonEmpty && href.nonEmpty)
+                    alternates += ((hl.toLowerCase(java.util.Locale.ROOT), href))
                 } else if (name == "meta" && robots == null) {
                   if (captured.get("name").exists(_.equalsIgnoreCase("robots")))
                     robots = captured.getOrElse("content", "")
@@ -172,6 +182,7 @@ object Directives {
       else robots.split(",").map(_.trim.toLowerCase(java.util.Locale.ROOT)).toSet
     val none = toks.contains("none")
     PageDirectives(canonical, robots,
-      none || toks.contains("noindex"), none || toks.contains("nofollow"))
+      none || toks.contains("noindex"), none || toks.contains("nofollow"),
+      alternates.result())
   }
 }

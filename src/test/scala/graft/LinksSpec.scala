@@ -158,4 +158,16 @@ class LinksSpec extends AnyFunSuite {
     val d5 = Directives.scan("""<link rel="canonical" href="/a&amp;b"/>""")
     assert(d5.canonical == "/a&b") // self-closing + entity decode
   }
+
+  test("directives: hreflang alternates in order, token-list rel, no-hreflang skipped") {
+    import graft.core.Directives
+    val d = Directives.scan(
+      """<link rel="alternate" hreflang="EN-us" href="/en">
+        |<link rel="stylesheet alternate" hreflang="de" href="/de">
+        |<link rel="alternate" href="/feed.xml" type="application/rss+xml">
+        |<link rel="canonical" href="/c">
+        |<link rel="alternate" hreflang="fr" href="/fr">""".stripMargin)
+    assert(d.alternates == Vector("en-us" -> "/en", "de" -> "/de", "fr" -> "/fr"))
+    assert(d.canonical == "/c")
+  }
 }

@@ -228,6 +228,9 @@ object PlanCheck {
     println("==== 58. p8 corpus release: shared survivor front persisted; pack windows partition by shard ====")
     SparkEntry.queries("p8_corpus_release")(spark, sf).explain("formatted")
 
+    println("==== 59. e36 hreflang alternates: typed map-only flatMap scan, zero exchange ====")
+    SparkEntry.queries("e36_hreflang_alternates")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
