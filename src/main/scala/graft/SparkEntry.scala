@@ -970,6 +970,37 @@ object SparkEntry {
         }
         .toDF("doc_id", "canonical", "robots", "noindex", "nofollow")
     }),
+    // sitemap parsing over synthesized xml kinds: urlset entries (CDATA
+    // + entity locs, optional lastmod), a sitemapindex, a loc-less entry
+    // skipped, and an invalid document as error-as-data
+    "e37_sitemap_entries" -> ((s, dir) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val xml = when(id % 5 === 0, concat(
+          lit("<?xml version=\"1.0\"?><urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+            "<url><loc>https://s"), id % 7, lit(".example.com/p0</loc><lastmod>2026-01-0"),
+          id % 9 + 1, lit("</lastmod></url>" +
+            "<url><loc><![CDATA[https://s"), id % 7, lit(".example.com/p1?a=1&b=2]]></loc></url>" +
+            "<url><loc>https://s"), id % 7, lit(".example.com/p2?x=1&amp;y=2</loc></url></urlset>")))
+        .when(id % 5 === 1, concat(
+          lit("<sitemapindex><sitemap><loc>https://t"), id % 6,
+          lit(".example.com/sitemap0.xml</loc></sitemap><sitemap><loc>https://t"), id % 6,
+          lit(".example.com/sitemap1.xml</loc></sitemap></sitemapindex>")))
+        .when(id % 5 === 2, concat(
+          lit("<urlset><url><lastmod>2026-02-01</lastmod></url>" +
+            "<url><loc>https://u"), id % 3, lit(".example.com/only</loc></url></urlset>")))
+        .when(id % 5 === 3, lit("<html><body>not a sitemap</body></html>"))
+        .otherwise(lit("<urlset></urlset>"))
+      docs(s, dir).select(id, xml.as("xml")).as[(Long, String)]
+        .flatMap { case (i2, x) =>
+          val sm = graft.core.Sitemaps.parse(x)
+          if (sm.kind == "invalid")
+            Seq((i2, "invalid", None: Option[Int], None: Option[String], None: Option[String]))
+          else sm.entries.map(e =>
+            (i2, sm.kind, Some(e.idx), Some(e.loc), Option(e.lastmod)))
+        }
+        .toDF("doc_id", "kind", "idx", "loc", "lastmod")
+    }),
     // hreflang alternate extraction: the multilingual-cluster signal —
     // link[rel~=alternate][hreflang] pairs in document order; rel token
     // lists count, an alternate WITHOUT hreflang (RSS feeds) must not
@@ -1637,6 +1668,24 @@ object SparkEntry {
           "CASE WHEN doc_id % 5 IN (1, 2) THEN true ELSE false END AS noindex, " +
           "CASE WHEN doc_id % 5 IN (1, 2) THEN true ELSE false END AS nofollow " +
           "FROM documents"),
+      // e37 oracle: arithmetic per kind — CDATA loc raw, entity loc
+      // decoded, loc-less entry allocated NO row, invalid = marker row,
+      // empty urlset = no rows at all
+      "e37_sitemap_entries" ->
+        ("SELECT doc_id, 'urlset' AS kind, CAST(t.j AS INT) AS idx, " +
+          "CASE t.j WHEN 0 THEN 'https://s' || (doc_id % 7) || '.example.com/p0' " +
+          "WHEN 1 THEN 'https://s' || (doc_id % 7) || '.example.com/p1?a=1&b=2' " +
+          "ELSE 'https://s' || (doc_id % 7) || '.example.com/p2?x=1&y=2' END AS loc, " +
+          "CASE WHEN t.j = 0 THEN '2026-01-0' || (doc_id % 9 + 1) END AS lastmod " +
+          "FROM documents, range(3) t(j) WHERE doc_id % 5 = 0 " +
+          "UNION ALL SELECT doc_id, 'sitemapindex', CAST(t.j AS INT), " +
+          "'https://t' || (doc_id % 6) || '.example.com/sitemap' || t.j || '.xml', " +
+          "CAST(NULL AS VARCHAR) FROM documents, range(2) t(j) WHERE doc_id % 5 = 1 " +
+          "UNION ALL SELECT doc_id, 'urlset', 0, " +
+          "'https://u' || (doc_id % 3) || '.example.com/only', CAST(NULL AS VARCHAR) " +
+          "FROM documents WHERE doc_id % 5 = 2 " +
+          "UNION ALL SELECT doc_id, 'invalid', CAST(NULL AS INT), CAST(NULL AS VARCHAR), " +
+          "CAST(NULL AS VARCHAR) FROM documents WHERE doc_id % 5 = 3"),
       // e36 oracle: arithmetic alternates per kind — the RSS alternate
       // (no hreflang) contributes NO row, DE case-folds to de
       "e36_hreflang_alternates" ->

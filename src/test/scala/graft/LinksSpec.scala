@@ -170,4 +170,27 @@ class LinksSpec extends AnyFunSuite {
     assert(d.alternates == Vector("en-us" -> "/en", "de" -> "/de", "fr" -> "/fr"))
     assert(d.canonical == "/c")
   }
+
+  test("sitemaps: kinds, CDATA/entity locs, loc-less skip, case-insensitive tags, prolog noise") {
+    import graft.core.Sitemaps
+    val u = Sitemaps.parse(
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<!-- generated -->
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |<url><loc> https://a.example.com/1 </loc><lastmod>2026-03-01</lastmod></url>
+        |<url><lastmod>2026-03-02</lastmod></url>
+        |<URL><LOC><![CDATA[https://a.example.com/2?x=1&y=2]]></LOC></URL>
+        |<url><loc>https://a.example.com/3?a=1&amp;b=2</loc></url>
+        |</urlset>""".stripMargin)
+    assert(u.kind == "urlset")
+    assert(u.entries.map(e => (e.idx, e.loc, e.lastmod)) == Vector(
+      (0, "https://a.example.com/1", "2026-03-01"),
+      (1, "https://a.example.com/2?x=1&y=2", null), // CDATA raw
+      (2, "https://a.example.com/3?a=1&b=2", null))) // entity decoded
+    val ix = Sitemaps.parse("<sitemapindex><sitemap><loc>https://b.example.com/s.xml</loc></sitemap></sitemapindex>")
+    assert(ix.kind == "sitemapindex" && ix.entries.map(_.loc) == Vector("https://b.example.com/s.xml"))
+    assert(Sitemaps.parse("<html><body>no</body></html>").kind == "invalid")
+    assert(Sitemaps.parse("").kind == "invalid")
+    assert(Sitemaps.parse("<urlset></urlset>") == Sitemaps.Sitemap("urlset", Vector.empty))
+  }
 }

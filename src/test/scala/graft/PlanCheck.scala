@@ -231,6 +231,9 @@ object PlanCheck {
     println("==== 59. e36 hreflang alternates: typed map-only flatMap scan, zero exchange ====")
     SparkEntry.queries("e36_hreflang_alternates")(spark, sf).explain("formatted")
 
+    println("==== 60. e37 sitemap entries: typed map-only flatMap parse, zero exchange ====")
+    SparkEntry.queries("e37_sitemap_entries")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
