@@ -643,6 +643,11 @@ object SparkEntry {
     }),
     "t11_global_shuffle" -> ((s, dir) => TrainingOps.globalShuffle(docs(s, dir))),
     "t12_lm_familiarity" -> ((s, dir) => TrainingOps.unigramFamiliarity(docs(s, dir))),
+    // contamination reach: the eval-side inverse of d12 over the same
+    // contAug corpus — which benchmark docs leak into training, how many
+    // training docs share their grams, leaked fraction in ppm
+    "t30_contamination_report" -> ((s, dir) =>
+      TrainingOps.contaminationReport(contAug(docs(s, dir)), col("doc_id") % 61 === 7)),
     // Unicode script mix over the scriptAug corpus: per-script char ppm
     // + fixed-precedence dominant script — classifies what stopword
     // lang-ID structurally cannot (scripts with no known stopword list)
@@ -2750,6 +2755,22 @@ object SparkEntry {
       // word asc), per-doc OOV count + summed corpus frequencies —
       // mirrors unigramFamiliarity(vocabSize=256); transcendental-free
       // so the single IEEE division is bit-identical across engines
+      // t30 oracle: the d12 gram CTEs reversed — eval-keyed distinct
+      // counts over the train∩eval gram matches, integer leak ppm
+      "t30_contamination_report" ->
+        (s"WITH a AS ($contAugSql), " +
+          s"f AS (SELECT doc_id, $w AS w FROM a), " +
+          "g AS (SELECT doc_id, list_distinct(list_transform(range(len(w)-4), " +
+          "i -> md5(array_to_string(w[i+1:i+5], ' ')))) AS g FROM f WHERE len(w) >= 5), " +
+          "eg AS (SELECT doc_id AS e_id, unnest(g) AS gh FROM g WHERE doc_id % 61 = 7), " +
+          "tg AS (SELECT doc_id AS t_id, unnest(g) AS gh FROM g WHERE doc_id % 61 <> 7), " +
+          "m AS (SELECT e_id, count(DISTINCT t_id) AS ntd, count(DISTINCT gh) AS nsg " +
+          "FROM tg JOIN eg USING (gh) GROUP BY 1), " +
+          "tot AS (SELECT doc_id AS e_id, CAST(len(g) AS INT) AS n_grams FROM g WHERE doc_id % 61 = 7) " +
+          "SELECT t.e_id AS doc_id, t.n_grams, CAST(coalesce(m.ntd, 0) AS BIGINT) AS n_train_docs, " +
+          "CAST(coalesce(m.nsg, 0) AS BIGINT) AS n_shared_grams, " +
+          "CAST((1000000 * coalesce(m.nsg, 0)) // t.n_grams AS BIGINT) AS leak_ppm " +
+          "FROM tot t LEFT JOIN m USING (e_id)"),
       // t29 oracle: same aug CTE, single-char class counts via
       // regexp_extract_all (RE2 \x{} ranges == Java \u ranges), integer
       // ppm, the same fixed-precedence dominant CASE

@@ -1303,14 +1303,19 @@ object TrainingOps extends Serializable {
     * only exchanges carry (doc_id, count) pairs. n defaults to 5 to suit
     * the short synthetic corpus; production decontamination uses 8-13.
     */
+  /** Per-doc DISTINCT n-gram md5 sets — the shared front of
+    * [[decontaminate]] and [[contaminationReport]].
+    */
+  private def docGrams(d: DataFrame, n: Int): DataFrame =
+    d.select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"),
+        array_distinct(transform(sequence(lit(0), size(col("w")) - n),
+          i => md5(concat_ws(" ", slice(col("w"), i + 1, lit(n)))))).as("g"))
+
   def decontaminate(docs: DataFrame, isEval: Column, n: Int = 5): DataFrame = {
     require(n >= 2, "gram length must be >= 2")
-    def grams(d: DataFrame) =
-      d.select(col("doc_id"), words(col("text")).as("w"))
-        .filter(size(col("w")) >= n)
-        .select(col("doc_id"),
-          array_distinct(transform(sequence(lit(0), size(col("w")) - n),
-            i => md5(concat_ws(" ", slice(col("w"), i + 1, lit(n)))))).as("g"))
+    def grams(d: DataFrame) = docGrams(d, n)
     val bench = grams(docs.filter(isEval))
       .select(explode(col("g")).as("gh")).distinct()
     val hits = grams(docs.filter(!isEval))
@@ -1323,6 +1328,44 @@ object TrainingOps extends Serializable {
       .select(col("doc_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Contamination REACH report — the eval-side inverse of
+    * [[decontaminate]]: that op answers "which training docs must go";
+    * this one answers the question a benchmark owner asks — "which eval
+    * documents leak into the training corpus, and how badly?" Per eval
+    * doc: its distinct-gram count, how many TRAINING docs share at least
+    * one n-gram with it, how many of ITS grams appear anywhere in
+    * training, and the leaked fraction in integer ppm. A benchmark whose
+    * items all sit at high leak_ppm is compromised as an eval regardless
+    * of how aggressively training was scrubbed — this report is how you
+    * find that out BEFORE trusting the number.
+    *
+    * Scale shape mirrors d12 reversed: the eval side is small, so its
+    * exploded (gram, e_id) table BROADCASTS; training grams stream
+    * map-side against it and only MATCHES (bounded by contamination
+    * volume, not corpus size) reach the per-eval-doc aggregation —
+    * countDistinct partial-aggregates (e_id, t_id)/(e_id, gh) pairs
+    * before the exchange.
+    */
+  def contaminationReport(docs: DataFrame, isEval: Column, n: Int = 5): DataFrame = {
+    require(n >= 2, "gram length must be >= 2")
+    val evalG = docGrams(docs.filter(isEval), n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evalExploded = evalG
+      .select(col("doc_id").as("e_id"), explode(col("g")).as("gh"))
+    val matches = docGrams(docs.filter(!isEval), n)
+      .select(col("doc_id").as("t_id"), explode(col("g")).as("gh"))
+      .join(broadcast(evalExploded), "gh")
+    val agg = matches.groupBy("e_id").agg(
+      countDistinct(col("t_id")).as("ntd"),
+      countDistinct(col("gh")).as("nsg"))
+    evalG.select(col("doc_id").as("e_id"), size(col("g")).as("n_grams"))
+      .join(agg, Seq("e_id"), "left")
+      .select(col("e_id").as("doc_id"), col("n_grams"),
+        coalesce(col("ntd"), lit(0L)).as("n_train_docs"),
+        coalesce(col("nsg"), lit(0L)).as("n_shared_grams"))
+      .withColumn("leak_ppm", expr("(1000000 * n_shared_grams) div n_grams"))
   }
 
   /** Per-stratum keep rates (parts per million) for

@@ -755,6 +755,21 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("contamination report: eval-side reach, distinct counts, zero-hit eval rows kept") {
+    val sp = spark; import sp.implicits._
+    // eval doc 1 has grams {a b c d e, b c d e f}: train doc 3 shares the
+    // first, doc 4 shares both -> 2 train docs, 2/2 grams leaked (1e6 ppm)
+    val df = Seq(
+      (1L, "a b c d e f"), (2L, "z y x w v u"),
+      (3L, "pre a b c d e post"), (4L, "a b c d e f tail"),
+      (5L, "nothing shared here at all ok")).toDF("doc_id", "text")
+    val out = TrainingOps.contaminationReport(df, col("doc_id") <= 2).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out(1L) == ((2, 2L, 2L, 1000000L)))
+    assert(out(2L) == ((2, 0L, 0L, 0L)), "a clean eval doc must still get its zero row")
+  }
+
   test("script mix: per-script ppm, dominant precedence on exact tie, BMP counting") {
     val sp = spark; import sp.implicits._
     val df = Seq(

@@ -234,6 +234,9 @@ object PlanCheck {
     println("==== 60. e37 sitemap entries: typed map-only flatMap parse, zero exchange ====")
     SparkEntry.queries("e37_sitemap_entries")(spark, sf).explain("formatted")
 
+    println("==== 61. t30 contamination report: eval grams broadcast; only matches shuffle into the eval-keyed distinct agg ====")
+    SparkEntry.queries("t30_contamination_report")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
