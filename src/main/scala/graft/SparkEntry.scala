@@ -505,6 +505,10 @@ object SparkEntry {
     // (exact recall at Hamming<=3 by pigeonhole), bit_count(xor) verify
     "d20_simhash_pairs" -> ((s, dir) =>
       TrainingOps.simhashPairs(simAug(docs(s, dir)))),
+    // MinHash estimator calibration over the d2 candidates: signature
+    // agreement (unbiased Jaccard estimate) vs exact Jaccard, ppm
+    "d22_minhash_calibration" -> ((s, dir) =>
+      TrainingOps.minhashCalibration(docs(s, dir))),
     "d4_dedup_jaccard" -> ((s, dir) => TrainingOps.jaccardVerify(docs(s, dir))),
     "d5_ann_cosine_topk" -> ((s, dir) => TrainingOps.annCosineTopK(embs(s, dir))),
     "d7_ann_topk_scalable" -> ((s, dir) => {
@@ -2013,6 +2017,16 @@ object SparkEntry {
           "CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming " +
           "FROM gb x JOIN gb y ON x.blk = y.blk AND x.bv = y.bv AND x.rep < y.rep " +
           "WHERE bit_count(xor(x.simhash, y.simhash)) <= 3"),
+      // d22 oracle: the shared minhashBands CTEs (sig has the 12-slot g
+      // list, sh the shingle sets), agreement + exact Jaccard in ppm
+      "d22_minhash_calibration" ->
+        (minhashBands + " SELECT p.a, p.b, " +
+          "CAST((1000000 * len(list_filter(range(12), i -> ga.g[CAST(i+1 AS INT)] = gb.g[CAST(i+1 AS INT)]))) // 12 AS BIGINT) AS est_ppm, " +
+          "CAST((1000000 * len(list_intersect(sa.s, sb.s))) // len(list_distinct(sa.s || sb.s)) AS BIGINT) AS jaccard_ppm, " +
+          "CAST(abs((1000000 * len(list_filter(range(12), i -> ga.g[CAST(i+1 AS INT)] = gb.g[CAST(i+1 AS INT)]))) // 12 - " +
+          "(1000000 * len(list_intersect(sa.s, sb.s))) // len(list_distinct(sa.s || sb.s))) AS BIGINT) AS abs_err_ppm " +
+          "FROM pairs p JOIN sig ga ON ga.doc_id = p.a JOIN sig gb ON gb.doc_id = p.b " +
+          "JOIN sh sa ON sa.doc_id = p.a JOIN sh sb ON sb.doc_id = p.b"),
       "d4_dedup_jaccard" ->
         (minhashBands + " SELECT a, b, jaccard FROM (SELECT p.a, p.b, " +
           "round(len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(sa.s || sb.s)), 4) AS jaccard " +

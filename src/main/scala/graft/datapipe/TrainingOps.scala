@@ -168,6 +168,47 @@ object TrainingOps extends Serializable {
     (out, Seq(banded))
   }
 
+  /** Full 12-minhash signature per doc as ONE array column — the
+    * calibration view of the signatures [[bandTable]] immediately hashes
+    * into bands.
+    */
+  private def sigTable(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id"), array((0 until 12).map { s =>
+      array_min(transform(col("s"), x => md5(concat(lit(s + ":"), x))))
+    }: _*).as("sig"))
+
+  /** MinHash estimator CALIBRATION — the d21-style eval for the d2/d4
+    * dedup stack: for every LSH candidate pair, the signature-agreement
+    * estimate (matching minhash components / 12 — an unbiased estimator
+    * of Jaccard, since each component matches with probability exactly
+    * J) against the EXACT shingle-set Jaccard, plus the absolute error,
+    * all in integer ppm. With 12 components the estimator's std dev is
+    * ~sqrt(J(1-J)/12) ≈ 0.14 at J=0.5 — this op is how you decide
+    * whether that is tight enough for your dedup threshold or whether
+    * to pay for more signatures, MEASURED on your corpus instead of
+    * assumed. Reads the same persisted shingle sets as the candidate
+    * pass (one corpus pass); the joins key 16-byte signature arrays by
+    * doc_id — candidates only, never the corpus.
+    */
+  def minhashCalibration(docs: DataFrame,
+      maxBandBucket: Int = MaxBandBucket): DataFrame = {
+    val sets = repSets(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (pairs, _) = bandedPairsCached(sets, maxBandBucket)
+    val sg = sigTable(sets)
+    pairs
+      .join(sg.select(col("doc_id").as("a"), col("sig").as("sa")), "a")
+      .join(sg.select(col("doc_id").as("b"), col("sig").as("sb")), "b")
+      .join(sets.select(col("doc_id").as("a"), col("s").as("ssa")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("s").as("ssb")), "b")
+      .select(col("a"), col("b"),
+        expr("(1000000 * cast(size(filter(zip_with(sa, sb, (x, y) -> x = y), p -> p)) as bigint)) div 12")
+          .as("est_ppm"),
+        expr("(1000000 * cast(size(array_intersect(ssa, ssb)) as bigint)) div size(array_union(ssa, ssb))")
+          .as("jaccard_ppm"))
+      .withColumn("abs_err_ppm", abs(col("est_ppm") - col("jaccard_ppm")))
+  }
+
   /** MinHash+LSH near-duplicate candidate pairs over DISTINCT texts
     * (shingle -> minhash -> band -> capped bucket-join). Pairs are between
     * exact-dedup representatives (min doc_id per distinct text); exact

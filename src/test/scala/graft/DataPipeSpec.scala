@@ -121,6 +121,20 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     pair.foreach(r => assert(r.getInt(0) == 0, "identical text must give identical simhash"))
   }
 
+  test("minhash calibration: candidates have >=3 matching components; est quantized to twelfths") {
+    val rows = TrainingOps.minhashCalibration(docs).collect()
+    assert(rows.nonEmpty, "no LSH candidates on the corpus")
+    val twelfths = (0 to 12).map(k => 1000000L * k / 12).toSet
+    rows.foreach { r =>
+      val est = r.getLong(2); val jac = r.getLong(3); val err = r.getLong(4)
+      // a banded candidate shares one whole band = 3 specific components
+      assert(est >= 250000L, s"candidate with est $est < 3/12")
+      assert(twelfths.contains(est), s"est $est is not a twelfth")
+      assert(jac > 0L && jac <= 1000000L)
+      assert(err == math.abs(est - jac))
+    }
+  }
+
   test("simhash pairs: block join finds Hamming<=3 pairs, exact dups collapse, partitioning-invariant") {
     val sp = spark; import sp.implicits._
     // the d20 aug construction: 200-word shared base (40 x5) + one

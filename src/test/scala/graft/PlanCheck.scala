@@ -237,6 +237,9 @@ object PlanCheck {
     println("==== 61. t30 contamination report: eval grams broadcast; only matches shuffle into the eval-keyed distinct agg ====")
     SparkEntry.queries("t30_contamination_report")(spark, sf).explain("formatted")
 
+    println("==== 62. d22 minhash calibration: one persisted shingle pass; candidate-only doc_id-keyed joins ====")
+    SparkEntry.queries("d22_minhash_calibration")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
