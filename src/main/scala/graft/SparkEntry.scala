@@ -1216,6 +1216,15 @@ object SparkEntry {
         .toDF("doc_id", "payload")
       TrainingOps.httpResponses(s, payloads)
     }),
+    // RIFF/WAV header parsing: chunk walk honoring declared sizes + the
+    // odd-chunk pad byte, order-independent fmt/data; arithmetic oracle
+    "m8_wav_headers" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = docs(s, dir).select(col("doc_id")).as[Long]
+        .map(id => (id, TrainingOps.syntheticWavPayload(id)))
+        .toDF("doc_id", "payload")
+      TrainingOps.wavHeaders(s, payloads)
+    }),
     // charset sniffing over synthesized page bytes: BOM > 1024-byte meta
     // prescan > UTF-8 structural validation > windows-1252 fallback; the
     // oracle derives every verdict arithmetically from doc_id
@@ -2440,6 +2449,18 @@ object SparkEntry {
           "CASE doc_id % 6 WHEN 0 THEN md5('<html>doc ' || doc_id || '</html>') " +
           "WHEN 1 THEN md5('') WHEN 2 THEN md5('missing ' || doc_id) " +
           "WHEN 3 THEN md5('{\"doc\": ' || doc_id || '}') END AS body_md5 " +
+          "FROM documents"),
+      // m8 oracle: audio params arithmetic from doc_id; duration is the
+      // same integer division the parser performs
+      "m8_wav_headers" ->
+        ("SELECT doc_id, " +
+          "CASE WHEN doc_id % 5 IN (0,1,2) THEN CAST(1 + doc_id % 2 AS INT) END AS channels, " +
+          "CASE WHEN doc_id % 5 IN (0,1,2) THEN CAST(8000 * (1 + doc_id % 4) AS INT) END AS sample_rate, " +
+          "CASE WHEN doc_id % 5 IN (0,1,2) THEN CAST(16 AS INT) END AS bits, " +
+          "CASE WHEN doc_id % 5 IN (0,1,2) THEN CAST((100 + doc_id % 50) * (1 + doc_id % 2) * 2 AS BIGINT) END AS data_bytes, " +
+          "CASE WHEN doc_id % 5 IN (0,1,2) THEN CAST((1000 * (100 + doc_id % 50) * (1 + doc_id % 2) * 2) // " +
+          "(8000 * (1 + doc_id % 4) * (1 + doc_id % 2) * 2) AS BIGINT) END AS duration_ms, " +
+          "CASE doc_id % 5 WHEN 3 THEN 'truncated' WHEN 4 THEN 'unknown' ELSE 'ok' END AS status " +
           "FROM documents"),
       // m5 oracle: every verdict arithmetic from doc_id (the m3/m4
       // pattern) — a MATCH means the byte builder and the three-rung

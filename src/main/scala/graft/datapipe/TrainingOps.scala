@@ -2826,6 +2826,120 @@ object TrainingOps extends Serializable {
     }
   }
 
+  /** RIFF/WAV header parsing over opaque audio payloads — the audio leg
+    * of the multimodal metadata trio ([[imageDims]] for images, the
+    * frame-sampling plumbing for video): sample rate, channels, bit
+    * depth from the `fmt ` chunk and duration from the `data` chunk
+    * size, read by WALKING the RIFF chunk list honoring each chunk's
+    * declared size — never scanning for chunk ids (they legally appear
+    * inside data) — including the classic RIFF trap: an ODD-sized chunk
+    * is followed by a pad byte the size field does not count (pinned by
+    * a deliberately odd LIST chunk). Chunk order is NOT assumed (the
+    * spec says fmt precedes data; real encoders disagree — pinned by a
+    * data-before-fmt payload). duration_ms = 1000·data_size div
+    * byte_rate in integer arithmetic. Error-as-data: `ok` /
+    * `truncated` (a declared size overruns the payload, or fmt/data
+    * never both arrive) / `unknown` (not RIFF/WAVE). Typed
+    * mapPartitions, MAP-ONLY zero shuffle; only chunk headers and the
+    * 16-byte fmt body are read — a gigabyte WAV costs ~100 bytes.
+    */
+  def wavHeaders(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        def le(b: Array[Byte], i: Int, n: Int): Long = {
+          var v = 0L; var k = n - 1
+          while (k >= 0) { v = (v << 8) | (b(i + k) & 0xffL); k -= 1 }
+          v
+        }
+        def tag(b: Array[Byte], i: Int): String =
+          if (i + 4 <= b.length) new String(b, i, 4, "US-ASCII") else ""
+        it.map { case (id, raw) =>
+          val b = if (raw == null) Array.emptyByteArray else raw
+          val n = b.length
+          var chans: Option[Int] = None
+          var rate: Option[Int] = None
+          var bits: Option[Int] = None
+          var byteRate = 0L
+          var dataSize: Option[Long] = None
+          var status: String = null
+          if (n < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") status = "unknown"
+          else {
+            var i = 12
+            while (status == null && i < n) {
+              if (i + 8 > n) status = "truncated"
+              else {
+                val cid = tag(b, i)
+                val sz = le(b, i + 4, 4)
+                val body = i + 8
+                if (body + sz > n) status = "truncated"
+                else {
+                  if (cid == "fmt " && sz >= 16) {
+                    chans = Some(le(b, body + 2, 2).toInt)
+                    rate = Some(le(b, body + 4, 4).toInt)
+                    byteRate = le(b, body + 8, 4)
+                    bits = Some(le(b, body + 14, 2).toInt)
+                  } else if (cid == "data") dataSize = Some(sz)
+                  // odd chunk: one pad byte NOT counted by the size field
+                  i = body + sz.toInt + (sz.toInt & 1)
+                }
+              }
+            }
+            if (status == null)
+              status = if (chans.isDefined && dataSize.isDefined) "ok" else "truncated"
+          }
+          val dur =
+            if (status == "ok" && byteRate > 0) Some(1000L * dataSize.get / byteRate)
+            else None
+          val ok = status == "ok"
+          (id, if (ok) chans else None, if (ok) rate else None,
+            if (ok) bits else None, if (ok) dataSize else None, dur, status)
+        }
+      }
+      .toDF("doc_id", "channels", "sample_rate", "bits", "data_bytes",
+        "duration_ms", "status")
+  }
+
+  /** Deterministic synthetic WAV bytes for [[wavHeaders]] — kinds by
+    * id % 5: a plain PCM file; one with an ODD-sized LIST chunk before
+    * fmt (the pad-byte trap); one with data BEFORE fmt plus a JUNK
+    * chunk (order independence); a truncated fmt; not-RIFF bytes.
+    * Audio params are pure functions of the id for the arithmetic
+    * oracle.
+    */
+  def syntheticWavPayload(id: Long): Array[Byte] = {
+    def a(s: String) = s.getBytes("US-ASCII")
+    def le2(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le4(v: Long) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val chans = 1 + (id % 2).toInt
+    val rate = 8000 * (1 + (id % 4).toInt)
+    val bits = 16
+    val blockAlign = chans * bits / 8
+    val byteRate = rate.toLong * blockAlign
+    val nSamples = 100 + (id % 50).toInt
+    val data = Array.fill[Byte](nSamples * blockAlign)(0x11)
+    def fmt = a("fmt ") ++ le4(16) ++ le2(1) ++ le2(chans) ++ le4(rate) ++
+      le4(byteRate) ++ le2(blockAlign) ++ le2(bits)
+    def dataCk = a("data") ++ le4(data.length.toLong) ++ data
+    def riff(chunks: Array[Byte]) =
+      a("RIFF") ++ le4(4L + chunks.length) ++ a("WAVE") ++ chunks
+    (id % 5) match {
+      case 0 => riff(fmt ++ dataCk)
+      case 1 => // odd-sized LIST chunk + its pad byte, then fmt/data —
+        // a walker ignoring the pad lands off-grid and dies
+        val listBody = a("INFOx" * 1).take(5)
+        riff(a("LIST") ++ le4(listBody.length.toLong) ++ listBody ++
+          Array[Byte](0) ++ fmt ++ dataCk)
+      case 2 => // data first, then a JUNK chunk, then fmt
+        val junk = a("JUNK") ++ le4(4) ++ Array.fill[Byte](4)(0x22)
+        riff(dataCk ++ junk ++ fmt)
+      case 3 => riff(fmt).take(20) // cut inside the fmt body
+      case _ => a(s"not a riff payload $id")
+    }
+  }
+
   /** Deterministic synthetic page bytes for [[charsetDetect]] — test
     * scaffolding covering every detection rung: the three BOMs beat any
     * declaration, quoted/bare/mixed-case meta declarations inside the

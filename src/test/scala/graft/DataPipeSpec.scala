@@ -919,6 +919,31 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(df.repartition(5)) == out, "score must not depend on partitioning")
   }
 
+  test("wav headers: chunk walk honors sizes + odd pad, order independence, error taxonomy") {
+    val sp = spark; import sp.implicits._
+    def run(rows: Seq[(Long, Array[Byte])]) =
+      TrainingOps.wavHeaders(sp, rows.toDF("doc_id", "payload")).collect()
+        .map(r => r.getLong(0) -> ((
+          if (r.isNullAt(1)) -1 else r.getInt(1),
+          if (r.isNullAt(2)) -1 else r.getInt(2),
+          if (r.isNullAt(5)) -1L else r.getLong(5), r.getString(6)))).toMap
+    // id=6: kind 1 (odd LIST + pad): ch=1, rate=24000, 106 samples,
+    // data=212 bytes, byteRate=48000 -> duration 1000*212/48000 = 4 ms
+    val out = run(Seq(
+      0L -> TrainingOps.syntheticWavPayload(0), // ch=1 rate=8000 n=100
+      6L -> TrainingOps.syntheticWavPayload(6),
+      7L -> TrainingOps.syntheticWavPayload(7), // kind 2: data before fmt
+      3L -> TrainingOps.syntheticWavPayload(3),
+      4L -> TrainingOps.syntheticWavPayload(4),
+      100L -> "RIFFxxxxAVI ".getBytes("US-ASCII"))) // RIFF but not WAVE
+    assert(out(0L) == ((1, 8000, 1000L * 200 / 16000, "ok")))
+    assert(out(6L) == ((1, 24000, 1000L * 212 / 48000, "ok")))
+    assert(out(7L) == ((2, 32000, 1000L * (107 * 4) / 128000, "ok")))
+    assert(out(3L)._4 == "truncated")
+    assert(out(4L)._4 == "unknown")
+    assert(out(100L)._4 == "unknown")
+  }
+
   test("image dims: header parse honors declared lengths, endianness, fill bytes; error taxonomy") {
     val sp = spark; import sp.implicits._
     def parse(rows: Seq[(Long, Array[Byte])]) =

@@ -240,6 +240,9 @@ object PlanCheck {
     println("==== 62. d22 minhash calibration: one persisted shingle pass; candidate-only doc_id-keyed joins ====")
     SparkEntry.queries("d22_minhash_calibration")(spark, sf).explain("formatted")
 
+    println("==== 63. m8 wav headers: typed map-only chunk walk, zero exchange ====")
+    SparkEntry.queries("m8_wav_headers")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
