@@ -1216,6 +1216,36 @@ object SparkEntry {
         .toDF("doc_id", "payload")
       TrainingOps.httpResponses(s, payloads)
     }),
+    // gzip member splitting over synthesized .warc.gz-style segments:
+    // one member per record (an FNAME header on doc_id%11==3 members),
+    // segments with segment_id%4==1 cut 5 bytes short; the oracle checks
+    // DECOMPRESSED md5s — it never needs to gunzip
+    "m9_gzip_members" -> ((s, dir) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val url = concat(lit("https://"),
+        when(id % 10 < 3, lit("big.example.com"))
+          .otherwise(concat(lit("h"), id % 97, lit(".example.com"))),
+        lit("/doc/"), id)
+      val rec = concat(
+        lit("WARC/1.0\r\nWARC-Target-URI: "), url,
+        lit("\r\nContent-Length: "), octet_length(col("text")),
+        lit("\r\n\r\n"), col("text"), lit("\r\n\r\n"))
+      val segs = docs(s, dir)
+        .select((id % 16).as("sid"), id.as("doc_id"), rec.as("rec"))
+        .as[(Long, Long, String)]
+        .groupByKey(_._1)
+        .mapGroups { (sid, it) =>
+          val members = it.toSeq.sortBy(_._2).map { case (_, d, r) =>
+            TrainingOps.gzipMember(r.getBytes("UTF-8"),
+              if (d % 11 == 3) s"d$d" else null)
+          }
+          val all = members.flatten.toArray
+          (sid, if (sid % 4 == 1) all.dropRight(5) else all)
+        }
+        .toDF("segment_id", "gz")
+      TrainingOps.gzipMembers(s, segs)
+    }),
     // RIFF/WAV header parsing: chunk walk honoring declared sizes + the
     // odd-chunk pad byte, order-independent fmt/data; arithmetic oracle
     "m8_wav_headers" -> ((s, dir) => {
@@ -2450,6 +2480,27 @@ object SparkEntry {
           "WHEN 1 THEN md5('') WHEN 2 THEN md5('missing ' || doc_id) " +
           "WHEN 3 THEN md5('{\"doc\": ' || doc_id || '}') END AS body_md5 " +
           "FROM documents"),
+      // m9 oracle: decompressed member content = the m3-style record
+      // string, so md5/length derive in SQL with no gunzip anywhere; the
+      // cut segment's LAST member (rank = count-1) is the truncated row
+      "m9_gzip_members" ->
+        ("WITH d AS (SELECT doc_id, doc_id % 16 AS segment_id, " +
+          "'https://' || CASE WHEN doc_id % 10 < 3 THEN 'big.example.com' " +
+          "ELSE 'h' || (doc_id % 97) || '.example.com' END || '/doc/' || doc_id AS url, " +
+          "text FROM documents), " +
+          "r AS (SELECT *, 'WARC/1.0' || chr(13) || chr(10) || 'WARC-Target-URI: ' || url || " +
+          "chr(13) || chr(10) || 'Content-Length: ' || strlen(text) || " +
+          "chr(13) || chr(10) || chr(13) || chr(10) || text || " +
+          "chr(13) || chr(10) || chr(13) || chr(10) AS rec FROM d), " +
+          "o AS (SELECT segment_id, doc_id, " +
+          "row_number() OVER (PARTITION BY segment_id ORDER BY doc_id) - 1 AS idx, " +
+          "count(*) OVER (PARTITION BY segment_id) AS cnt, " +
+          "strlen(rec) AS ulen, md5(rec) AS cmd5 FROM r) " +
+          "SELECT segment_id, CAST(idx AS INT) AS member_idx, " +
+          "CAST(CASE WHEN segment_id % 4 = 1 AND idx = cnt - 1 THEN 0 ELSE ulen END AS BIGINT) AS uncompressed_len, " +
+          "CASE WHEN segment_id % 4 = 1 AND idx = cnt - 1 THEN NULL ELSE cmd5 END AS content_md5, " +
+          "CASE WHEN segment_id % 4 = 1 AND idx = cnt - 1 THEN 'truncated' ELSE 'ok' END AS status " +
+          "FROM o"),
       // m8 oracle: audio params arithmetic from doc_id; duration is the
       // same integer division the parser performs
       "m8_wav_headers" ->

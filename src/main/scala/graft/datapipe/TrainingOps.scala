@@ -2901,6 +2901,141 @@ object TrainingOps extends Serializable {
         "duration_ms", "status")
   }
 
+  /** Gzip MEMBER splitting — the real Common-Crawl container layer
+    * below [[warcRecords]]: a `.warc.gz` is not one gzip stream but a
+    * CONCATENATION of members, one per record, precisely so a reader
+    * can seek to a CDX offset and inflate a single record without
+    * touching the rest of the gigabyte. Walking the members is the
+    * hard part: compressed lengths appear NOWHERE in the format, so the
+    * boundary is discovered by inflating — header parsed manually
+    * (CM=8 required; FEXTRA/FNAME/FCOMMENT/FHCRC optional fields
+    * skipped per RFC 1952 — pinned by an FNAME member), raw-deflate
+    * Inflater run to `finished()`, consumed bytes counted via
+    * `getRemaining`, then the 8-byte CRC32+ISIZE trailer — BOTH
+    * verified against the inflated bytes, so a corrupt member is
+    * `corrupt`, not silently wrong. REAL decompression, no stub:
+    * java.util.zip ships in the JVM. Error-as-data: `ok` / `truncated`
+    * (header, deflate stream, or trailer overruns the segment — halts,
+    * the next boundary is unknowable) / `malformed` (no gzip magic —
+    * halts) / `corrupt` (CRC or ISIZE mismatch — halts; the stream
+    * position is untrustworthy). Typed mapPartitions, MAP-ONLY; the
+    * inflated bytes go to the digest only, never materialized.
+    */
+  def gzipMembers(spark: SparkSession, segs: DataFrame): DataFrame = {
+    import spark.implicits._
+    segs.select(col("segment_id"), col("gz"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (sid, raw) =>
+          val b = if (raw == null) Array.emptyByteArray else raw
+          val n = b.length
+          def le(i: Int, k: Int): Long = {
+            var v = 0L; var j = k - 1
+            while (j >= 0) { v = (v << 8) | (b(i + j) & 0xffL); j -= 1 }
+            v
+          }
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Int, Long, String, String)]
+          var off = 0
+          var idx = 0
+          var halted = false
+          while (!halted && off < n) {
+            if (off + 2 <= n && ((b(off) & 0xff) != 0x1f || (b(off + 1) & 0xff) != 0x8b)) {
+              out += ((sid, idx, 0L, null, "malformed")); halted = true
+            } else if (off + 10 > n) {
+              out += ((sid, idx, 0L, null, "truncated")); halted = true
+            } else if ((b(off + 2) & 0xff) != 8) {
+              out += ((sid, idx, 0L, null, "malformed")); halted = true
+            } else {
+              val flg = b(off + 3) & 0xff
+              var p = off + 10
+              var bad = false
+              if ((flg & 4) != 0) { // FEXTRA
+                if (p + 2 > n) bad = true
+                else { val xlen = le(p, 2).toInt; p += 2 + xlen }
+              }
+              if (!bad && (flg & 8) != 0) { // FNAME: zero-terminated
+                while (p < n && b(p) != 0) p += 1
+                if (p >= n) bad = true else p += 1
+              }
+              if (!bad && (flg & 16) != 0) { // FCOMMENT
+                while (p < n && b(p) != 0) p += 1
+                if (p >= n) bad = true else p += 1
+              }
+              if (!bad && (flg & 2) != 0) p += 2 // FHCRC
+              if (bad || p > n) {
+                out += ((sid, idx, 0L, null, "truncated")); halted = true
+              } else {
+                val inf = new java.util.zip.Inflater(true)
+                val crc = new java.util.zip.CRC32
+                inf.setInput(b, p, n - p)
+                val buf = new Array[Byte](8192)
+                digest.reset()
+                var total = 0L
+                var fault: String = null
+                try {
+                  while (fault == null && !inf.finished()) {
+                    val k = inf.inflate(buf)
+                    if (k > 0) {
+                      digest.update(buf, 0, k); crc.update(buf, 0, k); total += k
+                    } else if (inf.needsInput()) fault = "truncated"
+                  }
+                } catch {
+                  case _: java.util.zip.DataFormatException => fault = "corrupt"
+                }
+                if (fault == null) {
+                  val trailerOff = p + ((n - p) - inf.getRemaining)
+                  if (trailerOff + 8 > n) fault = "truncated"
+                  else if (le(trailerOff, 4) != crc.getValue ||
+                    le(trailerOff + 4, 4) != (total & 0xffffffffL)) fault = "corrupt"
+                  else {
+                    out += ((sid, idx, total,
+                      digest.digest().map("%02x".format(_)).mkString, "ok"))
+                    off = trailerOff + 8
+                    idx += 1
+                  }
+                }
+                inf.end()
+                if (fault != null) {
+                  out += ((sid, idx, 0L, null, fault)); halted = true
+                }
+              }
+            }
+          }
+          out
+        }
+      }
+      .toDF("segment_id", "member_idx", "uncompressed_len", "content_md5", "status")
+  }
+
+  /** One deterministic gzip member for [[gzipMembers]] tests/builders:
+    * fixed-dictionaryless deflate (default level) of the content, FLG=0
+    * header with zeroed MTIME/XFL/OS (byte-stable for a given JVM; the
+    * oracle never sees compressed bytes — it checks the DECOMPRESSED
+    * md5, which only depends on the content), optional FNAME field.
+    */
+  def gzipMember(content: Array[Byte], fname: String = null): Array[Byte] = {
+    val bb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    bb ++= Array[Byte](0x1f.toByte, 0x8b.toByte, 8,
+      if (fname != null) 8 else 0, 0, 0, 0, 0, 0, 0)
+    if (fname != null) { bb ++= fname.getBytes("ISO-8859-1"); bb += 0 }
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    d.setInput(content); d.finish()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) {
+      val k = d.deflate(buf)
+      bb ++= buf.take(k)
+    }
+    d.end()
+    val crc = new java.util.zip.CRC32
+    crc.update(content)
+    def le4(v: Long) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    bb ++= le4(crc.getValue); bb ++= le4(content.length.toLong & 0xffffffffL)
+    bb.toArray
+  }
+
   /** Deterministic synthetic WAV bytes for [[wavHeaders]] — kinds by
     * id % 5: a plain PCM file; one with an ODD-sized LIST chunk before
     * fmt (the pad-byte trap); one with data BEFORE fmt plus a JUNK

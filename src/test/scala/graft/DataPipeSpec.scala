@@ -919,6 +919,29 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(df.repartition(5)) == out, "score must not depend on partitioning")
   }
 
+  test("gzip members: boundary discovery by inflation, FNAME skip, CRC verify, error taxonomy") {
+    val sp = spark; import sp.implicits._
+    val m1 = TrainingOps.gzipMember("first record payload".getBytes("UTF-8"))
+    val m2 = TrainingOps.gzipMember("second, with a name".getBytes("UTF-8"), fname = "rec2")
+    def run(rows: Seq[(Long, Array[Byte])]) =
+      TrainingOps.gzipMembers(sp, rows.toDF("segment_id", "gz")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getString(3), r.getString(4)))
+    val corrupt = (m1 ++ m2).clone()
+    corrupt(m1.length - 6) = (corrupt(m1.length - 6) ^ 0xff).toByte // flip a CRC byte of m1... of m2? index m1.length-6 is inside m1's trailer
+    val out = run(Seq(
+      1L -> (m1 ++ m2), // two members: boundary found only by inflating
+      2L -> (m1 ++ m2).dropRight(5), // cut inside m2's trailer
+      3L -> ("junk".getBytes("UTF-8") ++ m1), // no magic at offset 0
+      4L -> corrupt)).groupBy(_._1)
+    assert(out(1L).toList.sortBy(_._2) == List(
+      (1L, 0, 20L, md5hex("first record payload"), "ok"),
+      (1L, 1, 19L, md5hex("second, with a name"), "ok")))
+    assert(out(2L).map(_._5).sorted.toList == List("ok", "truncated"))
+    assert(out(3L).toList == List((3L, 0, 0L, null, "malformed")))
+    assert(out(4L).head._5 == "corrupt" && out(4L).length == 1)
+  }
+
   test("wav headers: chunk walk honors sizes + odd pad, order independence, error taxonomy") {
     val sp = spark; import sp.implicits._
     def run(rows: Seq[(Long, Array[Byte])]) =

@@ -243,6 +243,9 @@ object PlanCheck {
     println("==== 63. m8 wav headers: typed map-only chunk walk, zero exchange ====")
     SparkEntry.queries("m8_wav_headers")(spark, sf).explain("formatted")
 
+    println("==== 64. m9 gzip members: map-only inflate walk after the segment build ====")
+    SparkEntry.queries("m9_gzip_members")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
