@@ -1216,6 +1216,50 @@ object SparkEntry {
         .toDF("doc_id", "payload")
       TrainingOps.httpResponses(s, payloads)
     }),
+    // THE complete Common-Crawl reader: gzip member -> inflate -> WARC
+    // header -> HTTP parse, one typed pass. Non-WARC member content
+    // does NOT halt the segment (members delimit records); only gzip
+    // faults halt. Payloads are the m7 HTTP kinds.
+    "m10_cc_reader" -> ((s, dir) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val url = concat(lit("https://"),
+        when(id % 10 < 3, lit("big.example.com"))
+          .otherwise(concat(lit("h"), id % 97, lit(".example.com"))),
+        lit("/doc/"), id)
+      val payload = when(id % 6 === 0, concat(
+          lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\nServer: srv"),
+          id % 9, lit("\r\n\r\n<html>doc "), id, lit("</html>")))
+        .when(id % 6 === 1, concat(
+          lit("HTTP/1.1 301 Moved Permanently\r\nLocation: https://h"),
+          id % 97, lit(".example.com/doc/"), id, lit("\r\n\r\n")))
+        .when(id % 6 === 2, concat(
+          lit("HTTP/1.0 404 Not Found\nContent-Type: text/plain\n\nmissing "), id))
+        .when(id % 6 === 3, concat(
+          lit("HTTP/1.1 200 OK\r\nCONTENT-TYPE: application/json\r\nContent-Type: text/xml\r\n\r\n{\"doc\": "),
+          id, lit("}")))
+        .when(id % 6 === 4, concat(
+          lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nX-Doc: "), id))
+        .otherwise(concat(lit("not-http doc "), id, lit("\r\n\r\nbody")))
+      val rec = when(id % 13 === 6, lit("this member is not a warc record"))
+        .otherwise(concat(lit("WARC/1.0\r\nWARC-Target-URI: "), url,
+          lit("\r\nContent-Length: "), octet_length(payload),
+          lit("\r\n\r\n"), payload, lit("\r\n\r\n")))
+      val segs = docs(s, dir)
+        .select((id % 16).as("sid"), id.as("doc_id"), rec.as("rec"))
+        .as[(Long, Long, String)]
+        .groupByKey(_._1)
+        .mapGroups { (sid, it) =>
+          val members = it.toSeq.sortBy(_._2).map { case (_, d, r) =>
+            TrainingOps.gzipMember(r.getBytes("UTF-8"),
+              if (d % 11 == 3) s"d$d" else null)
+          }
+          val all = members.flatten.toArray
+          (sid, if (sid % 4 == 1) all.dropRight(5) else all)
+        }
+        .toDF("segment_id", "gz")
+      TrainingOps.ccReader(s, segs)
+    }),
     // gzip member splitting over synthesized .warc.gz-style segments:
     // one member per record (an FNAME header on doc_id%11==3 members),
     // segments with segment_id%4==1 cut 5 bytes short; the oracle checks
@@ -2480,6 +2524,35 @@ object SparkEntry {
           "WHEN 1 THEN md5('') WHEN 2 THEN md5('missing ' || doc_id) " +
           "WHEN 3 THEN md5('{\"doc\": ' || doc_id || '}') END AS body_md5 " +
           "FROM documents"),
+      // m10 oracle: member rank ordering (m9) x the m6/m7 HTTP field
+      // CASEs, with the precedence ladder as SQL: gzip_truncated on the
+      // cut segment's LAST member beats everything; warc_malformed on
+      // the %13==6 members does NOT disturb later members' rows
+      "m10_cc_reader" ->
+        ("WITH d AS (SELECT doc_id, doc_id % 16 AS segment_id, " +
+          "'https://' || CASE WHEN doc_id % 10 < 3 THEN 'big.example.com' " +
+          "ELSE 'h' || (doc_id % 97) || '.example.com' END || '/doc/' || doc_id AS url " +
+          "FROM documents), " +
+          "o AS (SELECT segment_id, doc_id, url, " +
+          "row_number() OVER (PARTITION BY segment_id ORDER BY doc_id) - 1 AS idx, " +
+          "count(*) OVER (PARTITION BY segment_id) AS cnt FROM d), " +
+          "f AS (SELECT *, (segment_id % 4 = 1 AND idx = cnt - 1) AS cut, " +
+          "(doc_id % 13 = 6) AS notwarc FROM o) " +
+          "SELECT segment_id, CAST(idx AS INT) AS member_idx, " +
+          "CASE WHEN cut OR notwarc THEN NULL ELSE url END AS target_uri, " +
+          "CAST(CASE WHEN cut OR notwarc THEN NULL ELSE " +
+          "CASE doc_id % 6 WHEN 0 THEN 200 WHEN 1 THEN 301 WHEN 2 THEN 404 " +
+          "WHEN 3 THEN 200 WHEN 4 THEN 200 END END AS INT) AS http_status, " +
+          "CASE WHEN cut OR notwarc THEN NULL ELSE " +
+          "CASE doc_id % 6 WHEN 0 THEN 'text/html' WHEN 2 THEN 'text/plain' " +
+          "WHEN 3 THEN 'application/json' WHEN 4 THEN 'text/html' END END AS content_type, " +
+          "CASE WHEN cut OR notwarc THEN NULL ELSE " +
+          "CASE doc_id % 6 WHEN 0 THEN md5('<html>doc ' || doc_id || '</html>') " +
+          "WHEN 1 THEN md5('') WHEN 2 THEN md5('missing ' || doc_id) " +
+          "WHEN 3 THEN md5('{\"doc\": ' || doc_id || '}') END END AS body_md5, " +
+          "CASE WHEN cut THEN 'gzip_truncated' WHEN notwarc THEN 'warc_malformed' ELSE " +
+          "CASE doc_id % 6 WHEN 4 THEN 'truncated' WHEN 5 THEN 'malformed' ELSE 'ok' END END AS status " +
+          "FROM f"),
       // m9 oracle: decompressed member content = the m3-style record
       // string, so md5/length derive in SQL with no gunzip anywhere; the
       // cut segment's LAST member (rank = count-1) is the truncated row

@@ -3009,6 +3009,136 @@ object TrainingOps extends Serializable {
       .toDF("segment_id", "member_idx", "uncompressed_len", "content_md5", "status")
   }
 
+  /** THE complete Common-Crawl reader — the full container stack fused
+    * in ONE typed pass: gzip member walk ([[gzipMembers]]) → inflate →
+    * WARC record header at the member start → HTTP response parse over
+    * the payload region ([[parseHttpRegion]]). One load-bearing semantic
+    * DIFFERENCE from m3's plain-bytes walk: gzip members delimit
+    * records, so a malformed WARC header inside one member does NOT
+    * halt the segment — the next member boundary is still discoverable
+    * by inflation, and the reader continues (pinned); only gzip-level
+    * faults halt, because after them the byte position is
+    * untrustworthy. The member's inflated bytes are buffered (bounded
+    * by ONE record — which must fit in memory to be parsed at all,
+    * the same bound every production reader accepts), parsed in place,
+    * and dropped; nothing document-sized ever shuffles. Status ladder:
+    * `gzip_*` (halt) → `warc_malformed`/`warc_truncated` (per member)
+    * → the HTTP verdict (`ok`/`truncated`/`malformed`).
+    */
+  def ccReader(spark: SparkSession, segs: DataFrame): DataFrame = {
+    import spark.implicits._
+    segs.select(col("segment_id"), col("gz"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        val uriRe = "(?m)^WARC-Target-URI: (.*)$".r
+        val lenRe = "(?m)^Content-Length: (\\d+)$".r
+        val CRLF2 = Array[Byte]('\r', '\n', '\r', '\n')
+        it.flatMap { case (sid, raw) =>
+          val b = if (raw == null) Array.emptyByteArray else raw
+          val n = b.length
+          def le(i: Int, k: Int): Long = {
+            var v = 0L; var j = k - 1
+            while (j >= 0) { v = (v << 8) | (b(i + j) & 0xffL); j -= 1 }
+            v
+          }
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Int, String, Option[Int], Option[String], Option[String], String)]
+          def fault(idx: Int, st: String): Unit =
+            out += ((sid, idx, null, None, None, None, st))
+          var off = 0
+          var idx = 0
+          var halted = false
+          while (!halted && off < n) {
+            if (off + 2 <= n && ((b(off) & 0xff) != 0x1f || (b(off + 1) & 0xff) != 0x8b)) {
+              fault(idx, "gzip_malformed"); halted = true
+            } else if (off + 10 > n || (b(off + 2) & 0xff) != 8) {
+              fault(idx, if (off + 10 > n) "gzip_truncated" else "gzip_malformed")
+              halted = true
+            } else {
+              val flg = b(off + 3) & 0xff
+              var p = off + 10
+              var bad = false
+              if ((flg & 4) != 0) {
+                if (p + 2 > n) bad = true else { val x = le(p, 2).toInt; p += 2 + x }
+              }
+              if (!bad && (flg & 8) != 0) {
+                while (p < n && b(p) != 0) p += 1
+                if (p >= n) bad = true else p += 1
+              }
+              if (!bad && (flg & 16) != 0) {
+                while (p < n && b(p) != 0) p += 1
+                if (p >= n) bad = true else p += 1
+              }
+              if (!bad && (flg & 2) != 0) p += 2
+              if (bad || p > n) { fault(idx, "gzip_truncated"); halted = true }
+              else {
+                val inf = new java.util.zip.Inflater(true)
+                val crc = new java.util.zip.CRC32
+                inf.setInput(b, p, n - p)
+                val chunk = new Array[Byte](8192)
+                val body = new java.io.ByteArrayOutputStream(16384)
+                var gzFault: String = null
+                try {
+                  while (gzFault == null && !inf.finished()) {
+                    val k = inf.inflate(chunk)
+                    if (k > 0) { body.write(chunk, 0, k); crc.update(chunk, 0, k) }
+                    else if (inf.needsInput()) gzFault = "gzip_truncated"
+                  }
+                } catch {
+                  case _: java.util.zip.DataFormatException => gzFault = "gzip_corrupt"
+                }
+                if (gzFault == null) {
+                  val trailerOff = p + ((n - p) - inf.getRemaining)
+                  if (trailerOff + 8 > n) gzFault = "gzip_truncated"
+                  else if (le(trailerOff, 4) != crc.getValue ||
+                    le(trailerOff + 4, 4) != (body.size.toLong & 0xffffffffL))
+                    gzFault = "gzip_corrupt"
+                  else {
+                    // one WARC record per member (the CC convention):
+                    // parse header, then HTTP over the payload region
+                    val rec = body.toByteArray
+                    val isWarc = rec.length >= 8 &&
+                      new String(rec, 0, 8, "US-ASCII") == "WARC/1.0"
+                    val he = findBytes(rec, CRLF2, 0)
+                    if (!isWarc) // not a record at all — malformed even
+                      // without a header terminator to point at
+                      out += ((sid, idx, null, None, None, None, "warc_malformed"))
+                    else if (he < 0)
+                      out += ((sid, idx, null, None, None, None, "warc_truncated"))
+                    else {
+                      val header = new String(rec, 0, he, "UTF-8")
+                      val uri = uriRe.findFirstMatchIn(header).map(_.group(1)).orNull
+                      val clOpt = lenRe.findFirstMatchIn(header).map(_.group(1).toInt)
+                      if (uri == null || clOpt.isEmpty)
+                        out += ((sid, idx, uri, None, None, None, "warc_malformed"))
+                      else {
+                        val cl = clOpt.get
+                        val ps = he + 4
+                        if (ps + cl > rec.length)
+                          out += ((sid, idx, uri, None, None, None, "warc_truncated"))
+                        else {
+                          val h = parseHttpRegion(digest, rec, ps, ps + cl)
+                          out += ((sid, idx, uri, h.code, h.ctype, h.bodyMd5, h.status))
+                        }
+                      }
+                    }
+                    off = trailerOff + 8
+                    idx += 1
+                  }
+                }
+                inf.end()
+                if (gzFault != null) { fault(idx, gzFault); halted = true }
+              }
+            }
+          }
+          out
+        }
+      }
+      .toDF("segment_id", "member_idx", "target_uri", "http_status",
+        "content_type", "body_md5", "status")
+  }
+
   /** One deterministic gzip member for [[gzipMembers]] tests/builders:
     * fixed-dictionaryless deflate (default level) of the content, FLG=0
     * header with zeroed MTIME/XFL/OS (byte-stable for a given JVM; the

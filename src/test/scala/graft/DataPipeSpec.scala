@@ -942,6 +942,29 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(4L).head._5 == "corrupt" && out(4L).length == 1)
   }
 
+  test("cc reader: non-warc member does NOT halt the segment; gzip fault does") {
+    val sp = spark; import sp.implicits._
+    def rec(uri: String, http: String) =
+      s"WARC/1.0\r\nWARC-Target-URI: $uri\r\nContent-Length: ${http.length}\r\n\r\n$http\r\n\r\n"
+    val ok = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<i>y</i>"
+    val m1 = TrainingOps.gzipMember(rec("u1", ok).getBytes("UTF-8"))
+    val mBad = TrainingOps.gzipMember("definitely not warc".getBytes("UTF-8"))
+    val m3 = TrainingOps.gzipMember(rec("u3", ok).getBytes("UTF-8"), fname = "r3")
+    val seg = m1 ++ mBad ++ m3 // the bad member is in the MIDDLE
+    val rows = TrainingOps.ccReader(sp, Seq((1L, seg), (2L, seg.dropRight(3)))
+        .toDF("segment_id", "gz")).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)),
+        (if (r.isNullAt(2)) null else r.getString(2), r.getString(6)))).toMap
+    // member boundaries come from gzip, so the reader sails past the
+    // non-warc member and still parses u3 — m3's plain-bytes walk can't
+    assert(rows((1L, 0)) == (("u1", "ok")))
+    assert(rows((1L, 1)) == ((null, "warc_malformed")))
+    assert(rows((1L, 2)) == (("u3", "ok")))
+    assert(rows((2L, 0)) == (("u1", "ok")))
+    assert(rows((2L, 1)) == ((null, "warc_malformed")))
+    assert(rows((2L, 2)) == ((null, "gzip_truncated"))) // cut trailer halts
+  }
+
   test("wav headers: chunk walk honors sizes + odd pad, order independence, error taxonomy") {
     val sp = spark; import sp.implicits._
     def run(rows: Seq[(Long, Array[Byte])]) =

@@ -246,6 +246,9 @@ object PlanCheck {
     println("==== 64. m9 gzip members: map-only inflate walk after the segment build ====")
     SparkEntry.queries("m9_gzip_members")(spark, sf).explain("formatted")
 
+    println("==== 65. m10 cc reader: the fused gzip+warc+http stack, one map-only pass ====")
+    SparkEntry.queries("m10_cc_reader")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
