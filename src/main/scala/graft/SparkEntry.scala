@@ -509,6 +509,19 @@ object SparkEntry {
     // agreement (unbiased Jaccard estimate) vs exact Jaccard, ppm
     "d22_minhash_calibration" -> ((s, dir) =>
       TrainingOps.minhashCalibration(docs(s, dir))),
+    // the LSH S-curve operating table for the (4,3) banding — the
+    // design document of d2/d4 as a query, exact integer arithmetic
+    "d23_lsh_curve" -> ((s, dir) => TrainingOps.lshCurve(s)),
+    // crawler-trap detection over a synthesized fetch log: digit runs
+    // collapse to one template; a family past minUrls is a trap
+    "e38_trap_detection" -> ((s, dir) => {
+      val id = col("doc_id")
+      val url = when(id % 2 === 0,
+          concat(lit("https://trap"), id % 3, lit(".example.com/cal/2026/"), id))
+        .otherwise(
+          concat(lit("https://ok"), id % 7, lit(".example.com/page/"), id % 5))
+      graft.datapipe.GraphOps.trapDetection(docs(s, dir).select(url.as("url")))
+    }),
     "d4_dedup_jaccard" -> ((s, dir) => TrainingOps.jaccardVerify(docs(s, dir))),
     "d5_ann_cosine_topk" -> ((s, dir) => TrainingOps.annCosineTopK(embs(s, dir))),
     "d7_ann_topk_scalable" -> ((s, dir) => {
@@ -2100,6 +2113,23 @@ object SparkEntry {
           "CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming " +
           "FROM gb x JOIN gb y ON x.blk = y.blk AND x.bv = y.bv AND x.rep < y.rep " +
           "WHERE bit_count(xor(x.simhash, y.simhash)) <= 3"),
+      // d23 oracle: the same exact rational arithmetic — every term has
+      // denominator 10^12, so longs carry it exactly in both engines
+      "d23_lsh_curve" ->
+        ("SELECT CAST(j * 100000 AS BIGINT) AS jaccard_ppm, " +
+          "CAST((1000000000000 - (1000 - j*j*j)*(1000 - j*j*j)*(1000 - j*j*j)*(1000 - j*j*j)) // 1000000 AS BIGINT) AS p_candidate_ppm " +
+          "FROM range(1, 10) t(j)"),
+      // e38 oracle: same template collapse in SQL — trap families count
+      // one url per doc, page families one per (host, page-slot) doc set
+      "e38_trap_detection" ->
+        ("WITH u AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN " +
+          "'https://trap' || (doc_id % 3) || '.example.com/cal/2026/' || doc_id " +
+          "ELSE 'https://ok' || (doc_id % 7) || '.example.com/page/' || (doc_id % 5) END AS url " +
+          "FROM documents), " +
+          "t AS (SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS host, " +
+          "regexp_replace(regexp_extract(url, 'https?://[^/]+(/.*)?$', 1), '[0-9]+', 'N', 'g') AS template FROM u) " +
+          "SELECT host, template, count(*) AS n_urls, count(*) >= 50 AS trap " +
+          "FROM t GROUP BY 1, 2"),
       // d22 oracle: the shared minhashBands CTEs (sig has the 12-slot g
       // list, sh the shingle sets), agreement + exact Jaccard in ppm
       "d22_minhash_calibration" ->

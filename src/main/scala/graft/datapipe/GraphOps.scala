@@ -462,6 +462,31 @@ object GraphOps {
         when(col("more").isNull, "ok").otherwise("capped").as("status"))
   }
 
+  /** Crawler-trap detection — the frontier's self-defense against
+    * infinite URL families (calendar pages, session-id explosions,
+    * faceted-search cross products): URLs whose paths differ only in
+    * digit runs are ONE template (`/cal/2026/173` → `/cal/N/N`), and a
+    * (host, template) family whose URL count blows past `minUrls` is a
+    * trap — no human site has ten thousand genuinely distinct pages
+    * under one numeric pattern, but a calendar generates one per day
+    * forever. The schedule (e29) then budget-caps or drops the family;
+    * without this, a single trap host absorbs a crawler's entire
+    * politeness-limited throughput for that host producing near-dup
+    * boilerplate d1/d2 must then throw away. Map-only template derive,
+    * ONE map-side-combined (host, template) count — the shuffle carries
+    * template strings, never URLs.
+    */
+  def trapDetection(urls: DataFrame, minUrls: Long = 50): DataFrame = {
+    require(minUrls >= 1, "minUrls must be >= 1")
+    val host = regexp_extract(col("url"), "https?://([^/]+)", 1)
+    val path = regexp_extract(col("url"), "https?://[^/]+(/.*)?$", 1)
+    urls.select(host.as("host"),
+        regexp_replace(path, "[0-9]+", "N").as("template"))
+      .groupBy("host", "template")
+      .agg(count(lit(1)).as("n_urls"))
+      .withColumn("trap", col("n_urls") >= minUrls)
+  }
+
   def crawlFrontier(edges: DataFrame, crawled: DataFrame): DataFrame = {
     val agg = edges.groupBy("to_url").agg(
       count(lit(1)).as("n_refs"),

@@ -168,6 +168,31 @@ object TrainingOps extends Serializable {
     (out, Seq(banded))
   }
 
+  /** The LSH S-curve operating table for the repo's banding config:
+    * P(candidate | J) = 1 − (1 − J^r)^b at J = 0.1 … 0.9, in EXACT
+    * integer arithmetic (J = j/10 makes every term rational with
+    * denominator 10^(r·b), which fits a long for r·b ≤ 18 — (4, 3)
+    * gives 10^12). This is the design document of the d2/d4 stack AS A
+    * QUERY: together with d22 (which measures the estimator on the real
+    * corpus) it replaces "we assume the banding catches near-dups" with
+    * the actual recall curve — at (4, 3), J=0.5 is caught with p≈0.41,
+    * J=0.8 with p≈0.95, and the d4 verify threshold 0.4 sits exactly
+    * where the curve says candidates get plentiful but unreliable.
+    */
+  def lshCurve(spark: SparkSession, bands: Int = 4, rows: Int = 3): DataFrame = {
+    require(bands >= 1 && rows >= 1 && bands * rows <= 18,
+      "bands * rows must be <= 18 for exact long arithmetic")
+    val denomPow = bands * rows // scale = 10^(bands*rows)
+    val scale = math.pow(10, denomPow).toLong
+    val jr = (1 to rows).map(_ => col("id")).reduce(_ * _) // j^rows
+    val inner = lit(math.pow(10, rows).toLong) - jr // 10^r - j^r
+    val outer = (1 to bands).map(_ => inner).reduce(_ * _) // (10^r - j^r)^b
+    spark.range(1, 10)
+      .select(col("id"), (lit(scale) - outer).as("num"))
+      .select((col("id") * 100000L).as("jaccard_ppm"),
+        expr(s"num div ${scale / 1000000L}").as("p_candidate_ppm"))
+  }
+
   /** Full 12-minhash signature per doc as ONE array column — the
     * calibration view of the signatures [[bandTable]] immediately hashes
     * into bands.

@@ -121,6 +121,31 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     pair.foreach(r => assert(r.getInt(0) == 0, "identical text must give identical simhash"))
   }
 
+  test("lsh curve: exact S-curve values for (4,3); monotonic; bound check") {
+    val sp = spark
+    val out = TrainingOps.lshCurve(sp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    // hand values: J=0.5 -> (1e12 - 875^4) div 1e6 = 413818;
+    // J=0.8 -> (1e12 - 488^4) div 1e6 = 943287
+    assert(out.length == 9)
+    assert(out.toMap.apply(500000L) == 413818L)
+    assert(out.toMap.apply(800000L) == 943287L)
+    assert(out.map(_._2).sliding(2).forall(p => p(0) < p(1)), "S-curve must be monotonic")
+    intercept[IllegalArgumentException] { TrainingOps.lshCurve(sp, bands = 10, rows = 2) }
+  }
+
+  test("trap detection: digit runs collapse to one template; threshold gates the flag") {
+    val sp = spark; import sp.implicits._
+    val urls = ((1 to 60).map(i => s"https://a.example.com/cal/2026/$i") ++
+      (1 to 10).map(i => s"https://a.example.com/page/$i") ++
+      Seq("https://b.example.com/about")).toDF("url")
+    val out = graft.datapipe.GraphOps.trapDetection(urls).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(("a.example.com", "/cal/N/N")) == ((60L, true)))
+    assert(out(("a.example.com", "/page/N")) == ((10L, false)))
+    assert(out(("b.example.com", "/about")) == ((1L, false)))
+  }
+
   test("minhash calibration: candidates have >=3 matching components; est quantized to twelfths") {
     val rows = TrainingOps.minhashCalibration(docs).collect()
     assert(rows.nonEmpty, "no LSH candidates on the corpus")

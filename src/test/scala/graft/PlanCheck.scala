@@ -249,6 +249,9 @@ object PlanCheck {
     println("==== 65. m10 cc reader: the fused gzip+warc+http stack, one map-only pass ====")
     SparkEntry.queries("m10_cc_reader")(spark, sf).explain("formatted")
 
+    println("==== 66. e38 trap detection: map-only template derive, one map-side-combined count ====")
+    SparkEntry.queries("e38_trap_detection")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
