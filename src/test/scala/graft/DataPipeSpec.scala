@@ -967,6 +967,109 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(4L).head._5 == "corrupt" && out(4L).length == 1)
   }
 
+  test("byte walkers are total on adversarial payloads; taxonomies closed (500 cases each)") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(42)
+    val payloads = (0 until 500).map { i =>
+      val b = new Array[Byte](rnd.nextInt(200)); rnd.nextBytes(b)
+      // bias toward structured prefixes so the deep branches get input
+      val p = (i % 8: @unchecked) match {
+        case 0 => "HTTP/1.1 ".getBytes("US-ASCII") ++ b
+        case 1 => Array(0x1f.toByte, 0x8b.toByte, 8.toByte) ++ b
+        case 2 => "RIFF1234WAVE".getBytes("US-ASCII") ++ b
+        case 3 => Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++ b
+        case 4 => Array(0xff.toByte, 0xd8.toByte) ++ b
+        case 5 => "WARC/1.0\r\nWARC-Target-URI: u\r\nContent-Length: 99999\r\n\r\n".getBytes("US-ASCII") ++ b
+        case 6 => Array(0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ b
+        case 7 => b
+      }
+      (i.toLong, p)
+    }
+    val df = payloads.toDF("doc_id", "payload")
+    def statuses(out: org.apache.spark.sql.DataFrame): Set[String] =
+      out.select("status").distinct().collect().map(_.getString(0)).toSet
+    assert(statuses(TrainingOps.httpResponses(sp, df))
+      .subsetOf(Set("ok", "truncated", "malformed")))
+    assert(statuses(TrainingOps.imageDims(sp, df))
+      .subsetOf(Set("ok", "truncated", "malformed", "unknown")))
+    assert(statuses(TrainingOps.wavHeaders(sp, df))
+      .subsetOf(Set("ok", "truncated", "unknown")))
+    assert(TrainingOps.charsetDetect(sp, df).filter(col("detected").isNull).count() == 0)
+    val segs = df.toDF("segment_id", "gz")
+    assert(statuses(TrainingOps.gzipMembers(sp, segs))
+      .subsetOf(Set("ok", "truncated", "malformed", "corrupt")))
+    assert(statuses(TrainingOps.ccReader(sp, segs)).subsetOf(Set("ok", "truncated",
+      "malformed", "gzip_truncated", "gzip_malformed", "gzip_corrupt",
+      "warc_truncated", "warc_malformed")))
+    assert(statuses(TrainingOps.warcRecords(sp, df.toDF("segment_id", "warc")))
+      .subsetOf(Set("ok", "truncated", "malformed")))
+  }
+
+  test("utf-8 validator == JVM strict decoder (differential, 500 random + mutated-valid cases)") {
+    val sp = spark; import sp.implicits._
+    def strictValid(b: Array[Byte]): Boolean =
+      try {
+        java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+          .decode(java.nio.ByteBuffer.wrap(b))
+        true
+      } catch { case _: java.nio.charset.CharacterCodingException => false }
+    val rnd = new scala.util.Random(7)
+    val cases = (0 until 500).map { i =>
+      val b =
+        if (i % 2 == 0) { val a = new Array[Byte](rnd.nextInt(40)); rnd.nextBytes(a); a }
+        else {
+          // valid UTF-8 (mixed-plane), then mutate one byte half the time
+          val s = (0 until rnd.nextInt(10)).map(_ => rnd.nextInt(0x10FFFF + 1))
+            .filterNot(c => c >= 0xD800 && c <= 0xDFFF)
+            .map(Character.toChars(_).mkString).mkString
+          val a = s.getBytes("UTF-8")
+          if (a.nonEmpty && rnd.nextBoolean()) a(rnd.nextInt(a.length)) = rnd.nextInt(256).toByte
+          a
+        }
+      (i.toLong, b)
+    }
+    // avoid declared-charset short-circuits: verdicts compare only where
+    // no BOM/meta applies, but utf8_valid is computed unconditionally
+    val got = TrainingOps.charsetDetect(sp, cases.toDF("doc_id", "payload"))
+      .select("doc_id", "utf8_valid").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    cases.foreach { case (i, b) =>
+      assert(got(i) == strictValid(b),
+        s"case $i: validator ${got(i)} vs JVM ${strictValid(b)} on ${b.map("%02x".format(_)).mkString}")
+    }
+  }
+
+  test("gzip round-trip: arbitrary member contents walk back in order, all ok, md5s match") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(11)
+    val segs = (0 until 50).map { s =>
+      val contents = (0 to rnd.nextInt(7)).map { _ =>
+        val b = new Array[Byte](rnd.nextInt(500)); rnd.nextBytes(b); b
+      }
+      val gz = contents.zipWithIndex.flatMap { case (c, j) =>
+        TrainingOps.gzipMember(c, if (j % 3 == 1) s"m$j" else null)
+      }.toArray
+      (s.toLong, contents, gz)
+    }
+    val out = TrainingOps.gzipMembers(sp,
+        segs.map(x => (x._1, x._3)).toDF("segment_id", "gz")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getString(3), r.getString(4))))
+      .toMap
+    segs.foreach { case (sid, contents, _) =>
+      contents.zipWithIndex.foreach { case (c, j) =>
+        val (len, m, st) = out((sid, j))
+        assert(st == "ok" && len == c.length && m == md5hex2(c), s"seg $sid member $j")
+      }
+      assert(!out.contains((sid, contents.length)), "phantom member")
+    }
+  }
+
+  private def md5hex2(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(b)
+      .map("%02x".format(_)).mkString
+
   test("cc reader: non-warc member does NOT halt the segment; gzip fault does") {
     val sp = spark; import sp.implicits._
     def rec(uri: String, http: String) =
