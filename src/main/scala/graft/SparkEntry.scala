@@ -560,6 +560,11 @@ object SparkEntry {
     "d15_fuzzy_decontaminate" -> ((s, dir) =>
       TrainingOps.fuzzyDecontaminate(fuzzyAug(docs(s, dir)), col("doc_id") % 61 === 7)),
     "d10_dup_clusters" -> ((s, dir) => TrainingOps.dupClusters(docs(s, dir))),
+    // quality-argmax representative per near-dup cluster: the keeper rule
+    // real curation pipelines apply AFTER clustering (keep the cleanest
+    // copy, not the first-crawled) — map-side-combined struct-min, no
+    // window, so a boilerplate mega-cluster can't pile into one task
+    "d24_cluster_reps" -> ((s, dir) => TrainingOps.clusterRepresentatives(docs(s, dir))),
     "d11_paragraph_dedup" -> ((s, dir) => TrainingOps.paragraphDedup(docs(s, dir))),
     "t1_lang_id" -> ((s, dir) => TrainingOps.langId(docs(s, dir))),
     "t2_quality_score" -> ((s, dir) => TrainingOps.qualityScore(docs(s, dir))),
@@ -651,6 +656,11 @@ object SparkEntry {
     // crosses sequence boundaries (docs spanning two sequences, several
     // sequences per shard) — the oracle hardcodes the same length
     "t10_sequence_pack" -> ((s, dir) => TrainingOps.sequencePack(docs(s, dir), seqLen = 512)),
+    // exact GLOBAL token-budget sharding via the distributed two-phase
+    // prefix sum (range-bucket totals -> driver exclusive scan -> inlined
+    // offsets + bounded per-bucket windows) — never an unpartitioned
+    // Window.orderBy over the corpus
+    "t31_token_shards" -> ((s, dir) => TrainingOps.tokenShards(docs(s, dir))),
     // daily-ingest incremental dedup over the dup-augmented corpus:
     // increment = doc_id % 10 >= 8, corpus = the rest
     "d13_incremental_dedup" -> ((s, dir) => {
@@ -2071,6 +2081,22 @@ object SparkEntry {
         "pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM gb x " +
         "JOIN gb y ON x.bd = y.bd AND x.bv = y.bv AND x.doc_id < y.doc_id)"
     val stopEn = "('the','a','of','and','to','in','is','it')"
+    // transitive closure over the verified near-dup pair graph — shared
+    // by d10 (the cluster table itself) and d24 (representative
+    // selection over it)
+    val d10Sql =
+      minhashBands.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        ", jp AS (SELECT a, b FROM (SELECT p.a, p.b, " +
+        "round(len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(sa.s || sb.s)), 4) AS jaccard " +
+        "FROM pairs p JOIN sh sa ON sa.doc_id = p.a JOIN sh sb ON sb.doc_id = p.b) WHERE jaccard >= 0.4), " +
+        "sym AS (SELECT a, b FROM jp UNION SELECT b AS a, a AS b FROM jp), " +
+        "reach(src, dst) AS (SELECT doc_id, doc_id FROM r " +
+        "UNION SELECT reach.src, sym.b FROM reach JOIN sym ON reach.dst = sym.a), " +
+        "cl AS (SELECT src AS rep, MIN(dst) AS cluster_id FROM reach GROUP BY src), " +
+        "dm AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep FROM documents), " +
+        "x AS (SELECT dm.doc_id, cl.cluster_id FROM dm JOIN cl ON dm.rep = cl.rep) " +
+        "SELECT doc_id, cluster_id, CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size, " +
+        "doc_id = cluster_id AS is_keeper FROM x"
     // exact top-20 frequent trigrams — shared by t15 (plain groupBy) and
     // t21 (CMS-gated), whose outputs are provably identical
     val freqNgramOracle =
@@ -2171,19 +2197,25 @@ object SparkEntry {
       // cluster resolution: transitive closure over the verified-pair
       // graph (reach = recursive reachability from each rep; cluster =
       // min reachable id), expanded through the exact-dup groups
-      "d10_dup_clusters" ->
-        (minhashBands.replaceFirst("WITH ", "WITH RECURSIVE ") +
-          ", jp AS (SELECT a, b FROM (SELECT p.a, p.b, " +
-          "round(len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(sa.s || sb.s)), 4) AS jaccard " +
-          "FROM pairs p JOIN sh sa ON sa.doc_id = p.a JOIN sh sb ON sb.doc_id = p.b) WHERE jaccard >= 0.4), " +
-          "sym AS (SELECT a, b FROM jp UNION SELECT b AS a, a AS b FROM jp), " +
-          "reach(src, dst) AS (SELECT doc_id, doc_id FROM r " +
-          "UNION SELECT reach.src, sym.b FROM reach JOIN sym ON reach.dst = sym.a), " +
-          "cl AS (SELECT src AS rep, MIN(dst) AS cluster_id FROM reach GROUP BY src), " +
-          "dm AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep FROM documents), " +
-          "x AS (SELECT dm.doc_id, cl.cluster_id FROM dm JOIN cl ON dm.rep = cl.rep) " +
-          "SELECT doc_id, cluster_id, CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size, " +
-          "doc_id = cluster_id AS is_keeper FROM x"),
+      "d10_dup_clusters" -> d10Sql,
+      // d24 oracle: the full d10 recursive-closure SQL as a nested CTE,
+      // joined to the t2 quality formula, argmax via row_number (quality
+      // DESC, doc_id ASC = the struct-min tie-break on the Spark side)
+      "d24_cluster_reps" ->
+        (s"WITH c AS ($d10Sql), " +
+          s"qf AS (SELECT doc_id, $w AS w, text FROM documents WHERE length(text) >= 1), " +
+          "qb AS (SELECT doc_id, length(text) AS n_chars, len(w) AS n_words, " +
+          "length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit, " +
+          "length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct FROM qf), " +
+          "qd AS (SELECT doc_id, round(least(1.0::DOUBLE, n_words::DOUBLE / 100.0::DOUBLE) * " +
+          "(1.0::DOUBLE - n_digit::DOUBLE / n_chars) * " +
+          "(1.0::DOUBLE - least(1.0::DOUBLE, 5.0::DOUBLE * n_punct::DOUBLE / n_chars)), 4) AS quality FROM qb), " +
+          "j AS (SELECT c.cluster_id, c.cluster_size, c.doc_id, " +
+          "coalesce(qd.quality, 0.0) AS quality FROM c LEFT JOIN qd USING (doc_id)), " +
+          "rr AS (SELECT *, row_number() OVER (PARTITION BY cluster_id " +
+          "ORDER BY quality DESC, doc_id) AS rk FROM j) " +
+          "SELECT cluster_id, doc_id AS rep_id, cluster_size, quality AS rep_quality, " +
+          "CAST(cluster_size - 1 AS BIGINT) AS n_removed FROM rr WHERE rk = 1"),
       // d21 oracle: the d5 truth CTEs and the d9 IVF CTEs composed, then
       // a per-probe hit count + integer recall ppm
       "d21_ann_recall" ->
@@ -2889,6 +2921,15 @@ object SparkEntry {
           "SELECT doc_id, shard, n_tokens, (cum - n_tokens) // 512 AS seq_id, " +
           "CAST((cum - n_tokens) % 512 AS INT) AS seq_offset, " +
           "CAST((cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS INT) AS n_seqs FROM c"),
+      // t31 oracle: the single unpartitioned window cumsum — exactly the
+      // plan shape tokenShards' two-phase prefix sum replaces at scale
+      "t31_token_shards" ->
+        (s"WITH f AS (SELECT doc_id, CAST(len($w) AS BIGINT) AS n_tokens " +
+          "FROM documents WHERE length(text) >= 1), " +
+          "o AS (SELECT doc_id, n_tokens, CAST(coalesce(sum(n_tokens) OVER " +
+          "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
+          "AS token_start FROM f) " +
+          "SELECT doc_id, n_tokens, token_start, token_start // 4096 AS shard FROM o"),
       // incremental dedup over the dup-augmented corpus: increment rows
       // flagged as already-in-corpus / first-in-batch / keep — mirrors
       // incrementalDedup(dupAug % 10 >= 8, dupAug % 10 < 8); the bloom

@@ -544,6 +544,42 @@ object TrainingOps extends Serializable {
         (col("doc_id") === col("cluster_id")).as("is_keeper"))
   }
 
+  /** Quality-argmax representative selection per near-dup cluster — the
+    * curation step a production pipeline runs AFTER [[dupClusters]]:
+    * within each duplicate cluster keep the highest-[[qualityScore]]
+    * member, not an arbitrary (min-id) one. Mirror farms re-host good
+    * pages inside ad-stuffed shells; min-id keeps whichever the crawler
+    * saw first, argmax-quality keeps the cleanest copy (the rule
+    * RefinedWeb/FineWeb-class pipelines apply between dedup and
+    * sampling). Ties (equal rounded quality) break to min doc_id so the
+    * output is deterministic.
+    *
+    * Scale shape: the cluster labels join quality on doc_id (both sides
+    * already keyed by it), then ONE map-side-combined aggregate on
+    * cluster_id carrying a 20-byte struct — `min(struct(-quality,
+    * doc_id))` instead of a `row_number` window, because a boilerplate
+    * mega-cluster (10^8 mirrored pages) would pile into a single window
+    * partition, while partial aggregation reduces it map-side to one
+    * candidate per task before the shuffle. No raw text moves; negating
+    * the (rounded, non-negative) quality makes lexicographic struct-min
+    * equal quality-DESC/id-ASC without a secondary sort.
+    */
+  def clusterRepresentatives(docs: DataFrame,
+      maxBandBucket: Int = MaxBandBucket): DataFrame = {
+    val clusters = dupClusters(docs, maxBandBucket)
+    val q = qualityScore(docs).select(col("doc_id"), col("quality"))
+    clusters.join(q, Seq("doc_id"), "left")
+      .withColumn("quality", coalesce(col("quality"), lit(0.0)))
+      .groupBy(col("cluster_id"))
+      .agg(
+        min(struct((-col("quality")).as("nq"), col("doc_id").as("id"),
+          col("quality").as("q"))).as("best"),
+        max(col("cluster_size")).as("cluster_size"))
+      .select(col("cluster_id"), col("best.id").as("rep_id"),
+        col("cluster_size"), col("best.q").as("rep_quality"),
+        (col("cluster_size") - 1).as("n_removed"))
+  }
+
   /** Paragraph-level cross-document dedup — the CCNet/RefinedWeb-style
     * pass that removes boilerplate shared BETWEEN documents (cookie
     * banners, footers, mirrored intros) that document-level dedup can't
@@ -1749,6 +1785,55 @@ object TrainingOps extends Serializable {
         ((col("cum") - col("n_tokens")) % seqLen).cast("int").as("seq_offset"),
         expr(s"cast((cum - 1) div $seqLen - (cum - n_tokens) div $seqLen + 1 as int)")
           .as("n_seqs"))
+  }
+
+  /** Token-budget shard assignment by GLOBAL running token count — the
+    * writer-side step that turns a curated corpus into ~equal-token
+    * training shards: documents in deterministic doc_id order, each
+    * assigned the shard its first token lands in (`token_start div
+    * budget`). Unlike [[sequencePack]] (whose shards are hash-assigned
+    * up front, so its windows are naturally partitioned), this needs an
+    * exact GLOBAL prefix sum — and `Window.orderBy` with no partition is
+    * the classic scale-killer (one task sorts the corpus). This is the
+    * distributed two-phase prefix-sum instead:
+    *
+    *   1. range-bucket on `doc_id div bucketWidth` (order-preserving),
+    *      aggregate per-bucket token totals — one map-side-combined
+    *      shuffle of (bucket, long);
+    *   2. collect the per-bucket totals (numBuckets rows — the ONE
+    *      deliberate driver action, ~KBs even at 10^12 docs with wide
+    *      buckets), exclusive-scan them driver-side, inline the offsets
+    *      as a map literal (the [[annLshBuckets]] broadcast pattern);
+    *   3. per-bucket window cumsum + the bucket's offset = the exact
+    *      global running total, every window partition bounded by
+    *      bucketWidth.
+    *
+    * Output per doc: n_tokens, global token_start, shard. The oracle is
+    * the single unpartitioned window cumsum — exactly what this shape
+    * replaces.
+    */
+  def tokenShards(docs: DataFrame, budget: Long = 4096L,
+      bucketWidth: Long = 64L): DataFrame = {
+    require(budget > 0 && bucketWidth > 0, "budget and bucketWidth must be positive")
+    val base = docs.filter(length(col("text")) >= 1)
+      .select(col("doc_id"), expr(s"doc_id div $bucketWidth").as("bucket"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+    val totals: Array[(Long, Long)] = base.groupBy("bucket")
+      .agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val exclusive: Map[Long, Long] = {
+      var acc = 0L
+      totals.map { case (b, t) => val o = (b, acc); acc += t; o }.toMap
+    }
+    val offMap = typedLit(exclusive)
+    val byBucket = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("cum_local", sum(col("n_tokens")).over(byBucket))
+      .select(col("doc_id"), col("n_tokens"),
+        (element_at(offMap, col("bucket")) + col("cum_local") - col("n_tokens"))
+          .as("token_start"))
+      .withColumn("shard", expr(s"token_start div $budget"))
   }
 
   /** Unigram-LM familiarity scoring — the shape of the CCNet/KenLM

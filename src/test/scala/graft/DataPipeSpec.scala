@@ -333,6 +333,81 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count(_._4) == 1 && out.find(_._4).get._1 == 1L, "exactly one keeper, the min id")
   }
 
+  test("cluster reps: argmax-quality keeper beats min-id when the first-crawled copy is dirtier") {
+    val s = spark
+    import s.implicits._
+    // doc 1 (LOWER id) is the ad-stuffed copy of doc 5's clean text:
+    // same 30-word core (heavy shingle overlap -> near-dup pair), plus a
+    // punctuation-soup tail that tanks its punct_ratio quality factor.
+    // min-id keeper rules keep doc 1; the rep rule must keep doc 5.
+    val core = (0 until 30).map(i => s"word$i").mkString(" ")
+    val synth = Seq(
+      (1L, core + " !!!!! ????? ;;;;; ::::: ....."),
+      (5L, core),
+      (7L, "tie tie tie equal equal equal words words words here here here"),
+      (8L, "tie tie tie equal equal equal words words words here here here"),
+      (9L, "unrelated words entirely different content here now")
+    ).toDF("doc_id", "text")
+    // precondition: 1 and 5 really are a verified near-dup pair
+    val pairSet = TrainingOps.jaccardVerify(synth).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet.contains((1L, 5L)), s"expected pair (1,5), got $pairSet")
+    val reps = TrainingOps.clusterRepresentatives(synth).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    // cluster id stays min-id (1) — the LABEL is stable — but the kept
+    // document is the clean one (5)
+    val (repId, size1, repQ, removed) = reps(1L)
+    assert(repId == 5L, s"rep of cluster 1 must be the clean doc 5, got $repId")
+    assert(size1 == 2L && removed == 1L)
+    // doc 5's quality: 30 words, zero punctuation in [.,;:!?], digits from
+    // word suffixes — strictly above doc 1's punct-tanked score
+    val q = TrainingOps.qualityScore(synth).collect()
+      .map(r => r.getLong(0) -> r.getDouble(7)).toMap
+    assert(q(5L) > q(1L), s"precondition: clean copy must score higher (${q(5L)} vs ${q(1L)})")
+    assert(repQ == q(5L))
+    // exact-dup pair {7,8}: equal quality, tie breaks to min doc_id
+    assert(reps(7L)._1 == 7L, "equal-quality tie must break to min doc_id")
+    // singleton keeps itself, removes nothing
+    assert(reps(9L) == ((9L, 1L, q(9L), 0L)))
+  }
+
+  test("cluster reps: one row per cluster, rep is a member with max quality (corpus)") {
+    val clusters = TrainingOps.dupClusters(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap // doc -> cluster
+    val q = TrainingOps.qualityScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(7)).toMap
+    val reps = TrainingOps.clusterRepresentatives(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(reps.length == clusters.values.toSet.size, "exactly one rep row per cluster")
+    reps.foreach { case (cid, repId, size) =>
+      assert(clusters(repId) == cid, s"rep $repId is not a member of cluster $cid")
+      val members = clusters.collect { case (d, c) if c == cid => d }
+      assert(members.size == size.toInt)
+      val best = members.map(q.getOrElse(_, 0.0)).max
+      assert(q.getOrElse(repId, 0.0) == best,
+        s"rep $repId of cluster $cid has quality ${q.getOrElse(repId, 0.0)} < max $best")
+    }
+  }
+
+  test("token shards: two-phase prefix sum equals the sequential cumsum, invariant to bucket width") {
+    val byId = docs.select(col("doc_id"), size(split(trim(col("text")), "[ \\t\\n\\r\\f\\x0B]+")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val want = {
+      var a = 0L
+      byId.map { case (id, n) => val st = a; a += n; id -> ((n, st, st / 4096L)) }.toMap
+    }
+    for (bw <- Seq(7L, 64L, 100000L)) {
+      val got = TrainingOps.tokenShards(docs, budget = 4096L, bucketWidth = bw).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got == want, s"bucketWidth=$bw diverges from the sequential cumsum")
+    }
+    // shard ids are non-decreasing in doc_id order and start at 0
+    val shards = byId.map { case (id, _) => want(id)._3 }
+    assert(shards.head == 0L)
+    assert(shards.zip(shards.tail).forall { case (x, y) => y >= x })
+  }
+
   test("embedding-cosine near-dup: bucketed candidates, exact scores, threshold monotone") {
     val all = TrainingOps.embCosinePairs(embs, minCos = -1.0).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

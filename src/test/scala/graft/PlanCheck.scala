@@ -252,6 +252,12 @@ object PlanCheck {
     println("==== 66. e38 trap detection: map-only template derive, one map-side-combined count ====")
     SparkEntry.queries("e38_trap_detection")(spark, sf).explain("formatted")
 
+    println("==== 67. d24 cluster reps: struct-min partial agg on cluster_id, NO window over clusters ====")
+    SparkEntry.queries("d24_cluster_reps")(spark, sf).explain("formatted")
+
+    println("==== 68. t31 token shards: every Window partitioned by bucket (no global-sort single task) ====")
+    SparkEntry.queries("t31_token_shards")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
