@@ -1322,6 +1322,15 @@ object SparkEntry {
         .toDF("doc_id", "payload")
       TrainingOps.wavHeaders(s, payloads)
     }),
+    // ISO-BMFF (MP4) box walk: largesize + size==0 + mvhd v0/v1 field
+    // widths, moov-at-end order; arithmetic oracle (the m8 pattern)
+    "m11_mp4_headers" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = docs(s, dir).select(col("doc_id")).as[Long]
+        .map(id => (id, TrainingOps.syntheticMp4Payload(id)))
+        .toDF("doc_id", "payload")
+      TrainingOps.mp4Headers(s, payloads)
+    }),
     // charset sniffing over synthesized page bytes: BOM > 1024-byte meta
     // prescan > UTF-8 structural validation > windows-1252 fallback; the
     // oracle derives every verdict arithmetically from doc_id
@@ -2647,6 +2656,21 @@ object SparkEntry {
           "CASE WHEN doc_id % 5 IN (0,1,2) THEN CAST((1000 * (100 + doc_id % 50) * (1 + doc_id % 2) * 2) // " +
           "(8000 * (1 + doc_id % 4) * (1 + doc_id % 2) * 2) AS BIGINT) END AS duration_ms, " +
           "CASE doc_id % 5 WHEN 3 THEN 'truncated' WHEN 4 THEN 'unknown' ELSE 'ok' END AS status " +
+          "FROM documents"),
+      // m11 oracle: brand/timescale/duration/tracks arithmetic from
+      // doc_id; a MATCH proves the walker and the byte builder agree on
+      // largesize, size==0, mvhd v0-vs-v1 widths, and the integer-ms
+      // division — v1's duration exceeds 2^32, so a v0-width misread
+      // cannot hash-match
+      "m11_mp4_headers" ->
+        ("SELECT doc_id, " +
+          "CASE WHEN doc_id % 6 = 4 THEN NULL WHEN doc_id % 6 = 1 THEN 'mp42' ELSE 'isom' END AS brand, " +
+          "CASE WHEN doc_id % 6 IN (0,1,2,5) THEN CAST(600 * (1 + doc_id % 4) AS INT) END AS timescale, " +
+          "CASE WHEN doc_id % 6 IN (0,2,5) THEN CAST((1000 * (6000 + doc_id % 5000)) // (600 * (1 + doc_id % 4)) AS BIGINT) " +
+          "WHEN doc_id % 6 = 1 THEN CAST((1000 * (5000000000 + doc_id % 1000)) // (600 * (1 + doc_id % 4)) AS BIGINT) END AS duration_ms, " +
+          "CASE WHEN doc_id % 6 = 0 THEN CAST(1 + doc_id % 3 AS INT) " +
+          "WHEN doc_id % 6 IN (1,2,5) THEN CAST(1 AS INT) END AS n_tracks, " +
+          "CASE doc_id % 6 WHEN 3 THEN 'truncated' WHEN 4 THEN 'unknown' ELSE 'ok' END AS status " +
           "FROM documents"),
       // m5 oracle: every verdict arithmetic from doc_id (the m3/m4
       // pattern) — a MATCH means the byte builder and the three-rung

@@ -3485,4 +3485,186 @@ object TrainingOps extends Serializable {
       }
       .toDF("doc_id", "format", "width", "height", "status")
   }
+
+  /** Deterministic synthetic ISO-BMFF (MP4) bytes for [[mp4Headers]] —
+    * test scaffolding in the [[syntheticWavPayload]] role. Kinds by
+    * id % 6, each pinning one load-bearing walker semantic:
+    *   0: ftyp + moov(mvhd v0, 1+id%3 trak children) + mdat — the
+    *      plain file, multi-track count;
+    *   1: mvhd VERSION 1 — 64-bit duration (> 2^32, so a reader that
+    *      takes the v0 field widths reads garbage), brand mp42;
+    *   2: a LARGESIZE mdat (size==1, 64-bit size follows the type)
+    *      BETWEEN ftyp and moov — moov-at-end, the order every
+    *      non-faststart encoder emits; a walker without largesize
+    *      support lands mid-mdat and dies;
+    *   3: moov's declared size overruns the payload — truncated, but
+    *      the brand (parsed before the fault) is still reported;
+    *   4: not BMFF at all — unknown;
+    *   5: mdat with size==0 (extends to EOF — legal for the LAST box
+    *      only), moov before it.
+    * timescale/duration/track count are pure functions of the id for
+    * the arithmetic oracle.
+    */
+  def syntheticMp4Payload(id: Long): Array[Byte] = {
+    def a(s: String) = s.getBytes("US-ASCII")
+    def be4(v: Long) = Array[Byte]((v >>> 24).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be8(v: Long) = be4(v >>> 32) ++ be4(v & 0xffffffffL)
+    def box(tpe: String, body: Array[Byte]): Array[Byte] =
+      be4(8L + body.length) ++ a(tpe) ++ body
+    val kind = (id % 6).toInt
+    val timescale = 600L * (1 + id % 4)
+    val durV0 = 6000L + id % 5000
+    val durV1 = 5000000000L + id % 1000 // needs the full 64 bits
+    val brand = if (kind == 1) "mp42" else "isom"
+    val ftyp = box("ftyp", a(brand) ++ be4(0) ++ a("isomavc1"))
+    def mvhd(v: Int): Array[Byte] =
+      if (v == 0)
+        box("mvhd", Array[Byte](0, 0, 0, 0) ++ be4(0) ++ be4(0) ++
+          be4(timescale) ++ be4(durV0))
+      else
+        box("mvhd", Array[Byte](1, 0, 0, 0) ++ be8(0) ++ be8(0) ++
+          be4(timescale) ++ be8(durV1))
+    def trak(i: Long): Array[Byte] =
+      box("trak", box("free", a(s"t$i")))
+    def moov(v: Int, nTrak: Int): Array[Byte] =
+      box("moov", mvhd(v) ++ (0 until nTrak).toArray.flatMap(i => trak(i.toLong)))
+    val mdatBody = Array.fill[Byte]((10 + id % 7).toInt)(0x4d)
+    kind match {
+      case 0 => ftyp ++ moov(0, (1 + id % 3).toInt) ++ box("mdat", mdatBody)
+      case 1 => ftyp ++ moov(1, 1) ++ box("mdat", mdatBody)
+      case 2 => // largesize mdat, then moov: size field = 1, real 64-bit
+        // size (16-byte header + body) follows the type
+        val large = be4(1L) ++ a("mdat") ++ be8(16L + mdatBody.length) ++ mdatBody
+        ftyp ++ large ++ moov(0, 1)
+      case 3 => // moov claims 9999 bytes the payload does not have
+        ftyp ++ be4(9999L) ++ a("moov") ++ mvhd(0)
+      case 4 => a(s"plain text payload $id")
+      case _ => // size==0: mdat runs to EOF (last box)
+        ftyp ++ moov(0, 1) ++ be4(0L) ++ a("mdat") ++ mdatBody
+    }
+  }
+
+  /** ISO-BMFF (MP4) header walk over opaque video payloads — the video
+    * leg of the multimodal metadata trio ([[imageDims]] images,
+    * [[wavHeaders]] audio): major brand from `ftyp`, movie timescale +
+    * duration from `moov/mvhd`, track count from `moov`'s `trak`
+    * children. The box grammar is the same never-scan discipline as the
+    * JPEG/RIFF/WARC walkers plus two traps of its own: a size field of
+    * 1 means a 64-BIT largesize follows the type (mdat routinely
+    * exceeds 4 GB at production scale — pinned by a largesize payload),
+    * and a size of 0 means the box extends to EOF (legal for the last
+    * box — pinned). `mvhd` switches field widths on its version byte:
+    * v0 packs creation/modification/duration in 32 bits, v1 in 64 —
+    * pinned by a v1 duration above 2^32. Container recursion is bounded
+    * to `moov`'s region; `mdat` is skipped by its declared size, so a
+    * gigabyte video costs ~100 header bytes (the walker never touches
+    * sample data — this is why box sizes exist). duration_ms =
+    * 1000·duration div timescale in integer arithmetic.
+    *
+    * Error-as-data (the e3 taxonomy): `ok` / `truncated` (a declared
+    * size — top-level or child — overruns its region; the brand parsed
+    * before the fault is kept) / `malformed` (walk completes but
+    * moov/mvhd never appear, or a box claims fewer bytes than its own
+    * header) / `unknown` (first box is not `ftyp`). Typed
+    * mapPartitions, MAP-ONLY, zero shuffle.
+    */
+  def mp4Headers(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        def be(b: Array[Byte], i: Int, n: Int): Long = {
+          var v = 0L; var k = 0
+          while (k < n) { v = (v << 8) | (b(i + k) & 0xffL); k += 1 }
+          v
+        }
+        def tag(b: Array[Byte], i: Int): String =
+          if (i + 4 <= b.length) new String(b, i, 4, "US-ASCII") else ""
+        it.map { case (id, raw) =>
+          val b = if (raw == null) Array.emptyByteArray else raw
+          val n = b.length
+          var brand: Option[String] = None
+          var timescale: Option[Long] = None
+          var duration: Option[Long] = None
+          var nTracks = 0
+          var sawMoov = false
+          var status: String = null
+          if (n < 8 || tag(b, 4) != "ftyp") status = "unknown"
+          else {
+            var off = 0
+            while (status == null && off < n) {
+              if (off + 8 > n) status = "truncated"
+              else {
+                var size = be(b, off, 4)
+                val tpe = tag(b, off + 4)
+                var hdr = 8
+                if (size == 1L) {
+                  if (off + 16 > n) { status = "truncated" }
+                  else { size = be(b, off + 8, 8); hdr = 16 }
+                } else if (size == 0L) size = (n - off).toLong
+                if (status == null) {
+                  if (size < hdr) status = "malformed"
+                  else if (off + size > n) status = "truncated"
+                  else {
+                    val end = off + size.toInt
+                    if (tpe == "ftyp") {
+                      if (off + hdr + 4 <= end) brand = Some(tag(b, off + hdr))
+                      else status = "truncated"
+                    } else if (tpe == "moov") {
+                      sawMoov = true
+                      var c = off + hdr
+                      while (status == null && c < end) {
+                        if (c + 8 > end) status = "truncated"
+                        else {
+                          var cs = be(b, c, 4)
+                          val ct = tag(b, c + 4)
+                          var ch = 8
+                          if (cs == 1L) {
+                            if (c + 16 > end) { status = "truncated" }
+                            else { cs = be(b, c + 8, 8); ch = 16 }
+                          } else if (cs == 0L) cs = (end - c).toLong
+                          if (status == null) {
+                            if (cs < ch) status = "malformed"
+                            else if (c + cs > end) status = "truncated"
+                            else {
+                              val body = c + ch
+                              if (ct == "mvhd") {
+                                val ver = if (body < end) b(body) & 0xff else -1
+                                if (ver == 0 && body + 20 <= end) {
+                                  timescale = Some(be(b, body + 12, 4))
+                                  duration = Some(be(b, body + 16, 4))
+                                } else if (ver == 1 && body + 32 <= end) {
+                                  timescale = Some(be(b, body + 20, 4))
+                                  duration = Some(be(b, body + 24, 8))
+                                } else status = "truncated"
+                              } else if (ct == "trak") nTracks += 1
+                              c += cs.toInt
+                            }
+                          }
+                        }
+                      }
+                    }
+                    if (status == null) off = end
+                  }
+                }
+              }
+            }
+            if (status == null)
+              status =
+                if (sawMoov && timescale.exists(_ > 0L) && duration.isDefined) "ok"
+                else "malformed"
+          }
+          val ok = status == "ok"
+          val durMs =
+            if (ok) Some(1000L * duration.get / timescale.get) else None
+          (id, brand.orNull,
+            if (ok) timescale.map(_.toInt) else None,
+            durMs,
+            if (ok) Some(nTracks) else None,
+            status)
+        }
+      }
+      .toDF("doc_id", "brand", "timescale", "duration_ms", "n_tracks", "status")
+  }
 }

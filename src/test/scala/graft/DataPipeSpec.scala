@@ -1048,7 +1048,7 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val payloads = (0 until 500).map { i =>
       val b = new Array[Byte](rnd.nextInt(200)); rnd.nextBytes(b)
       // bias toward structured prefixes so the deep branches get input
-      val p = (i % 8: @unchecked) match {
+      val p = (i % 9: @unchecked) match {
         case 0 => "HTTP/1.1 ".getBytes("US-ASCII") ++ b
         case 1 => Array(0x1f.toByte, 0x8b.toByte, 8.toByte) ++ b
         case 2 => "RIFF1234WAVE".getBytes("US-ASCII") ++ b
@@ -1057,6 +1057,7 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
         case 5 => "WARC/1.0\r\nWARC-Target-URI: u\r\nContent-Length: 99999\r\n\r\n".getBytes("US-ASCII") ++ b
         case 6 => Array(0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ b
         case 7 => b
+        case 8 => Array[Byte](0, 0, 0, 24) ++ "ftyp".getBytes("US-ASCII") ++ b
       }
       (i.toLong, p)
     }
@@ -1069,6 +1070,8 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .subsetOf(Set("ok", "truncated", "malformed", "unknown")))
     assert(statuses(TrainingOps.wavHeaders(sp, df))
       .subsetOf(Set("ok", "truncated", "unknown")))
+    assert(statuses(TrainingOps.mp4Headers(sp, df))
+      .subsetOf(Set("ok", "truncated", "malformed", "unknown")))
     assert(TrainingOps.charsetDetect(sp, df).filter(col("detected").isNull).count() == 0)
     val segs = df.toDF("segment_id", "gz")
     assert(statuses(TrainingOps.gzipMembers(sp, segs))
@@ -1191,6 +1194,43 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L)._4 == "truncated")
     assert(out(4L)._4 == "unknown")
     assert(out(100L)._4 == "unknown")
+  }
+
+  test("mp4 headers: largesize, size==0, mvhd v0/v1 widths, moov-at-end; error taxonomy") {
+    val sp = spark; import sp.implicits._
+    def run(rows: Seq[(Long, Array[Byte])]) =
+      TrainingOps.mp4Headers(sp, rows.toDF("doc_id", "payload")).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1),
+          if (r.isNullAt(2)) -1 else r.getInt(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1 else r.getInt(4), r.getString(5)))).toMap
+    // hand-build a v1 payload whose duration misreads AS ZERO under v0
+    // widths (v0 would read the high word of the 64-bit creation time)
+    val out = run(Seq(
+      0L -> TrainingOps.syntheticMp4Payload(0), // ts=600 dur=6000 tracks=1
+      6L -> TrainingOps.syntheticMp4Payload(6), // kind 0: ts=1800 dur=6006 tracks=1
+      8L -> TrainingOps.syntheticMp4Payload(8), // kind 2: largesize mdat, moov after
+      7L -> TrainingOps.syntheticMp4Payload(7), // kind 1: v1 64-bit duration
+      11L -> TrainingOps.syntheticMp4Payload(11), // kind 5: size==0 mdat at EOF
+      3L -> TrainingOps.syntheticMp4Payload(3), // moov overruns -> truncated, brand kept
+      4L -> TrainingOps.syntheticMp4Payload(4), // plain text -> unknown
+      // ftyp alone, no moov anywhere -> walk completes, malformed
+      100L -> TrainingOps.syntheticMp4Payload(0).take(24),
+      // box claiming fewer bytes than its own header -> malformed
+      101L -> (TrainingOps.syntheticMp4Payload(0).take(24) ++
+        Array[Byte](0, 0, 0, 4) ++ "moov".getBytes("US-ASCII")),
+      102L -> Array.emptyByteArray))
+    assert(out(0L) == (("isom", 600, 1000L * 6000 / 600, 1, "ok")))
+    assert(out(6L) == (("isom", 1800, 1000L * 6006 / 1800, 1, "ok")))
+    assert(out(8L) == (("isom", 600, 1000L * 6008 / 600, 1, "ok")))
+    // v1: duration 5000000007 > 2^32 — the 64-bit read is load-bearing
+    assert(out(7L) == (("mp42", 2400, 1000L * 5000000007L / 2400, 1, "ok")))
+    assert(out(11L) == (("isom", 2400, 1000L * 6011 / 2400, 1, "ok")))
+    assert(out(3L) == (("isom", -1, -1L, -1, "truncated")))
+    assert(out(4L) == ((null, -1, -1L, -1, "unknown")))
+    assert(out(100L) == (("isom", -1, -1L, -1, "malformed")))
+    assert(out(101L) == (("isom", -1, -1L, -1, "malformed")))
+    assert(out(102L)._5 == "unknown")
   }
 
   test("image dims: header parse honors declared lengths, endianness, fill bytes; error taxonomy") {

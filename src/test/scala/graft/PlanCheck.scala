@@ -258,6 +258,9 @@ object PlanCheck {
     println("==== 68. t31 token shards: every Window partitioned by bucket (no global-sort single task) ====")
     SparkEntry.queries("t31_token_shards")(spark, sf).explain("formatted")
 
+    println("==== 69. m11 mp4 headers: typed map-only box walk, zero exchange ====")
+    SparkEntry.queries("m11_mp4_headers")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
