@@ -498,6 +498,10 @@ object SparkEntry {
 
     // --- training-data pipeline ops (graft.datapipe.TrainingOps) ---
     "d1_dedup_exact" -> ((s, dir) => TrainingOps.dedupExact(docs(s, dir))),
+    // content-defined chunking: rolling-hash cut points (insertion-shift
+    // robust), per-chunk cross-doc document frequency; chunk text never
+    // shuffles — only md5s
+    "d25_cdc_chunks" -> ((s, dir) => TrainingOps.cdcChunks(s, docs(s, dir))),
     "d2_dedup_minhash_lsh" -> ((s, dir) => TrainingOps.minhashPairs(docs(s, dir))),
     "d3_dedup_simhash" -> ((s, dir) => TrainingOps.simhash(docs(s, dir))),
     // Manku-style block-banded SimHash pair search over the simAug
@@ -2120,6 +2124,20 @@ object SparkEntry {
       "d1_dedup_exact" ->
         ("SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n_copies, " +
           "min(doc_id) AS keeper FROM documents GROUP BY 1"),
+      // d25 oracle: the same rolling polynomial — exact integer
+      // arithmetic (cp·31^k sums, no wraparound), cut at H%64==63 for
+      // 1-based positions in [4, len-1], chunks = consecutive slices,
+      // df = distinct docs per chunk md5. A MATCH proves both engines
+      // carry the same cut grid AND the same chunk bytes.
+      "d25_cdc_chunks" ->
+        ("WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) >= 1), " +
+          "b AS (SELECT doc_id, text, n, [0] || list_filter(range(4, n), i -> " +
+          "(ascii(text[i-3:i-3])*29791 + ascii(text[i-2:i-2])*961 + ascii(text[i-1:i-1])*31 + ascii(text[i:i])) % 64 = 63) || [n] AS bs FROM d), " +
+          "c AS (SELECT doc_id, CAST(k - 1 AS INT) AS chunk_idx, " +
+          "text[bs[k]+1 : bs[k+1]] AS chunk FROM b, unnest(range(1, len(bs))) AS u(k)), " +
+          "r AS (SELECT doc_id, chunk_idx, CAST(length(chunk) AS INT) AS chunk_len, md5(chunk) AS chunk_md5 FROM c), " +
+          "f AS (SELECT chunk_md5, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM r GROUP BY 1) " +
+          "SELECT doc_id, chunk_idx, chunk_len, chunk_md5, df FROM r JOIN f USING (chunk_md5)"),
       "d2_dedup_minhash_lsh" ->
         (minhashBands + " SELECT a, b FROM pairs"),
       "d3_dedup_simhash" ->

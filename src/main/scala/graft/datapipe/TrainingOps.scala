@@ -3486,6 +3486,85 @@ object TrainingOps extends Serializable {
       .toDF("doc_id", "format", "width", "height", "status")
   }
 
+  /** Content-defined chunking (CDC) — the storage-dedup primitive the
+    * fixed-window family ([[paragraphDedup]]'s /8 word windows,
+    * [[substringDup]]'s stride-1 grams) structurally lacks:
+    * INSERTION-SHIFT ROBUSTNESS. A fixed-grid chunker re-cuts the whole
+    * document when one byte is inserted at the front (every window
+    * shifts); CDC cuts where a rolling hash of the last `window`
+    * characters hits a mask value, so a boundary decision depends ONLY
+    * on local content — after an edit, chunk boundaries (and therefore
+    * chunk hashes) realign within one window width, and every
+    * downstream chunk dedups against the unedited copy. This is how
+    * mirror pages with injected ad headers still share 95 % of their
+    * chunks, which neither doc-level ([[dedupExact]]) nor grid-window
+    * detection sees.
+    *
+    * The rolling hash is the polynomial sum(cp_j · 31^(i-j)) over the
+    * last `window=4` code points, EXACT in a long (cp < 2^21,
+    * 31^3 < 2^15 — no overflow, no engine-specific modular wraparound),
+    * cut after position i when H mod 64 == 63 (mean chunk ~64 chars;
+    * production adds min/max bounds — documented drop, the oracle rule
+    * stays pure). The cut never lands on the final position (an empty
+    * trailing chunk is not a chunk).
+    *
+    * Scale shape: the boundary scan is a typed mapPartitions kernel,
+    * O(n) per document, MAP-ONLY — chunk TEXT never leaves the scan
+    * stage; only (doc_id, 16-byte chunk md5, idx, len) rows continue.
+    * Cross-doc sharing is one distinct + one map-side-combined count on
+    * the hash, joined back on the hash — every shuffle carries hashes
+    * and ids, never content. Output: one row per chunk with its
+    * document frequency `df` (docs containing the chunk), the direct
+    * input to a shared-boilerplate strip or a storage-dedup manifest.
+    */
+  def cdcChunks(spark: SparkSession, docs: DataFrame,
+                window: Int = 4, maskMod: Long = 64L): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    require(maskMod >= 2, "maskMod must be >= 2")
+    import spark.implicits._
+    val chunks = docs.filter(length(col("text")) >= 1)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hex(b: Array[Byte]): String = {
+          val sb = new StringBuilder(32)
+          b.foreach(x => sb.append(f"${x & 0xff}%02x"))
+          sb.toString
+        }
+        val pow = Array.iterate(1L, 16)(_ * 31L) // 31^k, exact
+        it.flatMap { case (id, text) =>
+          // BMP/ASCII contract (the corpus generator emits ASCII): one
+          // Java char == one code point == one DuckDB character, so the
+          // kernel and the SQL oracle index the same grid.
+          val n = text.length
+          var h = 0L
+          val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+          var i = 0
+          while (i < n) {
+            val cp = text.charAt(i).toLong
+            h = if (i < window) h * 31L + cp
+            else (h - text.charAt(i - window).toLong * pow(window - 1)) * 31L + cp
+            // 1-based position i+1; never cut after the last char
+            if (i + 1 >= window && i + 1 < n && h % maskMod == maskMod - 1)
+              cuts += (i + 1)
+            i += 1
+          }
+          val bounds = (0 +: cuts :+ n).toArray
+          (0 until bounds.length - 1).iterator.map { k =>
+            val s = text.substring(bounds(k), bounds(k + 1))
+            (id, k, s.length, hex(md.digest(s.getBytes("UTF-8"))))
+          }
+        }
+      }
+      .toDF("doc_id", "chunk_idx", "chunk_len", "h")
+    val dfTab = chunks.select(col("doc_id"), col("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    chunks.join(dfTab, "h")
+      .select(col("doc_id"), col("chunk_idx").cast("int"),
+        col("chunk_len").cast("int"), col("h").as("chunk_md5"), col("df"))
+  }
+
   /** Deterministic synthetic ISO-BMFF (MP4) bytes for [[mp4Headers]] —
     * test scaffolding in the [[syntheticWavPayload]] role. Kinds by
     * id % 6, each pinning one load-bearing walker semantic:

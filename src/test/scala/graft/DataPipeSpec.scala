@@ -1196,6 +1196,61 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(100L)._4 == "unknown")
   }
 
+  test("cdc chunks: naive-reference parity, insertion-shift realignment, df counts") {
+    val sp = spark; import sp.implicits._
+    // independent naive reference: O(n*w) windowed hash, no rolling update
+    def naiveChunks(text: String): Seq[String] = {
+      val n = text.length
+      val cuts = (4 until n).filter { p => // 1-based cut position p, p < n
+        val h = (0 until 4).map(j => text.charAt(p - 1 - j).toLong *
+          math.pow(31, j).toLong).sum
+        h % 64 == 63
+      }
+      val bounds = 0 +: cuts :+ n
+      bounds.sliding(2).map(b => text.substring(b(0), b(1))).toSeq
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(x => f"${x & 0xff}%02x").mkString
+    val rnd = new scala.util.Random(7)
+    val texts = (0 until 40).map { i =>
+      (0 until 20 + rnd.nextInt(400)).map(_ => (' ' + rnd.nextInt(95)).toChar).mkString
+    } :+ "abc" :+ "a" // shorter than the window: one chunk, no cuts
+    val in = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = TrainingOps.cdcChunks(sp, in).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getInt(1)).map(r => (r.getInt(2), r.getString(3))).toSeq }
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val want = naiveChunks(t).map(c => (c.length, md5hex(c)))
+      assert(got(i.toLong) == want, s"doc $i chunking diverged")
+    }
+    // insertion-shift robustness: prepend one char — every chunk after
+    // the first shared cut point is IDENTICAL (a fixed grid shares none)
+    val base = texts.head
+    val shifted = "Z" + base
+    val cb = naiveChunks(base).map(md5hex).toSet
+    val cs = naiveChunks(shifted).map(md5hex).toSet
+    assert(naiveChunks(base).size >= 3, "base text must actually chunk")
+    val shared = cb.intersect(cs).size
+    assert(shared >= cb.size - 1,
+      s"CDC must realign after the edit: shared $shared of ${cb.size}")
+    // df: two docs with different prefixes but a shared 600-char suffix
+    // — CDC realigns inside the suffix, so interior suffix chunks carry
+    // df=2 (the mirror-with-injected-header case)
+    val sfx = {
+      val r2 = new scala.util.Random(42)
+      (0 until 600).map(_ => (' ' + r2.nextInt(95)).toChar).mkString
+    }
+    assert(naiveChunks(sfx).size >= 3, "suffix must have interior cuts")
+    val a = "x" * 50 + sfx
+    val b = "y" * 37 + sfx
+    val out2 = TrainingOps.cdcChunks(sp, Seq((1L, a), (2L, b)).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(4)))
+    assert(out2.exists(_._3 == 2L), "shared suffix chunk must have df=2")
+  }
+
   test("mp4 headers: largesize, size==0, mvhd v0/v1 widths, moov-at-end; error taxonomy") {
     val sp = spark; import sp.implicits._
     def run(rows: Seq[(Long, Array[Byte])]) =

@@ -261,6 +261,9 @@ object PlanCheck {
     println("==== 69. m11 mp4 headers: typed map-only box walk, zero exchange ====")
     SparkEntry.queries("m11_mp4_headers")(spark, sf).explain("formatted")
 
+    println("==== 70. d25 cdc chunks: O(n) kernel in the scan stage; shuffles carry (md5, ids) only, never chunk text ====")
+    SparkEntry.queries("d25_cdc_chunks")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
