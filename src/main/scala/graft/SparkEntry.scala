@@ -1326,6 +1326,16 @@ object SparkEntry {
         .toDF("doc_id", "payload")
       TrainingOps.wavHeaders(s, payloads)
     }),
+    // HTTP/1.1 chunked transfer decoding: hex size lines + extensions,
+    // trailers, post-data CRLF invariant; decoded body md5 checked by
+    // an oracle that rebuilds the body string in SQL
+    "m12_chunked_decode" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = docs(s, dir).select(col("doc_id")).as[Long]
+        .map(id => (id, TrainingOps.syntheticChunkedPayload(id)))
+        .toDF("doc_id", "payload")
+      TrainingOps.chunkedDecode(s, payloads)
+    }),
     // ISO-BMFF (MP4) box walk: largesize + size==0 + mvhd v0/v1 field
     // widths, moov-at-end order; arithmetic oracle (the m8 pattern)
     "m11_mp4_headers" -> ((s, dir) => {
@@ -2675,6 +2685,25 @@ object SparkEntry {
           "(8000 * (1 + doc_id % 4) * (1 + doc_id % 2) * 2) AS BIGINT) END AS duration_ms, " +
           "CASE doc_id % 5 WHEN 3 THEN 'truncated' WHEN 4 THEN 'unknown' ELSE 'ok' END AS status " +
           "FROM documents"),
+      // m12 oracle: the decoded body REBUILT in SQL (the m9 rule — the
+      // oracle never sees wire bytes, it derives the content and checks
+      // the decoder's md5 against it), chunk/trailer counts arithmetic
+      // from doc_id
+      "m12_chunked_decode" ->
+        ("WITH body AS (SELECT doc_id, CASE doc_id % 6 " +
+          "WHEN 0 THEN 'p0:' || doc_id || ';p1:' || doc_id || ';' || " +
+          "CASE WHEN doc_id % 3 >= 1 THEN 'p2:' || doc_id || ';' ELSE '' END || " +
+          "CASE WHEN doc_id % 3 = 2 THEN 'p3:' || doc_id || ';' ELSE '' END " +
+          "WHEN 1 THEN 'p0:' || doc_id || ';' " +
+          "WHEN 2 THEN 'p0:' || doc_id || ';p1:' || doc_id || ';' END AS s " +
+          "FROM documents) " +
+          "SELECT doc_id, " +
+          "CASE doc_id % 6 WHEN 0 THEN CAST(2 + doc_id % 3 AS INT) WHEN 1 THEN 1 WHEN 2 THEN 2 END AS n_chunks, " +
+          "CASE WHEN doc_id % 6 IN (0,1,2) THEN CAST(length(s) AS BIGINT) END AS body_len, " +
+          "CASE WHEN doc_id % 6 IN (0,1,2) THEN md5(s) END AS body_md5, " +
+          "CASE doc_id % 6 WHEN 0 THEN 0 WHEN 1 THEN 0 WHEN 2 THEN 2 END AS n_trailers, " +
+          "CASE doc_id % 6 WHEN 3 THEN 'truncated' WHEN 4 THEN 'malformed' WHEN 5 THEN 'malformed' ELSE 'ok' END AS status " +
+          "FROM body"),
       // m11 oracle: brand/timescale/duration/tracks arithmetic from
       // doc_id; a MATCH proves the walker and the byte builder agree on
       // largesize, size==0, mvhd v0-vs-v1 widths, and the integer-ms

@@ -3565,6 +3565,142 @@ object TrainingOps extends Serializable {
         col("chunk_len").cast("int"), col("h").as("chunk_md5"), col("df"))
   }
 
+  /** Deterministic synthetic chunked-transfer bodies for
+    * [[chunkedDecode]] — kinds by id % 6, each pinning one decoder
+    * semantic: plain multi-chunk (2 + id%3 chunks); an UPPERCASE hex
+    * size with a `;name=val` chunk extension (both legal, both must be
+    * handled — extensions are skipped by the ';' cut, never parsed);
+    * trailer headers after the 0-chunk (two of them); a declared size
+    * overrunning the payload (truncated); a non-hex size line
+    * (malformed); data followed by garbage where its CRLF belongs
+    * (malformed — the size said N, so N+CRLF is a protocol invariant).
+    * Chunk contents derive from the id so the oracle rebuilds the
+    * decoded body in SQL and checks its md5.
+    */
+  def syntheticChunkedPayload(id: Long): Array[Byte] = {
+    def a(s: String) = s.getBytes("ISO-8859-1")
+    def part(j: Int) = s"p$j:$id;"
+    def chunk(s: String, ext: String = "", upper: Boolean = false): String = {
+      val hx0 = s.length.toHexString
+      val hx = if (upper) hx0.toUpperCase else hx0
+      s"$hx$ext\r\n$s\r\n"
+    }
+    (id % 6) match {
+      case 0 =>
+        val k = 2 + (id % 3).toInt
+        a((0 until k).map(j => chunk(part(j))).mkString + "0\r\n\r\n")
+      case 1 => a(chunk(part(0), ext = ";x=1", upper = true) + "0\r\n\r\n")
+      case 2 => a(chunk(part(0)) + chunk(part(1)) +
+        "0\r\nX-T1: a\r\nX-T2: b\r\n\r\n")
+      case 3 => // size says part0, payload stops halfway through it
+        val s = part(0)
+        a(s"${s.length.toHexString}\r\n" + s.substring(0, s.length / 2))
+      case 4 => a("zz\r\nnot reached")
+      case _ => // CRLF after the data replaced by junk
+        val s = part(0)
+        a(s"${s.length.toHexString}\r\n${s}XX0\r\n\r\n")
+    }
+  }
+
+  /** HTTP/1.1 chunked transfer decoding — the body-encoding layer the
+    * [[httpResponses]]/[[warcHttpRecords]]/[[ccReader]] stack reads
+    * around: servers that don't know the body length up front emit
+    * `Transfer-Encoding: chunked`, and a production Common-Crawl ingest
+    * must decode it before any charset/extraction step. The grammar is
+    * hostile in exactly the byte-walker ways: sizes are HEX lines
+    * (case-insensitive) optionally followed by `;ext` chunk extensions
+    * that must be cut, never parsed; the size is the only authority for
+    * the data length (a CRLF scan inside data is wrong — data legally
+    * contains CRLF); the terminating 0-chunk may be followed by TRAILER
+    * header lines up to an empty line; and the CRLF after each data
+    * block is a protocol invariant whose absence is `malformed`, not a
+    * resync point. Error-as-data: `ok` / `truncated` (a size line,
+    * data block, or the trailer section overruns the payload) /
+    * `malformed` (non-hex size, or the post-data CRLF is not CRLF).
+    * Decoded bytes feed a rolling md5 only — never materialized as a
+    * row (the m9 rule). Typed mapPartitions, MAP-ONLY, zero shuffle.
+    */
+  def chunkedDecode(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hex(b: Array[Byte]): String = {
+          val sb = new StringBuilder(32)
+          b.foreach(x => sb.append(f"${x & 0xff}%02x"))
+          sb.toString
+        }
+        it.map { case (id, raw) =>
+          val b = if (raw == null) Array.emptyByteArray else raw
+          val n = b.length
+          md.reset()
+          var off = 0
+          var nChunks = 0
+          var bodyLen = 0L
+          var trailers = 0
+          var status: String = null
+          def lineEnd(from: Int): Int = {
+            var i = from
+            while (i + 1 < n && !((b(i) & 0xff) == 0x0d && (b(i + 1) & 0xff) == 0x0a)) i += 1
+            if (i + 1 < n) i else -1
+          }
+          while (status == null) {
+            val le = lineEnd(off)
+            if (le < 0) status = "truncated"
+            else {
+              // cut the extension at ';'; hex-parse what precedes it
+              var semi = off
+              while (semi < le && b(semi) != ';') semi += 1
+              var sz = 0L
+              var ok = semi > off
+              var i = off
+              while (ok && i < semi) {
+                val c = b(i) & 0xff
+                val d =
+                  if (c >= '0' && c <= '9') c - '0'
+                  else if (c >= 'a' && c <= 'f') c - 'a' + 10
+                  else if (c >= 'A' && c <= 'F') c - 'A' + 10
+                  else -1
+                if (d < 0) ok = false else sz = sz * 16 + d
+                i += 1
+              }
+              if (!ok) status = "malformed"
+              else {
+                off = le + 2
+                if (sz == 0L) {
+                  // trailer section: header lines until the empty line
+                  var done = false
+                  while (!done && status == null) {
+                    val te = lineEnd(off)
+                    if (te < 0) status = "truncated"
+                    else if (te == off) { done = true; status = "ok" }
+                    else { trailers += 1; off = te + 2 }
+                  }
+                } else if (off + sz + 2 > n) status = "truncated"
+                else {
+                  md.update(b, off, sz.toInt)
+                  bodyLen += sz
+                  nChunks += 1
+                  if ((b(off + sz.toInt) & 0xff) != 0x0d ||
+                    (b(off + sz.toInt + 1) & 0xff) != 0x0a) status = "malformed"
+                  else off = off + sz.toInt + 2
+                }
+              }
+            }
+          }
+          val okRow = status == "ok"
+          (id,
+            if (okRow) Some(nChunks) else None,
+            if (okRow) Some(bodyLen) else None,
+            if (okRow) Some(hex(md.digest())) else { md.digest(); None },
+            if (okRow) Some(trailers) else None,
+            status)
+        }
+      }
+      .toDF("doc_id", "n_chunks", "body_len", "body_md5", "n_trailers", "status")
+  }
+
   /** Deterministic synthetic ISO-BMFF (MP4) bytes for [[mp4Headers]] —
     * test scaffolding in the [[syntheticWavPayload]] role. Kinds by
     * id % 6, each pinning one load-bearing walker semantic:

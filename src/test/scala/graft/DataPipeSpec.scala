@@ -1072,6 +1072,8 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .subsetOf(Set("ok", "truncated", "unknown")))
     assert(statuses(TrainingOps.mp4Headers(sp, df))
       .subsetOf(Set("ok", "truncated", "malformed", "unknown")))
+    assert(statuses(TrainingOps.chunkedDecode(sp, df))
+      .subsetOf(Set("ok", "truncated", "malformed")))
     assert(TrainingOps.charsetDetect(sp, df).filter(col("detected").isNull).count() == 0)
     val segs = df.toDF("segment_id", "gz")
     assert(statuses(TrainingOps.gzipMembers(sp, segs))
@@ -1194,6 +1196,44 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L)._4 == "truncated")
     assert(out(4L)._4 == "unknown")
     assert(out(100L)._4 == "unknown")
+  }
+
+  test("chunked decode: hex/extension/trailer grammar, CRLF-in-data, error taxonomy") {
+    val sp = spark; import sp.implicits._
+    def run(rows: Seq[(Long, Array[Byte])]) =
+      TrainingOps.chunkedDecode(sp, rows.toDF("doc_id", "payload")).collect()
+        .map(r => r.getLong(0) -> ((
+          if (r.isNullAt(1)) -1 else r.getInt(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) null else r.getString(3),
+          if (r.isNullAt(4)) -1 else r.getInt(4), r.getString(5)))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("ISO-8859-1"))
+        .map(x => f"${x & 0xff}%02x").mkString
+    // data containing CRLF: the size is the only authority — a decoder
+    // that scans for CRLF inside data truncates the chunk
+    val crlfData = "ab\r\ncd"
+    val crlfPayload = (s"${crlfData.length.toHexString}\r\n$crlfData\r\n0\r\n\r\n")
+      .getBytes("ISO-8859-1")
+    val out = run(Seq(
+      0L -> TrainingOps.syntheticChunkedPayload(0), // 2 chunks
+      7L -> TrainingOps.syntheticChunkedPayload(7), // kind 1: UPPER hex + ext
+      8L -> TrainingOps.syntheticChunkedPayload(8), // kind 2: 2 trailers
+      3L -> TrainingOps.syntheticChunkedPayload(3),
+      4L -> TrainingOps.syntheticChunkedPayload(4),
+      5L -> TrainingOps.syntheticChunkedPayload(5),
+      100L -> crlfPayload,
+      101L -> "5\r\nabcde\r\n0\r\nX-T: v".getBytes("ISO-8859-1"), // trailer never ends
+      102L -> Array.emptyByteArray))
+    assert(out(0L) == ((2, 10L, md5hex("p0:0;p1:0;"), 0, "ok")))
+    assert(out(7L) == ((1, 5L, md5hex("p0:7;"), 0, "ok")))
+    assert(out(8L) == ((2, 10L, md5hex("p0:8;p1:8;"), 2, "ok")))
+    assert(out(3L)._5 == "truncated")
+    assert(out(4L)._5 == "malformed")
+    assert(out(5L)._5 == "malformed")
+    assert(out(100L) == ((1, 6L, md5hex(crlfData), 0, "ok")))
+    assert(out(101L)._5 == "truncated")
+    assert(out(102L)._5 == "truncated")
   }
 
   test("cdc chunks: naive-reference parity, insertion-shift realignment, df counts") {

@@ -264,6 +264,9 @@ object PlanCheck {
     println("==== 70. d25 cdc chunks: O(n) kernel in the scan stage; shuffles carry (md5, ids) only, never chunk text ====")
     SparkEntry.queries("d25_cdc_chunks")(spark, sf).explain("formatted")
 
+    println("==== 71. m12 chunked decode: typed map-only walk, decoded bytes feed the digest only ====")
+    SparkEntry.queries("m12_chunked_decode")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
