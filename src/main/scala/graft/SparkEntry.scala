@@ -502,6 +502,9 @@ object SparkEntry {
     // robust), per-chunk cross-doc document frequency; chunk text never
     // shuffles — only md5s
     "d25_cdc_chunks" -> ((s, dir) => TrainingOps.cdcChunks(s, docs(s, dir))),
+    // pairwise source redundancy from KMV sketches: one corpus pass,
+    // min_k_longs bounded heaps, sketch-only Jaccard estimates
+    "t32_source_overlap" -> ((s, dir) => TrainingOps.sourceOverlap(docs(s, dir))),
     "d2_dedup_minhash_lsh" -> ((s, dir) => TrainingOps.minhashPairs(docs(s, dir))),
     "d3_dedup_simhash" -> ((s, dir) => TrainingOps.simhash(docs(s, dir))),
     // Manku-style block-banded SimHash pair search over the simAug
@@ -2518,6 +2521,24 @@ object SparkEntry {
         (s"SELECT doc_id, CAST(len($w) AS INT) AS ws_tokens, " +
           "CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f\\x0B]')) AS INT) AS re_tokens " +
           "FROM documents WHERE length(text) >= 1"),
+      // t32 oracle: the same KMV construction — distinct (source, h60 of
+      // the shared 3-shingle), k smallest per source via a ranked
+      // window, then the sketch-only estimator on list ops; a MATCH
+      // proves both engines pick the same k-minima and agree on the
+      // merged-sketch membership counts
+      "t32_source_overlap" ->
+        (s"WITH f AS (SELECT doc_id, source, $w AS w FROM documents), " +
+          s"g AS (SELECT source, unnest(list_distinct($sh3)) AS sg FROM f WHERE len(w) >= 3), " +
+          "h AS (SELECT DISTINCT source, ('0x' || substr(md5(sg),1,15))::BIGINT AS h FROM g), " +
+          "r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h), " +
+          "sk AS (SELECT source, list(h ORDER BY h) AS sk FROM r WHERE rn <= 256 GROUP BY source), " +
+          "p AS (SELECT a.source AS src_a, a.sk AS ska, b.source AS src_b, b.sk AS skb " +
+          "FROM sk a, sk b WHERE a.source < b.source), " +
+          "m AS (SELECT src_a, src_b, ska, skb, list_sort(list_distinct(ska || skb))[1:256] AS m FROM p), " +
+          "c AS (SELECT src_a, src_b, CAST(len(m) AS INT) AS sketch_n, " +
+          "CAST(len(list_filter(m, x -> list_contains(ska, x) AND list_contains(skb, x))) AS INT) AS n_shared FROM m) " +
+          "SELECT src_a, src_b, sketch_n, n_shared, " +
+          "CAST(n_shared::BIGINT * 1000000 // sketch_n AS BIGINT) AS est_jaccard_ppm FROM c"),
       "t4_fingerprint" ->
         (s"WITH f AS (SELECT doc_id, $w AS w FROM documents WHERE len($w) >= 8), " +
           "hs AS (SELECT doc_id, list_transform(range(len(w)-3), i -> " +

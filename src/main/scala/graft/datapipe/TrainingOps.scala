@@ -3565,6 +3565,51 @@ object TrainingOps extends Serializable {
         col("chunk_len").cast("int"), col("h").as("chunk_md5"), col("df"))
   }
 
+  /** Pairwise source-overlap matrix from k-minimum-values sketches —
+    * "how redundant are my sources?" answered WITHOUT the pairwise gram
+    * join that question naively requires. Comparing every source pair
+    * by their shingle sets is a |grams|×|grams| join per pair; the KMV
+    * estimator needs ONE corpus pass: per source, keep the k smallest
+    * distinct shingle hashes (the [[graft.functions.MinKLongs
+    * min_k_longs]] bounded-heap aggregate — O(k) state, partial
+    * aggregation before the shuffle), then estimate any pair's Jaccard
+    * from sketches alone: with M = the k smallest of S_a ∪ S_b,
+    * J ≈ |{x ∈ M : x ∈ S_a ∩ S_b}| / |M| — every quantity computed on
+    * k-element arrays driver-scale, EXACT (equal to true Jaccard) when
+    * the union fits the sketch, which is the pinned property. Uses the
+    * d2 family's 3-word shingle + h60 conventions, so the sketch is the
+    * same object the minhash pipeline banded.
+    *
+    * Scale shape: distinct (source, h) → one map-side-combined
+    * min_k_longs per source; the pairwise stage joins an
+    * n_sources-row sketch table against itself (broadcast-degenerate) —
+    * corpus bytes are touched once, pairs cost O(sources²·k) array ops,
+    * never another corpus scan. Integer-ppm output (the repo's
+    * transcendental-free rule).
+    */
+  def sourceOverlap(docs: DataFrame, k: Int = 256): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val g = docs.select(col("source"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("source"), explode(shingles3(col("w"))).as("g"))
+      .select(col("source"), h60(col("g")).as("h"))
+      .distinct()
+    val sk = g.groupBy("source").agg(expr(s"min_k_longs(h, $k)").as("sk"))
+    val a = sk.select(col("source").as("src_a"), col("sk").as("ska"))
+    val b = sk.select(col("source").as("src_b"), col("sk").as("skb"))
+    a.crossJoin(b).filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        slice(array_sort(array_union(col("ska"), col("skb"))), 1, k).as("m"),
+        array_intersect(col("ska"), col("skb")).as("both"))
+      .select(col("src_a"), col("src_b"),
+        size(col("m")).cast("int").as("sketch_n"),
+        size(array_intersect(col("m"), col("both"))).cast("int").as("n_shared"))
+      .select(col("src_a"), col("src_b"), col("sketch_n"), col("n_shared"),
+        expr("cast(n_shared as bigint) * 1000000 div sketch_n")
+          .as("est_jaccard_ppm"))
+  }
+
   /** Deterministic synthetic chunked-transfer bodies for
     * [[chunkedDecode]] — kinds by id % 6, each pinning one decoder
     * semantic: plain multi-chunk (2 + id%3 chunks); an UPPERCASE hex

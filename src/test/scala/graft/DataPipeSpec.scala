@@ -1198,6 +1198,47 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(100L)._4 == "unknown")
   }
 
+  test("source overlap: KMV estimate exact when union fits sketch; truncation matches naive reference") {
+    val sp = spark; import sp.implicits._
+    def h60(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    def sh3(t: String): Set[String] =
+      t.trim.split("\\s+").toSeq.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSet
+    // three sources with controlled shingle overlap
+    val sA = "a b c d e f g h"       // shingles: abc bcd cde def efg fgh
+    val sB = "a b c d e x y z"       // shares abc bcd cde with A
+    val sC = "p q r s t u"           // disjoint
+    val df = Seq((1L, sA, "s1"), (2L, sB, "s2"), (3L, sC, "s3"))
+      .toDF("doc_id", "text", "source")
+    val out = TrainingOps.sourceOverlap(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getInt(2), r.getInt(3), r.getLong(4)))).toMap
+    def exact(x: Set[String], y: Set[String]): (Int, Int, Long) = {
+      val u = (x ++ y).size; val i = x.intersect(y).size
+      (u, i, i.toLong * 1000000L / u)
+    }
+    // k=256 >> union sizes: the estimator must be EXACT
+    assert(out(("s1", "s2")) == exact(sh3(sA), sh3(sB)))
+    assert(out(("s1", "s3")) == exact(sh3(sA), sh3(sC)))
+    assert(out(("s2", "s3")) == exact(sh3(sB), sh3(sC)))
+    assert(out(("s1", "s2"))._3 > 0L && out(("s1", "s3"))._3 == 0L)
+    // truncation: k=4 against a naive KMV reference on the same hashes
+    val k = 4
+    val got4 = TrainingOps.sourceOverlap(df, k).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getInt(2), r.getInt(3), r.getLong(4)))).toMap
+    def sketch(t: String): Seq[Long] = sh3(t).map(h60).toSeq.sorted.take(k)
+    def kmv(x: String, y: String): (Int, Int, Long) = {
+      val a = sketch(x); val b = sketch(y)
+      val m = (a ++ b).distinct.sorted.take(k)
+      val shared = m.count(v => a.contains(v) && b.contains(v))
+      (m.size, shared, shared.toLong * 1000000L / m.size)
+    }
+    assert(got4(("s1", "s2")) == kmv(sA, sB))
+    assert(got4(("s1", "s3")) == kmv(sA, sC))
+    assert(got4(("s2", "s3")) == kmv(sB, sC))
+  }
+
   test("chunked decode: hex/extension/trailer grammar, CRLF-in-data, error taxonomy") {
     val sp = spark; import sp.implicits._
     def run(rows: Seq[(Long, Array[Byte])]) =

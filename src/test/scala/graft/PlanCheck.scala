@@ -267,6 +267,9 @@ object PlanCheck {
     println("==== 71. m12 chunked decode: typed map-only walk, decoded bytes feed the digest only ====")
     SparkEntry.queries("m12_chunked_decode")(spark, sf).explain("formatted")
 
+    println("==== 72. t32 source overlap: ONE corpus pass into partial-agg k-heaps; pairwise stage joins the tiny sketch table only ====")
+    SparkEntry.queries("t32_source_overlap")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
