@@ -505,6 +505,13 @@ object SparkEntry {
     // pairwise source redundancy from KMV sketches: one corpus pass,
     // min_k_longs bounded heaps, sketch-only Jaccard estimates
     "t32_source_overlap" -> ((s, dir) => TrainingOps.sourceOverlap(docs(s, dir))),
+    // gram-level crawl-over-crawl diff: snapshots = doc_id%3 partitions
+    // (old keeps !=0, new keeps !=1 — overlapping, like real recrawls)
+    "d26_crawl_novelty" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TrainingOps.crawlNovelty(
+        d.filter(col("doc_id") % 3 =!= 0), d.filter(col("doc_id") % 3 =!= 1))
+    }),
     "d2_dedup_minhash_lsh" -> ((s, dir) => TrainingOps.minhashPairs(docs(s, dir))),
     "d3_dedup_simhash" -> ((s, dir) => TrainingOps.simhash(docs(s, dir))),
     // Manku-style block-banded SimHash pair search over the simAug
@@ -2521,6 +2528,26 @@ object SparkEntry {
         (s"SELECT doc_id, CAST(len($w) AS INT) AS ws_tokens, " +
           "CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f\\x0B]')) AS INT) AS re_tokens " +
           "FROM documents WHERE length(text) >= 1"),
+      // d26 oracle: same snapshot membership arithmetic (doc_id%3), same
+      // shingle+h60 front, per-(lang,h) max() membership flags, per-lang
+      // counts and integer-ppm rates
+      "d26_crawl_novelty" ->
+        (s"WITH f AS (SELECT doc_id, lang, $w AS w FROM documents), " +
+          s"g AS (SELECT doc_id, lang, unnest($sh3) AS sg FROM f WHERE len(w) >= 3), " +
+          "h AS (SELECT lang, ('0x' || substr(md5(sg),1,15))::BIGINT AS h, " +
+          "max(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END) AS o, " +
+          "max(CASE WHEN doc_id % 3 <> 1 THEN 1 ELSE 0 END) AS nw " +
+          "FROM g GROUP BY 1, 2), " +
+          "a AS (SELECT lang, CAST(sum(o) AS BIGINT) AS grams_old, " +
+          "CAST(sum(nw) AS BIGINT) AS grams_new, " +
+          "CAST(sum(CASE WHEN o = 1 AND nw = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept, " +
+          "CAST(sum(CASE WHEN o = 0 AND nw = 1 THEN 1 ELSE 0 END) AS BIGINT) AS added, " +
+          "CAST(sum(CASE WHEN o = 1 AND nw = 0 THEN 1 ELSE 0 END) AS BIGINT) AS removed " +
+          "FROM h GROUP BY lang) " +
+          "SELECT lang, grams_old, grams_new, kept, added, removed, " +
+          "CAST(CASE WHEN grams_new > 0 THEN added * 1000000 // grams_new END AS BIGINT) AS novelty_ppm, " +
+          "CAST(CASE WHEN grams_old > 0 THEN removed * 1000000 // grams_old END AS BIGINT) AS decay_ppm " +
+          "FROM a"),
       // t32 oracle: the same KMV construction — distinct (source, h60 of
       // the shared 3-shingle), k smallest per source via a ranked
       // window, then the sketch-only estimator on list ops; a MATCH

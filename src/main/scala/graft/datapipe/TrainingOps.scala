@@ -3565,6 +3565,46 @@ object TrainingOps extends Serializable {
         col("chunk_len").cast("int"), col("h").as("chunk_md5"), col("df"))
   }
 
+  /** Crawl-over-crawl novelty — the gram-level diff between two corpus
+    * snapshots that tells a curation team whether re-crawling is still
+    * buying new training text: per language, how many distinct 3-word
+    * shingles the new snapshot KEPT, ADDED, and REMOVED relative to the
+    * old one, with novelty (added/new) and decay (removed/old) rates in
+    * integer ppm. Doc-level diffs ([[incrementalDedup]], the e30
+    * recrawl delta) miss that a "new" page is often 95 % old text; the
+    * gram-level diff measures the actual marginal content, which is
+    * what a token budget pays for.
+    *
+    * Scale shape: each snapshot streams through the shared shingle+h60
+    * front ONCE; the union aggregates per (lang, 60-bit hash) with
+    * map-side-combined max() membership flags — one shuffle carrying
+    * hashes, never text — then collapses to one row per language.
+    * Gram multiplicity within a doc or snapshot is irrelevant (max()
+    * dedups), so no distinct pre-pass is needed.
+    */
+  def crawlNovelty(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def grams(d: DataFrame, inOld: Int, inNew: Int): DataFrame =
+      d.select(col("lang"), words(col("text")).as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("lang"), explode(shingles3(col("w"))).as("g"))
+        .select(col("lang"), h60(col("g")).as("h"),
+          lit(inOld).as("o"), lit(inNew).as("nw"))
+    grams(oldDocs, 1, 0).unionByName(grams(newDocs, 0, 1))
+      .groupBy("lang", "h")
+      .agg(max("o").as("o"), max("nw").as("nw"))
+      .groupBy("lang")
+      .agg(sum("o").as("grams_old"), sum("nw").as("grams_new"),
+        sum(when(col("o") === 1 && col("nw") === 1, 1L).otherwise(0L)).as("kept"),
+        sum(when(col("o") === 0 && col("nw") === 1, 1L).otherwise(0L)).as("added"),
+        sum(when(col("o") === 1 && col("nw") === 0, 1L).otherwise(0L)).as("removed"))
+      .select(col("lang"), col("grams_old"), col("grams_new"),
+        col("kept"), col("added"), col("removed"),
+        expr("case when grams_new > 0 then added * 1000000 div grams_new end")
+          .as("novelty_ppm"),
+        expr("case when grams_old > 0 then removed * 1000000 div grams_old end")
+          .as("decay_ppm"))
+  }
+
   /** Pairwise source-overlap matrix from k-minimum-values sketches —
     * "how redundant are my sources?" answered WITHOUT the pairwise gram
     * join that question naively requires. Comparing every source pair

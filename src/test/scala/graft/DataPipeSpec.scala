@@ -1198,6 +1198,33 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(100L)._4 == "unknown")
   }
 
+  test("crawl novelty: hand-computed gram diff; kept+added=new and kept+removed=old hold corpus-wide") {
+    val sp = spark; import sp.implicits._
+    // old: "a b c d" (grams: abc bcd), "x y z w" (xyz yzw)
+    // new: "a b c d e" (abc bcd cde), "p q r" (pqr)
+    val oldD = Seq((1L, "a b c d", "en"), (2L, "x y z w", "en"))
+      .toDF("doc_id", "text", "lang")
+    val newD = Seq((3L, "a b c d e", "en"), (4L, "p q r", "en"))
+      .toDF("doc_id", "text", "lang")
+    val r = TrainingOps.crawlNovelty(oldD, newD).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    // old grams: {abc,bcd,xyz,yzw}=4; new: {abc,bcd,cde,pqr}=4
+    // kept {abc,bcd}=2, added {cde,pqr}=2, removed {xyz,yzw}=2
+    assert((row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4),
+      row.getLong(5)) == ((4L, 4L, 2L, 2L, 2L)))
+    assert(row.getLong(6) == 500000L && row.getLong(7) == 500000L)
+    // corpus-wide conservation on the driver split (per-lang)
+    val d = docs
+    val full = TrainingOps.crawlNovelty(
+      d.filter(col("doc_id") % 3 =!= 0), d.filter(col("doc_id") % 3 =!= 1)).collect()
+    assert(full.nonEmpty)
+    full.foreach { x =>
+      assert(x.getLong(2) == x.getLong(3) + x.getLong(4), "new = kept + added")
+      assert(x.getLong(1) == x.getLong(3) + x.getLong(5), "old = kept + removed")
+    }
+  }
+
   test("source overlap: KMV estimate exact when union fits sketch; truncation matches naive reference") {
     val sp = spark; import sp.implicits._
     def h60(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(15), 16)

@@ -270,6 +270,9 @@ object PlanCheck {
     println("==== 72. t32 source overlap: ONE corpus pass into partial-agg k-heaps; pairwise stage joins the tiny sketch table only ====")
     SparkEntry.queries("t32_source_overlap")(spark, sf).explain("formatted")
 
+    println("==== 73. d26 crawl novelty: union of gram streams, ONE hash-keyed shuffle with map-side-combined flags, tiny lang rollup ====")
+    SparkEntry.queries("d26_crawl_novelty")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
