@@ -1142,6 +1142,36 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       graft.datapipe.RelationalOps.snapshotDelta(oldSnap, newSnap, keyCol = "doc_id")
     }),
+    // HTTP cache-policy revalidation schedule over synthetic headers:
+    // no-store/no-cache > max-age > Expires-Date > default, clamped to
+    // [60s, 30d]; ETag beats Last-Modified for the conditional mode
+    "e39_revalidation" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+        .withColumn("fetch_ts", lit(1700000000L) + col("doc_id") * 7)
+        .withColumn("cache_control",
+          when(col("doc_id") % 6 === 0, concat(lit("public, max-age="),
+            (lit(300) + col("doc_id") % 1000).cast("string")))
+            .when(col("doc_id") % 6 === 1, lit("no-store"))
+            .when(col("doc_id") % 6 === 2, lit("no-cache, must-revalidate"))
+            // uppercase directive pins the case-insensitive parse
+            .when(col("doc_id") % 6 === 4, lit("private, MAX-AGE=999999999"))
+            .otherwise(lit(null).cast("string")))
+        .withColumn("date_ts",
+          when(col("doc_id") % 6 === 3, col("fetch_ts")).otherwise(lit(null).cast("long")))
+        .withColumn("expires_ts",
+          when(col("doc_id") % 6 === 3,
+            // alternate fresh/stale Expires (stale = already expired = floor)
+            when(expr("doc_id div 6 % 2") === 0,
+              col("fetch_ts") + lit(7200L) + col("doc_id") % 100)
+              .otherwise(col("fetch_ts") - 100))
+            .otherwise(lit(null).cast("long")))
+        .withColumn("etag",
+          when(col("doc_id") % 3 === 0, concat(lit("\"e"), col("doc_id"), lit("\"")))
+            .otherwise(lit(null).cast("string")))
+        .withColumn("last_modified_ts",
+          when(col("doc_id") % 3 === 1, col("fetch_ts") - 5000).otherwise(lit(null).cast("long")))
+      graft.datapipe.RelationalOps.revalidationPolicy(d)
+    }),
     // composed WEB pipeline (the e-family analog of p1): ONE parse pass
     // computes metadata + outlinks per page (kernel runs once in the
     // scan stage), the link graph and 3-iteration host rank derive from
@@ -1722,6 +1752,22 @@ object SparkEntry {
           "CASE WHEN o.doc_id IS NULL THEN 'new' WHEN n.doc_id IS NULL THEN 'gone' " +
           "WHEN o.h = n.h THEN 'unchanged' ELSE 'changed' END AS status " +
           "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"),
+      // e39 oracle: the whole TTL ladder and clamp re-derived as doc_id
+      // arithmetic — a MATCH proves precedence (no-store/no-cache over
+      // max-age over Expires-Date over default), the case-insensitive
+      // max-age parse, the stale-Expires floor, and the 30-day cap
+      "e39_revalidation" ->
+        ("WITH t AS (SELECT doc_id, CAST(CASE doc_id % 6 " +
+          "WHEN 0 THEN 300 + doc_id % 1000 " +
+          "WHEN 1 THEN 60 WHEN 2 THEN 60 " +
+          "WHEN 3 THEN CASE WHEN (doc_id // 6) % 2 = 0 THEN 7200 + doc_id % 100 ELSE 60 END " +
+          "WHEN 4 THEN 2592000 ELSE 86400 END AS BIGINT) AS ttl_s FROM documents) " +
+          "SELECT doc_id, ttl_s, " +
+          "CAST(1700000000 + doc_id * 7 + ttl_s AS BIGINT) AS next_fetch_ts, " +
+          "CASE WHEN doc_id % 6 = 1 THEN 'unconditional' " +
+          "WHEN doc_id % 3 = 0 THEN 'conditional_etag' " +
+          "WHEN doc_id % 3 = 1 THEN 'conditional_modified' " +
+          "ELSE 'unconditional' END AS mode FROM t"),
       // crawl-cycle pipeline oracle: the e26 rule-allowed frontier, the
       // e28 robots resolution (window form) over it, then the e29 plain
       // one-window schedule over the doubly-gated targets

@@ -185,4 +185,44 @@ object RelationalOps {
       .filter(col(leftTs) >= col(start) && col(leftTs) < col(end))
       .drop("__bin")
   }
+
+  /** HTTP cache-policy revalidation scheduling — the freshness half of
+    * crawl maintenance (the e30 delta tells you WHAT changed; this tells
+    * you WHEN to look): for each fetched page, derive the revisit
+    * interval and the revalidation mode from its caching headers, RFC
+    * 7234-flavored but crawl-scoped. TTL ladder (first hit wins):
+    * `no-store`/`no-cache` → 0 (the response may not be reused — for a
+    * crawler that means revisit at the politeness floor, not never);
+    * `max-age=N` (case-insensitive, anywhere in the directive list);
+    * `Expires - Date` when both are present (negative = already stale =
+    * 0); else `defaultTtl`. The result clamps to [minTtl, maxTtl] —
+    * a server advertising max-age=10^9 does not get to pin a crawl
+    * schedule three decades out, and one advertising 1 s does not get
+    * hammered. Mode: `no-store` forbids validator reuse →
+    * `unconditional`; otherwise an ETag beats Last-Modified beats
+    * nothing (`conditional_etag` / `conditional_modified` /
+    * `unconditional`). Pure per-row Catalyst expressions (regexp
+    * extract + CASE ladder), MAP-ONLY, zero shuffle at any scale.
+    */
+  def revalidationPolicy(resp: DataFrame, defaultTtl: Long = 86400L,
+                         minTtl: Long = 60L, maxTtl: Long = 2592000L): DataFrame = {
+    require(minTtl >= 0 && minTtl <= maxTtl, "need 0 <= minTtl <= maxTtl")
+    require(defaultTtl >= 0, "defaultTtl must be >= 0")
+    val cc = lower(coalesce(col("cache_control"), lit("")))
+    val maxAge = regexp_extract(cc, "(?:^|[,\\s])max-age=([0-9]+)", 1)
+    val ttlRaw =
+      when(cc.contains("no-store") || cc.contains("no-cache"), lit(0L))
+        .when(maxAge =!= "", maxAge.cast("long"))
+        .when(col("expires_ts").isNotNull && col("date_ts").isNotNull,
+          greatest(col("expires_ts") - col("date_ts"), lit(0L)))
+        .otherwise(lit(defaultTtl))
+    val ttl = least(greatest(ttlRaw, lit(minTtl)), lit(maxTtl))
+    val mode =
+      when(cc.contains("no-store"), lit("unconditional"))
+        .when(col("etag").isNotNull, lit("conditional_etag"))
+        .when(col("last_modified_ts").isNotNull, lit("conditional_modified"))
+        .otherwise(lit("unconditional"))
+    resp.select(col("doc_id"), ttl.as("ttl_s"),
+      (col("fetch_ts") + ttl).as("next_fetch_ts"), mode.as("mode"))
+  }
 }

@@ -1198,6 +1198,36 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(100L)._4 == "unknown")
   }
 
+  test("revalidation policy: TTL ladder precedence, clamps, validator modes") {
+    val sp = spark; import sp.implicits._
+    def row(id: Long, cc: String, exp: java.lang.Long, dt: java.lang.Long,
+            etag: String, lm: java.lang.Long) =
+      (id, 1000L, cc, exp, dt, etag, lm)
+    val in = Seq(
+      row(1, "public, max-age=500", null, null, "\"x\"", null),
+      row(2, "no-store, max-age=500", null, null, "\"x\"", null), // no-store wins ttl AND mode
+      row(3, "no-cache", null, null, null, 900L),    // floor ttl, validator still usable
+      row(4, "MAX-AGE=7", null, null, null, null),   // case-insensitive, clamped up to 60
+      row(5, "max-age=99999999999", null, null, null, null), // clamped to 30 d
+      row(6, null, 4600L, 1000L, null, 900L),        // Expires - Date = 3600
+      row(7, null, 500L, 1000L, null, null),         // stale Expires -> floor
+      row(8, null, null, null, null, null),          // bare -> default 86400
+      row(9, "s-maxage=10, max-age=300", null, null, "\"x\"", 900L)) // ETag beats LM; max-age not s-maxage
+      .toDF("doc_id", "fetch_ts", "cache_control", "expires_ts", "date_ts",
+        "etag", "last_modified_ts")
+    val out = graft.datapipe.RelationalOps.revalidationPolicy(in).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((500L, 1500L, "conditional_etag")))
+    assert(out(2L) == ((60L, 1060L, "unconditional")))
+    assert(out(3L) == ((60L, 1060L, "conditional_modified")))
+    assert(out(4L) == ((60L, 1060L, "unconditional")))
+    assert(out(5L) == ((2592000L, 2593000L, "unconditional")))
+    assert(out(6L) == ((3600L, 4600L, "conditional_modified")))
+    assert(out(7L) == ((60L, 1060L, "unconditional")))
+    assert(out(8L) == ((86400L, 87400L, "unconditional")))
+    assert(out(9L) == ((300L, 1300L, "conditional_etag")))
+  }
+
   test("crawl novelty: hand-computed gram diff; kept+added=new and kept+removed=old hold corpus-wide") {
     val sp = spark; import sp.implicits._
     // old: "a b c d" (grams: abc bcd), "x y z w" (xyz yzw)

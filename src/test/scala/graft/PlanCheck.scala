@@ -273,6 +273,9 @@ object PlanCheck {
     println("==== 73. d26 crawl novelty: union of gram streams, ONE hash-keyed shuffle with map-side-combined flags, tiny lang rollup ====")
     SparkEntry.queries("d26_crawl_novelty")(spark, sf).explain("formatted")
 
+    println("==== 74. e39 revalidation: pure per-row CASE ladder, map-only zero exchange ====")
+    SparkEntry.queries("e39_revalidation")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
