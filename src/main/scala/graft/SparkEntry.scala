@@ -1142,6 +1142,18 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       graft.datapipe.RelationalOps.snapshotDelta(oldSnap, newSnap, keyCol = "doc_id")
     }),
+    // HTML table-structure extraction over synthetic pages: lenient
+    // grid recovery (omitted closers, nested tables, fostered text) on
+    // the kernel's tokenizer; cells derive arithmetically for the oracle
+    "e40_table_extract" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          graft.core.Tables.extract(graft.core.Tables.synthetic(id))
+            .map(c => (id, c.tableIdx, c.rowIdx, c.colIdx, c.header, c.text))
+        }
+        .toDF("doc_id", "table_idx", "row_idx", "col_idx", "is_header", "cell_text")
+    }),
     // HTTP cache-policy revalidation schedule over synthetic headers:
     // no-store/no-cache > max-age > Expires-Date > default, clamped to
     // [60s, 30d]; ETag beats Last-Modified for the conditional mode
@@ -1752,6 +1764,31 @@ object SparkEntry {
           "CASE WHEN o.doc_id IS NULL THEN 'new' WHEN n.doc_id IS NULL THEN 'gone' " +
           "WHEN o.h = n.h THEN 'unchanged' ELSE 'changed' END AS status " +
           "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"),
+      // e40 oracle: every cell derived arithmetically per kind — header
+      // row + data grid (dims from doc_id), the omitted-closers grid
+      // (same logical cells as if fully closed), the nested pair with
+      // the outer cell's text NOT containing the inner's, sibling tables
+      // with decoded entities, and the no-table pages contributing zero
+      // rows
+      "e40_table_extract" ->
+        ("SELECT doc_id, 0 AS table_idx, 0 AS row_idx, CAST(c AS INT) AS col_idx, " +
+          "true AS is_header, 'h'||c||'_'||doc_id AS cell_text " +
+          "FROM documents, unnest(range(2 + doc_id % 2)) u(c) WHERE doc_id % 5 = 0 " +
+          "UNION ALL " +
+          "SELECT doc_id, 0, CAST(r + 1 AS INT), CAST(c AS INT), false, 'c'||r||'_'||c||'_'||doc_id " +
+          "FROM documents, unnest(range(1 + doc_id % 3)) ur(r), unnest(range(2 + doc_id % 2)) uc(c) " +
+          "WHERE doc_id % 5 = 0 " +
+          "UNION ALL " +
+          "SELECT doc_id, 0, CAST(r AS INT), CAST(c AS INT), false, 'm'||r||c||'_'||doc_id " +
+          "FROM documents, unnest(range(2)) ur(r), unnest(range(2)) uc(c) WHERE doc_id % 5 = 1 " +
+          "UNION ALL " +
+          "SELECT doc_id, 0, 0, 0, false, 'out ' || doc_id FROM documents WHERE doc_id % 5 = 2 " +
+          "UNION ALL " +
+          "SELECT doc_id, 1, 0, CAST(c AS INT), false, 'in'||doc_id||'_'||c " +
+          "FROM documents, unnest(range(2)) u(c) WHERE doc_id % 5 = 2 " +
+          "UNION ALL " +
+          "SELECT doc_id, CAST(t AS INT), 0, 0, false, 'x & y '||doc_id||'_'||t " +
+          "FROM documents, unnest(range(2)) u(t) WHERE doc_id % 5 = 3"),
       // e39 oracle: the whole TTL ladder and clamp re-derived as doc_id
       // arithmetic — a MATCH proves precedence (no-store/no-cache over
       // max-age over Expires-Date over default), the case-insensitive

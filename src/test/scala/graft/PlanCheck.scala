@@ -276,6 +276,9 @@ object PlanCheck {
     println("==== 74. e39 revalidation: pure per-row CASE ladder, map-only zero exchange ====")
     SparkEntry.queries("e39_revalidation")(spark, sf).explain("formatted")
 
+    println("==== 75. e40 table extract: kernel-tokenizer flatMap in the scan stage, zero exchange ====")
+    SparkEntry.queries("e40_table_extract")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
