@@ -1142,6 +1142,17 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       graft.datapipe.RelationalOps.snapshotDelta(oldSnap, newSnap, keyCol = "doc_id")
     }),
+    // heading-outline extraction over synthetic pages: breadcrumb stack
+    // (sibling replace, skipped levels), preamble, unclosed-heading EOF
+    "e41_heading_outline" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          graft.core.Outline.extract(graft.core.Outline.synthetic(id))
+            .map(x => (id, x.idx, x.level, x.title, x.path, x.text))
+        }
+        .toDF("doc_id", "section_idx", "level", "title", "path", "sec_text")
+    }),
     // HTML table-structure extraction over synthetic pages: lenient
     // grid recovery (omitted closers, nested tables, fostered text) on
     // the kernel's tokenizer; cells derive arithmetically for the oracle
@@ -1764,6 +1775,23 @@ object SparkEntry {
           "CASE WHEN o.doc_id IS NULL THEN 'new' WHEN n.doc_id IS NULL THEN 'gone' " +
           "WHEN o.h = n.h THEN 'unchanged' ELSE 'changed' END AS status " +
           "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"),
+      // e41 oracle: every section row derived arithmetically per kind —
+      // a MATCH proves the breadcrumb stack (sibling replace at equal
+      // level, skipped-level nesting), the preamble rule, block-tag
+      // word breaks, and the unclosed-heading EOF recovery
+      "e41_heading_outline" ->
+        ("SELECT doc_id, 0 AS section_idx, 1 AS level, 'T'||doc_id AS title, " +
+          "'T'||doc_id AS path, 'intro '||doc_id AS sec_text FROM documents WHERE doc_id % 5 = 0 " +
+          "UNION ALL SELECT doc_id, 1, 2, 'A'||doc_id, 'T'||doc_id||' > A'||doc_id, 'alpha '||doc_id FROM documents WHERE doc_id % 5 = 0 " +
+          "UNION ALL SELECT doc_id, 2, 2, 'B'||doc_id, 'T'||doc_id||' > B'||doc_id, 'beta '||doc_id FROM documents WHERE doc_id % 5 = 0 " +
+          "UNION ALL SELECT doc_id, 0, 0, '', '', 'pre '||doc_id FROM documents WHERE doc_id % 5 = 1 " +
+          "UNION ALL SELECT doc_id, 1, 1, 'T'||doc_id, 'T'||doc_id, 'body '||doc_id FROM documents WHERE doc_id % 5 = 1 " +
+          "UNION ALL SELECT doc_id, 0, 1, 'T'||doc_id, 'T'||doc_id, 'top '||doc_id FROM documents WHERE doc_id % 5 = 2 " +
+          "UNION ALL SELECT doc_id, 1, 3, 'D'||doc_id, 'T'||doc_id||' > D'||doc_id, 'deep '||doc_id FROM documents WHERE doc_id % 5 = 2 " +
+          "UNION ALL SELECT doc_id, 2, 2, 'M'||doc_id, 'T'||doc_id||' > M'||doc_id, 'mid '||doc_id FROM documents WHERE doc_id % 5 = 2 " +
+          "UNION ALL SELECT doc_id, 0, 0, '', '', 'lead '||doc_id FROM documents WHERE doc_id % 5 = 3 " +
+          "UNION ALL SELECT doc_id, 1, 2, 'U'||doc_id, 'U'||doc_id, '' FROM documents WHERE doc_id % 5 = 3 " +
+          "UNION ALL SELECT doc_id, 0, 0, '', '', 'only text '||doc_id||' more '||doc_id FROM documents WHERE doc_id % 5 = 4"),
       // e40 oracle: every cell derived arithmetically per kind — header
       // row + data grid (dims from doc_id), the omitted-closers grid
       // (same logical cells as if fully closed), the nested pair with

@@ -279,6 +279,9 @@ object PlanCheck {
     println("==== 75. e40 table extract: kernel-tokenizer flatMap in the scan stage, zero exchange ====")
     SparkEntry.queries("e40_table_extract")(spark, sf).explain("formatted")
 
+    println("==== 76. e41 heading outline: kernel-tokenizer flatMap in the scan stage, zero exchange ====")
+    SparkEntry.queries("e41_heading_outline")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
