@@ -1142,6 +1142,25 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       graft.datapipe.RelationalOps.snapshotDelta(oldSnap, newSnap, keyCol = "doc_id")
     }),
+    // section-aware chunking: e41's outline windowed into <=4-word
+    // retrieval chunks, breadcrumb carried per chunk — the composition
+    // the outline exists for; pure flatMap, no per-doc window function
+    "t33_section_chunks" -> ((s, dir) => {
+      import s.implicits._
+      val maxWords = 4
+      docs(s, dir).select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          graft.core.Outline.extract(graft.core.Outline.synthetic(id))
+            .filter(_.text.nonEmpty)
+            .flatMap { sec =>
+              sec.text.split(' ').grouped(maxWords).zipWithIndex.map {
+                case (ws, p) =>
+                  (id, sec.idx, p, sec.path, ws.mkString(" "), ws.length)
+              }
+            }
+        }
+        .toDF("doc_id", "section_idx", "part_idx", "path", "chunk_text", "n_words")
+    }),
     // heading-outline extraction over synthetic pages: breadcrumb stack
     // (sibling replace, skipped levels), preamble, unclosed-heading EOF
     "e41_heading_outline" -> ((s, dir) => {
@@ -1457,6 +1476,20 @@ object SparkEntry {
         "kp AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)), " +
         "surv AS (SELECT k.* FROM kept k JOIN kp USING (doc_id))"
     }
+    // e41 section rows, arithmetic per kind; t33 chunks the same rows
+    val e41Sql =
+      "SELECT doc_id, 0 AS section_idx, 1 AS level, 'T'||doc_id AS title, " +
+        "'T'||doc_id AS path, 'intro '||doc_id AS sec_text FROM documents WHERE doc_id % 5 = 0 " +
+        "UNION ALL SELECT doc_id, 1, 2, 'A'||doc_id, 'T'||doc_id||' > A'||doc_id, 'alpha '||doc_id FROM documents WHERE doc_id % 5 = 0 " +
+        "UNION ALL SELECT doc_id, 2, 2, 'B'||doc_id, 'T'||doc_id||' > B'||doc_id, 'beta '||doc_id FROM documents WHERE doc_id % 5 = 0 " +
+        "UNION ALL SELECT doc_id, 0, 0, '', '', 'pre '||doc_id FROM documents WHERE doc_id % 5 = 1 " +
+        "UNION ALL SELECT doc_id, 1, 1, 'T'||doc_id, 'T'||doc_id, 'body '||doc_id FROM documents WHERE doc_id % 5 = 1 " +
+        "UNION ALL SELECT doc_id, 0, 1, 'T'||doc_id, 'T'||doc_id, 'top '||doc_id FROM documents WHERE doc_id % 5 = 2 " +
+        "UNION ALL SELECT doc_id, 1, 3, 'D'||doc_id, 'T'||doc_id||' > D'||doc_id, 'deep '||doc_id FROM documents WHERE doc_id % 5 = 2 " +
+        "UNION ALL SELECT doc_id, 2, 2, 'M'||doc_id, 'T'||doc_id||' > M'||doc_id, 'mid '||doc_id FROM documents WHERE doc_id % 5 = 2 " +
+        "UNION ALL SELECT doc_id, 0, 0, '', '', 'lead '||doc_id FROM documents WHERE doc_id % 5 = 3 " +
+        "UNION ALL SELECT doc_id, 1, 2, 'U'||doc_id, 'U'||doc_id, '' FROM documents WHERE doc_id % 5 = 3 " +
+        "UNION ALL SELECT doc_id, 0, 0, '', '', 'only text '||doc_id||' more '||doc_id FROM documents WHERE doc_id % 5 = 4"
     Map(
       "e1_extract_html" ->
         (s"WITH d AS (SELECT doc_id, $words AS w FROM documents WHERE $htmlKindsA) " +
@@ -1779,19 +1812,17 @@ object SparkEntry {
       // a MATCH proves the breadcrumb stack (sibling replace at equal
       // level, skipped-level nesting), the preamble rule, block-tag
       // word breaks, and the unclosed-heading EOF recovery
-      "e41_heading_outline" ->
-        ("SELECT doc_id, 0 AS section_idx, 1 AS level, 'T'||doc_id AS title, " +
-          "'T'||doc_id AS path, 'intro '||doc_id AS sec_text FROM documents WHERE doc_id % 5 = 0 " +
-          "UNION ALL SELECT doc_id, 1, 2, 'A'||doc_id, 'T'||doc_id||' > A'||doc_id, 'alpha '||doc_id FROM documents WHERE doc_id % 5 = 0 " +
-          "UNION ALL SELECT doc_id, 2, 2, 'B'||doc_id, 'T'||doc_id||' > B'||doc_id, 'beta '||doc_id FROM documents WHERE doc_id % 5 = 0 " +
-          "UNION ALL SELECT doc_id, 0, 0, '', '', 'pre '||doc_id FROM documents WHERE doc_id % 5 = 1 " +
-          "UNION ALL SELECT doc_id, 1, 1, 'T'||doc_id, 'T'||doc_id, 'body '||doc_id FROM documents WHERE doc_id % 5 = 1 " +
-          "UNION ALL SELECT doc_id, 0, 1, 'T'||doc_id, 'T'||doc_id, 'top '||doc_id FROM documents WHERE doc_id % 5 = 2 " +
-          "UNION ALL SELECT doc_id, 1, 3, 'D'||doc_id, 'T'||doc_id||' > D'||doc_id, 'deep '||doc_id FROM documents WHERE doc_id % 5 = 2 " +
-          "UNION ALL SELECT doc_id, 2, 2, 'M'||doc_id, 'T'||doc_id||' > M'||doc_id, 'mid '||doc_id FROM documents WHERE doc_id % 5 = 2 " +
-          "UNION ALL SELECT doc_id, 0, 0, '', '', 'lead '||doc_id FROM documents WHERE doc_id % 5 = 3 " +
-          "UNION ALL SELECT doc_id, 1, 2, 'U'||doc_id, 'U'||doc_id, '' FROM documents WHERE doc_id % 5 = 3 " +
-          "UNION ALL SELECT doc_id, 0, 0, '', '', 'only text '||doc_id||' more '||doc_id FROM documents WHERE doc_id % 5 = 4"),
+      "e41_heading_outline" -> e41Sql,
+      // t33 oracle: the same section rows, word-windowed in SQL — slices
+      // past the end truncate, so the tail chunk carries the remainder
+      "t33_section_chunks" ->
+        (s"WITH sec AS ($e41Sql), " +
+          "sw AS (SELECT doc_id, section_idx, path, regexp_split_to_array(sec_text, ' ') AS w " +
+          "FROM sec WHERE sec_text <> '') " +
+          "SELECT doc_id, section_idx, CAST(p AS INT) AS part_idx, path, " +
+          "array_to_string(w[p*4+1 : p*4+4], ' ') AS chunk_text, " +
+          "CAST(least(len(w) - p*4, 4) AS INT) AS n_words " +
+          "FROM sw, unnest(range((len(w) + 3) // 4)) u(p)"),
       // e40 oracle: every cell derived arithmetically per kind — header
       // row + data grid (dims from doc_id), the omitted-closers grid
       // (same logical cells as if fully closed), the nested pair with

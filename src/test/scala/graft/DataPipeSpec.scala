@@ -1198,6 +1198,21 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(100L)._4 == "unknown")
   }
 
+  test("section chunks: long sections split at the word window, empty sections drop, path carried") {
+    val out = SparkEntry.queries("t33_section_chunks")(spark, sfDir)
+      .filter(col("doc_id").isin(4L, 3L, 5L)).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) ->
+        ((r.getString(3), r.getString(4), r.getInt(5)))).toMap
+    // doc 4 (kind 4): 5-word preamble -> two chunks, 4 + 1 words
+    assert(out((4L, 0, 0)) == (("", "only text 4 more", 4)))
+    assert(out((4L, 0, 1)) == (("", "4", 1)))
+    // doc 3 (kind 3): the empty-bodied unclosed heading contributes NO chunk
+    assert(!out.keys.exists { case (d, s, _) => d == 3L && s == 1 })
+    assert(out((3L, 0, 0)) == (("", "lead 3", 2)))
+    // doc 5 (kind 0): breadcrumb carried per chunk
+    assert(out((5L, 1, 0)) == (("T5 > A5", "alpha 5", 2)))
+  }
+
   test("revalidation policy: TTL ladder precedence, clamps, validator modes") {
     val sp = spark; import sp.implicits._
     def row(id: Long, cc: String, exp: java.lang.Long, dt: java.lang.Long,

@@ -282,6 +282,9 @@ object PlanCheck {
     println("==== 76. e41 heading outline: kernel-tokenizer flatMap in the scan stage, zero exchange ====")
     SparkEntry.queries("e41_heading_outline")(spark, sf).explain("formatted")
 
+    println("==== 77. t33 section chunks: outline+window fused in ONE flatMap, no per-doc window function ====")
+    SparkEntry.queries("t33_section_chunks")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
