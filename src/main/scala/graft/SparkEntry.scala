@@ -505,6 +505,9 @@ object SparkEntry {
     // pairwise source redundancy from KMV sketches: one corpus pass,
     // min_k_longs bounded heaps, sketch-only Jaccard estimates
     "t32_source_overlap" -> ((s, dir) => TrainingOps.sourceOverlap(docs(s, dir))),
+    // exactly-k-per-lang deterministic sample: min_k_longs threshold +
+    // broadcast compare — no per-group sort/window anywhere
+    "t34_group_sample" -> ((s, dir) => TrainingOps.groupSample(docs(s, dir))),
     // gram-level crawl-over-crawl diff: snapshots = doc_id%3 partitions
     // (old keeps !=0, new keeps !=1 — overlapping, like real recrawls)
     "d26_crawl_novelty" -> ((s, dir) => {
@@ -2670,6 +2673,15 @@ object SparkEntry {
         (s"SELECT doc_id, CAST(len($w) AS INT) AS ws_tokens, " +
           "CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f\\x0B]')) AS INT) AS re_tokens " +
           "FROM documents WHERE length(text) >= 1"),
+      // t34 oracle: the naive form this shape replaces — rank by hash
+      // within each lang, keep h <= the k-th smallest (ties keep all);
+      // a MATCH proves the k-heap threshold equals the windowed k-th
+      "t34_group_sample" ->
+        ("WITH t AS (SELECT doc_id, lang, " +
+          "('0x' || substr(md5('gs:' || doc_id),1,15))::BIGINT AS h FROM documents), " +
+          "r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM t), " +
+          "thr AS (SELECT lang, max(h) AS h_max FROM r WHERE rn <= 16 GROUP BY lang) " +
+          "SELECT t.doc_id, t.lang, t.h FROM t JOIN thr USING (lang) WHERE t.h <= thr.h_max"),
       // d26 oracle: same snapshot membership arithmetic (doc_id%3), same
       // shingle+h60 front, per-(lang,h) max() membership flags, per-lang
       // counts and integer-ppm rates

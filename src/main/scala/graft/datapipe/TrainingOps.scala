@@ -3565,6 +3565,42 @@ object TrainingOps extends Serializable {
         col("chunk_len").cast("int"), col("h").as("chunk_md5"), col("df"))
   }
 
+  /** Fixed-SIZE per-group sampling — carve exactly k documents per
+    * group (eval sets, human-review batches, per-language probes),
+    * deterministically: rank docs by the hash h60("gs:" || doc_id) and
+    * keep a doc iff its hash is at or below the group's k-th smallest.
+    * [[stratifiedSample]] is the RATE-based sibling (keep p% — output
+    * size scales with the corpus); this pins the output SIZE, which is
+    * what an eval budget needs. Hash order makes the selection a pure
+    * function of doc_id — stable under reshards, re-runs, and corpus
+    * growth ONLY shrinks thresholds (new smaller hashes push old
+    * members out, never reorder survivors arbitrarily).
+    *
+    * Scale shape: the naive form is row_number() OVER (PARTITION BY
+    * group ORDER BY h) <= k — a full sort of every group, and a hot
+    * group lands in ONE task (the t31 lesson). Instead: one map-side-
+    * combined [[graft.functions.MinKLongs min_k_longs]] pass yields the
+    * k-th-smallest threshold per group (O(k) state, no sort), the tiny
+    * per-group threshold table broadcasts back, and the keep decision
+    * is a map-only hash compare. Keeping by `h <= threshold` (not array
+    * membership) makes boundary hash-collisions keep ALL tied docs in
+    * both engines — deterministic, and |sample| may exceed k only on a
+    * 60-bit tie.
+    */
+  def groupSample(docs: DataFrame, groupCol: String = "lang",
+                  k: Int = 16): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val withH = docs.select(col("doc_id"), col(groupCol),
+      h60(concat(lit("gs:"), col("doc_id"))).as("h"))
+    val thr = withH.groupBy(groupCol)
+      .agg(expr(s"min_k_longs(h, $k)").as("ks"))
+      .select(col(groupCol), element_at(col("ks"), -1).as("h_max"))
+    withH.join(broadcast(thr), groupCol)
+      .filter(col("h") <= col("h_max"))
+      .select(col("doc_id"), col(groupCol), col("h"))
+  }
+
   /** Crawl-over-crawl novelty — the gram-level diff between two corpus
     * snapshots that tells a curation team whether re-crawling is still
     * buying new training text: per language, how many distinct 3-word

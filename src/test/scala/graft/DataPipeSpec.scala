@@ -1198,6 +1198,34 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(100L)._4 == "unknown")
   }
 
+  test("group sample: exactly k per group (absent ties), stable under corpus growth, matches naive ranking") {
+    val sp = spark; import sp.implicits._
+    def h60(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    val in = (0L until 200L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val k = 5
+    val got = TrainingOps.groupSample(in, "lang", k).collect()
+      .map(r => (r.getString(1), r.getLong(0))).groupBy(_._1)
+      .map { case (g, xs) => g -> xs.map(_._2).toSet }
+    // naive reference: k smallest hashes per group
+    def naive(g: String): Set[Long] =
+      (0L until 200L).filter(i => (if (i % 3 == 0) "en" else "de") == g)
+        .sortBy(i => h60(s"gs:$i")).take(k).toSet
+    assert(got("en") == naive("en") && got("de") == naive("de"))
+    assert(got("en").size == k && got("de").size == k)
+    // growth: doubling the corpus never ADDS old members back — the new
+    // sample is the k smallest of the superset
+    val in2 = (0L until 400L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val got2 = TrainingOps.groupSample(in2, "lang", k).collect()
+      .map(r => r.getLong(0)).toSet
+    val naive2 = Seq("en", "de").flatMap { g =>
+      (0L until 400L).filter(i => (if (i % 3 == 0) "en" else "de") == g)
+        .sortBy(i => h60(s"gs:$i")).take(k)
+    }.toSet
+    assert(got2 == naive2)
+  }
+
   test("section chunks: long sections split at the word window, empty sections drop, path carried") {
     val out = SparkEntry.queries("t33_section_chunks")(spark, sfDir)
       .filter(col("doc_id").isin(4L, 3L, 5L)).collect()

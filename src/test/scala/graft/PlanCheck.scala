@@ -285,6 +285,9 @@ object PlanCheck {
     println("==== 77. t33 section chunks: outline+window fused in ONE flatMap, no per-doc window function ====")
     SparkEntry.queries("t33_section_chunks")(spark, sf).explain("formatted")
 
+    println("==== 78. t34 group sample: k-heap partial agg threshold + broadcast compare — NO per-group sort/window ====")
+    SparkEntry.queries("t34_group_sample")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
