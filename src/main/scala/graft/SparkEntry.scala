@@ -28,6 +28,38 @@ object SparkEntry {
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Synthetic fetch-log headers for e39/p9 — every field a pure
+    * function of doc_id so both oracles re-derive the TTL ladder
+    * arithmetically (kinds by %6: max-age / no-store / no-cache /
+    * Expires-Date fresh-or-stale / uppercase MAX-AGE over the cap /
+    * bare; validators by %3: ETag / Last-Modified / none).
+    */
+  private def revalidationInput(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"))
+      .withColumn("fetch_ts", lit(1700000000L) + col("doc_id") * 7)
+      .withColumn("cache_control",
+        when(col("doc_id") % 6 === 0, concat(lit("public, max-age="),
+          (lit(300) + col("doc_id") % 1000).cast("string")))
+          .when(col("doc_id") % 6 === 1, lit("no-store"))
+          .when(col("doc_id") % 6 === 2, lit("no-cache, must-revalidate"))
+          // uppercase directive pins the case-insensitive parse
+          .when(col("doc_id") % 6 === 4, lit("private, MAX-AGE=999999999"))
+          .otherwise(lit(null).cast("string")))
+      .withColumn("date_ts",
+        when(col("doc_id") % 6 === 3, col("fetch_ts")).otherwise(lit(null).cast("long")))
+      .withColumn("expires_ts",
+        when(col("doc_id") % 6 === 3,
+          // alternate fresh/stale Expires (stale = already expired = floor)
+          when(expr("doc_id div 6 % 2") === 0,
+            col("fetch_ts") + lit(7200L) + col("doc_id") % 100)
+            .otherwise(col("fetch_ts") - 100))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("etag",
+        when(col("doc_id") % 3 === 0, concat(lit("\"e"), col("doc_id"), lit("\"")))
+          .otherwise(lit(null).cast("string")))
+      .withColumn("last_modified_ts",
+        when(col("doc_id") % 3 === 1, col("fetch_ts") - 5000).otherwise(lit(null).cast("long")))
+
   /** PII detection/redaction over a deterministically PII-augmented
     * corpus: the raw word-soup corpus contains no PII, so (like pagesOf)
     * this synthesizes the sensitive substrings from doc_id — the oracle
@@ -1190,32 +1222,33 @@ object SparkEntry {
     // HTTP cache-policy revalidation schedule over synthetic headers:
     // no-store/no-cache > max-age > Expires-Date > default, clamped to
     // [60s, 30d]; ETag beats Last-Modified for the conditional mode
-    "e39_revalidation" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"))
-        .withColumn("fetch_ts", lit(1700000000L) + col("doc_id") * 7)
-        .withColumn("cache_control",
-          when(col("doc_id") % 6 === 0, concat(lit("public, max-age="),
-            (lit(300) + col("doc_id") % 1000).cast("string")))
-            .when(col("doc_id") % 6 === 1, lit("no-store"))
-            .when(col("doc_id") % 6 === 2, lit("no-cache, must-revalidate"))
-            // uppercase directive pins the case-insensitive parse
-            .when(col("doc_id") % 6 === 4, lit("private, MAX-AGE=999999999"))
-            .otherwise(lit(null).cast("string")))
-        .withColumn("date_ts",
-          when(col("doc_id") % 6 === 3, col("fetch_ts")).otherwise(lit(null).cast("long")))
-        .withColumn("expires_ts",
-          when(col("doc_id") % 6 === 3,
-            // alternate fresh/stale Expires (stale = already expired = floor)
-            when(expr("doc_id div 6 % 2") === 0,
-              col("fetch_ts") + lit(7200L) + col("doc_id") % 100)
-              .otherwise(col("fetch_ts") - 100))
-            .otherwise(lit(null).cast("long")))
-        .withColumn("etag",
-          when(col("doc_id") % 3 === 0, concat(lit("\"e"), col("doc_id"), lit("\"")))
-            .otherwise(lit(null).cast("string")))
-        .withColumn("last_modified_ts",
-          when(col("doc_id") % 3 === 1, col("fetch_ts") - 5000).otherwise(lit(null).cast("long")))
-      graft.datapipe.RelationalOps.revalidationPolicy(d)
+    "e39_revalidation" -> ((s, dir) =>
+      graft.datapipe.RelationalOps.revalidationPolicy(revalidationInput(s, dir))),
+    // composed REFETCH pipeline: e39's policy -> due-now filter (fixed
+    // NOW so the plan is deterministic) -> per-host budget cap, most
+    // overdue first, via the salted two-phase top-k (no hot-host task):
+    // the local row_number per (host, doc-salt) prefilters to <= budget
+    // rows per salt bucket — a superset of the true top-k — then the
+    // tiny survivor set takes the exact global rank. Today's fetch list
+    // with politeness, end to end.
+    "p9_refetch_schedule" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 4
+      val now = 1700100000L
+      val due = graft.datapipe.RelationalOps
+        .revalidationPolicy(revalidationInput(s, dir))
+        .filter(col("next_fetch_ts") <= now)
+        .withColumn("host", concat(lit("h"), col("doc_id") % 23))
+      val order = Seq(col("next_fetch_ts").asc, col("doc_id").asc)
+      val slt = pmod(col("doc_id"), lit(8L))
+      val local = Window.partitionBy(col("host"), slt).orderBy(order: _*)
+      val global = Window.partitionBy(col("host")).orderBy(order: _*)
+      due.withColumn("lrk", row_number().over(local))
+        .filter(col("lrk") <= budget).drop("lrk")
+        .withColumn("rk", row_number().over(global))
+        .filter(col("rk") <= budget)
+        .select(col("doc_id"), col("host"), col("mode"),
+          col("next_fetch_ts"), (col("rk") - 1).cast("int").as("slot"))
     }),
     // composed WEB pipeline (the e-family analog of p1): ONE parse pass
     // computes metadata + outlinks per page (kernel runs once in the
@@ -1479,6 +1512,20 @@ object SparkEntry {
         "kp AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)), " +
         "surv AS (SELECT k.* FROM kept k JOIN kp USING (doc_id))"
     }
+    // e39's policy table as a shared CTE (ttl ladder + clamps + mode),
+    // feeding both the e39 oracle and p9's due/politeness composition
+    val e39PolCte =
+      "t AS (SELECT doc_id, CAST(CASE doc_id % 6 " +
+        "WHEN 0 THEN 300 + doc_id % 1000 " +
+        "WHEN 1 THEN 60 WHEN 2 THEN 60 " +
+        "WHEN 3 THEN CASE WHEN (doc_id // 6) % 2 = 0 THEN 7200 + doc_id % 100 ELSE 60 END " +
+        "WHEN 4 THEN 2592000 ELSE 86400 END AS BIGINT) AS ttl_s FROM documents), " +
+        "pol AS (SELECT doc_id, ttl_s, " +
+        "CAST(1700000000 + doc_id * 7 + ttl_s AS BIGINT) AS next_fetch_ts, " +
+        "CASE WHEN doc_id % 6 = 1 THEN 'unconditional' " +
+        "WHEN doc_id % 3 = 0 THEN 'conditional_etag' " +
+        "WHEN doc_id % 3 = 1 THEN 'conditional_modified' " +
+        "ELSE 'unconditional' END AS mode FROM t)"
     // e41 section rows, arithmetic per kind; t33 chunks the same rows
     val e41Sql =
       "SELECT doc_id, 0 AS section_idx, 1 AS level, 'T'||doc_id AS title, " +
@@ -1856,17 +1903,15 @@ object SparkEntry {
       // max-age over Expires-Date over default), the case-insensitive
       // max-age parse, the stale-Expires floor, and the 30-day cap
       "e39_revalidation" ->
-        ("WITH t AS (SELECT doc_id, CAST(CASE doc_id % 6 " +
-          "WHEN 0 THEN 300 + doc_id % 1000 " +
-          "WHEN 1 THEN 60 WHEN 2 THEN 60 " +
-          "WHEN 3 THEN CASE WHEN (doc_id // 6) % 2 = 0 THEN 7200 + doc_id % 100 ELSE 60 END " +
-          "WHEN 4 THEN 2592000 ELSE 86400 END AS BIGINT) AS ttl_s FROM documents) " +
-          "SELECT doc_id, ttl_s, " +
-          "CAST(1700000000 + doc_id * 7 + ttl_s AS BIGINT) AS next_fetch_ts, " +
-          "CASE WHEN doc_id % 6 = 1 THEN 'unconditional' " +
-          "WHEN doc_id % 3 = 0 THEN 'conditional_etag' " +
-          "WHEN doc_id % 3 = 1 THEN 'conditional_modified' " +
-          "ELSE 'unconditional' END AS mode FROM t"),
+        (s"WITH $e39PolCte SELECT doc_id, ttl_s, next_fetch_ts, mode FROM pol"),
+      // p9 oracle: e39's policy CTE -> due filter at the fixed NOW ->
+      // the PLAIN per-host ranked window the salted two-phase replaces
+      "p9_refetch_schedule" ->
+        (s"WITH $e39PolCte, " +
+          "due AS (SELECT doc_id, 'h' || (doc_id % 23) AS host, mode, next_fetch_ts " +
+          "FROM pol WHERE next_fetch_ts <= 1700100000), " +
+          "r AS (SELECT *, row_number() OVER (PARTITION BY host ORDER BY next_fetch_ts, doc_id) AS rk FROM due) " +
+          "SELECT doc_id, host, mode, next_fetch_ts, CAST(rk - 1 AS INT) AS slot FROM r WHERE rk <= 4"),
       // crawl-cycle pipeline oracle: the e26 rule-allowed frontier, the
       // e28 robots resolution (window form) over it, then the e29 plain
       // one-window schedule over the doubly-gated targets

@@ -1198,6 +1198,21 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(100L)._4 == "unknown")
   }
 
+  test("refetch schedule: per-host budget respected, slots contiguous, most-overdue-first") {
+    val rows = SparkEntry.queries("p9_refetch_schedule")(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getLong(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (host, xs) =>
+      assert(xs.length <= 4, s"$host exceeded budget")
+      assert(xs.map(_._3).sorted.toSeq == (0 until xs.length), s"$host slots not contiguous")
+      // slot order == next_fetch_ts order (most overdue first)
+      assert(xs.sortBy(_._3).map(_._2).toSeq == xs.map(_._2).sorted.toSeq, s"$host order")
+    }
+    // hosts with >4 due candidates exist at sf0.001 (500 docs / 23 hosts),
+    // so the cap is actually exercised
+    assert(rows.groupBy(_._1).values.exists(_.length == 4))
+  }
+
   test("group sample: exactly k per group (absent ties), stable under corpus growth, matches naive ranking") {
     val sp = spark; import sp.implicits._
     def h60(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(15), 16)

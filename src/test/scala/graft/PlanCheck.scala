@@ -288,6 +288,9 @@ object PlanCheck {
     println("==== 78. t34 group sample: k-heap partial agg threshold + broadcast compare — NO per-group sort/window ====")
     SparkEntry.queries("t34_group_sample")(spark, sf).explain("formatted")
 
+    println("==== 79. p9 refetch schedule: map-only policy+due, salted local top-k prefilter before the per-host rank ====")
+    SparkEntry.queries("p9_refetch_schedule")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
