@@ -641,6 +641,11 @@ object SparkEntry {
     // doc_id — piiAug pattern — so every line-level rule has both pass
     // and fail cases in the corpus)
     "t14_quality_rules" -> ((s, dir) => TrainingOps.qualityRules(docs(s, dir))),
+    // C4-style LINE-level scrubber over the same decorated corpus as t14
+    // (plus two junk lines that make the lorem/brace rules independently
+    // decisive): terminal punctuation, no ellipsis ending, >= 5 words,
+    // no lorem/brace — survivors rejoined into clean_text
+    "t36_c4_line_scrub" -> ((s, dir) => TrainingOps.c4LineScrub(docs(s, dir))),
     // corpus-level frequent-trigram mining (boilerplate discovery):
     // map-side-combined counts, minCount tail prune, salted two-stage
     // top-K — no global sort of the distinct-ngram set
@@ -2252,18 +2257,25 @@ object SparkEntry {
     * a val-shaped helper so the p4 datasheet oracle can embed it as a
     * parenthesized subquery.
     */
-  private def t14Oracle(w: String): String = {
+  /** t14/t36 shared decorated-text CTE chain (d, l, a) — mirrors
+    * TrainingOps.decoratedText byte-for-byte; `a` carries (doc_id, w0, t).
+    */
+  private def decoratedTextCte(w: String): String = {
     val lineExpr =
       "(CASE WHEN doc_id % 13 = 4 OR (doc_id + i) % 7 = 0 THEN '- ' ELSE '' END) || " +
         "array_to_string(w0[(i*12+1):least((i+1)*12, len(w0))], ' ') || " +
         "(CASE WHEN doc_id % 11 = 6 OR (doc_id + i) % 5 = 0 THEN '...' ELSE '.' END)"
-    s"WITH d AS (SELECT doc_id, $w AS w0 FROM documents WHERE length(text) >= 1), " +
+    s"d AS (SELECT doc_id, $w AS w0 FROM documents WHERE length(text) >= 1), " +
       "l AS (SELECT doc_id, w0, list_transform(range((len(w0)-1) // 12 + 1), i -> " +
       lineExpr + ") AS lines FROM d), " +
       "a AS (SELECT doc_id, w0, array_to_string(lines, chr(10)) || " +
       "(CASE WHEN doc_id % 19 = 2 THEN chr(10) || trim(repeat('7 ', CAST(ceil(len(w0)/2.0) AS BIGINT))) ELSE '' END) || " +
       "(CASE WHEN doc_id % 31 = 9 THEN chr(10) || 'lorem ipsum dolor sit amet' ELSE '' END) || " +
-      "(CASE WHEN doc_id % 29 = 3 THEN chr(10) || 'function f() { return 1; }' ELSE '' END) AS t FROM l), " +
+      "(CASE WHEN doc_id % 29 = 3 THEN chr(10) || 'function f() { return 1; }' ELSE '' END) AS t FROM l)"
+  }
+
+  private def t14Oracle(w: String): String = {
+    s"WITH ${decoratedTextCte(w)}, " +
       "m AS (SELECT doc_id, w0, t, " +
       "regexp_split_to_array(t, '[ \\t\\n\\r\\f\\x0B]+') AS lw, " +
       "string_split(t, chr(10)) AS ls FROM a), " +
@@ -3202,6 +3214,25 @@ object SparkEntry {
       // keys, digit/lorem/brace tails), then re-derives every rule and
       // the AND-ed keep verdict from the decorated text
       "t14_quality_rules" -> t14Oracle(w),
+      // t36: the shared decorated-text CTE + the two decisive junk lines,
+      // then the C4 line rules as list_filter — the MATCH proves the
+      // Spark filter lambda and the SQL predicate agree line-for-line,
+      // including the all-ellipsis empty-output family
+      "t36_c4_line_scrub" ->
+        (s"WITH ${decoratedTextCte(w)}, " +
+          "x AS (SELECT doc_id, t || " +
+          "(CASE WHEN doc_id % 37 = 5 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END) || " +
+          "(CASE WHEN doc_id % 41 = 7 THEN chr(10) || 'retry { connect again now }.' ELSE '' END) AS t2 FROM a), " +
+          "m AS (SELECT doc_id, string_split(t2, chr(10)) AS ls FROM x), " +
+          "k AS (SELECT doc_id, ls, list_filter(ls, x -> " +
+          "(x LIKE '%.' OR x LIKE '%!' OR x LIKE '%?' OR x LIKE '%\"') " +
+          "AND NOT x LIKE '%...' " +
+          "AND len(regexp_split_to_array(trim(x), '[ \\t\\n\\r\\f\\x0B]+')) >= 5 " +
+          "AND instr(x, 'lorem ipsum') = 0 AND instr(x, '{') = 0) AS kept FROM m) " +
+          "SELECT doc_id, CAST(len(ls) AS INT) AS n_lines, " +
+          "CAST(len(kept) AS INT) AS n_kept, " +
+          // DuckDB array_to_string([]) is NULL; Spark concat_ws is ''
+          "coalesce(array_to_string(kept, chr(10)), '') AS clean_text FROM k"),
       // datasheet oracle: the same dup augmentation (lang kept), the t18
       // token/vocab scalars, a grouped-dup rate, the FULL t14 oracle
       // embedded as a subquery for the keep rate, and the majority lang —

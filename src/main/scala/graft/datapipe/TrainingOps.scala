@@ -1238,7 +1238,12 @@ object TrainingOps extends Serializable {
     * every rule is a Catalyst built-in over the decorated text, so the
     * whole bundle rides inside WholeStageCodegen in the scan stage.
     */
-  def qualityRules(docs: DataFrame): DataFrame = {
+  /** The t14/t36 shared line-decorated corpus: (doc_id, w0, t) where `t`
+    * is the word-soup re-lined into 12-word lines with deterministic
+    * bullet/ellipsis decoration and junk-tail lines, all pure functions
+    * of doc_id (the piiAug pattern) so oracles re-derive `t` byte-for-byte.
+    */
+  private def decoratedText(docs: DataFrame): DataFrame = {
     val d = docs.filter(length(col("text")) >= 1)
       .select(col("doc_id"), words(col("text")).as("w0"))
     val lines = transform(paraChunks(col("w0"), 12), (c, i) =>
@@ -1255,7 +1260,50 @@ object TrainingOps extends Serializable {
         .otherwise(lit("")),
       when(col("doc_id") % 31 === 9, lit("\nlorem ipsum dolor sit amet")).otherwise(lit("")),
       when(col("doc_id") % 29 === 3, lit("\nfunction f() { return 1; }")).otherwise(lit("")))
-    val m = d.select(col("doc_id"), col("w0"), t.as("t"))
+    d.select(col("doc_id"), col("w0"), t.as("t"))
+  }
+
+  /** C4-style LINE-level scrubber (Raffel et al. 2020 §2.2) — where
+    * [[qualityRules]] gates whole documents, this repairs them: each line
+    * must end in terminal punctuation (`.` `!` `?` `"`), not be
+    * ellipsis-terminated, carry >= 5 words, and contain neither
+    * "lorem ipsum" nor a curly brace; surviving lines are rejoined into
+    * `clean_text`. Runs over the same decorated corpus as t14 plus two
+    * extra junk lines that make the lorem/brace rules independently
+    * decisive (a lorem line that passes every other gate, doc_id%37=5,
+    * and a brace line ditto, doc_id%41=7) — otherwise those rules would
+    * only ever co-fire with the punctuation gate. Docs where every line
+    * drops (the doc_id%11=6 all-ellipsis family) pin the empty-output
+    * case: n_kept=0, clean_text=''.
+    *
+    * Scale shape: MAP-ONLY — the line array never leaves the row; split,
+    * filter-lambda, and concat_ws are Catalyst built-ins riding
+    * WholeStageCodegen in the scan stage. At 100 TB this is a pure
+    * pass-through transform with zero exchange.
+    */
+  def c4LineScrub(docs: DataFrame): DataFrame = {
+    val t2 = concat(
+      col("t"),
+      when(col("doc_id") % 37 === 5, lit("\nlorem ipsum dolor sit amet."))
+        .otherwise(lit("")),
+      when(col("doc_id") % 41 === 7, lit("\nretry { connect again now }."))
+        .otherwise(lit("")))
+    val keep = (x: Column) =>
+      (x.endsWith(".") || x.endsWith("!") || x.endsWith("?") || x.endsWith("\"")) &&
+        !x.endsWith("...") &&
+        size(split(trim(x), wsClass + "+")) >= 5 &&
+        instr(x, "lorem ipsum") === 0 && instr(x, "{") === 0
+    decoratedText(docs)
+      .select(col("doc_id"), split(t2, "\n").as("ls"))
+      .select(col("doc_id"), size(col("ls")).as("n_lines"),
+        filter(col("ls"), keep).as("kept"))
+      .select(col("doc_id"), col("n_lines"),
+        size(col("kept")).as("n_kept"),
+        concat_ws("\n", col("kept")).as("clean_text"))
+  }
+
+  def qualityRules(docs: DataFrame): DataFrame = {
+    val m = decoratedText(docs)
       .select(col("doc_id"), col("w0"), col("t"),
         split(col("t"), wsClass + "+").as("lw"),
         split(col("t"), "\n").as("ls"))

@@ -2191,4 +2191,33 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(tok.toSeq == Seq((1L, 2, 4L), (2L, 3, 9L)))
   }
+
+  test("c4 line scrub: every kept line satisfies all rules; lorem/brace rules independently decisive; all-ellipsis docs empty") {
+    val ws = "[ \\t\\n\\r\\f\\x0B]+"
+    val out = SparkEntry.queries("t36_c4_line_scrub")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (id, (nLines, nKept, clean)) =>
+      assert(nKept <= nLines)
+      val kept = if (clean.isEmpty) Array.empty[String] else clean.split("\n", -1)
+      assert(kept.length == nKept, s"doc $id kept-count")
+      kept.foreach { x =>
+        assert("[.!?\"]$".r.findFirstIn(x).isDefined, s"doc $id terminal punct: '$x'")
+        assert(!x.endsWith("..."), s"doc $id ellipsis kept: '$x'")
+        assert(x.trim.split(ws).length >= 5, s"doc $id short line kept: '$x'")
+        assert(!x.contains("lorem ipsum") && !x.contains("{"), s"doc $id junk kept: '$x'")
+      }
+    }
+    // the %11=6 all-ellipsis family drops every line -> pinned empty output
+    val allEllipsis = out.collect { case (id, v) if id % 11 == 6 && id % 37 != 5 && id % 41 != 7 => v }
+    assert(allEllipsis.nonEmpty && allEllipsis.forall { case (_, k, c) => k == 0 && c.isEmpty })
+    // doc 5 gets 'lorem ipsum dolor sit amet.' (passes every OTHER gate:
+    // 5 words, terminal '.') -> its absence proves the lorem rule fired
+    val (n5, k5, c5) = out(5L)
+    assert(c5.nonEmpty && !c5.contains("lorem") && k5 < n5)
+    // doc 7 gets 'retry { connect again now }.' (6 words, terminal '.')
+    // -> its absence proves the brace rule fired
+    val (n7, k7, c7) = out(7L)
+    assert(c7.nonEmpty && !c7.contains("{") && k7 < n7)
+  }
 }

@@ -291,6 +291,9 @@ object PlanCheck {
     println("==== 79. p9 refetch schedule: map-only policy+due, salted local top-k prefilter before the per-host rank ====")
     SparkEntry.queries("p9_refetch_schedule")(spark, sf).explain("formatted")
 
+    println("==== 80. t36 C4 line scrub: pure map-only line filter, zero exchange ====")
+    SparkEntry.queries("t36_c4_line_scrub")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
