@@ -646,6 +646,11 @@ object SparkEntry {
     // decisive): terminal punctuation, no ellipsis ending, >= 5 words,
     // no lorem/brace — survivors rejoined into clean_text
     "t36_c4_line_scrub" -> ((s, dir) => TrainingOps.c4LineScrub(docs(s, dir))),
+    // sentence segmentation over sentence-structured synthetic text:
+    // lookaround boundary (punct + whitespace + capital/digit) that must
+    // split every constructed boundary and neither trap (abbreviation,
+    // decimal point)
+    "t35_sentences" -> ((s, dir) => TrainingOps.sentenceSplit(docs(s, dir))),
     // corpus-level frequent-trigram mining (boilerplate discovery):
     // map-side-combined counts, minCount tail prune, salted two-stage
     // top-K — no global sort of the distinct-ngram set
@@ -3214,6 +3219,28 @@ object SparkEntry {
       // keys, digit/lorem/brace tails), then re-derives every rule and
       // the AND-ed keep verdict from the decorated text
       "t14_quality_rules" -> t14Oracle(w),
+      // t35: the expected sentences re-derived ARITHMETICALLY from the
+      // construction moduli (DuckDB's RE2 regex has no lookbehind, so
+      // mirroring the splitter is impossible — which makes this a true
+      // independent oracle): 9-word slices, capitalized-or-digit-led
+      // heads, trap insertions, cycling terminators; a MATCH proves the
+      // Java-regex splitter recovers exactly the constructed boundaries
+      "t35_sentences" ->
+        (s"WITH d AS (SELECT doc_id, $w AS w0 FROM documents WHERE length(text) >= 1), " +
+          "b AS (SELECT doc_id, len(w0) AS n, CAST(i AS BIGINT) AS i, " +
+          "array_to_string(w0[(i*9+1):least((i+1)*9, len(w0))], ' ') AS c " +
+          "FROM d, unnest(range((len(w0)-1) // 9 + 1)) u(i)) " +
+          "SELECT doc_id, CAST(i AS INT) AS sent_idx, " +
+          "(CASE WHEN (doc_id+i) % 5 = 4 THEN '7 ' || c " +
+          "ELSE upper(substr(c,1,1)) || substr(c,2) END) || " +
+          "(CASE WHEN (doc_id+i) % 6 = 2 THEN ' e.g. more' ELSE '' END) || " +
+          "(CASE WHEN (doc_id+i) % 7 = 3 THEN ' 3.14' ELSE '' END) || " +
+          "(CASE (doc_id+i) % 4 WHEN 1 THEN '!' WHEN 2 THEN '?' ELSE '.' END) AS sentence, " +
+          "CAST(least(9, n - 9*i) " +
+          "+ (CASE WHEN (doc_id+i) % 5 = 4 THEN 1 ELSE 0 END) " +
+          "+ (CASE WHEN (doc_id+i) % 6 = 2 THEN 2 ELSE 0 END) " +
+          "+ (CASE WHEN (doc_id+i) % 7 = 3 THEN 1 ELSE 0 END) AS INT) AS n_words " +
+          "FROM b"),
       // t36: the shared decorated-text CTE + the two decisive junk lines,
       // then the C4 line rules as list_filter — the MATCH proves the
       // Spark filter lambda and the SQL predicate agree line-for-line,

@@ -1263,6 +1263,59 @@ object TrainingOps extends Serializable {
     d.select(col("doc_id"), col("w0"), t.as("t"))
   }
 
+  /** Sentence-boundary regex: split after terminal punctuation followed
+    * by whitespace, but ONLY when the next character opens a sentence
+    * (uppercase or digit). The lookarounds keep both sides of the
+    * boundary intact and refuse the two classic false splits: an
+    * abbreviation's period precedes a lowercase word ("e.g. more"), and
+    * a decimal point has no following whitespace ("3.14"). Java regex —
+    * lookbehind is unavailable in RE2-based engines, which is exactly
+    * why the oracle re-derives sentences arithmetically instead of
+    * mirroring the regex. Documented drop: quote-terminated sentences
+    * ("...end." inside quotes) follow the terminal quote, not handled.
+    */
+  val SentenceBoundary = "(?<=[.!?])" + wsClass + "+(?=[A-Z0-9])"
+
+  /** Sentence segmentation over sentence-structured text synthesized
+    * from doc_id (the piiAug pattern — the word soup has no sentence
+    * structure of its own): 9-word sentences, first word capitalized
+    * (or a digit-led sentence for (doc_id+i)%5=4, pinning the [0-9]
+    * branch of the boundary lookahead), an "e.g. more" abbreviation trap
+    * for %6=2 (must NOT split — lowercase follows), a "3.14" decimal
+    * trap for %7=3 (must NOT split — no whitespace after the point),
+    * terminators cycling . ! ? by %4, and 1-or-2-space separators by %3
+    * (pinning that the splitter consumes the WHOLE whitespace run).
+    * Output: one row per sentence with its index and word count. The
+    * DuckDB oracle constructs the expected sentences arithmetically from
+    * the same moduli, so a MATCH proves the regex splits at every
+    * constructed boundary and at neither trap.
+    *
+    * Scale shape: MAP-ONLY — construction, split, and posexplode are
+    * per-row Catalyst built-ins (generators run in the scan stage);
+    * zero exchange at any corpus size.
+    */
+  def sentenceSplit(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val d = docs.filter(length(col("text")) >= 1)
+      .select(id, words(col("text")).as("w0"))
+    val sents = transform(paraChunks(col("w0"), 9), (c, i) =>
+      concat(
+        when((id + i) % 5 === 4, concat(lit("7 "), c))
+          .otherwise(concat(upper(c.substr(lit(1), lit(1))), c.substr(lit(2), length(c)))),
+        when((id + i) % 6 === 2, lit(" e.g. more")).otherwise(lit("")),
+        when((id + i) % 7 === 3, lit(" 3.14")).otherwise(lit("")),
+        when((id + i) % 4 === 1, lit("!"))
+          .when((id + i) % 4 === 2, lit("?"))
+          .otherwise(lit("."))))
+    val withSep = transform(sents, (x, i) =>
+      when(i === 0, x).otherwise(concat(
+        when((id + i - 1) % 3 === 1, lit("  ")).otherwise(lit(" ")), x)))
+    d.select(id, concat_ws("", withSep).as("text"))
+      .select(id, posexplode(split(col("text"), SentenceBoundary)))
+      .select(id, col("pos").as("sent_idx"), col("col").as("sentence"),
+        size(split(col("col"), wsClass + "+")).as("n_words"))
+  }
+
   /** C4-style LINE-level scrubber (Raffel et al. 2020 §2.2) — where
     * [[qualityRules]] gates whole documents, this repairs them: each line
     * must end in terminal punctuation (`.` `!` `?` `"`), not be

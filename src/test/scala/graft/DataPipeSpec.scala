@@ -2192,6 +2192,30 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tok.toSeq == Seq((1L, 2, 4L), (2L, 3, 9L)))
   }
 
+  test("sentence split: every constructed boundary recovered, traps never split, digit-led sentences split") {
+    val ws = "[ \\t\\n\\r\\f\\x0B]+"
+    val out = SparkEntry.queries("t35_sentences")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val nw = docs.select(col("doc_id"), size(split(trim(col("text")), ws)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.groupBy(_._1).foreach { case (id, xs) =>
+      assert(xs.map(_._2).sorted.toSeq == (0 until xs.length), s"doc $id idx gap")
+      // one sentence per 9-word chunk: a missed boundary (merge) or a
+      // trap split (extra row) would both break this count
+      assert(xs.length == (nw(id) - 1) / 9 + 1, s"doc $id sentence count")
+    }
+    val all = out.map(_._3)
+    assert(all.exists(_.contains(" e.g. more")), "abbreviation trap absent")
+    assert(all.exists(_.contains(" 3.14")), "decimal trap absent")
+    assert(all.exists(_.startsWith("7 ")), "digit-led branch never fired")
+    out.foreach { case (id, i, s, n) =>
+      assert("[.!?]$".r.findFirstIn(s).isDefined, s"doc $id sent $i unterminated")
+      assert(!s.startsWith("more") && !s.startsWith("3.14"), s"doc $id split at a trap")
+      if (i > 0) assert(s.charAt(0).isUpper || s.charAt(0).isDigit, s"doc $id sent $i head")
+      assert(n == s.trim.split(ws).length, s"doc $id sent $i n_words")
+    }
+  }
+
   test("c4 line scrub: every kept line satisfies all rules; lorem/brace rules independently decisive; all-ellipsis docs empty") {
     val ws = "[ \\t\\n\\r\\f\\x0B]+"
     val out = SparkEntry.queries("t36_c4_line_scrub")(spark, sfDir).collect()

@@ -294,6 +294,9 @@ object PlanCheck {
     println("==== 80. t36 C4 line scrub: pure map-only line filter, zero exchange ====")
     SparkEntry.queries("t36_c4_line_scrub")(spark, sf).explain("formatted")
 
+    println("==== 81. t35 sentence split: construction + regex split + posexplode all in the scan stage, zero exchange ====")
+    SparkEntry.queries("t35_sentences")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
