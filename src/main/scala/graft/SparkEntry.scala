@@ -1092,6 +1092,52 @@ object SparkEntry {
         }
         .toDF("doc_id", "kind", "idx", "loc", "lastmod")
     }),
+    // RSS/Atom feed parsing — the PUSH side of crawl discovery beside
+    // e37's sitemaps: dialect-correct link extraction (RSS element text
+    // vs Atom href attribute with rel=self skipped), CDATA/entity rules,
+    // case-insensitive tags, linkless entries skipped, invalid-root row
+    "e42_feed_entries" -> ((s, dir) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val xml = when(id % 5 === 0, concat(
+          lit("<?xml version=\"1.0\"?><!-- gen --><rss version=\"2.0\"><channel>" +
+            "<title>Chan</title><link>https://f"), id % 7, lit(".example.com/</link>" +
+            "<item><title>Post &amp; notes "), id % 4,
+          lit("</title><link>https://f"), id % 7,
+          lit(".example.com/a0?x=1&amp;y=2</link><pubDate>Mon, 0"), id % 9 + 1,
+          lit(" Jan 2026 00:00:00 GMT</pubDate></item>" +
+            "<item><title><![CDATA[Raw <b> title]]></title><link>https://f"), id % 7,
+          lit(".example.com/a1</link></item>" +
+            "<item><title>No link</title></item></channel></rss>")))
+        .when(id % 5 === 1, concat(
+          lit("<feed xmlns=\"http://www.w3.org/2005/Atom\"><title>A</title>" +
+            "<entry><title>E0 "), id % 4,
+          lit("</title><link rel=\"self\" href=\"https://a"), id % 6,
+          lit(".example.com/self0\"/><link rel=\"alternate\" href=\"https://a"), id % 6,
+          lit(".example.com/e0\"/><updated>2026-03-0"), id % 9 + 1,
+          lit("T00:00:00Z</updated></entry>" +
+            "<entry><title>E1</title><link href=\"https://a"), id % 6,
+          lit(".example.com/e1?a=1&amp;b=2\"/></entry>" +
+            "<entry><title>Only self</title><link rel=\"self\" href=\"https://a"), id % 6,
+          lit(".example.com/selfonly\"/></entry></feed>")))
+        .when(id % 5 === 2, concat(
+          lit("<RSS><CHANNEL><ITEM><TITLE>Up "), id % 4,
+          lit("</TITLE><LINK>https://u"), id % 3,
+          lit(".example.com/up</LINK><PUBDATE>Tue, 10 Feb 2026 00:00:00 GMT</PUBDATE>" +
+            "</ITEM></CHANNEL></RSS>")))
+        .when(id % 5 === 3, lit("<html><body>not a feed</body></html>"))
+        .otherwise(lit("<feed><title>empty</title></feed>"))
+      docs(s, dir).select(id, xml.as("xml")).as[(Long, String)]
+        .flatMap { case (i2, x) =>
+          val f = graft.core.Feeds.parse(x)
+          if (f.kind == "invalid")
+            Seq((i2, "invalid", None: Option[Int], None: Option[String],
+              None: Option[String], None: Option[String]))
+          else f.entries.map(e =>
+            (i2, f.kind, Some(e.idx), Option(e.title), Some(e.link), Option(e.stamp)))
+        }
+        .toDF("doc_id", "kind", "idx", "title", "link", "stamp")
+    }),
     // hreflang alternate extraction: the multilingual-cluster signal —
     // link[rel~=alternate][hreflang] pairs in document order; rel token
     // lists count, an alternate WITHOUT hreflang (RSS feeds) must not
@@ -2034,6 +2080,29 @@ object SparkEntry {
           "FROM documents WHERE doc_id % 5 = 2 " +
           "UNION ALL SELECT doc_id, 'invalid', CAST(NULL AS INT), CAST(NULL AS VARCHAR), " +
           "CAST(NULL AS VARCHAR) FROM documents WHERE doc_id % 5 = 3"),
+      // e42 oracle: arithmetic entries per kind — RSS item2 (no link) and
+      // the Atom self-only entry contribute NO row; '&amp;' decodes; the
+      // CDATA title is taken raw; the Atom rel=self link is skipped in
+      // favor of the alternate; the empty %5=4 feed contributes nothing
+      "e42_feed_entries" ->
+        ("SELECT doc_id, 'rss' AS kind, CAST(t.j AS INT) AS idx, " +
+          "CASE t.j WHEN 0 THEN 'Post & notes ' || (doc_id % 4) " +
+          "ELSE 'Raw <b> title' END AS title, " +
+          "'https://f' || (doc_id % 7) || '.example.com/' || " +
+          "CASE t.j WHEN 0 THEN 'a0?x=1&y=2' ELSE 'a1' END AS link, " +
+          "CASE WHEN t.j = 0 THEN 'Mon, 0' || (doc_id % 9 + 1) || ' Jan 2026 00:00:00 GMT' END AS stamp " +
+          "FROM documents, range(2) t(j) WHERE doc_id % 5 = 0 " +
+          "UNION ALL SELECT doc_id, 'atom', CAST(t.j AS INT), " +
+          "CASE t.j WHEN 0 THEN 'E0 ' || (doc_id % 4) ELSE 'E1' END, " +
+          "'https://a' || (doc_id % 6) || '.example.com/' || " +
+          "CASE t.j WHEN 0 THEN 'e0' ELSE 'e1?a=1&b=2' END, " +
+          "CASE WHEN t.j = 0 THEN '2026-03-0' || (doc_id % 9 + 1) || 'T00:00:00Z' END " +
+          "FROM documents, range(2) t(j) WHERE doc_id % 5 = 1 " +
+          "UNION ALL SELECT doc_id, 'rss', 0, 'Up ' || (doc_id % 4), " +
+          "'https://u' || (doc_id % 3) || '.example.com/up', 'Tue, 10 Feb 2026 00:00:00 GMT' " +
+          "FROM documents WHERE doc_id % 5 = 2 " +
+          "UNION ALL SELECT doc_id, 'invalid', CAST(NULL AS INT), CAST(NULL AS VARCHAR), " +
+          "CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM documents WHERE doc_id % 5 = 3"),
       // e36 oracle: arithmetic alternates per kind — the RSS alternate
       // (no hreflang) contributes NO row, DE case-folds to de
       "e36_hreflang_alternates" ->

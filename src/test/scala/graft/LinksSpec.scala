@@ -193,4 +193,62 @@ class LinksSpec extends AnyFunSuite {
     assert(Sitemaps.parse("").kind == "invalid")
     assert(Sitemaps.parse("<urlset></urlset>") == Sitemaps.Sitemap("urlset", Vector.empty))
   }
+
+  test("feeds: rss vs atom link dialects, rel=self skip, CDATA/entity, linkless skip, case-insensitive, invalid") {
+    import graft.core.Feeds
+    val r = Feeds.parse(
+      """<?xml version="1.0"?><!-- gen -->
+        |<rss version="2.0"><channel><title>Chan</title><link>https://c.example.com/</link>
+        |<item><title>Post &amp; notes</title><link> https://c.example.com/a?x=1&amp;y=2 </link>
+        |<pubDate>Mon, 01 Jan 2026 00:00:00 GMT</pubDate></item>
+        |<item><title><![CDATA[Raw <b> title]]></title><link>https://c.example.com/b</link></item>
+        |<item><title>linkless</title></item>
+        |</channel></rss>""".stripMargin)
+    assert(r.kind == "rss")
+    assert(r.entries.map(e => (e.idx, e.title, e.link, e.stamp)) == Vector(
+      (0, "Post & notes", "https://c.example.com/a?x=1&y=2", "Mon, 01 Jan 2026 00:00:00 GMT"),
+      (1, "Raw <b> title", "https://c.example.com/b", null)))
+    // channel-level title/link never become an entry
+    assert(!r.entries.exists(_.link == "https://c.example.com/"))
+    val a = Feeds.parse(
+      """<feed xmlns="http://www.w3.org/2005/Atom"><title>A</title>
+        |<entry><title>E0</title><link rel="self" href="https://a.example.com/self"/>
+        |<link rel="alternate" href="https://a.example.com/e0"/>
+        |<updated>2026-03-01T00:00:00Z</updated></entry>
+        |<entry><title>E1</title><link href="https://a.example.com/e1?a=1&amp;b=2"/></entry>
+        |<entry><title>self only</title><link rel="self" href="https://a.example.com/s"/></entry>
+        |</feed>""".stripMargin)
+    assert(a.kind == "atom")
+    assert(a.entries.map(e => (e.idx, e.title, e.link, e.stamp)) == Vector(
+      (0, "E0", "https://a.example.com/e0", "2026-03-01T00:00:00Z"),
+      (1, "E1", "https://a.example.com/e1?a=1&b=2", null)))
+    // case-insensitive tags, single-quoted attrs, rel defaulting to alternate
+    val up = Feeds.parse("<RSS><CHANNEL><ITEM><TITLE>T</TITLE><LINK>https://u.example.com/x</LINK></ITEM></CHANNEL></RSS>")
+    assert(up.kind == "rss" && up.entries.map(_.link) == Vector("https://u.example.com/x"))
+    val sq = Feeds.parse("<feed><entry><link rel='ALTERNATE' href='https://q.example.com/'/></entry></feed>")
+    assert(sq.entries.map(_.link) == Vector("https://q.example.com/"))
+    assert(Feeds.parse("<html><body>no</body></html>").kind == "invalid")
+    assert(Feeds.parse("").kind == "invalid")
+    assert(Feeds.parse("<feed><title>empty</title></feed>") == Feeds.Feed("atom", Vector.empty))
+    // unclosed entry at EOF still yields what it saw (error as data)
+    val eof = Feeds.parse("<feed><entry><link href=\"https://e.example.com/1\"/>")
+    assert(eof.entries.map(_.link) == Vector("https://e.example.com/1"))
+  }
+
+  test("feeds totality: junk and adversarial inputs parse without throwing") {
+    import graft.core.Feeds
+    val rnd = new scala.util.Random(42)
+    (0 until 300).foreach { i =>
+      val junk = (0 until rnd.nextInt(200)).map(_ => (rnd.nextInt(96) + 32).toChar).mkString
+      val biased = (i % 5) match {
+        case 0 => "<rss><item>" + junk
+        case 1 => "<feed><entry><link " + junk + "/></entry></feed>"
+        case 2 => "<rss><channel><item><link>" + junk + "</item></channel></rss>"
+        case 3 => junk
+        case _ => "<feed><entry>" + junk + "</entry>"
+      }
+      val f = Feeds.parse(biased) // must not throw
+      assert(f.kind == "rss" || f.kind == "atom" || f.kind == "invalid")
+    }
+  }
 }

@@ -297,6 +297,9 @@ object PlanCheck {
     println("==== 81. t35 sentence split: construction + regex split + posexplode all in the scan stage, zero exchange ====")
     SparkEntry.queries("t35_sentences")(spark, sf).explain("formatted")
 
+    println("==== 82. e42 feed entries: kernel flatMap in the scan stage, zero exchange ====")
+    SparkEntry.queries("e42_feed_entries")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
