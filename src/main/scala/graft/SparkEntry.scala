@@ -1138,6 +1138,42 @@ object SparkEntry {
         }
         .toDF("doc_id", "kind", "idx", "title", "link", "stamp")
     }),
+    // publication-date extraction — meta article:published_time, then
+    // first <time datetime>, then /YYYY/MM/DD/ in the URL path; an
+    // invalid source FALLS THROUGH (garbage meta must not mask a good
+    // <time>); commented-out metas and datetime-less <time> are decoys
+    "e43_pub_dates" -> ((s, dir) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val day = id % 9 + 1
+      val url = concat(lit("https://s"), id % 7, lit(".example.com"),
+        when(id % 6 === 0 || id % 6 === 1 || id % 6 === 2,
+          concat(lit("/2026/03/0"), day)).otherwise(lit("")),
+        concat(lit("/post-"), id))
+      val html = when(id % 6 === 0, concat(
+          lit("<html><head><meta property=\"article:published_time\" content=\"2026-01-0"),
+          day, lit("T08:30:00Z\"><meta property=\"og:title\" content=\"decoy\"></head>" +
+            "<body><time datetime=\"2026-02-01\">Feb</time>x</body></html>")))
+        .when(id % 6 === 1, concat(
+          lit("<html><body><time>undated decoy</time><p>posted <time datetime=\"2026-02-1"),
+          id % 9, lit("\">then</time></p></body></html>")))
+        .when(id % 6 === 2, lit("<html><body>no in-page date</body></html>"))
+        .when(id % 6 === 3, lit("<html><head>" +
+          "<!-- <meta property=\"article:published_time\" content=\"2020-01-01\"> -->" +
+          "</head><body>none</body></html>"))
+        .when(id % 6 === 4, concat(
+          lit("<html><head><meta property=\"article:published_time\" content=\"soon\"></head>" +
+            "<body><time datetime=\"2026-04-0"), day, lit("\">x</time></body></html>")))
+        .otherwise(concat(
+          lit("<html><head><meta property='ARTICLE:PUBLISHED_TIME' content='2026-05-0"),
+          day, lit("'></head><body>q</body></html>")))
+      docs(s, dir).select(id, url.as("url"), html.as("html")).as[(Long, String, String)]
+        .map { case (i2, u, h) =>
+          val (dt, src) = graft.core.Directives.pubDate(graft.core.Directives.scan(h), u)
+          (i2, Option(dt), src)
+        }
+        .toDF("doc_id", "pub_date", "source")
+    }),
     // hreflang alternate extraction: the multilingual-cluster signal —
     // link[rel~=alternate][hreflang] pairs in document order; rel token
     // lists count, an alternate WITHOUT hreflang (RSS feeds) must not
@@ -2103,6 +2139,19 @@ object SparkEntry {
           "FROM documents WHERE doc_id % 5 = 2 " +
           "UNION ALL SELECT doc_id, 'invalid', CAST(NULL AS INT), CAST(NULL AS VARCHAR), " +
           "CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM documents WHERE doc_id % 5 = 3"),
+      // e43 oracle: the date each family's precedence/fallthrough must
+      // yield, derived arithmetically — the garbage-meta family lands on
+      // 'time', the commented-out-meta family on 'none'
+      "e43_pub_dates" ->
+        ("SELECT doc_id, CASE doc_id % 6 " +
+          "WHEN 0 THEN '2026-01-0' || (doc_id % 9 + 1) " +
+          "WHEN 1 THEN '2026-02-1' || (doc_id % 9) " +
+          "WHEN 2 THEN '2026-03-0' || (doc_id % 9 + 1) " +
+          "WHEN 4 THEN '2026-04-0' || (doc_id % 9 + 1) " +
+          "WHEN 5 THEN '2026-05-0' || (doc_id % 9 + 1) END AS pub_date, " +
+          "CASE doc_id % 6 WHEN 0 THEN 'meta' WHEN 1 THEN 'time' " +
+          "WHEN 2 THEN 'url' WHEN 3 THEN 'none' WHEN 4 THEN 'time' " +
+          "ELSE 'meta' END AS source FROM documents"),
       // e36 oracle: arithmetic alternates per kind — the RSS alternate
       // (no hreflang) contributes NO row, DE case-folds to de
       "e36_hreflang_alternates" ->

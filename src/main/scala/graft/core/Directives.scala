@@ -31,11 +31,47 @@ object Directives {
 
   final case class PageDirectives(canonical: String, robots: String,
       noindex: Boolean, nofollow: Boolean,
-      alternates: Vector[(String, String)] = Vector.empty)
+      alternates: Vector[(String, String)] = Vector.empty,
+      published: String = null, timeDatetime: String = null)
   // alternates: (hreflang, href) pairs from link[rel~=alternate][hreflang]
   // in document order, duplicates preserved (cluster reconciliation —
   // e.g. conflicting hreflang maps across a cluster — is the consumer's
   // job, not the scanner's)
+  // published: first <meta property="article:published_time"> content
+  // (the OpenGraph/article publish stamp); timeDatetime: the first
+  // <time datetime=...> value (a <time> without the attribute is NOT a
+  // date source — skipped). Raw strings; validation is [[pubDate]]'s job.
+
+  /** Publication-date resolution — the temporal-filtering signal a
+    * training corpus wants next to every document (date-range curation,
+    * freshness weighting, contamination windows). Precedence: the page's
+    * explicit article:published_time meta, then the first `<time
+    * datetime>`, then a /YYYY/MM/DD/ segment in the URL path; a source
+    * whose value fails the lexical YYYY-MM-DD prefix check FALLS THROUGH
+    * to the next (a garbage meta must not mask a good `<time>`).
+    * Returns (date, source) with date the 10-char day prefix and source
+    * one of meta/time/url/none. Lexical validation only — calendar
+    * plausibility (month 13) is a downstream quality rule, documented.
+    */
+  def pubDate(d: PageDirectives, url: String): (String, String) = {
+    def valid(s: String) =
+      s != null && s.length >= 10 &&
+        (0 until 10).forall { k =>
+          val c = s.charAt(k)
+          if (k == 4 || k == 7) c == '-' else c >= '0' && c <= '9'
+        }
+    if (valid(d.published)) (d.published.substring(0, 10), "meta")
+    else if (valid(d.timeDatetime)) (d.timeDatetime.substring(0, 10), "time")
+    else {
+      val m = UrlDate.findFirstMatchIn(url)
+      if (m.isDefined) {
+        val g = m.get
+        (g.group(1) + "-" + g.group(2) + "-" + g.group(3), "url")
+      } else (null, "none")
+    }
+  }
+
+  private val UrlDate = "/(\\d{4})/(\\d{2})/(\\d{2})/".r
 
   def directives(html: Array[Byte],
       deadline: Html.Deadline = Html.Deadline.unlimited): PageDirectives =
@@ -46,6 +82,8 @@ object Directives {
     val n = s.length
     var canonical: String = null
     var robots: String = null
+    var published: String = null
+    var timeDt: String = null
     val alternates = Vector.newBuilder[(String, String)]
     var i = 0
 
@@ -141,7 +179,8 @@ object Directives {
               } else {
                 val wanted = name match {
                   case "link" => Set("rel", "href", "hreflang")
-                  case "meta" => Set("name", "content")
+                  case "meta" => Set("name", "property", "content")
+                  case "time" => Set("datetime")
                   case _ => Set.empty[String]
                 }
                 val after = parseAttrs(j, wanted)
@@ -154,9 +193,16 @@ object Directives {
                   val hl = captured.getOrElse("hreflang", "")
                   if (relHas(rel, "alternate") && hl.nonEmpty && href.nonEmpty)
                     alternates += ((hl.toLowerCase(java.util.Locale.ROOT), href))
-                } else if (name == "meta" && robots == null) {
-                  if (captured.get("name").exists(_.equalsIgnoreCase("robots")))
+                } else if (name == "meta") {
+                  if (robots == null &&
+                    captured.get("name").exists(_.equalsIgnoreCase("robots")))
                     robots = captured.getOrElse("content", "")
+                  if (published == null &&
+                    captured.get("property").exists(_.equalsIgnoreCase("article:published_time")))
+                    published = captured.getOrElse("content", "")
+                } else if (name == "time") {
+                  if (timeDt == null && captured.get("datetime").exists(_.nonEmpty))
+                    timeDt = captured("datetime")
                 } else if (!lastSelfClosing &&
                   (name == "script" || name == "style" || name == "textarea" || name == "noscript")) {
                   val close = "</" + name
@@ -183,6 +229,6 @@ object Directives {
     val none = toks.contains("none")
     PageDirectives(canonical, robots,
       none || toks.contains("noindex"), none || toks.contains("nofollow"),
-      alternates.result())
+      alternates.result(), published, timeDt)
   }
 }

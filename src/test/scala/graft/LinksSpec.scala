@@ -194,6 +194,32 @@ class LinksSpec extends AnyFunSuite {
     assert(Sitemaps.parse("<urlset></urlset>") == Sitemaps.Sitemap("urlset", Vector.empty))
   }
 
+  test("pub dates: meta > time > url precedence, invalid fallthrough, comment/datetime-less decoys") {
+    import graft.core.Directives
+    def pd(h: String, u: String) = Directives.pubDate(Directives.scan(h), u)
+    // full precedence: meta beats time beats url
+    assert(pd("<meta property=\"article:published_time\" content=\"2026-01-05T08:30:00Z\">" +
+      "<time datetime=\"2026-02-01\">x</time>", "https://a.example.com/2026/03/01/p") ==
+      ("2026-01-05", "meta"))
+    // garbage meta falls through to time; datetime-less <time> is skipped
+    assert(pd("<meta property=\"article:published_time\" content=\"soon\">" +
+      "<time>undated</time><time datetime=\"2026-02-11\">x</time>", "https://a.example.com/p") ==
+      ("2026-02-11", "time"))
+    // url fallback, then none; commented-out meta is not a directive
+    assert(pd("<p>x</p>", "https://a.example.com/2026/03/09/post") == ("2026-03-09", "url"))
+    assert(pd("<!-- <meta property=\"article:published_time\" content=\"2020-01-01\"> -->",
+      "https://a.example.com/about") == (null, "none"))
+    // case-insensitive property, single quotes, date-only content
+    assert(pd("<meta property='ARTICLE:PUBLISHED_TIME' content='2026-05-03'>", "u") ==
+      ("2026-05-03", "meta"))
+    // first meta wins; short/garbage time falls to url
+    assert(pd("<meta property=\"article:published_time\" content=\"2026-06-01\">" +
+      "<meta property=\"article:published_time\" content=\"2025-01-01\">", "u") ==
+      ("2026-06-01", "meta"))
+    assert(pd("<time datetime=\"2026\">x</time>", "https://a.example.com/2026/07/02/x") ==
+      ("2026-07-02", "url"))
+  }
+
   test("feeds: rss vs atom link dialects, rel=self skip, CDATA/entity, linkless skip, case-insensitive, invalid") {
     import graft.core.Feeds
     val r = Feeds.parse(

@@ -300,6 +300,9 @@ object PlanCheck {
     println("==== 82. e42 feed entries: kernel flatMap in the scan stage, zero exchange ====")
     SparkEntry.queries("e42_feed_entries")(spark, sf).explain("formatted")
 
+    println("==== 83. e43 pub dates: scan+resolve map in the scan stage, zero exchange ====")
+    SparkEntry.queries("e43_pub_dates")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
