@@ -317,6 +317,22 @@ object SparkEntry {
       }
   }
 
+  /** The host-level edge table shared by e23 (PageRank) and e44 (HITS):
+    * one kernel pass parses outlinks per page, hosts extracted from the
+    * absolute https urls.
+    */
+  private def hostEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val links = pagesOf(s, onlyKind(docs(s, dir), "html"))
+      .map(p => (p.url,
+        graft.core.Links.outlinks(p.html).map(_.href).filter(_.startsWith("https://"))))
+      .toDF("url", "hrefs").dropDuplicates("url")
+    links.select(
+      regexp_extract(col("url"), "https://([^/]+)/", 1).as("src"),
+      explode(col("hrefs")).as("href"))
+      .select(col("src"), regexp_extract(col("href"), "https://([^/]+)/", 1).as("dst"))
+  }
+
   /** The parsed link graph + crawled set the crawl-side queries share:
     * (src_url, to_url) canonical resolved edges and the distinct crawled
     * urls, both from one kernel pass over the html pages.
@@ -905,18 +921,13 @@ object SparkEntry {
     // in integer arithmetic (bit-reproducible across partitionings; the
     // oracle unrolls the same iterations in SQL). Host rank is a standard
     // corpus-curation signal (weight/filter documents by host authority).
-    "e23_host_rank" -> ((s, dir) => {
-      import s.implicits._
-      val links = pagesOf(s, onlyKind(docs(s, dir), "html"))
-        .map(p => (p.url,
-          graft.core.Links.outlinks(p.html).map(_.href).filter(_.startsWith("https://"))))
-        .toDF("url", "hrefs").dropDuplicates("url")
-      val edges = links.select(
-        regexp_extract(col("url"), "https://([^/]+)/", 1).as("src"),
-        explode(col("hrefs")).as("href"))
-        .select(col("src"), regexp_extract(col("href"), "https://([^/]+)/", 1).as("dst"))
-      graft.datapipe.GraphOps.hostRank(edges)
-    }),
+    "e23_host_rank" -> ((s, dir) =>
+      graft.datapipe.GraphOps.hostRank(hostEdges(s, dir))),
+    // HITS hub/authority over the SAME host edge table as e23 — the
+    // directory-vs-content separation PageRank can't express; integer
+    // division-only normalization; oracle unrolls the 3 iterations
+    "e44_hits" -> ((s, dir) =>
+      graft.datapipe.GraphOps.hits(hostEdges(s, dir))),
     // inlink anchor-text profile per host (e22's parsed links, e23's
     // edge derivation): inlinks, distinct linking hosts, top anchor
     // text. Anchor text is the classic off-page curation signal —
@@ -1837,6 +1848,12 @@ object SparkEntry {
       "e23_host_rank" ->
         (s"WITH ${hostRankCtes(htmlKinds)} " +
           "SELECT h AS host, CAST(r AS BIGINT) AS rank FROM r3"),
+      // e44 oracle: HITS unrolled — same edge base as e23, hub/auth
+      // joined from the final round
+      "e44_hits" ->
+        (s"WITH ${hitsCtes(htmlKinds)} " +
+          "SELECT hh3.h AS host, CAST(hh3.v AS BIGINT) AS hub, " +
+          "CAST(aa3.v AS BIGINT) AS auth FROM hh3 JOIN aa3 ON hh3.h = aa3.h"),
       // host-table oracle: the e23 unrolled rank iterations, the e24
       // anchor resolution (window form, a-prefixed CTEs — hostRankCtes
       // owns f/e0), page volume per host, FULL OUTER + LEFT composed
@@ -2295,22 +2312,58 @@ object SparkEntry {
     * division everywhere, so the match is bit-exact. Ends with CTE
     * `r3(h, r)`; callers prepend "WITH " and append their SELECT.
     */
-  private def hostRankCtes(htmlKinds: String): String = {
+  /** The shared e23/e44 host-edge CTE base: f (link-bearing html docs),
+    * e0 (generator-formula edges), w (weighted), od (out-degree), nodes,
+    * p (node count). Mirrors [[hostEdges]].
+    */
+  private def hostEdgeCtes(htmlKinds: String): String = {
     val srcExpr = "CASE WHEN doc_id % 10 < 3 THEN 'big.example.com' " +
       "ELSE 'h' || (doc_id % 97) || '.example.com' END"
-    def iterCte(prev: String, out: String): String =
-      s"$out AS (SELECT nodes.h, (SELECT ((1000000000000 * 15) // 100) // n FROM p) + COALESCE(s.c, 0) AS r " +
-        s"FROM nodes LEFT JOIN (SELECT w.dst AS h, SUM(w.wt * ((($prev.r * 85) // 100) // od.outdeg)) AS c " +
-        s"FROM w JOIN od ON w.src = od.src JOIN $prev ON $prev.h = w.src GROUP BY w.dst) s ON nodes.h = s.h)"
     s"f AS (SELECT doc_id FROM documents WHERE $htmlKinds AND (doc_id % 23 = 5 OR doc_id % 23 = 11)), " +
       s"e0 AS (SELECT $srcExpr AS src, 'h' || ((doc_id * 11 + i) % 97) || '.example.com' AS dst FROM f, range(4) t(i) " +
       s"UNION ALL SELECT $srcExpr, 'big.example.com' FROM f WHERE doc_id % 2 = 0), " +
       "w AS (SELECT src, dst, count(*) AS wt FROM e0 GROUP BY 1, 2), " +
       "od AS (SELECT src, CAST(SUM(wt) AS BIGINT) AS outdeg FROM w GROUP BY 1), " +
       "nodes AS (SELECT src AS h FROM w UNION SELECT dst FROM w), " +
-      "p AS (SELECT count(*) AS n FROM nodes), " +
+      "p AS (SELECT count(*) AS n FROM nodes)"
+  }
+
+  private def hostRankCtes(htmlKinds: String): String = {
+    def iterCte(prev: String, out: String): String =
+      s"$out AS (SELECT nodes.h, (SELECT ((1000000000000 * 15) // 100) // n FROM p) + COALESCE(s.c, 0) AS r " +
+        s"FROM nodes LEFT JOIN (SELECT w.dst AS h, SUM(w.wt * ((($prev.r * 85) // 100) // od.outdeg)) AS c " +
+        s"FROM w JOIN od ON w.src = od.src JOIN $prev ON $prev.h = w.src GROUP BY w.dst) s ON nodes.h = s.h)"
+    hostEdgeCtes(htmlKinds) + ", " +
       "r0 AS (SELECT h, (SELECT 1000000000000 // n FROM p) AS r FROM nodes), " +
       iterCte("r0", "r1") + ", " + iterCte("r1", "r2") + ", " + iterCte("r2", "r3")
+  }
+
+  /** e44 oracle CTEs: the HITS iterations unrolled — authority from
+    * hubs, division-only renormalization (d = max(1, sum//scale)),
+    * hubs from the fresh authorities; 3 rounds like the Spark op.
+    * Every iteration CTE is MATERIALIZED: each level references the
+    * previous one ~3× (join + scalar-sum + carry), so DuckDB's default
+    * CTE inlining re-executes the whole chain ~3^6 times across the six
+    * unrolled passes — materialization turns that exponential blowup
+    * back into the linear plan the Spark op runs.
+    */
+  private def hitsCtes(htmlKinds: String): String = {
+    val sc = "1000000000"
+    def authCte(hubPrev: String, rawOut: String, out: String): String =
+      s"${rawOut} AS MATERIALIZED (SELECT w.dst AS h, SUM(w.wt * $hubPrev.v) AS raw " +
+        s"FROM w JOIN $hubPrev ON $hubPrev.h = w.src GROUP BY w.dst), " +
+        s"$out AS MATERIALIZED (SELECT nodes.h, COALESCE(r.raw // (SELECT greatest(1, SUM(raw) // $sc) FROM $rawOut), 0) AS v " +
+        s"FROM nodes LEFT JOIN $rawOut r ON nodes.h = r.h)"
+    def hubCte(authPrev: String, rawOut: String, out: String): String =
+      s"${rawOut} AS MATERIALIZED (SELECT w.src AS h, SUM(w.wt * $authPrev.v) AS raw " +
+        s"FROM w JOIN $authPrev ON $authPrev.h = w.dst GROUP BY w.src), " +
+        s"$out AS MATERIALIZED (SELECT nodes.h, COALESCE(r.raw // (SELECT greatest(1, SUM(raw) // $sc) FROM $rawOut), 0) AS v " +
+        s"FROM nodes LEFT JOIN $rawOut r ON nodes.h = r.h)"
+    hostEdgeCtes(htmlKinds) + ", " +
+      s"hh0 AS MATERIALIZED (SELECT h, (SELECT $sc // n FROM p) AS v FROM nodes), " +
+      authCte("hh0", "ar1", "aa1") + ", " + hubCte("aa1", "hr1", "hh1") + ", " +
+      authCte("hh1", "ar2", "aa2") + ", " + hubCte("aa2", "hr2", "hh2") + ", " +
+      authCte("hh2", "ar3", "aa3") + ", " + hubCte("aa3", "hr3", "hh3")
   }
 
   /** Shared link-reconstruction CTE for the e22/e25 oracles: every

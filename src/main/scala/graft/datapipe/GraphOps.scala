@@ -60,6 +60,74 @@ object GraphOps {
     ranks
   }
 
+  /** HITS hub/authority scoring (Kleinberg 1999) over the same weighted
+    * edge table as [[hostRank]] — the complementary curation signal:
+    * PageRank finds globally endorsed hosts, HITS separates DIRECTORY
+    * hosts (hubs: link to many good authorities — aggregators, link
+    * farms, blogrolls) from CONTENT hosts (authorities: linked by many
+    * good hubs). A training pipeline weights documents by their host's
+    * authority and treats high-hub/low-authority hosts as navigation
+    * boilerplate sources.
+    *
+    * INTEGER arithmetic for bit-reproducibility (the [[hostRank]] rule):
+    * each iteration computes raw authority = sum over inlinks of
+    * wt * hub(src), then normalizes by FLOOR-DIVIDING every value by
+    * d = max(1, floor(sum_raw / scale)) — a division-only rescale, no
+    * value ever multiplied above its raw sum, so the overflow bound is
+    * just totalWeight * scale < 2^63 (pick `scale` accordingly; the
+    * multiply-then-divide form raw*scale/sum would overflow at
+    * raw ~ 2^63/scale, far earlier). Hubs update symmetrically from the
+    * fresh authorities. Values land on ~[0, scale]; mass lost to
+    * flooring is not redistributed (rank order unaffected — documented,
+    * mirrored exactly by the oracle's unrolled iterations).
+    *
+    * Scale shape: per iteration, TWO shuffles (join ranks to edges +
+    * map-side-combined agg), each carrying (host, long) rows only; the
+    * weighted edge table persists once and both passes reuse it; the
+    * normalizer is ONE scalar sum per pass (the e23 count() pattern);
+    * lineage truncates per round via localCheckpoint so the plan stays
+    * flat in `iters`.
+    */
+  def hits(edges: DataFrame, iters: Int = 3, scale: Long = 1000000000L,
+           truncateLineage: Boolean = true): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val w = edges.groupBy("src", "dst").agg(count(lit(1)).as("wt")).persist()
+    val nodes = w.select(col("src").as("host"))
+      .union(w.select(col("dst"))).distinct().persist()
+    val n = nodes.count()
+    if (n == 0) {
+      w.unpersist()
+      return nodes.select(col("host"), lit(0L).as("hub"), lit(0L).as("auth"))
+    }
+    def scalarSum(df: DataFrame): Long = {
+      val r = df.agg(sum("raw")).head
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var hub = nodes.select(col("host"), lit(scale / n).as("v"))
+    var auth = nodes.select(col("host"), lit(0L).as("v"))
+    for (_ <- 1 to iters) {
+      val rawA = w.join(hub, w("src") === hub("host"))
+        .select(col("dst"), (col("wt") * col("v")).as("c"))
+        .groupBy("dst").agg(sum("c").as("raw"))
+      val dA = math.max(1L, scalarSum(rawA) / scale)
+      auth = nodes.join(rawA, nodes("host") === rawA("dst"), "left")
+        .select(col("host"), coalesce(expr(s"raw div $dA"), lit(0L)).as("v"))
+      if (truncateLineage) auth = auth.localCheckpoint()
+      val rawH = w.join(auth, w("dst") === auth("host"))
+        .select(col("src"), (col("wt") * col("v")).as("c"))
+        .groupBy("src").agg(sum("c").as("raw"))
+      val dH = math.max(1L, scalarSum(rawH) / scale)
+      hub = nodes.join(rawH, nodes("host") === rawH("src"), "left")
+        .select(col("host"), coalesce(expr(s"raw div $dH"), lit(0L)).as("v"))
+      if (truncateLineage) hub = hub.localCheckpoint()
+    }
+    val res = hub.withColumnRenamed("v", "hub")
+      .join(auth.withColumnRenamed("v", "auth"), "host")
+    w.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    res
+  }
+
   /** Inlink anchor-text profile per destination host: total inlinks,
     * distinct linking hosts, and the most frequent anchor text (ties
     * broken lexicographically — deterministic across partitionings).

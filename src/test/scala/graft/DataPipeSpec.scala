@@ -823,6 +823,27 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(edges.repartition(5)) == out)
   }
 
+  test("hits: hand-computed integer iterations, hub/authority separation, partitioning-independent") {
+    val sp = spark; import sp.implicits._
+    // h1->{a1,a2}, h2->a1. scale 400, n=4 -> hub0=100 everywhere.
+    // Hand-unrolled (d = max(1, sum//scale), v = raw//d):
+    // it1: rawA a1=200,a2=100 (d=1); rawH h1=300,h2=200 (d=1)
+    // it2: rawA a1=500,a2=300 (d=2 -> 250,150); rawH h1=400,h2=250 (d=1)
+    // it3: rawA a1=650,a2=400 (d=2 -> 325,200); rawH h1=525,h2=325 (d=2 -> 262,162)
+    val edges = Seq(("h1", "a1"), ("h1", "a2"), ("h2", "a1")).toDF("src", "dst")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.datapipe.GraphOps.hits(df, iters = 3, scale = 400L)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val out = run(edges)
+    assert(out == Map(
+      "h1" -> ((262L, 0L)), "h2" -> ((162L, 0L)),
+      "a1" -> ((0L, 325L)), "a2" -> ((0L, 200L))))
+    // pure hubs have zero authority and vice versa; order separates
+    assert(out("h1")._1 > out("h2")._1 && out("a1")._2 > out("a2")._2)
+    // integer arithmetic: a pure function of the graph, not partitioning
+    assert(run(edges.repartition(5)) == out)
+  }
+
   test("redirect resolution: terminal chains, cycles capped, self-loops, hop counts") {
     val sp = spark; import sp.implicits._
     val edges = Seq(

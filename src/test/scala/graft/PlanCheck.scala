@@ -303,6 +303,9 @@ object PlanCheck {
     println("==== 83. e43 pub dates: scan+resolve map in the scan stage, zero exchange ====")
     SparkEntry.queries("e43_pub_dates")(spark, sf).explain("formatted")
 
+    println("==== 84. e44 HITS: per-iteration (host,long) join + map-side-combined agg; edges persisted once; flat plan via localCheckpoint ====")
+    SparkEntry.queries("e44_hits")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
