@@ -1185,6 +1185,52 @@ object SparkEntry {
         }
         .toDF("doc_id", "pub_date", "source")
     }),
+    // robots.txt grammar parsing — the producer half of e28's rule
+    // table: UA-group selection (longest prefix wins, graft < graftbot),
+    // stacked UA lines, same-token group merge in file order, orphan
+    // rules dropped, empty Disallow = allow-all (no rule), trailing
+    // comments, case-insensitive keys, CRLF bodies, global Sitemap
+    // lines that don't break group structure, first-NUMERIC crawl-delay
+    "e45_robots_rules" -> ((s, dir) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val txt = when(id % 5 === 0, concat(
+          lit("User-agent: *\nDisallow: /private/\n" +
+            "User-agent: graftbot\nAllow: /a"), id % 4, lit("/\nDisallow: /\n" +
+            "User-agent: graft\nDisallow: /g/\n" +
+            "User-agent: graftbot\nDisallow: /z"), id % 3, lit("/\n")))
+        .when(id % 5 === 1, concat(
+          lit("Disallow: /orphan/\nUser-Agent: alpha\nUser-agent: GRAFTBOT\n" +
+            "DISALLOW: /c"), id % 5, lit("/ # trailing comment\nallow: /c"),
+          id % 5, lit("/deep\nCrawl-delay: "), id % 7 + 1,
+          lit("\nNoindex: zz\nDisallow:\n")))
+        .when(id % 5 === 2, concat(
+          lit("User-agent: otherbot\r\nDisallow: /\r\n" +
+            "User-agent: *\r\nDisallow: /tmp"), id % 3, lit("/\r\n" +
+            "User-agent: *\r\nSitemap: https://s"), id % 6,
+          lit(".example.com/sitemap.xml\r\nAllow: /tmp"), id % 3, lit("/pub\r\n")))
+        .when(id % 5 === 3, concat(
+          lit("Sitemap: https://n"), id % 3,
+          lit(".example.com/s.xml\nUser-agent: otherbot\nDisallow: /x/\n")))
+        .otherwise(concat(
+          lit("# corpus sitemaps\nSitemap: https://m"), id % 4,
+          lit(".example.com/a.xml\nUser-agent: graftbot\nCrawl-delay: soon\n" +
+            "Crawl-delay: "), id % 5 + 2, lit("\nDisallow: /only"), id % 2,
+          lit("/\nSitemap: https://m"), id % 4, lit(".example.com/b.xml\n")))
+      docs(s, dir).select(id, txt.as("txt")).as[(Long, String)]
+        .flatMap { case (i2, t) =>
+          val p = graft.core.Robots.parse(t, "graftbot")
+          val sm = if (p.sitemaps.isEmpty) None else Some(p.sitemaps.mkString(","))
+          // a rule-less policy is one marker row with allow=true: the
+          // RFC's default-allow, stated as data rather than a NULL
+          if (p.rules.isEmpty)
+            Seq((i2, None: Option[Int], None: Option[String],
+              Some(true), p.crawlDelay, sm))
+          else p.rules.map(r =>
+            (i2, Some(r.idx), Some(r.prefix), Some(r.allow), p.crawlDelay, sm))
+        }
+        .toDF("doc_id", "idx", "prefix", "allow", "crawl_delay", "sitemaps")
+    }),
     // hreflang alternate extraction: the multilingual-cluster signal —
     // link[rel~=alternate][hreflang] pairs in document order; rel token
     // lists count, an alternate WITHOUT hreflang (RSS feeds) must not
@@ -2169,6 +2215,36 @@ object SparkEntry {
           "CASE doc_id % 6 WHEN 0 THEN 'meta' WHEN 1 THEN 'time' " +
           "WHEN 2 THEN 'url' WHEN 3 THEN 'none' WHEN 4 THEN 'time' " +
           "ELSE 'meta' END AS source FROM documents"),
+      // e45 oracle: arithmetic rule rows per family — the graft-prefix
+      // group loses to graftbot (family 0 has exactly 3 rules, not 4),
+      // the orphan rule and empty Disallow allocate NO row, family 3 is
+      // the rule-less marker that still carries its global sitemap, and
+      // family 4's first NUMERIC crawl-delay survives the 'soon' decoy
+      "e45_robots_rules" ->
+        ("SELECT doc_id, CAST(t.j AS INT) AS idx, " +
+          "CASE t.j WHEN 0 THEN '/a' || (doc_id % 4) || '/' WHEN 1 THEN '/' " +
+          "ELSE '/z' || (doc_id % 3) || '/' END AS prefix, " +
+          "t.j = 0 AS allow, CAST(NULL AS BIGINT) AS crawl_delay, " +
+          "CAST(NULL AS VARCHAR) AS sitemaps " +
+          "FROM documents, range(3) t(j) WHERE doc_id % 5 = 0 " +
+          "UNION ALL SELECT doc_id, CAST(t.j AS INT), " +
+          "'/c' || (doc_id % 5) || '/' || CASE t.j WHEN 0 THEN '' ELSE 'deep' END, " +
+          "t.j = 1, CAST(doc_id % 7 + 1 AS BIGINT), CAST(NULL AS VARCHAR) " +
+          "FROM documents, range(2) t(j) WHERE doc_id % 5 = 1 " +
+          "UNION ALL SELECT doc_id, CAST(t.j AS INT), " +
+          "'/tmp' || (doc_id % 3) || '/' || CASE t.j WHEN 0 THEN '' ELSE 'pub' END, " +
+          "t.j = 1, CAST(NULL AS BIGINT), " +
+          "'https://s' || (doc_id % 6) || '.example.com/sitemap.xml' " +
+          "FROM documents, range(2) t(j) WHERE doc_id % 5 = 2 " +
+          "UNION ALL SELECT doc_id, CAST(NULL AS INT), CAST(NULL AS VARCHAR), " +
+          "true, CAST(NULL AS BIGINT), " +
+          "'https://n' || (doc_id % 3) || '.example.com/s.xml' " +
+          "FROM documents WHERE doc_id % 5 = 3 " +
+          "UNION ALL SELECT doc_id, CAST(0 AS INT), '/only' || (doc_id % 2) || '/', " +
+          "false, CAST(doc_id % 5 + 2 AS BIGINT), " +
+          "'https://m' || (doc_id % 4) || '.example.com/a.xml,https://m' || " +
+          "(doc_id % 4) || '.example.com/b.xml' " +
+          "FROM documents WHERE doc_id % 5 = 4"),
       // e36 oracle: arithmetic alternates per kind — the RSS alternate
       // (no hreflang) contributes NO row, DE case-folds to de
       "e36_hreflang_alternates" ->

@@ -277,4 +277,42 @@ class LinksSpec extends AnyFunSuite {
       assert(f.kind == "rss" || f.kind == "atom" || f.kind == "invalid")
     }
   }
+
+  test("robots: grammar, UA stacking, longest-prefix selection, group merge, globals, crawl-delay") {
+    import graft.core.Robots
+    val body =
+      "Disallow: /orphan/\n" + // rule before any group: dropped
+        "User-agent: *\nDisallow: /private/\n" +
+        "User-Agent: alpha\nUser-agent: GraftBot\n" + // stacked UAs, one group
+        "DISALLOW: /c/ # comment\nallow: /c/deep\n" +
+        "Crawl-delay: nope\nCrawl-delay: 4\nCrawl-delay: 9\n" + // first NUMERIC wins
+        "Noindex: zz\nDisallow:\n" + // unknown key + empty disallow: no rules
+        "Sitemap: https://x.example.com/a.xml\r\n" + // global, CRLF
+        "User-agent: graftbot\nDisallow: /z/\n" + // same token: merges in order
+        "User-agent: graft\nDisallow: /shorter/\n" // shorter prefix: loses
+    val p = Robots.parse(body, "GRAFTBOT")
+    assert(p.rules == Vector(Robots.Rule(0, "/c/", false),
+      Robots.Rule(1, "/c/deep", true), Robots.Rule(2, "/z/", false)))
+    assert(p.crawlDelay.contains(4L))
+    assert(p.sitemaps == Vector("https://x.example.com/a.xml"))
+    // an agent matching nothing specific falls back to the * group
+    val q = Robots.parse(body, "unknownbot")
+    assert(q.rules == Vector(Robots.Rule(0, "/private/", false)))
+    // a global record between a group's UA line and its rules does not
+    // break the group
+    val g = Robots.parse(
+      "User-agent: bot\nSitemap: https://g/s.xml\nAllow: /kept/", "bot")
+    assert(g.rules == Vector(Robots.Rule(0, "/kept/", true)) &&
+      g.sitemaps == Vector("https://g/s.xml"))
+    // no match and no * group: zero rules, sitemaps still surface
+    val r = Robots.parse(
+      "User-agent: other\nDisallow: /x/\nSitemap: https://s/m.xml", "graftbot")
+    assert(r.rules.isEmpty && r.crawlDelay.isEmpty &&
+      r.sitemaps == Vector("https://s/m.xml"))
+    // totality: colonless lines, empty UA values, comments-only, empty
+    assert(Robots.parse(
+      "::::\n# only a comment\n\nAllow /nocolon\nUser-agent:\nDisallow: /u/",
+      "g").rules.isEmpty)
+    assert(Robots.parse("", "g") == Robots.Policy(Vector.empty, None, Vector.empty))
+  }
 }

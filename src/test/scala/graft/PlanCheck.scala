@@ -306,6 +306,9 @@ object PlanCheck {
     println("==== 84. e44 HITS: per-iteration (host,long) join + map-side-combined agg; edges persisted once; flat plan via localCheckpoint ====")
     SparkEntry.queries("e44_hits")(spark, sf).explain("formatted")
 
+    println("==== 85. e45 robots rules: kernel flatMap in the scan stage, zero exchange ====")
+    SparkEntry.queries("e45_robots_rules")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
