@@ -1399,6 +1399,12 @@ object SparkEntry {
         .select(col("doc_id"), col("host"), col("mode"),
           col("next_fetch_ts"), (col("rk") - 1).cast("int").as("slot"))
     }),
+    // dataset-mixture planning table: per-source token supply -> target
+    // weights -> epoch factor capped at 2.0 -> planned tokens + visible
+    // deficit; the source-LEVEL budgeting step before t9's per-doc epoch
+    // expansion, all long-div ppm arithmetic
+    "p10_mixture_plan" -> ((s, dir) =>
+      TrainingOps.mixturePlan(docs(s, dir))),
     // composed WEB pipeline (the e-family analog of p1): ONE parse pass
     // computes metadata + outlinks per page (kernel runs once in the
     // scan stage), the link graph and 3-iteration host rank derive from
@@ -3280,6 +3286,24 @@ object SparkEntry {
           "n AS (SELECT doc_id, source, wx2 // 2 + " +
           "CASE WHEN wx2 % 2 = 1 AND u < 500000 THEN 1 ELSE 0 END AS n_epochs FROM m) " +
           "SELECT doc_id, source, CAST(unnest(range(n_epochs)) AS INT) AS epoch FROM n"),
+      // p10 oracle: the same long-div ppm arithmetic as mixturePlan, in
+      // chained CTEs — supply per source, scalar totals, budget = 3/2 ×
+      // supply, epochs capped at 2.0; sums cast back to BIGINT (DuckDB
+      // widens SUM to HUGEINT)
+      "p10_mixture_plan" ->
+        (s"WITH sup AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+          s"CAST(SUM(len($w)) AS BIGINT) AS supply_tokens, " +
+          "(CAST(regexp_extract(source, 'src([0-9]+)', 1) AS BIGINT) % 7 + 1) AS wu " +
+          "FROM documents WHERE length(text) >= 1 GROUP BY source), " +
+          "tot AS (SELECT CAST(SUM(wu) AS BIGINT) AS total_wu, " +
+          "CAST(SUM(supply_tokens) * 3 // 2 AS BIGINT) AS budget_tokens FROM sup), " +
+          "pl AS (SELECT source, n_docs, supply_tokens, " +
+          "CAST(wu * 1000000 // total_wu AS BIGINT) AS weight_ppm, " +
+          "CAST(budget_tokens * wu // total_wu AS BIGINT) AS target_tokens FROM sup, tot), " +
+          "pe AS (SELECT *, CAST(least(2000000, target_tokens * 1000000 // supply_tokens) AS BIGINT) AS epochs_ppm FROM pl) " +
+          "SELECT source, n_docs, supply_tokens, weight_ppm, target_tokens, epochs_ppm, " +
+          "CAST(supply_tokens * epochs_ppm // 1000000 AS BIGINT) AS planned_tokens, " +
+          "CAST(target_tokens - supply_tokens * epochs_ppm // 1000000 AS BIGINT) AS deficit_tokens FROM pe"),
       // frequent-trigram oracle: plain one-stage global window over the
       // HAVING-pruned counts — algorithm-independent of the salted
       // two-stage Spark plan; ties at equal count break by ngram asc on

@@ -1616,6 +1616,54 @@ object TrainingOps extends Serializable {
         explode(sequence(lit(0), col("n_epochs") - 1)).as("epoch"))
   }
 
+  /** Dataset-mixture planning table — the source-LEVEL budgeting step
+    * BEFORE [[sourceMix]]'s per-document epoch expansion: given each
+    * source's token supply and a target mixture weight, how many tokens
+    * does a training run of budget B take from each source, at what
+    * repeat factor, and where does the plan fall short? This is the
+    * data-recipe arithmetic every LLM training report tabulates
+    * (per-source tokens × epochs × weight): a source can only repeat so
+    * many times before quality degrades, so targets are capped at
+    * `maxEpochsPpm` and the uncovered remainder is reported as
+    * `deficit_tokens` — surfaced, not silently redistributed (a
+    * water-filling pass would iterate; the planner's job is to make the
+    * shortfall visible so the recipe owner rebalances weights).
+    *
+    * All integer arithmetic in ppm (the e23 discipline): weight_ppm =
+    * wu*1e6 div total_wu, target = B*wu div total_wu, epochs_ppm =
+    * min(cap, target*1e6 div supply), planned = supply*epochs_ppm div
+    * 1e6 — bit-reproducible, oracle-mirrored. Budget B = 3/2 × total
+    * supply here; production passes it in.
+    *
+    * Scale shape: ONE corpus pass (map-side-combined per-source token
+    * sum — the only thing that sees data volume); everything after runs
+    * on the ~#sources-row table, with the two scalar totals joined in
+    * as a broadcast-degenerate single-row cross join, never collected.
+    */
+  def mixturePlan(docs: DataFrame, maxEpochsPpm: Long = 2000000L): DataFrame = {
+    val supply = docs.filter(length(col("text")) >= 1)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(size(words(col("text")))).as("supply_tokens"))
+      .withColumn("wu",
+        (regexp_extract(col("source"), "src([0-9]+)", 1).cast("long") % 7 + 1))
+    // LONG div throughout — `/` on longs is a DOUBLE divide in Spark,
+    // exact only below 2^53; div keeps the plan bit-exact up to the
+    // documented bound (~9e12 tokens in one source before x*1e6
+    // overflows; swap to DECIMAL beyond that)
+    val totals = supply.agg(sum("wu").as("total_wu"),
+      sum("supply_tokens").as("sum_supply"))
+      .withColumn("budget_tokens", expr("sum_supply * 3 div 2"))
+    supply.crossJoin(totals)
+      .withColumn("weight_ppm", expr("wu * 1000000 div total_wu"))
+      .withColumn("target_tokens", expr("budget_tokens * wu div total_wu"))
+      .withColumn("epochs_ppm",
+        least(lit(maxEpochsPpm), expr("target_tokens * 1000000 div supply_tokens")))
+      .withColumn("planned_tokens", expr("supply_tokens * epochs_ppm div 1000000"))
+      .withColumn("deficit_tokens", col("target_tokens") - col("planned_tokens"))
+      .select("source", "n_docs", "supply_tokens", "weight_ppm", "target_tokens",
+        "epochs_ppm", "planned_tokens", "deficit_tokens")
+  }
+
   /** Per-source document cap — keep at most `maxPerSource` documents per
     * source, preferring longer documents (the RefinedWeb/C4-style
     * "limit docs per domain" anti-SEO-farm curation step). Ranking is

@@ -844,6 +844,29 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(edges.repartition(5)) == out)
   }
 
+  test("mixture plan: hand-computed ppm arithmetic, epoch cap binds, deficit surfaces, partitioning-invariant") {
+    val sp = spark; import sp.implicits._
+    // wu: src1 -> 1%7+1 = 2, src6 -> 6%7+1 = 7, src7 -> 7%7+1 = 1
+    // supply: src1 10, src6 4, src7 6 => sum 20, budget 30, total_wu 10
+    // targets 6/21/3; epochs 0.6 / capped 2.0 (5.25 uncapped) / 0.5
+    // planned 6/8/3; deficit 0/13/0 — the cap's shortfall is VISIBLE
+    val docs = Seq(
+      (1L, "a b c d", "src1"), (2L, "a b c d e f", "src1"),
+      (3L, "x y z w", "src6"),
+      (4L, "p q r", "src7"), (5L, "s t u", "src7"),
+      (6L, "", "src1") // empty text: excluded from supply
+    ).toDF("doc_id", "text", "source")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.datapipe.TrainingOps.mixturePlan(df).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    val out = run(docs)
+    assert(out("src1") == ((2L, 10L, 200000L, 6L, 600000L, 6L, 0L)))
+    assert(out("src6") == ((1L, 4L, 700000L, 21L, 2000000L, 8L, 13L)))
+    assert(out("src7") == ((2L, 6L, 100000L, 3L, 500000L, 3L, 0L)))
+    assert(run(docs.repartition(7)) == out)
+  }
+
   test("redirect resolution: terminal chains, cycles capped, self-loops, hop counts") {
     val sp = spark; import sp.implicits._
     val edges = Seq(

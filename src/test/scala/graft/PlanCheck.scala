@@ -309,6 +309,9 @@ object PlanCheck {
     println("==== 85. e45 robots rules: kernel flatMap in the scan stage, zero exchange ====")
     SparkEntry.queries("e45_robots_rules")(spark, sf).explain("formatted")
 
+    println("==== 86. p10 mixture plan: ONE map-side-combined corpus agg; totals as a single-row broadcast cross join ====")
+    SparkEntry.queries("p10_mixture_plan")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
