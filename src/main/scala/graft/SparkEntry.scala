@@ -1618,6 +1618,17 @@ object SparkEntry {
         .toDF("doc_id", "payload")
       TrainingOps.mp4Headers(s, payloads)
     }),
+    // ZIP central-directory walk over synthesized archives: backward
+    // EOCD scan with a decoy signature in the trailing comment, ZIP64
+    // sentinel indirection (>4GiB entry), data-descriptor locals whose
+    // sizes lie (CD is the truth), truncated directory keeps its prefix
+    "m13_zip_entries" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = docs(s, dir).select(col("doc_id")).as[Long]
+        .map(id => (id, TrainingOps.syntheticZipPayload(id)))
+        .toDF("doc_id", "payload")
+      TrainingOps.zipEntries(s, payloads)
+    }),
     // charset sniffing over synthesized page bytes: BOM > 1024-byte meta
     // prescan > UTF-8 structural validation > windows-1252 fallback; the
     // oracle derives every verdict arithmetically from doc_id
@@ -3236,6 +3247,39 @@ object SparkEntry {
           "WHEN doc_id % 6 IN (1,2,5) THEN CAST(1 AS INT) END AS n_tracks, " +
           "CASE doc_id % 6 WHEN 3 THEN 'truncated' WHEN 4 THEN 'unknown' ELSE 'ok' END AS status " +
           "FROM documents"),
+      // m13 oracle: entry rows arithmetic per family — the decoy-comment
+      // and zip64 families still parse ok (with the >4GiB size resolved
+      // from the extra field), the data-descriptor family reports CD
+      // sizes (locals carry zeros), family 4 is the no_eocd marker, and
+      // family 5 keeps exactly its one parsed entry as 'truncated'
+      "m13_zip_entries" ->
+        ("SELECT doc_id, 'ok' AS status, CAST(t.j AS INT) AS idx, " +
+          "CASE t.j WHEN 0 THEN 'a' || (doc_id % 9) || '.txt' ELSE 'b' || (doc_id % 9) || '.bin' END AS name, " +
+          "CASE t.j WHEN 0 THEN 0 ELSE 8 END AS method, " +
+          "CAST(CASE t.j WHEN 0 THEN 7 + doc_id % 3 ELSE 5 + doc_id % 4 END AS BIGINT) AS comp_size, " +
+          "CAST(CASE t.j WHEN 0 THEN 7 + doc_id % 3 ELSE 20 + doc_id % 6 END AS BIGINT) AS uncomp_size " +
+          "FROM documents, range(2) t(j) WHERE doc_id % 6 = 0 " +
+          "UNION ALL SELECT doc_id, 'ok', 0, 'c' || (doc_id % 9) || '.txt', 0, " +
+          "CAST(7 + doc_id % 3 AS BIGINT), CAST(7 + doc_id % 3 AS BIGINT) " +
+          "FROM documents WHERE doc_id % 6 = 1 " +
+          "UNION ALL SELECT doc_id, 'ok', CAST(t.j AS INT), " +
+          "CASE t.j WHEN 0 THEN 'big' || (doc_id % 9) || '.bin' ELSE 's.txt' END, " +
+          "CASE t.j WHEN 0 THEN 8 ELSE 0 END, " +
+          "CAST(CASE t.j WHEN 0 THEN 1000 + doc_id % 7 ELSE 3 END AS BIGINT), " +
+          "CAST(CASE t.j WHEN 0 THEN 5000000000 + doc_id % 9 ELSE 3 END AS BIGINT) " +
+          "FROM documents, range(2) t(j) WHERE doc_id % 6 = 2 " +
+          "UNION ALL SELECT doc_id, 'ok', CAST(t.j AS INT), " +
+          "CASE t.j WHEN 0 THEN 'd0_' || (doc_id % 9) || '.txt' ELSE 'd1.txt' END, " +
+          "CASE t.j WHEN 0 THEN 8 ELSE 0 END, " +
+          "CAST(CASE t.j WHEN 0 THEN 9 + doc_id % 5 ELSE 4 END AS BIGINT), " +
+          "CAST(CASE t.j WHEN 0 THEN 30 + doc_id % 7 ELSE 4 END AS BIGINT) " +
+          "FROM documents, range(2) t(j) WHERE doc_id % 6 = 3 " +
+          "UNION ALL SELECT doc_id, 'no_eocd', CAST(NULL AS INT), CAST(NULL AS VARCHAR), " +
+          "CAST(NULL AS INT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) " +
+          "FROM documents WHERE doc_id % 6 = 4 " +
+          "UNION ALL SELECT doc_id, 'truncated', 0, 't' || (doc_id % 9) || '.txt', 0, " +
+          "CAST(2 + doc_id % 3 AS BIGINT), CAST(2 + doc_id % 3 AS BIGINT) " +
+          "FROM documents WHERE doc_id % 6 = 5"),
       // m5 oracle: every verdict arithmetic from doc_id (the m3/m4
       // pattern) — a MATCH means the byte builder and the three-rung
       // sniffer agree on BOM precedence, the prescan window bound, and

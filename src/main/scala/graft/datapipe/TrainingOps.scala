@@ -4152,4 +4152,210 @@ object TrainingOps extends Serializable {
       }
       .toDF("doc_id", "brand", "timescale", "duration_ms", "n_tracks", "status")
   }
+
+  /** Deterministic ZIP payloads for [[zipEntries]] — six families keyed
+    * by doc_id, each pinning one archive-grammar trap (see zipEntries).
+    */
+  def syntheticZipPayload(id: Long): Array[Byte] = {
+    def a(s: String) = s.getBytes("US-ASCII")
+    def le2(v: Long) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le4(v: Long) = le2(v & 0xffff) ++ le2((v >> 16) & 0xffff)
+    def le8(v: Long) = le4(v & 0xffffffffL) ++ le4(v >>> 32)
+    def cdEntry(name: String, method: Int, flags: Int, comp: Long,
+                uncomp: Long, extra: Array[Byte] = Array.empty): Array[Byte] =
+      le4(0x02014b50L) ++ le2(20) ++ le2(20) ++ le2(flags) ++ le2(method) ++
+        le2(0) ++ le2(0) ++ le4(0) ++ le4(comp) ++ le4(uncomp) ++
+        le2(name.length) ++ le2(extra.length) ++ le2(0) ++ le2(0) ++
+        le2(0) ++ le4(0) ++ le4(0) ++ a(name) ++ extra
+    def eocd(n: Long, cdSize: Long, cdOff: Long,
+             comment: Array[Byte] = Array.empty): Array[Byte] =
+      le4(0x06054b50L) ++ le2(0) ++ le2(0) ++ le2(n) ++ le2(n) ++
+        le4(cdSize) ++ le4(cdOff) ++ le2(comment.length) ++ comment
+    def localHdr(name: String, method: Int, flags: Int, comp: Long,
+                 uncomp: Long): Array[Byte] =
+      le4(0x04034b50L) ++ le2(20) ++ le2(flags) ++ le2(method) ++ le2(0) ++
+        le2(0) ++ le4(0) ++ le4(comp) ++ le4(uncomp) ++ le2(name.length) ++
+        le2(0) ++ a(name)
+    (id % 6).toInt match {
+      case 0 =>
+        val n0 = 7 + id % 3
+        val filler = a("D" * (4 + id % 5).toInt)
+        val cd = cdEntry(s"a${id % 9}.txt", 0, 0, n0, n0) ++
+          cdEntry(s"b${id % 9}.bin", 8, 0, 5 + id % 4, 20 + id % 6)
+        filler ++ cd ++ eocd(2, cd.length, filler.length)
+      case 1 =>
+        // EOCD comment opens with a DECOY EOCD signature: the backward
+        // scan hits it first (it sits exactly 22 bytes from EOF) and
+        // must reject it because its comment-length field (0xABAB)
+        // does not cover the bytes remaining
+        val filler = a("x" * (3 + id % 4).toInt)
+        val cd = cdEntry(s"c${id % 9}.txt", 0, 0, 7 + id % 3, 7 + id % 3)
+        val decoy = le4(0x06054b50L) ++ Array.fill[Byte](18)(0xab.toByte)
+        filler ++ cd ++ eocd(1, cd.length, filler.length, decoy)
+      case 2 =>
+        // ZIP64: EOCD carries 0xFFFF/0xFFFFFFFF sentinels, the real
+        // count/offset live in the ZIP64 EOCD record found via the
+        // locator; entry 0's uncompressed size is itself a sentinel
+        // resolved from the 0x0001 extra field (> 4 GiB)
+        val bigUncomp = 5000000000L + id % 9
+        val x64 = le2(0x0001) ++ le2(8) ++ le8(bigUncomp)
+        val filler = a("z" * (2 + id % 3).toInt)
+        val cd = cdEntry(s"big${id % 9}.bin", 8, 0, 1000 + id % 7,
+          0xffffffffL, x64) ++ cdEntry("s.txt", 0, 0, 3, 3)
+        val z64 = le4(0x06064b50L) ++ le8(44) ++ le2(45) ++ le2(45) ++
+          le4(0) ++ le4(0) ++ le8(2) ++ le8(2) ++ le8(cd.length) ++
+          le8(filler.length)
+        val loc = le4(0x07064b50L) ++ le4(0) ++ le8(filler.length + cd.length) ++ le4(1)
+        filler ++ cd ++ z64 ++ loc ++ eocd(0xffffL, cd.length, 0xffffffffL)
+      case 3 =>
+        // data-descriptor archive: local headers carry ZERO sizes (flag
+        // bit 3), the central directory carries the truth — a walker
+        // that reads local headers reports 0 here
+        val c0 = 9 + id % 5; val u0 = 30 + id % 7
+        val lh = localHdr(s"d0_${id % 9}.txt", 8, 0x0008, 0, 0) ++
+          a("DD") ++ localHdr("d1.txt", 0, 0, 4, 4) ++ a("4444")
+        val cd = cdEntry(s"d0_${id % 9}.txt", 8, 0x0008, c0, u0) ++
+          cdEntry("d1.txt", 0, 0, 4, 4)
+        lh ++ cd ++ eocd(2, cd.length, lh.length)
+      case 4 => a(s"not a zip $id")
+      case _ =>
+        // EOCD promises 3 entries; the directory holds ONE, then the
+        // payload ends — the walk keeps what it parsed (truncated)
+        val filler = a("q" * (2 + id % 3).toInt)
+        val n = 2 + id % 3
+        val cd = cdEntry(s"t${id % 9}.txt", 0, 0, n, n)
+        filler ++ cd ++ eocd(3, cd.length + 92, filler.length)
+    }
+  }
+
+  /** ZIP central-directory walk over opaque archive payloads — the
+    * container format behind docx/epub/jar payloads a crawl encounters,
+    * completing the never-scan walker series (gzip members m9, WARC m3,
+    * MP4 m11, RIFF m8). A ZIP is read from the END: the End-Of-Central-
+    * Directory record is found by scanning BACKWARD for its signature,
+    * validating that the candidate's comment-length field exactly covers
+    * the bytes remaining — a signature inside the trailing comment fails
+    * that check and the scan continues (pinned by a decoy placed where
+    * the scan looks first). The walk then reads the central directory
+    * ONLY: local file headers are never touched, because with streaming
+    * (data-descriptor) archives they legally carry ZERO sizes (flag bit
+    * 3) and only the CD holds the truth — pinned by a family whose local
+    * headers lie. ZIP64 is the largesize analog of m11: a 0xFFFF entry
+    * count or 0xFFFFFFFF offset in the EOCD is a SENTINEL redirecting
+    * through the ZIP64 locator to the ZIP64 EOCD record, and a sentinel
+    * size in a CD entry resolves from its 0x0001 extra field — pinned by
+    * an entry whose true uncompressed size exceeds 4 GiB, whose low word
+    * is nonzero. Per entry: name, method (0 stored / 8 deflate),
+    * compressed/uncompressed sizes. Error-as-data: `ok` / `no_eocd`
+    * (not a zip) / `malformed` (ZIP64 indirection broken) / `truncated`
+    * (CD ends before the promised entry count — entries parsed so far
+    * are kept, one row each). Rule-less outcomes yield one marker row
+    * (idx NULL) so every doc surfaces. Only directory bytes are ever
+    * read — a multi-gigabyte archive costs ~46 bytes per entry, the
+    * scan-side metadata discipline shared with m4/m6/m8/m11. Typed
+    * mapPartitions, MAP-ONLY, zero shuffle.
+    */
+  def zipEntries(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        def le(b: Array[Byte], i: Int, n: Int): Long = {
+          var v = 0L; var k = n - 1
+          while (k >= 0) { v = (v << 8) | (b(i + k) & 0xffL); k -= 1 }
+          v
+        }
+        it.flatMap { case (id, b) =>
+          val len = b.length
+          var eocd = -1
+          var p = len - 22
+          val lo = math.max(0, len - 22 - 65535)
+          while (eocd < 0 && p >= lo) {
+            if (le(b, p, 4) == 0x06054b50L && le(b, p + 20, 2) == (len - (p + 22)).toLong)
+              eocd = p
+            else p -= 1
+          }
+          var status: String = null
+          var nTotal = 0L
+          var cdOff = 0L
+          val entries = Vector.newBuilder[(Int, String, Int, Long, Long)]
+          if (eocd < 0) status = "no_eocd"
+          else {
+            nTotal = le(b, eocd + 10, 2)
+            cdOff = le(b, eocd + 16, 4)
+            if (nTotal == 0xffffL || cdOff == 0xffffffffL) {
+              // ZIP64 sentinel: locator sits directly before the EOCD
+              val lp = eocd - 20
+              if (lp < 0 || le(b, lp, 4) != 0x07064b50L) status = "malformed"
+              else {
+                val zoff = le(b, lp + 8, 8)
+                if (zoff < 0 || zoff + 56 > len || le(b, zoff.toInt, 4) != 0x06064b50L)
+                  status = "malformed"
+                else {
+                  nTotal = le(b, zoff.toInt + 32, 8)
+                  cdOff = le(b, zoff.toInt + 48, 8)
+                }
+              }
+            }
+            if (status == null) {
+              var c = cdOff
+              var j = 0
+              while (status == null && j < nTotal) {
+                if (c + 46 > len || le(b, c.toInt, 4) != 0x02014b50L)
+                  status = "truncated"
+                else {
+                  val ci = c.toInt
+                  val method = le(b, ci + 10, 2).toInt
+                  var comp = le(b, ci + 20, 4)
+                  var uncomp = le(b, ci + 24, 4)
+                  val nameLen = le(b, ci + 28, 2).toInt
+                  val extraLen = le(b, ci + 30, 2).toInt
+                  val cmtLen = le(b, ci + 32, 2).toInt
+                  if (c + 46 + nameLen + extraLen + cmtLen > len) status = "truncated"
+                  else {
+                    val name = new String(b, ci + 46, nameLen, "US-ASCII")
+                    // sentinel sizes resolve from the ZIP64 extra field
+                    // (id 0x0001): values appear in order, only for the
+                    // fields that are sentinels in the fixed record
+                    if (comp == 0xffffffffL || uncomp == 0xffffffffL) {
+                      var x = ci + 46 + nameLen
+                      val xEnd = x + extraLen
+                      var found = false
+                      while (!found && x + 4 <= xEnd) {
+                        val hid = le(b, x, 2)
+                        val hsz = le(b, x + 2, 2).toInt
+                        if (hid == 0x0001L && x + 4 + hsz <= xEnd) {
+                          var q = x + 4
+                          if (uncomp == 0xffffffffL && q + 8 <= x + 4 + hsz) {
+                            uncomp = le(b, q, 8); q += 8
+                          }
+                          if (comp == 0xffffffffL && q + 8 <= x + 4 + hsz)
+                            comp = le(b, q, 8)
+                          found = true
+                        } else x += 4 + hsz
+                      }
+                      if (!found) status = "malformed"
+                    }
+                    if (status == null) {
+                      entries += ((j, name, method, comp, uncomp))
+                      c += 46 + nameLen + extraLen + cmtLen
+                      j += 1
+                    }
+                  }
+                }
+              }
+              if (status == null) status = "ok"
+            }
+          }
+          val es = entries.result()
+          if (es.isEmpty)
+            Seq((id, status, None: Option[Int], None: Option[String],
+              None: Option[Int], None: Option[Long], None: Option[Long]))
+          else es.map { case (j, nm, m, cp, uc) =>
+            (id, status, Some(j), Some(nm), Some(m), Some(cp), Some(uc))
+          }
+        }
+      }
+      .toDF("doc_id", "status", "idx", "name", "method", "comp_size", "uncomp_size")
+  }
 }

@@ -1528,6 +1528,48 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(102L)._5 == "unknown")
   }
 
+  test("zip entries: backward EOCD scan with comment decoy, zip64 sentinels, data-descriptor locals, truncated prefix") {
+    val sp = spark; import sp.implicits._
+    def run(rows: Seq[(Long, Array[Byte])]) =
+      TrainingOps.zipEntries(sp, rows.toDF("doc_id", "payload")).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(2)) -1 else r.getInt(2)) ->
+          ((r.getString(1),
+            if (r.isNullAt(3)) null else r.getString(3),
+            if (r.isNullAt(4)) -1 else r.getInt(4),
+            if (r.isNullAt(5)) -1L else r.getLong(5),
+            if (r.isNullAt(6)) -1L else r.getLong(6)))).toMap
+    val out = run(Seq(
+      0L -> TrainingOps.syntheticZipPayload(0),  // plain 2-entry archive
+      7L -> TrainingOps.syntheticZipPayload(7),  // kind 1: decoy EOCD sig in comment
+      8L -> TrainingOps.syntheticZipPayload(8),  // kind 2: zip64, >4GiB entry
+      3L -> TrainingOps.syntheticZipPayload(3),  // kind 3: lying local headers
+      4L -> TrainingOps.syntheticZipPayload(4),  // kind 4: not a zip
+      5L -> TrainingOps.syntheticZipPayload(5),  // kind 5: truncated directory
+      // zip64 sentinel with no locator before the EOCD -> malformed
+      100L -> (TrainingOps.syntheticZipPayload(4) ++
+        Array[Byte](0x50, 0x4b, 0x05, 0x06) ++ Array.fill[Byte](6)(0) ++
+        Array[Byte](-1, -1) ++ Array.fill[Byte](10)(0)),
+      101L -> Array.emptyByteArray))
+    assert(out((0L, 0)) == (("ok", "a0.txt", 0, 7L, 7L)))
+    assert(out((0L, 1)) == (("ok", "b0.bin", 8, 5L, 20L)))
+    // the scan's FIRST candidate (22 bytes from EOF) is the decoy; the
+    // comment-length check rejects it and finds the true EOCD below
+    assert(out((7L, 0)) == (("ok", "c7.txt", 0, 8L, 8L)))
+    // zip64: count/offset via locator; uncomp resolved from the 0x0001
+    // extra field — 5000000008 has a nonzero low word, so a 32-bit read
+    // cannot produce it
+    assert(out((8L, 0)) == (("ok", "big8.bin", 8, 1001L, 5000000008L)))
+    assert(out((8L, 1)) == (("ok", "s.txt", 0, 3L, 3L)))
+    // data-descriptor: local headers say 0/0, the CD says the truth
+    assert(out((3L, 0)) == (("ok", "d0_3.txt", 8, 12L, 33L)))
+    assert(out((3L, 1)) == (("ok", "d1.txt", 0, 4L, 4L)))
+    assert(out((4L, -1)) == (("no_eocd", null, -1, -1L, -1L)))
+    // truncated: the one parsed entry is KEPT, status says what happened
+    assert(out((5L, 0)) == (("truncated", "t5.txt", 0, 4L, 4L)))
+    assert(out((100L, -1))._1 == "malformed")
+    assert(out((101L, -1))._1 == "no_eocd")
+  }
+
   test("image dims: header parse honors declared lengths, endianness, fill bytes; error taxonomy") {
     val sp = spark; import sp.implicits._
     def parse(rows: Seq[(Long, Array[Byte])]) =

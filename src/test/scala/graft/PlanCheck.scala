@@ -312,6 +312,9 @@ object PlanCheck {
     println("==== 86. p10 mixture plan: ONE map-side-combined corpus agg; totals as a single-row broadcast cross join ====")
     SparkEntry.queries("p10_mixture_plan")(spark, sf).explain("formatted")
 
+    println("==== 87. m13 zip entries: typed mapPartitions walker in the scan stage, zero exchange ====")
+    SparkEntry.queries("m13_zip_entries")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
