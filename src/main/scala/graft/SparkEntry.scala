@@ -662,6 +662,11 @@ object SparkEntry {
     // decisive): terminal punctuation, no ellipsis ending, >= 5 words,
     // no lorem/brace — survivors rejoined into clean_text
     "t36_c4_line_scrub" -> ((s, dir) => TrainingOps.c4LineScrub(docs(s, dir))),
+    // Aho-Corasick multi-pattern blocklist counting: one corpus pass
+    // regardless of pattern count, nested prefix/suffix pattern families
+    // ("scan">"can">"an", "tab"/"table"/"able") pin the dictionary-link
+    // flattening; oracle is the naive O(n*p) position scan it replaces
+    "t37_blocklist_hits" -> ((s, dir) => TrainingOps.blocklistHits(s, docs(s, dir))),
     // sentence segmentation over sentence-structured synthetic text:
     // lookaround boundary (punct + whitespace + capital/digit) that must
     // split every constructed boundary and neither trap (abbreviation,
@@ -3575,6 +3580,19 @@ object SparkEntry {
           "CAST(len(kept) AS INT) AS n_kept, " +
           // DuckDB array_to_string([]) is NULL; Spark concat_ws is ''
           "coalesce(array_to_string(kept, chr(10)), '') AS clean_text FROM k"),
+      // t37 oracle: the NAIVE quadratic form the automaton replaces —
+      // every (doc, pattern, start-position) substr-compared; a MATCH
+      // proves the linear AC scan (with flattened dictionary links and
+      // overlap counting) computes exactly the O(n*p) answer
+      "t37_blocklist_hits" ->
+        ("WITH pats(pat) AS (VALUES " +
+          TrainingOps.BlocklistPatterns.map(p => s"('$p')").mkString(",") + "), " +
+          "t AS (SELECT doc_id, lower(text) AS tx FROM documents), " +
+          "c AS (SELECT doc_id, pat AS pattern, " +
+          "CAST(len(list_filter(range(1, length(tx) - length(pat) + 2), " +
+          "i -> substr(tx, CAST(i AS INT), length(pat)) = pat)) AS BIGINT) AS n_hits " +
+          "FROM t, pats) " +
+          "SELECT doc_id, pattern, n_hits FROM c WHERE n_hits >= 1"),
       // datasheet oracle: the same dup augmentation (lang kept), the t18
       // token/vocab scalars, a grouped-dup rate, the FULL t14 oracle
       // embedded as a subquery for the keep rate, and the majority lang —

@@ -4358,4 +4358,130 @@ object TrainingOps extends Serializable {
       }
       .toDF("doc_id", "status", "idx", "name", "method", "comp_size", "uncomp_size")
   }
+
+  /** The blocklist pattern table for [[blocklistHits]]'s driver query —
+    * deliberately a nested prefix/suffix family over the corpus
+    * vocabulary: "scan" ⊃ "can" ⊃ "an" is a three-deep suffix chain
+    * (every "scan" must also count one "can" and one "an" at the same
+    * end position — the dictionary-suffix-link behavior), "tab" is a
+    * proper prefix of "table" (the shorter fires while the automaton
+    * keeps walking), "able" is a suffix of "table", and "table table"
+    * crosses a word boundary (matching is raw substring, not
+    * word-token).
+    */
+  val BlocklistPatterns: Seq[String] =
+    Seq("an", "can", "scan", "tab", "table", "able", "value", "table table")
+
+  /** Multi-pattern substring counting via an Aho–Corasick automaton —
+    * the blocklist/filter-list primitive of web-corpus curation (C4's
+    * banned-word list, domain denylists, boilerplate phrase filters).
+    * Real lists hold 10⁴–10⁵ terms; the naive plan — one pass or one
+    * regex alternation per term — is O(corpus × patterns), and a regex
+    * alternation backtracks. The automaton makes the corpus cost
+    * O(len(text) + matches) per document, INDEPENDENT of pattern count:
+    * a goto-trie over the patterns with BFS failure links, outputs
+    * flattened through the fail chain at build time so scanning never
+    * walks dictionary links. Counts are ALL occurrence end positions
+    * (overlaps included, both self-overlap "aa"×"aaaa"→3 and
+    * cross-pattern nesting — a blocklist must count "able" inside
+    * "table": substring hits are exactly what filter lists mean).
+    * Matching is case-insensitive via one lower() applied BEFORE the
+    * scan, in both engines. Output: one (doc_id, pattern, n_hits) row
+    * per pattern with ≥1 hit.
+    *
+    * Scale shape: the automaton builds once per partition from the
+    * broadcast-sized pattern array (at 10⁵ terms you would
+    * `sparkContext.broadcast` the built automaton; the shape is
+    * identical); the scan is a typed mapPartitions riding the scan
+    * stage, zero exchange — corpus bytes are touched once no matter how
+    * large the list grows. The DuckDB oracle IS the quadratic naive
+    * form this replaces: docs × patterns × every start position,
+    * substr-compared — a MATCH proves the linear automaton computes
+    * exactly the O(n·p) answer.
+    */
+  def blocklistHits(spark: SparkSession, docs: DataFrame,
+                    patterns: Seq[String] = BlocklistPatterns): DataFrame = {
+    import spark.implicits._
+    require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+      "patterns must be non-empty strings")
+    val pats = patterns.map(_.toLowerCase).toArray
+    docs.select(col("doc_id"), lower(col("text")).as("tx"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ac = AhoCorasick.build(pats)
+        it.flatMap { case (id, tx) =>
+          val c = ac.countAll(tx)
+          c.indices.iterator.filter(c(_) > 0L)
+            .map(j => (id, pats(j), c(j)))
+        }
+      }
+      .toDF("doc_id", "pattern", "n_hits")
+  }
+}
+
+/** Aho–Corasick automaton used by [[TrainingOps.blocklistHits]]. Built
+  * once per partition (or broadcast, at real list sizes); `countAll`
+  * returns per-pattern occurrence counts over one left-to-right pass.
+  * Outputs are flattened through failure links at build time (BFS order
+  * guarantees a node's fail target — strictly shallower — is already
+  * flattened when the node is dequeued), so the scan loop never chases
+  * dictionary links.
+  */
+private[datapipe] object AhoCorasick {
+  final class Automaton(goto: Array[java.util.HashMap[Character, Integer]],
+                        fail: Array[Int], out: Array[Array[Int]],
+                        nPat: Int) extends Serializable {
+    def countAll(tx: String): Array[Long] = {
+      val c = new Array[Long](nPat)
+      var s = 0
+      var i = 0
+      while (i < tx.length) {
+        val ch = Character.valueOf(tx.charAt(i))
+        var n = goto(s).get(ch)
+        while (n == null && s != 0) { s = fail(s); n = goto(s).get(ch) }
+        s = if (n == null) 0 else n.intValue
+        val o = out(s)
+        var j = 0
+        while (j < o.length) { c(o(j)) += 1L; j += 1 }
+        i += 1
+      }
+      c
+    }
+  }
+
+  def build(pats: Array[String]): Automaton = {
+    import scala.collection.mutable.ArrayBuffer
+    val goto = ArrayBuffer(new java.util.HashMap[Character, Integer]())
+    val outB = ArrayBuffer(ArrayBuffer.empty[Int])
+    pats.zipWithIndex.foreach { case (p, pi) =>
+      var s = 0
+      p.foreach { ch =>
+        val key = Character.valueOf(ch)
+        val nx = goto(s).get(key)
+        if (nx == null) {
+          goto += new java.util.HashMap[Character, Integer]()
+          outB += ArrayBuffer.empty[Int]
+          goto(s).put(key, Integer.valueOf(goto.length - 1))
+          s = goto.length - 1
+        } else s = nx.intValue
+      }
+      outB(s) += pi
+    }
+    val fail = new Array[Int](goto.length)
+    val q = scala.collection.mutable.Queue.empty[Int]
+    goto(0).forEach((_, v) => { fail(v.intValue) = 0; q.enqueue(v.intValue) })
+    while (q.nonEmpty) {
+      val u = q.dequeue()
+      // fail(u) is strictly shallower, hence already flattened
+      outB(u) ++= outB(fail(u))
+      goto(u).forEach { (ch, v) =>
+        var f = fail(u)
+        var t = goto(f).get(ch)
+        while (t == null && f != 0) { f = fail(f); t = goto(f).get(ch) }
+        fail(v.intValue) = if (t == null) 0 else t.intValue
+        q.enqueue(v.intValue)
+      }
+    }
+    new Automaton(goto.toArray, fail, outB.map(_.toArray).toArray, pats.length)
+  }
 }

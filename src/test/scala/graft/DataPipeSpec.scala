@@ -1570,6 +1570,42 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out((101L, -1))._1 == "no_eocd")
   }
 
+  test("blocklist hits: Aho-Corasick counts equal naive position scan; dictionary links, overlaps, case fold") {
+    val sp = spark; import sp.implicits._
+    def run(rows: Seq[(Long, String)], pats: Seq[String]) =
+      TrainingOps.blocklistHits(sp, rows.toDF("doc_id", "text"), pats)
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // the classic AC corpus: "ushers" fires she@4, he@4 (dictionary
+    // suffix link at the SAME end position), hers@6; his never fires
+    val classic = run(Seq(1L -> "ushers"), Seq("he", "she", "his", "hers"))
+    assert(classic == Map((1L, "he") -> 1L, (1L, "she") -> 1L, (1L, "hers") -> 1L))
+    // three-deep suffix chain: every "scan" also ends one "can" and one
+    // "an"; "scant" does not break the chain mid-word
+    val chain = run(Seq(2L -> "scan a scant scan"), Seq("an", "can", "scan"))
+    assert(chain == Map((2L, "an") -> 3L, (2L, "can") -> 3L, (2L, "scan") -> 3L))
+    // self-overlap counts every end position
+    assert(run(Seq(3L -> "aaaa"), Seq("aa")) == Map((3L, "aa") -> 3L))
+    // case-insensitive via the single pre-scan lower() on both sides
+    assert(run(Seq(4L -> "The THE the"), Seq("the")) == Map((4L, "the") -> 3L))
+    // pattern longer than the text yields no row, not an error
+    assert(run(Seq(5L -> "ab"), Seq("abc")).isEmpty)
+    // cross-word pattern: matching is raw substring, not word tokens
+    assert(run(Seq(6L -> "table table table"), Seq("table table")) ==
+      Map((6L, "table table") -> 2L))
+    // differential vs an independent naive scan on random binary-alphabet
+    // text, where nested and overlapping hits are dense
+    val rnd = new scala.util.Random(42)
+    val pats = Seq("a", "ab", "aba", "bb", "abab")
+    val texts = (0 until 40).map(i => i.toLong -> (0 until 60).map(_ => if (rnd.nextBoolean()) 'a' else 'b').mkString)
+    val got = run(texts, pats)
+    val want = (for {
+      (id, tx) <- texts; p <- pats
+      n = (0 to tx.length - p.length).count(i => tx.regionMatches(i, p, 0, p.length))
+      if n > 0
+    } yield (id, p) -> n.toLong).toMap
+    assert(got == want)
+  }
+
   test("image dims: header parse honors declared lengths, endianness, fill bytes; error taxonomy") {
     val sp = spark; import sp.implicits._
     def parse(rows: Seq[(Long, Array[Byte])]) =

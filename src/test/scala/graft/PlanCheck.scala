@@ -315,6 +315,9 @@ object PlanCheck {
     println("==== 87. m13 zip entries: typed mapPartitions walker in the scan stage, zero exchange ====")
     SparkEntry.queries("m13_zip_entries")(spark, sf).explain("formatted")
 
+    println("==== 88. t37 blocklist hits: AC automaton scan rides the scan stage, zero exchange ====")
+    SparkEntry.queries("t37_blocklist_hits")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
