@@ -667,6 +667,13 @@ object SparkEntry {
     // ("scan">"can">"an", "tab"/"table"/"able") pin the dictionary-link
     // flattening; oracle is the naive O(n*p) position scan it replaces
     "t37_blocklist_hits" -> ((s, dir) => TrainingOps.blocklistHits(s, docs(s, dir))),
+    // interpolated Kneser-Ney bigram familiarity + CCNet head/middle/
+    // tail terciles: absolute discounting in integer half-counts,
+    // continuation probability from distinct-context counts, cutoffs
+    // estimated on a deterministic 1-in-10 hash sample (the only global
+    // window touches the sample, never the corpus)
+    "t38_kn_familiarity" -> ((s, dir) =>
+      TrainingOps.kneserNeyFamiliarity(docs(s, dir))),
     // sentence segmentation over sentence-structured synthetic text:
     // lookaround boundary (punct + whitespace + capital/digit) that must
     // split every constructed boundary and neither trap (abbreviation,
@@ -3752,6 +3759,35 @@ object SparkEntry {
           "sum(coalesce(ppm, 0)) AS sp FROM pl LEFT JOIN model USING (l, r) GROUP BY doc_id) " +
           "SELECT doc_id, CAST(nb AS INT) AS n_bigrams, CAST(n_oov AS BIGINT) AS n_oov, " +
           "CAST(sp AS BIGINT) AS sum_ppm, CAST(sp // nb AS BIGINT) AS familiarity_ppm FROM sc"),
+      // Kneser-Ney oracle: the same half-count discount, continuation
+      // normalization, two-step ppm rounding, pruned-model left join,
+      // and sample-tercile cutoffs — a MATCH pins every rounding step
+      "t38_kn_familiarity" ->
+        (s"WITH f AS (SELECT doc_id, $w AS w FROM documents WHERE length(text) >= 1), " +
+          "g AS (SELECT doc_id, w FROM f WHERE len(w) >= 2), " +
+          "pl AS (SELECT doc_id, p.l AS l, p.r AS r FROM (SELECT doc_id, " +
+          "unnest(list_transform(range(len(w)-1), i -> struct_pack(l := w[i+1], r := w[i+2]))) AS p FROM g)), " +
+          "clr AS (SELECT l, r, count(*) AS c_lr FROM pl GROUP BY 1, 2), " +
+          "lt AS (SELECT l, sum(c_lr) AS c_l, count(*) AS n1p_l FROM clr GROUP BY 1), " +
+          "nt AS (SELECT count(*) AS n_types FROM clr), " +
+          "rt AS (SELECT r, (1000000 * count(*)) // (SELECT n_types FROM nt) AS pcont_ppm FROM clr GROUP BY r), " +
+          "model AS (SELECT l, r, (1000000 * (2 * c_lr - 1)) // (2 * c_l) AS pml_ppm " +
+          "FROM clr JOIN lt USING (l) WHERE c_lr >= 2), " +
+          "sc0 AS (SELECT doc_id, pml_ppm, coalesce(pml_ppm, 0) + " +
+          "(n1p_l * pcont_ppm) // (2 * c_l) AS score_ppm " +
+          "FROM pl JOIN lt USING (l) JOIN rt USING (r) LEFT JOIN model USING (l, r)), " +
+          "sc AS (SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams, " +
+          "CAST(count(*) FILTER (WHERE pml_ppm IS NULL) AS BIGINT) AS n_backoff, " +
+          "CAST(sum(score_ppm) AS BIGINT) AS sum_ppm, " +
+          "CAST(sum(score_ppm) // count(*) AS BIGINT) AS kn_ppm FROM sc0 GROUP BY doc_id), " +
+          "samp AS (SELECT kn_ppm, row_number() OVER (ORDER BY kn_ppm, doc_id) AS rn, " +
+          "count(*) OVER () AS n FROM sc " +
+          "WHERE ('0x' || substr(md5('knq:' || doc_id), 1, 15))::BIGINT % 10 = 0), " +
+          "cuts AS (SELECT max(CASE WHEN rn = (n + 2) // 3 THEN kn_ppm END) AS c1, " +
+          "max(CASE WHEN rn = (2 * n + 2) // 3 THEN kn_ppm END) AS c2 FROM samp) " +
+          "SELECT doc_id, n_bigrams, n_backoff, sum_ppm, kn_ppm, " +
+          "CASE WHEN kn_ppm <= c1 THEN 'tail' WHEN kn_ppm <= c2 THEN 'middle' " +
+          "ELSE 'head' END AS bucket FROM sc, cuts"),
       "t12_lm_familiarity" ->
         (s"WITH f AS (SELECT doc_id, $w AS w FROM documents WHERE length(text) >= 1), " +
           "tok AS (SELECT doc_id, unnest(w) AS word FROM f), " +

@@ -4417,6 +4417,103 @@ object TrainingOps extends Serializable {
       }
       .toDF("doc_id", "pattern", "n_hits")
   }
+
+  /** Interpolated Kneser–Ney bigram familiarity with CCNet-style
+    * head/middle/tail bucketing — the perplexity quality filter of
+    * web-corpus curation (CCNet trains a KenLM on Wikipedia and keeps
+    * the low-perplexity head+middle of each Common-Crawl snapshot).
+    * Upgrades [[bigramFamiliarity]]'s raw conditionals with the TWO
+    * ideas that make KN the production smoother: absolute DISCOUNTING
+    * (each seen bigram donates D=0.5 of its count to unseen events) and
+    * CONTINUATION probability (a word's backoff weight is how many
+    * distinct contexts it follows, not how often — "Francisco" is
+    * frequent but only ever follows "San", so it must back off small).
+    *
+    *   P(r|l) = (c(l,r) − D)/c(l) + λ(l)·Pcont(r)      [interpolated]
+    *   λ(l)   = D·N1+(l·)/c(l)     Pcont(r) = N1+(·r)/N1+(··)
+    *
+    * All arithmetic is integer ppm with the discount folded into
+    * HALF-COUNTS (D=0.5 ⇒ numerator 2c−1 over denominator 2c(l)), so
+    * the oracle contract is transcendental-free like t28. Two-step
+    * rounding, both engines identical: pcont_ppm = 1e6·N1+(·r) div
+    * N1+(··), then backoff = N1+(l·)·pcont_ppm div (2c(l)). Overflow
+    * bounds: 1e6·(2c(l,r)−1) needs c(l,r) < ~4.6e12 (DECIMAL beyond);
+    * N1+(l·)·pcont_ppm ≤ vocab·1e6, safe to ~9e12 vocab.
+    *
+    * The stored bigram table prunes at c(l,r) >= minCount (t28's real-LM
+    * pruning); a pruned pair scores backoff-only (`n_backoff` counts
+    * them — the KN analog of t28's n_oov). Continuation/history counts
+    * come from the FULL corpus before pruning, the standard order.
+    * Bucketing: tercile cutoffs of the per-doc mean score are estimated
+    * on a deterministic 1-in-10 hash SAMPLE (md5-keyed, oracle-
+    * reproducible) and broadcast back — the production shape, because a
+    * global ntile is a single-partition sort; the only global window
+    * here touches the sample. head = top tercile (most familiar,
+    * lowest perplexity), the part CCNet keeps.
+    *
+    * Scale shape: pairs persist once and feed model build + scoring;
+    * scoring is three hash joins keyed on words (pair → pruned model,
+    * l → history table, r → continuation table — the unigram-sized
+    * tables broadcast when vocab allows; shuffles carry words + ids,
+    * never text); the cutoff table is one row, broadcast cross join.
+    */
+  def kneserNeyFamiliarity(docs: DataFrame, minCount: Long = 2): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val toks = docs.filter(length(col("text")) >= 1)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+    val pairs = toks.select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("w")) - 2),
+          i => struct(element_at(col("w"), i + 1).as("l"),
+            element_at(col("w"), i + 2).as("r")))).as("p"))
+      .select(col("doc_id"), col("p.l").as("l"), col("p.r").as("r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val clr = pairs.groupBy("l", "r").agg(count(lit(1)).as("c_lr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // history table: c(l) and the distinct-successor count N1+(l·)
+    val lTab = clr.groupBy("l")
+      .agg(sum("c_lr").as("c_l"), count(lit(1)).as("n1p_l"))
+    // continuation table: N1+(·r), normalized by the distinct-bigram
+    // total N1+(··) (a one-row broadcast cross join, never collected)
+    val nTypes = clr.agg(count(lit(1)).as("n_types"))
+    val rTab = clr.groupBy("r").agg(count(lit(1)).as("n1p_r"))
+      .crossJoin(broadcast(nTypes))
+      .select(col("r"), expr("(1000000 * n1p_r) div n_types").as("pcont_ppm"))
+    // stored (pruned) model: the discounted ML part, ppm of half-counts
+    val model = clr.filter(col("c_lr") >= minCount).join(lTab, "l")
+      .select(col("l"), col("r"),
+        expr("(1000000 * (2 * c_lr - 1)) div (2 * c_l)").as("pml_ppm"))
+    val scored = pairs
+      .join(lTab, "l").join(rTab, "r")
+      .join(model, Seq("l", "r"), "left")
+      .select(col("doc_id"), col("pml_ppm"),
+        (coalesce(col("pml_ppm"), lit(0L)) +
+          expr("(n1p_l * pcont_ppm) div (2 * c_l)")).as("score_ppm"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        count(when(col("pml_ppm").isNull, 1)).as("n_backoff"),
+        sum(col("score_ppm")).as("sum_ppm"))
+      .withColumn("kn_ppm", expr("sum_ppm div n_bigrams"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // tercile cutoffs on the deterministic 1-in-10 sample; value at
+    // ascending rank ceil(n/3) / ceil(2n/3) under (kn_ppm, doc_id)
+    val sample = scored
+      .filter(h60(concat(lit("knq:"), col("doc_id").cast("string"))) % 10 === 0)
+      .select(col("doc_id"), col("kn_ppm"))
+    val rnWin = Window.orderBy(col("kn_ppm"), col("doc_id"))
+    val cuts = sample
+      .withColumn("rn", row_number().over(rnWin))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+      .agg(max(when(expr("rn = (n + 2) div 3"), col("kn_ppm"))).as("c1"),
+        max(when(expr("rn = (2 * n + 2) div 3"), col("kn_ppm"))).as("c2"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_bigrams"), col("n_backoff"),
+        col("sum_ppm"), col("kn_ppm"),
+        when(col("kn_ppm") <= col("c1"), "tail")
+          .when(col("kn_ppm") <= col("c2"), "middle")
+          .otherwise("head").as("bucket"))
+  }
 }
 
 /** Aho–Corasick automaton used by [[TrainingOps.blocklistHits]]. Built

@@ -1606,6 +1606,84 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("Kneser-Ney familiarity: half-count discount, continuation mass, pruned backoff, sample terciles") {
+    val sp = spark; import sp.implicits._
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    // the full naive pipeline in plain Scala — every floor division in
+    // the same order as the op and the oracle
+    def naive(texts: Seq[(Long, String)]): Map[Long, (Int, Long, Long, Long, String)] = {
+      val toks = texts.filter(_._2.nonEmpty)
+        .map { case (id, t) => id -> t.trim.split("[ \\t\\n\\r\\f\\u000B]+").toSeq }
+        .filter(_._2.size >= 2)
+      val pl = toks.flatMap { case (id, w) => w.sliding(2).map(p => (id, p(0), p(1))) }
+      val clr = pl.groupBy(p => (p._2, p._3)).view.mapValues(_.size.toLong).toMap
+      val cL = clr.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      val n1pL = clr.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+      val n1pR = clr.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+      val nTypes = clr.size.toLong
+      val pcont = n1pR.view.mapValues(n => 1000000L * n / nTypes).toMap
+      val pml = clr.collect { case ((l, r), c) if c >= 2 =>
+        (l, r) -> (1000000L * (2 * c - 1) / (2 * cL(l))) }
+      val perDoc = pl.groupBy(_._1).map { case (id, ps) =>
+        val scores = ps.map { case (_, l, r) =>
+          (pml.get((l, r)), pml.getOrElse((l, r), 0L) + n1pL(l) * pcont(r) / (2 * cL(l))) }
+        id -> ((ps.size, scores.count(_._1.isEmpty).toLong, scores.map(_._2).sum))
+      }
+      val kn = perDoc.view.mapValues { case (n, _, s) => s / n }.toMap
+      val samp = kn.filter { case (id, _) => h60(s"knq:$id") % 10 == 0 }
+        .toSeq.sortBy { case (id, v) => (v, id) }
+      val cuts = if (samp.isEmpty) None else {
+        val n = samp.size
+        Some((samp((n + 2) / 3 - 1)._2, samp((2 * n + 2) / 3 - 1)._2))
+      }
+      perDoc.map { case (id, (n, nb, s)) =>
+        val b = cuts match {
+          case Some((c1, c2)) =>
+            if (kn(id) <= c1) "tail" else if (kn(id) <= c2) "middle" else "head"
+          case None => "head"
+        }
+        id -> ((n, nb, s, kn(id), b))
+      }
+    }
+    def run(texts: Seq[(Long, String)]) =
+      TrainingOps.kneserNeyFamiliarity(texts.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    // hand-computed corpus: c(a,b)=3 c(b,a)=2 survive the prune, the
+    // three singletons take the backoff-only path; c(a)=4 c(b)=3 c(c)=1,
+    // N1+(a.)=N1+(b.)=2, Pcont(a)=2/5, others 1/5
+    val hand = Seq(1L -> "a b a b a c", 2L -> "a b x", 3L -> "c a",
+      4L -> "z", 5L -> "")
+    val out = run(hand)
+    assert(out.keySet == Set(1L, 2L, 3L)) // <2-word docs carry no bigram evidence
+    // d1: 2*625000+2*(500000+133333)+50000 where pml(a,b)=5000000//8,
+    // pml(b,a)=3000000//6, backoff(a,.)=2*200000//8, backoff(b,a)=2*400000//6
+    assert((out(1L)._1, out(1L)._2, out(1L)._3, out(1L)._4) == ((5, 1L, 2666666L, 533333L)))
+    assert((out(2L)._1, out(2L)._2, out(2L)._3, out(2L)._4) == ((2, 1L, 741666L, 370833L)))
+    assert((out(3L)._1, out(3L)._2, out(3L)._3, out(3L)._4) == ((1, 1L, 200000L, 200000L)))
+    assert(out == naive(hand))
+    // wider graded corpus: shared phrases + per-doc rare tails spread
+    // kn_ppm so the sample terciles yield all three buckets; full
+    // differential against the naive pipeline, then partitioning
+    // invariance
+    val wide = (0L until 40L).map { i =>
+      val base = Seq.fill(3)("alpha beta gamma delta").mkString(" ")
+      val noise = (0 until (i % 7).toInt).map(j => s"rare${i}_$j").mkString(" ")
+      i -> s"$base $noise".trim
+    }
+    val w1 = run(wide)
+    assert(w1 == naive(wide))
+    assert(w1.values.map(_._5).toSet == Set("head", "middle", "tail"))
+    val w2 = TrainingOps.kneserNeyFamiliarity(
+        wide.toDF("doc_id", "text").repartition(7)).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    assert(w2 == w1)
+  }
+
   test("image dims: header parse honors declared lengths, endianness, fill bytes; error taxonomy") {
     val sp = spark; import sp.implicits._
     def parse(rows: Seq[(Long, Array[Byte])]) =

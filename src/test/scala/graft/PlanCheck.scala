@@ -318,6 +318,9 @@ object PlanCheck {
     println("==== 88. t37 blocklist hits: AC automaton scan rides the scan stage, zero exchange ====")
     SparkEntry.queries("t37_blocklist_hits")(spark, sf).explain("formatted")
 
+    println("==== 89. t38 KN familiarity: word-keyed hash joins, global window only on the 1-in-10 sample, one-row cutoff broadcast ====")
+    SparkEntry.queries("t38_kn_familiarity")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
