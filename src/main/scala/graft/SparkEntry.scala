@@ -1641,6 +1641,18 @@ object SparkEntry {
         .toDF("doc_id", "payload")
       TrainingOps.zipEntries(s, payloads)
     }),
+    // TAR header walk over synthesized archives: octal + GNU base-256
+    // sizes, space-padded checksums verified with the field-as-spaces
+    // rule, 'L' longname pseudo-entries consumed not emitted, POSIX
+    // prefix/name path split (POSIX magic only), terminator-less EOF,
+    // bad-checksum / truncated archives keep their parsed prefix
+    "m14_tar_entries" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = docs(s, dir).select(col("doc_id")).as[Long]
+        .map(id => (id, TrainingOps.syntheticTarPayload(id)))
+        .toDF("doc_id", "payload")
+      TrainingOps.tarEntries(s, payloads)
+    }),
     // charset sniffing over synthesized page bytes: BOM > 1024-byte meta
     // prescan > UTF-8 structural validation > windows-1252 fallback; the
     // oracle derives every verdict arithmetically from doc_id
@@ -3292,6 +3304,32 @@ object SparkEntry {
           "UNION ALL SELECT doc_id, 'truncated', 0, 't' || (doc_id % 9) || '.txt', 0, " +
           "CAST(2 + doc_id % 3 AS BIGINT), CAST(2 + doc_id % 3 AS BIGINT) " +
           "FROM documents WHERE doc_id % 6 = 5"),
+      // m14 oracle: every family arithmetic from doc_id — family 1's row
+      // carries the >100-char LONGNAME (the 'L' data block, not the
+      // header's name field), family 2 joins prefix+'/'+name and its
+      // second entry's size only parses via GNU base-256, family 3/5
+      // keep exactly the one entry before the bad-checksum / truncated
+      // header, family 4 is the not_tar marker
+      "m14_tar_entries" ->
+        ("SELECT doc_id, 'ok' AS status, CAST(t.j AS INT) AS idx, " +
+          "CASE t.j WHEN 0 THEN 'f' || (doc_id % 9) || '.txt' " +
+          "WHEN 1 THEN 'g' || (doc_id % 9) || '.bin' ELSE 'd' || (doc_id % 9) || '/' END AS name, " +
+          "CASE t.j WHEN 2 THEN '5' ELSE '0' END AS typeflag, " +
+          "CAST(CASE t.j WHEN 0 THEN 7 + doc_id % 5 WHEN 1 THEN 20 + doc_id % 7 ELSE 0 END AS BIGINT) AS size " +
+          "FROM documents, range(3) t(j) WHERE doc_id % 6 = 0 " +
+          "UNION ALL SELECT doc_id, 'ok', 0, " +
+          "'longdir' || (doc_id % 9) || '/' || repeat('x', 100) || '.txt', '0', " +
+          "CAST(5 + doc_id % 4 AS BIGINT) FROM documents WHERE doc_id % 6 = 1 " +
+          "UNION ALL SELECT doc_id, 'ok', CAST(t.j AS INT), " +
+          "CASE t.j WHEN 0 THEN 'p' || (doc_id % 9) || '/sub/file.txt' ELSE 'big.bin' END, '0', " +
+          "CAST(CASE t.j WHEN 0 THEN 11 + doc_id % 5 ELSE 300 + doc_id % 50 END AS BIGINT) " +
+          "FROM documents, range(2) t(j) WHERE doc_id % 6 = 2 " +
+          "UNION ALL SELECT doc_id, 'bad_checksum', 0, 'h' || (doc_id % 9) || '.txt', '0', " +
+          "CAST(6 + doc_id % 3 AS BIGINT) FROM documents WHERE doc_id % 6 = 3 " +
+          "UNION ALL SELECT doc_id, 'not_tar', CAST(NULL AS INT), CAST(NULL AS VARCHAR), " +
+          "CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT) FROM documents WHERE doc_id % 6 = 4 " +
+          "UNION ALL SELECT doc_id, 'truncated', 0, 't' || (doc_id % 9) || '.txt', '0', " +
+          "CAST(4 + doc_id % 3 AS BIGINT) FROM documents WHERE doc_id % 6 = 5"),
       // m5 oracle: every verdict arithmetic from doc_id (the m3/m4
       // pattern) — a MATCH means the byte builder and the three-rung
       // sniffer agree on BOM precedence, the prescan window bound, and

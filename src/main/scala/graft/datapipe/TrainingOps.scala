@@ -3478,7 +3478,7 @@ object TrainingOps extends Serializable {
       case 0 => Array(0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
         a(s"<html>doc $id</html>")
       case 1 => Array(0xff.toByte, 0xfe.toByte) ++
-        a("h i ") // utf-16le code units
+        a("h\u0000i\u0000") // utf-16le code units
       case 2 => a(s"""<html><head><META CHARSET="UTF-8"></head><body>doc $id</body></html>""")
       case 3 => a("<html><head><meta http-equiv='Content-Type' " +
         s"content='text/html; charset=ISO-8859-1'></head><body>doc $id</body></html>")
@@ -4357,6 +4357,219 @@ object TrainingOps extends Serializable {
         }
       }
       .toDF("doc_id", "status", "idx", "name", "method", "comp_size", "uncomp_size")
+  }
+
+  /** Deterministic TAR archive payloads for [[tarEntries]], six families
+    * by doc_id — each family pins one trap of the ustar/GNU format:
+    * (0) plain POSIX ustar with two files and a directory entry plus the
+    * two-zero-block terminator; (1) GNU longname — an 'L' pseudo-entry
+    * whose DATA block carries the real >100-char name (NUL-terminated),
+    * followed by the file header whose own name field is the truncated
+    * prefix; (2) the ustar prefix/name path split plus a GNU base-256
+    * binary size field (high bit of byte 0 set), with NO terminator
+    * blocks — EOF exactly at a block boundary is a legal end; (3) a
+    * valid first entry then a header whose checksum is off by one;
+    * (4) not a tar at all; (5) a valid first entry then a header whose
+    * size promises data past EOF. Checksum fields are written
+    * space-padded ("%6o\0 ", the traditional historic format) so the
+    * reader's leading-space octal handling is exercised on every header.
+    */
+  def syntheticTarPayload(id: Long): Array[Byte] = {
+    def hdr(name: String, size: Long, typeflag: Char, prefix: String = "",
+            magicGnu: Boolean = false, base256: Boolean = false,
+            breakChksum: Boolean = false): Array[Byte] = {
+      val b = new Array[Byte](512)
+      def put(off: Int, s: String): Unit = {
+        val bs = s.getBytes("US-ASCII")
+        System.arraycopy(bs, 0, b, off, bs.length)
+      }
+      put(0, name.take(100))
+      put(100, "0000644\u0000"); put(108, "0000000\u0000")
+      put(116, "0000000\u0000")
+      if (base256) {
+        // GNU binary size: flag bit on byte 0, big-endian in bytes 1-11
+        b(124) = 0x80.toByte
+        var v = size; var k = 135
+        while (k > 124) { b(k) = (v & 0xff).toByte; v >>= 8; k -= 1 }
+      } else put(124, f"$size%011o" + "\u0000")
+      put(136, "00000000000\u0000")
+      put(156, typeflag.toString)
+      if (magicGnu) put(257, "ustar  ") // magic "ustar ", version " \0"
+      else { put(257, "ustar\u0000"); put(263, "00") }
+      put(265, "web"); put(297, "crawl")
+      put(345, prefix.take(155))
+      java.util.Arrays.fill(b, 148, 156, ' '.toByte)
+      var s = 0L; var i = 0
+      while (i < 512) { s += b(i) & 0xffL; i += 1 }
+      if (breakChksum) s += 1
+      put(148, f"$s%6o" + "\u0000 ")
+      b
+    }
+    def dataBlocks(bytes: Array[Byte]): Array[Byte] = {
+      val n = ((bytes.length + 511) / 512) * 512
+      java.util.Arrays.copyOf(bytes, n)
+    }
+    def fill(n: Long, ch: Char): Array[Byte] =
+      dataBlocks(Array.fill[Byte](n.toInt)(ch.toByte))
+    val end = new Array[Byte](1024)
+    (id % 6).toInt match {
+      case 0 =>
+        val n0 = 7 + id % 5; val n1 = 20 + id % 7
+        hdr(s"f${id % 9}.txt", n0, '0') ++ fill(n0, 'a') ++
+          hdr(s"g${id % 9}.bin", n1, '0') ++ fill(n1, 'b') ++
+          hdr(s"d${id % 9}/", 0, '5') ++ end
+      case 1 =>
+        val real = s"longdir${id % 9}/" + "x" * 100 + ".txt"
+        val n = 5 + id % 4
+        val lnData = (real + "\u0000").getBytes("US-ASCII")
+        hdr("././@LongLink", lnData.length, 'L', magicGnu = true) ++
+          dataBlocks(lnData) ++
+          hdr(real, n, '0', magicGnu = true) ++ fill(n, 'c') ++ end
+      case 2 =>
+        val n0 = 11 + id % 5; val n1 = 300 + id % 50
+        hdr("file.txt", n0, '0', prefix = s"p${id % 9}/sub") ++
+          fill(n0, 'p') ++
+          hdr("big.bin", n1, '0', base256 = true) ++ fill(n1, 'q')
+      case 3 =>
+        val n0 = 6 + id % 3
+        hdr(s"h${id % 9}.txt", n0, '0') ++ fill(n0, 'h') ++
+          hdr("broken.txt", 4, '0', breakChksum = true) ++ fill(4, 'z') ++ end
+      case 4 => s"not a tar $id".getBytes("US-ASCII")
+      case _ =>
+        val n0 = 4 + id % 3
+        hdr(s"t${id % 9}.txt", n0, '0') ++ fill(n0, 't') ++
+          hdr("cut.bin", 100000, '0') ++ new Array[Byte](512)
+    }
+  }
+
+  /** TAR (ustar/GNU) header walk over opaque archive payloads — the
+    * sequential cousin of [[zipEntries]]'s end-anchored directory,
+    * extending the never-scan walker series (gzip m9, WARC m3, MP4 m11,
+    * RIFF m8, ZIP m13). A tar has NO index: the walk hops header to
+    * header, skipping each entry's data by its declared size rounded UP
+    * to 512-byte blocks — file bytes are never read, so a multi-GB
+    * archive costs 512 bytes per entry. The traps are all in the header
+    * grammar, each pinned by a generator family: SIZE is octal with
+    * leading spaces/NULs — or GNU base-256 (high bit of byte 0 set,
+    * big-endian binary) for values octal can't hold, tar's analog of
+    * ZIP64's sentinel indirection; the CHECKSUM is the byte sum of the
+    * header with its own checksum field read as eight SPACES (written
+    * space-padded in the traditional "%6o\0 " form); a GNU 'L'
+    * pseudo-entry's DATA block carries the next entry's real name
+    * (NUL-terminated, >100 chars) and is consumed, not emitted; the
+    * POSIX prefix field (byte 345) prepends `prefix + "/"` to the name —
+    * but ONLY under POSIX magic ("ustar\0"), never GNU ("ustar  "),
+    * distinguished by byte 262; the archive ends at two zero blocks OR
+    * at clean EOF on a block boundary (GNU tolerates missing
+    * terminators). Error-as-data: `ok` / `not_tar` / `bad_checksum`
+    * (prefix of valid entries KEPT) / `malformed` (magic vanishes
+    * mid-archive) / `truncated` (an entry's data runs past EOF — the
+    * incomplete entry is dropped, the parsed prefix kept). Entry-less
+    * outcomes yield one marker row (idx NULL) so every doc surfaces.
+    * Typed mapPartitions riding the scan stage, MAP-ONLY, zero shuffle.
+    */
+  def tarEntries(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        def cstr(b: Array[Byte], off: Int, len: Int): String = {
+          var e = off; val lim = off + len
+          while (e < lim && b(e) != 0) e += 1
+          new String(b, off, e - off, "US-ASCII")
+        }
+        def octal(b: Array[Byte], off: Int, len: Int): Long = {
+          var i = off; val lim = off + len
+          while (i < lim && b(i) == ' '.toByte) i += 1
+          var v = 0L; var any = false
+          while (i < lim && b(i) >= '0'.toByte && b(i) <= '7'.toByte) {
+            v = (v << 3) + (b(i) - '0'.toByte); i += 1; any = true
+          }
+          if (any) v else -1L
+        }
+        def sizeField(b: Array[Byte], off: Int): Long =
+          if ((b(off) & 0x80) != 0) {
+            var v = b(off) & 0x7fL; var i = off + 1
+            while (i < off + 12) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+            v
+          } else octal(b, off, 12)
+        def checksumOk(b: Array[Byte], off: Int): Boolean = {
+          val stored = octal(b, off + 148, 8)
+          var s = 0L; var i = 0
+          while (i < 512) {
+            s += (if (i >= 148 && i < 156) 32L else (b(off + i) & 0xffL))
+            i += 1
+          }
+          stored >= 0 && s == stored
+        }
+        def zeroBlock(b: Array[Byte], off: Int): Boolean = {
+          var i = off
+          while (i < off + 512 && b(i) == 0) i += 1
+          i == off + 512
+        }
+        it.flatMap { case (id, b) =>
+          val len = b.length
+          var p = 0
+          var j = 0
+          var status: String = null
+          var pendingLong: String = null
+          val entries = Vector.newBuilder[(Int, String, String, Long)]
+          if (len < 512) status = "not_tar"
+          while (status == null) {
+            if (p + 512 > len) {
+              // clean EOF exactly on a block boundary after >=1 entry is
+              // a legal (terminator-less) end; anything else mid-header
+              // is truncation
+              status =
+                if (p == len && j > 0) "ok"
+                else if (j > 0) "truncated" else "not_tar"
+            } else if (zeroBlock(b, p)) {
+              status = "ok" // terminator (empty archives are legal tars)
+            } else if (!(b(p + 257) == 'u' && b(p + 258) == 's' &&
+                         b(p + 259) == 't' && b(p + 260) == 'a' &&
+                         b(p + 261) == 'r')) {
+              status = if (j == 0) "not_tar" else "malformed"
+            } else if (!checksumOk(b, p)) {
+              status = "bad_checksum"
+            } else {
+              val sz = sizeField(b, p + 124)
+              if (sz < 0) status = "malformed"
+              else {
+                val blocks = ((sz + 511) / 512) * 512
+                if (p + 512 + blocks > len) status = "truncated"
+                else {
+                  val tf = (b(p + 156) & 0xff).toChar
+                  if (tf == 'L') {
+                    // GNU longname: the data block holds the REAL name
+                    // of the next entry, NUL-terminated; consume it
+                    pendingLong = cstr(b, p + 512, sz.toInt)
+                  } else {
+                    val posix = b(p + 262) == 0 // "ustar\0" vs "ustar  "
+                    val base = cstr(b, p, 100)
+                    val pre = if (posix) cstr(b, p + 345, 155) else ""
+                    val name =
+                      if (pendingLong != null) pendingLong
+                      else if (pre.nonEmpty) pre + "/" + base
+                      else base
+                    pendingLong = null
+                    entries += ((j, name, tf.toString, sz))
+                    j += 1
+                  }
+                  p += 512 + blocks.toInt
+                }
+              }
+            }
+          }
+          val es = entries.result()
+          if (es.isEmpty)
+            Seq((id, status, None: Option[Int], None: Option[String],
+              None: Option[String], None: Option[Long]))
+          else es.map { case (i2, nm, tf, sz) =>
+            (id, status, Some(i2), Some(nm), Some(tf), Some(sz))
+          }
+        }
+      }
+      .toDF("doc_id", "status", "idx", "name", "typeflag", "size")
   }
 
   /** The blocklist pattern table for [[blocklistHits]]'s driver query —

@@ -1570,6 +1570,50 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out((101L, -1))._1 == "no_eocd")
   }
 
+  test("tar entries: octal+base256 sizes, space-padded checksums, GNU longname, posix prefix, terminator-less EOF") {
+    val sp = spark; import sp.implicits._
+    def run(rows: Seq[(Long, Array[Byte])]) =
+      TrainingOps.tarEntries(sp, rows.toDF("doc_id", "payload")).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(2)) -1 else r.getInt(2)) ->
+          ((r.getString(1),
+            if (r.isNullAt(3)) null else r.getString(3),
+            if (r.isNullAt(4)) null else r.getString(4),
+            if (r.isNullAt(5)) -1L else r.getLong(5)))).toMap
+    val out = run(Seq(
+      0L -> TrainingOps.syntheticTarPayload(0), // plain: 2 files + dir + terminator
+      7L -> TrainingOps.syntheticTarPayload(7), // kind 1: GNU longname
+      8L -> TrainingOps.syntheticTarPayload(8), // kind 2: prefix split + base-256
+      3L -> TrainingOps.syntheticTarPayload(3), // kind 3: checksum off by one
+      4L -> TrainingOps.syntheticTarPayload(4), // kind 4: not a tar
+      5L -> TrainingOps.syntheticTarPayload(5), // kind 5: data past EOF
+      // one valid entry then a non-zero block with no ustar magic:
+      // the walk keeps its prefix and reports malformed
+      103L -> (TrainingOps.syntheticTarPayload(0).take(1024) ++
+        Array.fill[Byte](512)('g'.toByte)),
+      100L -> Array.emptyByteArray,     // not_tar
+      101L -> new Array[Byte](1024),    // empty archive: legal, ok marker
+      102L -> Array.fill[Byte](600)('x'.toByte))) // no magic -> not_tar
+    assert(out((0L, 0)) == (("ok", "f0.txt", "0", 7L)))
+    assert(out((0L, 1)) == (("ok", "g0.bin", "0", 20L)))
+    assert(out((0L, 2)) == (("ok", "d0/", "5", 0L)))
+    // the 'L' pseudo-entry is consumed: ONE row whose name is the
+    // 113-char longname from the data block, not the header field
+    assert(out((7L, 0)) == (("ok", "longdir7/" + "x" * 100 + ".txt", "0", 8L)))
+    assert(!out.contains((7L, 1)))
+    // POSIX prefix field prepends with '/'; base-256 size (308 has bit
+    // pattern an octal read cannot produce from 0x80-led bytes)
+    assert(out((8L, 0)) == (("ok", "p8/sub/file.txt", "0", 14L)))
+    assert(out((8L, 1)) == (("ok", "big.bin", "0", 308L)))
+    assert(out((3L, 0)) == (("bad_checksum", "h3.txt", "0", 6L)))
+    assert(!out.contains((3L, 1)))
+    assert(out((4L, -1)) == (("not_tar", null, null, -1L)))
+    assert(out((5L, 0)) == (("truncated", "t5.txt", "0", 6L)))
+    assert(out((103L, 0)) == (("malformed", "f0.txt", "0", 7L)))
+    assert(out((100L, -1))._1 == "not_tar")
+    assert(out((101L, -1))._1 == "ok")
+    assert(out((102L, -1))._1 == "not_tar")
+  }
+
   test("blocklist hits: Aho-Corasick counts equal naive position scan; dictionary links, overlaps, case fold") {
     val sp = spark; import sp.implicits._
     def run(rows: Seq[(Long, String)], pats: Seq[String]) =

@@ -321,6 +321,9 @@ object PlanCheck {
     println("==== 89. t38 KN familiarity: word-keyed hash joins, global window only on the 1-in-10 sample, one-row cutoff broadcast ====")
     SparkEntry.queries("t38_kn_familiarity")(spark, sf).explain("formatted")
 
+    println("==== 90. m14 tar entries: typed mapPartitions walker in the scan stage, zero exchange ====")
+    SparkEntry.queries("m14_tar_entries")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
