@@ -786,6 +786,11 @@ object SparkEntry {
     // ppm, pruned at c(l,r) >= 2, oov counted as its own signal
     "t28_bigram_familiarity" -> ((s, dir) =>
       TrainingOps.bigramFamiliarity(docs(s, dir))),
+    // PMI collocation mining: positive-PMI adjacent pairs by integer
+    // lift ppm — two map-side-combined corpus scans, prune-then-join,
+    // one-row total broadcast; the floor chain mirrored by the oracle
+    "t39_pmi_collocations" -> ((s, dir) =>
+      TrainingOps.pmiCollocations(docs(s, dir))),
     // the flagship COMPOSED pipeline: quality filter -> exact dedup ->
     // decontaminate -> stratified sample -> sequence pack, all public
     // TrainingOps chained by doc_id semi-joins. Every stage that feeds
@@ -3797,6 +3802,22 @@ object SparkEntry {
           "sum(coalesce(ppm, 0)) AS sp FROM pl LEFT JOIN model USING (l, r) GROUP BY doc_id) " +
           "SELECT doc_id, CAST(nb AS INT) AS n_bigrams, CAST(n_oov AS BIGINT) AS n_oov, " +
           "CAST(sp AS BIGINT) AS sum_ppm, CAST(sp // nb AS BIGINT) AS familiarity_ppm FROM sc"),
+      // PMI collocation oracle: identical unigram/bigram counts, the
+      // same minCount prune and two-step floor chain, positive-PMI cut
+      "t39_pmi_collocations" ->
+        (s"WITH f AS (SELECT $w AS w FROM documents WHERE length(trim(text)) >= 1), " +
+          "uni AS (SELECT t, count(*) AS c_t FROM (SELECT unnest(w) AS t FROM f) GROUP BY 1), " +
+          "tot AS (SELECT sum(c_t) AS n_total FROM uni), " +
+          "pl AS (SELECT p.l AS l, p.r AS r FROM (SELECT " +
+          "unnest(list_transform(range(len(w)-1), i -> struct_pack(l := w[i+1], r := w[i+2]))) AS p " +
+          "FROM f WHERE len(w) >= 2)), " +
+          "clr AS (SELECT l, r, count(*) AS n_pair FROM pl GROUP BY 1, 2 HAVING count(*) >= 3), " +
+          "j AS (SELECT c.l, c.r, c.n_pair, ul.c_t AS n_left, ur.c_t AS n_right, " +
+          "(((1000000 * c.n_pair) // ul.c_t) * (SELECT n_total FROM tot)) // ur.c_t AS lift_ppm " +
+          "FROM clr c JOIN uni ul ON c.l = ul.t JOIN uni ur ON c.r = ur.t) " +
+          "SELECT l, r, CAST(n_pair AS BIGINT) AS n_pair, CAST(n_left AS BIGINT) AS n_left, " +
+          "CAST(n_right AS BIGINT) AS n_right, CAST(lift_ppm AS BIGINT) AS lift_ppm " +
+          "FROM j WHERE lift_ppm > 1000000"),
       // Kneser-Ney oracle: the same half-count discount, continuation
       // normalization, two-step ppm rounding, pruned-model left join,
       // and sample-tercile cutoffs — a MATCH pins every rounding step

@@ -2105,6 +2105,58 @@ object TrainingOps extends Serializable {
       .withColumn("familiarity_ppm", expr("sum_ppm div n_bigrams"))
   }
 
+  /** PMI collocation mining — the phrase-vocabulary induction pass of
+    * corpus curation (multi-word expressions for tokenizer pre-merging,
+    * boilerplate phrase discovery): which adjacent word pairs co-occur
+    * far more than their unigram frequencies predict? The classic score
+    * is pointwise mutual information log(P(l,r)/(P(l)P(r))); since log
+    * is monotone, RANKING by the lift P(l,r)/(P(l)P(r)) is identical,
+    * and lift ≈ c(l,r)·N / (c(l)·c(r)) stays in integer arithmetic — the
+    * transcendental-free contract every familiarity op here shares.
+    * Scored as a two-step floor chain mirrored exactly by the oracle:
+    * lift_ppm = ((1000000·c(l,r)) div c(l)) · N div c(r), where c(l),
+    * c(r) are UNIGRAM counts and N the total token count. Overflow
+    * bounds: c(l,r) < ~9.2e12 before 1000000·c overflows, and since
+    * c(l,r) ≤ c(l) the first quotient is ≤ 1e6, so N < ~9.2e12 tokens
+    * before the second product overflows (DECIMAL beyond). Output keeps
+    * pairs with c(l,r) >= minCount (the rare-pair prune that bounds the
+    * candidate table by repeated-bigram mass) and lift_ppm > 1000000 —
+    * the positive-PMI cut: a pair no more frequent than independence
+    * predicts is not a collocation.
+    *
+    * Scale shape: the corpus is scanned twice (unigram and bigram
+    * counts), both immediately map-side-combined to vocab-sized tables —
+    * two cheap column-pruned scans beat persisting an exploded
+    * corpus-sized token table. The unigram joins run AFTER the minCount
+    * prune, on the pruned candidate table, keyed by single words; the
+    * total-token scalar joins as a one-row broadcast cross join, never
+    * collected.
+    */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 3): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val toks = docs.filter(length(trim(col("text"))) >= 1)
+      .select(words(col("text")).as("w"))
+    val uni = toks.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c_t"))
+    val tot = uni.agg(sum("c_t").as("n_total"))
+    val clr = toks.filter(size(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("w")) - 2),
+        i => struct(element_at(col("w"), i + 1).as("l"),
+          element_at(col("w"), i + 2).as("r")))).as("p"))
+      .select(col("p.l").as("l"), col("p.r").as("r"))
+      .groupBy("l", "r").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    clr
+      .join(uni.select(col("t").as("l"), col("c_t").as("n_left")), "l")
+      .join(uni.select(col("t").as("r"), col("c_t").as("n_right")), "r")
+      .crossJoin(broadcast(tot))
+      .select(col("l"), col("r"), col("n_pair"), col("n_left"),
+        col("n_right"),
+        expr("(((1000000 * n_pair) div n_left) * n_total) div n_right")
+          .as("lift_ppm"))
+      .filter(col("lift_ppm") > 1000000L)
+  }
+
   /** Incremental dedup — the daily-ingest op: which documents of a new
     * crawl `increment` are genuinely new relative to the already-ingested
     * `corpus` (and first within their own batch)? Exactness comes from a

@@ -1046,6 +1046,47 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(9L) == ((null, null, "utf-8", true)))
   }
 
+  test("pmi collocations: hand-computed lift chain, minCount prune, positive-PMI cut, partitioning invariance") {
+    val sp = spark; import sp.implicits._
+    // unigrams: new=3 york=3 city=1 is=1 big=4 apple=2, N=14
+    // bigrams: (new,york)=3, (big,apple)=2, (apple,big)=2, rest 1
+    val df = Seq(
+      (0L, "new york new york city"),
+      (1L, "new york is big"),
+      (2L, "big apple big apple big"),
+      (3L, "   ")).toDF("doc_id", "text") // whitespace-only: excluded
+    def run(d: org.apache.spark.sql.DataFrame, mc: Long) =
+      TrainingOps.pmiCollocations(d, mc).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // minCount=3 keeps only (new,york): lift chain is
+    // (1000000*3) div 3 = 1000000; *14 = 14000000; div 3 = 4666666
+    val out3 = run(df, 3L)
+    assert(out3 == Map(("new", "york") -> ((3L, 3L, 3L, 4666666L))))
+    // minCount=2 admits the apple pairs:
+    // (big,apple): ((1000000*2) div 4)*14 div 2 = 500000*14 div 2 = 3500000
+    // (apple,big): ((1000000*2) div 2)*14 div 4 = 1000000*14 div 4 = 3500000
+    val out2 = run(df, 2L)
+    assert(out2(("big", "apple")) == ((2L, 4L, 2L, 3500000L)))
+    assert(out2(("apple", "big")) == ((2L, 2L, 4L, 3500000L)))
+    // positive-PMI cut: (x,y) occurs once but both words are frequent —
+    // ((1000000*1) div 5)*20 div 5 = 200000*20 div 5 = 800000 <= 1000000
+    val low = Seq((0L, "x x x x y y y y x y"),
+      (1L, "p q p q p q p q p q")).toDF("doc_id", "text")
+    // unigrams: x=5 y=5 p=5 q=5, N=20; bigram (x,y)=2... recount:
+    // d0 bigrams: xx xx xx xy yy yy yy yx xy -> (x,y)=2; minCount=5
+    // isolates (p,q)=5 (d1 also has (q,p)=4, pruned):
+    // ((1e6*5) div 5)*20 div 5 = 1000000*20 div 5 = 4000000
+    val outLow = run(low, 5L)
+    assert(outLow == Map(("p", "q") -> ((5L, 5L, 5L, 4000000L))))
+    // the cut itself: make a pair exactly at independence — (u,v) once,
+    // c(u)=c(v)=2, N=4: ((1e6*1) div 2)*4 div 2 = 1000000, NOT > 1e6
+    val ind = Seq((0L, "u v"), (1L, "v u")).toDF("doc_id", "text")
+    assert(run(ind, 1L).isEmpty)
+    // partitioning invariance
+    assert(run(df.repartition(7), 3L) == out3)
+  }
+
   test("bigram familiarity: hand-computed conditional ppm, pruning, oov, short-doc exclusion") {
     val sp = spark; import sp.implicits._
     // corpus bigrams: d0 -> ab ba ab bc, d1 -> ab bz. c(a,b)=3, c(b,*)=1

@@ -324,6 +324,9 @@ object PlanCheck {
     println("==== 90. m14 tar entries: typed mapPartitions walker in the scan stage, zero exchange ====")
     SparkEntry.queries("m14_tar_entries")(spark, sf).explain("formatted")
 
+    println("==== 91. t39 PMI collocations: two map-side-combined scans, prune-then-join on words, one-row total broadcast ====")
+    SparkEntry.queries("t39_pmi_collocations")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
