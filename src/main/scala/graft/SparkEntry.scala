@@ -588,6 +588,10 @@ object SparkEntry {
       graft.datapipe.GraphOps.trapDetection(docs(s, dir).select(url.as("url")))
     }),
     "d4_dedup_jaccard" -> ((s, dir) => TrainingOps.jaccardVerify(docs(s, dir))),
+    // banded (Ukkonen) edit-distance verify over the d2 candidates;
+    // maxDist=5 splits this corpus's pairs (d=4 within, d=8 capped) so
+    // both the in-band and capped-at-k+1 branches are oracle-pinned
+    "d27_edit_verify" -> ((s, dir) => TrainingOps.editVerify(docs(s, dir), maxDist = 5)),
     "d5_ann_cosine_topk" -> ((s, dir) => TrainingOps.annCosineTopK(embs(s, dir))),
     "d7_ann_topk_scalable" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -2718,6 +2722,21 @@ object SparkEntry {
           "round(len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(sa.s || sb.s)), 4) AS jaccard " +
           "FROM pairs p JOIN sh sa ON sa.doc_id = p.a JOIN sh sb ON sb.doc_id = p.b) " +
           "WHERE jaccard >= 0.4"),
+      // d27 oracle: FULL unbanded levenshtein with the cap applied
+      // afterwards — a hash match against Spark's banded threshold
+      // kernel proves band-exactness below k and identical cap firing
+      "d27_edit_verify" ->
+        (minhashBands + ", lv AS (SELECT p.a, p.b, " +
+          "length(da.text) AS la, length(db.text) AS lb, " +
+          "levenshtein(da.text, db.text) AS d " +
+          "FROM pairs p JOIN documents da ON da.doc_id = p.a " +
+          "JOIN documents db ON db.doc_id = p.b) " +
+          "SELECT a, b, CAST(la AS INT) AS len_a, CAST(lb AS INT) AS len_b, " +
+          "CAST(CASE WHEN d > 5 THEN 6 ELSE d END AS INT) AS edit_capped, " +
+          "d <= 5 AS within, " +
+          "CASE WHEN d <= 5 AND greatest(la, lb) > 0 THEN " +
+          "CAST((1000000 * (greatest(la, lb) - d)) // greatest(la, lb) AS BIGINT) END AS sim_ppm " +
+          "FROM lv"),
       // fuzzy-decontamination oracle: mirrors the two-table banded-LSH
       // containment pipeline over the fuzzyAug corpus — same shingles,
       // same 12-minhash/4-band signatures, candidate join, 0.6-Jaccard

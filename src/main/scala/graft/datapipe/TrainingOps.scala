@@ -2157,6 +2157,66 @@ object TrainingOps extends Serializable {
       .filter(col("lift_ppm") > 1000000L)
   }
 
+  /** Edit-distance verification of LSH candidate pairs — the
+    * order-sensitive sibling of [[jaccardVerify]]. Shingle-set Jaccard
+    * is a BAG similarity: a document and its paragraph-shuffled twin
+    * score near 1.0, and templated pages sharing most shingles but
+    * differing in every slot can clear a Jaccard bar. Levenshtein
+    * distance is the sequence-level truth — exactly what "near
+    * duplicate" means when dedup feeds training data (a shuffled doc IS
+    * a different training example; a 4-char edit is not). Full DP is
+    * O(n*m) per pair and unusable on long documents, so the kernel is
+    * the BANDED form (Ukkonen 1985): a diagonal band of width 2k+1
+    * makes it O(k*n), exact for every distance <= k, and the moment the
+    * band proves d > k the pair is CAPPED at k+1 — a verifier never
+    * needs the exact distance of a non-duplicate. Spark's built-in
+    * three-arg `levenshtein(l, r, threshold)` is that banded kernel,
+    * codegen'd; the DuckDB oracle computes the FULL unbanded distance
+    * and applies the cap afterwards, so a hash match proves the band is
+    * exact below the threshold and the cap fires on exactly the same
+    * pairs — the banded-equals-full law, verified on real candidates.
+    *
+    * Output per candidate pair: lengths, `edit_capped` (= min(d, k+1)),
+    * `within` (d <= k), and for within-pairs the normalized similarity
+    * `sim_ppm = 1e6 * (maxLen - d) div maxLen` (null when capped — a
+    * verifier reports "not a duplicate", never a fake similarity, and
+    * null when maxLen = 0, the both-empty degenerate where similarity
+    * is undefined).
+    *
+    * Scale shape: the quadratic-in-theory verify runs ONLY on LSH
+    * candidates (corpus-sublinear by d2's banding + bucket cap), each
+    * pair costing O(k * len) — the two joins that attach texts to pairs
+    * are broadcast-degenerate at real candidate rates. Pairs come from
+    * [[minhashPairs]] (distinct-text reps, so d >= 1 by construction);
+    * [[editVerifyPairs]] accepts any precomputed (a, b) table — the
+    * d4 lesson: a verifier should not rebuild the candidate pipeline.
+    */
+  def editVerify(docs: DataFrame, maxDist: Int = 100,
+      maxBandBucket: Int = MaxBandBucket): DataFrame =
+    editVerifyPairs(minhashPairs(docs, maxBandBucket), docs, maxDist)
+
+  /** [[editVerify]] over an explicit candidate-pair table (columns
+    * `a`, `b` keying `docs.doc_id`). */
+  def editVerifyPairs(pairs: DataFrame, docs: DataFrame,
+      maxDist: Int = 100): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val ta = docs.select(col("doc_id").as("a"), col("text").as("text_a"))
+    val tb = docs.select(col("doc_id").as("b"), col("text").as("text_b"))
+    pairs.join(ta, "a").join(tb, "b")
+      .withColumn("d_raw", levenshtein(col("text_a"), col("text_b"), maxDist))
+      .select(col("a"), col("b"),
+        length(col("text_a")).as("len_a"),
+        length(col("text_b")).as("len_b"),
+        when(col("d_raw") === -1, lit(maxDist + 1))
+          .otherwise(col("d_raw")).as("edit_capped"),
+        (col("d_raw") =!= -1).as("within"),
+        when(col("d_raw") =!= -1 &&
+            greatest(length(col("text_a")), length(col("text_b"))) > 0,
+          expr("(1000000 * cast(greatest(length(text_a), length(text_b)) - d_raw as bigint)) " +
+            "div greatest(length(text_a), length(text_b))"))
+          .as("sim_ppm"))
+  }
+
   /** Incremental dedup — the daily-ingest op: which documents of a new
     * crawl `increment` are genuinely new relative to the already-ingested
     * `corpus` (and first within their own batch)? Exactness comes from a

@@ -1046,6 +1046,38 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(9L) == ((null, null, "utf-8", true)))
   }
 
+  test("edit verify: banded distance, threshold boundary, cap, sim arithmetic, empty-text guard") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "kitten"), (2L, "sitting"),   // classic d=3
+      (3L, "kitten"),                    // identical to 1: d=0, sim=1e6
+      (4L, ""), (5L, ""),                // both-empty: maxLen=0 guard
+      (6L, "abcdefghij")                 // vs 1: d=9 (t->i... recompute below)
+    ).toDF("doc_id", "text")
+    def run(pairs: Seq[(Long, Long)], k: Int) =
+      TrainingOps.editVerifyPairs(pairs.toDF("a", "b"), docs, k).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getInt(2), r.getInt(3), r.getInt(4), r.getBoolean(5),
+            if (r.isNullAt(6)) -1L else r.getLong(6)))).toMap
+    // threshold boundary: d=3 at k=3 is WITHIN (exact d), at k=2 capped
+    val at3 = run(Seq((1L, 2L)), 3)
+    // sim = 1e6*(7-3) div 7 = 571428
+    assert(at3((1L, 2L)) == ((6, 7, 3, true, 571428L)))
+    val at2 = run(Seq((1L, 2L)), 2)
+    assert(at2((1L, 2L)) == ((6, 7, 3, false, -1L))) // capped at k+1=3, sim null
+    // identical texts: d=0, sim exactly 1e6
+    assert(run(Seq((1L, 3L)), 1)((1L, 3L)) == ((6, 6, 0, true, 1000000L)))
+    // both empty: within (d=0) but sim null — similarity undefined at maxLen=0
+    assert(run(Seq((4L, 5L)), 1)((4L, 5L)) == ((0, 0, 0, true, -1L)))
+    // a genuinely far pair stays capped at every small k
+    assert(run(Seq((1L, 6L)), 4)((1L, 6L))._4 == false)
+    // partitioning invariance of the composed LSH->verify pipeline shape
+    val out = TrainingOps.editVerifyPairs(Seq((1L, 2L)).toDF("a", "b"), docs.repartition(5), 3)
+      .collect().map(_.toSeq).toSet
+    assert(out == TrainingOps.editVerifyPairs(Seq((1L, 2L)).toDF("a", "b"), docs, 3)
+      .collect().map(_.toSeq).toSet)
+  }
+
   test("pmi collocations: hand-computed lift chain, minCount prune, positive-PMI cut, partitioning invariance") {
     val sp = spark; import sp.implicits._
     // unigrams: new=3 york=3 city=1 is=1 big=4 apple=2, N=14

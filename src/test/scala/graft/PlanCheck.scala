@@ -327,6 +327,9 @@ object PlanCheck {
     println("==== 91. t39 PMI collocations: two map-side-combined scans, prune-then-join on words, one-row total broadcast ====")
     SparkEntry.queries("t39_pmi_collocations")(spark, sf).explain("formatted")
 
+    println("==== 92. d27 edit verify: banded levenshtein on LSH candidates only, broadcast-degenerate text-attach joins ====")
+    SparkEntry.queries("d27_edit_verify")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
