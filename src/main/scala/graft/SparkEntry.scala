@@ -556,6 +556,9 @@ object SparkEntry {
     // exactly-k-per-lang deterministic sample: min_k_longs threshold +
     // broadcast compare — no per-group sort/window anywhere
     "t34_group_sample" -> ((s, dir) => TrainingOps.groupSample(docs(s, dir))),
+    // Heaps-law curve: per-token min(hash-bucket) IS the whole seen-set
+    // history; the only window runs on the 16-row histogram
+    "t40_vocab_growth" -> ((s, dir) => TrainingOps.vocabGrowth(docs(s, dir))),
     // gram-level crawl-over-crawl diff: snapshots = doc_id%3 partitions
     // (old keeps !=0, new keeps !=1 — overlapping, like real recrawls)
     "d26_crawl_novelty" -> ((s, dir) => {
@@ -3056,6 +3059,20 @@ object SparkEntry {
           "r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM t), " +
           "thr AS (SELECT lang, max(h) AS h_max FROM r WHERE rn <= 16 GROUP BY lang) " +
           "SELECT t.doc_id, t.lang, t.h FROM t JOIN thr USING (lang) WHERE t.h <= thr.h_max"),
+      // t40 oracle: same bucket hash, per-token min-bucket first-seen,
+      // cumulative sums over the 16-row spine
+      "t40_vocab_growth" ->
+        (s"WITH f AS (SELECT doc_id, $w AS w FROM documents WHERE length(trim(text)) >= 1), " +
+          "b AS (SELECT ('0x' || substr(md5('vg:' || doc_id),1,15))::BIGINT % 16 AS bk, w FROM f), " +
+          "pb AS (SELECT bk, count(*) AS nd, sum(len(w)) AS nt FROM b GROUP BY 1), " +
+          "fs AS (SELECT min(bk) AS bk FROM (SELECT bk, unnest(w) AS t FROM b) GROUP BY t), " +
+          "nv AS (SELECT bk, count(*) AS nv FROM fs GROUP BY 1), " +
+          "sp AS (SELECT CAST(range AS INT) AS bk FROM range(16)) " +
+          "SELECT bk AS prefix_idx, " +
+          "CAST(sum(coalesce(nd, 0)) OVER (ORDER BY bk) AS BIGINT) AS n_docs, " +
+          "CAST(sum(coalesce(nt, 0)) OVER (ORDER BY bk) AS BIGINT) AS n_tokens, " +
+          "CAST(sum(coalesce(nv, 0)) OVER (ORDER BY bk) AS BIGINT) AS vocab " +
+          "FROM sp LEFT JOIN pb USING (bk) LEFT JOIN nv USING (bk)"),
       // d26 oracle: same snapshot membership arithmetic (doc_id%3), same
       // shingle+h60 front, per-(lang,h) max() membership flags, per-lang
       // counts and integer-ppm rates

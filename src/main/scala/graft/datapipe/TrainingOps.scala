@@ -2157,6 +2157,55 @@ object TrainingOps extends Serializable {
       .filter(col("lift_ppm") > 1000000L)
   }
 
+  /** Vocabulary-growth (Heaps' law) curve — the tokenizer-sizing and
+    * corpus-health statistic: how fast does the DISTINCT vocabulary grow
+    * as the corpus grows? Heaps' law predicts V(n) ~ K*n^beta
+    * (beta ~0.5 for natural text); a corpus whose curve flattens early
+    * is template spam, one that grows linearly is noise/OCR garbage —
+    * both are curation signals. The naive form orders the corpus,
+    * streams it, and snapshots the seen-set at checkpoints — a single
+    * sequential scan, the opposite of distributed. The trick that makes
+    * it one shuffle of vocab-sized keys: define the corpus order by a
+    * deterministic doc hash (the t11/t34 convention) with prefix p =
+    * all docs whose bucket = h60('vg:'||doc_id) mod nBuckets is < p;
+    * then a token is IN prefix p's vocabulary iff its MINIMUM bucket
+    * over containing docs is < p. So per-token min(bucket) — one
+    * map-side-combined aggregation — is the entire seen-set history at
+    * once, and the curve is a cumulative sum over an nBuckets-row
+    * histogram. The only window runs on that <= nBuckets-row table,
+    * never the corpus; the spine range() join guarantees a row per
+    * prefix even for empty buckets.
+    *
+    * Output per prefix (cumulative): documents, running token count,
+    * distinct-vocabulary size. Hash-bucket prefixes also make the curve
+    * RESHARD-STABLE: membership is a pure function of doc_id, so the
+    * same corpus gives the same curve under any partitioning or file
+    * order — a positional prefix could not.
+    */
+  def vocabGrowth(docs: DataFrame, nBuckets: Int = 16): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 4096,
+      "nBuckets must be in [2, 4096]")
+    val base = docs.filter(length(trim(col("text"))) >= 1)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .withColumn("bk",
+        pmod(h60(concat(lit("vg:"), col("doc_id"))), lit(nBuckets.toLong))
+          .cast("int"))
+    val perBucket = base.groupBy("bk")
+      .agg(count(lit(1)).as("nd"), sum(size(col("w")).cast("long")).as("nt"))
+    val firstSeen = base.select(col("bk"), explode(col("w")).as("t"))
+      .groupBy("t").agg(min("bk").as("mb"))
+      .groupBy(col("mb").as("bk")).agg(count(lit(1)).as("nv"))
+    val spine = docs.sparkSession.range(nBuckets.toLong)
+      .select(col("id").cast("int").as("bk"))
+    val win = Window.orderBy("bk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(perBucket, Seq("bk"), "left").join(firstSeen, Seq("bk"), "left")
+      .select(col("bk").as("prefix_idx"),
+        sum(coalesce(col("nd"), lit(0L))).over(win).as("n_docs"),
+        sum(coalesce(col("nt"), lit(0L))).over(win).as("n_tokens"),
+        sum(coalesce(col("nv"), lit(0L))).over(win).as("vocab"))
+  }
+
   /** Edit-distance verification of LSH candidate pairs — the
     * order-sensitive sibling of [[jaccardVerify]]. Shingle-set Jaccard
     * is a BAG similarity: a document and its paragraph-shuffled twin

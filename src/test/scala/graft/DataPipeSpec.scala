@@ -1046,6 +1046,43 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(9L) == ((null, null, "utf-8", true)))
   }
 
+  test("vocab growth: naive-reference equality, spine completeness, monotone laws, partitioning invariance") {
+    val sp = spark; import sp.implicits._
+    val raw = (0L until 40L).map(i => (i, s"w${i % 7} w${(i * 3) % 11} shared tok$i")) :+
+      (99L, "   ") // whitespace-only: excluded like every words() op
+    val df = raw.toDF("doc_id", "text")
+    val out = TrainingOps.vocabGrowth(df).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == (0 until 16)) // spine: one row per prefix, always
+    // naive reference: bucket per doc via the same md5-prefix hash,
+    // prefix b = docs with bucket <= b, vocab = distinct tokens among them
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      d.map(b => f"$b%02x").mkString
+    }
+    def bk(id: Long): Int =
+      (java.lang.Long.parseLong(md5hex(s"vg:$id").take(15), 16) % 16).toInt
+    val docsTok = (0L until 40L).map(i =>
+      (bk(i), Seq(s"w${i % 7}", s"w${(i * 3) % 11}", "shared", s"tok$i")))
+    val expected = (0 until 16).map { b =>
+      val in = docsTok.filter(_._1 <= b)
+      (b, in.size.toLong, in.map(_._2.size.toLong).sum, in.flatMap(_._2).distinct.size.toLong)
+    }
+    assert(out.toSeq == expected)
+    // laws: all three curves are non-decreasing; vocab <= n_tokens;
+    // the last row is the corpus totals (empty doc excluded)
+    out.sliding(2).foreach { case Array(p, q) =>
+      assert(q._2 >= p._2 && q._3 >= p._3 && q._4 >= p._4)
+    }
+    assert(out.forall(r => r._4 <= r._3))
+    assert(out.last == ((15, 40L, 160L, docsTok.flatMap(_._2).distinct.size.toLong)))
+    // partitioning invariance
+    val rep = TrainingOps.vocabGrowth(df.repartition(7)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(rep.toSeq == out.toSeq)
+  }
+
   test("edit verify: banded distance, threshold boundary, cap, sim arithmetic, empty-text guard") {
     val sp = spark; import sp.implicits._
     val docs = Seq(

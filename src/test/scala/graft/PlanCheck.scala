@@ -330,6 +330,9 @@ object PlanCheck {
     println("==== 92. d27 edit verify: banded levenshtein on LSH candidates only, broadcast-degenerate text-attach joins ====")
     SparkEntry.queries("d27_edit_verify")(spark, sf).explain("formatted")
 
+    println("==== 93. t40 vocab growth: map-side-combined min-bucket aggregation, window only on the 16-row spine ====")
+    SparkEntry.queries("t40_vocab_growth")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
