@@ -1665,6 +1665,17 @@ object SparkEntry {
         .toDF("doc_id", "payload")
       TrainingOps.tarEntries(s, payloads)
     }),
+    // TIFF/EXIF IFD walk over synthesized images: dual endianness,
+    // inline-vs-offset values (count*typeSize <= 4), EXIF sub-IFD
+    // pointer consumed not emitted, IFD1 chaining, pointer-cycle
+    // detection, truncated IFD keeps its parsed prefix
+    "m15_tiff_entries" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = docs(s, dir).select(col("doc_id")).as[Long]
+        .map(id => (id, TrainingOps.syntheticTiffPayload(id)))
+        .toDF("doc_id", "payload")
+      TrainingOps.tiffEntries(s, payloads)
+    }),
     // charset sniffing over synthesized page bytes: BOM > 1024-byte meta
     // prescan > UTF-8 structural validation > windows-1252 fallback; the
     // oracle derives every verdict arithmetically from doc_id
@@ -3371,6 +3382,38 @@ object SparkEntry {
           "CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT) FROM documents WHERE doc_id % 6 = 4 " +
           "UNION ALL SELECT doc_id, 'truncated', 0, 't' || (doc_id % 9) || '.txt', '0', " +
           "CAST(4 + doc_id % 3 AS BIGINT) FROM documents WHERE doc_id % 6 = 5"),
+      // m15 oracle: all six families derived arithmetically from doc_id
+      // (the m13/m14 pattern) — a MATCH pins endianness, the
+      // inline/indirect split, SHORT-width reads on MM, RATIONAL
+      // halves, pointer consumption, chaining, cycle and truncation
+      "m15_tiff_entries" ->
+        ("SELECT doc_id, 'ok' AS status, 0 AS ifd, CAST(t.j AS INT) AS idx, " +
+          "CAST(CASE t.j WHEN 0 THEN 256 WHEN 1 THEN 257 ELSE 271 END AS INT) AS tag, " +
+          "CAST(CASE t.j WHEN 2 THEN 2 ELSE 3 END AS INT) AS ftype, " +
+          "CAST(CASE t.j WHEN 2 THEN 8 ELSE 1 END AS BIGINT) AS cnt, " +
+          "CAST(CASE t.j WHEN 0 THEN 640 + doc_id % 100 WHEN 1 THEN 480 + doc_id % 100 END AS BIGINT) AS value_num, " +
+          "CASE WHEN t.j = 2 THEN 'camera' || (doc_id % 9) END AS value_str " +
+          "FROM documents, range(3) t(j) WHERE doc_id % 6 = 0 " +
+          "UNION ALL SELECT doc_id, 'ok', 0, CAST(t.j AS INT), " +
+          "CAST(CASE t.j WHEN 0 THEN 256 ELSE 282 END AS INT), " +
+          "CAST(CASE t.j WHEN 0 THEN 3 ELSE 5 END AS INT), CAST(1 AS BIGINT), " +
+          "CAST(CASE t.j WHEN 0 THEN 800 + doc_id % 100 ELSE 72 + doc_id % 10 END AS BIGINT), " +
+          "CAST(NULL AS VARCHAR) FROM documents, range(2) t(j) WHERE doc_id % 6 = 1 " +
+          "UNION ALL SELECT doc_id, 'ok', " +
+          "CAST(CASE t.j WHEN 0 THEN 0 WHEN 1 THEN 100 ELSE 1 END AS INT), 0, " +
+          "CAST(CASE t.j WHEN 0 THEN 256 WHEN 1 THEN 34855 ELSE 259 END AS INT), " +
+          "CAST(3 AS INT), CAST(1 AS BIGINT), " +
+          "CAST(CASE t.j WHEN 0 THEN 1024 + doc_id % 50 WHEN 1 THEN 100 + (doc_id % 8) * 25 ELSE 6 END AS BIGINT), " +
+          "CAST(NULL AS VARCHAR) FROM documents, range(3) t(j) WHERE doc_id % 6 = 2 " +
+          "UNION ALL SELECT doc_id, 'malformed', 0, 0, 256, 3, 1, " +
+          "CAST(555 + doc_id % 9 AS BIGINT), CAST(NULL AS VARCHAR) " +
+          "FROM documents WHERE doc_id % 6 = 3 " +
+          "UNION ALL SELECT doc_id, 'not_tiff', CAST(NULL AS INT), CAST(NULL AS INT), " +
+          "CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BIGINT), " +
+          "CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR) FROM documents WHERE doc_id % 6 = 4 " +
+          "UNION ALL SELECT doc_id, 'truncated', 0, 0, 256, 3, 1, " +
+          "CAST(320 + doc_id % 100 AS BIGINT), CAST(NULL AS VARCHAR) " +
+          "FROM documents WHERE doc_id % 6 = 5"),
       // m5 oracle: every verdict arithmetic from doc_id (the m3/m4
       // pattern) — a MATCH means the byte builder and the three-rung
       // sniffer agree on BOM precedence, the prescan window bound, and

@@ -4733,6 +4733,240 @@ object TrainingOps extends Serializable {
       .toDF("doc_id", "status", "idx", "name", "typeflag", "size")
   }
 
+  /** Deterministic TIFF payloads for [[tiffEntries]], six families by
+    * doc_id — each pins one trap of the TIFF/EXIF IFD grammar:
+    * (0) little-endian ("II") IFD0 with two inline SHORTs and an ASCII
+    * tag whose 8 bytes exceed the 4-byte value field, forcing the
+    * offset indirection; (1) big-endian ("MM") with an inline SHORT
+    * (the classic misread: a reader that grabs the full u32 on MM gets
+    * value<<16) and a RATIONAL whose 8 bytes live at an offset with
+    * den=2, so both halves must be read; (2) an EXIF sub-IFD pointer
+    * (tag 34665) AND a chained IFD1 via the next-IFD offset — pointer
+    * entries are consumed, not emitted; (3) a next-IFD offset that
+    * points BACK to IFD0 — a cycle that must be detected, keeping the
+    * parsed entries; (4) not a TIFF; (5) an IFD that promises two
+    * entries but the file ends after the first — the parsed prefix is
+    * kept. Every multi-byte field is written in the family's byte
+    * order.
+    */
+  def syntheticTiffPayload(id: Long): Array[Byte] = {
+    def w16(b: Array[Byte], off: Int, v: Int, be: Boolean): Unit =
+      if (be) { b(off) = (v >> 8).toByte; b(off + 1) = v.toByte }
+      else { b(off) = v.toByte; b(off + 1) = (v >> 8).toByte }
+    def w32(b: Array[Byte], off: Int, v: Long, be: Boolean): Unit =
+      if (be) {
+        b(off) = (v >> 24).toByte; b(off + 1) = (v >> 16).toByte
+        b(off + 2) = (v >> 8).toByte; b(off + 3) = v.toByte
+      } else {
+        b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+        b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
+      }
+    def mk(size: Int, be: Boolean): Array[Byte] = {
+      val b = new Array[Byte](size)
+      b(0) = (if (be) 'M' else 'I').toByte; b(1) = b(0)
+      w16(b, 2, 42, be); w32(b, 4, 8L, be); b
+    }
+    // writes an entry header, returns the value-field offset
+    def ent(b: Array[Byte], off: Int, tag: Int, typ: Int, cnt: Long,
+            be: Boolean): Int = {
+      w16(b, off, tag, be); w16(b, off + 2, typ, be)
+      w32(b, off + 4, cnt, be); off + 8
+    }
+    (id % 6).toInt match {
+      case 0 =>
+        val b = mk(58, be = false)
+        w16(b, 8, 3, false)
+        w16(b, ent(b, 10, 256, 3, 1, false), (640 + id % 100).toInt, false)
+        w16(b, ent(b, 22, 257, 3, 1, false), (480 + id % 100).toInt, false)
+        w32(b, ent(b, 34, 271, 2, 8, false), 50L, false)
+        w32(b, 46, 0L, false)
+        val s = s"camera${id % 9}".getBytes("US-ASCII") // 7 chars + NUL pad
+        System.arraycopy(s, 0, b, 50, s.length)
+        b
+      case 1 =>
+        val b = mk(46, be = true)
+        w16(b, 8, 2, true)
+        w16(b, ent(b, 10, 256, 3, 1, true), (800 + id % 100).toInt, true)
+        w32(b, ent(b, 22, 282, 5, 1, true), 38L, true)
+        w32(b, 34, 0L, true)
+        w32(b, 38, 2L * (72 + id % 10), true) // numerator
+        w32(b, 42, 2L, true)                  // denominator
+        b
+      case 2 =>
+        val b = mk(74, be = false)
+        w16(b, 8, 2, false)
+        w16(b, ent(b, 10, 256, 3, 1, false), (1024 + id % 50).toInt, false)
+        w32(b, ent(b, 22, 34665, 4, 1, false), 38L, false) // EXIF pointer
+        w32(b, 34, 56L, false) // next IFD = IFD1
+        w16(b, 38, 1, false)   // EXIF sub-IFD
+        w16(b, ent(b, 40, 34855, 3, 1, false), (100 + (id % 8) * 25).toInt, false)
+        w32(b, 52, 0L, false)
+        w16(b, 56, 1, false)   // IFD1 (thumbnail)
+        w16(b, ent(b, 58, 259, 3, 1, false), 6, false)
+        w32(b, 70, 0L, false)
+        b
+      case 3 =>
+        val b = mk(26, be = false)
+        w16(b, 8, 1, false)
+        w16(b, ent(b, 10, 256, 3, 1, false), (555 + id % 9).toInt, false)
+        w32(b, 22, 8L, false) // next-IFD cycles back to IFD0
+        b
+      case 4 => s"not a tiff $id".getBytes("US-ASCII")
+      case _ =>
+        val b = mk(22, be = false) // promises 2 entries, holds 1
+        w16(b, 8, 2, false)
+        w16(b, ent(b, 10, 256, 3, 1, false), (320 + id % 100).toInt, false)
+        b
+    }
+  }
+
+  /** TIFF/EXIF IFD walk over opaque image payloads — the random-access
+    * member of the never-scan walker series (gzip m9, WARC m3, MP4 m11,
+    * RIFF m8, ZIP m13, TAR m14): where those walk forward (or, for ZIP,
+    * from the end), a TIFF is a POINTER GRAPH — the header points at
+    * IFD0, each IFD's trailing offset points at the next IFD, and an
+    * entry's value field is EITHER the value itself (when
+    * count * typeSize <= 4 bytes, packed at the START of the field in
+    * the file's byte order) or a u32 offset to it — the inline/indirect
+    * split every TIFF reader must get right, pinned by an ASCII tag one
+    * byte over the limit and an 8-byte RATIONAL. Byte order is declared
+    * by the first two bytes ("II" little, "MM" big) and applies to
+    * EVERY multi-byte field; the MM inline SHORT is the classic misread
+    * (the value occupies the field's FIRST two bytes — reading the full
+    * u32 yields value<<16), pinned by a big-endian family whose widths
+    * only hash-match when read at SHORT width. The EXIF sub-IFD pointer
+    * (tag 34665, LONG) is walked, not emitted — pointer plumbing, like
+    * m14's 'L' pseudo-entry. Because the walk follows offsets, a
+    * malicious or corrupt file can form a CYCLE; a visited-set turns
+    * that into `malformed` (parsed entries KEPT) instead of an infinite
+    * loop — the walker-series hardening ZIP64's bounded indirection
+    * hinted at. Error-as-data: ok / not_tiff / malformed / truncated
+    * (an IFD table, value, or next-pointer runs past EOF — the parsed
+    * prefix kept); entry-less outcomes yield one marker row. Only IFD
+    * tables and pointed-to values are read — strip data is never
+    * touched, so a 100-MB scan costs ~12 bytes per tag. `ifd` labels:
+    * the main chain is 0, 1, 2, ...; an EXIF sub-IFD is 100. Typed
+    * mapPartitions riding the scan stage, MAP-ONLY, zero shuffle.
+    */
+  def tiffEntries(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, b) =>
+          val len = b.length
+          var status: String = null
+          val out = Vector.newBuilder[
+            (Int, Int, Int, Int, Long, Option[Long], Option[String])]
+          if (len < 8 ||
+              !((b(0) == 'I' && b(1) == 'I') || (b(0) == 'M' && b(1) == 'M')))
+            status = "not_tiff"
+          else {
+            val be = b(0) == 'M'
+            def u16(off: Int): Int =
+              if (be) ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+              else ((b(off + 1) & 0xff) << 8) | (b(off) & 0xff)
+            def u32(off: Int): Long =
+              if (be) ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+                ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+              else ((b(off + 3) & 0xffL) << 24) | ((b(off + 2) & 0xffL) << 16) |
+                ((b(off + 1) & 0xffL) << 8) | (b(off) & 0xffL)
+            if (u16(2) != 42) status = "not_tiff"
+            else {
+              // parse one IFD at `off0` labeled `label`; returns
+              // (exifOffset, nextIfdOffset), 0 meaning absent
+              def parseIfd(off0: Long, label: Int): (Long, Long) = {
+                var exif = 0L; var next = 0L
+                if (off0 + 2 > len) { status = "truncated"; return (0L, 0L) }
+                val off = off0.toInt
+                val n = u16(off)
+                var emitted = 0; var i = 0; var done = false
+                while (i < n && !done) {
+                  val e = off + 2 + i * 12
+                  if (e + 12 > len) { status = "truncated"; done = true }
+                  else {
+                    val tag = u16(e); val typ = u16(e + 2); val cnt = u32(e + 4)
+                    val sz: Long = typ match {
+                      case 1 | 2 => 1L; case 3 => 2L; case 4 => 4L
+                      case 5 => 8L; case _ => 0L
+                    }
+                    val bl = cnt * sz
+                    val vOff: Long = if (bl <= 4) (e + 8).toLong else u32(e + 8)
+                    if (sz == 0L) {
+                      // unknown type: surfaced, value unreadable
+                      out += ((label, emitted, tag, typ, cnt, None, None))
+                      emitted += 1
+                    } else if (vOff + bl > len) {
+                      status = "truncated"; done = true
+                    } else if (tag == 34665 && typ == 4) {
+                      exif = u32(vOff.toInt) // consumed: pointer plumbing
+                    } else {
+                      val v = vOff.toInt
+                      typ match {
+                        case 2 =>
+                          var sEnd = v; val lim = v + cnt.toInt
+                          while (sEnd < lim && b(sEnd) != 0) sEnd += 1
+                          out += ((label, emitted, tag, typ, cnt, None,
+                            Some(new String(b, v, sEnd - v, "US-ASCII"))))
+                        case 1 =>
+                          out += ((label, emitted, tag, typ, cnt,
+                            Some(b(v) & 0xffL), None))
+                        case 3 =>
+                          out += ((label, emitted, tag, typ, cnt,
+                            Some(u16(v).toLong), None))
+                        case 4 =>
+                          out += ((label, emitted, tag, typ, cnt,
+                            Some(u32(v)), None))
+                        case _ => // 5: RATIONAL
+                          val den = u32(v + 4)
+                          out += ((label, emitted, tag, typ, cnt,
+                            if (den == 0) None else Some(u32(v) / den), None))
+                      }
+                      emitted += 1
+                    }
+                    i += 1
+                  }
+                }
+                if (!done) {
+                  val nOff = off + 2 + n * 12
+                  if (nOff + 4 > len) status = "truncated"
+                  else next = u32(nOff)
+                }
+                (exif, next)
+              }
+              var visited = Set.empty[Long]
+              var chain = 0
+              var cur = u32(4)
+              while (cur != 0 && status == null) {
+                if (visited(cur)) status = "malformed"
+                else {
+                  visited += cur
+                  val (exif, next) = parseIfd(cur, chain)
+                  if (status == null && exif != 0) {
+                    if (visited(exif)) status = "malformed"
+                    else { visited += exif; parseIfd(exif, 100) }
+                  }
+                  cur = next; chain += 1
+                }
+              }
+              if (status == null) status = "ok"
+            }
+          }
+          val es = out.result()
+          if (es.isEmpty)
+            Seq((id, status, None: Option[Int], None: Option[Int],
+              None: Option[Int], None: Option[Int], None: Option[Long],
+              None: Option[Long], None: Option[String]))
+          else es.map { case (ifd, idx, tag, typ, cnt, vn, vs) =>
+            (id, status, Some(ifd), Some(idx), Some(tag), Some(typ),
+              Some(cnt), vn, vs)
+          }
+        }
+      }
+      .toDF("doc_id", "status", "ifd", "idx", "tag", "ftype", "cnt",
+        "value_num", "value_str")
+  }
+
   /** The blocklist pattern table for [[blocklistHits]]'s driver query —
     * deliberately a nested prefix/suffix family over the corpus
     * vocabulary: "scan" ⊃ "can" ⊃ "an" is a three-deep suffix chain

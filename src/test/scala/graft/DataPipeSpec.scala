@@ -1724,6 +1724,68 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out((102L, -1))._1 == "not_tar")
   }
 
+  test("tiff entries: dual endianness, inline/indirect split, exif pointer consumed, cycle, truncation, totality") {
+    val sp = spark; import sp.implicits._
+    def run(rows: Seq[(Long, Array[Byte])]) =
+      TrainingOps.tiffEntries(sp, rows.toDF("doc_id", "payload")).collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(2)) -1 else r.getInt(2),
+          if (r.isNullAt(3)) -1 else r.getInt(3)) ->
+          ((r.getString(1),
+            if (r.isNullAt(4)) -1 else r.getInt(4),
+            if (r.isNullAt(5)) -1 else r.getInt(5),
+            if (r.isNullAt(6)) -1L else r.getLong(6),
+            if (r.isNullAt(7)) -1L else r.getLong(7),
+            if (r.isNullAt(8)) null else r.getString(8)))).toMap
+    val out = run(Seq(
+      0L -> TrainingOps.syntheticTiffPayload(0),   // II, inline + ASCII offset
+      7L -> TrainingOps.syntheticTiffPayload(7),   // MM, SHORT width + RATIONAL
+      8L -> TrainingOps.syntheticTiffPayload(8),   // EXIF sub-IFD + IFD1 chain
+      3L -> TrainingOps.syntheticTiffPayload(3),   // pointer cycle
+      4L -> TrainingOps.syntheticTiffPayload(4),   // not a tiff
+      5L -> TrainingOps.syntheticTiffPayload(5),   // IFD past EOF
+      100L -> Array.emptyByteArray,
+      101L -> "II* ".getBytes("US-ASCII")))   // magic but no IFD offset
+    // family 0: inline SHORTs + ASCII via offset (8 bytes > 4-byte field)
+    assert(out((0L, 0, 0)) == (("ok", 256, 3, 1L, 640L, null)))
+    assert(out((0L, 0, 1)) == (("ok", 257, 3, 1L, 480L, null)))
+    assert(out((0L, 0, 2)) == (("ok", 271, 2, 8L, -1L, "camera0")))
+    // family 1 (MM): inline SHORT read at SHORT width (not u32>>0), and
+    // the RATIONAL's two halves: 158/2 = 79 = 72 + 7%10
+    assert(out((7L, 0, 0)) == (("ok", 256, 3, 1L, 807L, null)))
+    assert(out((7L, 0, 1)) == (("ok", 282, 5, 1L, 79L, null)))
+    // family 2: EXIF pointer (tag 34665) consumed — IFD0 has ONE emitted
+    // row; the sub-IFD surfaces as ifd=100, the chained IFD1 as ifd=1
+    assert(out((8L, 0, 0)) == (("ok", 256, 3, 1L, 1032L, null)))
+    assert(!out.contains((8L, 0, 1)))
+    assert(out((8L, 100, 0)) == (("ok", 34855, 3, 1L, 100L, null)))
+    assert(out((8L, 1, 0)) == (("ok", 259, 3, 1L, 6L, null)))
+    // family 3: next-IFD cycles back — malformed, parsed entry kept
+    assert(out((3L, 0, 0)) == (("malformed", 256, 3, 1L, 558L, null)))
+    // family 5: second entry runs past EOF — truncated, prefix kept
+    assert(out((5L, 0, 0)) == (("truncated", 256, 3, 1L, 325L, null)))
+    assert(out((4L, -1, -1))._1 == "not_tiff")
+    assert(out((100L, -1, -1))._1 == "not_tiff")
+    assert(out((101L, -1, -1))._1 == "not_tiff") // 4 bytes < 8-byte header
+    // totality fuzz: random bytes and bit-flipped valid payloads never
+    // throw — every outcome is a status, never an exception
+    val rnd = new scala.util.Random(42)
+    val fuzz = (0 until 300).map { i =>
+      val base = TrainingOps.syntheticTiffPayload(i.toLong % 6)
+      val mut =
+        if (i % 3 == 0) { val a = new Array[Byte](rnd.nextInt(64)); rnd.nextBytes(a); a }
+        else {
+          val a = base.clone()
+          if (a.nonEmpty) a(rnd.nextInt(a.length)) = rnd.nextInt(256).toByte
+          a
+        }
+      (1000L + i, mut)
+    }
+    val fz = TrainingOps.tiffEntries(sp, fuzz.toDF("doc_id", "payload")).collect()
+    assert(fz.map(_.getLong(0)).toSet == fuzz.map(_._1).toSet)
+    assert(fz.forall(r => Set("ok", "not_tiff", "malformed", "truncated")(r.getString(1))))
+  }
+
   test("blocklist hits: Aho-Corasick counts equal naive position scan; dictionary links, overlaps, case fold") {
     val sp = spark; import sp.implicits._
     def run(rows: Seq[(Long, String)], pats: Seq[String]) =

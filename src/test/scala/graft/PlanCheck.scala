@@ -333,6 +333,9 @@ object PlanCheck {
     println("==== 93. t40 vocab growth: map-side-combined min-bucket aggregation, window only on the 16-row spine ====")
     SparkEntry.queries("t40_vocab_growth")(spark, sf).explain("formatted")
 
+    println("==== 94. m15 tiff entries: typed mapPartitions pointer-graph walker in the scan stage, zero exchange ====")
+    SparkEntry.queries("m15_tiff_entries")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
