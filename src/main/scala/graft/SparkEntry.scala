@@ -559,6 +559,9 @@ object SparkEntry {
     // Heaps-law curve: per-token min(hash-bucket) IS the whole seen-set
     // history; the only window runs on the 16-row histogram
     "t40_vocab_growth" -> ((s, dir) => TrainingOps.vocabGrowth(docs(s, dir))),
+    // Flesch reading-ease in exact milli-units: vowel-group syllables,
+    // [.!?]+ sentences, the two-step floor chain mirrored by the oracle
+    "t41_readability" -> ((s, dir) => TrainingOps.readability(docs(s, dir))),
     // gram-level crawl-over-crawl diff: snapshots = doc_id%3 partitions
     // (old keeps !=0, new keeps !=1 — overlapping, like real recrawls)
     "d26_crawl_novelty" -> ((s, dir) => {
@@ -3070,6 +3073,26 @@ object SparkEntry {
           "r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM t), " +
           "thr AS (SELECT lang, max(h) AS h_max FROM r WHERE rn <= 16 GROUP BY lang) " +
           "SELECT t.doc_id, t.lang, t.h FROM t JOIN thr USING (lang) WHERE t.h <= thr.h_max"),
+      // t41 oracle: same vowel-group syllables, [.!?]+ sentences, and
+      // two-step floor chain in milli units
+      "t41_readability" ->
+        ("WITH f AS (SELECT doc_id, lower(text) AS lt FROM documents WHERE length(trim(text)) >= 1), " +
+          "b AS (SELECT doc_id, " +
+          "len(regexp_split_to_array(trim(lt), '[ \\t\\n\\r\\f\\x0B]+')) AS n_words, " +
+          "greatest(1, len(regexp_extract_all(lt, '[.!?]+'))) AS n_sentences, " +
+          "list_sum(list_transform(regexp_split_to_array(trim(lt), '[ \\t\\n\\r\\f\\x0B]+'), " +
+          "x -> greatest(1, len(regexp_extract_all(x, '[aeiouy]+'))))) AS n_syllables FROM f), " +
+          "c AS (SELECT doc_id, n_words, n_sentences, n_syllables, " +
+          "(1000000 * n_words) // n_sentences AS wps, " +
+          "(1000000 * n_syllables) // n_words AS spw FROM b), " +
+          "d AS (SELECT *, 206835 - (1015 * wps) // 1000000 - (84600 * spw) // 1000000 AS fm FROM c) " +
+          "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, " +
+          "CAST(n_sentences AS BIGINT) AS n_sentences, " +
+          "CAST(n_syllables AS BIGINT) AS n_syllables, " +
+          "CAST(wps AS BIGINT) AS wps_ppm, CAST(spw AS BIGINT) AS spw_ppm, " +
+          "CAST(fm AS BIGINT) AS flesch_milli, " +
+          "CASE WHEN fm >= 70000 THEN 'easy' WHEN fm >= 50000 THEN 'standard' " +
+          "ELSE 'difficult' END AS band FROM d"),
       // t40 oracle: same bucket hash, per-token min-bucket first-seen,
       // cumulative sums over the 16-row spine
       "t40_vocab_growth" ->

@@ -2206,6 +2206,50 @@ object TrainingOps extends Serializable {
         sum(coalesce(col("nv"), lit(0L))).over(win).as("vocab"))
   }
 
+  /** Flesch reading-ease scoring — the classic readability feature of
+    * document quality filtering (too-difficult text is often OCR noise
+    * or legal boilerplate; too-easy is often spam or navigation): score
+    * = 206.835 - 1.015*(words/sentences) - 84.6*(syllables/word). Kept
+    * transcendental-free in MILLI units with a documented two-step
+    * floor chain both engines mirror exactly:
+    * flesch_milli = 206835 - (1015*wps_ppm) div 1e6
+    *                       - (84600*spw_ppm) div 1e6,
+    * where wps_ppm = 1e6*W div S and spw_ppm = 1e6*Y div W. Overflow
+    * bounds: wps_ppm <= 1e6*W, so W < ~9.1e9 per document before
+    * 1015 * wps_ppm overflows a long — five orders past any real
+    * document. The syllable counter is the standard heuristic: vowel
+    * GROUPS ([aeiouy]+ runs after one lower()), min 1 per word — a
+    * vowelless token ("tsk", digits) still costs one syllable.
+    * Sentences = [.!?]+ runs, min 1 (a fragment is one sentence).
+    * Bands at the textbook cuts: >= 70.0 easy, >= 50.0 standard, else
+    * difficult.
+    *
+    * Scale shape: pure per-row map — the syllable sum is one
+    * higher-order transform+aggregate over the word array, regexps
+    * compiled once per expression by codegen; zero exchange.
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    val w = words(lower(col("text")))
+    docs.filter(length(trim(col("text"))) >= 1)
+      .select(col("doc_id"),
+        size(w).cast("long").as("n_words"),
+        greatest(lit(1L),
+          regexp_count(lower(col("text")), lit("[.!?]+")).cast("long"))
+          .as("n_sentences"),
+        aggregate(w, lit(0L),
+          (acc, x) => acc + greatest(lit(1L),
+            regexp_count(x, lit("[aeiouy]+")).cast("long")))
+          .as("n_syllables"))
+      .withColumn("wps_ppm", expr("(1000000 * n_words) div n_sentences"))
+      .withColumn("spw_ppm", expr("(1000000 * n_syllables) div n_words"))
+      .withColumn("flesch_milli",
+        expr("206835 - (1015 * wps_ppm) div 1000000 - (84600 * spw_ppm) div 1000000"))
+      .withColumn("band",
+        when(col("flesch_milli") >= 70000L, "easy")
+          .when(col("flesch_milli") >= 50000L, "standard")
+          .otherwise("difficult"))
+  }
+
   /** Edit-distance verification of LSH candidate pairs — the
     * order-sensitive sibling of [[jaccardVerify]]. Shingle-set Jaccard
     * is a BAG similarity: a document and its paragraph-shuffled twin

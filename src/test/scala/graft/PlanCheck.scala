@@ -336,6 +336,9 @@ object PlanCheck {
     println("==== 94. m15 tiff entries: typed mapPartitions pointer-graph walker in the scan stage, zero exchange ====")
     SparkEntry.queries("m15_tiff_entries")(spark, sf).explain("formatted")
 
+    println("==== 95. t41 readability: pure per-row map, zero exchange ====")
+    SparkEntry.queries("t41_readability")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
