@@ -950,6 +950,18 @@ object SparkEntry {
     // corpus-curation signal (weight/filter documents by host authority).
     "e23_host_rank" -> ((s, dir) =>
       graft.datapipe.GraphOps.hostRank(hostEdges(s, dir))),
+    // BFS crawl-depth from a hash-deterministic seed set over the e23
+    // host graph: min-hops label propagation, NULL = beyond the
+    // 3-hop horizon (unreached-from-seeds is itself the signal)
+    "e46_crawl_depth" -> ((s, dir) => {
+      val edges = hostEdges(s, dir)
+      val nodes = edges.select(col("src").as("host"))
+        .union(edges.select(col("dst").as("host"))).distinct()
+      val seeds = nodes.filter(
+        pmod(conv(substring(md5(concat(lit("seed:"), col("host"))), 1, 15),
+          16, 10).cast("long"), lit(7L)) === 0L)
+      graft.datapipe.GraphOps.crawlDepth(edges, seeds)
+    }),
     // HITS hub/authority over the SAME host edge table as e23 — the
     // directory-vs-content separation PageRank can't express; integer
     // division-only normalization; oracle unrolls the 3 iterations
@@ -1961,6 +1973,21 @@ object SparkEntry {
       "e23_host_rank" ->
         (s"WITH ${hostRankCtes(htmlKinds)} " +
           "SELECT h AS host, CAST(r AS BIGINT) AS rank FROM r3"),
+      // e46 oracle: same edge base as e23, seeds by the same md5 hash,
+      // three unrolled min-merge rounds with depth = d(src)+1
+      "e46_crawl_depth" ->
+        (s"WITH ${hostEdgeCtes(htmlKinds)}, " +
+          "eg AS MATERIALIZED (SELECT DISTINCT src, dst FROM w WHERE src <> dst), " +
+          "s0 AS MATERIALIZED (SELECT h AS host, 0 AS d FROM nodes " +
+          "WHERE ('0x' || substr(md5('seed:' || h),1,15))::BIGINT % 7 = 0), " +
+          "d1 AS MATERIALIZED (SELECT host, min(d) AS d FROM (SELECT host, d FROM s0 " +
+          "UNION ALL SELECT eg.dst, s0.d + 1 FROM eg JOIN s0 ON eg.src = s0.host) GROUP BY 1), " +
+          "d2 AS MATERIALIZED (SELECT host, min(d) AS d FROM (SELECT host, d FROM d1 " +
+          "UNION ALL SELECT eg.dst, d1.d + 1 FROM eg JOIN d1 ON eg.src = d1.host) GROUP BY 1), " +
+          "d3 AS MATERIALIZED (SELECT host, min(d) AS d FROM (SELECT host, d FROM d2 " +
+          "UNION ALL SELECT eg.dst, d2.d + 1 FROM eg JOIN d2 ON eg.src = d2.host) GROUP BY 1) " +
+          "SELECT nodes.h AS host, CAST(d3.d AS INT) AS depth " +
+          "FROM nodes LEFT JOIN d3 ON d3.host = nodes.h"),
       // e44 oracle: HITS unrolled — same edge base as e23, hub/auth
       // joined from the final round
       "e44_hits" ->

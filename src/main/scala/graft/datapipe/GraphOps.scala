@@ -555,6 +555,56 @@ object GraphOps {
       .withColumn("trap", col("n_urls") >= minUrls)
   }
 
+  /** BFS crawl-depth labeling — min link-hops from a seed set, the
+    * third classic host-graph curation signal next to [[hostRank]]
+    * (global endorsement) and [[hits]] (hub/authority split): crawl
+    * depth is THE feature crawl schedulers and quality classifiers key
+    * on (pages far from any seed are disproportionately spam/trap
+    * territory; Common-Crawl-style crawls bound their frontier by hop
+    * count). Label propagation: seeds start at depth 0; each round
+    * joins the current label table to the edge list and min-merges
+    * `depth(src) + 1` into it, so after k rounds every host holds
+    * min(true BFS depth, labels reachable in k hops) — exact for all
+    * depths <= maxHops, NULL beyond the horizon (reported, not
+    * dropped: "unreached from seeds" is itself the signal). A host's
+    * label can only decrease, so multiple paths and cycles are handled
+    * by the min — no visited-set needed; self-loops are filtered from
+    * the propagation edges purely as an optimization (their d+1 label
+    * never survives the min).
+    *
+    * Scale shape: per round ONE host-keyed join + ONE map-side-combined
+    * min aggregation, both carrying (host, int) rows only — never the
+    * corpus; lineage truncates per round (localCheckpoint) so the plan
+    * stays flat in maxHops, the [[hostRank]] convention. maxHops is
+    * small by design: real crawl policies cap at single digits, and
+    * each extra hop is one more shuffle round.
+    */
+  def crawlDepth(edges: DataFrame, seeds: DataFrame, maxHops: Int = 3,
+                 truncateLineage: Boolean = true): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 16, "maxHops must be in [1, 16]")
+    val all = edges.select(col("src"), col("dst")).persist()
+    val e = all.filter(col("src") =!= col("dst")).distinct().persist()
+    val nodes = all.select(col("src").as("host"))
+      .union(all.select(col("dst"))).union(seeds.select(col("host")))
+      .distinct().persist()
+    var dist = seeds.select(col("host")).distinct()
+      .withColumn("depth", lit(0))
+    for (_ <- 1 to maxHops) {
+      val next = e.join(dist, e("src") === dist("host"))
+        .select(col("dst").as("host"), (col("depth") + 1).as("depth"))
+      val merged = dist.union(next).groupBy("host")
+        .agg(min("depth").as("depth"))
+      dist = if (truncateLineage) merged.localCheckpoint() else merged
+    }
+    val out = nodes.join(dist, Seq("host"), "left")
+      .select(col("host"), col("depth").cast("int").as("depth"))
+    val res = if (truncateLineage) out.localCheckpoint() else out
+    all.unpersist(blocking = false)
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    res
+  }
+
   def crawlFrontier(edges: DataFrame, crawled: DataFrame): DataFrame = {
     val agg = edges.groupBy("to_url").agg(
       count(lit(1)).as("n_refs"),

@@ -1046,6 +1046,32 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(9L) == ((null, null, "utf-8", true)))
   }
 
+  test("crawl depth: BFS min over multiple paths, horizon NULL, cycles, self-loops, seed-only nodes") {
+    val sp = spark; import sp.implicits._
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), // chain: e is 4 hops out
+      ("a", "c"),           // shortcut: c must be 1, d 2, e 3 (min wins)
+      ("b", "a"),           // cycle back: no effect on depths
+      ("a", "a"),           // self-loop: filtered, never a label source
+      ("x", "y"),           // disconnected component, x seeded
+      ("p", "q")).toDF("src", "dst") // unseeded island: both NULL
+    val seeds = Seq("a", "x", "z").toDF("host") // z: seed absent from graph
+    def run(truncate: Boolean) =
+      graft.datapipe.GraphOps.crawlDepth(edges, seeds, maxHops = 3,
+        truncateLineage = truncate).collect()
+        .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    val out = run(truncate = true)
+    assert(out == Map("a" -> 0, "b" -> 1, "c" -> 1, "d" -> 2, "e" -> 3,
+      "x" -> 0, "y" -> 1, "p" -> -1, "q" -> -1, "z" -> 0))
+    // lazy (non-truncated) plan computes identically
+    assert(run(truncate = false) == out)
+    // horizon: at maxHops=2, e is beyond it
+    val short = graft.datapipe.GraphOps.crawlDepth(edges, seeds, maxHops = 2)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(short("e") == -1 && short("d") == 2)
+  }
+
   test("readability: hand-computed flesch chain, vowel-group syllables, min-1 floors, bands") {
     val sp = spark; import sp.implicits._
     val df = Seq(

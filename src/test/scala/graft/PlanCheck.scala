@@ -339,6 +339,9 @@ object PlanCheck {
     println("==== 95. t41 readability: pure per-row map, zero exchange ====")
     SparkEntry.queries("t41_readability")(spark, sf).explain("formatted")
 
+    println("==== 96. e46 crawl depth: per-round host-keyed join + min agg, (host,int) rows only ====")
+    SparkEntry.queries("e46_crawl_depth")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
