@@ -1444,6 +1444,12 @@ object SparkEntry {
     // expansion, all long-div ppm arithmetic
     "p10_mixture_plan" -> ((s, dir) =>
       TrainingOps.mixturePlan(docs(s, dir))),
+    // curriculum training order: short-to-long length bands (edges 32,
+    // 64), deterministic hash shuffle within each band, step = global
+    // band-major position via the t11 shard-offset trick (no global
+    // window)
+    "p11_curriculum" -> ((s, dir) =>
+      TrainingOps.curriculumSchedule(docs(s, dir))),
     // composed WEB pipeline (the e-family analog of p1): ONE parse pass
     // computes metadata + outlinks per page (kernel runs once in the
     // scan stage), the link graph and 3-iteration host rank derive from
@@ -3532,6 +3538,19 @@ object SparkEntry {
           "SELECT source, n_docs, supply_tokens, weight_ppm, target_tokens, epochs_ppm, " +
           "CAST(supply_tokens * epochs_ppm // 1000000 AS BIGINT) AS planned_tokens, " +
           "CAST(target_tokens - supply_tokens * epochs_ppm // 1000000 AS BIGINT) AS deficit_tokens FROM pe"),
+      // p11 oracle: band from word count at edges (32, 64), k the same
+      // md5-derived 60-bit key, one flat window ordered (band, k,
+      // doc_id) — equals the sharded Spark enumeration because shard is
+      // monotone in k within a band (the t11 argument, lifted one level)
+      "p11_curriculum" ->
+        (s"WITH s AS (SELECT doc_id, len($w) AS n_words, " +
+          "('0x' || substr(md5('cur:' || doc_id),1,15))::BIGINT AS k " +
+          "FROM documents WHERE trim(text) <> ''), " +
+          "b AS (SELECT doc_id, CAST(n_words AS INT) AS n_words, " +
+          "CAST(CASE WHEN n_words >= 64 THEN 2 WHEN n_words >= 32 THEN 1 " +
+          "ELSE 0 END AS INT) AS band, k FROM s) " +
+          "SELECT doc_id, n_words, band, " +
+          "row_number() OVER (ORDER BY band, k, doc_id) - 1 AS step FROM b"),
       // frequent-trigram oracle: plain one-stage global window over the
       // HAVING-pruned counts — algorithm-independent of the salted
       // two-stage Spark plan; ties at equal count break by ngram asc on

@@ -2393,6 +2393,52 @@ object TrainingOps extends Serializable {
         (col("offset") + col("rn") - 1).as("pos"))
   }
 
+  /** Curriculum training order — the banded refinement of
+    * [[globalShuffle]]: instead of one flat pseudo-random order, docs are
+    * grouped into difficulty bands (short-to-long length curriculum —
+    * the classic LM curriculum axis; `thresholds` are the band edges,
+    * band = number of edges <= n_words) and the training order is
+    * band-major with a deterministic pseudo-random shuffle INSIDE each
+    * band: easy examples first, but never in a corpus-systematic order
+    * within a band. `step` is the unique global training position.
+    *
+    * Scale shape: the [[globalShuffle]] trick lifted one level — the
+    * shard id is the TOP bits of the per-doc hash key, so within a band
+    * (shard, key) order IS key order, and (band, shard) offsets — a
+    * `bands × nShards`-row aggregate, broadcast back — turn per-(band,
+    * shard) ranks into the global band-major position without any
+    * global window. The only data shuffle carries (doc_id, band, 8-byte
+    * key); whitespace-only docs are excluded (no trainable tokens).
+    */
+  def curriculumSchedule(docs: DataFrame, thresholds: Seq[Int] = Seq(32, 64),
+                         nShards: Int = 16): DataFrame = {
+    require(thresholds.nonEmpty && thresholds == thresholds.sorted.distinct,
+      "thresholds must be non-empty, strictly increasing")
+    require(nShards > 0 && (nShards & (nShards - 1)) == 0 && nShards <= (1 << 30),
+      "nShards must be a power of two")
+    val shardBits = 31 - Integer.numberOfLeadingZeros(nShards)
+    val band = thresholds.map(t => when(col("n_words") >= t, 1).otherwise(0))
+      .reduce(_ + _)
+    val keyed = docs.filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), size(words(col("text"))).as("n_words"),
+        h60(concat(lit("cur:"), col("doc_id").cast("string"))).as("k"))
+      .withColumn("band", band.cast("int"))
+      .withColumn("shard", shiftright(col("k"), 60 - shardBits).cast("int"))
+    val byCell = Window.partitionBy(col("band"), col("shard"))
+      .orderBy(col("k"), col("doc_id"))
+    val offsets = keyed.groupBy("band", "shard").agg(count(lit(1)).as("n"))
+      .withColumn("offset", // bands*nShards rows: single-partition window is fine
+        coalesce(sum(col("n")).over(
+          Window.orderBy(col("band"), col("shard"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("band", "shard", "offset")
+    keyed
+      .withColumn("rn", row_number().over(byCell))
+      .join(broadcast(offsets), Seq("band", "shard"))
+      .select(col("doc_id"), col("n_words"), col("band"),
+        (col("offset") + col("rn") - 1).as("step"))
+  }
+
   /** Approximate distinct-count sketch — HyperLogLog (Flajolet et al.
     * 2007) over the corpus's 3-word shingle stream, per language plus a
     * max-merged global `'*'` row. The cardinality companion of the CMS

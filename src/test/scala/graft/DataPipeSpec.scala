@@ -1072,6 +1072,36 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(short("e") == -1 && short("d") == 2)
   }
 
+  test("curriculum: band edges, band-major step order, within-band hash shuffle, invariances") {
+    val sp = spark; import sp.implicits._
+    // word counts straddling both edges: 31|32 and 63|64
+    def mk(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val rows = Seq(1L -> mk(31), 2L -> mk(32), 3L -> mk(63), 4L -> mk(64),
+      5L -> mk(10), 6L -> mk(99), 7L -> "   ", // whitespace-only: excluded
+      8L -> mk(40), 9L -> mk(80))
+    val df = rows.toDF("doc_id", "text")
+    val out = graft.datapipe.TrainingOps.curriculumSchedule(df).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(!byId.contains(7L))
+    assert(byId(1L)._3 == 0 && byId(2L)._3 == 1) // edge 32
+    assert(byId(3L)._3 == 1 && byId(4L)._3 == 2) // edge 64
+    assert(byId(5L)._3 == 0 && byId(6L)._3 == 2)
+    // expected global order: band-major, then the md5-derived key, then id
+    val expected = rows.filter(_._1 != 7L).map { case (id, t) =>
+      val n = t.trim.split("\\s+").length
+      val band = (if (n >= 32) 1 else 0) + (if (n >= 64) 1 else 0)
+      (band, java.lang.Long.parseLong(md5hex("cur:" + id).take(15), 16), id)
+    }.sorted.zipWithIndex.map { case ((_, _, id), i) => (id, i.toLong) }.toMap
+    assert(out.map(r => r._1 -> r._4).toMap == expected)
+    // steps are a permutation of 0..n-1
+    assert(out.map(_._4).sorted.toSeq == (0L until 8L))
+    // partitioning/shard-count invariance
+    val rep = graft.datapipe.TrainingOps.curriculumSchedule(df.repartition(7), nShards = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(rep == out.map(r => r._1 -> r._4).toMap)
+  }
+
   test("readability: hand-computed flesch chain, vowel-group syllables, min-1 floors, bands") {
     val sp = spark; import sp.implicits._
     val df = Seq(

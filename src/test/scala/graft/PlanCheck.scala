@@ -342,6 +342,9 @@ object PlanCheck {
     println("==== 96. e46 crawl depth: per-round host-keyed join + min agg, (host,int) rows only ====")
     SparkEntry.queries("e46_crawl_depth")(spark, sf).explain("formatted")
 
+    println("==== 97. p11 curriculum: (band,shard)-windowed ranks + broadcast offsets, no global window ====")
+    SparkEntry.queries("p11_curriculum")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
