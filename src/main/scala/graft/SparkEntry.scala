@@ -559,6 +559,11 @@ object SparkEntry {
     // Heaps-law curve: per-token min(hash-bucket) IS the whole seen-set
     // history; the only window runs on the 16-row histogram
     "t40_vocab_growth" -> ((s, dir) => TrainingOps.vocabGrowth(docs(s, dir))),
+    // Zipf rank-frequency table: top-256 words, normalized curve
+    // rf_ppm = 1e6*f(r) div f(1) and doubling-ratio slope probe
+    // dbl_ppm = 1e6*f(r) div f(2r) (NULL past the table horizon);
+    // salted two-stage top-K, no global sort of the vocab
+    "t42_zipf_ranks" -> ((s, dir) => TrainingOps.zipfRanks(docs(s, dir))),
     // Flesch reading-ease in exact milli-units: vowel-group syllables,
     // [.!?]+ sentences, the two-step floor chain mirrored by the oracle
     "t41_readability" -> ((s, dir) => TrainingOps.readability(docs(s, dir))),
@@ -3140,6 +3145,19 @@ object SparkEntry {
           "CAST(sum(coalesce(nt, 0)) OVER (ORDER BY bk) AS BIGINT) AS n_tokens, " +
           "CAST(sum(coalesce(nv, 0)) OVER (ORDER BY bk) AS BIGINT) AS vocab " +
           "FROM sp LEFT JOIN pb USING (bk) LEFT JOIN nv USING (bk)"),
+      // t42 oracle: flat-window rank over the word counts (ties by word
+      // asc, both sides), freq(1) cross-joined, doubling join on 2*rnk;
+      // a MATCH proves the salted two-stage top-K equals the global rank
+      "t42_zipf_ranks" ->
+        (s"WITH wc AS (SELECT word, count(*) AS c FROM " +
+          s"(SELECT unnest($w) AS word FROM documents WHERE trim(text) <> '') GROUP BY 1), " +
+          "r AS (SELECT word, c, row_number() OVER (ORDER BY c DESC, word) AS rk FROM wc), " +
+          "t AS (SELECT * FROM r WHERE rk <= 256), " +
+          "c1 AS (SELECT c AS c1 FROM r WHERE rk = 1) " +
+          "SELECT CAST(t.rk AS INT) AS rnk, t.word, CAST(t.c AS BIGINT) AS freq, " +
+          "CAST(1000000 * t.c // c1.c1 AS BIGINT) AS rf_ppm, " +
+          "CAST(1000000 * t.c // r2.c AS BIGINT) AS dbl_ppm " +
+          "FROM t CROSS JOIN c1 LEFT JOIN t r2 ON r2.rk = 2 * t.rk"),
       // d26 oracle: same snapshot membership arithmetic (doc_id%3), same
       // shingle+h60 front, per-(lang,h) max() membership flags, per-lang
       // counts and integer-ppm rates

@@ -2182,6 +2182,43 @@ object TrainingOps extends Serializable {
     * same corpus gives the same curve under any partitioning or file
     * order — a positional prefix could not.
     */
+  /** Zipf rank-frequency table — the RANK-axis sibling of
+    * [[vocabGrowth]]'s Heaps curve: the top-`maxRank` words by corpus
+    * frequency with the two integer diagnostics a curation pass reads
+    * off the curve. `rf_ppm = 1e6 * freq(r) div freq(1)` is the
+    * normalized curve (Zipf with exponent 1 predicts ~1e6/r);
+    * `dbl_ppm = 1e6 * freq(r) div freq(2r)` is the transcendental-free
+    * slope probe (the exponent is log2 of it: ~2e6 for natural text;
+    * ~1e6 = flat = template spam; >>2e6 = a boilerplate token dominating
+    * the head) — NULL once rank 2r is beyond the emitted table, the
+    * repo's horizon convention. Ties break by word ascending on both
+    * sides, the [[frequentNgrams]] contract.
+    *
+    * Scale shape: ONE exploded scan into a map-side-combined word count
+    * (vocab-sized, never the corpus), then the salted two-stage top-K —
+    * per-salt-group top-maxRank first, global window only on the
+    * <= salt*maxRank survivors — so no global sort ever touches the
+    * vocab table; freq(1) joins back as a one-row broadcast and the
+    * doubling join is tiny-vs-tiny. Overflow at freq(1) ~9.2e12
+    * occurrences of one word (a ~2e14-token corpus); DECIMAL beyond.
+    */
+  def zipfRanks(docs: DataFrame, maxRank: Int = 256, salt: Int = 8): DataFrame = {
+    require(maxRank >= 2 && salt >= 1, "maxRank must be >= 2, salt >= 1")
+    val counts = docs.filter(trim(col("text")) =!= "")
+      .select(explode(words(col("text"))).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+    val ranked = topKByCount(counts, maxRank, salt)
+      .select(col("rk").cast("int").as("rnk"), col("ngram").as("word"),
+        col("cnt").as("freq"))
+    val c1 = ranked.filter(col("rnk") === 1).select(col("freq").as("c1"))
+    val dbl = ranked.select(col("rnk").as("r2"), col("freq").as("c2"))
+    ranked.crossJoin(broadcast(c1))
+      .join(broadcast(dbl), col("r2") === col("rnk") * 2, "left")
+      .select(col("rnk"), col("word"), col("freq"),
+        expr("1000000 * freq div c1").as("rf_ppm"),
+        expr("1000000 * freq div c2").as("dbl_ppm"))
+  }
+
   def vocabGrowth(docs: DataFrame, nBuckets: Int = 16): DataFrame = {
     require(nBuckets >= 2 && nBuckets <= 4096,
       "nBuckets must be in [2, 4096]")

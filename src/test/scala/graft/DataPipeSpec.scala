@@ -1072,6 +1072,31 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(short("e") == -1 && short("d") == 2)
   }
 
+  test("zipf ranks: hand-computed rf/dbl chain, word-asc ties, horizon NULL, truncation") {
+    val sp = spark; import sp.implicits._
+    // counts: a=8, b=4, c=2, e=1, d=1 (d/e tie -> d ranks first)
+    val df = Seq(
+      "a a a a a a a a", "b b b b", "c c", "e d", "   ").toDF("text")
+      .withColumn("doc_id", monotonically_increasing_id())
+    val out = graft.datapipe.TrainingOps.zipfRanks(df).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1, "a", 8L, 1000000L, 2000000L), // f(1)/f(2) = 8/4
+      (2, "b", 4L, 500000L, 4000000L),  // f(2)/f(4) = 4/1
+      (3, "c", 2L, 250000L, -1L),       // 2r=6 beyond vocab -> NULL
+      (4, "d", 1L, 125000L, -1L),       // tie with e, word asc
+      (5, "e", 1L, 125000L, -1L)))
+    // maxRank truncation: rank 4's doubling partner (8) is gone AND e drops
+    val t4 = graft.datapipe.TrainingOps.zipfRanks(df, maxRank = 4).collect()
+      .map(r => r.getInt(0)).sorted
+    assert(t4.toSeq == Seq(1, 2, 3, 4))
+    // partitioning / salt invariance
+    val rep = graft.datapipe.TrainingOps.zipfRanks(df.repartition(5), salt = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    assert(rep.toSeq == out.map(r => (r._1, r._2)).toSeq)
+  }
+
   test("curriculum: band edges, band-major step order, within-band hash shuffle, invariances") {
     val sp = spark; import sp.implicits._
     // word counts straddling both edges: 31|32 and 63|64

@@ -345,6 +345,9 @@ object PlanCheck {
     println("==== 97. p11 curriculum: (band,shard)-windowed ranks + broadcast offsets, no global window ====")
     SparkEntry.queries("p11_curriculum")(spark, sf).explain("formatted")
 
+    println("==== 98. t42 zipf ranks: map-side-combined word counts, salted top-K, tiny broadcast joins ====")
+    SparkEntry.queries("t42_zipf_ranks")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
