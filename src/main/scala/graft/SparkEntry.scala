@@ -1702,6 +1702,17 @@ object SparkEntry {
         .toDF("doc_id", "payload")
       TrainingOps.tiffEntries(s, payloads)
     }),
+    // PNG chunk walk with CRC32 verification over synthesized images:
+    // per-chunk (offset, type, length, crc_ok, critical) + per-file
+    // terminal status; CRC mismatch never stops the walk, IEND does
+    // (trailing junk unscanned), truncation/malformed keep the prefix
+    "m16_png_chunks" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = docs(s, dir).select(col("doc_id")).as[Long]
+        .map(id => (id, TrainingOps.syntheticPngPayload(id)))
+        .toDF("doc_id", "payload")
+      TrainingOps.pngChunks(s, payloads)
+    }),
     // charset sniffing over synthesized page bytes: BOM > 1024-byte meta
     // prescan > UTF-8 structural validation > windows-1252 fallback; the
     // oracle derives every verdict arithmetically from doc_id
@@ -3488,6 +3499,30 @@ object SparkEntry {
           "UNION ALL SELECT doc_id, 'truncated', 0, 0, 256, 3, 1, " +
           "CAST(320 + doc_id % 100 AS BIGINT), CAST(NULL AS VARCHAR) " +
           "FROM documents WHERE doc_id % 6 = 5"),
+      // m16 oracle: chunk offsets chain arithmetically from the two
+      // doc_id-derived lengths (tEXt = 1+id%17, IDAT = id%9): IHDR@8,
+      // tEXt@33, IDAT@45+tl, IDAT@57+tl+dl, IEND@72+tl+dl; family 1's
+      // corrupted tEXt is the one crc_ok=false; families 2 (both
+      // truncation variants collapse to the same row) and 3 keep the
+      // IHDR prefix; 4 is the not_png marker; 5 ends no_iend
+      "m16_png_chunks" ->
+        ("WITH ids AS (SELECT doc_id, doc_id % 6 AS f, " +
+          "CAST(1 + doc_id % 17 AS INT) AS tl, CAST(doc_id % 9 AS INT) AS dl " +
+          "FROM documents) " +
+          "SELECT doc_id, status, CAST(idx AS INT) AS idx, CAST(o AS BIGINT) AS c_off, " +
+          "ctype, CAST(ln AS INT) AS clen, CAST(crc_ok AS INT) AS crc_ok, " +
+          "CAST(critical AS INT) AS critical FROM ( " +
+          "SELECT doc_id, 'ok' AS status, 0 AS idx, 8 AS o, 'IHDR' AS ctype, " +
+          "13 AS ln, 1 AS crc_ok, 1 AS critical FROM ids WHERE f IN (0, 1) " +
+          "UNION ALL SELECT doc_id, 'ok', 1, 33, 'tEXt', tl, CASE WHEN f = 0 THEN 1 ELSE 0 END, 0 FROM ids WHERE f IN (0, 1) " +
+          "UNION ALL SELECT doc_id, 'ok', 2, 45 + tl, 'IDAT', dl, 1, 1 FROM ids WHERE f IN (0, 1) " +
+          "UNION ALL SELECT doc_id, 'ok', 3, 57 + tl + dl, 'IDAT', 3, 1, 1 FROM ids WHERE f IN (0, 1) " +
+          "UNION ALL SELECT doc_id, 'ok', 4, 72 + tl + dl, 'IEND', 0, 1, 1 FROM ids WHERE f IN (0, 1) " +
+          "UNION ALL SELECT doc_id, 'truncated', 0, 8, 'IHDR', 13, 1, 1 FROM ids WHERE f = 2 " +
+          "UNION ALL SELECT doc_id, 'malformed', 0, 8, 'IHDR', 13, 1, 1 FROM ids WHERE f = 3 " +
+          "UNION ALL SELECT doc_id, 'not_png', NULL, NULL, NULL, NULL, NULL, NULL FROM ids WHERE f = 4 " +
+          "UNION ALL SELECT doc_id, 'no_iend', 0, 8, 'IHDR', 13, 1, 1 FROM ids WHERE f = 5 " +
+          "UNION ALL SELECT doc_id, 'no_iend', 1, 33, 'tEXt', tl, 1, 0 FROM ids WHERE f = 5)"),
       // m5 oracle: every verdict arithmetic from doc_id (the m3/m4
       // pattern) — a MATCH means the byte builder and the three-rung
       // sniffer agree on BOM precedence, the prescan window bound, and

@@ -3854,6 +3854,135 @@ object TrainingOps extends Serializable {
     * hundred bytes before its SOF, which is why this runs as a scan-side
     * metadata pass in a multimodal ingest, not a post-decode job.
     */
+  /** Synthetic PNG payloads for [[pngChunks]] — six families keyed by
+    * doc_id % 6, every length a pure function of doc_id so the DuckDB
+    * oracle re-derives chunk offsets arithmetically:
+    *   0: well-formed (IHDR, tEXt, IDAT×2, IEND, junk tail after IEND —
+    *      the tail must never be walked);
+    *   1: same shape, tEXt CRC corrupted (low bit flipped);
+    *   2: truncation, alternating by doc_id div 6 % 2 between a chunk
+    *      whose declared length overruns EOF and a partial 3-byte header;
+    *   3: length field with the high bit set (invalid per PNG §5.3);
+    *   4: not a PNG at all;
+    *   5: clean EOF after a complete chunk but no IEND.
+    */
+  def syntheticPngPayload(id: Long): Array[Byte] = {
+    def be4(v: Long) = Array[Byte](((v >>> 24) & 0xff).toByte,
+      ((v >>> 16) & 0xff).toByte, ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def fill(n: Int): Array[Byte] = Array.tabulate(n)(i => (0x61 + i % 13).toByte)
+    def chunk(t: String, data: Array[Byte], crcXor: Long = 0L): Array[Byte] = {
+      val crc = new java.util.zip.CRC32
+      val tb = t.getBytes("US-ASCII")
+      crc.update(tb); crc.update(data)
+      be4(data.length.toLong) ++ tb ++ data ++ be4((crc.getValue ^ crcXor) & 0xffffffffL)
+    }
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val tl = (1 + id % 17).toInt
+    val dl = (id % 9).toInt
+    val ihdr = chunk("IHDR", Array[Byte](0, 0, 0, 16, 0, 0, 0, 16, 8, 6, 0, 0, 0))
+    (id % 6) match {
+      case 0 => sig ++ ihdr ++ chunk("tEXt", fill(tl)) ++ chunk("IDAT", fill(dl)) ++
+        chunk("IDAT", fill(3)) ++ chunk("IEND", Array.emptyByteArray) ++
+        s"JUNK$id".getBytes("US-ASCII")
+      case 1 => sig ++ ihdr ++ chunk("tEXt", fill(tl), crcXor = 1L) ++
+        chunk("IDAT", fill(dl)) ++ chunk("IDAT", fill(3)) ++
+        chunk("IEND", Array.emptyByteArray) ++ s"JUNK$id".getBytes("US-ASCII")
+      case 2 =>
+        if ((id / 6) % 2 == 0) sig ++ ihdr ++ be4(1000L) ++
+          "tIME".getBytes("US-ASCII") ++ fill(4) // data overruns EOF
+        else sig ++ ihdr ++ Array[Byte](0, 0, 0) // partial header
+      case 3 => sig ++ ihdr ++ be4(0x80000001L) ++ "tIME".getBytes("US-ASCII") ++ fill(5)
+      case 4 => s"GIF89a not a png $id".getBytes("US-ASCII")
+      case _ => sig ++ ihdr ++ chunk("tEXt", fill(tl))
+    }
+  }
+
+  /** PNG chunk walk with CRC32 verification — the INTEGRITY member of
+    * the walker series, one level deeper than [[imageDims]]'s dims
+    * sniff: a PNG is `8-byte signature` then a flat run of
+    * `u32be length | 4-byte type | data | u32be CRC32(type||data)`
+    * chunks ending at IEND. Emits one row per chunk (offset, type,
+    * length, crc_ok, critical — the type's case bit 0x20: uppercase
+    * first letter = critical per PNG §5.4) plus the per-FILE terminal
+    * status in the TAR walker's style (parsed prefix KEPT): `ok` /
+    * `not_png` / `truncated` (partial header or declared length past
+    * EOF) / `malformed` (length high bit set, or a non-alphabetic type
+    * byte) / `no_iend` (clean EOF with no IEND — a distinct real-world
+    * corruption from truncation). A CRC mismatch does NOT stop the walk
+    * — lengths, not checksums, drive it (the real-world policy: a
+    * corrupt ancillary chunk doesn't kill the file; crc_ok=0 IS the
+    * per-chunk signal — crc_ok/critical are 1/0 INTs, not booleans,
+    * because the flags are NULL on marker rows and nullable ints
+    * round-trip identically through parquet and the oracle while
+    * nullable booleans don't). The walk STOPS at IEND: trailing junk is never
+    * scanned, and chunk boundaries are found by LENGTH, never by magic
+    * search. Chunk-less outcomes yield one marker row.
+    *
+    * Scale shape: typed mapPartitions riding the scan stage, map-only
+    * zero shuffle; headers and CRCs are read but data is touched only by
+    * the CRC update — no copies, no decode.
+    */
+  def pngChunks(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, raw) =>
+          val b = if (raw == null) Array.emptyByteArray else raw
+          val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+          val isPng = b.length >= 8 && (0 until 8).forall(i => (b(i) & 0xff) == sig(i))
+          if (!isPng)
+            Seq((id, "not_png", None: Option[Int], None: Option[Long],
+              None: Option[String], None: Option[Int], None: Option[Int],
+              None: Option[Int]))
+          else {
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Int, Long, String, Int, Int, Int)]
+            var p = 8
+            var idx = 0
+            var status: String = null
+            while (status == null) {
+              if (p == b.length) status = "no_iend"
+              else if (p + 8 > b.length) status = "truncated"
+              else {
+                val len = ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+                  ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+                val typeOk = (p + 4 until p + 8).forall { i =>
+                  val c = b(i) & 0xff
+                  (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+                }
+                if (len > 0x7fffffffL || !typeOk) status = "malformed"
+                else if (p + 12 + len > b.length) status = "truncated"
+                else {
+                  val ctype = new String(b, p + 4, 4, "US-ASCII")
+                  val crc = new java.util.zip.CRC32
+                  crc.update(b, p + 4, 4 + len.toInt)
+                  val cp = p + 8 + len.toInt
+                  val stored = ((b(cp) & 0xffL) << 24) | ((b(cp + 1) & 0xffL) << 16) |
+                    ((b(cp + 2) & 0xffL) << 8) | (b(cp + 3) & 0xffL)
+                  out += ((idx, p.toLong, ctype, len.toInt,
+                    if (crc.getValue == stored) 1 else 0,
+                    if ((b(p + 4) & 0x20) == 0) 1 else 0))
+                  idx += 1
+                  p += 12 + len.toInt
+                  if (ctype == "IEND") status = "ok"
+                }
+              }
+            }
+            val es = out.toList
+            if (es.isEmpty)
+              Seq((id, status, None: Option[Int], None: Option[Long],
+                None: Option[String], None: Option[Int], None: Option[Int],
+                None: Option[Int]))
+            else es.map { case (i2, off, ct, ln, ck, cr) =>
+              (id, status, Some(i2), Some(off), Some(ct), Some(ln), Some(ck), Some(cr))
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "status", "idx", "c_off", "ctype", "clen", "crc_ok", "critical")
+  }
+
   def imageDims(spark: SparkSession, payloads: DataFrame): DataFrame = {
     import spark.implicits._
     payloads.select(col("doc_id"), col("payload"))

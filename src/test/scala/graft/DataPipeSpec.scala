@@ -1836,6 +1836,68 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out((102L, -1))._1 == "not_tar")
   }
 
+  test("png chunks: crc verify continues walk, iend stops it, both truncations, malformed type/length, totality") {
+    val sp = spark; import sp.implicits._
+    def run(rows: Seq[(Long, Array[Byte])]) =
+      TrainingOps.pngChunks(sp, rows.toDF("doc_id", "payload")).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(2)) -1 else r.getInt(2)) ->
+          ((r.getString(1),
+            if (r.isNullAt(3)) -1L else r.getLong(3),
+            if (r.isNullAt(4)) null else r.getString(4),
+            if (r.isNullAt(5)) -1 else r.getInt(5),
+            if (r.isNullAt(6)) -1 else r.getInt(6),
+            if (r.isNullAt(7)) -1 else r.getInt(7))))
+        .toMap
+    // generator families: ids 0..5 cover %6 = 0..5; ids 8 and 14 are the
+    // two %6=2 variants (8/6=1 odd -> partial header; 14/6=2 -> overrun)
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L, 8L, 14L)
+    val out = run(ids.map(id => (id, TrainingOps.syntheticPngPayload(id))))
+    // family 0 (id 0): five chunks, all ok, junk tail never walked
+    assert(out((0L, 0)) == (("ok", 8L, "IHDR", 13, 1, 1)))
+    assert(out((0L, 1)) == (("ok", 33L, "tEXt", 1, 1, 0)))
+    assert(out((0L, 2)) == (("ok", 46L, "IDAT", 0, 1, 1)))
+    assert(out((0L, 4)) == (("ok", 73L, "IEND", 0, 1, 1)))
+    assert(!out.contains((0L, 5)))
+    // family 1 (id 1): ONLY the tEXt crc fails, walk continues to IEND
+    assert(out((1L, 1))._5 == 0)
+    assert(out((1L, 0))._5 == 1)
+    assert(out((1L, 4))._1 == "ok")
+    // family 2 both variants -> same truncated row (prefix kept)
+    assert(out((2L, 0)) == (("truncated", 8L, "IHDR", 13, 1, 1)))
+    assert(out((8L, 0))._1 == "truncated" && out((14L, 0))._1 == "truncated")
+    // family 3: high-bit length -> malformed, IHDR kept
+    assert(out((3L, 0))._1 == "malformed")
+    // family 4: marker row
+    assert(out((4L, -1)) == (("not_png", -1L, null, -1, -1, -1)))
+    // family 5: clean EOF, no IEND
+    assert(out((5L, 1)) == (("no_iend", 33L, "tEXt", 6, 1, 0)))
+    // non-alphabetic type byte -> malformed (after the valid IHDR)
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val bad = sig ++ TrainingOps.syntheticPngPayload(0L).slice(8, 33) ++
+      Array[Byte](0, 0, 0, 1) ++ "t1ME".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0, 0)
+    val m = run(Seq((90L, bad)))
+    assert(m((90L, 0))._3 == "IHDR" && m((90L, 0))._1 == "malformed")
+    // empty + null-ish payloads
+    assert(run(Seq((91L, Array.emptyByteArray)))((91L, -1))._1 == "not_png")
+    // totality fuzz: random bytes and bit-flipped valid payloads always
+    // yield a status, never an exception
+    val rnd = new scala.util.Random(4242)
+    val fuzz = (0 until 150).map { i =>
+      val base =
+        if (i % 2 == 0) Array.fill((rnd.nextInt(80)))(rnd.nextInt(256).toByte)
+        else {
+          val v = TrainingOps.syntheticPngPayload(rnd.nextInt(60).toLong)
+          if (v.nonEmpty) v(rnd.nextInt(v.length)) =
+            (v(rnd.nextInt(v.length)) ^ (1 << rnd.nextInt(8))).toByte
+          v
+        }
+      (1000L + i, base)
+    }
+    val statuses = TrainingOps.pngChunks(sp, fuzz.toDF("doc_id", "payload"))
+      .select("status").distinct().collect().map(_.getString(0)).toSet
+    assert(statuses.subsetOf(Set("ok", "not_png", "truncated", "malformed", "no_iend")))
+  }
+
   test("tiff entries: dual endianness, inline/indirect split, exif pointer consumed, cycle, truncation, totality") {
     val sp = spark; import sp.implicits._
     def run(rows: Seq[(Long, Array[Byte])]) =

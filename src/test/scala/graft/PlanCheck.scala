@@ -348,6 +348,9 @@ object PlanCheck {
     println("==== 98. t42 zipf ranks: map-side-combined word counts, salted top-K, tiny broadcast joins ====")
     SparkEntry.queries("t42_zipf_ranks")(spark, sf).explain("formatted")
 
+    println("==== 99. m16 png chunks: typed mapPartitions riding the scan stage, zero exchange ====")
+    SparkEntry.queries("m16_png_chunks")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
