@@ -564,6 +564,11 @@ object SparkEntry {
     // dbl_ppm = 1e6*f(r) div f(2r) (NULL past the table horizon);
     // salted two-stage top-K, no global sort of the vocab
     "t42_zipf_ranks" -> ((s, dir) => TrainingOps.zipfRanks(docs(s, dir))),
+    // per-doc lexical diversity: type-token ratio, hapax ratio, top-word
+    // share (Gopher-style repetition features), ppm integer floors; one
+    // map-side-combined (doc_id, word) shuffle, never the token stream
+    "t43_lexical_diversity" -> ((s, dir) =>
+      TrainingOps.lexicalDiversity(docs(s, dir))),
     // Flesch reading-ease in exact milli-units: vowel-group syllables,
     // [.!?]+ sentences, the two-step floor chain mirrored by the oracle
     "t41_readability" -> ((s, dir) => TrainingOps.readability(docs(s, dir))),
@@ -3169,6 +3174,19 @@ object SparkEntry {
           "CAST(1000000 * t.c // c1.c1 AS BIGINT) AS rf_ppm, " +
           "CAST(1000000 * t.c // r2.c AS BIGINT) AS dbl_ppm " +
           "FROM t CROSS JOIN c1 LEFT JOIN t r2 ON r2.rk = 2 * t.rk"),
+      // t43 oracle: per-(doc, word) counts then per-doc rollup, the same
+      // three ppm integer floors
+      "t43_lexical_diversity" ->
+        (s"WITH wc AS (SELECT doc_id, word, count(*) AS c FROM " +
+          s"(SELECT doc_id, unnest($w) AS word FROM documents WHERE trim(text) <> '') GROUP BY 1, 2), " +
+          "a AS (SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct, " +
+          "sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax, max(c) AS top_freq " +
+          "FROM wc GROUP BY 1) " +
+          "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, " +
+          "CAST(n_distinct AS BIGINT) AS n_distinct, " +
+          "CAST(1000000 * n_distinct // n_words AS BIGINT) AS ttr_ppm, " +
+          "CAST(1000000 * n_hapax // n_words AS BIGINT) AS hapax_ppm, " +
+          "CAST(1000000 * top_freq // n_words AS BIGINT) AS top_share_ppm FROM a"),
       // d26 oracle: same snapshot membership arithmetic (doc_id%3), same
       // shingle+h60 front, per-(lang,h) max() membership flags, per-lang
       // counts and integer-ppm rates

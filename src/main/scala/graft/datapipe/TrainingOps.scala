@@ -2182,6 +2182,37 @@ object TrainingOps extends Serializable {
     * same corpus gives the same curve under any partitioning or file
     * order — a positional prefix could not.
     */
+  /** Per-document lexical diversity — the within-document counterpart of
+    * [[corpusStats]]'s corpus-level vocabulary numbers and the feature
+    * family Gopher-style repetition filters key on: type-token ratio
+    * (low = the same words over and over — template/keyword-stuffed
+    * spam), hapax ratio (high = OCR noise or gibberish, low = formulaic
+    * text), and top-word share (one token dominating the document is
+    * the classic boilerplate/SEO signal). All ppm integer floors.
+    *
+    * Scale shape: ONE shuffle keyed (doc_id, word) — map-side combined,
+    * so the exchange carries per-doc WORD COUNTS, not the token stream —
+    * then a doc-keyed re-aggregation. Deliberately NOT the per-row
+    * higher-order-function form: counting within-doc frequencies via
+    * nested array filters is O(n²) in document length, fatal on the
+    * 100k-word tail; the two-stage aggregate is linear and both
+    * aggregations combine map-side.
+    */
+  def lexicalDiversity(docs: DataFrame): DataFrame = {
+    docs.filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        max("c").as("top_freq"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        expr("1000000 * n_distinct div n_words").as("ttr_ppm"),
+        expr("1000000 * n_hapax div n_words").as("hapax_ppm"),
+        expr("1000000 * top_freq div n_words").as("top_share_ppm"))
+  }
+
   /** Zipf rank-frequency table — the RANK-axis sibling of
     * [[vocabGrowth]]'s Heaps curve: the top-`maxRank` words by corpus
     * frequency with the two integer diagnostics a curation pass reads

@@ -1072,6 +1072,25 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(short("e") == -1 && short("d") == 2)
   }
 
+  test("lexical diversity: hand-computed ttr/hapax/top-share floors, all-same and all-distinct poles") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      1L -> "a a b c",       // 4 words, 3 distinct, 2 hapax, top 2
+      2L -> "x x x x",       // repetition pole: ttr 250000, hapax 0, share 1e6
+      3L -> "p q r",         // diversity pole: everything 1e6-ish
+      4L -> "  ").toDF("doc_id", "text")
+    val out = graft.datapipe.TrainingOps.lexicalDiversity(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(out(1L) == ((4L, 3L, 750000L, 500000L, 500000L)))
+    assert(out(2L) == ((4L, 1L, 250000L, 0L, 1000000L)))
+    assert(out(3L) == ((3L, 3L, 1000000L, 1000000L, 333333L)))
+    assert(!out.contains(4L))
+    val rep = graft.datapipe.TrainingOps.lexicalDiversity(df.repartition(3))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(rep == out.map(kv => kv._1 -> kv._2._3))
+  }
+
   test("zipf ranks: hand-computed rf/dbl chain, word-asc ties, horizon NULL, truncation") {
     val sp = spark; import sp.implicits._
     // counts: a=8, b=4, c=2, e=1, d=1 (d/e tie -> d ranks first)

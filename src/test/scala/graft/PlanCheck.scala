@@ -351,6 +351,9 @@ object PlanCheck {
     println("==== 99. m16 png chunks: typed mapPartitions riding the scan stage, zero exchange ====")
     SparkEntry.queries("m16_png_chunks")(spark, sf).explain("formatted")
 
+    println("==== 100. t43 lexical diversity: ONE map-side-combined (doc,word) exchange, doc-keyed rollup ====")
+    SparkEntry.queries("t43_lexical_diversity")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
