@@ -972,6 +972,27 @@ object SparkEntry {
           16, 10).cast("long"), lit(7L)) === 0L)
       graft.datapipe.GraphOps.crawlDepth(edges, seeds)
     }),
+    // sitemap-vs-crawl coverage audit: the declared side is GENUINELY
+    // parsed from urlset XML (entity decoding must survive the join —
+    // the &amp; loc only overlaps its crawled twin if decoded), the
+    // crawled side is the deterministic fetch log; per-host overlap,
+    // missing, extra, coverage_ppm (NULL when nothing declared)
+    "e47_sitemap_coverage" -> ((s, dir) => {
+      import s.implicits._
+      val base = docs(s, dir).select(col("doc_id")).as[Long]
+      val declared = base.filter(_ % 4 == 0)
+        .flatMap { id =>
+          val h = s"sm${id % 11}.example.com"
+          val locs = Seq("p0", "p1", "p2?x=1&amp;y=2")
+            .map(p => s"<url><loc>https://$h/$p</loc></url>").mkString
+          graft.core.Sitemaps.parse(s"<urlset>$locs</urlset>").entries.map(_.loc)
+        }.toDF("url")
+      val crawled = base.map { id =>
+        val p = if (id % 5 == 2) "p2?x=1&y=2" else s"p${id % 5}"
+        s"https://sm${id % 11}.example.com/$p"
+      }.toDF("url")
+      graft.datapipe.GraphOps.sitemapCoverage(declared, crawled)
+    }),
     // HITS hub/authority over the SAME host edge table as e23 — the
     // directory-vs-content separation PageRank can't express; integer
     // division-only normalization; oracle unrolls the 3 iterations
@@ -2015,6 +2036,30 @@ object SparkEntry {
           "UNION ALL SELECT eg.dst, d2.d + 1 FROM eg JOIN d2 ON eg.src = d2.host) GROUP BY 1) " +
           "SELECT nodes.h AS host, CAST(d3.d AS INT) AS depth " +
           "FROM nodes LEFT JOIN d3 ON d3.host = nodes.h"),
+      // e47 oracle: both url sets rebuilt arithmetically (the declared
+      // side pre-decoded — a MATCH proves the XML parse + entity decode
+      // survived through the coverage join), same full-outer + host
+      // rollup shape
+      "e47_sitemap_coverage" ->
+        ("WITH decl AS (SELECT DISTINCT 'https://sm' || (doc_id % 11) || '.example.com/' || " +
+          "(CASE t.j WHEN 2 THEN 'p2?x=1&y=2' ELSE 'p' || t.j END) AS url " +
+          "FROM documents, range(3) t(j) WHERE doc_id % 4 = 0), " +
+          "cr AS (SELECT DISTINCT 'https://sm' || (doc_id % 11) || '.example.com/' || " +
+          "(CASE WHEN doc_id % 5 = 2 THEN 'p2?x=1&y=2' ELSE 'p' || (doc_id % 5) END) AS url " +
+          "FROM documents), " +
+          "j AS (SELECT coalesce(decl.url, cr.url) AS url, " +
+          "CASE WHEN decl.url IS NOT NULL THEN 1 ELSE 0 END AS d, " +
+          "CASE WHEN cr.url IS NOT NULL THEN 1 ELSE 0 END AS c " +
+          "FROM decl FULL OUTER JOIN cr ON decl.url = cr.url), " +
+          "a AS (SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS host, " +
+          "sum(d) AS n_declared, sum(c) AS n_crawled, " +
+          "sum(CASE WHEN d = 1 AND c = 1 THEN 1 ELSE 0 END) AS n_both FROM j GROUP BY 1) " +
+          "SELECT host, CAST(n_declared AS BIGINT) AS n_declared, " +
+          "CAST(n_crawled AS BIGINT) AS n_crawled, CAST(n_both AS BIGINT) AS n_both, " +
+          "CAST(n_declared - n_both AS BIGINT) AS missing, " +
+          "CAST(n_crawled - n_both AS BIGINT) AS extra, " +
+          "CAST(CASE WHEN n_declared > 0 THEN 1000000 * n_both // n_declared END AS BIGINT) " +
+          "AS coverage_ppm FROM a"),
       // e44 oracle: HITS unrolled — same edge base as e23, hub/auth
       // joined from the final round
       "e44_hits" ->

@@ -605,6 +605,39 @@ object GraphOps {
     res
   }
 
+  /** Sitemap-vs-crawl coverage reconciliation — the audit that closes
+    * the crawl-discovery loop: sitemaps ([[graft.core.Sitemaps]], e37)
+    * declare what a host SAYS it has; the crawl log records what was
+    * actually FETCHED. Per host this reports both counts, the overlap,
+    * `missing` (declared but never crawled — frontier gaps, or a stale
+    * crawl), `extra` (crawled but undeclared — discovered via links,
+    * or a sitemap that under-reports), and `coverage_ppm = 1e6 * both
+    * div declared` (NULL when the host declared nothing — no fake
+    * 100%). Inputs are bare `url` tables; both sides are de-duplicated
+    * first, so re-listed or re-fetched URLs never double-count.
+    *
+    * Scale shape: two map-side-combined url-keyed distincts, ONE
+    * url-keyed full-outer join (hash-partitioned — the natural key; no
+    * skew beyond per-host volume, which the count-only host rollup
+    * absorbs map-side), then the host rollup. Nothing ever carries
+    * page bodies.
+    */
+  def sitemapCoverage(declared: DataFrame, crawled: DataFrame): DataFrame = {
+    val d = declared.select(col("url")).distinct().withColumn("d", lit(1))
+    val c = crawled.select(col("url")).distinct().withColumn("c", lit(1))
+    d.join(c, Seq("url"), "full_outer")
+      .select(regexp_extract(col("url"), "https?://([^/]+)", 1).as("host"),
+        col("d"), col("c"))
+      .groupBy("host").agg(
+        sum(coalesce(col("d"), lit(0))).cast("long").as("n_declared"),
+        sum(coalesce(col("c"), lit(0))).cast("long").as("n_crawled"),
+        sum(when(col("d") === 1 && col("c") === 1, 1L).otherwise(0L)).as("n_both"))
+      .withColumn("missing", col("n_declared") - col("n_both"))
+      .withColumn("extra", col("n_crawled") - col("n_both"))
+      .withColumn("coverage_ppm",
+        when(col("n_declared") > 0, expr("1000000 * n_both div n_declared")))
+  }
+
   def crawlFrontier(edges: DataFrame, crawled: DataFrame): DataFrame = {
     val agg = edges.groupBy("to_url").agg(
       count(lit(1)).as("n_refs"),

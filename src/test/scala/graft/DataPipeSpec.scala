@@ -1072,6 +1072,30 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(short("e") == -1 && short("d") == 2)
   }
 
+  test("sitemap coverage: overlap arithmetic, dedup both sides, undeclared-host NULL ppm, crawl-only host") {
+    val sp = spark; import sp.implicits._
+    val declared = Seq(
+      "https://a.com/1", "https://a.com/2", "https://a.com/2", // dup declared
+      "https://a.com/3", "https://b.com/x").toDF("url")
+    val crawled = Seq(
+      "https://a.com/2", "https://a.com/3", "https://a.com/3", // dup crawled
+      "https://a.com/9", "https://c.com/z").toDF("url")
+    val out = graft.datapipe.GraphOps.sitemapCoverage(declared, crawled)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) -1L else r.getLong(6))).toMap
+    // a.com: declared {1,2,3}, crawled {2,3,9} -> both 2, missing 1, extra 1
+    assert(out("a.com") == ((3L, 3L, 2L, 1L, 1L, 666666L)))
+    // b.com: declared-only -> coverage 0
+    assert(out("b.com") == ((1L, 0L, 0L, 1L, 0L, 0L)))
+    // c.com: crawled-only, nothing declared -> NULL ppm, never a fake 100%
+    assert(out("c.com") == ((0L, 1L, 0L, 0L, 1L, -1L)))
+    val rep = graft.datapipe.GraphOps.sitemapCoverage(
+      declared.repartition(4), crawled.repartition(3)).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(rep == out.map(kv => kv._1 -> kv._2._3))
+  }
+
   test("lexical diversity: hand-computed ttr/hapax/top-share floors, all-same and all-distinct poles") {
     val sp = spark; import sp.implicits._
     val df = Seq(

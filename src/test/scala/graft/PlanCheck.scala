@@ -354,6 +354,9 @@ object PlanCheck {
     println("==== 100. t43 lexical diversity: ONE map-side-combined (doc,word) exchange, doc-keyed rollup ====")
     SparkEntry.queries("t43_lexical_diversity")(spark, sf).explain("formatted")
 
+    println("==== 101. e47 sitemap coverage: url-keyed distincts + full-outer, count-only host rollup ====")
+    SparkEntry.queries("e47_sitemap_coverage")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
