@@ -972,6 +972,12 @@ object SparkEntry {
           16, 10).cast("long"), lit(7L)) === 0L)
       graft.datapipe.GraphOps.crawlDepth(edges, seeds)
     }),
+    // weakly-connected components over the e23 host graph: hash-min
+    // label propagation on the undirected edge set, 4 rounds; comp =
+    // lexicographic-min host within 4 hops, comp_size = hosts under
+    // that label — the mirror-farm / link-ring detection feature
+    "e48_components" -> ((s, dir) =>
+      graft.datapipe.GraphOps.connectedComponents(hostEdges(s, dir))),
     // sitemap-vs-crawl coverage audit: the declared side is GENUINELY
     // parsed from urlset XML (entity decoding must survive the join —
     // the &amp; loc only overlaps its crawled twin if decoded), the
@@ -2036,6 +2042,25 @@ object SparkEntry {
           "UNION ALL SELECT eg.dst, d2.d + 1 FROM eg JOIN d2 ON eg.src = d2.host) GROUP BY 1) " +
           "SELECT nodes.h AS host, CAST(d3.d AS INT) AS depth " +
           "FROM nodes LEFT JOIN d3 ON d3.host = nodes.h"),
+      // e48 oracle: same edge base as e23/e46 made undirected, four
+      // unrolled min-label rounds, then the label-size rollup — string
+      // min is codepoint order on both engines for these ASCII hosts
+      "e48_components" ->
+        (s"WITH ${hostEdgeCtes(htmlKinds)}, " +
+          "eg AS MATERIALIZED (SELECT DISTINCT src, dst FROM " +
+          "(SELECT src, dst FROM w UNION ALL SELECT dst, src FROM w) WHERE src <> dst), " +
+          "l0 AS MATERIALIZED (SELECT h AS host, h AS c FROM nodes), " +
+          "l1 AS MATERIALIZED (SELECT host, min(c) AS c FROM (SELECT host, c FROM l0 " +
+          "UNION ALL SELECT eg.dst, l0.c FROM eg JOIN l0 ON eg.src = l0.host) GROUP BY 1), " +
+          "l2 AS MATERIALIZED (SELECT host, min(c) AS c FROM (SELECT host, c FROM l1 " +
+          "UNION ALL SELECT eg.dst, l1.c FROM eg JOIN l1 ON eg.src = l1.host) GROUP BY 1), " +
+          "l3 AS MATERIALIZED (SELECT host, min(c) AS c FROM (SELECT host, c FROM l2 " +
+          "UNION ALL SELECT eg.dst, l2.c FROM eg JOIN l2 ON eg.src = l2.host) GROUP BY 1), " +
+          "l4 AS MATERIALIZED (SELECT host, min(c) AS c FROM (SELECT host, c FROM l3 " +
+          "UNION ALL SELECT eg.dst, l3.c FROM eg JOIN l3 ON eg.src = l3.host) GROUP BY 1), " +
+          "sz AS (SELECT c, count(*) AS n FROM l4 GROUP BY 1) " +
+          "SELECT l4.host AS host, l4.c AS comp, CAST(sz.n AS BIGINT) AS comp_size " +
+          "FROM l4 JOIN sz ON l4.c = sz.c"),
       // e47 oracle: both url sets rebuilt arithmetically (the declared
       // side pre-decoded — a MATCH proves the XML parse + entity decode
       // survived through the coverage join), same full-outer + host

@@ -605,6 +605,61 @@ object GraphOps {
     res
   }
 
+  /** Weakly-connected components over the host graph — the fourth
+    * classic host-graph curation signal next to [[hostRank]], [[hits]]
+    * and [[crawlDepth]]: component membership and size are what
+    * mirror-farm and link-ring detection key on (a thousand hosts
+    * forming one tight component that never touches the main web
+    * component is a spam farm; the giant component is "the web").
+    * Hash-min label propagation on the UNDIRECTED edge set: every host
+    * starts labeled with itself; each round min-merges its neighbors'
+    * labels, so after k rounds each host holds the lexicographic-min
+    * host within k undirected hops — equal to its true component label
+    * once k >= the component's eccentricity from the min host.
+    * `maxRounds` bounds the rounds (each is one shuffle); the label
+    * table after the final round is reported as-is, the [[crawlDepth]]
+    * horizon convention — both the unit convergence test and the
+    * DuckDB oracle pin the same k-round semantics. Self-loops are
+    * dropped from the propagation edges (their label contributes
+    * nothing to a min with itself); direction is erased by unioning
+    * reversed edges before the distinct.
+    *
+    * Output: (host, comp, comp_size) — comp is the min-label, size the
+    * host count under that label (the farm-detection feature).
+    *
+    * Scale shape: per round ONE host-keyed join + ONE map-side-combined
+    * min aggregation over (host, label) string pairs — never documents;
+    * lineage truncates per round (localCheckpoint). At production scale
+    * swap string labels for 8-byte host hashes (strings kept here for
+    * oracle bit-parity) and use large-star/small-star (Kiveris et al.)
+    * to converge high-diameter graphs in O(log d) rounds; web host
+    * graphs have small effective diameter, so plain hash-min with
+    * single-digit rounds is the standard first tool.
+    */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 4,
+                          truncateLineage: Boolean = true): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 16, "maxRounds must be in [1, 16]")
+    val raw = edges.select(col("src"), col("dst"))
+    val und = raw.union(raw.select(col("dst"), col("src")))
+      .filter(col("src") =!= col("dst")).distinct().persist()
+    val nodes = raw.select(col("src").as("host"))
+      .union(raw.select(col("dst"))).distinct().persist()
+    var lab = nodes.withColumn("comp", col("host"))
+    for (_ <- 1 to maxRounds) {
+      val next = und.join(lab, und("src") === lab("host"))
+        .select(und("dst").as("host"), col("comp"))
+      val merged = lab.union(next).groupBy("host").agg(min("comp").as("comp"))
+      lab = if (truncateLineage) merged.localCheckpoint() else merged
+    }
+    val sizes = lab.groupBy("comp").agg(count(lit(1)).as("comp_size"))
+    val out = lab.join(sizes, Seq("comp"))
+      .select(col("host"), col("comp"), col("comp_size"))
+    val res = if (truncateLineage) out.localCheckpoint() else out
+    und.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    res
+  }
+
   /** Sitemap-vs-crawl coverage reconciliation — the audit that closes
     * the crawl-discovery loop: sitemaps ([[graft.core.Sitemaps]], e37)
     * declare what a host SAYS it has; the crawl log records what was

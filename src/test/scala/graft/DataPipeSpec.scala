@@ -1072,6 +1072,35 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(short("e") == -1 && short("d") == 2)
   }
 
+  test("connected components: path convergence at diameter rounds, horizon at fewer, cycle, island, self-loop, invariance") {
+    val sp = spark; import sp.implicits._
+    // directed path a->b->c->d->e (undirected diameter 4 from 'a'),
+    // cycle p->q->r->p, island x<->y, self-loop-only host z
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+      ("p", "q"), ("q", "r"), ("r", "p"),
+      ("x", "y"), ("y", "x"), ("z", "z")).toDF("src", "dst")
+    def run(rounds: Int) = graft.datapipe.GraphOps.connectedComponents(edges, rounds)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val full = run(4)
+    // path fully converged: every host labeled 'a', size 5
+    for (h <- Seq("a", "b", "c", "d", "e")) assert(full(h) == (("a", 5L)))
+    // cycle converges well inside 4 rounds
+    for (h <- Seq("p", "q", "r")) assert(full(h) == (("p", 3L)))
+    assert(full("x") == (("x", 2L)) && full("y") == (("x", 2L)))
+    // self-loop dropped from propagation; z is its own singleton
+    assert(full("z") == (("z", 1L)))
+    // below-diameter horizon: after 2 rounds 'e' only sees 'c' (labels
+    // advance one hop per round along the path)
+    val two = run(2)
+    assert(two("e")._1 == "c" && two("d")._1 == "b" && two("b")._1 == "a")
+    // partitioning + lineage-mode invariance
+    val rep = graft.datapipe.GraphOps.connectedComponents(
+      edges.repartition(5), 4, truncateLineage = false)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(rep == full)
+  }
+
   test("sitemap coverage: overlap arithmetic, dedup both sides, undeclared-host NULL ppm, crawl-only host") {
     val sp = spark; import sp.implicits._
     val declared = Seq(

@@ -357,6 +357,9 @@ object PlanCheck {
     println("==== 101. e47 sitemap coverage: url-keyed distincts + full-outer, count-only host rollup ====")
     SparkEntry.queries("e47_sitemap_coverage")(spark, sf).explain("formatted")
 
+    println("==== 102. e48 components: per-round host-keyed join + map-side min, flat lineage ====")
+    SparkEntry.queries("e48_components")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
