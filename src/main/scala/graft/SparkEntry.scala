@@ -978,6 +978,12 @@ object SparkEntry {
     // that label — the mirror-farm / link-ring detection feature
     "e48_components" -> ((s, dir) =>
       graft.datapipe.GraphOps.connectedComponents(hostEdges(s, dir))),
+    // per-host triangles + clustering coefficient over the e23 host
+    // graph: degree-ordered orientation (oriented out-degree bounded by
+    // O(sqrt(m)) — the hub-safe wedge enumeration), cc_ppm NULL below
+    // degree 2 — the link-ring / clique-farm fingerprint
+    "e49_triangles" -> ((s, dir) =>
+      graft.datapipe.GraphOps.triangles(hostEdges(s, dir))),
     // sitemap-vs-crawl coverage audit: the declared side is GENUINELY
     // parsed from urlset XML (entity decoding must survive the join —
     // the &amp; loc only overlaps its crawled twin if decoded), the
@@ -2061,6 +2067,24 @@ object SparkEntry {
           "sz AS (SELECT c, count(*) AS n FROM l4 GROUP BY 1) " +
           "SELECT l4.host AS host, l4.c AS comp, CAST(sz.n AS BIGINT) AS comp_size " +
           "FROM l4 JOIN sz ON l4.c = sz.c"),
+      // e49 oracle: same undirected edge base as e48; triangles counted
+      // once each via name-canonical a<b<c edges (orientation-free —
+      // the Spark op's degree ordering yields the identical set), then
+      // per-host participation and the 1e6*2*tri // (d*(d-1)) floor
+      "e49_triangles" ->
+        (s"WITH ${hostEdgeCtes(htmlKinds)}, " +
+          "und AS MATERIALIZED (SELECT DISTINCT src, dst FROM " +
+          "(SELECT src, dst FROM w UNION ALL SELECT dst, src FROM w) WHERE src <> dst), " +
+          "dg AS (SELECT src AS host, count(*) AS degree FROM und GROUP BY 1), " +
+          "ce AS (SELECT src AS a, dst AS b FROM und WHERE src < dst), " +
+          "tr AS (SELECT e1.a, e1.b, e2.b AS c FROM ce e1 " +
+          "JOIN ce e2 ON e2.a = e1.b JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+          "ph AS (SELECT host, count(*) AS tri FROM " +
+          "(SELECT a AS host FROM tr UNION ALL SELECT b FROM tr UNION ALL SELECT c FROM tr) GROUP BY 1) " +
+          "SELECT nodes.h AS host, CAST(coalesce(dg.degree, 0) AS BIGINT) AS degree, " +
+          "CAST(coalesce(ph.tri, 0) AS BIGINT) AS tri, " +
+          "CAST(CASE WHEN coalesce(dg.degree, 0) >= 2 THEN 1000000 * 2 * coalesce(ph.tri, 0) // (dg.degree * (dg.degree - 1)) END AS BIGINT) AS cc_ppm " +
+          "FROM nodes LEFT JOIN dg ON dg.host = nodes.h LEFT JOIN ph ON ph.host = nodes.h"),
       // e47 oracle: both url sets rebuilt arithmetically (the declared
       // side pre-decoded — a MATCH proves the XML parse + entity decode
       // survived through the coverage join), same full-outer + host

@@ -660,6 +660,85 @@ object GraphOps {
     res
   }
 
+  /** Per-host triangle count + local clustering coefficient over the
+    * undirected host graph — the fifth host-graph curation signal next
+    * to [[hostRank]] / [[hits]] / [[crawlDepth]] /
+    * [[connectedComponents]]: link farms are built as dense cliques
+    * (every farm host links to every other), so a host whose
+    * neighborhood closes into many triangles (cc near 1) inside a
+    * small component is the canonical link-ring fingerprint, while
+    * organic hub hosts have huge degree and near-zero closure.
+    *
+    * Counting uses the standard degree-ordered orientation (the
+    * node-iterator++ / Schank-Wagner trick): each undirected edge
+    * {a,b} is kept once, directed from the lower (degree, host) key to
+    * the higher, and a triangle is an oriented wedge b<-a->c (with
+    * key(b) < key(c)) whose closing edge b->c exists. Orientation by
+    * degree bounds every node's oriented out-degree by O(sqrt(m)), so
+    * a 10-million-degree organic hub enumerates O(m) wedge pairs
+    * instead of the O(deg^2) a name-ordered orientation would allow —
+    * the difference between hours and never on a web-scale graph. The
+    * triangle SET is orientation-independent (any total order yields
+    * each triangle exactly once), which is what lets the DuckDB oracle
+    * count with plain name ordering and still hash-match, and the unit
+    * test pins that invariance directly.
+    *
+    * Output: (host, degree, tri, cc_ppm) — degree = distinct
+    * undirected neighbors, tri = triangles through the host, cc_ppm =
+    * 1e6 * 2*tri div (degree*(degree-1)), NULL when degree < 2 (a
+    * leaf has no closable wedge — reported as no-signal, never 0).
+    *
+    * Scale shape: degrees and the wedge join shuffle (host, host)
+    * string pairs only — never documents; the wedge join is an
+    * equi-join on the apex plus the closing-edge equi-join on both
+    * endpoints (hash-partitioned, AQE-skew-splittable). At production
+    * scale swap host strings for 8-byte hashes; the orientation trick
+    * is already the production shape.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val raw = edges.select(col("src"), col("dst"))
+    // node set from the RAW edges (the [[connectedComponents]] node
+    // convention): a self-loop-only host stays in the output with
+    // degree 0 rather than silently vanishing
+    val nodes = raw.select(col("src").as("host"))
+      .union(raw.select(col("dst"))).distinct().persist()
+    val und = raw.union(raw.select(col("dst"), col("src")))
+      .filter(col("src") =!= col("dst")).distinct().persist()
+    val deg = und.groupBy(col("src").as("host"))
+      .agg(count(lit(1)).as("degree")).persist()
+    // orient low (degree, host) -> high; carry the dst key for the
+    // wedge-pair ordering below
+    val keyed = und
+      .join(deg.select(col("host").as("src"), col("degree").as("sdeg")), Seq("src"))
+      .join(deg.select(col("host").as("dst"), col("degree").as("ddeg")), Seq("dst"))
+    val oriented = keyed.filter(
+      (col("sdeg") < col("ddeg")) ||
+        (col("sdeg") === col("ddeg") && col("src") < col("dst")))
+      .select(col("src"), col("dst"), col("ddeg")).persist()
+    val e1 = oriented.select(col("src").as("apex"), col("dst").as("b"), col("ddeg").as("bdeg"))
+    val e2 = oriented.select(col("src").as("apex"), col("dst").as("c"), col("ddeg").as("cdeg"))
+    val wedges = e1.join(e2, Seq("apex"))
+      .filter((col("bdeg") < col("cdeg")) ||
+        (col("bdeg") === col("cdeg") && col("b") < col("c")))
+    val tris = wedges.join(
+      oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+      .select(col("apex"), col("b"), col("c"))
+    val perHost = tris
+      .select(explode(array(col("apex"), col("b"), col("c"))).as("host"))
+      .groupBy("host").agg(count(lit(1)).as("tri"))
+    val out = nodes.join(deg, Seq("host"), "left").join(perHost, Seq("host"), "left")
+      .select(col("host"), coalesce(col("degree"), lit(0L)).as("degree"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("cc_ppm",
+        when(col("degree") >= 2, expr("1000000 * 2 * tri div (degree * (degree - 1))")))
+    val res = out.localCheckpoint()
+    nodes.unpersist(blocking = false)
+    und.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    oriented.unpersist(blocking = false)
+    res
+  }
+
   /** Sitemap-vs-crawl coverage reconciliation — the audit that closes
     * the crawl-discovery loop: sitemaps ([[graft.core.Sitemaps]], e37)
     * declare what a host SAYS it has; the crawl log records what was

@@ -1101,6 +1101,36 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rep == full)
   }
 
+  test("triangles: K4 closure, pendant leaf NULL, open path cc 0, self-loop-only degree 0, invariance") {
+    val sp = spark; import sp.implicits._
+    // K4 on {a,b,c,d} (some edges reversed/duplicated to pin the
+    // undirected distinct), pendant d-e, open path x-y-z, self-loop w
+    val edges = Seq(
+      ("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"),
+      ("b", "c"), ("c", "d"), ("d", "b"), ("b", "c"),
+      ("d", "e"),
+      ("x", "y"), ("y", "z"),
+      ("w", "w")).toDF("src", "dst")
+    def runOf(df: org.apache.spark.sql.DataFrame) =
+      graft.datapipe.GraphOps.triangles(df).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    val out = runOf(edges)
+    // K4 has 4 triangles, 3 through each vertex; a,b,c close fully
+    for (h <- Seq("a", "b", "c")) assert(out(h) == ((3L, 3L, 1000000L)))
+    // d additionally touches leaf e: degree 4, cc = 6/12
+    assert(out("d") == ((4L, 3L, 500000L)))
+    // leaf: degree 1 -> no closable wedge -> NULL, never 0
+    assert(out("e") == ((1L, 0L, -1L)))
+    // open path middle: degree 2, zero triangles -> cc 0 (a real zero)
+    assert(out("y") == ((2L, 0L, 0L)))
+    assert(out("x") == ((1L, 0L, -1L)) && out("z") == ((1L, 0L, -1L)))
+    // self-loop-only host stays in the output at degree 0
+    assert(out("w") == ((0L, 0L, -1L)))
+    // partitioning invariance
+    assert(runOf(edges.repartition(5)) == out)
+  }
+
   test("sitemap coverage: overlap arithmetic, dedup both sides, undeclared-host NULL ppm, crawl-only host") {
     val sp = spark; import sp.implicits._
     val declared = Seq(

@@ -360,6 +360,9 @@ object PlanCheck {
     println("==== 102. e48 components: per-round host-keyed join + map-side min, flat lineage ====")
     SparkEntry.queries("e48_components")(spark, sf).explain("formatted")
 
+    println("==== 103. e49 triangles: degree-ordered wedge join on (host,host) pairs, hub-safe fan-out ====")
+    SparkEntry.queries("e49_triangles")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
