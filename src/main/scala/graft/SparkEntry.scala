@@ -1751,6 +1751,18 @@ object SparkEntry {
         .toDF("doc_id", "payload")
       TrainingOps.pngChunks(s, payloads)
     }),
+    // JPEG marker-segment walk (m16's sibling for the other half of
+    // the web's images): per-marker (offset, name, declared length) +
+    // entropy-scan rows carrying ecs_len; boundaries by LENGTH never
+    // FF-scan (planted FF D8 in a COM body), FF00 stuffing, RSTn
+    // in-scan rows, EOI stops the walk, no_eoi distinct from truncated
+    "m17_jpeg_segments" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = docs(s, dir).select(col("doc_id")).as[Long]
+        .map(id => (id, TrainingOps.syntheticJpegPayload(id)))
+        .toDF("doc_id", "payload")
+      TrainingOps.jpegSegments(s, payloads)
+    }),
     // charset sniffing over synthesized page bytes: BOM > 1024-byte meta
     // prescan > UTF-8 structural validation > windows-1252 fallback; the
     // oracle derives every verdict arithmetically from doc_id
@@ -3635,6 +3647,37 @@ object SparkEntry {
           "UNION ALL SELECT doc_id, 'not_png', NULL, NULL, NULL, NULL, NULL, NULL FROM ids WHERE f = 4 " +
           "UNION ALL SELECT doc_id, 'no_iend', 0, 8, 'IHDR', 13, 1, 1 FROM ids WHERE f = 5 " +
           "UNION ALL SELECT doc_id, 'no_iend', 1, 33, 'tEXt', tl, 1, 0 FROM ids WHERE f = 5)"),
+      // m17 oracle: segment offsets chain arithmetically from the three
+      // doc_id-derived lengths (APP0 body al = 1+id%17, COM extra
+      // cl = id%9, entropy run el = 5+id%13): APP0@2, COM@6+al (body
+      // opens with the planted FF D8 — its declared length cl+4 is what
+      // the walk must step over), SOF0@12+al+cl, SOS@31+al+cl with
+      // ecs 2+el (stuffed FF00 + fill), RST0@47+al+cl+el with ecs 3,
+      // EOI@52+al+cl+el; families 1/3 collapse to the same malformed
+      // prefix, family 2's two truncation variants to one row pair
+      "m17_jpeg_segments" ->
+        ("WITH ids AS (SELECT doc_id, doc_id % 6 AS f, " +
+          "CAST(1 + doc_id % 17 AS INT) AS al, CAST(doc_id % 9 AS INT) AS cl, " +
+          "CAST(5 + doc_id % 13 AS INT) AS el FROM documents) " +
+          "SELECT doc_id, status, CAST(idx AS INT) AS idx, CAST(o AS BIGINT) AS m_off, " +
+          "marker, CAST(sl AS INT) AS seg_len, CAST(ecs AS INT) AS ecs_len FROM ( " +
+          "SELECT doc_id, 'ok' AS status, 0 AS idx, 0 AS o, 'SOI' AS marker, " +
+          "NULL AS sl, NULL AS ecs FROM ids WHERE f = 0 " +
+          "UNION ALL SELECT doc_id, 'ok', 1, 2, 'APP0', al + 2, NULL FROM ids WHERE f = 0 " +
+          "UNION ALL SELECT doc_id, 'ok', 2, 6 + al, 'COM', cl + 4, NULL FROM ids WHERE f = 0 " +
+          "UNION ALL SELECT doc_id, 'ok', 3, 12 + al + cl, 'SOF0', 17, NULL FROM ids WHERE f = 0 " +
+          "UNION ALL SELECT doc_id, 'ok', 4, 31 + al + cl, 'SOS', 12, 2 + el FROM ids WHERE f = 0 " +
+          "UNION ALL SELECT doc_id, 'ok', 5, 47 + al + cl + el, 'RST0', NULL, 3 FROM ids WHERE f = 0 " +
+          "UNION ALL SELECT doc_id, 'ok', 6, 52 + al + cl + el, 'EOI', NULL, NULL FROM ids WHERE f = 0 " +
+          "UNION ALL SELECT doc_id, 'malformed', 0, 0, 'SOI', NULL, NULL FROM ids WHERE f IN (1, 3) " +
+          "UNION ALL SELECT doc_id, 'malformed', 1, 2, 'APP0', al + 2, NULL FROM ids WHERE f IN (1, 3) " +
+          "UNION ALL SELECT doc_id, 'truncated', 0, 0, 'SOI', NULL, NULL FROM ids WHERE f = 2 " +
+          "UNION ALL SELECT doc_id, 'truncated', 1, 2, 'APP0', al + 2, NULL FROM ids WHERE f = 2 " +
+          "UNION ALL SELECT doc_id, 'not_jpeg', NULL, NULL, NULL, NULL, NULL FROM ids WHERE f = 4 " +
+          "UNION ALL SELECT doc_id, 'no_eoi', 0, 0, 'SOI', NULL, NULL FROM ids WHERE f = 5 " +
+          "UNION ALL SELECT doc_id, 'no_eoi', 1, 2, 'APP0', al + 2, NULL FROM ids WHERE f = 5 " +
+          "UNION ALL SELECT doc_id, 'no_eoi', 2, 6 + al, 'SOF0', 17, NULL FROM ids WHERE f = 5 " +
+          "UNION ALL SELECT doc_id, 'no_eoi', 3, 25 + al, 'SOS', 12, 2 + el FROM ids WHERE f = 5)"),
       // m5 oracle: every verdict arithmetic from doc_id (the m3/m4
       // pattern) — a MATCH means the byte builder and the three-rung
       // sniffer agree on BOM precedence, the prescan window bound, and

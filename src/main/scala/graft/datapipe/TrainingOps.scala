@@ -4014,6 +4014,189 @@ object TrainingOps extends Serializable {
       .toDF("doc_id", "status", "idx", "c_off", "ctype", "clen", "crc_ok", "critical")
   }
 
+  /** Synthetic JPEG payloads for [[jpegSegments]] — six families keyed
+    * by doc_id % 6, every offset a pure function of the three
+    * doc_id-derived lengths (al = 1+id%17 APP0 body, cl = id%9 extra
+    * COM body, el = 5+id%13 entropy run) so the DuckDB oracle chains
+    * segment offsets arithmetically:
+    *   0: well-formed — SOI, APP0, COM whose body STARTS with a planted
+    *      `FF D8` (a fake SOI the length-driven walk must step over),
+    *      SOF0, SOS, entropy data opening with a stuffed `FF 00`, one
+    *      RST0 mid-scan, EOI, junk tail (never walked);
+    *   1: a non-FF byte where a marker is expected (malformed);
+    *   2: truncation, alternating by doc_id div 6 % 2 between a COM
+    *      whose declared length overruns EOF and a lone trailing FF;
+    *   3: a segment length field of 1 (< 2 is impossible — the field
+    *      includes itself; malformed);
+    *   4: not a JPEG at all;
+    *   5: clean EOF mid-entropy-scan with no EOI (no_eoi — the
+    *      truncated-download signature, distinct from header truncation).
+    */
+  def syntheticJpegPayload(id: Long): Array[Byte] = {
+    val bb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def mk(x: Int): Unit = { bb += 0xff.toByte; bb += x.toByte }
+    def be2(v: Int): Unit = { bb += ((v >>> 8) & 0xff).toByte; bb += (v & 0xff).toByte }
+    def fill(n: Int): Unit = (0 until n).foreach(i => bb += (0x41 + i % 23).toByte)
+    val al = (1 + id % 17).toInt
+    val cl = (id % 9).toInt
+    val el = (5 + id % 13).toInt
+    def app0(): Unit = { mk(0xe0); be2(al + 2); fill(al) }
+    def sof0(): Unit = {
+      mk(0xc0); be2(17); bb += 8.toByte; be2(16); be2(16); bb += 3.toByte
+      (1 to 3).foreach { c => bb += c.toByte; bb += 0x11.toByte; bb += 0.toByte }
+    }
+    def sos(): Unit = {
+      mk(0xda); be2(12); bb += 3.toByte
+      (1 to 3).foreach { c => bb += c.toByte; bb += 0.toByte }
+      bb += 0.toByte; bb += 63.toByte; bb += 0.toByte
+    }
+    (id % 6) match {
+      case 0 =>
+        mk(0xd8); app0()
+        mk(0xfe); be2(cl + 4); bb += 0xff.toByte; bb += 0xd8.toByte; fill(cl)
+        sof0(); sos()
+        bb += 0xff.toByte; bb += 0x00.toByte; fill(el)
+        mk(0xd0); fill(3)
+        mk(0xd9)
+        bb ++= s"JUNK$id".getBytes("US-ASCII")
+      case 1 => mk(0xd8); app0(); bb += 'X'.toByte; fill(4)
+      case 2 =>
+        if ((id / 6) % 2 == 0) { mk(0xd8); app0(); mk(0xfe); be2(cl + 50); fill(2) }
+        else { mk(0xd8); app0(); bb += 0xff.toByte }
+      case 3 => mk(0xd8); app0(); mk(0xfe); be2(1); fill(5)
+      case 4 => bb ++= s"GIF89a not a jpeg $id".getBytes("US-ASCII")
+      case _ =>
+        mk(0xd8); app0(); sof0(); sos()
+        bb += 0xff.toByte; bb += 0x00.toByte; fill(el)
+    }
+    bb.toArray
+  }
+
+  /** JPEG marker-segment walk — the INTEGRITY member of the walker
+    * series for the other half of the web's images (the m16 PNG walk's
+    * sibling), one level deeper than [[imageDims]]'s dims sniff: a JPEG
+    * is `FF D8` then a run of `FF marker [u16be length incl itself |
+    * payload]` segments, where SOS switches the stream into
+    * entropy-coded data that ends only at the next real marker. Emits
+    * one row per marker (idx, offset of the FF byte, marker name,
+    * declared length — NULL for standalone SOI/EOI/RSTn/TEM) plus the
+    * per-FILE terminal status (parsed prefix KEPT): `ok` (EOI reached;
+    * the junk tail after EOI is never scanned) / `not_jpeg` /
+    * `truncated` (EOF inside a header or declared payload, or a lone
+    * trailing FF) / `malformed` (non-FF where a marker is expected,
+    * `FF 00` outside entropy data, or a length field < 2 — the field
+    * includes its own two bytes) / `no_eoi` (clean EOF mid-entropy —
+    * the truncated-download signature, a DIFFERENT real-world failure
+    * from header truncation). The policy pins: segment boundaries are
+    * found by LENGTH, never by scanning for FF (markers legally appear
+    * inside COM/APPn bodies — pinned by a planted `FF D8` opening the
+    * COM body); inside entropy data `FF 00` is a stuffed data byte and
+    * `FF D0-D7` is a restart marker that gets its own row and does NOT
+    * leave the scan; every scan row (SOS or RSTn) carries ecs_len, the
+    * entropy bytes it owns before the next marker — the column that
+    * proves the stuffing/restart logic byte-for-byte. seg_len/ecs_len
+    * are nullable INTs (the m16 lesson: NULL ints round-trip identically
+    * through parquet and the oracle).
+    *
+    * Scale shape: typed mapPartitions riding the scan stage, map-only
+    * zero shuffle; payload bytes are stepped over by declared lengths —
+    * only entropy runs are byte-scanned, nothing is copied or decoded.
+    */
+  def jpegSegments(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        def mname(x: Int): String = x match {
+          case 0xd8 => "SOI"
+          case 0xd9 => "EOI"
+          case 0xda => "SOS"
+          case 0xc4 => "DHT"
+          case 0xdb => "DQT"
+          case 0xdd => "DRI"
+          case 0xfe => "COM"
+          case 0x01 => "TEM"
+          case v if v >= 0xd0 && v <= 0xd7 => "RST" + (v - 0xd0)
+          case v if v >= 0xc0 && v <= 0xcf => "SOF" + (v - 0xc0)
+          case v if v >= 0xe0 && v <= 0xef => "APP" + (v - 0xe0)
+          case v => f"M$v%02X"
+        }
+        it.flatMap { case (id, raw) =>
+          val b = if (raw == null) Array.emptyByteArray else raw
+          val n = b.length
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Int, Long, String, Option[Int], Option[Int])]
+          var status: String = null
+          if (n < 2 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+            status = "not_jpeg"
+          else {
+            out += ((0, 0L, "SOI", None, None))
+            var p = 2
+            var idx = 1
+            var entropy = false
+            var start = 0
+            var scanRow = -1
+            def patch(upTo: Int): Unit =
+              if (scanRow >= 0) out(scanRow) = out(scanRow).copy(_5 = Some(upTo - start))
+            while (status == null) {
+              if (entropy) {
+                if (p >= n) { patch(p); status = "no_eoi" }
+                else if ((b(p) & 0xff) != 0xff) p += 1
+                else if (p + 1 >= n) { patch(p); status = "no_eoi" }
+                else {
+                  val m = b(p + 1) & 0xff
+                  if (m == 0x00) p += 2 // stuffed data byte
+                  else if (m >= 0xd0 && m <= 0xd7) {
+                    patch(p)
+                    out += ((idx, p.toLong, mname(m), None, None))
+                    scanRow = out.length - 1
+                    idx += 1
+                    p += 2; start = p
+                  } else { patch(p); entropy = false } // real marker: back to segment mode
+                }
+              } else if (p >= n) status = "truncated"
+              else if ((b(p) & 0xff) != 0xff) status = "malformed"
+              else {
+                var j = p // consume fill bytes (runs of FF before the marker byte)
+                while (j < n && (b(j) & 0xff) == 0xff) j += 1
+                if (j >= n) status = "truncated"
+                else {
+                  val m = b(j) & 0xff
+                  if (m == 0x00) status = "malformed"
+                  else if (m == 0xd9) {
+                    out += ((idx, (j - 1).toLong, "EOI", None, None))
+                    idx += 1; status = "ok"
+                  } else if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+                    out += ((idx, (j - 1).toLong, mname(m), None, None))
+                    idx += 1; p = j + 1
+                  } else if (j + 3 > n) status = "truncated"
+                  else {
+                    val len = ((b(j + 1) & 0xff) << 8) | (b(j + 2) & 0xff)
+                    if (len < 2) status = "malformed"
+                    else if (j + 1 + len > n) status = "truncated"
+                    else {
+                      out += ((idx, (j - 1).toLong, mname(m), Some(len), None))
+                      if (m == 0xda) { scanRow = out.length - 1; entropy = true; start = j + 1 + len }
+                      idx += 1
+                      p = j + 1 + len
+                    }
+                  }
+                }
+              }
+            }
+          }
+          val es = out.toList
+          if (es.isEmpty)
+            Seq((id, status, None: Option[Int], None: Option[Long],
+              None: Option[String], None: Option[Int], None: Option[Int]))
+          else es.map { case (i2, off, mk2, sl, ecs) =>
+            (id, status, Some(i2), Some(off), Some(mk2), sl, ecs)
+          }
+        }
+      }
+      .toDF("doc_id", "status", "idx", "m_off", "marker", "seg_len", "ecs_len")
+  }
+
   def imageDims(spark: SparkSession, payloads: DataFrame): DataFrame = {
     import spark.implicits._
     payloads.select(col("doc_id"), col("payload"))

@@ -2000,6 +2000,70 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(statuses.subsetOf(Set("ok", "not_png", "truncated", "malformed", "no_iend")))
   }
 
+  test("jpeg segments: length-driven walk over planted markers, ff00 stuffing, rst rows, eoi stops, no_eoi, totality") {
+    val sp = spark; import sp.implicits._
+    def run(rows: Seq[(Long, Array[Byte])]) =
+      TrainingOps.jpegSegments(sp, rows.toDF("doc_id", "payload")).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(2)) -1 else r.getInt(2)) ->
+          ((r.getString(1),
+            if (r.isNullAt(3)) -1L else r.getLong(3),
+            if (r.isNullAt(4)) null else r.getString(4),
+            if (r.isNullAt(5)) -1 else r.getInt(5),
+            if (r.isNullAt(6)) -1 else r.getInt(6))))
+        .toMap
+    // ids 0..5 cover the %6 families; 8 (8/6=1 odd) is the lone-FF
+    // truncation variant, 14 (14/6=2 even) the length-overrun one
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L, 8L, 14L)
+    val out = run(ids.map(id => (id, TrainingOps.syntheticJpegPayload(id))))
+    // id 0: al=1 cl=0 el=5 — the planted FF D8 opening the COM body is
+    // stepped over by the declared length (COM@7, SOF0@13 — a scan-for-FF
+    // walker would have restarted at the fake SOI instead); the stuffed
+    // FF00 opening the entropy run is data (ecs 7 = 2 + el); RST0 gets
+    // its own in-scan row owning 3 bytes; EOI@58 ends the walk with the
+    // JUNK tail unscanned (no idx 7)
+    assert(out((0L, 0)) == (("ok", 0L, "SOI", -1, -1)))
+    assert(out((0L, 1)) == (("ok", 2L, "APP0", 3, -1)))
+    assert(out((0L, 2)) == (("ok", 7L, "COM", 4, -1)))
+    assert(out((0L, 3)) == (("ok", 13L, "SOF0", 17, -1)))
+    assert(out((0L, 4)) == (("ok", 32L, "SOS", 12, 7)))
+    assert(out((0L, 5)) == (("ok", 53L, "RST0", -1, 3)))
+    assert(out((0L, 6)) == (("ok", 58L, "EOI", -1, -1)))
+    assert(!out.contains((0L, 7)))
+    // id 1: non-FF where a marker is expected — prefix kept
+    assert(out((1L, 0))._1 == "malformed" && out((1L, 1)) == (("malformed", 2L, "APP0", 4, -1)))
+    // family 2 both variants -> same truncated prefix
+    assert(out((2L, 1))._1 == "truncated" && out((8L, 1))._1 == "truncated")
+    assert(out((14L, 1)) == (("truncated", 2L, "APP0", 17, -1)))
+    assert(!out.contains((2L, 2)))
+    // id 3: length field 1 < 2 (the field includes itself) -> malformed
+    assert(out((3L, 1))._1 == "malformed" && !out.contains((3L, 2)))
+    // id 4: marker row
+    assert(out((4L, -1)) == (("not_jpeg", -1L, null, -1, -1)))
+    // id 5: al=6 el=10 — clean EOF mid-entropy is no_eoi, NOT truncated,
+    // and the SOS row still owns its consumed entropy bytes (2 + el)
+    assert(out((5L, 3)) == (("no_eoi", 31L, "SOS", 12, 12)))
+    assert(!out.contains((5L, 4)))
+    // empty payload
+    assert(run(Seq((91L, Array.emptyByteArray)))((91L, -1))._1 == "not_jpeg")
+    // totality fuzz: random bytes and bit-flipped valid payloads always
+    // yield a status, never an exception or a hang
+    val rnd = new scala.util.Random(1717)
+    val fuzz = (0 until 150).map { i =>
+      val base =
+        if (i % 2 == 0) Array.fill(rnd.nextInt(80))(rnd.nextInt(256).toByte)
+        else {
+          val v = TrainingOps.syntheticJpegPayload(rnd.nextInt(60).toLong)
+          if (v.nonEmpty) v(rnd.nextInt(v.length)) =
+            (v(rnd.nextInt(v.length)) ^ (1 << rnd.nextInt(8))).toByte
+          v
+        }
+      (1000L + i, base)
+    }
+    val statuses = TrainingOps.jpegSegments(sp, fuzz.toDF("doc_id", "payload"))
+      .select("status").distinct().collect().map(_.getString(0)).toSet
+    assert(statuses.subsetOf(Set("ok", "not_jpeg", "truncated", "malformed", "no_eoi")))
+  }
+
   test("tiff entries: dual endianness, inline/indirect split, exif pointer consumed, cycle, truncation, totality") {
     val sp = spark; import sp.implicits._
     def run(rows: Seq[(Long, Array[Byte])]) =

@@ -363,6 +363,9 @@ object PlanCheck {
     println("==== 103. e49 triangles: degree-ordered wedge join on (host,host) pairs, hub-safe fan-out ====")
     SparkEntry.queries("e49_triangles")(spark, sf).explain("formatted")
 
+    println("==== 104. m17 jpeg segments: typed mapPartitions length-driven walker in the scan stage, zero exchange ====")
+    SparkEntry.queries("m17_jpeg_segments")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
