@@ -603,6 +603,26 @@ object SparkEntry {
           concat(lit("https://ok"), id % 7, lit(".example.com/page/"), id % 5))
       graft.datapipe.GraphOps.trapDetection(docs(s, dir).select(url.as("url")))
     }),
+    // soft-404 detection over a synthesized fetch log: status >= 400 is
+    // an honest hard_error whatever the body says; status 200 with an
+    // error phrase AND a thin body is a disguised error page; a LONG
+    // body mentioning an error phrase (an article about 404s) stays ok
+    // — the conjunction, both thresholds, and precedence all oracle-pinned
+    "e50_soft404" -> ((s, dir) => {
+      val id = col("doc_id")
+      val url = concat(lit("https://"),
+        when(id % 10 < 3, lit("big.example.com"))
+          .otherwise(concat(lit("h"), id % 97, lit(".example.com"))),
+        lit("/doc/"), id)
+      val status = when(id % 7 === 0, lit(404))
+        .when(id % 7 === 1, lit(410)).otherwise(lit(200))
+      val body = when(id % 5 === 3,
+          lit("Oops! The page you requested does not exist. Error 404 error. Try the search box."))
+        .when(id % 5 === 4, concat(lit("Sorry, this article is no longer available. "), col("text")))
+        .otherwise(col("text"))
+      graft.datapipe.GraphOps.soft404(
+        docs(s, dir).select(url.as("url"), status.as("http_status"), body.as("body")))
+    }),
     "d4_dedup_jaccard" -> ((s, dir) => TrainingOps.jaccardVerify(docs(s, dir))),
     // banded (Ukkonen) edit-distance verify over the d2 candidates;
     // maxDist=5 splits this corpus's pairs (d=4 within, d=8 capped) so
@@ -2884,6 +2904,30 @@ object SparkEntry {
           "regexp_replace(regexp_extract(url, 'https?://[^/]+(/.*)?$', 1), '[0-9]+', 'N', 'g') AS template FROM u) " +
           "SELECT host, template, count(*) AS n_urls, count(*) >= 50 AS trap " +
           "FROM t GROUP BY 1, 2"),
+      // e50 oracle: same synthesized fetch log; phrase hits via the
+      // replace-count (non-overlapping, the same convention as Spark's
+      // split-count), words via the shared whitespace class, verdict
+      // CASE mirroring the hard>soft>ok precedence and both thresholds
+      "e50_soft404" -> {
+        val ph = Seq("page not found", "404 error", "does not exist",
+          "no longer available", "temporarily unavailable")
+          .map(p => s"(length(lower(body)) - length(replace(lower(body), '$p', ''))) // ${p.length}")
+          .mkString(" + ")
+        "WITH p AS (SELECT doc_id, " +
+          "'https://' || CASE WHEN doc_id % 10 < 3 THEN 'big.example.com' " +
+          "ELSE 'h' || (doc_id % 97) || '.example.com' END || '/doc/' || doc_id AS url, " +
+          "CASE WHEN doc_id % 7 = 0 THEN 404 WHEN doc_id % 7 = 1 THEN 410 ELSE 200 END AS st, " +
+          "CASE WHEN doc_id % 5 = 3 THEN 'Oops! The page you requested does not exist. Error 404 error. Try the search box.' " +
+          "WHEN doc_id % 5 = 4 THEN 'Sorry, this article is no longer available. ' || text " +
+          "ELSE text END AS body FROM documents), " +
+          "c AS (SELECT url, st, CASE WHEN trim(body) = '' THEN 0 " +
+          "ELSE len(regexp_split_to_array(trim(body), '[ \\t\\n\\r\\f\\x0B]+')) END AS nw, " +
+          s"$ph AS phits FROM p) " +
+          "SELECT url, CAST(st AS INT) AS http_status, CAST(nw AS INT) AS n_words, " +
+          "CAST(phits AS INT) AS phrase_hits, " +
+          "CASE WHEN st >= 400 THEN 'hard_error' " +
+          "WHEN phits > 0 AND nw < 50 THEN 'soft_404' ELSE 'ok' END AS verdict FROM c"
+      },
       // d22 oracle: the shared minhashBands CTEs (sig has the 12-slot g
       // list, sh the shingle sets), agreement + exact Jaccard in ppm
       "d22_minhash_calibration" ->

@@ -555,6 +555,54 @@ object GraphOps {
       .withColumn("trap", col("n_urls") >= minUrls)
   }
 
+  /** Error-page phrases for [[soft404]] — matched case-insensitively as
+    * plain substrings (no regex metacharacters allowed here: both the
+    * Spark split-count and the DuckDB replace-count treat them
+    * literally).
+    */
+  val Soft404Phrases: Seq[String] = Seq(
+    "page not found", "404 error", "does not exist",
+    "no longer available", "temporarily unavailable")
+
+  /** Soft-404 detection — the status-vs-content reconciliation every
+    * web-corpus ingest needs: servers routinely answer a dead URL with
+    * HTTP 200 and an error PAGE, and those pages are pure template
+    * boilerplate that poisons both dedup (thousands of near-identical
+    * "not found" bodies per host collapse into giant d1/d2 clusters)
+    * and the LM corpus itself. The classifier is the standard
+    * conjunction: an error PHRASE alone is not enough (a news article
+    * ABOUT 404s must survive — pinned by the long-body family), and a
+    * thin page alone is not enough (stub articles are legitimate);
+    * only phrase AND thin together read as a disguised error page.
+    * Verdict precedence: `hard_error` (status >= 400 — the honest
+    * case, whatever the body says) > `soft_404` (status < 400, at
+    * least one phrase hit, fewer than `thinWords` words) > `ok`.
+    * Output keeps n_words and phrase_hits so downstream can re-cut
+    * the threshold without re-scanning bodies.
+    *
+    * Scale shape: pure per-row map, zero exchange — phrase counts are
+    * codegen'd split-counts (non-overlapping occurrences, the same
+    * convention as the oracle's replace-count), the word count is the
+    * repo's one whitespace-class convention. At 100 TB this rides the
+    * scan; nothing moves.
+    */
+  def soft404(pages: DataFrame, thinWords: Int = 50): DataFrame = {
+    require(thinWords >= 1, "thinWords must be >= 1")
+    val low = lower(col("body"))
+    val hits = Soft404Phrases.map { p =>
+      (size(split(low, java.util.regex.Pattern.quote(p), -1)) - lit(1))
+    }.reduce(_ + _)
+    val trimmed = trim(col("body"))
+    val nw = when(length(trimmed) === 0, lit(0))
+      .otherwise(size(split(trimmed, TrainingOps.wsClass + "+")))
+    pages.select(col("url"), col("http_status").cast("int").as("http_status"),
+        nw.cast("int").as("n_words"), hits.cast("int").as("phrase_hits"))
+      .withColumn("verdict",
+        when(col("http_status") >= 400, lit("hard_error"))
+          .when(col("phrase_hits") > 0 && col("n_words") < thinWords, lit("soft_404"))
+          .otherwise(lit("ok")))
+  }
+
   /** BFS crawl-depth labeling — min link-hops from a seed set, the
     * third classic host-graph curation signal next to [[hostRank]]
     * (global endorsement) and [[hits]] (hub/authority split): crawl

@@ -146,6 +146,40 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(("b.example.com", "/about")) == ((1L, false)))
   }
 
+  test("soft404: hard>soft>ok precedence, phrase AND thin conjunction, threshold edge, case-insensitive counts") {
+    val sp = spark; import sp.implicits._
+    def page(u: String, st: Int, body: String) = (u, st, body)
+    val thin = "Sorry, page not found."                       // 4 words, 1 hit
+    val longBody = ("This article explains what a 404 error is. " +
+      ("filler word " * 30)).trim                             // 1 hit, > 50 words
+    val edge49 = "PAGE NOT FOUND " + ("w " * 46).trim         // 49 words, upper-case hit
+    val edge50 = "page not found " + ("w " * 47).trim         // 50 words: not thin
+    val rows = Seq(
+      page("u1", 404, thin),                  // hard_error beats the phrase
+      page("u2", 200, thin),                  // soft_404
+      page("u3", 200, longBody),              // phrase but long -> ok
+      page("u4", 200, "tiny stub page"),      // thin but no phrase -> ok
+      page("u5", 200, edge49),                // 49 < 50 -> soft_404
+      page("u6", 200, edge50),                // 50 is NOT thin -> ok
+      page("u7", 200, ""),                    // empty: 0 words, 0 hits -> ok
+      page("u8", 200, "404 error 404 error does not exist"),  // 3 hits
+      page("u9", 500, "server exploded"))     // hard_error without phrases
+      .toDF("url", "http_status", "body")
+    val out = graft.datapipe.GraphOps.soft404(rows).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))))
+      .toMap
+    assert(out("u1") == ((404, 4, 1, "hard_error")))
+    assert(out("u2") == ((200, 4, 1, "soft_404")))
+    assert(out("u3")._4 == "ok" && out("u3")._3 == 1)
+    assert(out("u4") == ((200, 3, 0, "ok")))
+    assert(out("u5") == ((200, 49, 1, "soft_404")))
+    assert(out("u6") == ((200, 50, 1, "ok")))
+    assert(out("u7") == ((200, 0, 0, "ok")))
+    assert(out("u8") == ((200, 7, 3, "soft_404")))
+    assert(out("u9") == ((500, 2, 0, "hard_error")))
+    intercept[IllegalArgumentException] { graft.datapipe.GraphOps.soft404(rows, thinWords = 0) }
+  }
+
   test("minhash calibration: candidates have >=3 matching components; est quantized to twelfths") {
     val rows = TrainingOps.minhashCalibration(docs).collect()
     assert(rows.nonEmpty, "no LSH candidates on the corpus")

@@ -366,6 +366,9 @@ object PlanCheck {
     println("==== 104. m17 jpeg segments: typed mapPartitions length-driven walker in the scan stage, zero exchange ====")
     SparkEntry.queries("m17_jpeg_segments")(spark, sf).explain("formatted")
 
+    println("==== 105. e50 soft404: pure per-row phrase/word counts, zero exchange ====")
+    SparkEntry.queries("e50_soft404")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
