@@ -572,6 +572,20 @@ object SparkEntry {
     // Flesch reading-ease in exact milli-units: vowel-group syllables,
     // [.!?]+ sentences, the two-step floor chain mirrored by the oracle
     "t41_readability" -> ((s, dir) => TrainingOps.readability(docs(s, dir))),
+    // encoding-damage scoring over text with deterministically planted
+    // mojibake: family 1 gets 1+id%3 repeats of a double-encoded suffix
+    // (4 markers each), family 3 the Â-artifact pair, family 5 raw
+    // U+FFFD replacement chars; everything else is clean natural text
+    "t44_mojibake" -> ((s, dir) => {
+      val id = col("doc_id")
+      val rep1 = expr("repeat(' cafÃ© naÃ¯ve â€™s ï¿½x', cast(1 + doc_id % 3 as int))")
+      val body = when(id % 6 === 1, concat(col("text"), rep1))
+        .when(id % 6 === 3, concat(col("text"), lit(" Â§Â· Â§Â·")))
+        .when(id % 6 === 5, concat(col("text"), lit(" bad�seq�")))
+        .otherwise(col("text"))
+      TrainingOps.mojibakeScore(
+        docs(s, dir).select(col("doc_id"), body.as("text")))
+    }),
     // gram-level crawl-over-crawl diff: snapshots = doc_id%3 partitions
     // (old keeps !=0, new keeps !=1 — overlapping, like real recrawls)
     "d26_crawl_novelty" -> ((s, dir) => {
@@ -3277,6 +3291,25 @@ object SparkEntry {
           "r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM t), " +
           "thr AS (SELECT lang, max(h) AS h_max FROM r WHERE rn <= 16 GROUP BY lang) " +
           "SELECT t.doc_id, t.lang, t.h FROM t JOIN thr USING (lang) WHERE t.h <= thr.h_max"),
+      // t44 oracle: same planted-damage body construction, marker hits
+      // via the replace-count (non-overlapping = Spark's split-count),
+      // char lengths equal on the BMP corpus, ppm floor + >= threshold
+      "t44_mojibake" -> {
+        val mh = Seq("Ã", "â€", "Â", "ï¿½", "�")
+          .map(m => s"(length(t) - length(replace(t, '$m', ''))) // ${m.length}")
+          .mkString(" + ")
+        "WITH b AS (SELECT doc_id, CASE " +
+          "WHEN doc_id % 6 = 1 THEN text || repeat(' cafÃ© naÃ¯ve â€™s ï¿½x', CAST(1 + doc_id % 3 AS INT)) " +
+          "WHEN doc_id % 6 = 3 THEN text || ' Â§Â· Â§Â·' " +
+          "WHEN doc_id % 6 = 5 THEN text || ' bad�seq�' " +
+          "ELSE text END AS t FROM documents), " +
+          s"c AS (SELECT doc_id, length(t) AS n_chars, $mh AS mh FROM b), " +
+          "d AS (SELECT doc_id, n_chars, mh, " +
+          "CASE WHEN n_chars > 0 THEN 1000000 * mh // n_chars END AS ppm FROM c) " +
+          "SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, " +
+          "CAST(mh AS BIGINT) AS moji_hits, CAST(ppm AS BIGINT) AS moji_ppm, " +
+          "coalesce(ppm >= 5000, false) AS damaged FROM d"
+      },
       // t41 oracle: same vowel-group syllables, [.!?]+ sentences, and
       // two-step floor chain in milli units
       "t41_readability" ->

@@ -180,6 +180,32 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { graft.datapipe.GraphOps.soft404(rows, thinWords = 0) }
   }
 
+  test("mojibake: marker counting, ppm floor, >= threshold edge, empty-doc NULL, stray-marker tolerance") {
+    val sp = spark; import sp.implicits._
+    val rows = Seq(
+      (1L, "clean text here"),                  // no markers
+      (2L, "cafÃ©"),                            // 5 chars, 1 hit -> 200000 ppm
+      (3L, "itâ€™s fine"),                      // 11 chars, 1 â€ hit
+      (4L, "Ã" + "a" * 999),                    // 1 hit in 1000 chars = 1000 ppm < 5000: NOT damaged
+      (5L, ""),                                 // empty: NULL ppm, damaged false
+      (6L, "ï¿½ï¿½"),                           // 6 chars, 2 hits
+      (7L, "ÃÃÃ"),                             // adjacent markers all count
+      (8L, "Ã" + "a" * 199))                    // exactly 5000 ppm -> damaged (>=)
+      .toDF("doc_id", "text")
+    val out = TrainingOps.mojibakeScore(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((15L, 0L, 0L, false)))
+    assert(out(2L) == ((5L, 1L, 200000L, true)))
+    assert(out(3L) == ((11L, 1L, 90909L, true)))
+    assert(out(4L) == ((1000L, 1L, 1000L, false)))
+    assert(out(5L) == ((0L, 0L, -1L, false)))
+    assert(out(6L) == ((6L, 2L, 333333L, true)))
+    assert(out(7L) == ((3L, 3L, 1000000L, true)))
+    assert(out(8L) == ((200L, 1L, 5000L, true)))
+    intercept[IllegalArgumentException] { TrainingOps.mojibakeScore(rows, damagedPpm = 0) }
+  }
+
   test("minhash calibration: candidates have >=3 matching components; est quantized to twelfths") {
     val rows = TrainingOps.minhashCalibration(docs).collect()
     assert(rows.nonEmpty, "no LSH candidates on the corpus")

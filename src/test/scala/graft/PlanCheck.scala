@@ -369,6 +369,9 @@ object PlanCheck {
     println("==== 105. e50 soft404: pure per-row phrase/word counts, zero exchange ====")
     SparkEntry.queries("e50_soft404")(spark, sf).explain("formatted")
 
+    println("==== 106. t44 mojibake: pure per-row marker counts, zero exchange ====")
+    SparkEntry.queries("t44_mojibake")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
