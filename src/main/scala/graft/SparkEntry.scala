@@ -617,6 +617,25 @@ object SparkEntry {
           concat(lit("https://ok"), id % 7, lit(".example.com/page/"), id % 5))
       graft.datapipe.GraphOps.trapDetection(docs(s, dir).select(url.as("url")))
     }),
+    // pagination-chain assembly over synthesized rel=next edges: docs
+    // group into 8-page articles (page = doc_id % 8, forward edges
+    // p -> p+1), with every 7th group closed into a rel=next CYCLE by a
+    // back-edge from page 7 — cycles must come out NULL (the trap
+    // signal), proper chains get (tail, dist, len) by pointer doubling
+    "e51_pagination_chains" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val uSelf = expr("concat('https://s', (doc_id div 8) % 13, " +
+        "'.example.com/a/', doc_id div 8, '?page=', doc_id % 8)")
+      val uNext = expr("concat('https://s', (doc_id div 8) % 13, " +
+        "'.example.com/a/', doc_id div 8, '?page=', (doc_id + 1) % 8)")
+      val uHead = expr("concat('https://s', (doc_id div 8) % 13, " +
+        "'.example.com/a/', doc_id div 8, '?page=', 0)")
+      val fwd = d.filter(expr("doc_id % 8 < 7"))
+        .select(uSelf.as("url"), uNext.as("next_url"))
+      val back = d.filter(expr("doc_id % 8 = 7 AND (doc_id div 8) % 7 = 2"))
+        .select(uSelf.as("url"), uHead.as("next_url"))
+      graft.datapipe.GraphOps.paginationChains(fwd.union(back))
+    }),
     // soft-404 detection over a synthesized fetch log: status >= 400 is
     // an honest hard_error whatever the body says; status 200 with an
     // error phrase AND a thin body is a disguised error page; a LONG
@@ -2918,6 +2937,35 @@ object SparkEntry {
           "regexp_replace(regexp_extract(url, 'https?://[^/]+(/.*)?$', 1), '[0-9]+', 'N', 'g') AS template FROM u) " +
           "SELECT host, template, count(*) AS n_urls, count(*) >= 50 AS trap " +
           "FROM t GROUP BY 1, 2"),
+      // e51 oracle: same edge synthesis, same three doubling rounds
+      // unrolled as CTEs (the e48 pattern) — state (ptr, d, done) per
+      // round, then the tail/dist projection and tail-keyed length
+      // rollup; a MATCH pins the doubling recurrence itself
+      "e51_pagination_chains" -> {
+        val u = "'https://s' || ((doc_id // 8) % 13) || '.example.com/a/' || (doc_id // 8) || '?page='"
+        val round = (a: String, b: String) =>
+          s"SELECT a.url, CASE WHEN a.done THEN a.ptr ELSE b.ptr END AS ptr, " +
+            s"CASE WHEN a.done THEN a.d ELSE a.d + b.d END AS d, " +
+            s"(a.done OR b.done) AS done FROM $a a JOIN $b b ON a.ptr = b.url"
+        s"WITH e0 AS (SELECT DISTINCT url, next_url FROM (" +
+          s"SELECT $u || (doc_id % 8) AS url, $u || ((doc_id + 1) % 8) AS next_url " +
+          "FROM documents WHERE doc_id % 8 < 7 " +
+          s"UNION ALL SELECT $u || (doc_id % 8), $u || 0 FROM documents " +
+          "WHERE doc_id % 8 = 7 AND (doc_id // 8) % 7 = 2) WHERE url <> next_url), " +
+          "nodes AS (SELECT DISTINCT u FROM (SELECT url AS u FROM e0 " +
+          "UNION ALL SELECT next_url FROM e0)), " +
+          "s0 AS (SELECT u AS url, coalesce(e0.next_url, u) AS ptr, " +
+          "CASE WHEN e0.next_url IS NULL THEN 0 ELSE 1 END AS d, " +
+          "e0.next_url IS NULL AS done FROM nodes LEFT JOIN e0 ON e0.url = nodes.u), " +
+          s"s1 AS MATERIALIZED (${round("s0", "s0")}), " +
+          s"s2 AS MATERIALIZED (${round("s1", "s1")}), " +
+          s"s3 AS MATERIALIZED (${round("s2", "s2")}), " +
+          "r AS (SELECT url, CASE WHEN done THEN ptr END AS tail, " +
+          "CASE WHEN done THEN d END AS dist FROM s3), " +
+          "l AS (SELECT tail AS t, max(dist) + 1 AS cl FROM r WHERE tail IS NOT NULL GROUP BY 1) " +
+          "SELECT r.url, r.tail, CAST(r.dist AS INT) AS dist_to_tail, " +
+          "CAST(l.cl AS INT) AS chain_len FROM r LEFT JOIN l ON r.tail = l.t"
+      },
       // e50 oracle: same synthesized fetch log; phrase hits via the
       // replace-count (non-overlapping, the same convention as Spark's
       // split-count), words via the shared whitespace class, verdict

@@ -555,6 +555,71 @@ object GraphOps {
       .withColumn("trap", col("n_urls") >= minUrls)
   }
 
+  /** Pagination-chain assembly over rel=next edges — parallel list
+    * ranking (Wyllie pointer doubling) on the page-level FUNCTIONAL
+    * graph, where e48's components answer "which cluster" on the
+    * undirected host graph, this answers "which sequence, and where in
+    * it": multi-page articles declare `<link rel=next>` chains, and a
+    * training corpus wants one document per ARTICLE (stitch or pick
+    * page 1), not one per page — so every page needs its chain id and
+    * position. Each url has at most one next edge (self-loops dropped
+    * first — a page that nexts to itself is degenerate chrome, making
+    * it a terminal), so chains are linked lists and the tail (the page
+    * with no next) is the natural chain id. Pointer doubling carries
+    * (ptr, d, done): ptr is exactly 2^r hops ahead after r rounds —
+    * or the tail, at exact distance d, once done. Doneness propagates
+    * FROM the tail one combine per round (f(r) = f(r-1) + 2^(r-1),
+    * f(0) = 0), so `doublingRounds` rounds resolve every page within
+    * 2^rounds - 1 hops of its tail;
+    * beyond the horizon tail/dist are NULL, which also makes
+    * pagination CYCLES (the rel=next trap — page A nexts to B nexts
+    * to A forever) come out NULL instead of looping: unresolved IS the
+    * trap signal, the e46 convention. chain_len = max resolved
+    * distance + 1 per tail (for a proper list, the page count; for
+    * merging Y-shaped chains — messy real-world rel=next — the longest
+    * branch).
+    *
+    * Scale shape: log2(max chain length) rounds, each ONE url-keyed
+    * self-join shuffling (url, ptr, int, bool) rows only — the whole
+    * point of doubling vs one-hop walking, 8 rounds cover a
+    * 256-page chain (max dist 255); lineage truncates per round (the hostRank
+    * convention) so the plan stays flat.
+    */
+  def paginationChains(edges: DataFrame, doublingRounds: Int = 3,
+                       truncateLineage: Boolean = true): DataFrame = {
+    require(doublingRounds >= 1 && doublingRounds <= 10,
+      "doublingRounds must be in [1, 10]")
+    val raw = edges.select(col("url"), col("next_url"))
+    val e = raw.filter(col("url") =!= col("next_url")).distinct()
+    // node set from RAW edges (the e48 convention): a self-loop-only
+    // page still appears — as a terminal — instead of vanishing
+    val nodes = raw.select(col("url"))
+      .union(raw.select(col("next_url").as("url"))).distinct()
+    var st = nodes.join(e, Seq("url"), "left")
+      .select(col("url"),
+        coalesce(col("next_url"), col("url")).as("ptr"),
+        when(col("next_url").isNull, 0).otherwise(1).as("d"),
+        col("next_url").isNull.as("done"))
+    for (_ <- 1 to doublingRounds) {
+      val p = st.select(col("url").as("p_url"), col("ptr").as("p_ptr"),
+        col("d").as("p_d"), col("done").as("p_done"))
+      // every ptr is itself a node, so the join is total
+      val merged = st.join(p, st("ptr") === p("p_url"))
+        .select(col("url"),
+          when(col("done"), col("ptr")).otherwise(col("p_ptr")).as("ptr"),
+          when(col("done"), col("d")).otherwise(col("d") + col("p_d")).as("d"),
+          (col("done") || col("p_done")).as("done"))
+      st = if (truncateLineage) merged.localCheckpoint() else merged
+    }
+    val res = st.select(col("url"),
+      when(col("done"), col("ptr")).as("tail"),
+      when(col("done"), col("d")).as("dist_to_tail"))
+    val len = res.filter(col("tail").isNotNull)
+      .groupBy(col("tail").as("t"))
+      .agg((max(col("dist_to_tail")) + 1).as("chain_len"))
+    res.join(len, res("tail") === len("t"), "left").drop("t")
+  }
+
   /** Error-page phrases for [[soft404]] — matched case-insensitively as
     * plain substrings (no regex metacharacters allowed here: both the
     * Spark split-count and the DuckDB replace-count treat them

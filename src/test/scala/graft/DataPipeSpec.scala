@@ -146,6 +146,56 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(("b.example.com", "/about")) == ((1L, false)))
   }
 
+  test("pagination chains: doubling resolves within horizon, cycle NULLs, self-loop terminal, y-merge, invariance") {
+    val sp = spark; import sp.implicits._
+    def run(edges: Seq[(String, String)], rounds: Int = 3) =
+      graft.datapipe.GraphOps.paginationChains(
+        edges.toDF("url", "next_url"), doublingRounds = rounds).collect()
+        .map(r => r.getString(0) -> ((
+          if (r.isNullAt(1)) null else r.getString(1),
+          if (r.isNullAt(2)) -1 else r.getInt(2),
+          if (r.isNullAt(3)) -1 else r.getInt(3)))).toMap
+    // proper 4-page chain + a 3-cycle + a self-loop + a 2-chain merging
+    // into the 4-chain's tail (y-shape)
+    val out = run(Seq(
+      "a1" -> "a2", "a2" -> "a3", "a3" -> "a4",
+      "c1" -> "c2", "c2" -> "c3", "c3" -> "c1",
+      "s1" -> "s1",
+      "y1" -> "a4"))
+    assert(out("a1") == (("a4", 3, 4)))
+    assert(out("a2") == (("a4", 2, 4)))
+    assert(out("a4") == (("a4", 0, 4)))
+    // y-merge shares the tail; chain_len is the LONGEST branch
+    assert(out("y1") == (("a4", 1, 4)))
+    // cycle: no terminal within any horizon -> NULL everywhere
+    assert(out("c1") == ((null, -1, -1)) && out("c3") == ((null, -1, -1)))
+    // self-loop edge drops, making s1 a lone terminal
+    assert(out("s1") == (("s1", 0, 1)))
+    // horizon: doneness propagates from the tail (f(r) = 2^r - 1), so
+    // 3 rounds resolve dist <= 7 exactly: in a 10-node chain dist 7
+    // resolves, dist 8 and 9 stay NULL, and chain_len reflects only
+    // the RESOLVED nodes — one more round resolves everything
+    val chain10 = (1 to 9).map(i => s"p$i" -> s"p${i + 1}")
+    val o3 = run(chain10)
+    assert(o3("p3") == (("p10", 7, 8)))
+    assert(o3("p2") == ((null, -1, -1)))
+    assert(o3("p1") == ((null, -1, -1)))
+    val o4 = run(chain10, rounds = 4)
+    assert(o4("p1") == (("p10", 9, 10)))
+    assert(o4("p2") == (("p10", 8, 10)))
+    // partitioning + lineage-mode invariance on the mixed graph
+    val edges = Seq("a1" -> "a2", "a2" -> "a3", "c1" -> "c2", "c2" -> "c1")
+    val base = graft.datapipe.GraphOps.paginationChains(edges.toDF("url", "next_url"))
+      .collect().map(_.toString).sorted
+    val rep = graft.datapipe.GraphOps.paginationChains(
+        edges.toDF("url", "next_url").repartition(7), truncateLineage = false)
+      .collect().map(_.toString).sorted
+    assert(base.sameElements(rep))
+    intercept[IllegalArgumentException] {
+      graft.datapipe.GraphOps.paginationChains(edges.toDF("url", "next_url"), doublingRounds = 0)
+    }
+  }
+
   test("soft404: hard>soft>ok precedence, phrase AND thin conjunction, threshold edge, case-insensitive counts") {
     val sp = spark; import sp.implicits._
     def page(u: String, st: Int, body: String) = (u, st, body)

@@ -372,6 +372,9 @@ object PlanCheck {
     println("==== 106. t44 mojibake: pure per-row marker counts, zero exchange ====")
     SparkEntry.queries("t44_mojibake")(spark, sf).explain("formatted")
 
+    println("==== 107. e51 pagination chains: per-round url-keyed self-join on (url,ptr,int,bool) rows, flat lineage ====")
+    SparkEntry.queries("e51_pagination_chains")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
