@@ -1816,6 +1816,17 @@ object SparkEntry {
         .toDF("doc_id", "payload")
       TrainingOps.jpegSegments(s, payloads)
     }),
+    // MPEG-1 Layer III frame-chain walk (the audio bitstream walker):
+    // frame lengths COMPUTED from the bitrate/samplerate tables
+    // (144000*br div sr + pad), ID3v2 skipped by syncsafe size, exact
+    // 128-byte ID3v1 tail, free-format as its own verdict, no resync
+    "m18_mp3_frames" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = docs(s, dir).select(col("doc_id")).as[Long]
+        .map(id => (id, TrainingOps.syntheticMp3Payload(id)))
+        .toDF("doc_id", "payload")
+      TrainingOps.mp3Frames(s, payloads)
+    }),
     // charset sniffing over synthesized page bytes: BOM > 1024-byte meta
     // prescan > UTF-8 structural validation > windows-1252 fallback; the
     // oracle derives every verdict arithmetically from doc_id
@@ -3803,6 +3814,37 @@ object SparkEntry {
           "UNION ALL SELECT doc_id, 'no_eoi', 1, 2, 'APP0', al + 2, NULL FROM ids WHERE f = 5 " +
           "UNION ALL SELECT doc_id, 'no_eoi', 2, 6 + al, 'SOF0', 17, NULL FROM ids WHERE f = 5 " +
           "UNION ALL SELECT doc_id, 'no_eoi', 3, 25 + al, 'SOS', 12, 2 + el FROM ids WHERE f = 5)"),
+      // m18 oracle: frame lengths re-derived from the same bitrate/
+      // samplerate tables as SQL CASEs (base = 144000*br // sr, + pad),
+      // offsets chained cumulatively; the ID3v2 row's length is the
+      // syncsafe-decoded 10+ts; families 2/3/5 share the one-frame
+      // prefix row under their distinct statuses
+      "m18_mp3_frames" ->
+        ("WITH ids AS (SELECT doc_id, doc_id % 6 AS f, " +
+          "CASE (1 + doc_id % 14) WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48 " +
+          "WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96 " +
+          "WHEN 8 THEN 112 WHEN 9 THEN 128 WHEN 10 THEN 160 WHEN 11 THEN 192 " +
+          "WHEN 12 THEN 224 WHEN 13 THEN 256 ELSE 320 END AS br, " +
+          "CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS sr, " +
+          "CAST(doc_id % 2 AS INT) AS p0, CAST((doc_id + 1) % 2 AS INT) AS p1, " +
+          "CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS crc, " +
+          "CAST(138 + doc_id % 60 AS INT) AS tl FROM documents), " +
+          "c AS (SELECT *, (144000 * br) // sr AS bs FROM ids) " +
+          "SELECT doc_id, status, CAST(idx AS INT) AS idx, CAST(o AS BIGINT) AS f_off, " +
+          "kind, CAST(br2 AS INT) AS br_kbps, CAST(sr2 AS INT) AS sr_hz, " +
+          "CAST(pd AS INT) AS pad, CAST(fl AS INT) AS flen, CAST(cr AS INT) AS crc FROM ( " +
+          "SELECT doc_id, 'ok' AS status, 0 AS idx, 0 AS o, 'id3v2' AS kind, " +
+          "NULL AS br2, NULL AS sr2, NULL AS pd, tl AS fl, NULL AS cr FROM c WHERE f = 0 " +
+          "UNION ALL SELECT doc_id, 'ok', 1, tl, 'frame', br, sr, p0, bs + p0, crc FROM c WHERE f = 0 " +
+          "UNION ALL SELECT doc_id, 'ok', 2, tl + bs + p0, 'frame', br, sr, p1, bs + p1, crc FROM c WHERE f = 0 " +
+          "UNION ALL SELECT doc_id, 'ok', 3, tl + 2 * bs + p0 + p1, 'frame', br, sr, p0, bs + p0, crc FROM c WHERE f = 0 " +
+          "UNION ALL SELECT doc_id, 'ok', 0, 0, 'frame', br, sr, p0, bs + p0, crc FROM c WHERE f = 1 " +
+          "UNION ALL SELECT doc_id, 'ok', 1, bs + p0, 'frame', br, sr, p1, bs + p1, crc FROM c WHERE f = 1 " +
+          "UNION ALL SELECT doc_id, 'ok', 2, 2 * bs + p0 + p1, 'id3v1', NULL, NULL, NULL, 128, NULL FROM c WHERE f = 1 " +
+          "UNION ALL SELECT doc_id, 'truncated', 0, 0, 'frame', br, sr, p0, bs + p0, crc FROM c WHERE f = 2 " +
+          "UNION ALL SELECT doc_id, 'malformed', 0, 0, 'frame', br, sr, p0, bs + p0, crc FROM c WHERE f = 3 " +
+          "UNION ALL SELECT doc_id, 'not_mp3', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM c WHERE f = 4 " +
+          "UNION ALL SELECT doc_id, 'free_bitrate', 0, 0, 'frame', br, sr, p0, bs + p0, crc FROM c WHERE f = 5)"),
       // m5 oracle: every verdict arithmetic from doc_id (the m3/m4
       // pattern) — a MATCH means the byte builder and the three-rung
       // sniffer agree on BOM precedence, the prescan window bound, and

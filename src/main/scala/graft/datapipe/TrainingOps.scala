@@ -4241,6 +4241,175 @@ object TrainingOps extends Serializable {
       .toDF("doc_id", "status", "idx", "m_off", "marker", "seg_len", "ecs_len")
   }
 
+  /** MPEG-1 Layer III bitrate table (kbps by header index 1..14; 0 is
+    * "free" and 15 invalid) and sample-rate table (Hz by index 0..2;
+    * 3 reserved) — shared by [[syntheticMp3Payload]] and [[mp3Frames]].
+    */
+  private[datapipe] val Mp3Bitrates: Array[Int] =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, -1)
+  private[datapipe] val Mp3Samplerates: Array[Int] = Array(44100, 48000, 32000, -1)
+
+  /** Synthetic MP3 payloads for [[mp3Frames]] — six families keyed by
+    * doc_id % 6, every frame length derived from the header tables so
+    * the DuckDB oracle chains offsets arithmetically (brIdx = 1+id%14,
+    * srIdx = id%3, pad_i = (id+i)%2, crc when id%2=0, ID3v2 payload
+    * ts = 128+id%60 — big enough to exercise the second syncsafe byte):
+    *   0: ID3v2 tag then 3 frames, clean EOF (ok);
+    *   1: 2 frames then an exact 128-byte ID3v1 'TAG' tail (ok);
+    *   2: truncation, alternating by doc_id div 6 % 2 between a valid
+    *      header whose frame overruns EOF and a 2-byte partial header;
+    *   3: a valid frame then a non-sync byte (sync loss — malformed);
+    *   4: not an MP3 at all;
+    *   5: a valid frame then a header with bitrate index 0 (free-format
+    *      — length undeterminable without scanning; its own status).
+    */
+  def syntheticMp3Payload(id: Long): Array[Byte] = {
+    val bb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    val brIdx = (1 + id % 14).toInt
+    val srIdx = (id % 3).toInt
+    val crc = id % 2 == 0
+    def frame(pad: Int, bi: Int = brIdx): Unit = {
+      val b1 = if (crc) 0xfa else 0xfb
+      bb += 0xff.toByte; bb += b1.toByte
+      bb += ((bi << 4) | (srIdx << 2) | (pad << 1)).toByte
+      bb += 0xc0.toByte
+      if (bi >= 1 && bi <= 14) {
+        val flen = 144000 * Mp3Bitrates(bi) / Mp3Samplerates(srIdx) + pad
+        (4 until flen).foreach(i => bb += (0x30 + i % 31).toByte)
+      }
+    }
+    (id % 6) match {
+      case 0 =>
+        val ts = (128 + id % 60).toInt
+        bb ++= "ID3".getBytes("US-ASCII")
+        bb += 3.toByte; bb += 0.toByte; bb += 0.toByte // version 2.3, no flags
+        bb += 0.toByte; bb += 0.toByte
+        bb += ((ts >> 7) & 0x7f).toByte; bb += (ts & 0x7f).toByte // syncsafe
+        (0 until ts).foreach(_ => bb += 'x'.toByte)
+        (0 until 3).foreach(i => frame(((id + i) % 2).toInt))
+      case 1 =>
+        (0 until 2).foreach(i => frame(((id + i) % 2).toInt))
+        bb ++= "TAG".getBytes("US-ASCII")
+        (0 until 125).foreach(_ => bb += 't'.toByte)
+      case 2 =>
+        frame((id % 2).toInt)
+        if ((id / 6) % 2 == 0) {
+          // full header, frame body cut after 10 bytes
+          bb += 0xff.toByte; bb += (if (crc) 0xfa else 0xfb).toByte
+          bb += ((brIdx << 4) | (srIdx << 2)).toByte; bb += 0xc0.toByte
+          (0 until 6).foreach(_ => bb += 'z'.toByte)
+        } else { bb += 0xff.toByte; bb += 0xfb.toByte } // partial header
+      case 3 => frame((id % 2).toInt); bb ++= s"GARBAGE$id".getBytes("US-ASCII")
+      case 4 => bb ++= s"plain text payload $id".getBytes("US-ASCII")
+      case _ => frame((id % 2).toInt); frame(0, bi = 0) // free-format header
+    }
+    bb.toArray
+  }
+
+  /** MPEG-1 Layer III frame-chain walk — the audio BITSTREAM member of
+    * the walker series (m8 walked the RIFF container; this walks the
+    * web's dominant raw-audio framing, where m16/m17 walked its
+    * images): an MP3 is back-to-back frames, each a 4-byte header whose
+    * LENGTH IS COMPUTED, not declared — flen = 144000 * bitrate(idx) /
+    * samplerate(idx) + padding, the tables and floor division being
+    * exactly what a corrupt header breaks — so the frame chain is the
+    * integrity check. One row per element (kind id3v2 / frame / id3v1)
+    * with offset, bitrate kbps, samplerate Hz, padding, computed length
+    * and CRC-present flag (nullable INTs on tag rows — the m16
+    * convention); per-file terminal status with the parsed prefix KEPT:
+    * `ok` (clean EOF at a frame boundary, or an EXACTLY-128-byte ID3v1
+    * 'TAG' tail — 'TAG' anywhere else is sync loss) / `not_mp3` /
+    * `truncated` (computed frame length past EOF, or a partial header)
+    * / `malformed` (sync lost after a valid prefix, reserved
+    * version/layer/samplerate, bitrate index 15) / `free_bitrate`
+    * (index 0: free-format frames are legal MPEG but their length is
+    * undeterminable without scanning — a DISTINCT verdict, not an
+    * error, so downstream can route them to a scanning decoder). The
+    * ID3v2 header is skipped by its SYNCSAFE 28-bit size (7 bits per
+    * byte — the encoding that keeps 0xFF out of tag sizes; pinned by a
+    * payload large enough to occupy two syncsafe bytes), emitted as a
+    * row, and only honored at offset 0 per spec. NO resync: a real
+    * decoder hunts for the next sync word after corruption, but a
+    * CORPUS walker wants corruption REPORTED, not healed — the
+    * m16/m17 boundaries-by-arithmetic principle.
+    *
+    * Scope: MPEG-1 Layer III only (the web's MP3); MPEG-2/2.5 and
+    * Layers I/II report malformed — documented simplification, pinned
+    * by a version-bits unit case. Scale shape: typed mapPartitions in
+    * the scan stage, zero exchange; only headers are read — frame
+    * bodies are stepped over by the computed length.
+    */
+  def mp3Frames(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, raw) =>
+          val b = if (raw == null) Array.emptyByteArray else raw
+          val n = b.length
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Int, Long, String, Option[Int], Option[Int], Option[Int], Option[Int], Option[Int])]
+          var status: String = null
+          var p = 0
+          var idx = 0
+          def u(i: Int) = b(i) & 0xff
+          // ID3v2 only at offset 0 per spec
+          if (n >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+            val ts = (u(6) << 21) | (u(7) << 14) | (u(8) << 7) | u(9)
+            val tl = 10 + ts
+            if (tl > n) status = "truncated"
+            else {
+              out += ((idx, 0L, "id3v2", None, None, None, Some(tl), None))
+              idx += 1; p = tl
+            }
+          } else if (n < 2 || u(0) != 0xff || (u(1) & 0xe0) != 0xe0) {
+            status = "not_mp3"
+          }
+          while (status == null) {
+            if (p == n) status = "ok"
+            else if (n - p >= 3 && b(p) == 'T' && b(p + 1) == 'A' && b(p + 2) == 'G') {
+              if (n - p == 128) {
+                out += ((idx, p.toLong, "id3v1", None, None, None, Some(128), None))
+                idx += 1; status = "ok"
+              } else status = "malformed"
+            } else if (n - p < 4) status = "truncated"
+            else if (u(p) != 0xff || (u(p + 1) & 0xe0) != 0xe0) status = "malformed"
+            else {
+              val version = (u(p + 1) >> 3) & 0x3
+              val layer = (u(p + 1) >> 1) & 0x3
+              val noCrc = u(p + 1) & 0x1
+              val brIdx = u(p + 2) >> 4
+              val srIdx = (u(p + 2) >> 2) & 0x3
+              val pad = (u(p + 2) >> 1) & 0x1
+              if (version != 3 || layer != 1) status = "malformed"
+              else if (brIdx == 0) status = "free_bitrate"
+              else if (brIdx == 15 || srIdx == 3) status = "malformed"
+              else {
+                val flen = 144000 * Mp3Bitrates(brIdx) / Mp3Samplerates(srIdx) + pad
+                if (p + flen > n) status = "truncated"
+                else {
+                  out += ((idx, p.toLong, "frame", Some(Mp3Bitrates(brIdx)),
+                    Some(Mp3Samplerates(srIdx)), Some(pad), Some(flen),
+                    Some(1 - noCrc)))
+                  idx += 1; p += flen
+                }
+              }
+            }
+          }
+          val es = out.toList
+          if (es.isEmpty)
+            Seq((id, status, None: Option[Int], None: Option[Long],
+              None: Option[String], None: Option[Int], None: Option[Int],
+              None: Option[Int], None: Option[Int], None: Option[Int]))
+          else es.map { case (i2, off, k, br, sr, pd, fl, cr) =>
+            (id, status, Some(i2), Some(off), Some(k), br, sr, pd, fl, cr)
+          }
+        }
+      }
+      .toDF("doc_id", "status", "idx", "f_off", "kind", "br_kbps", "sr_hz",
+        "pad", "flen", "crc")
+  }
+
   def imageDims(spark: SparkSession, payloads: DataFrame): DataFrame = {
     import spark.implicits._
     payloads.select(col("doc_id"), col("payload"))

@@ -2174,6 +2174,78 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(statuses.subsetOf(Set("ok", "not_jpeg", "truncated", "malformed", "no_eoi")))
   }
 
+  test("mp3 frames: computed lengths chain, syncsafe id3v2 skip, exact id3v1 tail, free-format, no resync, totality") {
+    val sp = spark; import sp.implicits._
+    def run(rows: Seq[(Long, Array[Byte])]) =
+      TrainingOps.mp3Frames(sp, rows.toDF("doc_id", "payload")).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(2)) -1 else r.getInt(2)) ->
+          ((r.getString(1),
+            if (r.isNullAt(3)) -1L else r.getLong(3),
+            if (r.isNullAt(4)) null else r.getString(4),
+            if (r.isNullAt(5)) -1 else r.getInt(5),
+            if (r.isNullAt(6)) -1 else r.getInt(6),
+            if (r.isNullAt(7)) -1 else r.getInt(7),
+            if (r.isNullAt(8)) -1 else r.getInt(8),
+            if (r.isNullAt(9)) -1 else r.getInt(9))))
+        .toMap
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L, 8L, 14L)
+    val out = run(ids.map(id => (id, TrainingOps.syntheticMp3Payload(id))))
+    // id 0: br=32 sr=44100 base=104 crc=1 tl=138; tag row then three
+    // frames with alternating padding, offsets chained by COMPUTED length
+    assert(out((0L, 0)) == (("ok", 0L, "id3v2", -1, -1, -1, 138, -1)))
+    assert(out((0L, 1)) == (("ok", 138L, "frame", 32, 44100, 0, 104, 1)))
+    assert(out((0L, 2)) == (("ok", 242L, "frame", 32, 44100, 1, 105, 1)))
+    assert(out((0L, 3)) == (("ok", 347L, "frame", 32, 44100, 0, 104, 1)))
+    assert(!out.contains((0L, 4)))
+    // id 1: br=40 sr=48000 base=120, two frames then the id3v1 row
+    assert(out((1L, 0)) == (("ok", 0L, "frame", 40, 48000, 1, 121, 0)))
+    assert(out((1L, 1)) == (("ok", 121L, "frame", 40, 48000, 0, 120, 0)))
+    assert(out((1L, 2)) == (("ok", 241L, "id3v1", -1, -1, -1, 128, -1)))
+    // family 2 both variants -> truncated, one-frame prefix kept
+    assert(out((2L, 0))._1 == "truncated" && out((8L, 0))._1 == "truncated"
+      && out((14L, 0))._1 == "truncated")
+    assert(!out.contains((2L, 1)))
+    // id 3: sync lost after a valid frame -> malformed, NO resync hunt
+    assert(out((3L, 0))._1 == "malformed" && !out.contains((3L, 1)))
+    assert(out((4L, -1)) == (("not_mp3", -1L, null, -1, -1, -1, -1, -1)))
+    // id 5: free-format header is its own verdict, not an error
+    assert(out((5L, 0))._1 == "free_bitrate" && !out.contains((5L, 1)))
+    // handcrafted: MPEG-2 version bits / reserved samplerate / bitrate
+    // 15 / misplaced TAG all malformed; truncated ID3v2 yields a marker
+    def hdr(b1: Int, b2: Int) = Array(0xff.toByte, b1.toByte, b2.toByte, 0xc0.toByte)
+    val frame1 = TrainingOps.syntheticMp3Payload(1L).take(121) // one valid frame
+    val m = run(Seq(
+      (90L, hdr(0xf3, 0x14)),                     // version 10 = MPEG-2
+      (91L, hdr(0xfb, 0x1c)),                     // srIdx 3 reserved
+      (92L, hdr(0xfb, 0xf4)),                     // brIdx 15
+      (93L, frame1 ++ "TAG but not 128".getBytes("US-ASCII")),
+      (94L, Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 1, 0, 'x', 'x')),
+      (95L, Array.emptyByteArray)))
+    assert(m((90L, -1))._1 == "malformed")
+    assert(m((91L, -1))._1 == "malformed")
+    assert(m((92L, -1))._1 == "malformed")
+    assert(m((93L, 0))._3 == "frame" && m((93L, 0))._1 == "malformed")
+    assert(m((94L, -1))._1 == "truncated") // declared tag 138 > 10 bytes present
+    assert(m((95L, -1))._1 == "not_mp3")
+    // totality fuzz
+    val rnd = new scala.util.Random(2929)
+    val fuzz = (0 until 150).map { i =>
+      val base =
+        if (i % 2 == 0) Array.fill(rnd.nextInt(80))(rnd.nextInt(256).toByte)
+        else {
+          val v = TrainingOps.syntheticMp3Payload(rnd.nextInt(60).toLong)
+          if (v.nonEmpty) v(rnd.nextInt(v.length)) =
+            (v(rnd.nextInt(v.length)) ^ (1 << rnd.nextInt(8))).toByte
+          v
+        }
+      (1000L + i, base)
+    }
+    val statuses = TrainingOps.mp3Frames(sp, fuzz.toDF("doc_id", "payload"))
+      .select("status").distinct().collect().map(_.getString(0)).toSet
+    assert(statuses.subsetOf(
+      Set("ok", "not_mp3", "truncated", "malformed", "free_bitrate")))
+  }
+
   test("tiff entries: dual endianness, inline/indirect split, exif pointer consumed, cycle, truncation, totality") {
     val sp = spark; import sp.implicits._
     def run(rows: Seq[(Long, Array[Byte])]) =

@@ -375,6 +375,9 @@ object PlanCheck {
     println("==== 107. e51 pagination chains: per-round url-keyed self-join on (url,ptr,int,bool) rows, flat lineage ====")
     SparkEntry.queries("e51_pagination_chains")(spark, sf).explain("formatted")
 
+    println("==== 108. m18 mp3 frames: typed mapPartitions computed-length walker in the scan stage, zero exchange ====")
+    SparkEntry.queries("m18_mp3_frames")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
