@@ -1207,6 +1207,39 @@ object SparkEntry {
         }
         .toDF("doc_id", "canonical", "robots", "noindex", "nofollow")
     }),
+    // rel=canonical cluster rollup over the e35 html families, scanned
+    // by the REAL Directives parser map-side (first-canonical-wins and
+    // comment/script decoy immunity must survive into the aggregation
+    // for the oracle to match): clusters by declared target with
+    // coalesce-to-self for undeclared pages, cross-host counts, min rep
+    "e52_canonical_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val url = concat(lit("https://"),
+        when(id % 10 < 3, lit("big.example.com"))
+          .otherwise(concat(lit("h"), id % 97, lit(".example.com"))),
+        lit("/doc/"), id)
+      val html = when(id % 5 === 0, concat(
+          lit("<html><head><link rel=\"canonical\" href=\"https://c.example.com/p"),
+          id % 50, lit("\"></head><body>x</body></html>")))
+        .when(id % 5 === 2, concat(
+          lit("<html><head><link rel='alternate canonical' href=https://c.example.com/q"),
+          id % 7, lit("></head><body>y</body></html>")))
+        .when(id % 5 === 3, concat(
+          lit("<html><head><link rel=\"canonical\" href=\"https://first.example.com/a"),
+          id % 3,
+          lit("\"><link rel=\"canonical\" href=\"https://second.example.com/b\"></head><body>z</body></html>")))
+        .otherwise(concat(
+          lit("<html><head><!-- <link rel=\"canonical\" href=\"https://no.example.com\"> -->" +
+            "</head><body>doc "), id, lit("</body></html>")))
+      val pages = docs(s, dir).select(url.as("url"), html.as("html"))
+        .as[(String, String)]
+        .map { case (u, h) =>
+          (u, Option(graft.core.Directives.scan(h).canonical))
+        }
+        .toDF("url", "canonical")
+      graft.datapipe.GraphOps.canonicalClusters(pages)
+    }),
     // sitemap parsing over synthesized xml kinds: urlset entries (CDATA
     // + entity locs, optional lastmod), a sitemapindex, a loc-less entry
     // skipped, and an invalid document as error-as-data
@@ -2948,6 +2981,24 @@ object SparkEntry {
           "regexp_replace(regexp_extract(url, 'https?://[^/]+(/.*)?$', 1), '[0-9]+', 'N', 'g') AS template FROM u) " +
           "SELECT host, template, count(*) AS n_urls, count(*) >= 50 AS trap " +
           "FROM t GROUP BY 1, 2"),
+      // e52 oracle: canonical outcomes per e35-style family (first
+      // canonical wins in family 3, the comment decoy yields NULL),
+      // coalesce-to-self, then the same cluster rollup — a MATCH pins
+      // the parser's outcome surviving the aggregation
+      "e52_canonical_clusters" ->
+        ("WITH p AS (SELECT doc_id, 'https://' || CASE WHEN doc_id % 10 < 3 " +
+          "THEN 'big.example.com' ELSE 'h' || (doc_id % 97) || '.example.com' END " +
+          "|| '/doc/' || doc_id AS url, " +
+          "CASE WHEN doc_id % 5 = 0 THEN 'https://c.example.com/p' || (doc_id % 50) " +
+          "WHEN doc_id % 5 = 2 THEN 'https://c.example.com/q' || (doc_id % 7) " +
+          "WHEN doc_id % 5 = 3 THEN 'https://first.example.com/a' || (doc_id % 3) END AS canon " +
+          "FROM documents), " +
+          "t AS (SELECT url, coalesce(canon, url) AS target FROM p) " +
+          "SELECT target, CAST(count(*) AS BIGINT) AS n_pages, " +
+          "CAST(count(DISTINCT regexp_extract(url, 'https?://([^/]+)', 1)) AS BIGINT) AS n_src_hosts, " +
+          "CAST(sum(CASE WHEN regexp_extract(url, 'https?://([^/]+)', 1) <> " +
+          "regexp_extract(target, 'https?://([^/]+)', 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_host, " +
+          "min(url) AS rep_url FROM t GROUP BY 1"),
       // e51 oracle: same edge synthesis, same three doubling rounds
       // unrolled as CTEs (the e48 pattern) — state (ptr, d, done) per
       // round, then the tail/dist projection and tail-keyed length

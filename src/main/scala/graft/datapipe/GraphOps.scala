@@ -555,6 +555,39 @@ object GraphOps {
       .withColumn("trap", col("n_urls") >= minUrls)
   }
 
+  /** rel=canonical cluster rollup — dedup by DECLARATION, the signal
+    * the site itself hands the pipeline before any content hashing
+    * runs: every page declaring the same canonical target is the same
+    * logical document (print views, tracking-parameter variants, AMP
+    * mirrors), so clustering on the declared target collapses them for
+    * free and CROSS-HOST declarations (page on a.com declaring its
+    * canonical on b.com) are the soft-redirect / scraper-mirror
+    * fingerprint worth surfacing on its own. A page with no
+    * declaration is its own canonical (coalesce to self — absent is
+    * "I am canonical", per the HTML spec's default); exactly ONE hop
+    * is honored, no chain resolution — the documented behavior of
+    * production crawlers, which distrust canonical chains. Per
+    * cluster: n_pages, distinct source hosts, cross-host declaration
+    * count, and the min-url representative (deterministic under any
+    * partitioning).
+    *
+    * Scale shape: ONE map-side-combined groupBy on the target string;
+    * countDistinct expands to the standard two-phase partial
+    * aggregation. Page bodies never reach the shuffle — the caller
+    * scans directives map-side and ships (url, canonical) pairs only.
+    */
+  def canonicalClusters(pages: DataFrame): DataFrame = {
+    def host(u: Column) = regexp_extract(u, "https?://([^/]+)", 1)
+    pages.select(col("url"),
+        coalesce(col("canonical"), col("url")).as("target"))
+      .groupBy("target").agg(
+        count(lit(1)).as("n_pages"),
+        countDistinct(host(col("url"))).as("n_src_hosts"),
+        sum(when(host(col("url")) =!= host(col("target")), 1L).otherwise(0L))
+          .as("n_cross_host"),
+        min("url").as("rep_url"))
+  }
+
   /** Pagination-chain assembly over rel=next edges — parallel list
     * ranking (Wyllie pointer doubling) on the page-level FUNCTIONAL
     * graph, where e48's components answer "which cluster" on the

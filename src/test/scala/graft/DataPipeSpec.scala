@@ -146,6 +146,32 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(("b.example.com", "/about")) == ((1L, false)))
   }
 
+  test("canonical clusters: coalesce-to-self, cross-host counting, min rep, partitioning invariance") {
+    val sp = spark; import sp.implicits._
+    val pages = Seq(
+      ("https://a.com/1", Some("https://c.com/x")),
+      ("https://a.com/2", Some("https://c.com/x")),
+      ("https://c.com/x", Some("https://c.com/x")),  // self-declared
+      ("https://b.com/3", Some("https://c.com/x")),
+      ("https://d.com/solo", None),                  // undeclared -> own cluster
+      ("https://d.com/alpha", Some("https://d.com/k")),
+      ("https://d.com/beta", Some("https://d.com/k")))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.datapipe.GraphOps.canonicalClusters(df).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val out = run(pages.toDF("url", "canonical"))
+    // 4 pages from 3 hosts; a.com x2 + b.com are cross-host, c.com self is not
+    assert(out("https://c.com/x") == ((4L, 3L, 3L, "https://a.com/1")))
+    // undeclared page coalesces to itself: singleton, zero cross-host
+    assert(out("https://d.com/solo") == ((1L, 1L, 0L, "https://d.com/solo")))
+    // same-host cluster: no cross-host, min url is 'alpha' < 'beta'
+    assert(out("https://d.com/k") == ((2L, 1L, 0L, "https://d.com/alpha")))
+    assert(out.size == 3)
+    val rep = run(pages.toDF("url", "canonical").repartition(7))
+    assert(rep == out)
+  }
+
   test("pagination chains: doubling resolves within horizon, cycle NULLs, self-loop terminal, y-merge, invariance") {
     val sp = spark; import sp.implicits._
     def run(edges: Seq[(String, String)], rounds: Int = 3) =

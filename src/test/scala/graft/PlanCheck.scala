@@ -378,6 +378,9 @@ object PlanCheck {
     println("==== 108. m18 mp3 frames: typed mapPartitions computed-length walker in the scan stage, zero exchange ====")
     SparkEntry.queries("m18_mp3_frames")(spark, sf).explain("formatted")
 
+    println("==== 109. e52 canonical clusters: map-side directive scan, ONE target-keyed rollup, bodies never shuffle ====")
+    SparkEntry.queries("e52_canonical_clusters")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
