@@ -1571,6 +1571,12 @@ object SparkEntry {
     // weights -> epoch factor capped at 2.0 -> planned tokens + visible
     // deficit; the source-LEVEL budgeting step before t9's per-doc epoch
     // expansion, all long-div ppm arithmetic
+    // rendezvous sharding at the 8 -> 9 capacity bump: HRW argmax
+    // assignment before/after next to the mod-hash baseline — the
+    // moved-fraction gap (≈1/9 vs ≈8/9) is the whole point and falls
+    // out of a one-line aggregate over this table
+    "p12_rendezvous_shards" -> ((s, dir) =>
+      TrainingOps.rendezvousShards(docs(s, dir).select("doc_id"))),
     "p10_mixture_plan" -> ((s, dir) =>
       TrainingOps.mixturePlan(docs(s, dir))),
     // curriculum training order: short-to-long length bands (edges 32,
@@ -3950,6 +3956,23 @@ object SparkEntry {
       // chained CTEs — supply per source, scalar totals, budget = 3/2 ×
       // supply, epochs capped at 2.0; sums cast back to BIGINT (DuckDB
       // widens SUM to HUGEINT)
+      // p12 oracle: the same keyed-md5 scores via a shard cross join,
+      // argmax as a row_number window ordered (h DESC, s DESC) — the
+      // DESC tie-break mirroring the struct-greatest ordering
+      "p12_rendezvous_shards" ->
+        ("WITH sb AS (SELECT doc_id, t.s AS s, " +
+          "('0x' || substr(md5('rv:' || t.s || ':' || doc_id),1,15))::BIGINT AS h " +
+          "FROM documents, range(8) t(s)), " +
+          "rb AS (SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn FROM sb), " +
+          "sa AS (SELECT doc_id, t.s AS s, " +
+          "('0x' || substr(md5('rv:' || t.s || ':' || doc_id),1,15))::BIGINT AS h " +
+          "FROM documents, range(9) t(s)), " +
+          "ra AS (SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn FROM sa) " +
+          "SELECT d.doc_id, CAST(rb.s AS INT) AS shard_before, CAST(ra.s AS INT) AS shard_after, " +
+          "CAST(d.doc_id % 8 AS INT) AS mod_before, CAST(d.doc_id % 9 AS INT) AS mod_after, " +
+          "rb.s <> ra.s AS moved, d.doc_id % 8 <> d.doc_id % 9 AS mod_moved " +
+          "FROM documents d JOIN rb ON rb.doc_id = d.doc_id AND rb.rn = 1 " +
+          "JOIN ra ON ra.doc_id = d.doc_id AND ra.rn = 1"),
       "p10_mixture_plan" ->
         (s"WITH sup AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
           s"CAST(SUM(len($w)) AS BIGINT) AS supply_tokens, " +

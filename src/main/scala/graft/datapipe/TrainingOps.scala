@@ -1640,6 +1640,40 @@ object TrainingOps extends Serializable {
     * on the ~#sources-row table, with the two scalar totals joined in
     * as a broadcast-degenerate single-row cross join, never collected.
     */
+  /** Rendezvous (highest-random-weight) sharding — the corpus-
+    * management primitive for GROWING a sharded corpus: assign each
+    * doc to argmax over shards of h60("rv:" + shard + ":" + doc_id).
+    * When the shard count goes n -> n+1, a doc moves ONLY if the new
+    * shard's score beats its current max — expected 1/(n+1) of the
+    * corpus — while mod-hashing (doc_id % n) moves ~n/(n+1) of it:
+    * at 100 TB that is the difference between copying ~11 TB and
+    * copying ~89 TB on every capacity bump. Emits BOTH assignments
+    * plus the mod-hash baseline columns so the migration cost is a
+    * one-line aggregate downstream, and `moved`/`mod_moved` flags
+    * make the comparison self-evidencing. Deterministic: scores are
+    * keyed md5, the repo's reshard-stable convention; argmax
+    * tie-breaks to the higher shard id via struct ordering (md5 ties
+    * are theoretical). Pure per-row map over n+m tiny hash exprs,
+    * zero exchange — rides the scan.
+    */
+  def rendezvousShards(docs: DataFrame, nBefore: Int = 8,
+                       nAfter: Int = 9): DataFrame = {
+    require(nBefore >= 1 && nBefore <= 64 && nAfter >= 1 && nAfter <= 64,
+      "shard counts must be in [1, 64]")
+    def shardOf(n: Int): Column =
+      if (n == 1) lit(0)
+      else greatest((0 until n).map(sh =>
+        struct(h60(concat(lit(s"rv:$sh:"), col("doc_id"))).as("h"),
+          lit(sh).as("s"))): _*).getField("s")
+    docs.select(col("doc_id"),
+        shardOf(nBefore).as("shard_before"),
+        shardOf(nAfter).as("shard_after"),
+        (col("doc_id") % nBefore).cast("int").as("mod_before"),
+        (col("doc_id") % nAfter).cast("int").as("mod_after"))
+      .withColumn("moved", col("shard_before") =!= col("shard_after"))
+      .withColumn("mod_moved", col("mod_before") =!= col("mod_after"))
+  }
+
   def mixturePlan(docs: DataFrame, maxEpochsPpm: Long = 2000000L): DataFrame = {
     val supply = docs.filter(length(col("text")) >= 1)
       .groupBy("source")

@@ -146,6 +146,28 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(("b.example.com", "/about")) == ((1L, false)))
   }
 
+  test("rendezvous shards: moves only TO the new shard at ~1/(n+1), mod baseline reshuffles, invariance") {
+    val sp = spark; import sp.implicits._
+    val d = (0L until 2000L).toDF("doc_id")
+    val out = TrainingOps.rendezvousShards(d).collect()
+    val movedFrac = out.count(_.getBoolean(5)).toDouble / out.length
+    val modFrac = out.count(_.getBoolean(6)).toDouble / out.length
+    // HRW expectation 1/9 ≈ 0.111; mod-hash expectation 8/9 ≈ 0.889
+    assert(movedFrac > 0.05 && movedFrac < 0.20, s"hrw moved $movedFrac")
+    assert(modFrac > 0.80, s"mod moved $modFrac")
+    // THE rendezvous property: adding shard 8 can only steal docs FOR
+    // shard 8 — existing scores are untouched, so every mover lands there
+    out.filter(_.getBoolean(5)).foreach(r => assert(r.getInt(2) == 8))
+    assert(out.map(_.getInt(1)).toSet == (0 until 8).toSet)
+    assert(out.map(_.getInt(2)).toSet == (0 until 9).toSet)
+    // partitioning invariance + n=1 degenerate path
+    val rep = TrainingOps.rendezvousShards(d.repartition(13)).collect()
+    assert(rep.map(_.toString).sorted.sameElements(out.map(_.toString).sorted))
+    val one = TrainingOps.rendezvousShards(d, nBefore = 1, nAfter = 2).collect()
+    assert(one.forall(_.getInt(1) == 0))
+    intercept[IllegalArgumentException] { TrainingOps.rendezvousShards(d, nBefore = 0) }
+  }
+
   test("canonical clusters: coalesce-to-self, cross-host counting, min rep, partitioning invariance") {
     val sp = spark; import sp.implicits._
     val pages = Seq(

@@ -381,6 +381,9 @@ object PlanCheck {
     println("==== 109. e52 canonical clusters: map-side directive scan, ONE target-keyed rollup, bodies never shuffle ====")
     SparkEntry.queries("e52_canonical_clusters")(spark, sf).explain("formatted")
 
+    println("==== 110. p12 rendezvous shards: per-row argmax over keyed hashes, zero exchange ====")
+    SparkEntry.queries("p12_rendezvous_shards")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
