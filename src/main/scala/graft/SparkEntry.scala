@@ -586,6 +586,14 @@ object SparkEntry {
       TrainingOps.mojibakeScore(
         docs(s, dir).select(col("doc_id"), body.as("text")))
     }),
+    // T5-style span corruption: hash-deterministic span starts (5% per
+    // word, 3-word spans, overlaps merge into one run), one
+    // <extra_id_k> sentinel per run in the inputs, run contents behind
+    // their sentinels + a final sentinel in the targets (the T5 target
+    // convention, verbatim); docs with no spans keep text verbatim with
+    // NULL targets
+    "t45_span_corruption" -> ((s, dir) =>
+      TrainingOps.spanCorruption(docs(s, dir))),
     // gram-level crawl-over-crawl diff: snapshots = doc_id%3 partitions
     // (old keeps !=0, new keeps !=1 — overlapping, like real recrawls)
     "d26_crawl_novelty" -> ((s, dir) => {
@@ -3426,6 +3434,40 @@ object SparkEntry {
           "CAST(mh AS BIGINT) AS moji_hits, CAST(ppm AS BIGINT) AS moji_ppm, " +
           "coalesce(ppm >= 5000, false) AS damaged FROM d"
       },
+      // t45 oracle: re-derives the span-corruption state machine
+      // relationally — per-word start flag from the same keyed md5,
+      // masked = start within the trailing 3-word window (two lags),
+      // run starts where masked rises, run index = cumsum(starts)-1,
+      // inputs/targets rebuilt by ordered string_agg with sentinel
+      // injection; zero-word docs come back ('' inputs, NULL targets)
+      // via the LEFT JOIN, and the final <extra_id_n> is appended only
+      // when runs exist — a MATCH pins the sentinel numbering, the
+      // run-merge semantics, and the single-space rejoin all at once
+      "t45_span_corruption" ->
+        ("WITH base AS (SELECT doc_id, trim(text) AS t FROM documents), " +
+          "w AS (SELECT doc_id, CASE WHEN t = '' THEN []::VARCHAR[] " +
+          "ELSE regexp_split_to_array(t, '[ \\t\\n\\r\\f]+') END AS w FROM base), " +
+          "u AS (SELECT doc_id, len(w) AS n, unnest(range(len(w))) AS i, unnest(w) AS word FROM w), " +
+          "s AS (SELECT doc_id, n, i, word, " +
+          "('0x' || substr(md5('sp:' || doc_id || ':' || i),1,15))::BIGINT % 100 < 5 AS st FROM u), " +
+          "m AS (SELECT *, (st OR coalesce(lag(st,1) OVER win, false) " +
+          "OR coalesce(lag(st,2) OVER win, false)) AS mk FROM s " +
+          "WINDOW win AS (PARTITION BY doc_id ORDER BY i)), " +
+          "r AS (SELECT *, CASE WHEN mk AND NOT coalesce(lag(mk) OVER win, false) " +
+          "THEN 1 ELSE 0 END AS rs FROM m WINDOW win AS (PARTITION BY doc_id ORDER BY i)), " +
+          "q AS (SELECT *, sum(rs) OVER (PARTITION BY doc_id ORDER BY i) - 1 AS ridx FROM r), " +
+          "agg AS (SELECT doc_id, max(n) AS nw, " +
+          "sum(CASE WHEN mk THEN 1 ELSE 0 END) AS nm, sum(rs) AS ns, " +
+          "string_agg(CASE WHEN NOT mk THEN word " +
+          "WHEN rs = 1 THEN '<extra_id_' || ridx || '>' END, ' ' ORDER BY i) AS inputs, " +
+          "string_agg(CASE WHEN mk AND rs = 1 THEN '<extra_id_' || ridx || '> ' || word " +
+          "WHEN mk THEN word END, ' ' ORDER BY i) AS tg FROM q GROUP BY doc_id) " +
+          "SELECT b.doc_id, CAST(coalesce(a.nw, 0) AS INT) AS n_words, " +
+          "CAST(coalesce(a.nm, 0) AS INT) AS n_masked, " +
+          "CAST(coalesce(a.ns, 0) AS INT) AS n_spans, " +
+          "coalesce(a.inputs, '') AS inputs, " +
+          "CASE WHEN coalesce(a.ns, 0) > 0 THEN a.tg || ' <extra_id_' || a.ns || '>' END AS targets " +
+          "FROM base b LEFT JOIN agg a USING (doc_id)"),
       // t41 oracle: same vowel-group syllables, [.!?]+ sentences, and
       // two-step floor chain in milli units
       "t41_readability" ->

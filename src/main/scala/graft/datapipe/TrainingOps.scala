@@ -2556,6 +2556,80 @@ object TrainingOps extends Serializable {
     * global window. The only data shuffle carries (doc_id, band, 8-byte
     * key); whitespace-only docs are excluded (no trainable tokens).
     */
+  /** T5-style span corruption — the denoising-pretraining TRANSFORM
+    * (not a filter): mask contiguous word spans, replace each masked
+    * run with one `<extra_id_k>` sentinel in the model INPUT, and emit
+    * the run contents behind their sentinels as the TARGET, terminated
+    * by one final sentinel (the T5 convention a downstream trainer
+    * expects verbatim). Span selection is hash-deterministic, the
+    * repo's reshard-stable convention: word i STARTS a span iff
+    * h60("sp:" + doc_id + ":" + i) mod 100 < startPct, and a span
+    * covers `spanLen` words, so overlapping spans merge into one run
+    * (one sentinel — merging is what keeps the corruption rate at
+    * ~startPct*spanLen% instead of double-counting overlaps). A doc
+    * with no spans keeps its text verbatim and gets NULL targets (no
+    * denoising signal — the NULL-not-empty convention). Counts
+    * (n_words, n_masked, n_spans) ride along so the corpus-level
+    * corruption rate is a one-line aggregate.
+    *
+    * Scale shape: one-pass typed mapPartitions (per-partition digest
+    * reuse, the m1 pattern) — O(n) per document where the equivalent
+    * higher-order-function form is O(n^2) in the sentinel numbering
+    * (the t43 lesson); zero exchange, rides the scan.
+    */
+  def spanCorruption(docs: DataFrame, startPct: Int = 5,
+                     spanLen: Int = 3): DataFrame = {
+    require(startPct >= 1 && startPct <= 50, "startPct must be in [1, 50]")
+    require(spanLen >= 1 && spanLen <= 16, "spanLen must be in [1, 16]")
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def startsSpan(id: Long, i: Int): Boolean = {
+          md.reset()
+          val hex = md.digest(s"sp:$id:$i".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.substring(0, 15)
+          java.lang.Long.parseLong(hex, 16) % 100 < startPct
+        }
+        it.map { case (id, text) =>
+          val t = if (text == null) "" else text.trim
+          val w: Array[String] =
+            if (t.isEmpty) Array.empty else t.split("[ \t\n\r\f]+")
+          val n = w.length
+          val start = Array.tabulate(n)(i => startsSpan(id, i))
+          val masked = Array.tabulate(n) { j =>
+            (0 until spanLen).exists(k => j - k >= 0 && start(j - k))
+          }
+          val in = new StringBuilder
+          val tg = new StringBuilder
+          var runs = 0
+          var nMasked = 0
+          var j = 0
+          while (j < n) {
+            if (!masked(j)) {
+              if (in.nonEmpty) in += ' '
+              in ++= w(j); j += 1
+            } else {
+              val sent = s"<extra_id_$runs>"
+              if (in.nonEmpty) in += ' '
+              in ++= sent
+              if (tg.nonEmpty) tg += ' '
+              tg ++= sent
+              while (j < n && masked(j)) {
+                tg += ' '; tg ++= w(j); nMasked += 1; j += 1
+              }
+              runs += 1
+            }
+          }
+          val targets =
+            if (runs == 0) null
+            else { tg += ' '; tg ++= s"<extra_id_$runs>"; tg.toString }
+          (id, n, nMasked, runs, in.toString, targets)
+        }
+      }
+      .toDF("doc_id", "n_words", "n_masked", "n_spans", "inputs", "targets")
+  }
+
   def curriculumSchedule(docs: DataFrame, thresholds: Seq[Int] = Seq(32, 64),
                          nShards: Int = 16): DataFrame = {
     require(thresholds.nonEmpty && thresholds == thresholds.sorted.distinct,

@@ -304,6 +304,71 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { TrainingOps.mojibakeScore(rows, damagedPpm = 0) }
   }
 
+  test("span corruption: sentinel numbering, run merge, reconstruction, rate, empty doc") {
+    val sp = spark; import sp.implicits._
+    val sent = "<extra_id_(\\d+)>".r
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = TrainingOps.spanCorruption(docs).collect()
+    assert(out.length == texts.size)
+    var totWords = 0L; var totMasked = 0L
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (n, nm, ns) = (r.getInt(1), r.getInt(2), r.getInt(3))
+      val inputs = r.getString(4)
+      val targets = if (r.isNullAt(5)) null else r.getString(5)
+      totWords += n; totMasked += nm
+      val norm = texts(id).trim.split("[ \t\n\r\f]+").filter(_.nonEmpty)
+      assert(n == norm.length, s"doc $id word count")
+      if (ns == 0) {
+        assert(targets == null && nm == 0, s"doc $id no-span contract")
+        assert(inputs == norm.mkString(" "), s"doc $id verbatim passthrough")
+      } else {
+        assert(targets != null && nm >= ns, s"doc $id span accounting")
+        // sentinels appear exactly once each, in order, on both sides
+        val inIds = sent.findAllMatchIn(inputs).map(_.group(1).toInt).toList
+        assert(inIds == (0 until ns).toList, s"doc $id input sentinels")
+        val tgIds = sent.findAllMatchIn(targets).map(_.group(1).toInt).toList
+        assert(tgIds == (0 to ns).toList, s"doc $id target sentinels")
+        // parse targets into run -> words
+        var run = -1
+        val runWords = scala.collection.mutable.Map.empty[Int, List[String]]
+          .withDefaultValue(Nil)
+        targets.split(" ").foreach {
+          case s if sent.pattern.matcher(s).matches() =>
+            run = sent.findFirstMatchIn(s).get.group(1).toInt
+          case word => runWords(run) = runWords(run) :+ word
+        }
+        assert(runWords.values.map(_.size).sum == nm, s"doc $id masked count")
+        assert((0 until ns).forall(runWords(_).nonEmpty), s"doc $id empty run")
+        // splicing each run back over its sentinel reproduces the doc
+        val rebuilt = inputs.split(" ").toSeq.flatMap {
+          case s if sent.pattern.matcher(s).matches() =>
+            runWords(sent.findFirstMatchIn(s).get.group(1).toInt)
+          case w => Seq(w)
+        }
+        assert(rebuilt == norm.toSeq, s"doc $id reconstruction")
+      }
+    }
+    // corpus corruption rate ~ 1-(0.95^3) = 14.3% of words
+    val frac = totMasked.toDouble / totWords
+    assert(frac > 0.10 && frac < 0.19, s"masked fraction $frac")
+    // empty / whitespace-only docs: 0 words, '' inputs, NULL targets
+    val edge = TrainingOps.spanCorruption(
+      Seq((900001L, ""), (900002L, "  \n\t ")).toDF("doc_id", "text")).collect()
+    edge.foreach { r =>
+      assert(r.getInt(1) == 0 && r.getInt(2) == 0 && r.getInt(3) == 0)
+      assert(r.getString(4) == "" && r.isNullAt(5))
+    }
+    // repartition invariance (hash-deterministic, the reshard contract)
+    val a = out.map(_.toString).sorted.toSeq
+    val b = TrainingOps.spanCorruption(docs.repartition(7))
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException] { TrainingOps.spanCorruption(docs, startPct = 0) }
+    intercept[IllegalArgumentException] { TrainingOps.spanCorruption(docs, spanLen = 0) }
+  }
+
   test("minhash calibration: candidates have >=3 matching components; est quantized to twelfths") {
     val rows = TrainingOps.minhashCalibration(docs).collect()
     assert(rows.nonEmpty, "no LSH candidates on the corpus")

@@ -384,6 +384,9 @@ object PlanCheck {
     println("==== 110. p12 rendezvous shards: per-row argmax over keyed hashes, zero exchange ====")
     SparkEntry.queries("p12_rendezvous_shards")(spark, sf).explain("formatted")
 
+    println("==== 111. t45 span corruption: typed mapPartitions in the scan stage, zero exchange ====")
+    SparkEntry.queries("t45_span_corruption")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
