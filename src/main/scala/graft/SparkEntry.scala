@@ -594,6 +594,11 @@ object SparkEntry {
     // NULL targets
     "t45_span_corruption" -> ((s, dir) =>
       TrainingOps.spanCorruption(docs(s, dir))),
+    // fill-in-the-middle transform: 50% of eligible docs (n>=3) get a
+    // hash-chosen middle span moved behind sentinel tokens, alternating
+    // psm/spm segment orders; the rest pass through as plain LM samples
+    "t46_fim_transform" -> ((s, dir) =>
+      TrainingOps.fimTransform(docs(s, dir))),
     // gram-level crawl-over-crawl diff: snapshots = doc_id%3 partitions
     // (old keeps !=0, new keeps !=1 — overlapping, like real recrawls)
     "d26_crawl_novelty" -> ((s, dir) => {
@@ -3468,6 +3473,33 @@ object SparkEntry {
           "coalesce(a.inputs, '') AS inputs, " +
           "CASE WHEN coalesce(a.ns, 0) > 0 THEN a.tg || ' <extra_id_' || a.ns || '>' END AS targets " +
           "FROM base b LEFT JOIN agg a USING (doc_id)"),
+      // t46 oracle: same keyed hashes, list slicing (1-based inclusive
+      // w[a:b] mirrors Spark's slice(arr, a, len)), sentinel arrays
+      // concatenated in the same psm/spm orders — a MATCH pins split
+      // arithmetic (mid_start = hA mod n, mid_len = 1 + hB mod
+      // min(16, n-ms)), the mode coin, and the token layout verbatim
+      "t46_fim_transform" ->
+        ("WITH base AS (SELECT doc_id, trim(text) AS t FROM documents), " +
+          "w AS (SELECT doc_id, CASE WHEN t = '' THEN []::VARCHAR[] " +
+          "ELSE regexp_split_to_array(t, '[ \\t\\n\\r\\f\\x0B]+') END AS w FROM base), " +
+          "h AS (SELECT doc_id, w, len(w) AS n, " +
+          "('0x' || substr(md5('fim:'  || doc_id),1,15))::BIGINT % 100 AS ha, " +
+          "('0x' || substr(md5('fima:' || doc_id),1,15))::BIGINT AS hs, " +
+          "('0x' || substr(md5('fimb:' || doc_id),1,15))::BIGINT AS hl, " +
+          "('0x' || substr(md5('fimm:' || doc_id),1,15))::BIGINT % 2 AS hm FROM w), " +
+          "c AS (SELECT doc_id, w, n, (n >= 3 AND ha < 50) AS ap, " +
+          "CASE WHEN n > 0 THEN hs % n END AS ms, hl, hm FROM h), " +
+          "d AS (SELECT *, CASE WHEN ap THEN 1 + hl % least(16, n - ms) END AS ml FROM c), " +
+          "e AS (SELECT doc_id, n, ap, hm, ms, ml, " +
+          "w[1:ms] AS pre, w[ms+1:ms+ml] AS mid, w[ms+ml+1:n] AS suf, w FROM d) " +
+          "SELECT doc_id, CAST(n AS INT) AS n_words, " +
+          "CASE WHEN NOT ap THEN 'none' WHEN hm = 1 THEN 'spm' ELSE 'psm' END AS mode, " +
+          "CASE WHEN ap THEN CAST(ms AS INT) END AS mid_start, " +
+          "CASE WHEN ap THEN CAST(ml AS INT) END AS mid_len, " +
+          "CASE WHEN NOT ap THEN array_to_string(w, ' ') " +
+          "WHEN hm = 1 THEN array_to_string(['<fim_suffix>'] || suf || ['<fim_prefix>'] || pre || ['<fim_middle>'] || mid, ' ') " +
+          "ELSE array_to_string(['<fim_prefix>'] || pre || ['<fim_suffix>'] || suf || ['<fim_middle>'] || mid, ' ') END AS fim_text " +
+          "FROM e"),
       // t41 oracle: same vowel-group syllables, [.!?]+ sentences, and
       // two-step floor chain in milli units
       "t41_readability" ->

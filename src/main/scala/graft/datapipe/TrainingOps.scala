@@ -2630,6 +2630,65 @@ object TrainingOps extends Serializable {
       .toDF("doc_id", "n_words", "n_masked", "n_spans", "inputs", "targets")
   }
 
+  /** Fill-in-the-middle (FIM) transform — t45's sibling for infilling
+    * pretraining: pick a contiguous middle span, move it to the END of
+    * the sample behind sentinel tokens, so a causal LM learns to infill
+    * (Bavarian et al.-style). A doc is transformed iff n_words >= 3 and
+    * h60("fim:"+doc_id) mod 100 < applyPct (the corpus-level FIM rate —
+    * real recipes mix FIM and plain LM samples, so 'none' is a
+    * first-class mode, not a degenerate row). Split points are
+    * hash-deterministic: mid_start = hA mod n, mid_len = 1 + hB mod
+    * min(maxMiddle, n - mid_start) — prefix/suffix may be EMPTY
+    * (document-start/end infilling is real and the sentinels still
+    * delimit them), middle never is. Transformed docs alternate by hash
+    * between the two segment orders a FIM trainer mixes 50/50:
+    *   psm: <fim_prefix> P <fim_suffix> S <fim_middle> M
+    *   spm: <fim_suffix> S <fim_prefix> P <fim_middle> M
+    * (exact token layout is a corpus convention the trainer must share;
+    * ours is pinned verbatim by the oracle). Untransformed docs keep
+    * their whitespace-normalized text with NULL mid_start/mid_len (the
+    * NULL-not-empty convention).
+    *
+    * Scale shape: pure per-row slice/concat/array_join expressions —
+    * whole-stage codegen, zero exchange, rides the scan; reshard-stable
+    * by the keyed-md5 convention.
+    */
+  def fimTransform(docs: DataFrame, applyPct: Int = 50,
+                   maxMiddle: Int = 16): DataFrame = {
+    require(applyPct >= 0 && applyPct <= 100, "applyPct must be in [0, 100]")
+    require(maxMiddle >= 1 && maxMiddle <= 256, "maxMiddle must be in [1, 256]")
+    val id = col("doc_id")
+    val txt = coalesce(col("text"), lit(""))
+    val arr = when(length(trim(txt)) === 0,
+      array().cast("array<string>")).otherwise(words(txt))
+    val n = size(arr)
+    val applied = n >= 3 &&
+      pmod(h60(concat(lit("fim:"), id)), lit(100L)) < applyPct
+    val ms = pmod(h60(concat(lit("fima:"), id)), n.cast("long")).cast("int")
+    val maxLen = least(lit(maxMiddle), n - ms)
+    val mlen = (pmod(h60(concat(lit("fimb:"), id)), maxLen.cast("long"))
+      .cast("int") + 1)
+    val spm = pmod(h60(concat(lit("fimm:"), id)), lit(2L)) === 1
+    val pre = slice(arr, lit(1), ms)
+    val mid = slice(arr, ms + 1, mlen)
+    val suf = slice(arr, ms + mlen + 1, n - ms - mlen)
+    val sP = array(lit("<fim_prefix>"))
+    val sS = array(lit("<fim_suffix>"))
+    val sM = array(lit("<fim_middle>"))
+    val psmToks = concat(sP, pre, sS, suf, sM, mid)
+    val spmToks = concat(sS, suf, sP, pre, sM, mid)
+    docs.select(
+      id,
+      n.as("n_words"),
+      when(!applied, lit("none")).when(spm, lit("spm"))
+        .otherwise(lit("psm")).as("mode"),
+      when(applied, ms).as("mid_start"),
+      when(applied, mlen).as("mid_len"),
+      when(!applied, array_join(arr, " "))
+        .when(spm, array_join(spmToks, " "))
+        .otherwise(array_join(psmToks, " ")).as("fim_text"))
+  }
+
   def curriculumSchedule(docs: DataFrame, thresholds: Seq[Int] = Seq(32, 64),
                          nShards: Int = 16): DataFrame = {
     require(thresholds.nonEmpty && thresholds == thresholds.sorted.distinct,

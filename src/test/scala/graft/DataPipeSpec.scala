@@ -369,6 +369,60 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { TrainingOps.spanCorruption(docs, spanLen = 0) }
   }
 
+  test("fim transform: psm/spm reconstruction, split bounds, rate, none passthrough") {
+    val sp = spark; import sp.implicits._
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = TrainingOps.fimTransform(docs).collect()
+    assert(out.length == texts.size)
+    var applied = 0; var eligible = 0; var spmN = 0
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val n = r.getInt(1)
+      val mode = r.getString(2)
+      val norm = texts(id).trim.split("[ \t\n\r\f]+").filter(_.nonEmpty).toSeq
+      assert(n == norm.length, s"doc $id word count")
+      if (n >= 3) eligible += 1
+      if (mode == "none") {
+        assert(r.isNullAt(3) && r.isNullAt(4), s"doc $id none-mode NULLs")
+        assert(r.getString(5) == norm.mkString(" "), s"doc $id passthrough")
+      } else {
+        applied += 1
+        if (mode == "spm") spmN += 1 else assert(mode == "psm")
+        val (ms, ml) = (r.getInt(3), r.getInt(4))
+        assert(ms >= 0 && ms < n && ml >= 1 && ml <= 16 && ms + ml <= n,
+          s"doc $id split bounds ms=$ms ml=$ml n=$n")
+        val toks = r.getString(5).split(" ").toSeq
+        val iP = toks.indexOf("<fim_prefix>")
+        val iS = toks.indexOf("<fim_suffix>")
+        val iM = toks.indexOf("<fim_middle>")
+        assert(iP >= 0 && iS >= 0 && iM >= 0 && iM > iP && iM > iS)
+        val (pre, suf) =
+          if (mode == "psm") (toks.slice(iP + 1, iS), toks.slice(iS + 1, iM))
+          else (toks.slice(iP + 1, iM), toks.slice(iS + 1, iP))
+        val mid = toks.drop(iM + 1)
+        assert(mid.size == ml && pre.size == ms, s"doc $id segment sizes")
+        assert(pre ++ mid ++ suf == norm, s"doc $id reconstruction")
+      }
+    }
+    // ~50% of eligible docs transformed; psm/spm split ~50/50 of those
+    assert(applied > eligible * 2 / 5 && applied < eligible * 3 / 5,
+      s"FIM rate $applied/$eligible")
+    assert(spmN > applied / 3 && spmN < applied * 2 / 3, s"spm share $spmN/$applied")
+    // tiny docs (n < 3) are never transformed
+    val tiny = TrainingOps.fimTransform(
+      Seq((1L, "one two"), (2L, ""), (3L, "a b c")).toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(tiny(1L) == "none" && tiny(2L) == "none")
+    // repartition invariance
+    val a = out.map(_.toString).sorted.toSeq
+    val b = TrainingOps.fimTransform(docs.repartition(7))
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException] { TrainingOps.fimTransform(docs, applyPct = 101) }
+    intercept[IllegalArgumentException] { TrainingOps.fimTransform(docs, maxMiddle = 0) }
+  }
+
   test("minhash calibration: candidates have >=3 matching components; est quantized to twelfths") {
     val rows = TrainingOps.minhashCalibration(docs).collect()
     assert(rows.nonEmpty, "no LSH candidates on the corpus")

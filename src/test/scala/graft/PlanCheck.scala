@@ -387,6 +387,9 @@ object PlanCheck {
     println("==== 111. t45 span corruption: typed mapPartitions in the scan stage, zero exchange ====")
     SparkEntry.queries("t45_span_corruption")(spark, sf).explain("formatted")
 
+    println("==== 112. t46 fim transform: pure slice/concat expressions, whole-stage codegen, zero exchange ====")
+    SparkEntry.queries("t46_fim_transform")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
