@@ -1592,6 +1592,16 @@ object SparkEntry {
       TrainingOps.rendezvousShards(docs(s, dir).select("doc_id"))),
     "p10_mixture_plan" -> ((s, dir) =>
       TrainingOps.mixturePlan(docs(s, dir))),
+    // shard-compaction plan over a synthesized file manifest (16 shards
+    // per source, bytes = sum of text lengths): streaming-coalesce bins
+    // at a 4 KiB target — contiguous merges, skip-labeled overshoots
+    "p13_compaction_plan" -> ((s, dir) => {
+      val manifest = docs(s, dir)
+        .groupBy(col("source"),
+          pmod(col("doc_id"), lit(16L)).cast("int").as("shard_id"))
+        .agg(sum(length(col("text"))).as("bytes"))
+      TrainingOps.compactionPlan(manifest, targetBytes = 4096L)
+    }),
     // curriculum training order: short-to-long length bands (edges 32,
     // 64), deterministic hash shuffle within each band, step = global
     // band-major position via the t11 shard-offset trick (no global
@@ -4047,6 +4057,20 @@ object SparkEntry {
           "rb.s <> ra.s AS moved, d.doc_id % 8 <> d.doc_id % 9 AS mod_moved " +
           "FROM documents d JOIN rb ON rb.doc_id = d.doc_id AND rb.rn = 1 " +
           "JOIN ra ON ra.doc_id = d.doc_id AND ra.rn = 1"),
+      // p13 oracle: the same streaming-coalesce binning in SQL — the
+      // 16-shard manifest from a (source, doc_id%16) rollup, cumulative
+      // bytes-before via a ROWS window ordered by shard_id, bin label =
+      // cum_before // target, bin stats re-joined for bin_bytes/fill_ppm
+      "p13_compaction_plan" ->
+        ("WITH m AS (SELECT source, CAST(doc_id % 16 AS INT) AS shard_id, " +
+          "CAST(SUM(length(text)) AS BIGINT) AS bytes FROM documents GROUP BY 1, 2), " +
+          "c AS (SELECT source, shard_id, bytes, COALESCE(SUM(bytes) OVER (" +
+          "PARTITION BY source ORDER BY shard_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM m), " +
+          "b AS (SELECT source, shard_id, bytes, CAST(cum_before // 4096 AS BIGINT) AS bin FROM c), " +
+          "st AS (SELECT source, bin, CAST(SUM(bytes) AS BIGINT) AS bin_bytes, COUNT(*) AS bin_shards FROM b GROUP BY 1, 2) " +
+          "SELECT b.source, b.shard_id, b.bytes, b.bin, st.bin_bytes, st.bin_shards, " +
+          "CAST(1000000 * st.bin_bytes // 4096 AS BIGINT) AS fill_ppm " +
+          "FROM b JOIN st ON b.source = st.source AND b.bin = st.bin"),
       "p10_mixture_plan" ->
         (s"WITH sup AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
           s"CAST(SUM(len($w)) AS BIGINT) AS supply_tokens, " +

@@ -2689,6 +2689,48 @@ object TrainingOps extends Serializable {
         .otherwise(array_join(psmToks, " ")).as("fim_text"))
   }
 
+  /** Shard-compaction planning — the small-files fixer's PLAN step
+    * (what Iceberg's rewriteDataFiles / AQE's partition coalescing do,
+    * as an inspectable table): assign each input shard to an output bin
+    * by the streaming-coalesce rule, bin = floor(cum_bytes_before /
+    * targetBytes) within each source in shard_id order. Deterministic,
+    * order-respecting (bins are CONTIGUOUS runs of shards — a merge is
+    * a sequential concat, no random reads), and single-pass — unlike
+    * first-fit-decreasing it never reorders shards, which is what keeps
+    * doc order stable across a compaction. Bin labels are target-
+    * multiples offsets and may SKIP integers when one shard overshoots
+    * the target by itself (a 3x-target shard advances the label by 3)
+    * — the skip IS the overshoot diagnostic, and fill_ppm > 1e6 flags
+    * the same bins. Every non-final bin's cumulative end crosses its
+    * (label+1)*target boundary — the no-premature-close invariant the
+    * unit test pins.
+    *
+    * Scale shape: this is a METADATA-PLANE operator — rows are file
+    * manifest entries (~10^6 files at 100 TB / 100 MB), not documents.
+    * Two same-keyed windows + one map-side-combined rollup over that
+    * manifest; the data plane never moves until the plan is executed.
+    */
+  def compactionPlan(shards: DataFrame, targetBytes: Long = 1L << 20): DataFrame = {
+    require(targetBytes >= 1, "targetBytes must be positive")
+    val bySrc = Window.partitionBy(col("source")).orderBy(col("shard_id"))
+    val cumBefore = coalesce(
+      sum(col("bytes")).over(bySrc.rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    val binned = shards
+      .select(col("source"), col("shard_id"),
+        col("bytes").cast("long").as("bytes"))
+      .withColumn("cum_before", cumBefore)
+      .withColumn("bin", expr(s"cum_before div ${targetBytes}L"))
+      .drop("cum_before")
+    val stats = binned.groupBy(col("source"), col("bin"))
+      .agg(sum(col("bytes")).as("bin_bytes"),
+        count(lit(1)).as("bin_shards"))
+    binned.join(stats, Seq("source", "bin"))
+      .select(col("source"), col("shard_id"), col("bytes"), col("bin"),
+        col("bin_bytes"), col("bin_shards"),
+        expr(s"1000000 * bin_bytes div ${targetBytes}L").as("fill_ppm"))
+  }
+
   def curriculumSchedule(docs: DataFrame, thresholds: Seq[Int] = Seq(32, 64),
                          nShards: Int = 16): DataFrame = {
     require(thresholds.nonEmpty && thresholds == thresholds.sorted.distinct,

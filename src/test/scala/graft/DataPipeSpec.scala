@@ -168,6 +168,45 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { TrainingOps.rendezvousShards(d, nBefore = 0) }
   }
 
+  test("compaction plan: contiguous bins, no premature close, overshoot skips labels, invariance") {
+    val sp = spark; import sp.implicits._
+    // source a at target 2000: shards 0-1 fill bin 0 exactly; 2-4 land in
+    // bin 1 (the 7000-byte shard 4 JOINS bin 1 because its cum_before
+    // 3500 < 4000 — bins close on crossing, not on size); shard 5 then
+    // starts at cum 10500 -> bin 5, skipping labels 2-4 (the overshoot
+    // diagnostic). source b never fills a bin -> single bin 0.
+    val m = Seq(
+      ("a", 0, 1000L), ("a", 1, 1000L), ("a", 2, 1000L), ("a", 3, 500L),
+      ("a", 4, 7000L), ("a", 5, 100L),
+      ("b", 0, 50L), ("b", 1, 50L)).toDF("source", "shard_id", "bytes")
+    val out = TrainingOps.compactionPlan(m, targetBytes = 2000L).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(out(("a", 0)) == ((0L, 2000L, 2L, 1000000L)))
+    assert(out(("a", 1)) == ((0L, 2000L, 2L, 1000000L)))
+    assert(out(("a", 4)) == ((1L, 8500L, 3L, 4250000L)))
+    assert(out(("a", 5)) == ((5L, 100L, 1L, 50000L)))   // label skip 2..4
+    assert(out(("b", 1)) == ((0L, 100L, 2L, 50000L)))
+    // contiguity: bin labels non-decreasing in shard_id order per source
+    val aBins = (0 to 5).map(i => out(("a", i))._1)
+    assert(aBins.sliding(2).forall(p => p(0) <= p(1)), s"bins $aBins")
+    // no-premature-close: every non-final bin's cumulative end crosses
+    // its (label+1)*target boundary
+    val bytesBy = Seq(1000L, 1000L, 1000L, 500L, 7000L, 100L)
+    val cumEnd = bytesBy.scanLeft(0L)(_ + _).tail
+    aBins.zipWithIndex.foreach { case (bin, i) =>
+      if (bin != aBins.last) {
+        val lastOfBin = aBins.lastIndexOf(bin)
+        assert(cumEnd(lastOfBin) >= (bin + 1) * 2000L, s"bin $bin closed early")
+      }
+    }
+    // partitioning invariance + bad-target rejection
+    val rep = TrainingOps.compactionPlan(m.repartition(7), targetBytes = 2000L)
+      .collect().map(_.toString).sorted
+    assert(rep.sameElements(TrainingOps.compactionPlan(m, 2000L).collect().map(_.toString).sorted))
+    intercept[IllegalArgumentException] { TrainingOps.compactionPlan(m, targetBytes = 0L) }
+  }
+
   test("canonical clusters: coalesce-to-self, cross-host counting, min rep, partitioning invariance") {
     val sp = spark; import sp.implicits._
     val pages = Seq(

@@ -390,6 +390,9 @@ object PlanCheck {
     println("==== 112. t46 fim transform: pure slice/concat expressions, whole-stage codegen, zero exchange ====")
     SparkEntry.queries("t46_fim_transform")(spark, sf).explain("formatted")
 
+    println("==== 113. p13 compaction plan: metadata-plane windows + rollup over the shard manifest, data plane untouched ====")
+    SparkEntry.queries("p13_compaction_plan")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
