@@ -1889,6 +1889,18 @@ object SparkEntry {
         .toDF("doc_id", "payload")
       TrainingOps.mp3Frames(s, payloads)
     }),
+    // Zstandard frame/block walk (RFC 8878): every extent DECLARED so
+    // the container walks without a decompressor — raw/compressed
+    // blocks stepped by Block_Size, RLE consumes ONE byte, skippable
+    // frames by u32 size, header length computed from descriptor bits,
+    // 2-byte FCS carries the spec's +256 bias
+    "m19_zstd_frames" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = docs(s, dir).select(col("doc_id")).as[Long]
+        .map(id => (id, TrainingOps.syntheticZstdPayload(id)))
+        .toDF("doc_id", "payload")
+      TrainingOps.zstdFrames(s, payloads)
+    }),
     // charset sniffing over synthesized page bytes: BOM > 1024-byte meta
     // prescan > UTF-8 structural validation > windows-1252 fallback; the
     // oracle derives every verdict arithmetically from doc_id
@@ -3986,6 +3998,34 @@ object SparkEntry {
           "UNION ALL SELECT doc_id, 'malformed', 0, 0, 'frame', br, sr, p0, bs + p0, crc FROM c WHERE f = 3 " +
           "UNION ALL SELECT doc_id, 'not_mp3', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM c WHERE f = 4 " +
           "UNION ALL SELECT doc_id, 'free_bitrate', 0, 0, 'frame', br, sr, p0, bs + p0, crc FROM c WHERE f = 5)"),
+      // m19 oracle: offsets chained arithmetically from the doc_id-
+      // derived block lengths — a MATCH pins the computed header
+      // length (descriptor-bit arithmetic), the RLE one-byte
+      // consumption, the skippable skip, and the 2-byte FCS +256 bias
+      "m19_zstd_frames" ->
+        ("WITH c AS (SELECT doc_id, doc_id % 6 AS f, " +
+          "CAST(16 + doc_id % 32 AS INT) AS r1, CAST(8 + doc_id % 16 AS INT) AS r2, " +
+          "CAST(64 + doc_id % 100 AS INT) AS rc, CAST(4 + doc_id % 8 AS INT) AS sk, " +
+          "CAST(10 + doc_id % 50 AS INT) AS raw1, CAST(5 + doc_id % 10 AS INT) AS r3, " +
+          "CAST(7 + doc_id % 12 AS INT) AS r4 FROM documents) " +
+          "SELECT doc_id, status, CAST(idx AS INT) AS idx, CAST(o AS BIGINT) AS z_off, " +
+          "kind, btype, CAST(bs AS INT) AS bsize, CAST(la AS INT) AS last, " +
+          "CAST(fc AS BIGINT) AS fcs FROM ( " +
+          "SELECT doc_id, 'ok' AS status, 0 AS idx, 0 AS o, 'frame' AS kind, " +
+          "NULL AS btype, 9 AS bs, NULL AS la, 256 + r1 + r2 + rc AS fc FROM c WHERE f = 0 " +
+          "UNION ALL SELECT doc_id, 'ok', 1, 9, 'block', 'raw', r1, 0, NULL FROM c WHERE f = 0 " +
+          "UNION ALL SELECT doc_id, 'ok', 2, 12 + r1, 'block', 'compressed', r2, 0, NULL FROM c WHERE f = 0 " +
+          "UNION ALL SELECT doc_id, 'ok', 3, 15 + r1 + r2, 'block', 'rle', rc, 1, NULL FROM c WHERE f = 0 " +
+          "UNION ALL SELECT doc_id, 'ok', 0, 0, 'skippable', NULL, sk, NULL, NULL FROM c WHERE f = 1 " +
+          "UNION ALL SELECT doc_id, 'ok', 1, 8 + sk, 'frame', NULL, 6, NULL, raw1 FROM c WHERE f = 1 " +
+          "UNION ALL SELECT doc_id, 'ok', 2, 14 + sk, 'block', 'raw', raw1, 1, NULL FROM c WHERE f = 1 " +
+          "UNION ALL SELECT doc_id, 'ok', 3, 17 + sk + raw1, 'checksum', NULL, 4, NULL, NULL FROM c WHERE f = 1 " +
+          "UNION ALL SELECT doc_id, 'truncated', 0, 0, 'frame', NULL, 6, NULL, NULL FROM c WHERE f = 2 " +
+          "UNION ALL SELECT doc_id, 'malformed', 0, 0, 'frame', NULL, 6, NULL, NULL FROM c WHERE f = 3 " +
+          "UNION ALL SELECT doc_id, 'malformed', 1, 6, 'block', 'raw', r3, 0, NULL FROM c WHERE f = 3 " +
+          "UNION ALL SELECT doc_id, 'not_zstd', NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM c WHERE f = 4 " +
+          "UNION ALL SELECT doc_id, 'malformed', 0, 0, 'frame', NULL, 6, NULL, NULL FROM c WHERE f = 5 " +
+          "UNION ALL SELECT doc_id, 'malformed', 1, 6, 'block', 'raw', r4, 1, NULL FROM c WHERE f = 5)"),
       // m5 oracle: every verdict arithmetic from doc_id (the m3/m4
       // pattern) — a MATCH means the byte builder and the three-rung
       // sniffer agree on BOM precedence, the prescan window bound, and

@@ -4619,6 +4619,211 @@ object TrainingOps extends Serializable {
         "pad", "flen", "crc")
   }
 
+  /** Synthetic zstd payloads for [[zstdFrames]] — six families keyed by
+    * doc_id % 6, every length derived from doc_id so the DuckDB oracle
+    * chains offsets arithmetically (r1 = 16+id%32, r2 = 8+id%16,
+    * rc = 64+id%100, sk = 4+id%8, raw1 = 10+id%50, r3 = 5+id%10,
+    * r4 = 7+id%12):
+    *   0: one frame, 2-byte FCS (decoded value = field + 256 — the
+    *      spec's bias) + 1-byte dictionary id; raw, compressed and RLE
+    *      blocks chained, clean EOF (ok);
+    *   1: a skippable frame (low-nibble magic id%16) then a
+    *      single-segment frame (no window byte, 1-byte FCS) with one
+    *      raw block and a content checksum (ok);
+    *   2: a block header declaring 1000 raw bytes over a 5-byte tail
+    *      (truncated);
+    *   3: a raw block then a reserved-type block header (malformed);
+    *   4: not zstd at all;
+    *   5: a complete frame then a second frame whose descriptor sets
+    *      the reserved bit (malformed — first frame's rows kept).
+    */
+  def syntheticZstdPayload(id: Long): Array[Byte] = {
+    val bb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def le32(v: Long): Unit =
+      (0 until 4).foreach(i => bb += ((v >> (8 * i)) & 0xff).toByte)
+    def magic(): Unit = le32(0xFD2FB528L)
+    def blockHdr(size: Int, btype: Int, last: Int): Unit = {
+      val h = (size << 3) | (btype << 1) | last
+      bb += (h & 0xff).toByte; bb += ((h >> 8) & 0xff).toByte
+      bb += ((h >> 16) & 0xff).toByte
+    }
+    def fill(k: Int, c: Int = 'x'): Unit =
+      (0 until k).foreach(i => bb += ((c + i % 23) & 0x7f).toByte)
+    val r1 = (16 + id % 32).toInt; val r2 = (8 + id % 16).toInt
+    val rc = (64 + id % 100).toInt; val sk = (4 + id % 8).toInt
+    val raw1 = (10 + id % 50).toInt; val r3 = (5 + id % 10).toInt
+    val r4 = (7 + id % 12).toInt
+    (id % 6) match {
+      case 0 =>
+        magic(); bb += 0x41.toByte // FCS flag 1, dict-id flag 1
+        bb += 0x88.toByte // window descriptor
+        bb += (id % 256).toByte // dictionary id
+        val f = r1 + r2 + rc
+        bb += (f & 0xff).toByte; bb += ((f >> 8) & 0xff).toByte
+        blockHdr(r1, 0, 0); fill(r1)
+        blockHdr(r2, 2, 0); fill(r2, 'q')
+        blockHdr(rc, 1, 1); bb += 'r'.toByte
+      case 1 =>
+        le32(0x184D2A50L + id % 16); le32(sk.toLong); fill(sk, 's')
+        magic(); bb += 0x24.toByte // single-segment + checksum
+        bb += raw1.toByte // 1-byte FCS
+        blockHdr(raw1, 0, 1); fill(raw1)
+        (0 until 4).foreach(_ => bb += 0xAA.toByte)
+      case 2 =>
+        magic(); bb += 0x00.toByte; bb += 0x88.toByte
+        blockHdr(1000, 0, 1); fill(5, 'z')
+      case 3 =>
+        magic(); bb += 0x00.toByte; bb += 0x88.toByte
+        blockHdr(r3, 0, 0); fill(r3)
+        blockHdr(10, 3, 1)
+      case 4 => bb ++= s"plain text payload $id".getBytes("US-ASCII")
+      case _ =>
+        magic(); bb += 0x00.toByte; bb += 0x88.toByte
+        blockHdr(r4, 0, 1); fill(r4)
+        magic(); bb += 0x08.toByte // reserved descriptor bit
+    }
+    bb.toArray
+  }
+
+  /** Zstandard frame/block walk (RFC 8878) — the MODERN compression
+    * container of the walker series (m9 inflated gzip members because
+    * gzip declares no lengths; zstd is the opposite design and the
+    * point of this op): every element's extent is DECLARED, so the
+    * whole container walks without a decompressor — raw and compressed
+    * blocks are stepped over by the 21-bit Block_Size, an RLE block
+    * consumes exactly ONE payload byte (its Block_Size is the
+    * REGENERATED count — the field that does not measure file bytes,
+    * pinned by the offset chain), skippable frames by their u32 size,
+    * and the frame header's own length is computed from the descriptor
+    * bits (FCS field size by flag, window byte absent iff
+    * Single_Segment, dictionary-id field by its 2-bit flag). One row
+    * per element (frame / skippable / block / checksum) with offset,
+    * block type, declared size, last-block flag and the decoded
+    * Frame_Content_Size — including the spec's +256 bias on the 2-byte
+    * encoding (a walker that returns the raw field corrupts every size
+    * in [256, 65791]). Terminal status with the parsed prefix KEPT:
+    * `ok` (clean EOF at a frame boundary) / `not_zstd` / `truncated`
+    * (any declared extent past EOF) / `malformed` (reserved descriptor
+    * bit, reserved block type, or garbage where a magic belongs after a
+    * valid prefix). NO resync — the m16/m17/m18
+    * boundaries-by-arithmetic principle: corruption is REPORTED, not
+    * healed. Frames legally concatenate (a .zst stream is a frame
+    * sequence, like gzip members) and the walk continues across them.
+    *
+    * Scale shape: typed mapPartitions in the scan stage, zero
+    * exchange; only headers are read — block bodies are stepped over,
+    * never copied or decoded. Reference: RFC 8878 §3.1.1 (frame and
+    * block headers), §3.1.2 (skippable frames).
+    */
+  def zstdFrames(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, raw) =>
+          val b = if (raw == null) Array.emptyByteArray else raw
+          val n = b.length
+          def u(i: Int) = b(i) & 0xff
+          def le(i: Int, k: Int): Long = {
+            var v = 0L; var j = k - 1
+            while (j >= 0) { v = (v << 8) | (b(i + j) & 0xffL); j -= 1 }
+            v
+          }
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Int, Long, String, Option[String], Option[Int], Option[Int], Option[Long])]
+          var status: String = null
+          var p = 0; var idx = 0
+          if (n < 4 || (le(0, 4) != 0xFD2FB528L &&
+            (le(0, 4) & 0xFFFFFFF0L) != 0x184D2A50L)) status = "not_zstd"
+          while (status == null) {
+            if (p == n) status = "ok"
+            else if (n - p < 4) status = "truncated"
+            else {
+              val m = le(p, 4)
+              if ((m & 0xFFFFFFF0L) == 0x184D2A50L) {
+                if (n - p < 8) status = "truncated"
+                else {
+                  val sz = le(p + 4, 4)
+                  if (p + 8 + sz > n) status = "truncated"
+                  else {
+                    out += ((idx, p.toLong, "skippable", None, Some(sz.toInt), None, None))
+                    idx += 1; p += 8 + sz.toInt
+                  }
+                }
+              } else if (m != 0xFD2FB528L) status = "malformed"
+              else if (n - p < 5) status = "truncated"
+              else {
+                val d = u(p + 4)
+                val fcsFlag = d >> 6; val single = (d >> 5) & 1
+                val reserved = (d >> 3) & 1; val ck = (d >> 2) & 1
+                val didSize = Array(0, 1, 2, 4)(d & 3)
+                if (reserved == 1) status = "malformed"
+                else {
+                  val fcsSize = fcsFlag match {
+                    case 0 => if (single == 1) 1 else 0
+                    case 1 => 2
+                    case 2 => 4
+                    case _ => 8
+                  }
+                  val hl = 5 + (1 - single) + didSize + fcsSize
+                  if (p + hl > n) status = "truncated"
+                  else {
+                    val fcsOff = p + 5 + (1 - single) + didSize
+                    val fcs: Option[Long] =
+                      if (fcsSize == 0) None
+                      else if (fcsSize == 2) Some(le(fcsOff, 2) + 256L)
+                      else Some(le(fcsOff, fcsSize))
+                    out += ((idx, p.toLong, "frame", None, Some(hl), None, fcs))
+                    idx += 1; p += hl
+                    var lastSeen = false
+                    while (status == null && !lastSeen) {
+                      if (n - p < 3) status = "truncated"
+                      else {
+                        val h = le(p, 3)
+                        val lastB = (h & 1).toInt
+                        val bt = ((h >> 1) & 3).toInt
+                        val bs = (h >> 3).toInt
+                        if (bt == 3) status = "malformed"
+                        else {
+                          val consumed = 3 + (if (bt == 1) 1 else bs)
+                          if (p + consumed > n) status = "truncated"
+                          else {
+                            val btName =
+                              if (bt == 0) "raw" else if (bt == 1) "rle" else "compressed"
+                            out += ((idx, p.toLong, "block", Some(btName),
+                              Some(bs), Some(lastB), None))
+                            idx += 1; p += consumed
+                            if (lastB == 1) lastSeen = true
+                          }
+                        }
+                      }
+                    }
+                    if (status == null && ck == 1) {
+                      if (n - p < 4) status = "truncated"
+                      else {
+                        out += ((idx, p.toLong, "checksum", None, Some(4), None, None))
+                        idx += 1; p += 4
+                      }
+                    }
+                  }
+                }
+              }
+            }
+          }
+          val es = out.toList
+          if (es.isEmpty)
+            Seq((id, status, None: Option[Int], None: Option[Long],
+              None: Option[String], None: Option[String], None: Option[Int],
+              None: Option[Int], None: Option[Long]))
+          else es.map { case (i2, off, k, bt, bs, la, fc) =>
+            (id, status, Some(i2), Some(off), Some(k), bt, bs, la, fc)
+          }
+        }
+      }
+      .toDF("doc_id", "status", "idx", "z_off", "kind", "btype", "bsize",
+        "last", "fcs")
+  }
+
   def imageDims(spark: SparkSession, payloads: DataFrame): DataFrame = {
     import spark.implicits._
     payloads.select(col("doc_id"), col("payload"))

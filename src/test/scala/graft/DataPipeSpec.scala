@@ -2452,6 +2452,100 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set("ok", "not_mp3", "truncated", "malformed", "free_bitrate")))
   }
 
+  test("zstd frames: declared-extent walk, FCS bias, RLE one-byte consumption, skippable, reserved bits, totality") {
+    val sp = spark; import sp.implicits._
+    def run(rows: Seq[(Long, Array[Byte])]) =
+      TrainingOps.zstdFrames(sp, rows.toDF("doc_id", "payload")).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(2)) -1 else r.getInt(2)) ->
+          ((r.getString(1),
+            if (r.isNullAt(3)) -1L else r.getLong(3),
+            if (r.isNullAt(4)) null else r.getString(4),
+            if (r.isNullAt(5)) null else r.getString(5),
+            if (r.isNullAt(6)) -1 else r.getInt(6),
+            if (r.isNullAt(7)) -1 else r.getInt(7),
+            if (r.isNullAt(8)) -1L else r.getLong(8))))
+        .toMap
+    val out = run((0L to 5L).map(id => (id, TrainingOps.syntheticZstdPayload(id))))
+    // id 0: r1=16 r2=8 rc=64 — header 9 (magic+desc+window+did+2B FCS),
+    // decoded FCS carries the +256 bias; RLE consumes ONE byte although
+    // its Block_Size says 64 (regenerated count), pinned by clean EOF
+    assert(out((0L, 0)) == (("ok", 0L, "frame", null, 9, -1, 344L)))
+    assert(out((0L, 1)) == (("ok", 9L, "block", "raw", 16, 0, -1L)))
+    assert(out((0L, 2)) == (("ok", 28L, "block", "compressed", 8, 0, -1L)))
+    assert(out((0L, 3)) == (("ok", 39L, "block", "rle", 64, 1, -1L)))
+    // id 1: skippable skipped by u32 size; single-segment frame has NO
+    // window byte (header 6) and a 1-byte FCS; checksum row trails
+    assert(out((1L, 0)) == (("ok", 0L, "skippable", null, 5, -1, -1L)))
+    assert(out((1L, 1)) == (("ok", 13L, "frame", null, 6, -1, 11L)))
+    assert(out((1L, 2)) == (("ok", 19L, "block", "raw", 11, 1, -1L)))
+    assert(out((1L, 3)) == (("ok", 33L, "checksum", null, 4, -1, -1L)))
+    // id 2: declared 1000-byte block over a 5-byte tail
+    assert(out((2L, 0))._1 == "truncated" && !out.contains((2L, 1)))
+    // id 3: reserved block type after a valid raw block
+    assert(out((3L, 0))._1 == "malformed")
+    assert(out((3L, 1)) == (("malformed", 6L, "block", "raw", 8, 0, -1L)))
+    assert(out((4L, -1))._1 == "not_zstd")
+    // id 5: reserved DESCRIPTOR bit on the second frame; first kept
+    assert(out((5L, 1)) == (("malformed", 6L, "block", "raw", 12, 1, -1L)))
+    // handcrafted: 4/8-byte FCS decode, explicit bias floor, skippable
+    // and checksum truncation, frame concatenation, post-frame garbage
+    val ab = scala.collection.mutable.ArrayBuffer
+    def bytes(body: scala.collection.mutable.ArrayBuffer[Byte] => Unit): Array[Byte] = {
+      val bb = ab.empty[Byte]; body(bb); bb.toArray
+    }
+    def le(bb: scala.collection.mutable.ArrayBuffer[Byte], v: Long, k: Int): Unit =
+      (0 until k).foreach(i => bb += ((v >> (8 * i)) & 0xff).toByte)
+    def miniFrame(bb: scala.collection.mutable.ArrayBuffer[Byte]): Unit = {
+      le(bb, 0xFD2FB528L, 4); bb += 0x00.toByte; bb += 0x88.toByte
+      le(bb, (2L << 3) | 1L, 3); bb += 'a'.toByte; bb += 'b'.toByte
+    }
+    val m = run(Seq(
+      90L -> bytes { bb => // FCS flag 2: u32, no bias
+        le(bb, 0xFD2FB528L, 4); bb += 0x80.toByte; bb += 0x88.toByte
+        le(bb, 70000L, 4); le(bb, (2L << 3) | 1L, 3); bb += 'x'.toByte; bb += 'y'.toByte },
+      91L -> bytes { bb => // FCS flag 3: u64
+        le(bb, 0xFD2FB528L, 4); bb += 0xC0.toByte; bb += 0x88.toByte
+        le(bb, 1L << 33, 8); le(bb, (0L << 3) | 1L, 3) },
+      92L -> bytes { bb => // 2-byte field 0 decodes to exactly 256
+        le(bb, 0xFD2FB528L, 4); bb += 0x40.toByte; bb += 0x88.toByte
+        le(bb, 0L, 2); le(bb, (0L << 3) | 1L, 3) },
+      93L -> bytes { bb => le(bb, 0x184D2A5FL, 4); le(bb, 100L, 4); bb += 's'.toByte },
+      94L -> bytes { bb => // checksum flag set, 2 bytes where 4 belong
+        le(bb, 0xFD2FB528L, 4); bb += 0x24.toByte; bb += 3.toByte
+        le(bb, (3L << 3) | 1L, 3); bb += 'p'.toByte; bb += 'q'.toByte
+        bb += 'r'.toByte; bb += 0xAA.toByte; bb += 0xAA.toByte },
+      95L -> bytes { bb => miniFrame(bb); miniFrame(bb) },
+      96L -> bytes { bb => miniFrame(bb); bb ++= "XYZW".getBytes("US-ASCII") },
+      97L -> bytes { bb => miniFrame(bb); bb += 'j'.toByte; bb += 'k'.toByte },
+      98L -> Array.emptyByteArray))
+    assert(m((90L, 0))._7 == 70000L && m((90L, 0))._5 == 10)
+    assert(m((91L, 0))._7 == (1L << 33) && m((91L, 0))._5 == 14)
+    assert(m((92L, 0))._7 == 256L)
+    assert(m((93L, -1))._1 == "truncated")
+    assert(m((94L, 1))._3 == "block" && m((94L, 1))._1 == "truncated"
+      && !m.contains((94L, 2)))
+    assert(m((95L, 3)) == (("ok", 17L, "block", "raw", 2, 1, -1L)))
+    assert(m((96L, 0))._1 == "malformed" && m.contains((96L, 1)))
+    assert(m((97L, 0))._1 == "truncated")
+    assert(m((98L, -1))._1 == "not_zstd")
+    // totality fuzz: random bytes + bit-flipped valid payloads
+    val rnd = new scala.util.Random(3131)
+    val fuzz = (0 until 150).map { i =>
+      val base =
+        if (i % 2 == 0) Array.fill(rnd.nextInt(80))(rnd.nextInt(256).toByte)
+        else {
+          val v = TrainingOps.syntheticZstdPayload(rnd.nextInt(60).toLong)
+          if (v.nonEmpty) v(rnd.nextInt(v.length)) =
+            (v(rnd.nextInt(v.length)) ^ (1 << rnd.nextInt(8))).toByte
+          v
+        }
+      (1000L + i, base)
+    }
+    val statuses = TrainingOps.zstdFrames(sp, fuzz.toDF("doc_id", "payload"))
+      .select("status").distinct().collect().map(_.getString(0)).toSet
+    assert(statuses.subsetOf(Set("ok", "not_zstd", "truncated", "malformed")))
+  }
+
   test("tiff entries: dual endianness, inline/indirect split, exif pointer consumed, cycle, truncation, totality") {
     val sp = spark; import sp.implicits._
     def run(rows: Seq[(Long, Array[Byte])]) =

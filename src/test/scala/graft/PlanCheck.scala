@@ -393,6 +393,9 @@ object PlanCheck {
     println("==== 113. p13 compaction plan: metadata-plane windows + rollup over the shard manifest, data plane untouched ====")
     SparkEntry.queries("p13_compaction_plan")(spark, sf).explain("formatted")
 
+    println("==== 114. m19 zstd frames: typed mapPartitions declared-extent walker in the scan stage, zero exchange ====")
+    SparkEntry.queries("m19_zstd_frames")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
