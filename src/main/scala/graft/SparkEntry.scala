@@ -1602,6 +1602,20 @@ object SparkEntry {
         .agg(sum(length(col("text"))).as("bytes"))
       TrainingOps.compactionPlan(manifest, targetBytes = 4096L)
     }),
+    // snapshot expiry plan over a synthesized 24-snapshot hourly ledger
+    // (e17's epoch base) + per-doc file live ranges [doc_id%24, +%gap]:
+    // older_than cuts at base+21h, retain_last=4 rescues snapshot 20
+    "p14_retention_plan" -> ((s, dir) => {
+      val snaps = s.range(24).select(col("id").as("snap_id"),
+        (lit(1767225600L) + col("id") * 3600L).as("committed_ts"))
+      val files = docs(s, dir)
+        .withColumn("fs", pmod(col("doc_id"), lit(24L)))
+        .select((col("fs") + pmod(col("doc_id"), lit(24L) - col("fs")))
+          .as("last_snap"),
+          length(col("text")).cast("long").as("bytes"))
+      TrainingOps.retentionPlan(snaps, files,
+        olderThanTs = 1767225600L + 21L * 3600L, retainLast = 4)
+    }),
     // curriculum training order: short-to-long length bands (edges 32,
     // 64), deterministic hash shuffle within each band, step = global
     // band-major position via the t11 shard-offset trick (no global
@@ -4097,6 +4111,23 @@ object SparkEntry {
           "rb.s <> ra.s AS moved, d.doc_id % 8 <> d.doc_id % 9 AS mod_moved " +
           "FROM documents d JOIN rb ON rb.doc_id = d.doc_id AND rb.rn = 1 " +
           "JOIN ra ON ra.doc_id = d.doc_id AND ra.rn = 1"),
+      // p14 oracle: the same two expiry clauses in SQL — recency rank
+      // via one window over the 24-row ledger, expired = over-age AND
+      // beyond retain_last, reclaim rolled up on last_snap and zeroed
+      // on kept snapshots
+      "p14_retention_plan" ->
+        ("WITH s AS (SELECT CAST(t.s AS BIGINT) AS snap_id, " +
+          "CAST(1767225600 + t.s * 3600 AS BIGINT) AS committed_ts FROM range(24) t(s)), " +
+          "r AS (SELECT CAST(snap_id AS INT) AS snap_id, committed_ts, " +
+          "CAST(row_number() OVER (ORDER BY committed_ts DESC, snap_id DESC) AS INT) AS recency_rank FROM s), " +
+          "e AS (SELECT *, committed_ts < 1767301200 AND recency_rank > 4 AS expired FROM r), " +
+          "f AS (SELECT doc_id, doc_id % 24 AS fs, length(text) AS bytes FROM documents), " +
+          "g AS (SELECT CAST(fs + doc_id % (24 - fs) AS INT) AS last_snap, " +
+          "COUNT(*) AS nf, CAST(SUM(bytes) AS BIGINT) AS bf FROM f GROUP BY 1) " +
+          "SELECT e.snap_id, e.committed_ts, e.recency_rank, e.expired, " +
+          "CAST(CASE WHEN e.expired THEN COALESCE(g.nf, 0) ELSE 0 END AS BIGINT) AS n_files_reclaimed, " +
+          "CAST(CASE WHEN e.expired THEN COALESCE(g.bf, 0) ELSE 0 END AS BIGINT) AS bytes_reclaimed " +
+          "FROM e LEFT JOIN g ON g.last_snap = e.snap_id"),
       // p13 oracle: the same streaming-coalesce binning in SQL — the
       // 16-shard manifest from a (source, doc_id%16) rollup, cumulative
       // bytes-before via a ROWS window ordered by shard_id, bin label =

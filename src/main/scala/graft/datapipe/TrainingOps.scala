@@ -2731,6 +2731,54 @@ object TrainingOps extends Serializable {
         expr(s"1000000 * bin_bytes div ${targetBytes}L").as("fill_ppm"))
   }
 
+  /** Snapshot retention / expiry planning — p13's maintenance sibling
+    * and the PLAN step of Iceberg's expireSnapshots: a snapshot expires
+    * iff `committed_ts < olderThanTs` AND it is not among the
+    * `retainLast` most recent (the rescue clause — time-travel depth is
+    * guaranteed even when the age cutoff would cut into it; pinned by a
+    * unit case where retain_last saves an over-age snapshot). Both
+    * clauses keep a time-SUFFIX, so survivors are contiguous-recent —
+    * which is what makes reclaim attribution a scalar compare instead
+    * of an interval anti-join: a file whose live range is
+    * [first_snap, last_snap] is referenced only by expired snapshots
+    * iff its last_snap itself expired. Per snapshot: recency rank,
+    * expired verdict, and the files/bytes that expiry frees (attributed
+    * to the file's last referencing snapshot; kept snapshots reclaim
+    * 0/0 — expiring a snapshot whose files live on in later snapshots
+    * frees METADATA only, the classic Iceberg misunderstanding this
+    * table makes inspectable).
+    *
+    * Scale shape: metadata-plane (the p13 principle) — the global
+    * recency window ranks the SNAPSHOT ledger (10^2..10^4 rows on any
+    * real table; the data plane never moves), the per-file rollup is
+    * one map-side-combined groupBy on last_snap, and the join keys two
+    * snapshot-cardinality tables (AQE broadcasts).
+    */
+  def retentionPlan(snapshots: DataFrame, files: DataFrame,
+                    olderThanTs: Long, retainLast: Int): DataFrame = {
+    require(retainLast >= 1, "retainLast must be >= 1")
+    val w = Window.orderBy(col("committed_ts").desc, col("snap_id").desc)
+    val ranked = snapshots
+      .select(col("snap_id").cast("int").as("snap_id"),
+        col("committed_ts").cast("long").as("committed_ts"))
+      .withColumn("recency_rank", row_number().over(w))
+      .withColumn("expired",
+        col("committed_ts") < lit(olderThanTs) &&
+          col("recency_rank") > lit(retainLast))
+    val rec = files
+      .select(col("last_snap").cast("int").as("snap_id"),
+        col("bytes").cast("long").as("bytes"))
+      .groupBy(col("snap_id"))
+      .agg(count(lit(1)).as("nf"), sum(col("bytes")).as("bf"))
+    ranked.join(rec, Seq("snap_id"), "left")
+      .select(col("snap_id"), col("committed_ts"), col("recency_rank"),
+        col("expired"),
+        when(col("expired"), coalesce(col("nf"), lit(0L)))
+          .otherwise(lit(0L)).as("n_files_reclaimed"),
+        when(col("expired"), coalesce(col("bf"), lit(0L)))
+          .otherwise(lit(0L)).as("bytes_reclaimed"))
+  }
+
   def curriculumSchedule(docs: DataFrame, thresholds: Seq[Int] = Seq(32, 64),
                          nShards: Int = 16): DataFrame = {
     require(thresholds.nonEmpty && thresholds == thresholds.sorted.distinct,

@@ -207,6 +207,35 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { TrainingOps.compactionPlan(m, targetBytes = 0L) }
   }
 
+  test("retention plan: older_than + retain_last rescue, reclaim on last_snap only, kept zeros, invariance") {
+    val sp = spark; import sp.implicits._
+    // 6 snapshots at ts 0..50; olderThan 45 makes snaps 0..4 over-age,
+    // retain_last=2 protects ranks 1-2 (snaps 5, 4) -> snap 4 is
+    // RESCUED despite being over-age; expired = 0,1,2,3
+    val snaps = Seq((0L, 0L), (1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L))
+      .toDF("snap_id", "committed_ts")
+    val files = Seq((0, 100L), (0, 50L), (3, 7L), (4, 11L), (5, 13L))
+      .toDF("last_snap", "bytes")
+    def run(s: org.apache.spark.sql.DataFrame, f: org.apache.spark.sql.DataFrame) =
+      TrainingOps.retentionPlan(s, f, olderThanTs = 45L, retainLast = 2).collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getInt(2), r.getBoolean(3),
+          r.getLong(4), r.getLong(5)))).toMap
+    val out = run(snaps, files)
+    assert(out(0) == ((0L, 6, true, 2L, 150L)))
+    assert(out(1) == ((10L, 5, true, 0L, 0L))) // expired, but no files end here
+    assert(out(2) == ((20L, 4, true, 0L, 0L)))
+    assert(out(3) == ((30L, 3, true, 1L, 7L)))
+    assert(out(4) == ((40L, 2, false, 0L, 0L))) // over-age, rescued; file kept
+    assert(out(5) == ((50L, 1, false, 0L, 0L)))
+    // survivors are a contiguous time-suffix — the precondition that
+    // makes last_snap-expired equivalent to whole-range-expired
+    assert(out.filter(!_._2._3).keys.toSeq.sorted == Seq(4, 5))
+    assert(run(snaps.repartition(5), files.repartition(3)) == out)
+    intercept[IllegalArgumentException] {
+      TrainingOps.retentionPlan(snaps, files, 45L, 0)
+    }
+  }
+
   test("canonical clusters: coalesce-to-self, cross-host counting, min rep, partitioning invariance") {
     val sp = spark; import sp.implicits._
     val pages = Seq(

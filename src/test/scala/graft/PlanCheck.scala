@@ -396,6 +396,9 @@ object PlanCheck {
     println("==== 114. m19 zstd frames: typed mapPartitions declared-extent walker in the scan stage, zero exchange ====")
     SparkEntry.queries("m19_zstd_frames")(spark, sf).explain("formatted")
 
+    println("==== 115. p14 retention plan: ledger-sized recency window + map-side-combined last_snap rollup, broadcast join ====")
+    SparkEntry.queries("p14_retention_plan")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
