@@ -1253,6 +1253,55 @@ object SparkEntry {
         .toDF("url", "canonical")
       graft.datapipe.GraphOps.canonicalClusters(pages)
     }),
+    // schema.org JSON-LD extraction: the Directives scanner captures
+    // <script type="application/ld+json"> bodies (media-type token
+    // match with params/case folded, comment + typeless-script decoys,
+    // document order), then CATALYST parses them — from_json pulls
+    // @type/name/datePublished and the nested author.name; malformed
+    // JSON keeps its row with null fields (error-as-data)
+    "e53_jsonld" -> ((s, dir) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val html = when(id % 6 === 0, concat(
+          lit("<html><head><script type=\"application/ld+json\">" +
+            "{\"@context\":\"https://schema.org\",\"@type\":\"Article\",\"name\":\"Doc "),
+          id, lit("\",\"datePublished\":\"2026-05-1"), id % 10,
+          lit("\"}</script></head><body>a</body></html>")))
+        .when(id % 6 === 1, concat(
+          lit("<html><head><script type=\"application/ld+json\">{\"@type\":\"Article\",\"name\":\"A"),
+          id,
+          lit("\"}</script><script type=\"application/ld+json\">{\"@type\":\"Product\",\"name\":\"P"),
+          id, lit("\"}</script></head><body>b</body></html>")))
+        .when(id % 6 === 2, concat(
+          lit("<html><head><script>var x = '{\"@type\":\"Fake\"}';</script>" +
+            "<SCRIPT TYPE=\"APPLICATION/LD+JSON; charset=utf-8\">{\"@type\":\"NewsArticle\",\"name\":\"N"),
+          id, lit("\"}</SCRIPT></head><body>c</body></html>")))
+        .when(id % 6 === 3, concat(
+          lit("<html><head><!-- <script type=\"application/ld+json\">" +
+            "{\"@type\":\"Ghost\"}</script> --></head><body>doc "),
+          id, lit("</body></html>")))
+        .when(id % 6 === 4, concat(
+          lit("<html><head><script type=\"application/ld+json\">{\"oops\" "),
+          id, lit("}</script></head><body>e</body></html>")))
+        .otherwise(concat(
+          lit("<html><head><script type=\"application/ld+json\">" +
+            "{\"@type\":\"Article\",\"name\":\"X"), id,
+          lit("\",\"author\":{\"@type\":\"Person\",\"name\":\"Au"), id,
+          lit("\"}}</script></head><body>f</body></html>")))
+      val blocks = docs(s, dir).select(id, html.as("html")).as[(Long, String)]
+        .flatMap { case (i2, h) =>
+          graft.core.Directives.scan(h).jsonld.zipWithIndex
+            .map { case (b, ix) => (i2, ix, b) }
+        }
+        .toDF("doc_id", "idx", "block")
+      val p = from_json(col("block"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "`@type` STRING, name STRING, datePublished STRING, author STRUCT<name: STRING>"))
+      blocks.select(col("doc_id"), col("idx"), col("block"),
+        p.getField("@type").as("ld_type"), p.getField("name").as("name"),
+        p.getField("datePublished").as("date_published"),
+        p.getField("author").getField("name").as("author_name"))
+    }),
     // sitemap parsing over synthesized xml kinds: urlset entries (CDATA
     // + entity locs, optional lastmod), a sitemapindex, a loc-less entry
     // skipped, and an invalid document as error-as-data
@@ -4111,6 +4160,32 @@ object SparkEntry {
           "rb.s <> ra.s AS moved, d.doc_id % 8 <> d.doc_id % 9 AS mod_moved " +
           "FROM documents d JOIN rb ON rb.doc_id = d.doc_id AND rb.rn = 1 " +
           "JOIN ra ON ra.doc_id = d.doc_id AND ra.rn = 1"),
+      // e53 oracle: every block and field arithmetic from doc_id (the
+      // e35 pattern) — a MATCH pins the media-type token match, decoy
+      // immunity, document order, byte-exact body capture, AND Spark's
+      // from_json agreeing with the known construction (malformed JSON
+      // -> nulls, nested author extraction)
+      "e53_jsonld" ->
+        ("WITH d AS (SELECT doc_id, doc_id % 6 AS f FROM documents) " +
+          "SELECT doc_id, CAST(idx AS INT) AS idx, block, ld_type, name, " +
+          "date_published, author_name FROM ( " +
+          "SELECT doc_id, 0 AS idx, " +
+          "'{\"@context\":\"https://schema.org\",\"@type\":\"Article\",\"name\":\"Doc ' || doc_id || " +
+          "'\",\"datePublished\":\"2026-05-1' || (doc_id % 10) || '\"}' AS block, " +
+          "'Article' AS ld_type, 'Doc ' || doc_id AS name, " +
+          "'2026-05-1' || (doc_id % 10) AS date_published, NULL AS author_name FROM d WHERE f = 0 " +
+          "UNION ALL SELECT doc_id, 0, '{\"@type\":\"Article\",\"name\":\"A' || doc_id || '\"}', " +
+          "'Article', 'A' || doc_id, NULL, NULL FROM d WHERE f = 1 " +
+          "UNION ALL SELECT doc_id, 1, '{\"@type\":\"Product\",\"name\":\"P' || doc_id || '\"}', " +
+          "'Product', 'P' || doc_id, NULL, NULL FROM d WHERE f = 1 " +
+          "UNION ALL SELECT doc_id, 0, '{\"@type\":\"NewsArticle\",\"name\":\"N' || doc_id || '\"}', " +
+          "'NewsArticle', 'N' || doc_id, NULL, NULL FROM d WHERE f = 2 " +
+          "UNION ALL SELECT doc_id, 0, '{\"oops\" ' || doc_id || '}', " +
+          "NULL, NULL, NULL, NULL FROM d WHERE f = 4 " +
+          "UNION ALL SELECT doc_id, 0, " +
+          "'{\"@type\":\"Article\",\"name\":\"X' || doc_id || " +
+          "'\",\"author\":{\"@type\":\"Person\",\"name\":\"Au' || doc_id || '\"}}', " +
+          "'Article', 'X' || doc_id, NULL, 'Au' || doc_id FROM d WHERE f = 5)"),
       // p14 oracle: the same two expiry clauses in SQL — recency rank
       // via one window over the 24-row ledger, expired = over-age AND
       // beyond retain_last, reclaim rolled up on last_snap and zeroed

@@ -32,7 +32,20 @@ object Directives {
   final case class PageDirectives(canonical: String, robots: String,
       noindex: Boolean, nofollow: Boolean,
       alternates: Vector[(String, String)] = Vector.empty,
-      published: String = null, timeDatetime: String = null)
+      published: String = null, timeDatetime: String = null,
+      jsonld: Vector[String] = Vector.empty)
+  // jsonld: raw bodies of <script type="application/ld+json"> blocks in
+  // document order, trimmed — the schema.org structured-data channel.
+  // The type attribute matches on its MEDIA TYPE token (parameters
+  // after ';' ignored, ASCII-case-insensitive — real pages ship
+  // "application/ld+json; charset=utf-8" and "APPLICATION/LD+JSON");
+  // a type-less or javascript-typed script is code, not data. Bodies
+  // are raw text per the HTML script rules (nothing inside opens a
+  // tag; the block ends at the first case-insensitive "</script"),
+  // and a commented-out block is NOT data (comment immunity shared
+  // with every directive). JSON parsing is deliberately NOT done here
+  // — the scanner extracts, Catalyst's from_json parses (malformed
+  // JSON is the consumer's error-as-data, not a scan failure).
   // alternates: (hreflang, href) pairs from link[rel~=alternate][hreflang]
   // in document order, duplicates preserved (cluster reconciliation —
   // e.g. conflicting hreflang maps across a cluster — is the consumer's
@@ -85,6 +98,7 @@ object Directives {
     var published: String = null
     var timeDt: String = null
     val alternates = Vector.newBuilder[(String, String)]
+    val jsonld = Vector.newBuilder[String]
     var i = 0
 
     def isNameStart(c: Char) = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
@@ -181,6 +195,7 @@ object Directives {
                   case "link" => Set("rel", "href", "hreflang")
                   case "meta" => Set("name", "property", "content")
                   case "time" => Set("datetime")
+                  case "script" => Set("type")
                   case _ => Set.empty[String]
                 }
                 val after = parseAttrs(j, wanted)
@@ -207,6 +222,12 @@ object Directives {
                   (name == "script" || name == "style" || name == "textarea" || name == "noscript")) {
                   val close = "</" + name
                   val k = Html.indexOfIgnoreCase(s, close, i)
+                  val bodyEnd = if (k < 0) n else k
+                  if (name == "script" &&
+                    captured.get("type").exists(t =>
+                      t.split(";")(0).trim
+                        .equalsIgnoreCase("application/ld+json")))
+                    jsonld += s.substring(i, bodyEnd).trim
                   if (k < 0) i = n
                   else {
                     val gt = s.indexOf('>', k + close.length)
@@ -229,6 +250,6 @@ object Directives {
     val none = toks.contains("none")
     PageDirectives(canonical, robots,
       none || toks.contains("noindex"), none || toks.contains("nofollow"),
-      alternates.result(), published, timeDt)
+      alternates.result(), published, timeDt, jsonld.result())
   }
 }

@@ -171,6 +171,29 @@ class LinksSpec extends AnyFunSuite {
     assert(d.canonical == "/c")
   }
 
+  test("jsonld: media-type token match, decoys, document order, early </script> cut, self-closing") {
+    import graft.core.Directives
+    val d = Directives.scan(
+      """<html><head>
+        |<script>var fake = '{"@type":"Fake"}';</script>
+        |<!-- <script type="application/ld+json">{"@type":"Ghost"}</script> -->
+        |<script type="application/ld+json">  {"@type":"Article","name":"first"}  </script>
+        |<SCRIPT TYPE="APPLICATION/LD+JSON; charset=utf-8">{"@type":"Product"}</SCRIPT>
+        |<script type="text/javascript">{"@type":"Code"}</script>
+        |<script type="application/ld+json"/>
+        |<script type="application/ld+json">{"a":"b</ScRiPt>c"}</script>
+        |</head><body></body></html>""".stripMargin)
+    // typeless, commented-out and javascript-typed scripts are NOT
+    // data; the param+case type matches; blocks come back trimmed in
+    // document order; the raw-text rule cuts block 3 at the first
+    // case-insensitive "</script" EVEN INSIDE a JSON string (the HTML
+    // spec's rule, not a bug); the self-closing script has no body
+    assert(d.jsonld == Vector(
+      """{"@type":"Article","name":"first"}""",
+      """{"@type":"Product"}""",
+      """{"a":"b"""))
+  }
+
   test("sitemaps: kinds, CDATA/entity locs, loc-less skip, case-insensitive tags, prolog noise") {
     import graft.core.Sitemaps
     val u = Sitemaps.parse(

@@ -399,6 +399,9 @@ object PlanCheck {
     println("==== 115. p14 retention plan: ledger-sized recency window + map-side-combined last_snap rollup, broadcast join ====")
     SparkEntry.queries("p14_retention_plan")(spark, sf).explain("formatted")
 
+    println("==== 116. e53 jsonld: map-side directive scan + codegen'd from_json, zero exchange ====")
+    SparkEntry.queries("e53_jsonld")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
