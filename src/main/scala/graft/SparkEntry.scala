@@ -1964,6 +1964,17 @@ object SparkEntry {
         .toDF("doc_id", "payload")
       TrainingOps.zstdFrames(s, payloads)
     }),
+    // EBML/Matroska element walk (webm): IDs and sizes are VINTs whose
+    // WIDTH lives in the leading-zero marker; unknown-size Segment runs
+    // to EOF; descent one level into Segment only; non-minimal size
+    // encodings pinned
+    "m20_ebml_elements" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = docs(s, dir).select(col("doc_id")).as[Long]
+        .map(id => (id, TrainingOps.syntheticEbmlPayload(id)))
+        .toDF("doc_id", "payload")
+      TrainingOps.ebmlElements(s, payloads)
+    }),
     // charset sniffing over synthesized page bytes: BOM > 1024-byte meta
     // prescan > UTF-8 structural validation > windows-1252 fallback; the
     // oracle derives every verdict arithmetically from doc_id
@@ -4061,6 +4072,37 @@ object SparkEntry {
           "UNION ALL SELECT doc_id, 'malformed', 0, 0, 'frame', br, sr, p0, bs + p0, crc FROM c WHERE f = 3 " +
           "UNION ALL SELECT doc_id, 'not_mp3', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM c WHERE f = 4 " +
           "UNION ALL SELECT doc_id, 'free_bitrate', 0, 0, 'frame', br, sr, p0, bs + p0, crc FROM c WHERE f = 5)"),
+      // m20 oracle: offsets chained arithmetically from the five
+      // doc_id-derived lengths — a MATCH pins VINT width-by-marker
+      // decoding (1/2/4-byte IDs, 1- and non-minimal 4-byte sizes),
+      // the unknown-size-to-EOF Segment path, and the descent policy
+      "m20_ebml_elements" ->
+        ("WITH c AS (SELECT doc_id, doc_id % 6 AS f, " +
+          "CAST(11 + doc_id % 16 AS BIGINT) AS dc, CAST(5 + doc_id % 20 AS BIGINT) AS i1, " +
+          "CAST(9 + doc_id % 30 AS BIGINT) AS c1, CAST(4 + doc_id % 10 AS BIGINT) AS c2, " +
+          "CAST(3 + doc_id % 5 AS BIGINT) AS v1 FROM documents) " +
+          "SELECT doc_id, status, CAST(idx AS INT) AS idx, CAST(o AS BIGINT) AS e_off, " +
+          "CAST(lvl AS INT) AS level, id_hex, CAST(sz AS BIGINT) AS esize, " +
+          "CAST(hl AS INT) AS hdr_len FROM ( " +
+          "SELECT doc_id, 'ok' AS status, 0 AS idx, 0 AS o, 0 AS lvl, " +
+          "'1A45DFA3' AS id_hex, dc AS sz, 5 AS hl FROM c WHERE f = 0 " +
+          "UNION ALL SELECT doc_id, 'ok', 1, 5 + dc, 0, '18538067', 10 + i1 + c1, 5 FROM c WHERE f = 0 " +
+          "UNION ALL SELECT doc_id, 'ok', 2, 10 + dc, 1, '1549A966', i1, 5 FROM c WHERE f = 0 " +
+          "UNION ALL SELECT doc_id, 'ok', 3, 15 + dc + i1, 1, '1F43B675', c1, 5 FROM c WHERE f = 0 " +
+          "UNION ALL SELECT doc_id, 'ok', 0, 0, 0, '1A45DFA3', dc, 5 FROM c WHERE f = 1 " +
+          "UNION ALL SELECT doc_id, 'ok', 1, 5 + dc, 0, '18538067', NULL, 5 FROM c WHERE f = 1 " +
+          "UNION ALL SELECT doc_id, 'ok', 2, 10 + dc, 1, '1F43B675', c1, 5 FROM c WHERE f = 1 " +
+          "UNION ALL SELECT doc_id, 'ok', 3, 15 + dc + c1, 1, '1F43B675', c2, 5 FROM c WHERE f = 1 " +
+          "UNION ALL SELECT doc_id, 'truncated', 0, 0, 0, '1A45DFA3', dc, 5 FROM c WHERE f = 2 " +
+          "UNION ALL SELECT doc_id, 'truncated', 1, 5 + dc, 0, '18538067', 5 + c1, 5 FROM c WHERE f = 2 " +
+          "UNION ALL SELECT doc_id, 'malformed', 0, 0, 0, '1A45DFA3', dc, 5 FROM c WHERE f = 3 " +
+          "UNION ALL SELECT doc_id, 'malformed', 1, 5 + dc, 0, '18538067', 6 + i1, 5 FROM c WHERE f = 3 " +
+          "UNION ALL SELECT doc_id, 'malformed', 2, 10 + dc, 1, '1549A966', i1, 5 FROM c WHERE f = 3 " +
+          "UNION ALL SELECT doc_id, 'not_ebml', NULL, NULL, NULL, NULL, NULL, NULL FROM c WHERE f = 4 " +
+          "UNION ALL SELECT doc_id, 'ok', 0, 0, 0, '1A45DFA3', dc, 5 FROM c WHERE f = 5 " +
+          "UNION ALL SELECT doc_id, 'ok', 1, 5 + dc, 0, '4286', v1, 3 FROM c WHERE f = 5 " +
+          "UNION ALL SELECT doc_id, 'ok', 2, 8 + dc + v1, 0, '18538067', 8 + i1, 5 FROM c WHERE f = 5 " +
+          "UNION ALL SELECT doc_id, 'ok', 3, 13 + dc + v1, 1, '1549A966', i1, 8 FROM c WHERE f = 5)"),
       // m19 oracle: offsets chained arithmetically from the doc_id-
       // derived block lengths — a MATCH pins the computed header
       // length (descriptor-bit arithmetic), the RLE one-byte

@@ -4872,6 +4872,184 @@ object TrainingOps extends Serializable {
         "last", "fcs")
   }
 
+  /** Synthetic EBML/Matroska payloads for [[ebmlElements]] — six
+    * families keyed by doc_id % 6 (dc = 11+id%16 header content,
+    * i1 = 5+id%20 Info, c1 = 9+id%30 and c2 = 4+id%10 Clusters,
+    * v1 = 3+id%5 top-level unknown element):
+    *   0: EBML header + declared-size Segment containing Info and a
+    *      Cluster, clean EOF (ok);
+    *   1: Segment with UNKNOWN size (0xFF) running to EOF, two
+    *      Clusters inside (ok — the streamed-webm shape);
+    *   2: Segment declaring more content than the file holds — row
+    *      kept, no descent (truncated);
+    *   3: a 0x00 byte where a child ID belongs after a valid Info
+    *      (malformed — 0x00 starts no legal VINT);
+    *   4: not EBML at all;
+    *   5: a 2-byte-ID top-level element (4286) then a Segment whose
+    *      Info carries a NON-MINIMAL 4-byte size VINT encoding the
+    *      same small value — width comes from the marker, not the
+    *      magnitude (ok).
+    */
+  def syntheticEbmlPayload(id: Long): Array[Byte] = {
+    val bb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def raw(xs: Int*): Unit = xs.foreach(x => bb += x.toByte)
+    def fill(k: Int, c: Int = 'e'): Unit =
+      (0 until k).foreach(i => bb += ((c + i % 19) & 0x7f).toByte)
+    val dc = (11 + id % 16).toInt; val i1 = (5 + id % 20).toInt
+    val c1 = (9 + id % 30).toInt; val c2 = (4 + id % 10).toInt
+    val v1 = (3 + id % 5).toInt
+    def header(): Unit = { raw(0x1a, 0x45, 0xdf, 0xa3, 0x80 | dc); fill(dc) }
+    def info(): Unit = { raw(0x15, 0x49, 0xa9, 0x66, 0x80 | i1); fill(i1, 'i') }
+    def cluster(k: Int): Unit = { raw(0x1f, 0x43, 0xb6, 0x75, 0x80 | k); fill(k, 'c') }
+    (id % 6) match {
+      case 0 =>
+        header()
+        raw(0x18, 0x53, 0x80, 0x67, 0x80 | (10 + i1 + c1))
+        info(); cluster(c1)
+      case 1 =>
+        header()
+        raw(0x18, 0x53, 0x80, 0x67, 0xff) // unknown size -> to EOF
+        cluster(c1); cluster(c2)
+      case 2 =>
+        header()
+        raw(0x18, 0x53, 0x80, 0x67, 0x80 | (5 + c1)); fill(3, 'z')
+      case 3 =>
+        header()
+        raw(0x18, 0x53, 0x80, 0x67, 0x80 | (5 + i1 + 1))
+        info(); raw(0x00)
+      case 4 => bb ++= s"plain text payload $id".getBytes("US-ASCII")
+      case _ =>
+        header()
+        raw(0x42, 0x86, 0x80 | v1); fill(v1, 'v')
+        raw(0x18, 0x53, 0x80, 0x67, 0x80 | (8 + i1))
+        raw(0x15, 0x49, 0xa9, 0x66, 0x10, 0x00, 0x00, i1); fill(i1, 'i')
+    }
+    bb.toArray
+  }
+
+  /** EBML / Matroska element walk — the VARIABLE-WIDTH-length member
+    * of the walker series (webm is the web's native video container):
+    * where every previous walker read fixed-width lengths (u16be JPEG,
+    * u32 PNG/RIFF/zstd, octal TAR) or computed them (MP3), EBML
+    * encodes BOTH element IDs and sizes as VINTs — the first byte's
+    * leading-zero count IS the field width (1xxxxxxx = 1 byte,
+    * 01xxxxxx = 2, ... IDs to 4 bytes, sizes to 8), the exact design
+    * that makes a single flipped high bit change how many bytes the
+    * field occupies, so the offset chain is the integrity check. IDs
+    * keep their marker bit (the hex convention: 1A45DFA3, 18538067);
+    * sizes drop it, and an all-value-bits-set size is UNKNOWN — legal
+    * for the Segment (streamed webm declares no end and runs to EOF, a
+    * distinct pinned path, NOT an error) and malformed anywhere else
+    * in this walker (documented simplification; only Segment descent
+    * needs it). Non-minimal size encodings are legal and pinned (a
+    * 4-byte VINT carrying a 1-byte value — width from the marker, not
+    * the magnitude). One row per element with level, offset, id hex,
+    * decoded size (NULL = unknown) and header length; the walk
+    * descends ONLY into Segment (one level — SeekHead/Info/Tracks/
+    * Cluster are opaque corpus units), a child declaring past its
+    * segment's declared end is malformed (disagreeing extents), and
+    * status keeps the parsed prefix: ok / not_ebml / truncated /
+    * malformed. NO resync, the walker-series principle.
+    *
+    * Scale shape: typed mapPartitions in the scan stage, zero
+    * exchange; only ID/size headers are read — element bodies are
+    * stepped over. Reference: RFC 8794 §4 (VINT), §6.2 (unknown data
+    * size); Matroska element IDs from the IANA registry.
+    */
+  def ebmlElements(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, raw) =>
+          val b = if (raw == null) Array.emptyByteArray else raw
+          val n = b.length
+          def u(i: Int) = b(i) & 0xff
+          def vintWidth(fb: Int, max: Int): Int = {
+            var w = 1; var mask = 0x80
+            while (mask > 0 && (fb & mask) == 0) { w += 1; mask >>= 1 }
+            if (fb == 0 || w > max) -1 else w
+          }
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Int, Long, Int, String, Option[Long], Int)]
+          var status: String = null
+          var idx = 0
+          // read one element header at p bounded by end; returns
+          // (idHex, size Option, headerLen) or null after setting status
+          def readHeader(p: Int, end: Int): (String, Option[Long], Int) = {
+            if (end - p < 1) { status = "truncated"; return null }
+            val iw = vintWidth(u(p), 4)
+            if (iw < 0) { status = "malformed"; return null }
+            if (p + iw > end) { status = "truncated"; return null }
+            val idHex = (0 until iw).map(k => f"${u(p + k)}%02X").mkString
+            val sp = p + iw
+            if (end - sp < 1) { status = "truncated"; return null }
+            val sw = vintWidth(u(sp), 8)
+            if (sw < 0) { status = "malformed"; return null }
+            if (sp + sw > end) { status = "truncated"; return null }
+            var v = (u(sp) & (0xff >> sw)).toLong
+            var allOnes = (u(sp) & (0xff >> sw)) == (0xff >> sw)
+            (1 until sw).foreach { k =>
+              v = (v << 8) | u(sp + k); if (u(sp + k) != 0xff) allOnes = false
+            }
+            (idHex, if (allOnes) None else Some(v), iw + sw)
+          }
+          if (n < 4 || !(u(0) == 0x1a && u(1) == 0x45 && u(2) == 0xdf && u(3) == 0xa3))
+            status = "not_ebml"
+          var p = 0
+          while (status == null) {
+            if (p == n) status = "ok"
+            else {
+              val h = readHeader(p, n)
+              if (h != null) {
+                val (idHex, size, hl) = h
+                if (size.isEmpty && idHex != "18538067") status = "malformed"
+                else {
+                  out += ((idx, p.toLong, 0, idHex, size, hl)); idx += 1
+                  val cStart = p + hl
+                  val cEnd = size.map(sz => cStart + sz).getOrElse(n.toLong)
+                  if (cEnd > n) status = "truncated"
+                  else if (idHex == "18538067") {
+                    // descend one level into the Segment; inside a
+                    // DECLARED segment a child crossing the boundary is
+                    // malformed (disagreeing extents), inside an
+                    // unknown-size one it is plain truncation (EOF)
+                    val segUnknown = size.isEmpty
+                    var q = cStart
+                    while (status == null && q < cEnd) {
+                      val ch = readHeader(q, cEnd.toInt)
+                      if (ch != null) {
+                        val (cid, csz, chl) = ch
+                        if (csz.isEmpty) status = "malformed"
+                        else if (q + chl + csz.get > cEnd)
+                          status = if (segUnknown) "truncated" else "malformed"
+                        else {
+                          out += ((idx, q.toLong, 1, cid, csz, chl)); idx += 1
+                          q += chl + csz.get.toInt
+                        }
+                      } else if (status == "truncated" && !segUnknown)
+                        status = "malformed"
+                    }
+                    p = cEnd.toInt
+                  } else p = cEnd.toInt
+                }
+              }
+            }
+          }
+          val es = out.toList
+          if (es.isEmpty)
+            Seq((id, status, None: Option[Int], None: Option[Long],
+              None: Option[Int], None: Option[String], None: Option[Long],
+              None: Option[Int]))
+          else es.map { case (i2, off, lvl, ih, sz, hl) =>
+            (id, status, Some(i2), Some(off), Some(lvl), Some(ih), sz, Some(hl))
+          }
+        }
+      }
+      .toDF("doc_id", "status", "idx", "e_off", "level", "id_hex", "esize",
+        "hdr_len")
+  }
+
   def imageDims(spark: SparkSession, payloads: DataFrame): DataFrame = {
     import spark.implicits._
     payloads.select(col("doc_id"), col("payload"))

@@ -2575,6 +2575,77 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(statuses.subsetOf(Set("ok", "not_zstd", "truncated", "malformed")))
   }
 
+  test("ebml elements: vint widths, unknown-size segment, extent disagreement vs truncation, totality") {
+    val sp = spark; import sp.implicits._
+    def run(rows: Seq[(Long, Array[Byte])]) =
+      TrainingOps.ebmlElements(sp, rows.toDF("doc_id", "payload")).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(2)) -1 else r.getInt(2)) ->
+          ((r.getString(1),
+            if (r.isNullAt(3)) -1L else r.getLong(3),
+            if (r.isNullAt(4)) -1 else r.getInt(4),
+            if (r.isNullAt(5)) null else r.getString(5),
+            if (r.isNullAt(6)) -1L else r.getLong(6),
+            if (r.isNullAt(7)) -1 else r.getInt(7))))
+        .toMap
+    val out = run((0L to 5L).map(id => (id, TrainingOps.syntheticEbmlPayload(id))))
+    // id 0: dc=11 i1=5 c1=9 — declared segment, one-level descent
+    assert(out((0L, 0)) == (("ok", 0L, 0, "1A45DFA3", 11L, 5)))
+    assert(out((0L, 1)) == (("ok", 16L, 0, "18538067", 24L, 5)))
+    assert(out((0L, 2)) == (("ok", 21L, 1, "1549A966", 5L, 5)))
+    assert(out((0L, 3)) == (("ok", 31L, 1, "1F43B675", 9L, 5)))
+    // id 1: dc=12 c1=10 c2=5 — UNKNOWN segment size (esize null) to EOF
+    assert(out((1L, 1)) == (("ok", 17L, 0, "18538067", -1L, 5)))
+    assert(out((1L, 2)) == (("ok", 22L, 1, "1F43B675", 10L, 5)))
+    assert(out((1L, 3)) == (("ok", 37L, 1, "1F43B675", 5L, 5)))
+    // id 2: segment declares more than the file holds — row kept
+    assert(out((2L, 1))._1 == "truncated" && !out.contains((2L, 2)))
+    // id 3: 0x00 where a child ID belongs
+    assert(out((3L, 2))._4 == "1549A966" && out((3L, 2))._1 == "malformed")
+    assert(out((4L, -1))._1 == "not_ebml")
+    // id 5: dc=16 i1=10 v1=3 — 2-byte ID, then a NON-MINIMAL 4-byte
+    // size VINT on Info: same value, width from the marker (hdr 8)
+    assert(out((5L, 1)) == (("ok", 21L, 0, "4286", 3L, 3)))
+    assert(out((5L, 3)) == (("ok", 32L, 1, "1549A966", 10L, 8)))
+    // handcrafted: declared-segment child crossing the boundary is
+    // MALFORMED (disagreeing extents) where the unknown-size segment's
+    // identical overrun is TRUNCATED; unknown size on a child is
+    // malformed; 8-byte size unknown sentinel; mid-ID truncation
+    def bs(xs: Int*) = xs.map(_.toByte).toArray
+    val hdr = bs(0x1a, 0x45, 0xdf, 0xa3, 0x81, 0x65)
+    val m = run(Seq(
+      90L -> (hdr ++ bs(0x18, 0x53, 0x80, 0x67, 0x88,
+        0x1f, 0x43, 0xb6, 0x75, 0x90) ++ Array.fill(3)('c'.toByte)),
+      91L -> (hdr ++ bs(0x18, 0x53, 0x80, 0x67, 0xff,
+        0x1f, 0x43, 0xb6, 0x75, 0x90) ++ Array.fill(3)('c'.toByte)),
+      92L -> (hdr ++ bs(0x18, 0x53, 0x80, 0x67, 0x82, 0x1f, 0x43)),
+      93L -> (hdr ++ bs(0x18, 0x53, 0x80, 0x67, 0x86,
+        0x15, 0x49, 0xa9, 0x66, 0xff, 0x69)),
+      94L -> bs(0x1a, 0x45, 0xdf, 0xa3, 0x01, 0xff, 0xff, 0xff,
+        0xff, 0xff, 0xff, 0xff)))
+    assert(m((90L, 1))._1 == "malformed")  // child 16 > declared 8 (even at EOF)
+    assert(m((91L, 1))._1 == "truncated")  // same bytes, unknown segment
+    assert(m((92L, 1))._1 == "malformed")  // mid-ID cut inside declared seg
+    assert(m((93L, 1))._1 == "malformed")  // unknown size on a CHILD
+    assert(m((94L, -1))._1 == "malformed") // 8-byte all-ones decodes to
+    // UNKNOWN, and unknown on the EBML header (non-segment) is malformed
+    // totality fuzz
+    val rnd = new scala.util.Random(3434)
+    val fuzz = (0 until 150).map { i =>
+      val base =
+        if (i % 2 == 0) Array.fill(rnd.nextInt(80))(rnd.nextInt(256).toByte)
+        else {
+          val v = TrainingOps.syntheticEbmlPayload(rnd.nextInt(60).toLong)
+          if (v.nonEmpty) v(rnd.nextInt(v.length)) =
+            (v(rnd.nextInt(v.length)) ^ (1 << rnd.nextInt(8))).toByte
+          v
+        }
+      (1000L + i, base)
+    }
+    val statuses = TrainingOps.ebmlElements(sp, fuzz.toDF("doc_id", "payload"))
+      .select("status").distinct().collect().map(_.getString(0)).toSet
+    assert(statuses.subsetOf(Set("ok", "not_ebml", "truncated", "malformed")))
+  }
+
   test("tiff entries: dual endianness, inline/indirect split, exif pointer consumed, cycle, truncation, totality") {
     val sp = spark; import sp.implicits._
     def run(rows: Seq[(Long, Array[Byte])]) =

@@ -402,6 +402,9 @@ object PlanCheck {
     println("==== 116. e53 jsonld: map-side directive scan + codegen'd from_json, zero exchange ====")
     SparkEntry.queries("e53_jsonld")(spark, sf).explain("formatted")
 
+    println("==== 117. m20 ebml elements: typed mapPartitions VINT walker in the scan stage, zero exchange ====")
+    SparkEntry.queries("m20_ebml_elements")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
