@@ -1665,6 +1665,22 @@ object SparkEntry {
       TrainingOps.retentionPlan(snaps, files,
         olderThanTs = 1767225600L + 21L * 3600L, retainLast = 4)
     }),
+    // orphan-file audit: storage listing (one file per doc, mtime from
+    // doc_id) FULL-OUTER metadata references (docs with id%4 != 1, plus
+    // ghost refs g<id> for id%10 == 0 that storage never saw); grace at
+    // base+80 splits unreferenced files into orphan vs in_flight
+    "p15_orphan_plan" -> ((s, dir) => {
+      val base = 1767225600L
+      val observed = docs(s, dir).select(
+        concat(lit("f"), col("doc_id")).as("path"),
+        (lit(base) + pmod(col("doc_id"), lit(100L))).as("modified_ts"))
+      val referenced = docs(s, dir)
+        .where(pmod(col("doc_id"), lit(4L)) =!= 1L)
+        .select(concat(lit("f"), col("doc_id")).as("path"))
+        .union(docs(s, dir).where(pmod(col("doc_id"), lit(10L)) === 0L)
+          .select(concat(lit("g"), col("doc_id")).as("path")))
+      TrainingOps.orphanPlan(observed, referenced, graceTs = base + 80L)
+    }),
     // curriculum training order: short-to-long length bands (edges 32,
     // 64), deterministic hash shuffle within each band, step = global
     // band-major position via the t11 shard-offset trick (no global
@@ -4228,6 +4244,21 @@ object SparkEntry {
           "'{\"@type\":\"Article\",\"name\":\"X' || doc_id || " +
           "'\",\"author\":{\"@type\":\"Person\",\"name\":\"Au' || doc_id || '\"}}', " +
           "'Article', 'X' || doc_id, NULL, 'Au' || doc_id FROM d WHERE f = 5)"),
+      // p15 oracle: the same full-outer + four-way CASE in SQL; ghost
+      // references surface as missing with NULL mtime, the grace
+      // boundary (>= keeps, < reclaims) pinned by the modulus split
+      "p15_orphan_plan" ->
+        ("WITH obs AS (SELECT 'f' || doc_id AS path, " +
+          "CAST(1767225600 + doc_id % 100 AS BIGINT) AS modified_ts FROM documents), " +
+          "ref AS (SELECT 'f' || doc_id AS path FROM documents WHERE doc_id % 4 <> 1 " +
+          "UNION SELECT 'g' || doc_id FROM documents WHERE doc_id % 10 = 0) " +
+          "SELECT COALESCE(obs.path, ref.path) AS path, obs.modified_ts, " +
+          "obs.path IS NOT NULL AS observed, ref.path IS NOT NULL AS referenced, " +
+          "CASE WHEN obs.path IS NOT NULL AND ref.path IS NOT NULL THEN 'ok' " +
+          "WHEN obs.path IS NULL THEN 'missing' " +
+          "WHEN obs.modified_ts < 1767225680 THEN 'orphan' " +
+          "ELSE 'in_flight' END AS verdict " +
+          "FROM obs FULL OUTER JOIN ref ON obs.path = ref.path"),
       // p14 oracle: the same two expiry clauses in SQL — recency rank
       // via one window over the 24-row ledger, expired = over-age AND
       // beyond retain_last, reclaim rolled up on last_snap and zeroed

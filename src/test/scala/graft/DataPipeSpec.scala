@@ -236,6 +236,27 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("orphan plan: four-way verdict, grace boundary keeps, ghost refs missing, dup refs collapse") {
+    val sp = spark; import sp.implicits._
+    val obs = Seq(("a", 10L), ("b", 10L), ("c", 79L), ("d", 80L), ("e", 5L))
+      .toDF("path", "modified_ts")
+    val ref = Seq("a", "b", "b", "x").toDF("path")
+    def run(o: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+      TrainingOps.orphanPlan(o, r, graceTs = 80L).collect()
+        .map(row => row.getString(0) -> ((
+          if (row.isNullAt(1)) -1L else row.getLong(1),
+          row.getBoolean(2), row.getBoolean(3), row.getString(4)))).toMap
+    val out = run(obs, ref)
+    assert(out("a") == ((10L, true, true, "ok")))
+    assert(out("b") == ((10L, true, true, "ok")))   // duplicate refs collapse
+    assert(out("c") == ((79L, true, false, "orphan")))    // just inside grace
+    assert(out("d") == ((80L, true, false, "in_flight"))) // boundary PROTECTS
+    assert(out("e") == ((5L, true, false, "orphan")))
+    assert(out("x") == ((-1L, false, true, "missing")))   // ghost ref -> corruption signal
+    assert(out.size == 6)
+    assert(run(obs.repartition(7), ref.repartition(3)) == out)
+  }
+
   test("canonical clusters: coalesce-to-self, cross-host counting, min rep, partitioning invariance") {
     val sp = spark; import sp.implicits._
     val pages = Seq(

@@ -405,6 +405,9 @@ object PlanCheck {
     println("==== 117. m20 ebml elements: typed mapPartitions VINT walker in the scan stage, zero exchange ====")
     SparkEntry.queries("m20_ebml_elements")(spark, sf).explain("formatted")
 
+    println("==== 118. p15 orphan plan: metadata-plane full-outer on the path key, map-side ref dedup ====")
+    SparkEntry.queries("p15_orphan_plan")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
