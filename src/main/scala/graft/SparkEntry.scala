@@ -1302,6 +1302,38 @@ object SparkEntry {
         p.getField("datePublished").as("date_published"),
         p.getField("author").getField("name").as("author_name"))
     }),
+    // meta-refresh extraction: the in-band redirect channel beside
+    // e34's Location chains — WHATWG grammar core (mandatory digits,
+    // ';' or ',' separator, optional case-insensitive url= with
+    // optional quotes); no-digits invalidates the whole directive;
+    // decoys pin comment immunity and name-vs-http-equiv
+    "e54_meta_refresh" -> ((s, dir) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val html = when(id % 5 === 0, concat(
+          lit("<html><head><meta http-equiv=\"refresh\" content=\"0; url=https://t.example.com/r"),
+          id % 40, lit("\"></head><body>a</body></html>")))
+        .when(id % 5 === 1, concat(
+          lit("<html><head><META HTTP-EQUIV=\"REFRESH\" CONTENT=\"5,URL='/next"),
+          id % 7, lit("'\"></head><body>b</body></html>")))
+        .when(id % 5 === 2, concat(
+          lit("<html><head><meta http-equiv=\"refresh\" content=\"30\"></head><body>doc "),
+          id, lit("</body></html>")))
+        .when(id % 5 === 3, concat(
+          lit("<html><head><!-- <meta http-equiv=\"refresh\" content=\"0; url=/ghost\"> -->" +
+            "<meta name=\"refresh\" content=\"0; url=/wrong-attr\"></head><body>doc "),
+          id, lit("</body></html>")))
+        .otherwise(concat(
+          lit("<html><head><meta http-equiv=\"refresh\" content=\"soon; url=/x"),
+          id % 3, lit("\"></head><body>e</body></html>")))
+      docs(s, dir).select(id, html.as("html")).as[(Long, String)]
+        .map { case (i2, h) =>
+          val d = graft.core.Directives.scan(h)
+          val (delay, target) = graft.core.Directives.metaRefresh(d.refresh)
+          (i2, Option(d.refresh), delay, target)
+        }
+        .toDF("doc_id", "refresh_raw", "delay_s", "target")
+    }),
     // sitemap parsing over synthesized xml kinds: urlset entries (CDATA
     // + entity locs, optional lastmod), a sitemapindex, a loc-less entry
     // skipped, and an invalid document as error-as-data
@@ -4218,6 +4250,19 @@ object SparkEntry {
           "rb.s <> ra.s AS moved, d.doc_id % 8 <> d.doc_id % 9 AS mod_moved " +
           "FROM documents d JOIN rb ON rb.doc_id = d.doc_id AND rb.rn = 1 " +
           "JOIN ra ON ra.doc_id = d.doc_id AND ra.rn = 1"),
+      // e54 oracle: raw content, parsed delay and target arithmetic
+      // from doc_id — a MATCH pins the digits-mandatory rule, both
+      // separators, case-insensitive url=, quote stripping, the
+      // delay-only reload, and the name-vs-http-equiv decoy
+      "e54_meta_refresh" ->
+        ("SELECT doc_id, " +
+          "CASE doc_id % 5 WHEN 0 THEN '0; url=https://t.example.com/r' || (doc_id % 40) " +
+          "WHEN 1 THEN '5,URL=''/next' || (doc_id % 7) || '''' " +
+          "WHEN 2 THEN '30' WHEN 4 THEN 'soon; url=/x' || (doc_id % 3) END AS refresh_raw, " +
+          "CAST(CASE doc_id % 5 WHEN 0 THEN 0 WHEN 1 THEN 5 WHEN 2 THEN 30 END AS BIGINT) AS delay_s, " +
+          "CASE doc_id % 5 WHEN 0 THEN 'https://t.example.com/r' || (doc_id % 40) " +
+          "WHEN 1 THEN '/next' || (doc_id % 7) END AS target " +
+          "FROM documents"),
       // e53 oracle: every block and field arithmetic from doc_id (the
       // e35 pattern) — a MATCH pins the media-type token match, decoy
       // immunity, document order, byte-exact body capture, AND Spark's

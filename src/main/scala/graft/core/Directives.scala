@@ -33,7 +33,12 @@ object Directives {
       noindex: Boolean, nofollow: Boolean,
       alternates: Vector[(String, String)] = Vector.empty,
       published: String = null, timeDatetime: String = null,
-      jsonld: Vector[String] = Vector.empty)
+      jsonld: Vector[String] = Vector.empty,
+      refresh: String = null)
+  // refresh: first <meta http-equiv=refresh> content attribute, raw —
+  // the in-band redirect channel (sites without server access redirect
+  // through it; a crawler that ignores it keeps fetching stub pages).
+  // Parsing is [[metaRefresh]]'s job, first-wins like every directive.
   // jsonld: raw bodies of <script type="application/ld+json"> blocks in
   // document order, trimmed — the schema.org structured-data channel.
   // The type attribute matches on its MEDIA TYPE token (parameters
@@ -86,6 +91,41 @@ object Directives {
 
   private val UrlDate = "/(\\d{4})/(\\d{2})/(\\d{2})/".r
 
+  /** Parse a meta-refresh content value per the WHATWG grammar's
+    * practical core: leading whitespace, a mandatory digit run (the
+    * delay — NO digits means the whole directive is invalid and is
+    * ignored, the spec rule that makes "soon; url=/x" a no-op), then
+    * optionally a ';' or ',' separator (both legal, both shipped by
+    * real pages), optional "url" keyword (case-insensitive) with '=',
+    * and a target that may be wrapped in matching single or double
+    * quotes. A digits-only value is a timed RELOAD: delay set, url
+    * None. Returns (delay, url).
+    */
+  def metaRefresh(content: String): (Option[Long], Option[String]) = {
+    if (content == null) return (None, None)
+    val s = content.trim
+    var i = 0
+    while (i < s.length && s.charAt(i) >= '0' && s.charAt(i) <= '9') i += 1
+    if (i == 0) return (None, None)
+    val delay = s.substring(0, i).toLong
+    while (i < s.length && Character.isWhitespace(s.charAt(i))) i += 1
+    if (i >= s.length) return (Some(delay), None)
+    if (s.charAt(i) != ';' && s.charAt(i) != ',') return (None, None)
+    i += 1
+    while (i < s.length && Character.isWhitespace(s.charAt(i))) i += 1
+    if (s.regionMatches(true, i, "url", 0, 3)) {
+      i += 3
+      while (i < s.length && Character.isWhitespace(s.charAt(i))) i += 1
+      if (i < s.length && s.charAt(i) == '=') i += 1
+      while (i < s.length && Character.isWhitespace(s.charAt(i))) i += 1
+    }
+    var t = s.substring(i).trim
+    if (t.length >= 2 && (t.charAt(0) == '"' || t.charAt(0) == '\'') &&
+      t.charAt(t.length - 1) == t.charAt(0))
+      t = t.substring(1, t.length - 1).trim
+    if (t.isEmpty) (Some(delay), None) else (Some(delay), Some(t))
+  }
+
   def directives(html: Array[Byte],
       deadline: Html.Deadline = Html.Deadline.unlimited): PageDirectives =
     scan(Html.decode(html), deadline)
@@ -97,6 +137,7 @@ object Directives {
     var robots: String = null
     var published: String = null
     var timeDt: String = null
+    var refresh: String = null
     val alternates = Vector.newBuilder[(String, String)]
     val jsonld = Vector.newBuilder[String]
     var i = 0
@@ -193,7 +234,7 @@ object Directives {
               } else {
                 val wanted = name match {
                   case "link" => Set("rel", "href", "hreflang")
-                  case "meta" => Set("name", "property", "content")
+                  case "meta" => Set("name", "property", "content", "http-equiv")
                   case "time" => Set("datetime")
                   case "script" => Set("type")
                   case _ => Set.empty[String]
@@ -215,6 +256,9 @@ object Directives {
                   if (published == null &&
                     captured.get("property").exists(_.equalsIgnoreCase("article:published_time")))
                     published = captured.getOrElse("content", "")
+                  if (refresh == null &&
+                    captured.get("http-equiv").exists(_.equalsIgnoreCase("refresh")))
+                    refresh = captured.getOrElse("content", "")
                 } else if (name == "time") {
                   if (timeDt == null && captured.get("datetime").exists(_.nonEmpty))
                     timeDt = captured("datetime")
@@ -250,6 +294,6 @@ object Directives {
     val none = toks.contains("none")
     PageDirectives(canonical, robots,
       none || toks.contains("noindex"), none || toks.contains("nofollow"),
-      alternates.result(), published, timeDt, jsonld.result())
+      alternates.result(), published, timeDt, jsonld.result(), refresh)
   }
 }

@@ -194,6 +194,24 @@ class LinksSpec extends AnyFunSuite {
       """{"a":"b"""))
   }
 
+  test("meta refresh: digits mandatory, both separators, url= case/quotes, reload, http-equiv gate") {
+    import graft.core.Directives
+    assert(Directives.metaRefresh("0; url=https://a/b") == ((Some(0L), Some("https://a/b"))))
+    assert(Directives.metaRefresh("5,URL='/n'") == ((Some(5L), Some("/n"))))
+    assert(Directives.metaRefresh(" 30 ") == ((Some(30L), None)))
+    assert(Directives.metaRefresh("7; URL = \" /q \"") == ((Some(7L), Some("/q"))))
+    assert(Directives.metaRefresh("soon; url=/x") == ((None, None))) // no digits: whole directive invalid
+    assert(Directives.metaRefresh("5 url=/x") == ((None, None)))    // missing separator
+    assert(Directives.metaRefresh("3; /bare") == ((Some(3L), Some("/bare")))) // url keyword optional
+    assert(Directives.metaRefresh("3;") == ((Some(3L), None)))
+    assert(Directives.metaRefresh(null) == ((None, None)))
+    val d = Directives.scan(
+      """<head><meta name="refresh" content="0; url=/wrong">
+        |<META HTTP-EQUIV="Refresh" CONTENT="2; url=/right">
+        |<meta http-equiv="refresh" content="9; url=/second"></head>""".stripMargin)
+    assert(d.refresh == "2; url=/right") // http-equiv required, first wins
+  }
+
   test("sitemaps: kinds, CDATA/entity locs, loc-less skip, case-insensitive tags, prolog noise") {
     import graft.core.Sitemaps
     val u = Sitemaps.parse(

@@ -408,6 +408,9 @@ object PlanCheck {
     println("==== 118. p15 orphan plan: metadata-plane full-outer on the path key, map-side ref dedup ====")
     SparkEntry.queries("p15_orphan_plan")(spark, sf).explain("formatted")
 
+    println("==== 119. e54 meta refresh: map-side directive scan + pure parse, zero exchange ====")
+    SparkEntry.queries("e54_meta_refresh")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
