@@ -1697,6 +1697,20 @@ object SparkEntry {
       TrainingOps.retentionPlan(snaps, files,
         olderThanTs = 1767225600L + 21L * 3600L, retainLast = 4)
     }),
+    // NFC normalization audit over unicode-decorated text: combining
+    // composition, the Angstrom singleton, Hangul jamo arithmetic,
+    // already-NFC passthrough, and partial composition; JVM Normalizer
+    // vs DuckDB utf8proc is a cross-library UAX #15 conformance check
+    "t47_nfc_audit" -> ((s, dir) => {
+      val id = col("doc_id")
+      val tail = when(id % 5 === 0, lit(" e\u0301"))     // e + combining acute
+        .when(id % 5 === 1, lit(" \u212B"))             // Angstrom singleton
+        .when(id % 5 === 2, lit(" \u1100\u1161"))       // Hangul jamo pair
+        .when(id % 5 === 3, lit(""))                     // already NFC
+        .otherwise(lit(" A\u0308\u0301"))               // partial composition
+      TrainingOps.nfcAudit(s,
+        docs(s, dir).select(id, concat(col("text"), tail).as("text")))
+    }),
     // orphan-file audit: storage listing (one file per doc, mtime from
     // doc_id) FULL-OUTER metadata references (docs with id%4 != 1, plus
     // ghost refs g<id> for id%10 == 0 that storage never saw); grace at
@@ -4289,6 +4303,20 @@ object SparkEntry {
           "'{\"@type\":\"Article\",\"name\":\"X' || doc_id || " +
           "'\",\"author\":{\"@type\":\"Person\",\"name\":\"Au' || doc_id || '\"}}', " +
           "'Article', 'X' || doc_id, NULL, 'Au' || doc_id FROM d WHERE f = 5)"),
+      // t47 oracle: the SAME decorated strings built via chr(), then
+      // DuckDB's utf8proc nfc_normalize against the JVM Normalizer —
+      // a cross-library UAX #15 conformance check (composition,
+      // singleton, Hangul arithmetic, partial composition); lengths
+      // are codepoint counts on both sides
+      "t47_nfc_audit" ->
+        ("WITH d AS (SELECT doc_id, text || CASE doc_id % 5 " +
+          "WHEN 0 THEN ' e' || chr(769) WHEN 1 THEN ' ' || chr(8491) " +
+          "WHEN 2 THEN ' ' || chr(4352) || chr(4449) WHEN 3 THEN '' " +
+          "ELSE ' A' || chr(776) || chr(769) END AS t FROM documents) " +
+          "SELECT doc_id, t = nfc_normalize(t) AS is_nfc, " +
+          "CAST(length(t) AS INT) AS raw_cp, " +
+          "CAST(length(nfc_normalize(t)) AS INT) AS nfc_cp, " +
+          "nfc_normalize(t) AS nfc_text FROM d"),
       // p15 oracle: the same full-outer + four-way CASE in SQL; ghost
       // references surface as missing with NULL mtime, the grace
       // boundary (>= keeps, < reclaims) pinned by the modulus split

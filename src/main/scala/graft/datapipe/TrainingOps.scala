@@ -2276,6 +2276,49 @@ object TrainingOps extends Serializable {
     * 100k-word tail; the two-stage aggregate is linear and both
     * aggregations combine map-side.
     */
+  /** Unicode NFC normalization audit — the canonical-equivalence
+    * dedup gate: "café" with a precomposed é and "café" with e +
+    * combining acute are the SAME text to every Unicode-aware consumer
+    * but different byte strings to d1's md5, different shingles to d2,
+    * different tokens to any tokenizer — so a corpus that skips NFC
+    * fragments its duplicate clusters and its vocabulary along an
+    * invisible axis. Per doc: is_nfc (the quick reject that lets a
+    * mostly-ASCII corpus skip the rewrite), codepoint counts before and
+    * after (counts, not UTF-16 units — astral-plane text makes
+    * String.length lie, pinned by a unit case), and the normalized
+    * text itself. Covers the three composition classes that behave
+    * differently inside a normalizer: combining-mark composition
+    * (e + U+0301 -> é), compatibility-singleton replacement (U+212B
+    * Angstrom -> Å — a char swap with no mark involved), and
+    * algorithmic Hangul jamo composition (U+1100 U+1161 -> 가 — table-
+    * free arithmetic); plus partial composition (A + diaeresis + acute
+    * -> Ä + acute: the output legitimately KEEPS a combining mark).
+    *
+    * Differential correctness: the JVM's java.text.Normalizer
+    * (ICU-descended) against DuckDB's utf8proc nfc_normalize — two
+    * independent implementations of UAX #15; the oracle MATCH is a
+    * cross-library conformance check, not a self-check. Scale shape:
+    * pure per-row map in the scan stage, zero exchange; NFC is
+    * idempotent so re-runs are free.
+    */
+  def nfcAudit(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, t0) =>
+          val t = if (t0 == null) "" else t0
+          val nfc = java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC)
+          (id,
+            java.text.Normalizer.isNormalized(t, java.text.Normalizer.Form.NFC),
+            t.codePointCount(0, t.length),
+            nfc.codePointCount(0, nfc.length),
+            nfc)
+        }
+      }
+      .toDF("doc_id", "is_nfc", "raw_cp", "nfc_cp", "nfc_text")
+  }
+
   def lexicalDiversity(docs: DataFrame): DataFrame = {
     docs.filter(trim(col("text")) =!= "")
       .select(col("doc_id"), explode(words(col("text"))).as("word"))

@@ -236,6 +236,35 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("nfc audit: composition classes, astral codepoint counts, idempotence, cross-form collapse") {
+    val sp = spark; import sp.implicits._
+    val rows = Seq(
+      (0L, "cafe\u0301"),            // decomposed
+      (1L, "caf\u00e9"),             // precomposed - same text post-NFC
+      (2L, "\u212b"),                // Angstrom singleton
+      (3L, "\u1100\u1161"),          // jamo pair -> one syllable
+      (4L, "A\u0308\u0301"),         // partial: output keeps a mark
+      (5L, "plain ascii"),
+      (6L, "\ud83c\udf89e\u0301"))   // astral + combining tail
+    val out = TrainingOps.nfcAudit(sp, rows.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))).toMap
+    assert(out(0L) == ((false, 5, 4, "caf\u00e9")))
+    assert(out(1L) == ((true, 4, 4, "caf\u00e9")))
+    assert(out(0L)._4 == out(1L)._4) // canonical equivalence collapses
+    assert(out(2L) == ((false, 1, 1, "\u00c5")))
+    assert(out(3L) == ((false, 2, 1, "\uac00")))
+    assert(out(4L) == ((false, 3, 2, "\u00c4\u0301")))
+    assert(out(5L) == ((true, 11, 11, "plain ascii")))
+    // astral char: 3 CODEPOINTS though String.length is 4
+    assert(out(6L) == ((false, 3, 2, "\ud83c\udf89\u00e9")))
+    // idempotence: auditing the normalized output reports all-NFC
+    val again = TrainingOps.nfcAudit(sp,
+      rows.map { case (i, _) => (i, out(i)._4) }.toDF("doc_id", "text"))
+      .collect()
+    assert(again.forall(_.getBoolean(1)))
+  }
+
   test("orphan plan: four-way verdict, grace boundary keeps, ghost refs missing, dup refs collapse") {
     val sp = spark; import sp.implicits._
     val obs = Seq(("a", 10L), ("b", 10L), ("c", 79L), ("d", 80L), ("e", 5L))

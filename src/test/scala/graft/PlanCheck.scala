@@ -411,6 +411,9 @@ object PlanCheck {
     println("==== 119. e54 meta refresh: map-side directive scan + pure parse, zero exchange ====")
     SparkEntry.queries("e54_meta_refresh")(spark, sf).explain("formatted")
 
+    println("==== 120. t47 nfc audit: pure per-row normalization in the scan stage, zero exchange ====")
+    SparkEntry.queries("t47_nfc_audit")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
