@@ -682,6 +682,11 @@ object SparkEntry {
     "d6_ann_lsh_buckets" -> ((s, dir) => TrainingOps.annLshBuckets(embs(s, dir))),
     "d8_dedup_embedding" -> ((s, dir) => TrainingOps.embCosinePairs(embs(s, dir))),
     "d9_ann_ivf_topk" -> ((s, dir) => TrainingOps.annIvfTopK(embs(s, dir))),
+    // k-means training (2 Lloyd iterations, 8 cells) in pure integer
+    // arithmetic after ppm quantization — bit-reproducible across
+    // partitionings AND unrollable in the DuckDB oracle; output is the
+    // trained centroid table + final-assignment members/inertia
+    "d28_kmeans_train" -> ((s, dir) => TrainingOps.kmeansTrain(embs(s, dir))),
     // index-quality eval: per-probe recall@5 of the IVF index against
     // the exact brute-force truth, integer ppm
     "d21_ann_recall" -> ((s, dir) => TrainingOps.annRecall(embs(s, dir))),
@@ -3085,6 +3090,41 @@ object SparkEntry {
         "x AS (SELECT dm.doc_id, cl.cluster_id FROM dm JOIN cl ON dm.rep = cl.rep) " +
         "SELECT doc_id, cluster_id, CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size, " +
         "doc_id = cluster_id AS is_keeper FROM x"
+    // d28: the same two Lloyd iterations unrolled relationally — ppm
+    // quantization, BIGINT distances, truncating-division means (DuckDB
+    // // == Java / on BIGINT), empty-cell COALESCE carry; the init
+    // centroids re-derive the md5 formula with the exact double
+    // expression the Scala side uses (h / 2^59 * 1e6, floored)
+    val kmeansOracle = {
+      val init = "SELECT CAST(t.c AS INT) AS c, CAST(u.i AS INT) AS i, " +
+        "CAST(floor(CAST(('0x' || substr(md5('c:' || t.c || ':' || u.i), 1, 15))::BIGINT AS DOUBLE) " +
+        "/ 576460752303423488.0 * 1000000) AS BIGINT) - 1000000 AS p " +
+        "FROM range(8) t(c), range(64) u(i)"
+      def assign(cn: String, dn: String, an: String) =
+        s"$dn AS (SELECT q.vec_id, cc.c, SUM((q.qi - cc.p) * (q.qi - cc.p)) AS d2 " +
+          s"FROM q JOIN $cn cc ON cc.i = q.i GROUP BY 1, 2), " +
+          s"$an AS (SELECT vec_id, c AS cell, d2 FROM (SELECT *, row_number() OVER " +
+          s"(PARTITION BY vec_id ORDER BY d2, c) AS rn FROM $dn) WHERE rn = 1)"
+      def update(an: String, cn: String, nn: String) =
+        s"s$nn AS (SELECT a.cell, q.i, CAST(SUM(q.qi) AS BIGINT) AS s, COUNT(*) AS n " +
+          s"FROM $an a JOIN q ON q.vec_id = a.vec_id GROUP BY 1, 2), " +
+          s"$nn AS (SELECT c0.c, c0.i, COALESCE(s$nn.s // s$nn.n, c0.p) AS p " +
+          s"FROM $cn c0 LEFT JOIN s$nn ON s$nn.cell = c0.c AND s$nn.i = c0.i)"
+      "WITH q AS (SELECT vec_id, CAST(t.i AS INT) AS i, " +
+        "CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS qi " +
+        "FROM embeddings, range(64) t(i)), " +
+        "c0 AS (" + init + "), " +
+        assign("c0", "d0", "a0") + ", " +
+        update("a0", "c0", "c1") + ", " +
+        assign("c1", "d1", "a1") + ", " +
+        update("a1", "c1", "c2") + ", " +
+        assign("c2", "d2t", "a2") + ", " +
+        "st AS (SELECT cell, COUNT(*) AS n_members, CAST(SUM(d2) AS BIGINT) AS inertia FROM a2 GROUP BY 1) " +
+        "SELECT c2.c AS cell, c2.i AS dim_idx, CAST(c2.p AS BIGINT) AS c_ppm, " +
+        "CAST(COALESCE(st.n_members, 0) AS BIGINT) AS n_members, " +
+        "CAST(COALESCE(st.inertia, 0) AS BIGINT) AS inertia " +
+        "FROM c2 LEFT JOIN st ON st.cell = c2.c"
+    }
     // exact top-20 frequent trigrams — shared by t15 (plain groupBy) and
     // t21 (CMS-gated), whose outputs are provably identical
     val freqNgramOracle =
@@ -3435,6 +3475,7 @@ object SparkEntry {
           "CASE WHEN list_sum(list_transform(range(len(v)), i -> " +
           "(('0x' || substr(md5(j || ':' || i),1,15))::BIGINT / pow(2,59) - 1.0) * v[i+1])) > 0 " +
           "THEN (1 << j) ELSE 0 END)) AS INT) AS bucket FROM e"),
+      "d28_kmeans_train" -> kmeansOracle,
       // IVF-cell ANN: nearest-of-16 deterministic centroids (argmin as
       // array_min of [dist2, cell] — identical left-fold arithmetic on
       // both engines), probes search only their own cell

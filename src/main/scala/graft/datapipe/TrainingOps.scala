@@ -981,6 +981,98 @@ object TrainingOps extends Serializable {
       .select(col("q_id"), col("rank"), col("vec_id"), col("adc"))
   }
 
+  /** K-means training via Lloyd iterations — the index-BUILD step the
+    * serving-side ANN family assumes away: d9/d17 assign against FIXED
+    * hash-random centroids, which is an honest baseline but not what
+    * production builds (random centroids waste cells on empty regions;
+    * trained ones track the data's density). This is Lloyd's algorithm
+    * in PURE INTEGER arithmetic after one ppm quantization
+    * (floor(x * 1e6) per coordinate): assignment distances are exact
+    * BIGINT sums of squares (64 dims at ±2e6 diff -> max 2.6e14, far
+    * inside Long), means are truncating integer division, and Long
+    * addition is associative — so unlike float k-means the result is
+    * BIT-REPRODUCIBLE across partitionings AND expressible in the
+    * DuckDB oracle, which unrolls the same iterations relationally
+    * (the e23 integer-PageRank argument applied to clustering). An
+    * empty cell keeps its previous centroid (deterministic, mirrored
+    * in the oracle's COALESCE). Output after `iters` updates: one row
+    * per (cell, dim) with the trained coordinate plus the final
+    * assignment's member count and integer inertia — inertia is THE
+    * training diagnostic (it must not increase across iterations, a
+    * law the unit test pins).
+    *
+    * Scale shape: per iteration ONE map-only assignment (centroid
+    * literal inlined — the broadcast pattern; k*d longs, trivially
+    * under any broadcast limit at real k) and ONE map-side-combined
+    * (cell, dim) sum whose shuffle carries nCells*dim rows per task,
+    * never data; the k*d sum table collects to the driver between
+    * iterations exactly like every production Spark k-means (it IS the
+    * next broadcast). The vector table is scanned iters+1 times —
+    * persisted once up front.
+    */
+  def kmeansTrain(emb: DataFrame, nCells: Int = 8, iters: Int = 2,
+      dimOpt: Option[Int] = None): DataFrame = {
+    require(nCells >= 1, "nCells must be >= 1")
+    require(iters >= 1, "iters must be >= 1")
+    val e = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+        .as("q"))
+      .persist()
+    val dim = dimOpt.getOrElse {
+      val h = e.select(size(col("q"))).head(1)
+      if (h.isEmpty) 1 else math.max(1, h(0).getInt(0))
+    }
+    // initial centroids: the shared md5 convention, ppm-quantized with
+    // the exact double expression the oracle reuses (h/2^59*1e6, floored)
+    var cents: IndexedSeq[IndexedSeq[Long]] = (0 until nCells).map { c =>
+      (0 until dim).map { i =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"c:$c:$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 15)
+        val h = java.lang.Long.parseLong(hex, 16)
+        math.floor(h.toDouble / math.pow(2, 59) * 1000000d).toLong - 1000000L
+      }
+    }
+    def withAssign(df: DataFrame): DataFrame = {
+      val lit = cents.map(_.mkString("array(", ",", ")"))
+        .mkString("array(", ",", ")")
+      df.withColumn("cents", expr(lit))
+        .withColumn("dc", expr(
+          s"""array_min(transform(sequence(0, ${nCells - 1}), j ->
+             |  array(aggregate(zip_with(element_at(cents, j + 1), q, (p, x) -> (p - x) * (p - x)),
+             |                  cast(0 as bigint), (s, x) -> s + x),
+             |        cast(j as bigint))))""".stripMargin))
+        .withColumn("cell", expr("CAST(element_at(dc, 2) AS INT)"))
+        .withColumn("d2", expr("element_at(dc, 1)"))
+        .drop("cents", "dc")
+    }
+    (1 to iters).foreach { _ =>
+      val sums = withAssign(e)
+        .select(col("cell"), posexplode(col("q")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+      cents = (0 until nCells).map { c =>
+        (0 until dim).map { i =>
+          sums.get((c, i)).map { case (s, n) => s / n }.getOrElse(cents(c)(i))
+        }
+      }
+    }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centDf = cents.zipWithIndex.flatMap { case (row, c) =>
+      row.zipWithIndex.map { case (p, i) => (c, i, p) }
+    }.toDF("cell", "dim_idx", "c_ppm")
+    val stats = withAssign(e).groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"), sum(col("d2")).as("inertia"))
+    centDf.join(broadcast(stats), Seq("cell"), "left")
+      .select(col("cell"), col("dim_idx"), col("c_ppm"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        coalesce(col("inertia"), lit(0L)).as("inertia"))
+  }
+
   def annIvfTopK(emb: DataFrame, k: Int = 5, nCells: Int = 16,
       dimOpt: Option[Int] = None): DataFrame = {
     val cells = ivfCells(emb, nCells, dimOpt)

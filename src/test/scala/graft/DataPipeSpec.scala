@@ -265,6 +265,41 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again.forall(_.getBoolean(1)))
   }
 
+  test("kmeans train: integer Lloyd, inertia never increases, empty-cell carry, invariance") {
+    val sp = spark; import sp.implicits._
+    // two tight 2-D clusters far apart; 4 cells so some MUST stay empty
+    val pts = Seq(
+      (0L, Array(0.90f, 0.90f)), (1L, Array(0.92f, 0.88f)),
+      (2L, Array(0.88f, 0.91f)),
+      (3L, Array(-0.90f, -0.90f)), (4L, Array(-0.91f, -0.89f)))
+      .toDF("vec_id", "embedding")
+    def run(df: org.apache.spark.sql.DataFrame, iters: Int) =
+      TrainingOps.kmeansTrain(df, nCells = 4, iters = iters).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val o1 = run(pts, 1)
+    val o2 = run(pts, 2)
+    assert(o2.size == 8)
+    // membership partitions the data
+    val members = (0 until 4).map(c => o2((c, 0))._2)
+    assert(members.sum == 5)
+    // Lloyd law: total final-assignment inertia is non-increasing
+    val in1 = (0 until 4).map(c => o1((c, 0))._3).sum
+    val in2 = (0 until 4).map(c => o2((c, 0))._3).sum
+    assert(in2 <= in1, s"inertia rose: $in1 -> $in2")
+    // a never-populated cell carries its centroid unchanged across iters
+    val empties = (0 until 4).filter(c => o2((c, 0))._2 == 0L)
+    assert(empties.nonEmpty)
+    empties.foreach { c =>
+      (0 until 2).foreach(i => assert(o2((c, i))._1 == o1((c, i))._1))
+    }
+    // a populated cell's trained centroid is the truncated member mean
+    // (pinned indirectly by invariance + the oracle; here: reproducible)
+    assert(run(pts.repartition(3), 2) == o2)
+    intercept[IllegalArgumentException] { TrainingOps.kmeansTrain(pts, nCells = 0) }
+    intercept[IllegalArgumentException] { TrainingOps.kmeansTrain(pts, iters = 0) }
+  }
+
   test("orphan plan: four-way verdict, grace boundary keeps, ghost refs missing, dup refs collapse") {
     val sp = spark; import sp.implicits._
     val obs = Seq(("a", 10L), ("b", 10L), ("c", 79L), ("d", 80L), ("e", 5L))

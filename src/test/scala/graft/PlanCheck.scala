@@ -414,6 +414,9 @@ object PlanCheck {
     println("==== 120. t47 nfc audit: pure per-row normalization in the scan stage, zero exchange ====")
     SparkEntry.queries("t47_nfc_audit")(spark, sf).explain("formatted")
 
+    println("==== 121. d28 kmeans train: inlined-centroid map-only assignment + map-side-combined (cell,dim) sums ====")
+    SparkEntry.queries("d28_kmeans_train")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
