@@ -2042,6 +2042,17 @@ object SparkEntry {
         .toDF("doc_id", "payload")
       TrainingOps.ebmlElements(s, payloads)
     }),
+    // Ogg page walk (RFC 3533): body = sum of lacing values, packet
+    // boundaries encoded IN the values (a 255-run continues, first
+    // <255 ends), direct-polynomial CRC verified but never driving
+    // the walk
+    "m21_ogg_pages" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = docs(s, dir).select(col("doc_id")).as[Long]
+        .map(id => (id, TrainingOps.syntheticOggPayload(id)))
+        .toDF("doc_id", "payload")
+      TrainingOps.oggPages(s, payloads)
+    }),
     // charset sniffing over synthesized page bytes: BOM > 1024-byte meta
     // prescan > UTF-8 structural validation > windows-1252 fallback; the
     // oracle derives every verdict arithmetically from doc_id
@@ -4175,6 +4186,26 @@ object SparkEntry {
           "UNION ALL SELECT doc_id, 'malformed', 0, 0, 'frame', br, sr, p0, bs + p0, crc FROM c WHERE f = 3 " +
           "UNION ALL SELECT doc_id, 'not_mp3', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM c WHERE f = 4 " +
           "UNION ALL SELECT doc_id, 'free_bitrate', 0, 0, 'frame', br, sr, p0, bs + p0, crc FROM c WHERE f = 5)"),
+      // m21 oracle: page geometry arithmetic from doc_id (offsets,
+      // lacing sums, packet counts from the 255-run rule); crc_ok is 1
+      // except the deliberately-corrupted family — a MATCH pins that
+      // the walker's direct-polynomial CRC flags exactly that family
+      "m21_ogg_pages" ->
+        ("WITH c AS (SELECT doc_id, doc_id % 5 AS f, " +
+          "CAST(10 + doc_id % 50 AS INT) AS l1, CAST(5 + doc_id % 20 AS INT) AS l2, " +
+          "CAST(7 + doc_id % 40 AS INT) AS r, CAST(3 + doc_id % 30 AS INT) AS l3, " +
+          "CAST(doc_id % 1000 AS BIGINT) AS gran, CAST(doc_id % 97 AS BIGINT) AS ser FROM documents) " +
+          "SELECT doc_id, status, CAST(idx AS INT) AS idx, CAST(o AS BIGINT) AS p_off, " +
+          "CAST(fl AS INT) AS flags, CAST(gr AS BIGINT) AS granule, CAST(se AS BIGINT) AS serial, " +
+          "CAST(sq AS BIGINT) AS seq, CAST(ns AS INT) AS n_segs, CAST(bo AS INT) AS body_len, " +
+          "CAST(pk AS INT) AS n_packets, CAST(ck AS INT) AS crc_ok FROM ( " +
+          "SELECT doc_id, 'ok' AS status, 0 AS idx, 0 AS o, 2 AS fl, gran AS gr, ser AS se, " +
+          "0 AS sq, 2 AS ns, l1 + l2 AS bo, 2 AS pk, 1 AS ck FROM c WHERE f = 0 " +
+          "UNION ALL SELECT doc_id, 'ok', 1, 29 + l1 + l2, 4, gran, ser, 1, 2, 255 + r, 1, 1 FROM c WHERE f = 0 " +
+          "UNION ALL SELECT doc_id, 'ok', 0, 0, 2, gran, ser, 0, 3, 510 + l3, 1, 0 FROM c WHERE f = 1 " +
+          "UNION ALL SELECT doc_id, 'truncated', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM c WHERE f = 2 " +
+          "UNION ALL SELECT doc_id, 'malformed', 0, 0, 2, gran, ser, 0, 1, l1, 1, 1 FROM c WHERE f = 3 " +
+          "UNION ALL SELECT doc_id, 'not_ogg', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM c WHERE f = 4)"),
       // m20 oracle: offsets chained arithmetically from the five
       // doc_id-derived lengths — a MATCH pins VINT width-by-marker
       // decoding (1/2/4-byte IDs, 1- and non-minimal 4-byte sizes),

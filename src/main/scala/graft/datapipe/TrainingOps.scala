@@ -5223,6 +5223,190 @@ object TrainingOps extends Serializable {
         "hdr_len")
   }
 
+  /** Ogg page CRC (RFC 3533): CRC-32 with polynomial 0x04c11db7,
+    * DIRECT algorithm — zero initial value, no final xor, no bit
+    * reflection — which is precisely NOT java.util.zip.CRC32 (reflected,
+    * 0xffffffff init/xor), so it is table-built here; shared by the
+    * builder and the walker (the walker's check is pinned by a
+    * planted post-CRC corruption family, not by self-agreement).
+    */
+  private[datapipe] val OggCrcTable: Array[Int] = {
+    val t = new Array[Int](256)
+    var i = 0
+    while (i < 256) {
+      var r = i << 24
+      var k = 0
+      while (k < 8) {
+        r = if ((r & 0x80000000) != 0) (r << 1) ^ 0x04c11db7 else r << 1
+        k += 1
+      }
+      t(i) = r; i += 1
+    }
+    t
+  }
+  private[datapipe] def oggCrc(b: Array[Byte], from: Int, len: Int): Int = {
+    var c = 0; var i = from
+    while (i < from + len) {
+      c = (c << 8) ^ OggCrcTable(((c >>> 24) ^ (b(i) & 0xff)) & 0xff)
+      i += 1
+    }
+    c
+  }
+
+  /** Synthetic Ogg payloads for [[oggPages]] — five families keyed by
+    * doc_id % 5 (l1 = 10+id%50, l2 = 5+id%20, r = 7+id%40,
+    * l3 = 3+id%30, granule = id%1000, serial = id%97):
+    *   0: BOS page with two whole packets, then an EOS page whose
+    *      single packet spans two lacing values (255 + r) — clean EOF;
+    *   1: one BOS page whose packet runs 255,255,l3 (lacing-run
+    *      framing) with a CRC corrupted AFTER computation (crc_ok=0,
+    *      page still walks — checksums never drive the walk);
+    *   2: header declares five lacing values over a two-byte table
+    *      (truncated);
+    *   3: a valid BOS page then a version-1 page (malformed);
+    *   4: not ogg.
+    */
+  def syntheticOggPayload(id: Long): Array[Byte] = {
+    val bb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def le(v: Long, k: Int): Unit =
+      (0 until k).foreach(i => bb += ((v >> (8 * i)) & 0xff).toByte)
+    val l1 = (10 + id % 50).toInt; val l2 = (5 + id % 20).toInt
+    val r = (7 + id % 40).toInt; val l3 = (3 + id % 30).toInt
+    val gran = id % 1000; val serial = id % 97
+    def page(flags: Int, seq: Long, lacing: Seq[Int], corruptCrc: Boolean = false,
+             version: Int = 0): Unit = {
+      val start = bb.length
+      bb ++= "OggS".getBytes("US-ASCII")
+      bb += version.toByte; bb += flags.toByte
+      le(gran, 8); le(serial, 4); le(seq, 4)
+      val crcPos = bb.length
+      le(0L, 4) // crc placeholder
+      bb += lacing.length.toByte
+      lacing.foreach(v => bb += v.toByte)
+      lacing.zipWithIndex.foreach { case (v, k) =>
+        (0 until v).foreach(j => bb += (('a' + (k + j) % 23) & 0x7f).toByte)
+      }
+      val crc = oggCrc(bb.toArray, start, bb.length - start)
+      (0 until 4).foreach(i => bb(crcPos + i) = ((crc >> (8 * i)) & 0xff).toByte)
+      if (corruptCrc && lacing.nonEmpty && lacing.head > 0)
+        bb(bb.length - 1) = (bb(bb.length - 1) ^ 0x01).toByte
+    }
+    (id % 5) match {
+      case 0 =>
+        page(0x02, 0L, Seq(l1, l2))        // BOS, two whole packets
+        page(0x04, 1L, Seq(255, r))        // EOS, one spanning packet
+      case 1 =>
+        page(0x02, 0L, Seq(255, 255, l3), corruptCrc = true)
+      case 2 =>
+        bb ++= "OggS".getBytes("US-ASCII")
+        bb += 0.toByte; bb += 0x02.toByte
+        le(gran, 8); le(serial, 4); le(0L, 4); le(0L, 4)
+        bb += 5.toByte; bb += 40.toByte; bb += 40.toByte // table cut short
+      case 3 =>
+        page(0x02, 0L, Seq(l1))
+        page(0x04, 1L, Seq(l2), version = 1)
+      case _ => bb ++= s"plain text payload $id".getBytes("US-ASCII")
+    }
+    bb.toArray
+  }
+
+  /** Ogg page walk (RFC 3533) — the LACING-VALUE member of the walker
+    * series and the web's streaming-audio container (opus/vorbis ship
+    * in it): a page's body length is the SUM of its segment table's
+    * lacing values, and packet boundaries are encoded in the values
+    * themselves — a run of 255s continues one packet, the first value
+    * < 255 ends it — so `n_packets` (completed on the page) falls out
+    * of counting non-255 lacing values, a third length mechanism after
+    * fixed-width declares (PNG/zstd) and computed lengths (MP3). One
+    * row per page: offset, header flags (continued/BOS/EOS bits),
+    * granule position, serial, sequence number, segment count, body
+    * length, packets completed, and crc_ok — the page CRC is the
+    * POLYNOMIAL-0x04c11db7 DIRECT variant (not java.util.zip's
+    * reflected CRC32; table-built here) computed with the CRC field
+    * zeroed, verified but NEVER driving the walk (lengths do — the m16
+    * principle; pinned by a corrupted-CRC family that still walks to
+    * ok with crc_ok=0). Status: ok / not_ogg / truncated (header,
+    * table, or body past EOF) / malformed (non-zero version after a
+    * valid prefix). NO resync.
+    *
+    * Scale shape: typed mapPartitions in the scan stage, zero
+    * exchange; body bytes are touched only by the CRC update.
+    */
+  def oggPages(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, raw) =>
+          val b = if (raw == null) Array.emptyByteArray else raw
+          val n = b.length
+          def u(i: Int) = b(i) & 0xff
+          def le(i: Int, k: Int): Long = {
+            var v = 0L; var j = k - 1
+            while (j >= 0) { v = (v << 8) | (b(i + j) & 0xffL); j -= 1 }
+            v
+          }
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Int, Long, Int, Long, Long, Long, Int, Int, Int, Int)]
+          var status: String = null
+          var p = 0; var idx = 0
+          if (n < 4 || b(0) != 'O' || b(1) != 'g' || b(2) != 'g' || b(3) != 'S')
+            status = "not_ogg"
+          while (status == null) {
+            if (p == n) status = "ok"
+            else if (n - p < 27) status = "truncated"
+            else if (!(b(p) == 'O' && b(p + 1) == 'g' && b(p + 2) == 'g' && b(p + 3) == 'S'))
+              status = "malformed"
+            else if (u(p + 4) != 0) status = "malformed"
+            else {
+              val flags = u(p + 5)
+              val gran = le(p + 6, 8)
+              val serial = le(p + 14, 4)
+              val seq = le(p + 18, 4)
+              val nseg = u(p + 26)
+              if (p + 27 + nseg > n) status = "truncated"
+              else {
+                var body = 0; var pkts = 0
+                (0 until nseg).foreach { k =>
+                  val v = u(p + 27 + k)
+                  body += v; if (v < 255) pkts += 1
+                }
+                val total = 27 + nseg + body
+                if (p + total > n) status = "truncated"
+                else {
+                  // CRC over the page with its CRC field zeroed
+                  var c = 0
+                  var i = p
+                  while (i < p + total) {
+                    val byte = if (i >= p + 22 && i < p + 26) 0 else u(i)
+                    c = (c << 8) ^ OggCrcTable(((c >>> 24) ^ byte) & 0xff)
+                    i += 1
+                  }
+                  val stored = le(p + 22, 4)
+                  val ok = if ((c & 0xffffffffL) == stored) 1 else 0
+                  out += ((idx, p.toLong, flags, gran, serial, seq, nseg,
+                    body, pkts, ok))
+                  idx += 1; p += total
+                }
+              }
+            }
+          }
+          val es = out.toList
+          if (es.isEmpty)
+            Seq((id, status, None: Option[Int], None: Option[Long],
+              None: Option[Int], None: Option[Long], None: Option[Long],
+              None: Option[Long], None: Option[Int], None: Option[Int],
+              None: Option[Int], None: Option[Int]))
+          else es.map { case (i2, off, fl, gr, se, sq, ns, bo, pk, ok) =>
+            (id, status, Some(i2), Some(off), Some(fl), Some(gr), Some(se),
+              Some(sq), Some(ns), Some(bo), Some(pk), Some(ok))
+          }
+        }
+      }
+      .toDF("doc_id", "status", "idx", "p_off", "flags", "granule", "serial",
+        "seq", "n_segs", "body_len", "n_packets", "crc_ok")
+  }
+
   def imageDims(spark: SparkSession, payloads: DataFrame): DataFrame = {
     import spark.implicits._
     payloads.select(col("doc_id"), col("payload"))

@@ -2731,6 +2731,73 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(statuses.subsetOf(Set("ok", "not_ebml", "truncated", "malformed")))
   }
 
+  test("ogg pages: lacing sums, packet run rule, crc verifies but never drives, flags, totality") {
+    val sp = spark; import sp.implicits._
+    def run(rows: Seq[(Long, Array[Byte])]) =
+      TrainingOps.oggPages(sp, rows.toDF("doc_id", "payload")).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(2)) -1 else r.getInt(2)) ->
+          ((r.getString(1),
+            if (r.isNullAt(3)) -1L else r.getLong(3),
+            if (r.isNullAt(4)) -1 else r.getInt(4),
+            if (r.isNullAt(5)) -1L else r.getLong(5),
+            if (r.isNullAt(7)) -1L else r.getLong(7),
+            if (r.isNullAt(8)) -1 else r.getInt(8),
+            if (r.isNullAt(9)) -1 else r.getInt(9),
+            if (r.isNullAt(10)) -1 else r.getInt(10),
+            if (r.isNullAt(11)) -1 else r.getInt(11))))
+        .toMap
+    val out = run((0L to 4L).map(id => (id, TrainingOps.syntheticOggPayload(id))))
+    // id 0: l1=10 l2=5 r=7 — BOS page: 2 whole packets; EOS page: ONE
+    // packet spanning lacing (255, 7); offsets chained by 27+nseg+body
+    assert(out((0L, 0)) == (("ok", 0L, 2, 0L, 0L, 2, 15, 2, 1)))
+    assert(out((0L, 1)) == (("ok", 44L, 4, 0L, 1L, 2, 262, 1, 1)))
+    // id 1: 255,255,l3 run = ONE packet; CRC corrupted post-compute:
+    // crc_ok=0 and the page still walks to ok — checksums never drive
+    assert(out((1L, 0)) == (("ok", 0L, 2, 1L, 0L, 3, 514, 1, 0)))
+    // id 2: five declared lacing values over a two-byte table
+    assert(out((2L, -1))._1 == "truncated")
+    // id 3: version-1 page after a valid page; first page's row kept
+    assert(out((3L, 0))._1 == "malformed" && out((3L, 0))._7 == 13)
+    assert(!out.contains((3L, 1)))
+    assert(out((4L, -1))._1 == "not_ogg")
+    // handcrafted: pure continuation page (single 255 lacing -> zero
+    // packets complete), header cut, magic loss mid-stream
+    val one = TrainingOps.syntheticOggPayload(3L).take(41) // first page only (27+1+l1=13)
+    val m = run(Seq(
+      90L -> {
+        val bb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+        bb ++= "OggS".getBytes("US-ASCII"); bb += 0.toByte; bb += 1.toByte
+        (0 until 8).foreach(_ => bb += 0.toByte)
+        (0 until 8).foreach(_ => bb += 0.toByte) // serial + seq
+        (0 until 4).foreach(_ => bb += 0.toByte) // wrong crc
+        bb += 1.toByte; bb += 255.toByte
+        (0 until 255).foreach(_ => bb += 'z'.toByte)
+        bb.toArray
+      },
+      91L -> one.take(20),
+      92L -> (one ++ ("J" * 28).getBytes("US-ASCII"))))
+    assert(m((90L, 0))._1 == "ok" && m((90L, 0))._8 == 0   // n_packets 0
+      && m((90L, 0))._3 == 1 && m((90L, 0))._9 == 0)       // continued flag, bad crc
+    assert(m((91L, -1))._1 == "truncated")
+    assert(m((92L, 0))._1 == "malformed")                  // magic loss after a page
+    // totality fuzz
+    val rnd = new scala.util.Random(3535)
+    val fuzz = (0 until 150).map { i =>
+      val base =
+        if (i % 2 == 0) Array.fill(rnd.nextInt(80))(rnd.nextInt(256).toByte)
+        else {
+          val v = TrainingOps.syntheticOggPayload(rnd.nextInt(60).toLong)
+          if (v.nonEmpty) v(rnd.nextInt(v.length)) =
+            (v(rnd.nextInt(v.length)) ^ (1 << rnd.nextInt(8))).toByte
+          v
+        }
+      (1000L + i, base)
+    }
+    val statuses = TrainingOps.oggPages(sp, fuzz.toDF("doc_id", "payload"))
+      .select("status").distinct().collect().map(_.getString(0)).toSet
+    assert(statuses.subsetOf(Set("ok", "not_ogg", "truncated", "malformed")))
+  }
+
   test("tiff entries: dual endianness, inline/indirect split, exif pointer consumed, cycle, truncation, totality") {
     val sp = spark; import sp.implicits._
     def run(rows: Seq[(Long, Array[Byte])]) =

@@ -417,6 +417,9 @@ object PlanCheck {
     println("==== 121. d28 kmeans train: inlined-centroid map-only assignment + map-side-combined (cell,dim) sums ====")
     SparkEntry.queries("d28_kmeans_train")(spark, sf).explain("formatted")
 
+    println("==== 122. m21 ogg pages: typed mapPartitions lacing-value walker in the scan stage, zero exchange ====")
+    SparkEntry.queries("m21_ogg_pages")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
