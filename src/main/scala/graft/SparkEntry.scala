@@ -1702,6 +1702,11 @@ object SparkEntry {
       TrainingOps.retentionPlan(snaps, files,
         olderThanTs = 1767225600L + 21L * 3600L, retainLast = 4)
     }),
+    // overlapping sliding-window chunks (W=8, S=4): closed-form window
+    // count (no contained-tail spam), exact word offsets, consecutive
+    // chunks share W-S words
+    "t48_overlap_chunks" -> ((s, dir) =>
+      TrainingOps.overlapChunks(docs(s, dir))),
     // NFC normalization audit over unicode-decorated text: combining
     // composition, the Angstrom singleton, Hangul jamo arithmetic,
     // already-NFC passthrough, and partial composition; JVM Normalizer
@@ -4375,6 +4380,16 @@ object SparkEntry {
           "'{\"@type\":\"Article\",\"name\":\"X' || doc_id || " +
           "'\",\"author\":{\"@type\":\"Person\",\"name\":\"Au' || doc_id || '\"}}', " +
           "'Article', 'X' || doc_id, NULL, 'Au' || doc_id FROM d WHERE f = 5)"),
+      // t48 oracle: the same closed-form window count and inclusive
+      // list slices over the shared whitespace split
+      "t48_overlap_chunks" ->
+        (s"WITH d AS (SELECT doc_id, $w AS w FROM documents WHERE trim(text) <> ''), " +
+          "s AS (SELECT doc_id, w, len(w) AS n, " +
+          "CASE WHEN len(w) <= 8 THEN 1 ELSE (len(w) - 8 + 3) // 4 + 1 END AS k FROM d) " +
+          "SELECT doc_id, CAST(t.ci AS INT) AS chunk_idx, CAST(t.ci * 4 AS INT) AS start_word, " +
+          "CAST(least(8, n - t.ci * 4) AS INT) AS n_words, " +
+          "array_to_string(w[t.ci * 4 + 1 : least(t.ci * 4 + 8, n)], ' ') AS chunk_text " +
+          "FROM s, unnest(range(k)) t(ci)"),
       // t47 oracle: the SAME decorated strings built via chr(), then
       // DuckDB's utf8proc nfc_normalize against the JVM Normalizer —
       // a cross-library UAX #15 conformance check (composition,

@@ -2411,6 +2411,40 @@ object TrainingOps extends Serializable {
       .toDF("doc_id", "is_nfc", "raw_cp", "nfc_cp", "nfc_text")
   }
 
+  /** Overlapping sliding-window chunking — the RAG-prep complement of
+    * t33's boundary-aligned sections: retrieval wants windows that
+    * OVERLAP (stride < window) so no answer span is ever split across
+    * a chunk boundary without also appearing whole in a neighbor —
+    * consecutive chunks share window−stride words, the coverage
+    * guarantee t33's disjoint grouping structurally can't give. Window
+    * count is the closed form k = 1 if n ≤ W else ceil((n−W)/S)+1: the
+    * last window is the FIRST one reaching the tail, so no emitted
+    * window is wholly contained in its predecessor (the degenerate
+    * tail-spam a naive `while start < n` loop emits; pinned), every
+    * word is covered, and the final window keeps at least W−S+1 words.
+    * Output (chunk_idx, start_word, n_words, chunk_text) with exact
+    * word offsets so a retriever can map hits back into the document.
+    *
+    * Scale shape: pure Catalyst — split, a closed-form count, one
+    * explode, slice/array_join — whole-stage codegen, zero exchange,
+    * rides the scan; output size is n/S rows per doc by construction.
+    */
+  def overlapChunks(docs: DataFrame, window: Int = 8, stride: Int = 4): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    require(stride >= 1 && stride <= window, "stride must be in [1, window]")
+    docs.where(trim(col("text")) =!= "")
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .withColumn("n", size(col("w")))
+      .withColumn("k", expr(
+        s"CASE WHEN n <= $window THEN 1 ELSE (n - $window + ${stride - 1}) div $stride + 1 END"))
+      .select(col("doc_id"), col("n"),
+        explode(expr("sequence(0, k - 1)")).as("ci"), col("w"))
+      .select(col("doc_id"), col("ci").cast("int").as("chunk_idx"),
+        (col("ci") * stride).cast("int").as("start_word"),
+        least(lit(window), col("n") - col("ci") * stride).cast("int").as("n_words"),
+        array_join(expr(s"slice(w, ci * $stride + 1, $window)"), " ").as("chunk_text"))
+  }
+
   def lexicalDiversity(docs: DataFrame): DataFrame = {
     docs.filter(trim(col("text")) =!= "")
       .select(col("doc_id"), explode(words(col("text"))).as("word"))

@@ -300,6 +300,33 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { TrainingOps.kmeansTrain(pts, iters = 0) }
   }
 
+  test("overlap chunks: closed-form count, full coverage, shared overlap, no contained tail") {
+    val sp = spark; import sp.implicits._
+    def doc(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val rows = Seq((8L, doc(8)), (9L, doc(9)), (10L, doc(10)), (12L, doc(12)),
+      (13L, doc(13)), (1L, doc(1)), (0L, "  ")).toDF("doc_id", "text")
+    val out = TrainingOps.overlapChunks(rows).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getInt(2), r.getInt(3), r.getString(4))))
+      .toMap
+    // n<=W: one chunk; n=9 spills into a second window that keeps
+    // W-S+1..W words; n=12: the second window REACHES the tail so no
+    // third (contained) window is emitted; n=13 needs three
+    assert(out.keys.count(_._1 == 8L) == 1 && out((8L, 0))._2 == 8)
+    assert(out.keys.count(_._1 == 9L) == 2 && out((9L, 1)) == ((4, 5, "w5 w6 w7 w8 w9")))
+    assert(out.keys.count(_._1 == 10L) == 2 && out((10L, 1))._2 == 6)
+    assert(out.keys.count(_._1 == 12L) == 2 && out((12L, 1))._2 == 8)
+    assert(out.keys.count(_._1 == 13L) == 3 && out((13L, 2)) == ((8, 5, "w9 w10 w11 w12 w13")))
+    assert(out.keys.count(_._1 == 1L) == 1 && out((1L, 0)) == ((0, 1, "w1")))
+    assert(!out.keys.exists(_._1 == 0L)) // blank doc: no rows
+    // overlap law: consecutive chunks share exactly W-S=4 words
+    assert(out((10L, 0))._3.split(' ').drop(4).sameElements(
+      out((10L, 1))._3.split(' ').take(4)))
+    // coverage law: stride-prefixes + last tail rebuild the document
+    val c13 = (0 until 3).map(i => out((13L, i))._3.split(' '))
+    assert((c13(0).take(4) ++ c13(1).take(4) ++ c13(2)).mkString(" ") == doc(13))
+    intercept[IllegalArgumentException] { TrainingOps.overlapChunks(rows, window = 4, stride = 5) }
+  }
+
   test("orphan plan: four-way verdict, grace boundary keeps, ghost refs missing, dup refs collapse") {
     val sp = spark; import sp.implicits._
     val obs = Seq(("a", 10L), ("b", 10L), ("c", 79L), ("d", 80L), ("e", 5L))

@@ -420,6 +420,9 @@ object PlanCheck {
     println("==== 122. m21 ogg pages: typed mapPartitions lacing-value walker in the scan stage, zero exchange ====")
     SparkEntry.queries("m21_ogg_pages")(spark, sf).explain("formatted")
 
+    println("==== 123. t48 overlap chunks: split + closed-form explode + slice, whole-stage codegen, zero exchange ====")
+    SparkEntry.queries("t48_overlap_chunks")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
