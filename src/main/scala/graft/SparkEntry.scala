@@ -690,6 +690,10 @@ object SparkEntry {
     // index-quality eval: per-probe recall@5 of the IVF index against
     // the exact brute-force truth, integer ppm
     "d21_ann_recall" -> ((s, dir) => TrainingOps.annRecall(embs(s, dir))),
+    // multi-probe IVF (nProbe=3 of 16): the recall dial — provably
+    // interpolates between d9 (nProbe=1) and d5's brute force
+    // (nProbe=nCells), both laws pinned in the unit test
+    "d29_ivf_multiprobe" -> ((s, dir) => TrainingOps.annIvfMultiprobe(embs(s, dir))),
     // product-quantization encode: 4 sub-space codes + quantization error,
     // map-only with driver-inlined codebooks (the d9 centroid family)
     "d16_pq_codes" -> ((s, dir) => TrainingOps.pqCodes(embs(s, dir))),
@@ -3492,6 +3496,32 @@ object SparkEntry {
           "(('0x' || substr(md5(j || ':' || i),1,15))::BIGINT / pow(2,59) - 1.0) * v[i+1])) > 0 " +
           "THEN (1 << j) ELSE 0 END)) AS INT) AS bucket FROM e"),
       "d28_kmeans_train" -> kmeansOracle,
+      // d29: the d9 oracle with the probe side expanded to its 3
+      // nearest cells (ranked by the same dist2 with the same d2,cell
+      // tie order); each vector lives in ONE cell so candidates never
+      // duplicate across probed cells
+      "d29_ivf_multiprobe" ->
+        ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+          "cells AS (SELECT vec_id, v, CAST(list_min(list_transform(range(16), j -> " +
+          "[list_sum(list_transform(range(len(v)), i -> " +
+          "((('0x' || substr(md5('c:' || j || ':' || i),1,15))::BIGINT / pow(2,59) - 1.0 - v[i+1]) * " +
+          "(('0x' || substr(md5('c:' || j || ':' || i),1,15))::BIGINT / pow(2,59) - 1.0 - v[i+1])))), " +
+          "j::DOUBLE]))[2] AS INT) AS cell FROM e), " +
+          "pd AS (SELECT e.vec_id AS q_id, e.v AS q, t.j AS cl, " +
+          "list_sum(list_transform(range(len(e.v)), i -> " +
+          "((('0x' || substr(md5('c:' || t.j || ':' || i),1,15))::BIGINT / pow(2,59) - 1.0 - e.v[i+1]) * " +
+          "(('0x' || substr(md5('c:' || t.j || ':' || i),1,15))::BIGINT / pow(2,59) - 1.0 - e.v[i+1])))) AS d2 " +
+          "FROM e, range(16) t(j) WHERE e.vec_id % 50 = 0), " +
+          "p AS (SELECT q_id, q, CAST(cl AS INT) AS cell FROM " +
+          "(SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, cl) AS rn FROM pd) WHERE rn <= 3), " +
+          "s AS (SELECT p.q_id, c.vec_id, round(" +
+          "list_sum(list_transform(range(len(p.q)), i -> p.q[i+1]*c.v[i+1])) / " +
+          "(sqrt(list_sum(list_transform(range(len(p.q)), i -> p.q[i+1]*p.q[i+1]))) * " +
+          "sqrt(list_sum(list_transform(range(len(c.v)), i -> c.v[i+1]*c.v[i+1])))), 6) AS score " +
+          "FROM cells c JOIN p ON c.cell = p.cell AND c.vec_id <> p.q_id), " +
+          "r AS (SELECT q_id, vec_id, score, row_number() OVER " +
+          "(PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk FROM s) " +
+          "SELECT q_id, CAST(rk AS INT) AS rank, vec_id, score FROM r WHERE rk <= 5"),
       // IVF-cell ANN: nearest-of-16 deterministic centroids (argmin as
       // array_min of [dist2, cell] — identical left-fold arithmetic on
       // both engines), probes search only their own cell

@@ -1090,6 +1090,69 @@ object TrainingOps extends Serializable {
       .select(col("q_id"), col("rank"), col("vec_id"), col("score"))
   }
 
+  /** Multi-probe IVF search — the nprobe dial, the single knob every
+    * production vector index tunes: d9 probes ONE cell (fast, recall
+    * capped by whatever hashed elsewhere — d21 measures how much);
+    * this probes each query's `nProbe` NEAREST cells, trading linear
+    * candidate growth for recall. The two laws that define it are both
+    * pinned: at nProbe=1 the output EQUALS d9 row-for-row (same argmin
+    * tie convention — array_min's [d2, j] lexicographic order is
+    * ORDER BY d2, cell), and at nProbe=nCells it equals d5's exact
+    * brute force (every vector lives in exactly one cell, so probing
+    * all cells IS the full scan) — the dial provably interpolates
+    * between the index and the truth. Per-query top-1 score is
+    * monotone in nProbe (candidate supersets), also pinned.
+    *
+    * Scale shape: the cell table is the shared persisted d9 index; the
+    * probe-side cell ranking is nCells distances per probe (map work
+    * over the small probe set), and the candidate join replicates each
+    * probe to its nProbe cells — candidates scale as nProbe/nCells of
+    * the data per probe, the exact knob semantics. Probes broadcast
+    * (d7's chunking applies unchanged when the probe set grows).
+    */
+  def annIvfMultiprobe(emb: DataFrame, k: Int = 5, nCells: Int = 16,
+      nProbe: Int = 3, dimOpt: Option[Int] = None): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells, "nProbe must be in [1, nCells]")
+    val cells = ivfCells(emb, nCells, dimOpt)
+    val dim = dimOpt.getOrElse {
+      val h = cells.select(size(col("v"))).head(1)
+      if (h.isEmpty) 1 else math.max(1, h(0).getInt(0))
+    }
+    val cents: Seq[Seq[Double]] = (0 until nCells).map { c =>
+      (0 until dim).map { i =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"c:$c:$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 15)
+        java.lang.Long.parseLong(hex, 16).toDouble / math.pow(2, 59) - 1.0
+      }
+    }
+    val probes = cells.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("q"))
+      .withColumn("cents", typedLit(cents))
+      .withColumn("dj", explode(expr(
+        s"""transform(sequence(0, ${nCells - 1}), j ->
+           |  array(aggregate(zip_with(element_at(cents, j + 1), q, (p, x) -> (p - x) * (p - x)),
+           |                  cast(0 as double), (s, x) -> s + x),
+           |        cast(j as double)))""".stripMargin)))
+      .select(col("q_id"), col("q"),
+        expr("element_at(dj, 1)").as("d2"),
+        expr("CAST(element_at(dj, 2) AS INT)").as("cell"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cell"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("q"), col("cell"))
+    val dot = expr("aggregate(zip_with(q, v, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)")
+    val nq = sqrt(expr("aggregate(zip_with(q, q, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"))
+    val nv = sqrt(expr("aggregate(zip_with(v, v, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"))
+    cells.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), round(dot / (nq * nv), 6).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("score"))
+  }
+
   /** ANN index-quality evaluation: recall@k of the IVF index
     * ([[annIvfTopK]]) against the EXACT brute-force truth
     * ([[annCosineTopK]]) per probe — the eval every production vector

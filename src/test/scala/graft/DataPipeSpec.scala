@@ -265,6 +265,33 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again.forall(_.getBoolean(1)))
   }
 
+  test("ivf multiprobe: nProbe=1 equals d9, nProbe=nCells equals brute force, top-1 monotone") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(77)
+    val emb = (0L until 120L).map(id =>
+      (id, Array.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2))
+    val d9 = rows(TrainingOps.annIvfTopK(emb, nCells = 4))
+    val mp1 = rows(TrainingOps.annIvfMultiprobe(emb, nCells = 4, nProbe = 1))
+    assert(mp1.sameElements(d9)) // law 1: single probe IS d9
+    val brute = rows(TrainingOps.annCosineTopK(emb))
+    val mpAll = rows(TrainingOps.annIvfMultiprobe(emb, nCells = 4, nProbe = 4))
+    assert(mpAll.sameElements(brute)) // law 2: all cells IS the full scan
+    // monotone: each probe's top-1 score never degrades as nProbe grows
+    val mp2 = rows(TrainingOps.annIvfMultiprobe(emb, nCells = 4, nProbe = 2))
+    def top1(xs: Array[(Long, Int, Long, Double)]) =
+      xs.filter(_._2 == 1).map(t => t._1 -> t._4).toMap
+    val t1a = top1(mp1); val t1b = top1(mp2); val t1c = top1(mpAll)
+    t1a.keys.foreach { q =>
+      assert(t1b(q) >= t1a(q) - 1e-9 && t1c(q) >= t1b(q) - 1e-9)
+    }
+    intercept[IllegalArgumentException] {
+      TrainingOps.annIvfMultiprobe(emb, nCells = 4, nProbe = 5)
+    }
+  }
+
   test("kmeans train: integer Lloyd, inertia never increases, empty-cell carry, invariance") {
     val sp = spark; import sp.implicits._
     // two tight 2-D clusters far apart; 4 cells so some MUST stay empty

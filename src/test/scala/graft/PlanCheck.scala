@@ -423,6 +423,9 @@ object PlanCheck {
     println("==== 123. t48 overlap chunks: split + closed-form explode + slice, whole-stage codegen, zero exchange ====")
     SparkEntry.queries("t48_overlap_chunks")(spark, sf).explain("formatted")
 
+    println("==== 124. d29 ivf multiprobe: shared persisted cell index, broadcast probe-cell pairs, bounded per-probe window ====")
+    SparkEntry.queries("d29_ivf_multiprobe")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
