@@ -2051,6 +2051,16 @@ object SparkEntry {
         .toDF("doc_id", "payload")
       TrainingOps.ebmlElements(s, payloads)
     }),
+    // TFRecord walk: u64le length + masked-CRC32C framing; length-crc
+    // failure HALTS (boundary untrustworthy), data-crc failure flags
+    // and CONTINUES — the two-checksum policy pinned by families
+    "m22_tfrecord_records" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = docs(s, dir).select(col("doc_id")).as[Long]
+        .map(id => (id, TrainingOps.syntheticTfrecordPayload(id)))
+        .toDF("doc_id", "payload")
+      TrainingOps.tfrecordRecords(s, payloads)
+    }),
     // Ogg page walk (RFC 3533): body = sum of lacing values, packet
     // boundaries encoded IN the values (a 255-run continues, first
     // <255 ends), direct-polynomial CRC verified but never driving
@@ -4221,6 +4231,28 @@ object SparkEntry {
           "UNION ALL SELECT doc_id, 'malformed', 0, 0, 'frame', br, sr, p0, bs + p0, crc FROM c WHERE f = 3 " +
           "UNION ALL SELECT doc_id, 'not_mp3', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM c WHERE f = 4 " +
           "UNION ALL SELECT doc_id, 'free_bitrate', 0, 0, 'frame', br, sr, p0, bs + p0, crc FROM c WHERE f = 5)"),
+      // m22 oracle: record geometry (16 + len per record) and payload
+      // md5s re-derived in SQL — the corrupted family's md5 is the md5
+      // of the FLIPPED payload ('c' || 'b'*(r2-1)), so a MATCH pins
+      // that the walker reads the actual bytes, and the crc-verdict
+      // split (halt vs continue) is pinned by which rows exist
+      "m22_tfrecord_records" ->
+        ("WITH c AS (SELECT doc_id, doc_id % 5 AS f, " +
+          "CAST(8 + doc_id % 40 AS INT) AS r1, CAST(5 + doc_id % 25 AS INT) AS r2, " +
+          "CAST(3 + doc_id % 10 AS INT) AS r3 FROM documents) " +
+          "SELECT doc_id, status, CAST(idx AS INT) AS idx, CAST(o AS BIGINT) AS r_off, " +
+          "CAST(ln AS BIGINT) AS rec_len, CAST(lc AS INT) AS len_crc_ok, " +
+          "CAST(dc AS INT) AS data_crc_ok, h AS payload_md5 FROM ( " +
+          "SELECT doc_id, 'ok' AS status, 0 AS idx, 0 AS o, r1 AS ln, 1 AS lc, 1 AS dc, " +
+          "md5(repeat('a', r1)) AS h FROM c WHERE f = 0 " +
+          "UNION ALL SELECT doc_id, 'ok', 1, 16 + r1, r2, 1, 1, md5(repeat('b', r2)) FROM c WHERE f = 0 " +
+          "UNION ALL SELECT doc_id, 'ok', 2, 32 + r1 + r2, r3, 1, 1, md5(repeat('c', r3)) FROM c WHERE f = 0 " +
+          "UNION ALL SELECT doc_id, 'ok', 0, 0, r1, 1, 1, md5(repeat('a', r1)) FROM c WHERE f = 1 " +
+          "UNION ALL SELECT doc_id, 'ok', 1, 16 + r1, r2, 1, 0, md5('c' || repeat('b', r2 - 1)) FROM c WHERE f = 1 " +
+          "UNION ALL SELECT doc_id, 'ok', 2, 32 + r1 + r2, r3, 1, 1, md5(repeat('c', r3)) FROM c WHERE f = 1 " +
+          "UNION ALL SELECT doc_id, 'corrupt_len', 0, 0, r1, 1, 1, md5(repeat('a', r1)) FROM c WHERE f = 2 " +
+          "UNION ALL SELECT doc_id, 'truncated', 0, 0, r1, 1, 1, md5(repeat('a', r1)) FROM c WHERE f = 3 " +
+          "UNION ALL SELECT doc_id, 'truncated', NULL, NULL, NULL, NULL, NULL, NULL FROM c WHERE f = 4)"),
       // m21 oracle: page geometry arithmetic from doc_id (offsets,
       // lacing sums, packet counts from the 255-run rule); crc_ok is 1
       // except the deliberately-corrupted family — a MATCH pins that

@@ -5504,6 +5504,148 @@ object TrainingOps extends Serializable {
         "seq", "n_segs", "body_len", "n_packets", "crc_ok")
   }
 
+  /** TFRecord masked CRC32C (the TensorFlow framing convention):
+    * crc32c (Castagnoli — java.util.zip.CRC32C, NOT the zlib
+    * polynomial) then mask = ((crc >>> 15) | (crc << 17)) + 0xa282ead8
+    * in wrapping u32 arithmetic — the rotation+offset that keeps a CRC
+    * of a CRC from looking valid. Shared by builder and walker; the
+    * walker's check is pinned by planted corruption families.
+    */
+  private[graft] def tfMaskedCrc(b: Array[Byte], from: Int, len: Int): Int = {
+    val c = new java.util.zip.CRC32C
+    c.update(b, from, len)
+    val crc = c.getValue.toInt
+    ((crc >>> 15) | (crc << 17)) + 0xa282ead8
+  }
+
+  /** Synthetic TFRecord payloads for [[tfrecordRecords]] — five
+    * families keyed by doc_id % 5 (r1 = 8+id%40, r2 = 5+id%25,
+    * r3 = 3+id%10; record i's payload is chr('a'+i) repeated):
+    *   0: three clean records (ok);
+    *   1: record 1's first payload byte flipped AFTER the CRCs are
+    *      written — data crc fails, the boundary is still trusted, the
+    *      walk continues through record 2 (ok at file level, the bad
+    *      record flagged per-row);
+    *   2: record 1's LENGTH-crc field corrupted — the length itself is
+    *      untrustworthy, the walk HALTS (corrupt_len), record 0 kept;
+    *   3: record 1 declares r2+1000 bytes with the length crc VALID
+    *      over that length (truncated);
+    *   4: a 7-byte fragment of a valid record (truncated mid-length).
+    */
+  def syntheticTfrecordPayload(id: Long): Array[Byte] = {
+    val bb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def le(v: Long, k: Int): Unit =
+      (0 until k).foreach(i => bb += ((v >> (8 * i)) & 0xff).toByte)
+    val lens = Seq((8 + id % 40).toInt, (5 + id % 25).toInt, (3 + id % 10).toInt)
+    def record(i: Int, declaredLen: Int, actualLen: Int): Unit = {
+      val lenBytes = new Array[Byte](8)
+      (0 until 8).foreach(k => lenBytes(k) = ((declaredLen.toLong >> (8 * k)) & 0xff).toByte)
+      bb ++= lenBytes
+      le(tfMaskedCrc(lenBytes, 0, 8).toLong & 0xffffffffL, 4)
+      val dataStart = bb.length
+      (0 until actualLen).foreach(_ => bb += ('a' + i).toByte)
+      le(tfMaskedCrc(bb.toArray, dataStart, actualLen).toLong & 0xffffffffL, 4)
+    }
+    (id % 5) match {
+      case 0 => (0 until 3).foreach(i => record(i, lens(i), lens(i)))
+      case 1 =>
+        record(0, lens(0), lens(0))
+        val flipAt = bb.length + 12 // first payload byte of record 1
+        record(1, lens(1), lens(1))
+        bb(flipAt) = (bb(flipAt) ^ 0x01).toByte
+        record(2, lens(2), lens(2))
+      case 2 =>
+        record(0, lens(0), lens(0))
+        val crcAt = bb.length + 8 // length-crc field of record 1
+        record(1, lens(1), lens(1))
+        bb(crcAt) = (bb(crcAt) ^ 0x01).toByte
+        record(2, lens(2), lens(2))
+      case 3 =>
+        record(0, lens(0), lens(0))
+        record(1, lens(1) + 1000, 5) // declared past EOF, len crc valid
+      case _ =>
+        record(0, lens(0), lens(0))
+        val cut = bb.take(7).toArray
+        bb.clear(); bb ++= cut
+    }
+    bb.toArray
+  }
+
+  /** TFRecord record walk — THE training-data shard format (TFRecord /
+    * tf.data): the walker series applied to the file format a training
+    * pipeline itself emits, closing the loop from web bytes to model
+    * input. Framing per record: u64le length, masked-CRC32C of the
+    * length bytes, payload, masked-CRC32C of the payload — CRC32C is
+    * Castagnoli (java.util.zip.CRC32C), and the TF mask
+    * (rot15 + 0xa282ead8) is re-derived here, both pinned by planted
+    * corruption. The policy the two CRCs exist for is the pinned
+    * centerpiece: a LENGTH-crc failure HALTS the walk (`corrupt_len` —
+    * the very boundary is untrustworthy, every later offset would be a
+    * guess), while a DATA-crc failure flags its row and CONTINUES (the
+    * boundary was verified; one corrupt record must not discard the
+    * shard's tail — exactly why TF checksums length and data
+    * separately). One row per record: offset, length, both crc
+    * verdicts, payload md5. Status: ok (includes an EMPTY file — zero
+    * records is a valid shard; TFRecord has no magic, so there is no
+    * not_tfrecord verdict) / truncated / corrupt_len. NO resync.
+    *
+    * Scale shape: typed mapPartitions in the scan stage, zero
+    * exchange; payload bytes feed only the CRC and digest.
+    */
+  def tfrecordRecords(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, raw) =>
+          val b = if (raw == null) Array.emptyByteArray else raw
+          val n = b.length
+          def le(i: Int, k: Int): Long = {
+            var v = 0L; var j = k - 1
+            while (j >= 0) { v = (v << 8) | (b(i + j) & 0xffL); j -= 1 }
+            v
+          }
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Int, Long, Long, Int, Int, String)]
+          var status: String = null
+          var p = 0; var idx = 0
+          while (status == null) {
+            if (p == n) status = "ok"
+            else if (n - p < 12) status = "truncated"
+            else {
+              val len = le(p, 8)
+              val lenCrcOk =
+                (tfMaskedCrc(b, p, 8).toLong & 0xffffffffL) == le(p + 8, 4)
+              if (!lenCrcOk) status = "corrupt_len"
+              else if (p + 12 + len + 4 > n) status = "truncated"
+              else {
+                val dataCrcOk =
+                  (tfMaskedCrc(b, p + 12, len.toInt).toLong & 0xffffffffL) ==
+                    le(p + 12 + len.toInt, 4)
+                md.reset()
+                md.update(b, p + 12, len.toInt)
+                val hex = md.digest().map("%02x".format(_)).mkString
+                out += ((idx, p.toLong, len, 1, if (dataCrcOk) 1 else 0, hex))
+                idx += 1; p += 12 + len.toInt + 4
+              }
+            }
+          }
+          val es = out.toList
+          if (es.isEmpty)
+            Seq((id, status, None: Option[Int], None: Option[Long],
+              None: Option[Long], None: Option[Int], None: Option[Int],
+              None: Option[String]))
+          else es.map { case (i2, off, ln, lc, dc, h) =>
+            (id, status, Some(i2), Some(off), Some(ln), Some(lc), Some(dc),
+              Some(h))
+          }
+        }
+      }
+      .toDF("doc_id", "status", "idx", "r_off", "rec_len", "len_crc_ok",
+        "data_crc_ok", "payload_md5")
+  }
+
   def imageDims(spark: SparkSession, payloads: DataFrame): DataFrame = {
     import spark.implicits._
     payloads.select(col("doc_id"), col("payload"))

@@ -2852,6 +2852,63 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(statuses.subsetOf(Set("ok", "not_ogg", "truncated", "malformed")))
   }
 
+  test("tfrecord records: masked crc32c, halt-vs-continue policy, zero-length record, empty shard, totality") {
+    val sp = spark; import sp.implicits._
+    def run(rows: Seq[(Long, Array[Byte])]) =
+      TrainingOps.tfrecordRecords(sp, rows.toDF("doc_id", "payload")).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(2)) -1 else r.getInt(2)) ->
+          ((r.getString(1),
+            if (r.isNullAt(3)) -1L else r.getLong(3),
+            if (r.isNullAt(4)) -1L else r.getLong(4),
+            if (r.isNullAt(5)) -1 else r.getInt(5),
+            if (r.isNullAt(6)) -1 else r.getInt(6))))
+        .toMap
+    val out = run((0L to 4L).map(id => (id, TrainingOps.syntheticTfrecordPayload(id))))
+    // id 0: r1=8 r2=5 r3=3 — three clean records, offsets 16+len apart
+    assert(out((0L, 0)) == (("ok", 0L, 8L, 1, 1)))
+    assert(out((0L, 1)) == (("ok", 24L, 5L, 1, 1)))
+    assert(out((0L, 2)) == (("ok", 45L, 3L, 1, 1)))
+    // id 1: data crc fails on record 1, boundary trusted, walk continues
+    assert(out((1L, 1))._5 == 0 && out((1L, 2))._1 == "ok")
+    // id 2: LENGTH crc fails on record 1 -> halt, record 0 kept
+    assert(out((2L, 0))._1 == "corrupt_len" && !out.contains((2L, 1)))
+    // id 3: declared length past EOF with a valid length crc
+    assert(out((3L, 0))._1 == "truncated" && !out.contains((3L, 1)))
+    assert(out((4L, -1))._1 == "truncated")
+    // handcrafted: empty shard is OK (no magic, zero records is valid);
+    // a zero-length record round-trips (crcs over 8 length bytes and
+    // over the empty payload)
+    val zero = {
+      val bb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      val lenBytes = new Array[Byte](8)
+      bb ++= lenBytes
+      val lc = TrainingOps.tfMaskedCrc(lenBytes, 0, 8).toLong & 0xffffffffL
+      (0 until 4).foreach(i => bb += ((lc >> (8 * i)) & 0xff).toByte)
+      val dcx = TrainingOps.tfMaskedCrc(Array.emptyByteArray, 0, 0).toLong & 0xffffffffL
+      (0 until 4).foreach(i => bb += ((dcx >> (8 * i)) & 0xff).toByte)
+      bb.toArray
+    }
+    val m = run(Seq(90L -> Array.emptyByteArray, 91L -> zero))
+    assert(m((90L, -1))._1 == "ok")
+    assert(m((91L, 0)) == (("ok", 0L, 0L, 1, 1)))
+    // totality fuzz
+    val rnd = new scala.util.Random(3636)
+    val fuzz = (0 until 150).map { i =>
+      val base =
+        if (i % 2 == 0) Array.fill(rnd.nextInt(80))(rnd.nextInt(256).toByte)
+        else {
+          val v = TrainingOps.syntheticTfrecordPayload(rnd.nextInt(60).toLong)
+          if (v.nonEmpty) v(rnd.nextInt(v.length)) =
+            (v(rnd.nextInt(v.length)) ^ (1 << rnd.nextInt(8))).toByte
+          v
+        }
+      (1000L + i, base)
+    }
+    val statuses = TrainingOps.tfrecordRecords(sp, fuzz.toDF("doc_id", "payload"))
+      .select("status").distinct().collect().map(_.getString(0)).toSet
+    assert(statuses.subsetOf(Set("ok", "truncated", "corrupt_len")))
+  }
+
   test("tiff entries: dual endianness, inline/indirect split, exif pointer consumed, cycle, truncation, totality") {
     val sp = spark; import sp.implicits._
     def run(rows: Seq[(Long, Array[Byte])]) =

@@ -426,6 +426,9 @@ object PlanCheck {
     println("==== 124. d29 ivf multiprobe: shared persisted cell index, broadcast probe-cell pairs, bounded per-probe window ====")
     SparkEntry.queries("d29_ivf_multiprobe")(spark, sf).explain("formatted")
 
+    println("==== 125. m22 tfrecord records: typed mapPartitions double-checksum walker in the scan stage, zero exchange ====")
+    SparkEntry.queries("m22_tfrecord_records")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
