@@ -1343,6 +1343,40 @@ object SparkEntry {
         }
         .toDF("doc_id", "refresh_raw", "delay_s", "target")
     }),
+    // OpenGraph core harvest: og:title/description/type/image from
+    // meta[property] (property gate, case-folded keys, first-wins);
+    // decoys pin name-vs-property and comment immunity
+    "e55_og_harvest" -> ((s, dir) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val html = when(id % 5 === 0, concat(
+          lit("<html><head><meta property=\"og:title\" content=\"T"), id,
+          lit("\"><meta property=\"og:description\" content=\"D"), id,
+          lit("\"><meta property=\"og:type\" content=\"article\">" +
+            "<meta property=\"og:image\" content=\"https://img.example.com/i"),
+          id % 9, lit(".jpg\"></head><body>a</body></html>")))
+        .when(id % 5 === 1, concat(
+          lit("<html><head><META PROPERTY=\"OG:Title\" CONTENT=\"U"), id,
+          lit("\"></head><body>b</body></html>")))
+        .when(id % 5 === 2, concat(
+          lit("<html><head><meta property=\"og:title\" content=\"first"), id % 7,
+          lit("\"><meta property=\"og:title\" content=\"second\">" +
+            "<meta property=\"og:type\" content=\"website\"></head><body>c</body></html>")))
+        .when(id % 5 === 3, concat(
+          lit("<html><head><meta name=\"og:title\" content=\"wrong-attr\">" +
+            "<!-- <meta property=\"og:image\" content=\"/ghost.png\"> --></head><body>doc "),
+          id, lit("</body></html>")))
+        .otherwise(concat(
+          lit("<html><head><title>plain</title></head><body>doc "), id,
+          lit("</body></html>")))
+      docs(s, dir).select(id, html.as("html")).as[(Long, String)]
+        .map { case (i2, h) =>
+          val og = graft.core.Directives.scan(h).og
+          (i2, og.get("og:title"), og.get("og:description"),
+            og.get("og:type"), og.get("og:image"))
+        }
+        .toDF("doc_id", "og_title", "og_description", "og_type", "og_image")
+    }),
     // sitemap parsing over synthesized xml kinds: urlset entries (CDATA
     // + entity locs, optional lastmod), a sitemapindex, a loc-less entry
     // skipped, and an invalid document as error-as-data
@@ -4403,6 +4437,17 @@ object SparkEntry {
           "rb.s <> ra.s AS moved, d.doc_id % 8 <> d.doc_id % 9 AS mod_moved " +
           "FROM documents d JOIN rb ON rb.doc_id = d.doc_id AND rb.rn = 1 " +
           "JOIN ra ON ra.doc_id = d.doc_id AND ra.rn = 1"),
+      // e55 oracle: every og field arithmetic from doc_id — a MATCH
+      // pins the property gate (name= is NOT OpenGraph), key case-
+      // folding, first-wins, and comment immunity
+      "e55_og_harvest" ->
+        ("SELECT doc_id, " +
+          "CASE doc_id % 5 WHEN 0 THEN 'T' || doc_id WHEN 1 THEN 'U' || doc_id " +
+          "WHEN 2 THEN 'first' || (doc_id % 7) END AS og_title, " +
+          "CASE doc_id % 5 WHEN 0 THEN 'D' || doc_id END AS og_description, " +
+          "CASE doc_id % 5 WHEN 0 THEN 'article' WHEN 2 THEN 'website' END AS og_type, " +
+          "CASE doc_id % 5 WHEN 0 THEN 'https://img.example.com/i' || (doc_id % 9) || '.jpg' END AS og_image " +
+          "FROM documents"),
       // e54 oracle: raw content, parsed delay and target arithmetic
       // from doc_id — a MATCH pins the digits-mandatory rule, both
       // separators, case-insensitive url=, quote stripping, the

@@ -34,7 +34,14 @@ object Directives {
       alternates: Vector[(String, String)] = Vector.empty,
       published: String = null, timeDatetime: String = null,
       jsonld: Vector[String] = Vector.empty,
-      refresh: String = null)
+      refresh: String = null,
+      og: Map[String, String] = Map.empty)
+  // og: first-wins values for the OpenGraph core keys (og:title,
+  // og:description, og:type, og:image) from <meta property=...>
+  // content — the share-card metadata layer, and the cheapest title/
+  // description signal when a page's <title> is template chrome.
+  // Property names match ASCII-case-insensitively (stored lowercase);
+  // non-core og:* keys are ignored (bounded state by design).
   // refresh: first <meta http-equiv=refresh> content attribute, raw —
   // the in-band redirect channel (sites without server access redirect
   // through it; a crawler that ignores it keeps fetching stub pages).
@@ -138,6 +145,7 @@ object Directives {
     var published: String = null
     var timeDt: String = null
     var refresh: String = null
+    val og = scala.collection.mutable.HashMap.empty[String, String]
     val alternates = Vector.newBuilder[(String, String)]
     val jsonld = Vector.newBuilder[String]
     var i = 0
@@ -259,6 +267,12 @@ object Directives {
                   if (refresh == null &&
                     captured.get("http-equiv").exists(_.equalsIgnoreCase("refresh")))
                     refresh = captured.getOrElse("content", "")
+                  captured.get("property").foreach { pr =>
+                    val k = pr.toLowerCase(java.util.Locale.ROOT)
+                    if ((k == "og:title" || k == "og:description" ||
+                      k == "og:type" || k == "og:image") && !og.contains(k))
+                      og(k) = captured.getOrElse("content", "")
+                  }
                 } else if (name == "time") {
                   if (timeDt == null && captured.get("datetime").exists(_.nonEmpty))
                     timeDt = captured("datetime")
@@ -294,6 +308,7 @@ object Directives {
     val none = toks.contains("none")
     PageDirectives(canonical, robots,
       none || toks.contains("noindex"), none || toks.contains("nofollow"),
-      alternates.result(), published, timeDt, jsonld.result(), refresh)
+      alternates.result(), published, timeDt, jsonld.result(), refresh,
+      og.toMap)
   }
 }

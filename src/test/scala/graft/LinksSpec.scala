@@ -212,6 +212,18 @@ class LinksSpec extends AnyFunSuite {
     assert(d.refresh == "2; url=/right") // http-equiv required, first wins
   }
 
+  test("og harvest: property gate, case-folded keys, first-wins, non-core keys ignored") {
+    import graft.core.Directives
+    val d = Directives.scan(
+      """<head><meta name="og:title" content="wrong-attr">
+        |<META PROPERTY="OG:Title" CONTENT="real title">
+        |<meta property="og:title" content="second — ignored">
+        |<meta property="og:image" content="/a.png">
+        |<meta property="og:locale" content="en_US">
+        |<!-- <meta property="og:description" content="ghost"> --></head>""".stripMargin)
+    assert(d.og == Map("og:title" -> "real title", "og:image" -> "/a.png"))
+  }
+
   test("sitemaps: kinds, CDATA/entity locs, loc-less skip, case-insensitive tags, prolog noise") {
     import graft.core.Sitemaps
     val u = Sitemaps.parse(

@@ -429,6 +429,9 @@ object PlanCheck {
     println("==== 125. m22 tfrecord records: typed mapPartitions double-checksum walker in the scan stage, zero exchange ====")
     SparkEntry.queries("m22_tfrecord_records")(spark, sf).explain("formatted")
 
+    println("==== 126. e55 og harvest: map-side directive scan, zero exchange ====")
+    SparkEntry.queries("e55_og_harvest")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
