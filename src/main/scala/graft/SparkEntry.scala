@@ -1343,6 +1343,35 @@ object SparkEntry {
         }
         .toDF("doc_id", "refresh_raw", "delay_s", "target")
     }),
+    // hreflang reciprocity audit: pages pair (2k, 2k+1); every even
+    // page declares its odd partner, the partner declares BACK only
+    // when k is even — asymmetric declarations (the classic hreflang
+    // misconfig Google ignores) surface as reciprocated=false; edges
+    // parsed map-side by the REAL Directives scanner (parse-through-
+    // join), reciprocity = one self-join on the reversed pair
+    "e56_hreflang_reciprocity" -> ((s, dir) => {
+      import s.implicits._
+      val id = col("doc_id")
+      def u(c: org.apache.spark.sql.Column) =
+        concat(lit("https://ml.example.com/p"), c)
+      val declares = (id % 2 === 0) ||
+        ((id % 2 === 1) && (((id - 1) / 2) % 2 === 0))
+      val target = when(id % 2 === 0, u(id + 1)).otherwise(u(id - 1))
+      val html = when(declares, concat(
+          lit("<html><head><link rel=\"alternate\" hreflang=\"de\" href=\""),
+          target, lit("\"></head><body>x</body></html>")))
+        .otherwise(lit("<html><head></head><body>y</body></html>"))
+      val edges = docs(s, dir)
+        .select(u(id).as("src"), id, html.as("html"))
+        .as[(String, Long, String)]
+        .flatMap { case (src, _, h) =>
+          graft.core.Directives.scan(h).alternates.map {
+            case (lang, href) => (src, lang, href)
+          }
+        }
+        .toDF("src", "lang", "dst")
+      graft.datapipe.GraphOps.hreflangReciprocity(edges)
+    }),
     // OpenGraph core harvest: og:title/description/type/image from
     // meta[property] (property gate, case-folded keys, first-wins);
     // decoys pin name-vs-property and comment immunity
@@ -4437,6 +4466,17 @@ object SparkEntry {
           "rb.s <> ra.s AS moved, d.doc_id % 8 <> d.doc_id % 9 AS mod_moved " +
           "FROM documents d JOIN rb ON rb.doc_id = d.doc_id AND rb.rn = 1 " +
           "JOIN ra ON ra.doc_id = d.doc_id AND ra.rn = 1"),
+      // e56 oracle: the edge set derived from the pairing arithmetic,
+      // reciprocity via the same reversed-pair left join — boundary
+      // pages (a partner outside the table) resolve identically
+      "e56_hreflang_reciprocity" ->
+        ("WITH e AS (SELECT 'https://ml.example.com/p' || doc_id AS src, 'de' AS lang, " +
+          "'https://ml.example.com/p' || (CASE WHEN doc_id % 2 = 0 THEN doc_id + 1 " +
+          "ELSE doc_id - 1 END) AS dst FROM documents " +
+          "WHERE doc_id % 2 = 0 OR ((doc_id - 1) // 2) % 2 = 0) " +
+          "SELECT e.src, e.lang, e.dst, r.src IS NOT NULL AS reciprocated " +
+          "FROM e LEFT JOIN (SELECT DISTINCT src, dst FROM e) r " +
+          "ON r.src = e.dst AND r.dst = e.src"),
       // e55 oracle: every og field arithmetic from doc_id — a MATCH
       // pins the property gate (name= is NOT OpenGraph), key case-
       // folding, first-wins, and comment immunity

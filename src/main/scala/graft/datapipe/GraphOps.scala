@@ -576,6 +576,28 @@ object GraphOps {
     * aggregation. Page bodies never reach the shuffle — the caller
     * scans directives map-side and ships (url, canonical) pairs only.
     */
+  /** Hreflang reciprocity audit — the multilingual-cluster validity
+    * check: the hreflang contract requires DECLARATION SYMMETRY (if A
+    * lists B as its German alternate, B must list A back; search
+    * engines ignore one-sided declarations), and asymmetry is the
+    * single most common hreflang misconfig — so a multilingual corpus
+    * builder keys variant-alignment only on reciprocated pairs.
+    * Per declared edge (src, lang, dst): reciprocated iff ANY reverse
+    * declaration dst -> src exists (language-agnostic by design — the
+    * reverse edge names SRC's language, not lang). One reversed-pair
+    * self-join on (url, url) keys after a map-side distinct; edge
+    * multiplicity on the probe side is preserved, the reverse side
+    * dedups.
+    */
+  def hreflangReciprocity(edges: DataFrame): DataFrame = {
+    val rev = edges.select(col("src").as("r_dst"), col("dst").as("r_src"))
+      .distinct()
+    edges.join(rev,
+        col("src") === col("r_src") && col("dst") === col("r_dst"), "left")
+      .select(col("src"), col("lang"), col("dst"),
+        col("r_src").isNotNull.as("reciprocated"))
+  }
+
   def canonicalClusters(pages: DataFrame): DataFrame = {
     def host(u: Column) = regexp_extract(u, "https?://([^/]+)", 1)
     pages.select(col("url"),

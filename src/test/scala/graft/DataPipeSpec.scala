@@ -375,6 +375,24 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(obs.repartition(7), ref.repartition(3)) == out)
   }
 
+  test("hreflang reciprocity: symmetric pairs, one-sided declarations, language-agnostic reverse") {
+    val sp = spark; import sp.implicits._
+    val edges = Seq(
+      ("a", "de", "b"), ("b", "en", "a"),   // mutual (different langs — agnostic)
+      ("a", "fr", "c"),                      // one-sided
+      ("c", "de", "d"), ("d", "de", "c"),   // mutual
+      ("e", "de", "e"),                      // self-declaration: trivially mutual
+      ("a", "it", "c")).toDF("src", "lang", "dst") // second edge a->c, also one-sided
+    val out = graft.datapipe.GraphOps.hreflangReciprocity(edges).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getBoolean(3))
+      .toMap
+    assert(out(("a", "de", "b")) && out(("b", "en", "a")))
+    assert(!out(("a", "fr", "c")) && !out(("a", "it", "c")))
+    assert(out(("c", "de", "d")) && out(("d", "de", "c")))
+    assert(out(("e", "de", "e")))
+    assert(out.size == 7) // probe-side multiplicity preserved
+  }
+
   test("canonical clusters: coalesce-to-self, cross-host counting, min rep, partitioning invariance") {
     val sp = spark; import sp.implicits._
     val pages = Seq(

@@ -432,6 +432,9 @@ object PlanCheck {
     println("==== 126. e55 og harvest: map-side directive scan, zero exchange ====")
     SparkEntry.queries("e55_og_harvest")(spark, sf).explain("formatted")
 
+    println("==== 127. e56 hreflang reciprocity: map-side parse + ONE reversed-pair self-join on url keys ====")
+    SparkEntry.queries("e56_hreflang_reciprocity")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
