@@ -713,6 +713,10 @@ object SparkEntry {
     // semantic near-dups); real corpora run tau≈0.9+ — the dial moves,
     // the plan shape doesn't
     "d14_semdedup" -> ((s, dir) => TrainingOps.semDedup(embs(s, dir))),
+    // semdedup operating curve: one pairwise pass reduced to per-rep
+    // max witness cosine, then the 9-tau CDF; row tau=0.4 provably
+    // equals d14's dup count
+    "d30_semdedup_curve" -> ((s, dir) => TrainingOps.semDedupCurve(embs(s, dir))),
     // fuzzy decontamination over the near-dup-augmented corpus: banded
     // MinHash containment join (train bands vs broadcast eval bands) +
     // exact-Jaccard verify at 0.6 — the synthetic tails sit at ~0.8-0.97
@@ -3614,6 +3618,31 @@ object SparkEntry {
           "r AS (SELECT q_id, vec_id, score, row_number() OVER " +
           "(PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk FROM s) " +
           "SELECT q_id, CAST(rk AS INT) AS rank, vec_id, score FROM r WHERE rk <= 5"),
+      // d30 oracle: the d14 pairwise leg reduced to per-rep max witness
+      // cosine (exact pre-pass included), then the 9-tau CDF with the
+      // non-rep term folded in
+      "d30_semdedup_curve" ->
+        ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+          "reps AS (SELECT min(vec_id) AS vec_id, v FROM e GROUP BY v), " +
+          "cells AS (SELECT vec_id, v, CAST(list_min(list_transform(range(16), j -> " +
+          "[list_sum(list_transform(range(len(v)), i -> " +
+          "((('0x' || substr(md5('c:' || j || ':' || i),1,15))::BIGINT / pow(2,59) - 1.0 - v[i+1]) * " +
+          "(('0x' || substr(md5('c:' || j || ':' || i),1,15))::BIGINT / pow(2,59) - 1.0 - v[i+1])))), " +
+          "j::DOUBLE]))[2] AS INT) AS cell FROM reps), " +
+          "pm AS (SELECT c1.vec_id, max(round(" +
+          "list_sum(list_transform(range(len(c1.v)), i -> c1.v[i+1]*c2.v[i+1])) / " +
+          "(sqrt(list_sum(list_transform(range(len(c1.v)), i -> c1.v[i+1]*c1.v[i+1]))) * " +
+          "sqrt(list_sum(list_transform(range(len(c2.v)), i -> c2.v[i+1]*c2.v[i+1])))), 6)) AS mc " +
+          "FROM cells c1 JOIN cells c2 ON c1.cell = c2.cell AND c2.vec_id < c1.vec_id " +
+          "GROUP BY c1.vec_id), " +
+          "tot AS (SELECT count(*) AS n_total FROM e), " +
+          "nr AS (SELECT count(*) AS n_reps FROM reps), " +
+          "g AS (SELECT CAST(t.i * 100000 AS INT) AS tau_ppm FROM range(1, 10) t(i)), " +
+          "rd AS (SELECT g.tau_ppm, count(*) AS k FROM g JOIN pm " +
+          "ON pm.mc > g.tau_ppm / 1000000.0 GROUP BY 1) " +
+          "SELECT g.tau_ppm, CAST(COALESCE(rd.k, 0) + tot.n_total - nr.n_reps AS BIGINT) AS n_dup, " +
+          "CAST(tot.n_total AS BIGINT) AS n_docs " +
+          "FROM g CROSS JOIN tot CROSS JOIN nr LEFT JOIN rd ON rd.tau_ppm = g.tau_ppm"),
       // SemDeDup oracle: the d9 cell assignment verbatim, then a
       // within-cell lower-id pairwise exists at rounded cosine > tau —
       // mirrors TrainingOps.semDedup(tau=0.4, nCells=16)

@@ -1238,6 +1238,56 @@ object TrainingOps extends Serializable {
         (col("rep_dup") || col("vec_id") =!= col("rep")).as("is_dup"))
   }
 
+  /** SemDeDup operating curve — d23's S-curve idea applied to the
+    * semantic deduper: "how many documents would each tau discard?"
+    * MEASURED on the corpus, not assumed. d14 answers for ONE tau; a
+    * curation run picks tau by inspecting this table (the knee between
+    * near-dup removal and diversity loss), and re-running the whole
+    * pairwise stage per candidate tau is the naive cost this op
+    * removes: the pairwise leg runs ONCE, reduces to each
+    * representative's MAX lower-id within-cell cosine, and the entire
+    * curve is then a 9-bucket count over that one number per rep —
+    * a vector is d14-duplicate at tau iff it is a non-rep (cos = 1
+    * with its representative, dup at every tau < 1) or its rep's max
+    * witness cosine exceeds tau. The cross-op law is pinned: the curve
+    * row at tau=0.4 equals d14's own is_dup count exactly.
+    *
+    * Scale shape: the exact pre-pass + cell join are d14's (one
+    * pairwise pass); the reduction is a map-side-combined max per rep;
+    * the grid join replicates each rep row 9× into a map-side-combined
+    * count — no second corpus pass, no per-tau re-run.
+    */
+  def semDedupCurve(emb: DataFrame, nCells: Int = 16,
+      dimOpt: Option[Int] = None): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = e.groupBy("v").agg(min("vec_id").as("vec_id"))
+      .select(col("vec_id"), col("v"))
+    val cells = ivfCellsOf(reps, nCells, dimOpt)
+    val r = cells.select(col("vec_id").as("r_id"), col("v").as("q"), col("cell"))
+    val dot = expr("aggregate(zip_with(q, v, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)")
+    val nq = sqrt(expr("aggregate(zip_with(q, q, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"))
+    val nv = sqrt(expr("aggregate(zip_with(v, v, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"))
+    val repMax = cells.join(r, "cell")
+      .filter(col("r_id") < col("vec_id"))
+      .select(col("vec_id"), round(dot / (nq * nv), 6).as("c"))
+      .groupBy("vec_id").agg(max(col("c")).as("mc"))
+    val tot = e.agg(count(lit(1)).as("n_total"))
+    val nreps = reps.agg(count(lit(1)).as("n_reps"))
+    val grid = (1 to 9).map(_ * 100000).toDF("tau_ppm")
+    val rd = repMax.crossJoin(broadcast(grid))
+      .where(col("mc") > col("tau_ppm") / lit(1000000.0))
+      .groupBy("tau_ppm").agg(count(lit(1)).as("k"))
+    grid.join(rd, Seq("tau_ppm"), "left").crossJoin(tot).crossJoin(nreps)
+      .select(col("tau_ppm").cast("int").as("tau_ppm"),
+        (coalesce(col("k"), lit(0L)) + col("n_total") - col("n_reps"))
+          .cast("long").as("n_dup"),
+        col("n_total").cast("long").as("n_docs"))
+  }
+
   /** Embedding-cosine near-duplicate pairs — the vector analog of the
     * minhash two-phase pipeline: hyperplane-LSH bucket join for candidate
     * generation (8 planes by default — coarser than [[annLshBuckets]]'s

@@ -292,6 +292,28 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("semdedup curve: monotone CDF, tau=0.4 row equals d14's dup count, clones fold into every tau") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(88)
+    val base = (0L until 60L).map(id =>
+      (id, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    // plant exact clones: ids 100-104 duplicate ids 0-4 (non-reps at every tau)
+    val emb = (base ++ (0 until 5).map(i => (100L + i, base(i)._2)))
+      .toDF("vec_id", "embedding")
+    val curve = TrainingOps.semDedupCurve(emb, nCells = 4).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(curve.size == 9 && curve.values.forall(_._2 == 65L))
+    // CDF: n_dup non-increasing in tau
+    val byTau = (1 to 9).map(i => curve(i * 100000)._1)
+    assert(byTau.sliding(2).forall(p => p(0) >= p(1)), s"not monotone: $byTau")
+    // clones are dup at EVERY tau — even the strictest row keeps them
+    assert(byTau.last >= 5L)
+    // cross-op law: the tau=0.4 row IS d14's dup count
+    val d14 = TrainingOps.semDedup(emb, tau = 0.4, nCells = 4)
+      .filter(col("is_dup")).count()
+    assert(curve(400000)._1 == d14, s"curve ${curve(400000)._1} vs d14 $d14")
+  }
+
   test("kmeans train: integer Lloyd, inertia never increases, empty-cell carry, invariance") {
     val sp = spark; import sp.implicits._
     // two tight 2-D clusters far apart; 4 cells so some MUST stay empty

@@ -435,6 +435,9 @@ object PlanCheck {
     println("==== 127. e56 hreflang reciprocity: map-side parse + ONE reversed-pair self-join on url keys ====")
     SparkEntry.queries("e56_hreflang_reciprocity")(spark, sf).explain("formatted")
 
+    println("==== 128. d30 semdedup curve: one pairwise pass, per-rep max reduce, 9-row broadcast grid ====")
+    SparkEntry.queries("d30_semdedup_curve")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
