@@ -855,6 +855,14 @@ object SparkEntry {
         a.filter(col("doc_id") % 10 >= 8), a.filter(col("doc_id") % 10 < 8))
     }),
     "t11_global_shuffle" -> ((s, dir) => TrainingOps.globalShuffle(docs(s, dir))),
+    // per-source token yield after exact dedup over the dup-augmented
+    // corpus (source kept): cross-source duplicate tokens attribute to
+    // the keeper's source
+    "t49_token_yield" -> ((s, dir) =>
+      TrainingOps.tokenYield(docs(s, dir).select(col("doc_id"), col("source"),
+        when(col("doc_id") % 5 === 4,
+          concat(lit("canonical page "), col("doc_id") % 17))
+          .otherwise(col("text")).as("text")))),
     "t12_lm_familiarity" -> ((s, dir) => TrainingOps.unigramFamiliarity(docs(s, dir))),
     // contamination reach: the eval-side inverse of d12 over the same
     // contAug corpus — which benchmark docs leak into training, how many
@@ -4556,6 +4564,22 @@ object SparkEntry {
           "'{\"@type\":\"Article\",\"name\":\"X' || doc_id || " +
           "'\",\"author\":{\"@type\":\"Person\",\"name\":\"Au' || doc_id || '\"}}', " +
           "'Article', 'X' || doc_id, NULL, 'Au' || doc_id FROM d WHERE f = 5)"),
+      // t49 oracle: the same dup augmentation with source kept, d1's
+      // min-doc_id keeper rule, per-source rollups, long-div ppm
+      "t49_token_yield" ->
+        (s"WITH a AS (SELECT doc_id, source, CASE WHEN doc_id % 5 = 4 " +
+          "THEN 'canonical page ' || (doc_id % 17) ELSE text END AS text FROM documents), " +
+          s"t AS (SELECT doc_id, source, len($w) AS nw, md5(text) AS h FROM a), " +
+          "k AS (SELECT h, min(doc_id) AS kid FROM t GROUP BY h), " +
+          "kept AS (SELECT source, count(*) AS docs_kept, CAST(SUM(nw) AS BIGINT) AS tokens_kept " +
+          "FROM t JOIN k ON t.h = k.h AND t.doc_id = k.kid GROUP BY source), " +
+          "tot AS (SELECT source, count(*) AS n_docs, CAST(SUM(nw) AS BIGINT) AS tokens_total " +
+          "FROM t GROUP BY source) " +
+          "SELECT tot.source, tot.n_docs, tot.tokens_total, " +
+          "CAST(COALESCE(kept.docs_kept, 0) AS BIGINT) AS docs_kept, " +
+          "CAST(COALESCE(kept.tokens_kept, 0) AS BIGINT) AS tokens_kept, " +
+          "CAST(1000000 * COALESCE(kept.tokens_kept, 0) // tot.tokens_total AS BIGINT) AS yield_ppm " +
+          "FROM tot LEFT JOIN kept ON kept.source = tot.source"),
       // t48 oracle: the same closed-form window count and inclusive
       // list slices over the shared whitespace split
       "t48_overlap_chunks" ->

@@ -2524,6 +2524,39 @@ object TrainingOps extends Serializable {
       .toDF("doc_id", "is_nfc", "raw_cp", "nfc_cp", "nfc_text")
   }
 
+  /** Per-source token yield after exact dedup — the number every
+    * corpus release publishes next to its raw size: raw token counts
+    * overstate what a model actually trains on, because duplicate mass
+    * contributes once. Per source: docs and tokens BEFORE dedup, docs
+    * and tokens AFTER (d1's keeper rule — global min-doc_id per
+    * md5(text), so a cross-source duplicate's tokens are attributed to
+    * the KEEPER's source, the convention that makes the kept columns
+    * sum to the global deduped total; documented and pinned by a
+    * cross-source clone), and yield_ppm = 1e6 * kept / total tokens.
+    * A low-yield source is mirror/boilerplate mass — the first column
+    * a mixture plan (p10) should consult before trusting raw supply.
+    *
+    * Scale shape: one map-side token count per doc, keepers = ONE
+    * 16-byte-key groupBy (d1's shuffle), counts map-side combined per
+    * source; the join back is hash-keyed on md5. No text shuffles.
+    */
+  def tokenYield(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), col("source"),
+      size(words(col("text"))).as("nw"), md5(col("text")).as("h"))
+    val keepers = t.groupBy(col("h")).agg(min(col("doc_id")).as("kid"))
+    val kept = t.join(keepers,
+        t("h") === keepers("h") && t("doc_id") === keepers("kid"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_kept"), sum(col("nw")).as("tokens_kept"))
+    val total = t.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("tokens_total"))
+    total.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("tokens_total"),
+        coalesce(col("docs_kept"), lit(0L)).as("docs_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"),
+        expr("1000000 * coalesce(tokens_kept, 0) div tokens_total").as("yield_ppm"))
+  }
+
   /** Overlapping sliding-window chunking — the RAG-prep complement of
     * t33's boundary-aligned sections: retrieval wants windows that
     * OVERLAP (stride < window) so no answer span is ever split across

@@ -349,6 +349,25 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { TrainingOps.kmeansTrain(pts, iters = 0) }
   }
 
+  test("token yield: keeper attribution, cross-source dup, ppm, kept sums to global dedup") {
+    val sp = spark; import sp.implicits._
+    val d = Seq(
+      (0L, "s1", "a b c"), (1L, "s1", "a b c"), // intra-source dup
+      (2L, "s2", "a b c"),                      // cross-source dup -> keeper in s1
+      (3L, "s2", "x y"), (4L, "s3", "z"))
+      .toDF("doc_id", "source", "text")
+    val out = TrainingOps.tokenYield(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(out("s1") == ((2L, 6L, 1L, 3L, 500000L)))
+    assert(out("s2") == ((2L, 5L, 1L, 2L, 400000L))) // the clone's tokens left s2
+    assert(out("s3") == ((1L, 1L, 1L, 1L, 1000000L)))
+    // the attribution convention makes kept columns sum to the global
+    // deduped totals
+    assert(out.values.map(_._3).sum == 3L)
+    assert(out.values.map(_._4).sum == 6L)
+  }
+
   test("overlap chunks: closed-form count, full coverage, shared overlap, no contained tail") {
     val sp = spark; import sp.implicits._
     def doc(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")

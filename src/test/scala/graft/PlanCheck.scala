@@ -438,6 +438,9 @@ object PlanCheck {
     println("==== 128. d30 semdedup curve: one pairwise pass, per-rep max reduce, 9-row broadcast grid ====")
     SparkEntry.queries("d30_semdedup_curve")(spark, sf).explain("formatted")
 
+    println("==== 129. t49 token yield: 16-byte-key keeper groupBy + map-side source rollups, text never shuffles ====")
+    SparkEntry.queries("t49_token_yield")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
