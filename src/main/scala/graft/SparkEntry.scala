@@ -1125,6 +1125,12 @@ object SparkEntry {
       val (edges, crawled) = linkGraphOf(s, dir)
       graft.datapipe.GraphOps.crawlFrontier(edges, crawled)
     }),
+    // dangling-outlink (link-rot) rate per source host over the same
+    // parsed link graph: edges left-join the crawled set, host rollup
+    "e57_link_rot" -> ((s, dir) => {
+      val (edges, crawled) = linkGraphOf(s, dir)
+      graft.datapipe.GraphOps.linkRot(edges, crawled)
+    }),
     // RFC 9309 robots filtering of the frontier: per-host prefix rule
     // groups synthesized deterministically from the host name (md5 'rb:'
     // key — a fetcher would populate the table from robots.txt bodies),
@@ -2568,6 +2574,19 @@ object SparkEntry {
         "WHEN regexp_extract(to_url, 'https?://[^/]+(/.*)', 1) IN ('/privacy', '/imprint') THEN FALSE " +
         "ELSE TRUE END AS allowed " +
         "FROM g WHERE to_url NOT IN (SELECT url FROM cw)"),
+      // e57 oracle: the e26 edge/crawled CTEs with a per-source-host
+      // rollup of the NOT-IN-crawled verdict, long-div ppm
+      "e57_link_rot" -> (linksCte(htmlKindsA, famB, famC) +
+        s", r AS (SELECT $urlExpr AS src_url, " +
+        "CASE WHEN href LIKE 'https://%' THEN href ELSE 'https://' || " +
+        "CASE WHEN doc_id % 10 < 3 THEN 'big.example.com' ELSE 'h' || (doc_id % 97) || '.example.com' END " +
+        "|| href END AS to_url FROM u), " +
+        s"cw AS (SELECT $urlExpr AS url FROM documents WHERE $htmlKinds), " +
+        "dg AS (SELECT regexp_extract(src_url, 'https?://([^/]+)', 1) AS host, " +
+        "CASE WHEN to_url IN (SELECT url FROM cw) THEN 0 ELSE 1 END AS d FROM r) " +
+        "SELECT host, count(*) AS n_links, CAST(SUM(d) AS BIGINT) AS n_dangling, " +
+        "CAST(1000000 * SUM(d) // count(*) AS BIGINT) AS dangling_ppm " +
+        "FROM dg GROUP BY host"),
       // robots oracle: same frontier targets, same md5-keyed per-host rule
       // synthesis, but longest-match resolved by a WINDOW (length DESC,
       // allow DESC) instead of the min(struct) aggregate — an

@@ -576,6 +576,33 @@ object GraphOps {
     * aggregation. Page bodies never reach the shuffle — the caller
     * scans directives map-side and ships (url, canonical) pairs only.
     */
+  /** Dangling-outlink (link-rot) rate per source host — the crawl-
+    * coverage/spam signal on the EDGE side of the graph: a host whose
+    * outlinks mostly point at pages the crawl never captured is either
+    * rotting (dead links), gated (paywalls/logins the fetcher bounced
+    * off), or a spam farm pointing into the void — and in every case
+    * its pages' outlink-based authority signals (e23/e44) are inflated
+    * by edges that lead nowhere. Per source host: total resolved
+    * outlinks, links whose target is absent from the crawled set, and
+    * the dangling fraction in integer ppm.
+    *
+    * Scale shape: ONE url-keyed left join of the edge list against the
+    * distinct crawled set (both sides bucket by url-hash at scale —
+    * the e26 frontier's join key, reused), then a map-side-combined
+    * host rollup over boolean counter rows; no page bytes anywhere.
+    */
+  def linkRot(edges: DataFrame, crawled: DataFrame): DataFrame = {
+    val seen = crawled.select(col("url").as("to_url")).distinct()
+      .withColumn("seen", lit(true))
+    edges.join(seen, Seq("to_url"), "left")
+      .select(regexp_extract(col("src_url"), "https?://([^/]+)", 1).as("host"),
+        coalesce(col("seen"), lit(false)).as("ok"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_links"),
+        sum(when(!col("ok"), 1L).otherwise(0L)).as("n_dangling"))
+      .withColumn("dangling_ppm", expr("1000000 * n_dangling div n_links"))
+  }
+
   /** Hreflang reciprocity audit — the multilingual-cluster validity
     * check: the hreflang contract requires DECLARATION SYMMETRY (if A
     * lists B as its German alternate, B must list A back; search

@@ -416,6 +416,25 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(obs.repartition(7), ref.repartition(3)) == out)
   }
 
+  test("link rot: dangling verdict, host attribution, ppm, all-dangling and all-ok hosts") {
+    val sp = spark; import sp.implicits._
+    val edges = Seq(
+      ("https://a.com/1", "https://b.com/x"),  // crawled
+      ("https://a.com/1", "https://gone.com/y"),
+      ("https://a.com/2", "https://gone.com/z"),
+      ("https://b.com/x", "https://a.com/1"),  // crawled
+      ("https://c.com/p", "https://void.com/1"))
+      .toDF("src_url", "to_url")
+    val crawled = Seq("https://a.com/1", "https://a.com/2", "https://b.com/x")
+      .toDF("url")
+    val out = graft.datapipe.GraphOps.linkRot(edges, crawled).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out("a.com") == ((3L, 2L, 666666L)))
+    assert(out("b.com") == ((1L, 0L, 0L)))
+    assert(out("c.com") == ((1L, 1L, 1000000L)))
+  }
+
   test("hreflang reciprocity: symmetric pairs, one-sided declarations, language-agnostic reverse") {
     val sp = spark; import sp.implicits._
     val edges = Seq(

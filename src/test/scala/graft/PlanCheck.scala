@@ -441,6 +441,9 @@ object PlanCheck {
     println("==== 129. t49 token yield: 16-byte-key keeper groupBy + map-side source rollups, text never shuffles ====")
     SparkEntry.queries("t49_token_yield")(spark, sf).explain("formatted")
 
+    println("==== 130. e57 link rot: ONE url-keyed left join + map-side host rollup over counter rows ====")
+    SparkEntry.queries("e57_link_rot")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
