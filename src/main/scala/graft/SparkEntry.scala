@@ -1806,6 +1806,13 @@ object SparkEntry {
       TrainingOps.nfcAudit(s,
         docs(s, dir).select(id, concat(col("text"), tail).as("text")))
     }),
+    // per-epoch shard-order plan over a 32-shard ledger (doc_id % 32),
+    // 4 epochs: md5-keyed permutation per epoch, zero coordination
+    "p16_epoch_order" -> ((s, dir) => {
+      val shards = docs(s, dir)
+        .select(pmod(col("doc_id"), lit(32L)).as("shard_id")).distinct()
+      TrainingOps.epochShardOrder(shards, epochs = 4)
+    }),
     // orphan-file audit: storage listing (one file per doc, mtime from
     // doc_id) FULL-OUTER metadata references (docs with id%4 != 1, plus
     // ghost refs g<id> for id%10 == 0 that storage never saw); grace at
@@ -4623,6 +4630,15 @@ object SparkEntry {
           "CAST(length(t) AS INT) AS raw_cp, " +
           "CAST(length(nfc_normalize(t)) AS INT) AS nfc_cp, " +
           "nfc_normalize(t) AS nfc_text FROM d"),
+      // p16 oracle: same keyed-md5 ranking per epoch over the distinct
+      // shard ledger
+      "p16_epoch_order" ->
+        ("WITH sh AS (SELECT DISTINCT doc_id % 32 AS shard_id FROM documents), " +
+          "g AS (SELECT CAST(t.e AS INT) AS epoch, shard_id, " +
+          "('0x' || substr(md5('eo:' || t.e || ':' || shard_id), 1, 15))::BIGINT AS k " +
+          "FROM sh, range(4) t(e)) " +
+          "SELECT epoch, shard_id, CAST(row_number() OVER " +
+          "(PARTITION BY epoch ORDER BY k, shard_id) - 1 AS INT) AS position FROM g"),
       // p15 oracle: the same full-outer + four-way CASE in SQL; ghost
       // references surface as missing with NULL mtime, the grace
       // boundary (>= keeps, < reclaims) pinned by the modulus split

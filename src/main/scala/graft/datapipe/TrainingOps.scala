@@ -3094,6 +3094,36 @@ object TrainingOps extends Serializable {
           .otherwise(lit(0L)).as("bytes_reclaimed"))
   }
 
+  /** Per-epoch shard-order plan — the data-order primitive a trainer
+    * consumes each epoch: re-visiting shards in the SAME order every
+    * epoch correlates gradient noise with shard content (the classic
+    * no-reshuffle bug), so each epoch gets its own deterministic
+    * permutation, keyed like everything in this repo by md5
+    * (h60("eo:" || epoch || ":" || shard), ties by shard_id) — a pure
+    * function of (epoch, shard), so every worker derives the same
+    * order with ZERO coordination and any epoch is reproducible after
+    * the fact (which row-level RNG shuffles are not). Positions within
+    * an epoch are a permutation of 0..S-1 (pinned), epochs differ
+    * (pinned at the given sizes), and composition with p11's
+    * within-shard curriculum order is the trainer's full data order.
+    *
+    * Scale shape: metadata-plane (the p13/p14 principle) — rows are
+    * (epoch, shard) pairs (~10^5 at 10^4 shards × 10 epochs); the
+    * per-epoch rank window runs over the SHARD LEDGER, never data.
+    */
+  def epochShardOrder(shards: DataFrame, epochs: Int = 4): DataFrame = {
+    require(epochs >= 1, "epochs must be >= 1")
+    val g = shards.select(col("shard_id").cast("long").as("shard_id"))
+      .select(col("shard_id"),
+        explode(expr(s"sequence(0, ${epochs - 1})")).as("epoch"))
+      .withColumn("k", h60(concat(lit("eo:"), col("epoch").cast("string"),
+        lit(":"), col("shard_id").cast("string"))))
+    g.withColumn("position", row_number().over(
+        Window.partitionBy(col("epoch")).orderBy(col("k"), col("shard_id"))) - 1)
+      .select(col("epoch").cast("int").as("epoch"), col("shard_id"),
+        col("position").cast("int").as("position"))
+  }
+
   /** Orphan-file audit — p14's storage-plane complement and the PLAN
     * step of Iceberg's remove_orphan_files, generalized to the full
     * four-way verdict a lakehouse integrity sweep wants: `ok`

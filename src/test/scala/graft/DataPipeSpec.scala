@@ -395,6 +395,28 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { TrainingOps.overlapChunks(rows, window = 4, stride = 5) }
   }
 
+  test("epoch shard order: per-epoch permutation, epochs differ, determinism, invariance") {
+    val sp = spark; import sp.implicits._
+    val shards = (0L until 20L).toDF("shard_id")
+    val out = TrainingOps.epochShardOrder(shards, epochs = 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(out.size == 60)
+    // each epoch's positions are a permutation of 0..19
+    (0 until 3).foreach { e =>
+      val pos = (0L until 20L).map(s => out((e, s))).sorted
+      assert(pos == (0 until 20), s"epoch $e not a permutation")
+    }
+    // epochs genuinely reorder (md5 keys differ per epoch)
+    val o0 = (0L until 20L).map(s => out((0, s)))
+    val o1 = (0L until 20L).map(s => out((1, s)))
+    assert(o0 != o1)
+    // pure function of (epoch, shard): stable under repartition
+    val rep = TrainingOps.epochShardOrder(shards.repartition(7), epochs = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(rep == out)
+    intercept[IllegalArgumentException] { TrainingOps.epochShardOrder(shards, epochs = 0) }
+  }
+
   test("orphan plan: four-way verdict, grace boundary keeps, ghost refs missing, dup refs collapse") {
     val sp = spark; import sp.implicits._
     val obs = Seq(("a", 10L), ("b", 10L), ("c", 79L), ("d", 80L), ("e", 5L))

@@ -444,6 +444,9 @@ object PlanCheck {
     println("==== 130. e57 link rot: ONE url-keyed left join + map-side host rollup over counter rows ====")
     SparkEntry.queries("e57_link_rot")(spark, sf).explain("formatted")
 
+    println("==== 131. p16 epoch order: metadata-plane per-epoch rank window over the shard ledger ====")
+    SparkEntry.queries("p16_epoch_order")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
