@@ -858,6 +858,10 @@ object SparkEntry {
     // per-source token yield after exact dedup over the dup-augmented
     // corpus (source kept): cross-source duplicate tokens attribute to
     // the keeper's source
+    // duplicate-cluster size histogram over the dup-augmented corpus:
+    // log2 buckets via the t24 bin()-length trick
+    "d31_dup_histogram" -> ((s, dir) =>
+      TrainingOps.dupSizeHistogram(dupAug(docs(s, dir)))),
     "t49_token_yield" -> ((s, dir) =>
       TrainingOps.tokenYield(docs(s, dir).select(col("doc_id"), col("source"),
         when(col("doc_id") % 5 === 4,
@@ -4590,6 +4594,14 @@ object SparkEntry {
           "'{\"@type\":\"Article\",\"name\":\"X' || doc_id || " +
           "'\",\"author\":{\"@type\":\"Person\",\"name\":\"Au' || doc_id || '\"}}', " +
           "'Article', 'X' || doc_id, NULL, 'Au' || doc_id FROM d WHERE f = 5)"),
+      // d31 oracle: the same dup augmentation, md5 clusters, and
+      // bit_length-1 bucketing via length(bin(x)) on both engines
+      "d31_dup_histogram" ->
+        (s"WITH a AS ($dupAugSql), " +
+          "c AS (SELECT md5(text) AS h, count(*) AS sz FROM a GROUP BY h), " +
+          "b AS (SELECT CAST(length(bin(sz)) - 1 AS INT) AS bucket, sz FROM c) " +
+          "SELECT bucket, count(*) AS n_clusters, CAST(SUM(sz) AS BIGINT) AS n_docs " +
+          "FROM b GROUP BY bucket"),
       // t49 oracle: the same dup augmentation with source kept, d1's
       // min-doc_id keeper rule, per-source rollups, long-div ppm
       "t49_token_yield" ->

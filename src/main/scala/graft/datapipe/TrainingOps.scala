@@ -2524,6 +2524,30 @@ object TrainingOps extends Serializable {
       .toDF("doc_id", "is_nfc", "raw_cp", "nfc_cp", "nfc_text")
   }
 
+  /** Duplicate-cluster size histogram — the SHAPE of the corpus's
+    * duplication, which the scalar dup-rate (p4) hides: a 20% dup rate
+    * made of pairs is normal web redundancy, the same rate made of a
+    * few 10^5-clone mirror swarms is a crawler stuck in a farm — and
+    * the swarm case is exactly what breaks naive LSH banding (the d2
+    * hardening exists because of it), so this table is the first thing
+    * to inspect when sizing dedup. Clusters = d1's md5(text) groups;
+    * sizes bucket by floor(log2) computed as bit_length-1 via the
+    * t24 `length(bin(x))` trick (engine-identical, transcendental-
+    * free). Per bucket: cluster count and total docs; bucket 0 is the
+    * unique mass, the tail buckets are the swarms.
+    *
+    * Scale shape: ONE 16-byte-key groupBy (d1's shuffle) then a
+    * map-side-combined rollup over (bucket, 1, sz) counter rows —
+    * strictly cheaper than d1 itself.
+    */
+  def dupSizeHistogram(docs: DataFrame): DataFrame = {
+    docs.select(md5(col("text")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("sz"))
+      .select((length(expr("bin(sz)")) - 1).cast("int").as("bucket"), col("sz"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+  }
+
   /** Per-source token yield after exact dedup — the number every
     * corpus release publishes next to its raw size: raw token counts
     * overstate what a model actually trains on, because duplicate mass

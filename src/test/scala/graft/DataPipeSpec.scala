@@ -349,6 +349,21 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { TrainingOps.kmeansTrain(pts, iters = 0) }
   }
 
+  test("dup histogram: log2 buckets, unique mass in bucket 0, totals conserve, swarm lands high") {
+    val sp = spark; import sp.implicits._
+    val d = ((0 until 5).map(i => (i.toLong, s"unique $i")) ++       // 5 singletons
+      (10 until 13).map(i => (i.toLong, "pair a")).take(2) ++        // one pair
+      (20 until 23).map(i => (i.toLong, "triple b")) ++              // one triple
+      (30 until 39).map(i => (i.toLong, "swarm c")))                 // 9 clones
+      .toDF("doc_id", "text")
+    val out = TrainingOps.dupSizeHistogram(d).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(0) == ((5L, 5L)))   // singletons
+    assert(out(1) == ((2L, 5L)))   // sizes 2 and 3 share bucket 1
+    assert(out(3) == ((1L, 9L)))   // the 9-swarm: floor(log2 9) = 3
+    assert(out.values.map(_._2).sum == d.count())
+  }
+
   test("token yield: keeper attribution, cross-source dup, ppm, kept sums to global dedup") {
     val sp = spark; import sp.implicits._
     val d = Seq(

@@ -447,6 +447,9 @@ object PlanCheck {
     println("==== 131. p16 epoch order: metadata-plane per-epoch rank window over the shard ledger ====")
     SparkEntry.queries("p16_epoch_order")(spark, sf).explain("formatted")
 
+    println("==== 132. d31 dup histogram: ONE 16-byte-key groupBy + map-side bucket rollup ====")
+    SparkEntry.queries("d31_dup_histogram")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
