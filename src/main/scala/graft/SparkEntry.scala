@@ -1796,6 +1796,18 @@ object SparkEntry {
     // chunks share W-S words
     "t48_overlap_chunks" -> ((s, dir) =>
       TrainingOps.overlapChunks(docs(s, dir))),
+    // byte/char/word accounting over multibyte-decorated text (latin-1
+    // supplement, CJK, astral emoji): the three sizes that diverge off
+    // ASCII, bytes-per-100-words in long division
+    "t50_byte_stats" -> ((s, dir) => {
+      val id = col("doc_id")
+      val tail = when(id % 4 === 1, lit(" \u00e9"))          // 2 bytes, 1 char
+        .when(id % 4 === 2, lit(" \u4e16\u754c"))            // 3+3 bytes, 2 chars
+        .when(id % 4 === 3, lit(" \ud83c\udf89"))            // 4 bytes, 1 codepoint
+        .otherwise(lit(""))
+      TrainingOps.byteStats(
+        docs(s, dir).select(id, concat(col("text"), tail).as("text")))
+    }),
     // NFC normalization audit over unicode-decorated text: combining
     // composition, the Angstrom singleton, Hangul jamo arithmetic,
     // already-NFC passthrough, and partial composition; JVM Normalizer
@@ -4628,6 +4640,16 @@ object SparkEntry {
           "CAST(least(8, n - t.ci * 4) AS INT) AS n_words, " +
           "array_to_string(w[t.ci * 4 + 1 : least(t.ci * 4 + 8, n)], ' ') AS chunk_text " +
           "FROM s, unnest(range(k)) t(ci)"),
+      // t50 oracle: the same chr()-decorated strings; strlen = octets,
+      // length = codepoints on both engines (astral included)
+      "t50_byte_stats" ->
+        (s"WITH d AS (SELECT doc_id, text || CASE doc_id % 4 " +
+          "WHEN 1 THEN ' ' || chr(233) WHEN 2 THEN ' ' || chr(19990) || chr(30028) " +
+          "WHEN 3 THEN ' ' || chr(127881) ELSE '' END AS text FROM documents) " +
+          s"SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes, " +
+          "CAST(length(text) AS INT) AS n_chars, " +
+          s"CAST(len($w) AS INT) AS n_words, " +
+          s"CAST(100 * strlen(text) // len($w) AS BIGINT) AS bytes_per_100w FROM d"),
       // t47 oracle: the SAME decorated strings built via chr(), then
       // DuckDB's utf8proc nfc_normalize against the JVM Normalizer —
       // a cross-library UAX #15 conformance check (composition,

@@ -2524,6 +2524,28 @@ object TrainingOps extends Serializable {
       .toDF("doc_id", "is_nfc", "raw_cp", "nfc_cp", "nfc_text")
   }
 
+  /** Byte/char/word accounting — the three sizes of text that diverge
+    * the moment a corpus leaves ASCII, and conflating them mis-sizes
+    * everything downstream: storage and shuffle budgets are BYTES,
+    * context windows and LM scaling laws are TOKENS, and display/
+    * offset arithmetic is CODEPOINTS. Per doc: octet length, codepoint
+    * count, whitespace-word count, and bytes-per-100-words in exact
+    * long division — the compression-ratio stat (CJK runs ~3 bytes/
+    * char, emoji 4, ASCII 1; a corpus-level shift in this number means
+    * the language mix moved, not the content). Codepoints, not UTF-16
+    * units — Spark's length() counts codepoints over UTF8String and
+    * DuckDB's length() agrees, astral chars included (pinned).
+    *
+    * Scale shape: pure per-row codegen'd built-ins, zero exchange.
+    */
+  def byteStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      octet_length(col("text")).cast("int").as("n_bytes"),
+      length(col("text")).cast("int").as("n_chars"),
+      size(words(col("text"))).cast("int").as("n_words"))
+      .withColumn("bytes_per_100w",
+        expr("CAST(100L * n_bytes div n_words AS BIGINT)"))
+
   /** Duplicate-cluster size histogram — the SHAPE of the corpus's
     * duplication, which the scalar dup-rate (p4) hides: a 20% dup rate
     * made of pairs is normal web redundancy, the same rate made of a

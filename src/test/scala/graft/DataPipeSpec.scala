@@ -349,6 +349,22 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { TrainingOps.kmeansTrain(pts, iters = 0) }
   }
 
+  test("byte stats: octets vs codepoints vs words diverge off ascii, astral counts once") {
+    val sp = spark; import sp.implicits._
+    val rows = Seq(
+      (0L, "plain ascii text"),
+      (1L, "caf\u00e9 au lait"),
+      (2L, "\u4e16\u754c hello"),
+      (3L, "\ud83c\udf89 party")).toDF("doc_id", "text")
+    val out = TrainingOps.byteStats(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))))
+      .toMap
+    assert(out(0L) == ((16, 16, 3, 533L)))
+    assert(out(1L) == ((13, 12, 3, 433L)))   // e-acute: 2 bytes, 1 char
+    assert(out(2L) == ((12, 8, 2, 600L)))    // CJK pair: 6 bytes, 2 chars
+    assert(out(3L) == ((10, 7, 2, 500L)))    // astral: 4 bytes, ONE codepoint
+  }
+
   test("dup histogram: log2 buckets, unique mass in bucket 0, totals conserve, swarm lands high") {
     val sp = spark; import sp.implicits._
     val d = ((0 until 5).map(i => (i.toLong, s"unique $i")) ++       // 5 singletons

@@ -450,6 +450,9 @@ object PlanCheck {
     println("==== 132. d31 dup histogram: ONE 16-byte-key groupBy + map-side bucket rollup ====")
     SparkEntry.queries("d31_dup_histogram")(spark, sf).explain("formatted")
 
+    println("==== 133. t50 byte stats: pure per-row codegen'd built-ins, zero exchange ====")
+    SparkEntry.queries("t50_byte_stats")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
