@@ -1394,6 +1394,44 @@ object SparkEntry {
         .toDF("src", "lang", "dst")
       graft.datapipe.GraphOps.hreflangReciprocity(edges)
     }),
+    // title-vs-og:title agreement audit: the two title channels parsed
+    // by their REAL scanners (Meta RCDATA title, Directives og) in one
+    // pass each; disagreement is the template-chrome tell
+    "e58_title_og_diff" -> ((s, dir) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val html = when(id % 5 === 0, concat(
+          lit("<html><head><title>Same "), id,
+          lit("</title><meta property=\"og:title\" content=\"Same "), id,
+          lit("\"></head><body>a</body></html>")))
+        .when(id % 5 === 1, concat(
+          lit("<html><head><title>Chrome | Site</title>" +
+            "<meta property=\"og:title\" content=\"Real headline "), id % 13,
+          lit("\"></head><body>b</body></html>")))
+        .when(id % 5 === 2, concat(
+          lit("<html><head><title>Only title "), id % 7,
+          lit("</title></head><body>c</body></html>")))
+        .when(id % 5 === 3, concat(
+          lit("<html><head><meta property=\"og:title\" content=\"Only og "), id % 3,
+          lit("\"></head><body>d</body></html>")))
+        .otherwise(concat(
+          lit("<html><head></head><body>doc "), id, lit("</body></html>")))
+      docs(s, dir).select(id, html.as("html")).as[(Long, String)]
+        .map { case (i2, h) =>
+          val t = Option(graft.core.Meta.metaOf(h.getBytes("UTF-8")).title)
+            .map(_.trim).filter(_.nonEmpty)
+          val og = graft.core.Directives.scan(h).og.get("og:title")
+            .map(_.trim).filter(_.nonEmpty)
+          val verdict = (t, og) match {
+            case (Some(a), Some(b)) => if (a == b) "match" else "differs"
+            case (Some(_), None) => "og_missing"
+            case (None, Some(_)) => "title_missing"
+            case _ => "both_missing"
+          }
+          (i2, t, og, verdict)
+        }
+        .toDF("doc_id", "title", "og_title", "verdict")
+    }),
     // OpenGraph core harvest: og:title/description/type/image from
     // meta[property] (property gate, case-folded keys, first-wins);
     // decoys pin name-vs-property and comment immunity
@@ -4556,6 +4594,19 @@ object SparkEntry {
           "SELECT e.src, e.lang, e.dst, r.src IS NOT NULL AS reciprocated " +
           "FROM e LEFT JOIN (SELECT DISTINCT src, dst FROM e) r " +
           "ON r.src = e.dst AND r.dst = e.src"),
+      // e58 oracle: both title channels and the verdict arithmetic
+      // from doc_id — a MATCH pins that the RCDATA title scan and the
+      // og property scan agree with the constructed families
+      "e58_title_og_diff" ->
+        ("SELECT doc_id, " +
+          "CASE doc_id % 5 WHEN 0 THEN 'Same ' || doc_id WHEN 1 THEN 'Chrome | Site' " +
+          "WHEN 2 THEN 'Only title ' || (doc_id % 7) END AS title, " +
+          "CASE doc_id % 5 WHEN 0 THEN 'Same ' || doc_id " +
+          "WHEN 1 THEN 'Real headline ' || (doc_id % 13) " +
+          "WHEN 3 THEN 'Only og ' || (doc_id % 3) END AS og_title, " +
+          "CASE doc_id % 5 WHEN 0 THEN 'match' WHEN 1 THEN 'differs' " +
+          "WHEN 2 THEN 'og_missing' WHEN 3 THEN 'title_missing' " +
+          "ELSE 'both_missing' END AS verdict FROM documents"),
       // e55 oracle: every og field arithmetic from doc_id — a MATCH
       // pins the property gate (name= is NOT OpenGraph), key case-
       // folding, first-wins, and comment immunity

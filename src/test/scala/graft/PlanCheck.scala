@@ -453,6 +453,9 @@ object PlanCheck {
     println("==== 133. t50 byte stats: pure per-row codegen'd built-ins, zero exchange ====")
     SparkEntry.queries("t50_byte_stats")(spark, sf).explain("formatted")
 
+    println("==== 134. e58 title-og diff: two map-side scans per row, zero exchange ====")
+    SparkEntry.queries("e58_title_og_diff")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
