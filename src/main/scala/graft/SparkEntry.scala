@@ -2193,6 +2193,15 @@ object SparkEntry {
         .toDF("doc_id", "payload")
       TrainingOps.ebmlElements(s, payloads)
     }),
+    // Parquet container sniff: end-anchored (PAR1 head+tail, u32le
+    // footer_len from the tail, footer must fit inside n-12)
+    "m23_parquet_footer" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = docs(s, dir).select(col("doc_id")).as[Long]
+        .map(id => (id, TrainingOps.syntheticParquetPayload(id)))
+        .toDF("doc_id", "payload")
+      TrainingOps.parquetFooter(s, payloads)
+    }),
     // TFRecord walk: u64le length + masked-CRC32C framing; length-crc
     // failure HALTS (boundary untrustworthy), data-crc failure flags
     // and CONTINUES — the two-checksum policy pinned by families
@@ -4411,6 +4420,19 @@ object SparkEntry {
           "UNION ALL SELECT doc_id, 'malformed', 0, 0, 'frame', br, sr, p0, bs + p0, crc FROM c WHERE f = 3 " +
           "UNION ALL SELECT doc_id, 'not_mp3', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM c WHERE f = 4 " +
           "UNION ALL SELECT doc_id, 'free_bitrate', 0, 0, 'frame', br, sr, p0, bs + p0, crc FROM c WHERE f = 5)"),
+      // m23 oracle: container geometry arithmetic (n = 12+p+fl for the
+      // valid family; footer_off = 4+p), verdicts per family
+      "m23_parquet_footer" ->
+        ("WITH c AS (SELECT doc_id, doc_id % 5 AS f, " +
+          "CAST(30 + doc_id % 40 AS BIGINT) AS p, CAST(20 + doc_id % 50 AS BIGINT) AS fl, " +
+          "CAST(length('plain text payload ' || doc_id) AS INT) AS pl FROM documents) " +
+          "SELECT doc_id, status, CAST(fo2 AS BIGINT) AS footer_len, " +
+          "CAST(mo AS BIGINT) AS footer_off, CAST(nb AS INT) AS n_bytes FROM ( " +
+          "SELECT doc_id, 'ok' AS status, fl AS fo2, 4 + p AS mo, 12 + p + fl AS nb FROM c WHERE f = 0 " +
+          "UNION ALL SELECT doc_id, 'not_parquet', NULL, NULL, pl FROM c WHERE f = 1 " +
+          "UNION ALL SELECT doc_id, 'malformed', NULL, NULL, 12 + p + fl FROM c WHERE f = 2 " +
+          "UNION ALL SELECT doc_id, 'corrupt_footer', p + fl + 100, NULL, 12 + p + fl FROM c WHERE f = 3 " +
+          "UNION ALL SELECT doc_id, 'truncated', NULL, NULL, 4 + least(7, p) FROM c WHERE f = 4)"),
       // m22 oracle: record geometry (16 + len per record) and payload
       // md5s re-derived in SQL — the corrupted family's md5 is the md5
       // of the FLIPPED payload ('c' || 'b'*(r2-1)), so a MATCH pins

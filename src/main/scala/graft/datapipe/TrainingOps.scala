@@ -5805,6 +5805,82 @@ object TrainingOps extends Serializable {
         "data_crc_ok", "payload_md5")
   }
 
+  /** Synthetic Parquet-container payloads for [[parquetFooter]] — five
+    * families keyed by doc_id % 5 (p = 30+id%40 data bytes,
+    * fl = 20+id%50 footer bytes): 0 valid; 1 not parquet; 2 head magic
+    * ok but tail magic wrong (a concatenation/truncate-then-append
+    * artifact); 3 footer length covering the whole file (corrupt);
+    * 4 shorter than the 12-byte minimum.
+    */
+  def syntheticParquetPayload(id: Long): Array[Byte] = {
+    val bb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def le32(v: Long): Unit =
+      (0 until 4).foreach(i => bb += ((v >> (8 * i)) & 0xff).toByte)
+    def magic(): Unit = bb ++= "PAR1".getBytes("US-ASCII")
+    val p = (30 + id % 40).toInt; val fl = (20 + id % 50).toInt
+    def fill(k: Int, c: Int): Unit =
+      (0 until k).foreach(i => bb += ((c + i % 17) & 0x7f).toByte)
+    (id % 5) match {
+      case 0 => magic(); fill(p, 'd'); fill(fl, 'm'); le32(fl.toLong); magic()
+      case 1 => bb ++= s"plain text payload $id".getBytes("US-ASCII")
+      case 2 => magic(); fill(p, 'd'); fill(fl, 'm'); le32(fl.toLong)
+        bb ++= "XXXX".getBytes("US-ASCII")
+      case 3 => magic(); fill(p, 'd'); fill(fl, 'm')
+        le32((p + fl + 100).toLong); magic()
+      case _ => magic(); fill(math.min(7, p), 'd')
+    }
+    bb.toArray
+  }
+
+  /** Parquet container sniff — the END-ANCHORED member of the walker
+    * series for the lakehouse's own file format (m13's ZIP lesson
+    * applied to columnar data): a Parquet file is `PAR1 | row groups |
+    * footer metadata | u32le footer_len | PAR1`, and a reader finds
+    * the footer from the TAIL — so integrity checking is head magic,
+    * tail magic, and the footer-length fitting inside the file
+    * (footer_len <= n - 12), three independent failure modes each with
+    * its own verdict: `not_parquet` (head), `malformed` (tail magic
+    * wrong — the signature of concatenated or truncated-then-appended
+    * files), `corrupt_footer` (declared footer overruns the data
+    * span — the off-by-ordering write bug), `truncated` (under the
+    * 12-byte minimum), else `ok` with footer_len and the footer's
+    * start offset. Thrift metadata decoding is deliberately out of
+    * scope — the container frame is what an integrity sweep reads,
+    * and it never touches row-group bytes.
+    *
+    * Scale shape: per-row map reading 12 bytes of header/trailer
+    * regardless of file size; zero exchange.
+    */
+  def parquetFooter(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, raw) =>
+          val b = if (raw == null) Array.emptyByteArray else raw
+          val n = b.length
+          def le(i: Int, k: Int): Long = {
+            var v = 0L; var j = k - 1
+            while (j >= 0) { v = (v << 8) | (b(i + j) & 0xffL); j -= 1 }
+            v
+          }
+          def magicAt(i: Int) =
+            b(i) == 'P' && b(i + 1) == 'A' && b(i + 2) == 'R' && b(i + 3) == '1'
+          if (n < 12)
+            (id, if (n >= 4 && magicAt(0)) "truncated" else "not_parquet",
+              None: Option[Long], None: Option[Long], n)
+          else if (!magicAt(0)) (id, "not_parquet", None, None, n)
+          else if (!magicAt(n - 4)) (id, "malformed", None, None, n)
+          else {
+            val fl = le(n - 8, 4)
+            if (fl > n - 12) (id, "corrupt_footer", Some(fl), None, n)
+            else (id, "ok", Some(fl), Some(n - 8 - fl), n)
+          }
+        }
+      }
+      .toDF("doc_id", "status", "footer_len", "footer_off", "n_bytes")
+  }
+
   def imageDims(spark: SparkSession, payloads: DataFrame): DataFrame = {
     import spark.implicits._
     payloads.select(col("doc_id"), col("payload"))

@@ -3040,6 +3040,53 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(statuses.subsetOf(Set("ok", "truncated", "corrupt_len")))
   }
 
+  test("parquet footer: end-anchored geometry, verdict split, boundary footer, totality") {
+    val sp = spark; import sp.implicits._
+    def run(rows: Seq[(Long, Array[Byte])]) =
+      TrainingOps.parquetFooter(sp, rows.toDF("doc_id", "payload")).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          r.getInt(4)))).toMap
+    val out = run((0L to 4L).map(id => (id, TrainingOps.syntheticParquetPayload(id))))
+    // id 0: p=30 fl=20 -> n=62, footer at 34
+    assert(out(0L) == (("ok", 20L, 34L, 62)))
+    assert(out(1L)._1 == "not_parquet")
+    assert(out(2L)._1 == "malformed")
+    assert(out(3L)._1 == "corrupt_footer" && out(3L)._2 == 156L) // 33+23+100
+    assert(out(4L)._1 == "truncated")
+    // boundary: footer_len exactly n-12 is legal (zero data bytes);
+    // one more is corrupt
+    def mini(fl: Int, declared: Int) = {
+      val bb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      bb ++= "PAR1".getBytes("US-ASCII")
+      (0 until fl).foreach(_ => bb += 'm'.toByte)
+      (0 until 4).foreach(i => bb += ((declared >> (8 * i)) & 0xff).toByte)
+      bb ++= "PAR1".getBytes("US-ASCII")
+      bb.toArray
+    }
+    val m = run(Seq(90L -> mini(5, 5), 91L -> mini(5, 6), 92L -> Array.emptyByteArray))
+    assert(m(90L) == (("ok", 5L, 4L, 17)))
+    assert(m(91L)._1 == "corrupt_footer")
+    assert(m(92L)._1 == "not_parquet")
+    val rnd = new scala.util.Random(3737)
+    val fuzz = (0 until 150).map { i =>
+      val base =
+        if (i % 2 == 0) Array.fill(rnd.nextInt(80))(rnd.nextInt(256).toByte)
+        else {
+          val v = TrainingOps.syntheticParquetPayload(rnd.nextInt(60).toLong)
+          if (v.nonEmpty) v(rnd.nextInt(v.length)) =
+            (v(rnd.nextInt(v.length)) ^ (1 << rnd.nextInt(8))).toByte
+          v
+        }
+      (1000L + i, base)
+    }
+    val statuses = TrainingOps.parquetFooter(sp, fuzz.toDF("doc_id", "payload"))
+      .select("status").distinct().collect().map(_.getString(0)).toSet
+    assert(statuses.subsetOf(
+      Set("ok", "not_parquet", "truncated", "malformed", "corrupt_footer")))
+  }
+
   test("tiff entries: dual endianness, inline/indirect split, exif pointer consumed, cycle, truncation, totality") {
     val sp = spark; import sp.implicits._
     def run(rows: Seq[(Long, Array[Byte])]) =

@@ -456,6 +456,9 @@ object PlanCheck {
     println("==== 134. e58 title-og diff: two map-side scans per row, zero exchange ====")
     SparkEntry.queries("e58_title_og_diff")(spark, sf).explain("formatted")
 
+    println("==== 135. m23 parquet footer: per-row 12-byte head/tail sniff, zero exchange ====")
+    SparkEntry.queries("m23_parquet_footer")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
