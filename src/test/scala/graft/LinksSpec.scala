@@ -314,6 +314,28 @@ class LinksSpec extends AnyFunSuite {
     assert(eof.entries.map(_.link) == Vector("https://e.example.com/1"))
   }
 
+  test("directives totality: junk and truncated-directive inputs scan without throwing") {
+    import graft.core.Directives
+    val rnd = new scala.util.Random(4242)
+    (0 until 300).foreach { i =>
+      val junk = (0 until rnd.nextInt(200)).map(_ => (rnd.nextInt(96) + 32).toChar).mkString
+      val biased = (i % 8) match {
+        case 0 => "<script type=\"application/ld+json\">" + junk        // unclosed block
+        case 1 => "<meta http-equiv=refresh content=\"" + junk          // unclosed attr
+        case 2 => "<link rel=canonical href=" + junk
+        case 3 => "<meta property=\"og:title\" content='" + junk        // unclosed quote
+        case 4 => "<!-- " + junk                                        // unclosed comment
+        case 5 => "<script" + junk                                      // cut mid-tag
+        case 6 => junk
+        case _ => "<time datetime=\"" + junk + "<meta property=og:type content"
+      }
+      val d = Directives.scan(biased) // must not throw
+      // and the refresh parser is total over whatever was captured
+      Directives.metaRefresh(d.refresh)
+      Directives.pubDate(d, "https://x.example.com/" + i)
+    }
+  }
+
   test("feeds totality: junk and adversarial inputs parse without throwing") {
     import graft.core.Feeds
     val rnd = new scala.util.Random(42)
