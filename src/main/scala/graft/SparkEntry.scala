@@ -2195,6 +2195,15 @@ object SparkEntry {
     }),
     // Parquet container sniff: end-anchored (PAR1 head+tail, u32le
     // footer_len from the tail, footer must fit inside n-12)
+    // GIF block walk: sub-block chains (len|data, zero-terminated) +
+    // the log-encoded color-table length from the screen descriptor
+    "m24_gif_blocks" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = docs(s, dir).select(col("doc_id")).as[Long]
+        .map(id => (id, TrainingOps.syntheticGifPayload(id)))
+        .toDF("doc_id", "payload")
+      TrainingOps.gifBlocks(s, payloads)
+    }),
     "m23_parquet_footer" -> ((s, dir) => {
       import s.implicits._
       val payloads = docs(s, dir).select(col("doc_id")).as[Long]
@@ -4422,6 +4431,26 @@ object SparkEntry {
           "UNION ALL SELECT doc_id, 'free_bitrate', 0, 0, 'frame', br, sr, p0, bs + p0, crc FROM c WHERE f = 5)"),
       // m23 oracle: container geometry arithmetic (n = 12+p+fl for the
       // valid family; footer_off = 4+p), verdicts per family
+      // m24 oracle: per-family geometry arithmetic — gct = 3·2^(s+1),
+      // frame = 12 + m·(1+d); truncated keeps width/height (screen
+      // descriptor parsed) but withholds counts, malformed keeps the
+      // pre-fault tallies
+      "m24_gif_blocks" ->
+        ("WITH c AS (SELECT doc_id, doc_id % 5 AS f, " +
+          "CAST(doc_id % 3 AS INT) AS s, CAST(1 + doc_id % 3 AS INT) AS k, " +
+          "CAST(1 + doc_id % 2 AS INT) AS m, CAST(1 + doc_id % 7 AS INT) AS d, " +
+          "CAST(100 + doc_id % 50 AS INT) AS w, CAST(80 + doc_id % 40 AS INT) AS h, " +
+          "CAST(3 * (1 << (CAST(doc_id % 3 AS INT) + 1)) AS INT) AS g, " +
+          "CAST(length('plain text payload ' || doc_id) AS INT) AS pl FROM documents) " +
+          "SELECT doc_id, status, width, height, frames, extensions, subblocks, n_bytes FROM ( " +
+          "SELECT doc_id, 'ok' AS status, w AS width, h AS height, k AS frames, " +
+          "1 AS extensions, 1 + k * m AS subblocks, 22 + g + k * (12 + m * (1 + d)) AS n_bytes " +
+          "FROM c WHERE f = 0 " +
+          "UNION ALL SELECT doc_id, 'not_gif', NULL, NULL, NULL, NULL, NULL, pl FROM c WHERE f = 1 " +
+          "UNION ALL SELECT doc_id, 'truncated', w, h, NULL, NULL, NULL, 16 FROM c WHERE f = 2 " +
+          "UNION ALL SELECT doc_id, 'malformed', w, h, 1, 1, 1 + m, " +
+          "37 + g + m * (1 + d) FROM c WHERE f = 3 " +
+          "UNION ALL SELECT doc_id, 'ok', w, h, 1, 0, m, 26 + m * (1 + d) FROM c WHERE f = 4)"),
       "m23_parquet_footer" ->
         ("WITH c AS (SELECT doc_id, doc_id % 5 AS f, " +
           "CAST(30 + doc_id % 40 AS BIGINT) AS p, CAST(20 + doc_id % 50 AS BIGINT) AS fl, " +

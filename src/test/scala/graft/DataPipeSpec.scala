@@ -3087,6 +3087,61 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set("ok", "not_parquet", "truncated", "malformed", "corrupt_footer")))
   }
 
+  test("gif blocks: family split, zero-data frame, 255 sub-block, trailer tail, mid-chain cut, totality") {
+    val sp = spark; import sp.implicits._
+    def run(rows: Seq[(Long, Array[Byte])]) =
+      TrainingOps.gifBlocks(sp, rows.toDF("doc_id", "payload")).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1),
+          if (r.isNullAt(2)) -1 else r.getInt(2), if (r.isNullAt(3)) -1 else r.getInt(3),
+          if (r.isNullAt(4)) -1 else r.getInt(4), if (r.isNullAt(5)) -1 else r.getInt(5),
+          if (r.isNullAt(6)) -1 else r.getInt(6), r.getInt(7)))).toMap
+    val out = run((0L to 4L).map(id => (id, TrainingOps.syntheticGifPayload(id))))
+    // id 0: s=0 g=6, k=1, m=1, d=1 -> n = 22+6+14 = 42; subs = GCE 1 + 1
+    assert(out(0L) == (("ok", 100, 80, 1, 1, 2, 42)))
+    assert(out(1L)._1 == "not_gif")
+    // truncated inside the color table: dims survive, counts withheld
+    assert(out(2L) == (("truncated", 102, 82, -1, -1, -1, 16)))
+    // malformed after frame 1: pre-fault tallies kept (m=2, d=4 -> subs 3)
+    assert(out(3L) == (("malformed", 103, 83, 1, 1, 3, 53)))
+    // GIF87a family: no color table, no extensions
+    assert(out(4L) == (("ok", 104, 84, 1, 0, 1, 32)))
+    // hand-built: header + LSD (no GCT), then frame variants
+    def gif(body: Array[Byte]): Array[Byte] =
+      "GIF89a".getBytes("US-ASCII") ++
+        Array[Byte](10, 0, 20, 0, 0x00, 0, 0) ++ body
+    val frameHead = Array[Byte](0x2c, 0, 0, 0, 0, 10, 0, 20, 0, 0, 8)
+    // zero-data frame: immediate terminator -> 0 sub-blocks, still a frame
+    val zf = gif(frameHead ++ Array[Byte](0, 0x3b))
+    // one 255-byte sub-block then a 3-byte one: independent lengths, no
+    // Ogg-style continuation semantics
+    val big = gif(frameHead ++ (Array[Byte](-1) ++ Array.fill(255)('x'.toByte)) ++
+      Array[Byte](3, 1, 2, 3, 0, 0x3b))
+    // bytes after the trailer are ignored
+    val tail = gif(frameHead ++ Array[Byte](0, 0x3b, 99, 98, 97))
+    // extension cut mid-chain: truncated, the extension is NOT counted
+    val cut = gif(Array[Byte](0x21, 0xfe.toByte, 5, 1, 2))
+    val hb = run(Seq(10L -> zf, 11L -> big, 12L -> tail, 13L -> cut))
+    assert(hb(10L) == (("ok", 10, 20, 1, 0, 0, zf.length)))
+    assert(hb(11L) == (("ok", 10, 20, 1, 0, 2, big.length)))
+    assert(hb(12L) == (("ok", 10, 20, 1, 0, 0, tail.length)))
+    assert(hb(13L) == (("truncated", 10, 20, -1, -1, -1, cut.length)))
+    val rnd = new scala.util.Random(2424)
+    val fuzz = (0 until 150).map { i =>
+      val base =
+        if (i % 2 == 0) Array.fill(rnd.nextInt(90))(rnd.nextInt(256).toByte)
+        else {
+          val v = TrainingOps.syntheticGifPayload(rnd.nextInt(60).toLong)
+          if (v.nonEmpty) v(rnd.nextInt(v.length)) =
+            (v(rnd.nextInt(v.length)) ^ (1 << rnd.nextInt(8))).toByte
+          v.take(if (rnd.nextBoolean()) v.length else rnd.nextInt(v.length + 1))
+        }
+      (1000L + i, base)
+    }
+    val statuses = TrainingOps.gifBlocks(sp, fuzz.toDF("doc_id", "payload"))
+      .select("status").distinct().collect().map(_.getString(0)).toSet
+    assert(statuses.subsetOf(Set("ok", "not_gif", "truncated", "malformed")))
+  }
+
   test("tiff entries: dual endianness, inline/indirect split, exif pointer consumed, cycle, truncation, totality") {
     val sp = spark; import sp.implicits._
     def run(rows: Seq[(Long, Array[Byte])]) =

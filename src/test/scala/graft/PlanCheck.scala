@@ -459,6 +459,9 @@ object PlanCheck {
     println("==== 135. m23 parquet footer: per-row 12-byte head/tail sniff, zero exchange ====")
     SparkEntry.queries("m23_parquet_footer")(spark, sf).explain("formatted")
 
+    println("==== 136. m24 gif blocks: typed mapPartitions sub-block-chain walker in the scan stage, zero exchange ====")
+    SparkEntry.queries("m24_gif_blocks")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
