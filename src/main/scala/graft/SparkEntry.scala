@@ -594,6 +594,11 @@ object SparkEntry {
     // NULL targets
     "t45_span_corruption" -> ((s, dir) =>
       TrainingOps.spanCorruption(docs(s, dir))),
+    // BERT-style MLM masking: hash-deterministic 15% selection with the
+    // 80/10/10 mask/random/keep action split; random replacements are
+    // document-local draws; labels = original words at selected
+    // positions (NULL when none)
+    "t51_mlm_mask" -> ((s, dir) => TrainingOps.mlmMask(docs(s, dir))),
     // fill-in-the-middle transform: 50% of eligible docs (n>=3) get a
     // hash-chosen middle span moved behind sentinel tokens, alternating
     // psm/spm segment orders; the rest pass through as plain LM samples
@@ -3925,6 +3930,41 @@ object SparkEntry {
           "CAST(coalesce(a.ns, 0) AS INT) AS n_spans, " +
           "coalesce(a.inputs, '') AS inputs, " +
           "CASE WHEN coalesce(a.ns, 0) > 0 THEN a.tg || ' <extra_id_' || a.ns || '>' END AS targets " +
+          "FROM base b LEFT JOIN agg a USING (doc_id)"),
+      // t51 oracle: re-derives selection (mlm: hash < 15), the action
+      // decile (mlma:), and the document-local replacement index
+      // (mlmr: mod n, 1-based list pick) per position, rebuilds
+      // masked_text/labels by ordered string_agg; zero-word docs come
+      // back ('' text, NULL labels) via the LEFT JOIN — a MATCH pins
+      // the 80/10/10 split, the local-draw convention, and the
+      // keep-action trap (original word in BOTH masked_text and labels)
+      "t51_mlm_mask" ->
+        ("WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents), " +
+          "w AS (SELECT doc_id, list_filter(regexp_split_to_array(t, " +
+          "'[ \\t\\n\\r\\f\\x0B]+'), x -> x <> '') AS w FROM base), " +
+          "u AS (SELECT doc_id, w, len(w) AS n, unnest(range(len(w))) AS i, unnest(w) AS word FROM w), " +
+          "s AS (SELECT doc_id, w, n, i, word, " +
+          "('0x' || substr(md5('mlm:'  || doc_id || ':' || i),1,15))::BIGINT % 100 < 15 AS sel, " +
+          "('0x' || substr(md5('mlma:' || doc_id || ':' || i),1,15))::BIGINT % 10 AS act, " +
+          "('0x' || substr(md5('mlmr:' || doc_id || ':' || i),1,15))::BIGINT AS hr FROM u), " +
+          "p AS (SELECT doc_id, n, i, word, sel, act, " +
+          "CASE WHEN sel AND act = 8 THEN w[(hr % n)::INT + 1] END AS rep FROM s), " +
+          "agg AS (SELECT doc_id, max(n) AS n, " +
+          "sum(CASE WHEN sel THEN 1 ELSE 0 END) AS nsel, " +
+          "sum(CASE WHEN sel AND act < 8 THEN 1 ELSE 0 END) AS nmask, " +
+          "sum(CASE WHEN sel AND act = 8 THEN 1 ELSE 0 END) AS nrand, " +
+          "sum(CASE WHEN sel AND act = 9 THEN 1 ELSE 0 END) AS nkeep, " +
+          "string_agg(CASE WHEN NOT sel THEN word WHEN act < 8 THEN '[MASK]' " +
+          "WHEN act = 8 THEN rep ELSE word END, ' ' ORDER BY i) AS mt, " +
+          "string_agg(CASE WHEN sel THEN word END, ' ' ORDER BY i) AS labels " +
+          "FROM p GROUP BY doc_id) " +
+          "SELECT b.doc_id, CAST(coalesce(a.n, 0) AS INT) AS n_words, " +
+          "CAST(coalesce(a.nsel, 0) AS INT) AS n_selected, " +
+          "CAST(coalesce(a.nmask, 0) AS INT) AS n_masktok, " +
+          "CAST(coalesce(a.nrand, 0) AS INT) AS n_random, " +
+          "CAST(coalesce(a.nkeep, 0) AS INT) AS n_keep, " +
+          "coalesce(a.mt, '') AS masked_text, " +
+          "CASE WHEN coalesce(a.nsel, 0) > 0 THEN a.labels END AS labels " +
           "FROM base b LEFT JOIN agg a USING (doc_id)"),
       // t46 oracle: same keyed hashes, list slicing (1-based inclusive
       // w[a:b] mirrors Spark's slice(arr, a, len)), sentinel arrays

@@ -3050,6 +3050,70 @@ object TrainingOps extends Serializable {
         .otherwise(array_join(psmToks, " ")).as("fim_text"))
   }
 
+  /** BERT-style MLM masking — the third member of the pretraining-
+    * transform trio beside T5 span corruption ([[spanCorruption]]) and
+    * FIM ([[fimTransform]]): select ~`maskPct`% of words and apply the
+    * classic 80/10/10 policy — 80% become a `[MASK]` token, 10% become
+    * a RANDOM replacement word, 10% stay VERBATIM (the trap that forces
+    * the model to attend to every position, since an unmasked word may
+    * still be a label). Selection and action are hash-deterministic per
+    * (doc, position) — the repo's reshard-stable convention: word i is
+    * selected iff h60("mlm:"+id+":"+i) mod 100 < maskPct, its action is
+    * h60("mlma:"+id+":"+i) mod 10 (0-7 mask / 8 random / 9 keep). The
+    * random replacement is DOCUMENT-LOCAL — the word at index
+    * h60("mlmr:"+id+":"+i) mod n of the SAME document — which keeps the
+    * transform a pure per-row function (a corpus-vocab draw would need
+    * a join or broadcast for what is, to the loss, still just a wrong
+    * token); it may coincide with the original, exactly as BERT's
+    * vocab draw may. `labels` carries the ORIGINAL words at selected
+    * positions in order (NULL when none selected — the NULL-not-empty
+    * convention); counts ride along so corpus-level mask rates are a
+    * one-line aggregate.
+    *
+    * Scale shape: pure per-row array expressions (transform/filter/
+    * zip-free, codegen'd with subexpression elimination), zero
+    * exchange, rides the scan.
+    */
+  def mlmMask(docs: DataFrame, maskPct: Int = 15): DataFrame = {
+    require(maskPct >= 1 && maskPct <= 50, "maskPct must be in [1, 50]")
+    val id = col("doc_id")
+    val txt = coalesce(col("text"), lit(""))
+    // empty-token filter instead of a trim guard: column trim strips
+    // only ASCII spaces, so "\n\t"-padded text would sprout phantom ""
+    // words — filtering makes the op total over arbitrary whitespace
+    val arr = filter(split(txt, wsClass + "+"), x => length(x) > 0)
+    val n = size(arr)
+    // per-token (word, action, replacement) structs; action -1 = not
+    // selected, 0-7 = [MASK], 8 = local random replacement, 9 = keep
+    val st = transform(arr, (x, i) => {
+      val sel = pmod(h60(concat(lit("mlm:"), id, lit(":"), i)),
+        lit(100L)) < maskPct
+      val act = pmod(h60(concat(lit("mlma:"), id, lit(":"), i)),
+        lit(10L)).cast("int")
+      val rep = element_at(arr,
+        pmod(h60(concat(lit("mlmr:"), id, lit(":"), i)),
+          n.cast("long")).cast("int") + 1)
+      struct(x.as("w"),
+        when(sel, act).otherwise(lit(-1)).as("a"),
+        when(sel && act === 8, rep).as("r"))
+    })
+    val nSel = size(filter(st, s => s("a") >= 0))
+    docs.select(
+      id,
+      n.as("n_words"),
+      nSel.as("n_selected"),
+      size(filter(st, s => s("a").between(0, 7))).as("n_masktok"),
+      size(filter(st, s => s("a") === 8)).as("n_random"),
+      size(filter(st, s => s("a") === 9)).as("n_keep"),
+      array_join(transform(st, s =>
+        when(s("a").between(0, 7), lit("[MASK]"))
+          .when(s("a") === 8, s("r"))
+          .otherwise(s("w"))), " ").as("masked_text"),
+      when(nSel > 0,
+        array_join(transform(filter(st, s => s("a") >= 0), s => s("w")), " "))
+        .as("labels"))
+  }
+
   /** Shard-compaction planning — the small-files fixer's PLAN step
     * (what Iceberg's rewriteDataFiles / AQE's partition coalescing do,
     * as an inspectable table): assign each input shard to an output bin

@@ -707,6 +707,71 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { TrainingOps.spanCorruption(docs, spanLen = 0) }
   }
 
+  test("mlm mask: 80/10/10 split, local random draw, keep trap, rate, empty doc") {
+    val sp = spark; import sp.implicits._
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = TrainingOps.mlmMask(docs).collect()
+    assert(out.length == texts.size)
+    var totWords = 0L; var totSel = 0L; var totMask = 0L
+    var totRand = 0L; var totKeep = 0L
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (n, nsel, nmask, nrand, nkeep) =
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))
+      val mt = r.getString(6)
+      val labels = if (r.isNullAt(7)) null else r.getString(7)
+      totWords += n; totSel += nsel; totMask += nmask
+      totRand += nrand; totKeep += nkeep
+      assert(nsel == nmask + nrand + nkeep, s"doc $id action conservation")
+      // independent Scala rederivation of the full transform
+      val w = texts(id).split("[ \t\n\r\f]+").filter(_.nonEmpty)
+      assert(n == w.length, s"doc $id word count")
+      val expMt = new StringBuilder; val expLb = Seq.newBuilder[String]
+      w.indices.foreach { i =>
+        val sel = h60(s"mlm:$id:$i") % 100 < 15
+        if (expMt.nonEmpty) expMt += ' '
+        if (!sel) expMt ++= w(i)
+        else {
+          expLb += w(i)
+          val act = h60(s"mlma:$id:$i") % 10
+          if (act < 8) expMt ++= "[MASK]"
+          else if (act == 8) expMt ++= w((h60(s"mlmr:$id:$i") % n).toInt)
+          else expMt ++= w(i) // the keep trap: verbatim word, still a label
+        }
+      }
+      assert(mt == expMt.toString, s"doc $id masked_text")
+      val lb = expLb.result()
+      if (lb.isEmpty) assert(labels == null, s"doc $id NULL-not-empty labels")
+      else assert(labels == lb.mkString(" "), s"doc $id labels")
+    }
+    // corpus rates: selection ~15%, actions ~80/10/10 of selected
+    val selFrac = totSel.toDouble / totWords
+    assert(selFrac > 0.11 && selFrac < 0.19, s"selection fraction $selFrac")
+    assert(totMask.toDouble / totSel > 0.7, s"mask share ${totMask.toDouble / totSel}")
+    assert(totRand > 0 && totKeep > 0, "both rare actions exercised")
+    // empty / whitespace-only docs: 0 words, '' text, NULL labels
+    val edge = TrainingOps.mlmMask(
+      Seq((910001L, ""), (910002L, "  \n\t ")).toDF("doc_id", "text")).collect()
+    edge.foreach { r =>
+      assert(r.getInt(1) == 0 && r.getInt(2) == 0)
+      assert(r.getString(6) == "" && r.isNullAt(7))
+    }
+    // repartition invariance (hash-deterministic, the reshard contract)
+    val a = out.map(_.toString).sorted.toSeq
+    val b = TrainingOps.mlmMask(docs.repartition(7))
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException] { TrainingOps.mlmMask(docs, maskPct = 0) }
+    intercept[IllegalArgumentException] { TrainingOps.mlmMask(docs, maskPct = 51) }
+  }
+
   test("fim transform: psm/spm reconstruction, split bounds, rate, none passthrough") {
     val sp = spark; import sp.implicits._
     val texts = docs.select("doc_id", "text").collect()

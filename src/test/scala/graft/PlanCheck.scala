@@ -462,6 +462,9 @@ object PlanCheck {
     println("==== 136. m24 gif blocks: typed mapPartitions sub-block-chain walker in the scan stage, zero exchange ====")
     SparkEntry.queries("m24_gif_blocks")(spark, sf).explain("formatted")
 
+    println("==== 137. t51 mlm mask: pure per-row array expressions (CSE'd keyed hashes), zero exchange ====")
+    SparkEntry.queries("t51_mlm_mask")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
