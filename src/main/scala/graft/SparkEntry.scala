@@ -75,6 +75,22 @@ object SparkEntry {
       when(col("doc_id") % 3 === 0, lit(" dup@example.com")).otherwise(lit(""))
     ).as("text"))
 
+  /** The raw corpus has near-dup families but no strict doc-in-doc
+    * pairs, so (piiAug pattern) d32's input adds prefix CHILDREN: for
+    * doc_id % 13 == 2 with >= 12 words, a virtual document (id + 1e9)
+    * holding the first max(3, n/3) words — contained verbatim in its
+    * parent, Jaccard-low by construction. The oracle CTE mirrors it.
+    */
+  private def containAug(d: DataFrame): DataFrame = {
+    val w = split(trim(col("text")), "[ \\t\\n\\r\\f\\x0B]+")
+    d.select(col("doc_id"), col("text"))
+      .unionAll(d
+        .filter(col("doc_id") % 13 === 2 && size(w) >= 12)
+        .select((col("doc_id") + 1000000000L).as("doc_id"),
+          array_join(slice(w, lit(1),
+            greatest(lit(3L), floor(size(w) / 3)).cast("int")), " ").as("text")))
+  }
+
   /** The raw corpus is clean text, so (piiAug pattern) t23 dirties it
     * deterministically by doc_id: curly quotes (%2), C0 control chars
     * (%3), space/tab runs (%5), soft hyphen + zero-width (%7) — every
@@ -675,6 +691,11 @@ object SparkEntry {
         docs(s, dir).select(url.as("url"), status.as("http_status"), body.as("body")))
     }),
     "d4_dedup_jaccard" -> ((s, dir) => TrainingOps.jaccardVerify(docs(s, dir))),
+    // containment (asymmetric Jaccard) over rare-shingle-blocked
+    // candidates: doc-in-doc pairs that Jaccard-LSH structurally
+    // misses; input corpus gains prefix children (containAug)
+    "d32_containment" -> ((s, dir) =>
+      TrainingOps.containmentVerify(containAug(docs(s, dir)))),
     // banded (Ukkonen) edit-distance verify over the d2 candidates;
     // maxDist=5 splits this corpus's pairs (d=4 within, d=8 capped) so
     // both the in-band and capped-at-k+1 branches are oracle-pinned
@@ -3487,6 +3508,34 @@ object SparkEntry {
           "(1000000 * len(list_intersect(sa.s, sb.s))) // len(list_distinct(sa.s || sb.s))) AS BIGINT) AS abs_err_ppm " +
           "FROM pairs p JOIN sig ga ON ga.doc_id = p.a JOIN sig gb ON gb.doc_id = p.b " +
           "JOIN sh sa ON sa.doc_id = p.a JOIN sh sb ON sb.doc_id = p.b"),
+      // d32 oracle: mirrors the full containment pipeline — prefix-
+      // child augmentation, md5 dedup, rare-shingle inverted index with
+      // the [2,8] DF window, distinct pairs, exact containment/Jaccard
+      // verify and the duplicate/a_in_b/b_in_a verdict ladder
+      "d32_containment" ->
+        (s"WITH a0 AS (SELECT doc_id, text FROM documents UNION ALL " +
+          "SELECT doc_id + 1000000000 AS doc_id, " +
+          "array_to_string(w[1:greatest(3, len(w)//3)], ' ') AS text " +
+          s"FROM (SELECT doc_id, $w AS w FROM documents) " +
+          "WHERE doc_id % 13 = 2 AND len(w) >= 12), " +
+          "r AS (SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text " +
+          "FROM a0 GROUP BY md5(text)), " +
+          s"f AS (SELECT doc_id, $w AS w FROM r WHERE len($w) >= 3), " +
+          s"sh AS (SELECT doc_id, list_distinct($sh3) AS s FROM f), " +
+          "ex AS (SELECT doc_id, md5(g) AS hh FROM (SELECT doc_id, unnest(s) AS g FROM sh)), " +
+          "rk AS (SELECT hh FROM ex GROUP BY hh HAVING count(*) BETWEEN 2 AND 8), " +
+          "rare AS (SELECT e.doc_id, e.hh FROM ex e JOIN rk USING (hh)), " +
+          "pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM rare x " +
+          "JOIN rare y ON x.hh = y.hh AND x.doc_id < y.doc_id), " +
+          "v AS (SELECT p.a, p.b, " +
+          "round(len(list_intersect(sa.s, sb.s))::DOUBLE / len(sa.s), 4) AS contain_a, " +
+          "round(len(list_intersect(sa.s, sb.s))::DOUBLE / len(sb.s), 4) AS contain_b, " +
+          "round(len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(sa.s || sb.s)), 4) AS jaccard " +
+          "FROM pairs p JOIN sh sa ON sa.doc_id = p.a JOIN sh sb ON sb.doc_id = p.b) " +
+          "SELECT a, b, contain_a, contain_b, jaccard, " +
+          "CASE WHEN jaccard >= 0.8 THEN 'duplicate' " +
+          "WHEN contain_a >= contain_b THEN 'a_in_b' ELSE 'b_in_a' END AS verdict " +
+          "FROM v WHERE greatest(contain_a, contain_b) >= 0.9"),
       "d4_dedup_jaccard" ->
         (minhashBands + " SELECT a, b, jaccard FROM (SELECT p.a, p.b, " +
           "round(len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(sa.s || sb.s)), 4) AS jaccard " +

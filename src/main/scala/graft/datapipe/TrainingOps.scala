@@ -386,6 +386,62 @@ object TrainingOps extends Serializable {
     (out, sets +: caches)
   }
 
+  /** Containment (asymmetric Jaccard) verification — the doc-in-doc
+    * detector that SYMMETRIC Jaccard structurally misses: a short
+    * document embedded verbatim in a long one (syndicated article
+    * inside a portal page, quoted post inside a thread) has
+    * containment |A∩B|/|A| = 1.0 but Jaccard |A∩B|/|A∪B| ≈ |A|/|B|,
+    * far below any near-dup threshold — and MinHash-LSH banding
+    * inherits Jaccard's blindness, so these pairs never even become
+    * d2 candidates. Candidates here come from RARE-SHINGLE BLOCKING
+    * instead: invert the (distinct-text) shingle sets, keep shingles
+    * with document frequency in [2, maxDf], and pair documents sharing
+    * one. The DF cap is the feature-level version of d2's bucket cap —
+    * a shingle in many documents is boilerplate carrying no containment
+    * signal, and dropping it is what bounds any join key to <= maxDf
+    * rows (<= maxDf² candidate pairs per shingle, no quadratic key).
+    * Surviving pairs are exactly verified: contain_a = |A∩B|/|A| (how
+    * much of A lies in B), contain_b symmetric, plus Jaccard; kept when
+    * either containment >= minContain; verdict `duplicate` when Jaccard
+    * >= 0.8 (both directions high), else `a_in_b`/`b_in_a` by the
+    * larger containment (ties -> a_in_b, pinned).
+    *
+    * Scale shape: exact-dedup pre-pass (16-byte md5 keys) -> one
+    * explode carrying (16-byte shingle hash, doc_id) -> DF-capped
+    * self-join -> distinct pointer pairs -> one set-join verify on the
+    * persisted shingle sets. Document text never shuffles; the only
+    * fan-out is the bounded per-shingle pair expansion.
+    */
+  def containmentVerify(docs: DataFrame, maxDf: Int = 8,
+      minContain: Double = 0.9): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    require(minContain > 0.0 && minContain <= 1.0,
+      s"minContain must be in (0,1], got $minContain")
+    val sets = repSets(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = sets.select(col("doc_id"), explode(col("s")).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("hh"))
+    val rareKeys = ex.groupBy("hh").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf)).select("hh")
+    val rare = ex.join(rareKeys, "hh")
+    val pairs = rare.select(col("hh"), col("doc_id").as("a"))
+      .join(rare.select(col("hh"), col("doc_id").as("b")), "hh")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    pairs
+      .join(sets.select(col("doc_id").as("a"), col("s").as("sa")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("s").as("sb")), "b")
+      .select(col("a"), col("b"),
+        round(inter / size(col("sa")), 4).as("contain_a"),
+        round(inter / size(col("sb")), 4).as("contain_b"),
+        round(inter / size(array_union(col("sa"), col("sb"))), 4).as("jaccard"))
+      .filter(greatest(col("contain_a"), col("contain_b")) >= minContain)
+      .withColumn("verdict",
+        when(col("jaccard") >= 0.8, lit("duplicate"))
+          .when(col("contain_a") >= col("contain_b"), lit("a_in_b"))
+          .otherwise(lit("b_in_a")))
+  }
+
   /** Fuzzy benchmark decontamination — the near-duplicate upgrade of the
     * exact n-gram scrub ([[decontaminate]]): a training document is
     * contaminated if its 3-shingle Jaccard against ANY eval document

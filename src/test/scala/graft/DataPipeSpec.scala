@@ -707,6 +707,45 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { TrainingOps.spanCorruption(docs, spanLen = 0) }
   }
 
+  test("containment: doc-in-doc verdict, duplicate verdict, DF cap, dedup pre-pass") {
+    val sp = spark; import sp.implicits._
+    val wA = (1 to 20).map(i => s"wa$i")
+    val a = wA.mkString(" ")                    // 20 words, 18 shingles
+    val b = wA.take(8).mkString(" ")            // strict prefix: 6 shingles, all in A
+    val wC = (1 to 40).map(i => s"wc$i")
+    val c = wC.mkString(" ")                    // 40 words, 38 shingles
+    val d = (wC.dropRight(1) :+ "zz").mkString(" ") // last word changed: final shingle differs
+    val e = (1 to 10).map(i => s"we$i").mkString(" ")
+    // ten docs sharing one boilerplate phrase (DF 10 > cap 8), otherwise unique
+    val boiler = (0 until 10).map(k =>
+      (100L + k) -> s"bp1 bp2 bp3 u${k}a u${k}b u${k}c u${k}d")
+    val rows = Seq(1L -> a, 2L -> b, 3L -> c, 4L -> d, 5L -> e, 6L -> a) ++ boiler
+    val out = TrainingOps.containmentVerify(rows.toDF("doc_id", "text")).collect()
+    val m = out.map(r => (r.getLong(0), r.getLong(1)) ->
+      ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getString(5)))).toMap
+    // exactly the two engineered pairs: the prefix child and the near-dup;
+    // no pair from the boilerplate shingle (capped), none involving the
+    // exact clone doc 6 (dedup pre-pass)
+    assert(m.keySet == Set((1L, 2L), (3L, 4L)), s"pairs ${m.keySet}")
+    // B inside A: contain_b = 1.0, jaccard = 6/18 — the pair symmetric
+    // Jaccard would have discarded
+    assert(m((1L, 2L)) == ((0.3333, 1.0, 0.3333, "b_in_a")))
+    // near-dup: inter 37 of 38, union 39 -> jaccard 0.9487 >= 0.8 -> duplicate
+    assert(m((3L, 4L)) == ((0.9737, 0.9737, 0.9487, "duplicate")))
+    // corpus-level through the driver query (containAug children):
+    // every child pair must verify as containment, not duplicate
+    val corp = SparkEntry.queries("d32_containment")(sp, sfDir).collect()
+    val kids = corp.filter(r => r.getLong(1) >= 1000000000L)
+    assert(kids.nonEmpty, "no child pairs from containAug")
+    kids.foreach { r =>
+      assert(r.getString(5) == "b_in_a" && r.getDouble(3) == 1.0,
+        s"child pair ${r.getLong(0)}-${r.getLong(1)} not fully contained") }
+    intercept[IllegalArgumentException] {
+      TrainingOps.containmentVerify(docs, maxDf = 1) }
+    intercept[IllegalArgumentException] {
+      TrainingOps.containmentVerify(docs, minContain = 0.0) }
+  }
+
   test("mlm mask: 80/10/10 split, local random draw, keep trap, rate, empty doc") {
     val sp = spark; import sp.implicits._
     def h60(s: String): Long = {

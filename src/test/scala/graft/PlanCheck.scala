@@ -465,6 +465,9 @@ object PlanCheck {
     println("==== 137. t51 mlm mask: pure per-row array expressions (CSE'd keyed hashes), zero exchange ====")
     SparkEntry.queries("t51_mlm_mask")(spark, sf).explain("formatted")
 
+    println("==== 138. d32 containment: 16-byte-key dedup + DF-capped rare-shingle block join + one set-join verify ====")
+    SparkEntry.queries("d32_containment")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
