@@ -306,6 +306,23 @@ object SparkEntry {
     "SELECT doc_id, CASE WHEN doc_id % 5 = 4 THEN 'canonical page ' || (doc_id % 17) " +
       "ELSE text END AS text FROM documents"
 
+  /** e59's (doc_id, host, text) input: dupAug's cross-host families
+    * (hosts follow the PagesGen.hostOf formula) plus one INTRA-host
+    * family — doc_id % 101 == 9 pins both text AND host, because the
+    * formula host (doc_id % 97) and a shared text can't coincide below
+    * lcm(5,17,97) ≈ 8k docs. The %101 rule wins over %5 (doc 9 is both).
+    */
+  private def mirrorAug(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      when(col("doc_id") % 101 === 9, lit("h7.example.com"))
+        .when(col("doc_id") % 10 < 3, lit("big.example.com"))
+        .otherwise(concat(lit("h"), col("doc_id") % 97, lit(".example.com")))
+        .as("host"),
+      when(col("doc_id") % 101 === 9, lit("republished notice"))
+        .when(col("doc_id") % 5 === 4,
+          concat(lit("canonical page "), col("doc_id") % 17))
+        .otherwise(col("text")).as("text"))
+
   /** kind predicate mirrors PagesGen.kindOf (precedence junk > oversize >
     * pdf) and HtmlGen.familyOf for the html template families.
     */
@@ -691,6 +708,11 @@ object SparkEntry {
         docs(s, dir).select(url.as("url"), status.as("http_status"), body.as("body")))
     }),
     "d4_dedup_jaccard" -> ((s, dir) => TrainingOps.jaccardVerify(docs(s, dir))),
+    // cross-host mirror detection: exact dedup crossed with the host
+    // dimension — cross_host (mirror farm / syndication) vs intra_host
+    // (CMS aliasing) verdict per duplicated-content cluster
+    "e59_mirror_clusters" -> ((s, dir) =>
+      TrainingOps.mirrorClusters(mirrorAug(docs(s, dir)))),
     // containment (asymmetric Jaccard) over rare-shingle-blocked
     // candidates: doc-in-doc pairs that Jaccard-LSH structurally
     // misses; input corpus gains prefix children (containAug)
@@ -3508,6 +3530,24 @@ object SparkEntry {
           "(1000000 * len(list_intersect(sa.s, sb.s))) // len(list_distinct(sa.s || sb.s))) AS BIGINT) AS abs_err_ppm " +
           "FROM pairs p JOIN sig ga ON ga.doc_id = p.a JOIN sig gb ON gb.doc_id = p.b " +
           "JOIN sh sa ON sa.doc_id = p.a JOIN sh sb ON sb.doc_id = p.b"),
+      // e59 oracle: same augmentation (intra-host %101 rule wins over
+      // %5), md5 clustering, min-keeper/min-host conventions, and the
+      // n_hosts >= 2 verdict split; singletons excluded
+      "e59_mirror_clusters" ->
+        ("WITH h AS (SELECT doc_id, " +
+          "CASE WHEN doc_id % 101 = 9 THEN 'h7.example.com' " +
+          "WHEN doc_id % 10 < 3 THEN 'big.example.com' " +
+          "ELSE 'h' || (doc_id % 97) || '.example.com' END AS host, " +
+          "CASE WHEN doc_id % 101 = 9 THEN 'republished notice' " +
+          "WHEN doc_id % 5 = 4 THEN 'canonical page ' || (doc_id % 17) " +
+          "ELSE text END AS text FROM documents), " +
+          "g AS (SELECT min(doc_id) AS keeper, count(*) AS n_copies, " +
+          "count(DISTINCT host) AS n_hosts, min(host) AS canonical_host " +
+          "FROM h GROUP BY md5(text)) " +
+          "SELECT keeper, CAST(n_copies AS BIGINT) AS n_copies, " +
+          "CAST(n_hosts AS BIGINT) AS n_hosts, canonical_host, " +
+          "CASE WHEN n_hosts >= 2 THEN 'cross_host' ELSE 'intra_host' END AS verdict " +
+          "FROM g WHERE n_copies >= 2"),
       // d32 oracle: mirrors the full containment pipeline — prefix-
       // child augmentation, md5 dedup, rare-shingle inverted index with
       // the [2,8] DF window, distinct pairs, exact containment/Jaccard

@@ -66,6 +66,36 @@ object TrainingOps extends Serializable {
     docs.groupBy(md5(col("text")).as("h"))
       .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper"))
 
+  /** Cross-host mirror detection — d1's exact dedup crossed with the
+    * HOST dimension, the signal that tells a mirror farm from in-site
+    * republication: a duplicated text served from >= 2 distinct hosts
+    * (`cross_host`) is syndication / CDN mirroring / a crawler stuck in
+    * a mirror swarm — the curation action is keep-one-per-CONTENT; the
+    * same text repeated on ONE host (`intra_host`) is CMS aliasing
+    * (print views, session paths) — the action is per-host URL
+    * canonicalization (e32's job). Emits one row per duplicated
+    * content cluster: keeper (min doc_id), copy and distinct-host
+    * counts, canonical_host (min host — deterministic, matching the
+    * keeper convention), and the verdict. Singleton texts are not
+    * mirrors and are dropped.
+    *
+    * Scale shape: ONE shuffle on the 16-byte md5 content key (text
+    * hashed map-side, never moved); the distinct-host count adds
+    * Spark's two-phase distinct-aggregate expansion over (key, host)
+    * rows — still pointer-sized. Input contract: (doc_id, host, text).
+    */
+  def mirrorClusters(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("th"))
+      .agg(min("doc_id").as("keeper"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("host")).as("n_hosts"),
+        min("host").as("canonical_host"))
+      .filter(col("n_copies") >= 2)
+      .select(col("keeper"), col("n_copies"), col("n_hosts"),
+        col("canonical_host"),
+        when(col("n_hosts") >= 2, lit("cross_host"))
+          .otherwise(lit("intra_host")).as("verdict"))
+
   /** Band buckets holding more than this many DISTINCT texts are dropped
     * before the candidate self-join. After exact-dedup, a bucket this
     * large is a degenerate near-dup family (templated boilerplate) whose

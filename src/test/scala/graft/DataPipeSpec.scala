@@ -707,6 +707,29 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { TrainingOps.spanCorruption(docs, spanLen = 0) }
   }
 
+  test("mirror clusters: cross vs intra host, keeper/canonical mins, singleton drop") {
+    val sp = spark; import sp.implicits._
+    val rows = Seq(
+      (5L, "b.example", "shared text one"),
+      (1L, "a.example", "shared text one"),
+      (3L, "c.example", "solo text"), // singleton: not a mirror, dropped
+      (11L, "d.example", "intra text"),
+      (10L, "d.example", "intra text"), // same host twice: CMS aliasing
+      (7L, "a.example", "shared text one"))
+    val out = TrainingOps.mirrorClusters(rows.toDF("doc_id", "host", "text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))).toMap
+    assert(out.keySet == Set(1L, 10L))
+    // three copies on two hosts: keeper and canonical_host are the mins
+    assert(out(1L) == ((3L, 2L, "a.example", "cross_host")))
+    assert(out(10L) == ((2L, 1L, "d.example", "intra_host")))
+    // driver query runs at spec scale (families are mostly singletons at
+    // 50 docs — the sf0.01 oracle gate exercises both verdicts)
+    val corp = SparkEntry.queries("e59_mirror_clusters")(sp, sfDir).collect()
+    assert(corp.map(_.getString(4)).toSet.subsetOf(Set("cross_host", "intra_host")))
+    corp.foreach(r => assert(r.getLong(1) >= 2, "singleton leaked"))
+  }
+
   test("containment: doc-in-doc verdict, duplicate verdict, DF cap, dedup pre-pass") {
     val sp = spark; import sp.implicits._
     val wA = (1 to 20).map(i => s"wa$i")

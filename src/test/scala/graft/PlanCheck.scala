@@ -468,6 +468,9 @@ object PlanCheck {
     println("==== 138. d32 containment: 16-byte-key dedup + DF-capped rare-shingle block join + one set-join verify ====")
     SparkEntry.queries("d32_containment")(spark, sf).explain("formatted")
 
+    println("==== 139. e59 mirror clusters: ONE 16-byte-key groupBy with two-phase distinct-host count, text never shuffles ====")
+    SparkEntry.queries("e59_mirror_clusters")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
