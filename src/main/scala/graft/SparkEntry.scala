@@ -1856,6 +1856,19 @@ object SparkEntry {
     // shard-compaction plan over a synthesized file manifest (16 shards
     // per source, bytes = sum of text lengths): streaming-coalesce bins
     // at a 4 KiB target — contiguous merges, skip-labeled overshoots
+    // partition-evolution rewrite plan over a synthesized manifest:
+    // per-file (min_ts, max_ts) spans against a daily grain — move vs
+    // rewrite workload per target day, invalid/overspan as data
+    "p17_partition_evolution" -> ((s, dir) => {
+      val mn = lit(1700000000L) + (col("doc_id") % 40) * 30000
+      val f = docs(s, dir).select(col("doc_id").as("shard_id"),
+        (lit(500L) + col("doc_id") % 2000).as("bytes"),
+        mn.as("min_ts"),
+        (mn + when(col("doc_id") % 23 === 3, lit(-999999L))
+          .when(col("doc_id") % 29 === 6, lit(86400L * 10000))
+          .otherwise((col("doc_id") % 4) * 50000)).as("max_ts"))
+      TrainingOps.partitionEvolutionPlan(f)
+    }),
     "p13_compaction_plan" -> ((s, dir) => {
       val manifest = docs(s, dir)
         .groupBy(col("source"),
@@ -4940,6 +4953,30 @@ object SparkEntry {
       // 16-shard manifest from a (source, doc_id%16) rollup, cumulative
       // bytes-before via a ROWS window ordered by shard_id, bin label =
       // cum_before // target, bin stats re-joined for bin_bytes/fill_ppm
+      // p17 oracle: same manifest synthesis (invalid %23 wins over
+      // overspan %29 by CASE order), floor-div day bins, the m/r/i/o
+      // family ladder, generate_series fan-out for ok files, NULL-part
+      // rows for the error families, identical rollup
+      "p17_partition_evolution" ->
+        ("WITH f AS (SELECT CAST(500 + doc_id % 2000 AS BIGINT) AS bytes, " +
+          "CAST(1700000000 + (doc_id % 40) * 30000 AS BIGINT) AS mn, " +
+          "CAST(1700000000 + (doc_id % 40) * 30000 + " +
+          "CASE WHEN doc_id % 23 = 3 THEN -999999 " +
+          "WHEN doc_id % 29 = 6 THEN 86400 * 10000 " +
+          "ELSE (doc_id % 4) * 50000 END AS BIGINT) AS mx FROM documents), " +
+          "c AS (SELECT bytes, mn // 86400 AS lo, mx // 86400 AS hi, mx >= mn AS valid FROM f), " +
+          "d AS (SELECT bytes, lo, hi, " +
+          "CASE WHEN NOT valid THEN 'i' WHEN hi - lo + 1 > 4096 THEN 'o' " +
+          "WHEN hi = lo THEN 'm' ELSE 'r' END AS fam FROM c), " +
+          "e AS (SELECT bytes, fam, unnest(generate_series(lo, hi)) AS part FROM d WHERE fam IN ('m','r') " +
+          "UNION ALL SELECT bytes, fam, NULL AS part FROM d WHERE fam IN ('i','o')) " +
+          "SELECT part, CAST(sum(CASE WHEN fam='m' THEN 1 ELSE 0 END) AS BIGINT) AS n_move, " +
+          "CAST(sum(CASE WHEN fam='m' THEN bytes ELSE 0 END) AS BIGINT) AS move_bytes, " +
+          "CAST(sum(CASE WHEN fam='r' THEN 1 ELSE 0 END) AS BIGINT) AS n_rewrite, " +
+          "CAST(sum(CASE WHEN fam='r' THEN bytes ELSE 0 END) AS BIGINT) AS rewrite_bytes, " +
+          "CAST(sum(CASE WHEN fam='i' THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid, " +
+          "CAST(sum(CASE WHEN fam='o' THEN 1 ELSE 0 END) AS BIGINT) AS n_overspan " +
+          "FROM e GROUP BY part"),
       "p13_compaction_plan" ->
         ("WITH m AS (SELECT source, CAST(doc_id % 16 AS INT) AS shard_id, " +
           "CAST(SUM(length(text)) AS BIGINT) AS bytes FROM documents GROUP BY 1, 2), " +

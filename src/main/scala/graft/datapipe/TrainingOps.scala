@@ -3221,6 +3221,54 @@ object TrainingOps extends Serializable {
     * Two same-keyed windows + one map-side-combined rollup over that
     * manifest; the data plane never moves until the plan is executed.
     */
+  /** Partition-evolution rewrite planning — the PLAN step of changing a
+    * table's partition spec (what Iceberg's partition evolution +
+    * rewriteDataFiles decide file-by-file, as an inspectable table): a
+    * data file whose (min_ts, max_ts) span fits ONE partition of the
+    * new time grain is a metadata-only MOVE (rebind it in the manifest,
+    * zero IO); a file straddling partitions must be REWRITTEN — split
+    * into one output file per partition it overlaps. Output is the
+    * per-target-partition workload: how many files land by move vs
+    * rewrite and the byte volumes (rewrite bytes attributed WHOLE to
+    * each overlapped partition — the read amplification a rewrite
+    * actually pays, since a straddling file is scanned once per output
+    * partition in the worst case). A span ending exactly ON a boundary
+    * belongs to the next partition (half-open [lo, hi) day bins via
+    * integer division — pinned). Error-as-data: an inverted range
+    * (`n_invalid`) or a span fanning past `maxFanOut` partitions
+    * (`n_overspan` — the runaway-manifest guard that also bounds the
+    * explode) lands in the NULL-partition row instead of throwing.
+    *
+    * Scale shape: METADATA-PLANE — rows are manifest entries, not
+    * documents. One bounded explode (<= maxFanOut rows per file, and in
+    * practice span/grain) then a map-side-combined rollup on the int
+    * partition key; nothing document-sized moves until the plan is
+    * executed.
+    */
+  def partitionEvolutionPlan(files: DataFrame, partSeconds: Long = 86400L,
+      maxFanOut: Long = 4096L): DataFrame = {
+    require(partSeconds >= 1, s"partSeconds must be positive, got $partSeconds")
+    require(maxFanOut >= 1, s"maxFanOut must be positive, got $maxFanOut")
+    val lo = expr(s"min_ts div ${partSeconds}L")
+    val hi = expr(s"max_ts div ${partSeconds}L")
+    val valid = col("max_ts") >= col("min_ts")
+    val np = hi - lo + 1
+    val fam = when(!valid, lit("i"))
+      .when(np > maxFanOut, lit("o"))
+      .when(np === 1, lit("m")).otherwise(lit("r"))
+    val spread = files.select(col("bytes").cast("long").as("bytes"),
+      fam.as("fam"),
+      explode(when(valid && np <= maxFanOut, sequence(lo, hi))
+        .otherwise(array(lit(null).cast("long")))).as("part"))
+    spread.groupBy("part").agg(
+      sum(when(col("fam") === "m", 1L).otherwise(0L)).as("n_move"),
+      sum(when(col("fam") === "m", col("bytes")).otherwise(0L)).as("move_bytes"),
+      sum(when(col("fam") === "r", 1L).otherwise(0L)).as("n_rewrite"),
+      sum(when(col("fam") === "r", col("bytes")).otherwise(0L)).as("rewrite_bytes"),
+      sum(when(col("fam") === "i", 1L).otherwise(0L)).as("n_invalid"),
+      sum(when(col("fam") === "o", 1L).otherwise(0L)).as("n_overspan"))
+  }
+
   def compactionPlan(shards: DataFrame, targetBytes: Long = 1L << 20): DataFrame = {
     require(targetBytes >= 1, "targetBytes must be positive")
     val bySrc = Window.partitionBy(col("source")).orderBy(col("shard_id"))

@@ -707,6 +707,33 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { TrainingOps.spanCorruption(docs, spanLen = 0) }
   }
 
+  test("partition evolution: move/rewrite split, boundary day, whole-byte attribution, error families") {
+    val sp = spark; import sp.implicits._
+    val day = 86400L
+    val rows = Seq(
+      (1L, 100L, 10 * day, 10 * day + 100),       // fits day 10: move
+      (2L, 50L, 10 * day + 86000, 10 * day + 87000), // crosses into day 11: rewrite
+      (3L, 30L, 10 * day, 11 * day),              // ends exactly ON the boundary: day 11 too
+      (4L, 70L, 1000000L, 999000L),               // inverted range: invalid
+      (5L, 40L, 0L, 5000 * day))                  // 5001-day fan-out > 4096: overspan
+    val out = TrainingOps.partitionEvolutionPlan(
+      rows.toDF("shard_id", "bytes", "min_ts", "max_ts")).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(out.keySet == Set(10L, 11L, -1L))
+    // day 10: the mover plus both straddlers (whole bytes each)
+    assert(out(10L) == ((1L, 100L, 2L, 80L, 0L, 0L)))
+    // day 11: straddlers only — file 3's exact-boundary end lands here
+    assert(out(11L) == ((0L, 0L, 2L, 80L, 0L, 0L)))
+    // error families collect in the NULL-partition row, never throw
+    assert(out(-1L) == ((0L, 0L, 0L, 0L, 1L, 1L)))
+    intercept[IllegalArgumentException] {
+      TrainingOps.partitionEvolutionPlan(rows.toDF("shard_id", "bytes", "min_ts", "max_ts"), partSeconds = 0) }
+    intercept[IllegalArgumentException] {
+      TrainingOps.partitionEvolutionPlan(rows.toDF("shard_id", "bytes", "min_ts", "max_ts"), maxFanOut = 0) }
+  }
+
   test("mirror clusters: cross vs intra host, keeper/canonical mins, singleton drop") {
     val sp = spark; import sp.implicits._
     val rows = Seq(

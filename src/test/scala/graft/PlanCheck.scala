@@ -471,6 +471,9 @@ object PlanCheck {
     println("==== 139. e59 mirror clusters: ONE 16-byte-key groupBy with two-phase distinct-host count, text never shuffles ====")
     SparkEntry.queries("e59_mirror_clusters")(spark, sf).explain("formatted")
 
+    println("==== 140. p17 partition evolution: metadata-plane bounded explode + map-side-combined day rollup ====")
+    SparkEntry.queries("p17_partition_evolution")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
