@@ -2256,6 +2256,15 @@ object SparkEntry {
     }),
     // Parquet container sniff: end-anchored (PAR1 head+tail, u32le
     // footer_len from the tail, footer must fit inside n-12)
+    // FLAC metadata-block walk: u24 big-endian lengths, in-header
+    // last-flag bit termination, bit-packed STREAMINFO fields
+    "m25_flac_blocks" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = docs(s, dir).select(col("doc_id")).as[Long]
+        .map(id => (id, TrainingOps.syntheticFlacPayload(id)))
+        .toDF("doc_id", "payload")
+      TrainingOps.flacBlocks(s, payloads)
+    }),
     // GIF block walk: sub-block chains (len|data, zero-terminated) +
     // the log-encoded color-table length from the screen descriptor
     "m24_gif_blocks" -> ((s, dir) => {
@@ -4573,6 +4582,30 @@ object SparkEntry {
           "UNION ALL SELECT doc_id, 'free_bitrate', 0, 0, 'frame', br, sr, p0, bs + p0, crc FROM c WHERE f = 5)"),
       // m23 oracle: container geometry arithmetic (n = 12+p+fl for the
       // valid family; footer_off = 4+p), verdicts per family
+      // m25 oracle: family arithmetic — ok geometry n = 50+v+p+a with
+      // v/p/a from the id formulas, STREAMINFO fields re-derived from
+      // the generator's parameters (the walker unpacks them from the
+      // packed 64-bit word, so a MATCH pins the bit layout); truncated
+      // keeps the parsed STREAMINFO, spec-violation families all-null
+      "m25_flac_blocks" ->
+        ("WITH c AS (SELECT doc_id, doc_id % 5 AS f, " +
+          "CAST(8000 + (doc_id % 8) * 4000 AS INT) AS rate, " +
+          "CAST(1 + doc_id % 4 AS INT) AS ch, " +
+          "CAST(16 + (doc_id % 2) * 8 AS INT) AS bps, " +
+          "CAST(44100 + doc_id % 1000 AS BIGINT) AS tot, " +
+          "CAST(20 + doc_id % 30 AS BIGINT) AS a, " +
+          "CAST(85 + (doc_id % 20) + (doc_id % 9) + (doc_id % 30) AS INT) AS nb, " +
+          "CAST(13 + doc_id % 9 AS INT) AS nb3, " +
+          "CAST(length('plain text payload ' || doc_id) AS INT) AS pl FROM documents) " +
+          "SELECT doc_id, status, n_blocks, sample_rate, channels, " +
+          "bits_per_sample, total_samples, audio_bytes, n_bytes FROM ( " +
+          "SELECT doc_id, 'ok' AS status, 3 AS n_blocks, rate AS sample_rate, " +
+          "ch AS channels, bps AS bits_per_sample, tot AS total_samples, " +
+          "a AS audio_bytes, nb AS n_bytes FROM c WHERE f = 0 " +
+          "UNION ALL SELECT doc_id, 'not_flac', NULL, NULL, NULL, NULL, NULL, NULL, pl FROM c WHERE f = 1 " +
+          "UNION ALL SELECT doc_id, 'truncated', NULL, rate, ch, bps, tot, NULL, 49 FROM c WHERE f = 2 " +
+          "UNION ALL SELECT doc_id, 'missing_streaminfo', NULL, NULL, NULL, NULL, NULL, NULL, nb3 FROM c WHERE f = 3 " +
+          "UNION ALL SELECT doc_id, 'malformed', NULL, NULL, NULL, NULL, NULL, NULL, 28 FROM c WHERE f = 4)"),
       // m24 oracle: per-family geometry arithmetic — gct = 3·2^(s+1),
       // frame = 12 + m·(1+d); truncated keeps width/height (screen
       // descriptor parsed) but withholds counts, malformed keeps the

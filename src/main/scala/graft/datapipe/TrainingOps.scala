@@ -6213,6 +6213,127 @@ object TrainingOps extends Serializable {
         "subblocks", "n_bytes")
   }
 
+  /** Synthetic FLAC payloads for [[flacBlocks]] — five families keyed
+    * by doc_id % 5 (v = 10+id%20 vorbis bytes, p = 5+id%9 padding,
+    * a = 20+id%30 audio bytes): 0 valid fLaC with STREAMINFO + vorbis
+    * comment + last-flagged padding + audio; 1 not FLAC; 2 truncated
+    * inside the vorbis data (STREAMINFO already parsed); 3 first block
+    * is padding, not STREAMINFO; 4 STREAMINFO length 20 instead of 34.
+    */
+  def syntheticFlacPayload(id: Long): Array[Byte] = {
+    val bb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def u24be(v: Int): Unit = { bb += ((v >> 16) & 0xff).toByte; bb += ((v >> 8) & 0xff).toByte; bb += (v & 0xff).toByte }
+    def block(last: Boolean, tpe: Int, len: Int): Unit = {
+      bb += ((if (last) 0x80 else 0) | tpe).toByte; u24be(len)
+    }
+    val rate = 8000 + (id % 8).toInt * 4000
+    val ch = 1 + (id % 4).toInt; val bps = 16 + (id % 2).toInt * 8
+    val total = 44100L + id % 1000
+    def streaminfo(): Unit = {
+      block(last = false, 0, 34)
+      u24be(0x10001000 >> 8); bb += 0x10 // min/max block size 4096 each
+      u24be(0); u24be(0x040000) // min/max frame size
+      val packed = (rate.toLong << 44) | ((ch - 1).toLong << 41) |
+        ((bps - 1).toLong << 36) | total
+      (7 to 0 by -1).foreach(i => bb += ((packed >> (8 * i)) & 0xff).toByte)
+      (0 until 16).foreach(i => bb += ((id + i) & 0x7f).toByte) // md5
+    }
+    val v = (10 + id % 20).toInt; val p = (5 + id % 9).toInt; val a = (20 + id % 30).toInt
+    def fill(k: Int, c: Int): Unit =
+      (0 until k).foreach(i => bb += ((c + i * 3) & 0x7f).toByte)
+    (id % 5) match {
+      case 0 =>
+        bb ++= "fLaC".getBytes("US-ASCII"); streaminfo()
+        block(last = false, 4, v); fill(v, 'v')
+        block(last = true, 1, p); fill(p, 0)
+        fill(a, 'a')
+      case 1 => bb ++= s"plain text payload $id".getBytes("US-ASCII")
+      case 2 =>
+        bb ++= "fLaC".getBytes("US-ASCII"); streaminfo()
+        block(last = false, 4, v); fill(3, 'v') // cut 3 bytes into the data
+      case 3 =>
+        bb ++= "fLaC".getBytes("US-ASCII")
+        block(last = true, 1, p); fill(p, 0)
+      case _ =>
+        bb ++= "fLaC".getBytes("US-ASCII")
+        block(last = true, 0, 20); fill(20, 's')
+    }
+    bb.toArray
+  }
+
+  /** FLAC metadata-block walk — the BIG-ENDIAN + SUB-BYTE member of
+    * the walker series: block headers carry a u24 big-endian length
+    * (every prior member was little-endian or in-band), the walk ends
+    * on an IN-HEADER last-flag BIT (not a sentinel byte like GIF's
+    * 0x00 or a trailer like m24's 0x3B — the sixth distinct
+    * length/termination mechanism), and STREAMINFO packs sample_rate
+    * (20 bits), channels-1 (3), bits_per_sample-1 (5) and
+    * total_samples (36) into one 64-bit big-endian word spanning byte
+    * boundaries — the first bit-granular unpack in the series. Spec
+    * invariants enforced as verdicts: `not_flac` (magic),
+    * `missing_streaminfo` (first block must be type 0 — the spec's
+    * hard MUST), `malformed` (STREAMINFO length != 34 — the fixed-size
+    * block), `truncated` (EOF mid-structure; STREAMINFO fields survive
+    * if already parsed — the m24 partial-parse policy), else `ok` with
+    * block count and trailing audio byte count (frames are hopped
+    * over as one span, never decoded).
+    *
+    * Scale shape: per-row typed map in the scan stage, zero exchange.
+    */
+  def flacBlocks(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, raw) =>
+          val b = if (raw == null) Array.emptyByteArray else raw
+          val n = b.length
+          def u24(i: Int): Int =
+            ((b(i) & 0xff) << 16) | ((b(i + 1) & 0xff) << 8) | (b(i + 2) & 0xff)
+          val none = None: Option[Long]
+          val noneI = None: Option[Int]
+          if (n < 4 || b(0) != 'f' || b(1) != 'L' || b(2) != 'a' || b(3) != 'C')
+            (id, "not_flac", noneI, noneI, noneI, noneI, none, none, n)
+          else {
+            var pos = 4
+            var blocks = 0
+            var rate = noneI; var ch = noneI; var bps = noneI; var tot = none
+            var status: String = null
+            var last = false
+            while (status == null && !last) {
+              if (pos + 4 > n) status = "truncated"
+              else {
+                val hdr = b(pos) & 0xff
+                last = (hdr & 0x80) != 0
+                val tpe = hdr & 0x7f
+                val len = u24(pos + 1)
+                pos += 4
+                if (blocks == 0 && tpe != 0) status = "missing_streaminfo"
+                else if (blocks == 0 && len != 34) status = "malformed"
+                else if (pos + len > n) status = "truncated"
+                else {
+                  if (blocks == 0) {
+                    var packed = 0L
+                    (0 until 8).foreach(i => packed = (packed << 8) | (b(pos + 10 + i) & 0xffL))
+                    rate = Some((packed >>> 44).toInt)
+                    ch = Some(((packed >>> 41) & 0x7).toInt + 1)
+                    bps = Some(((packed >>> 36) & 0x1f).toInt + 1)
+                    tot = Some(packed & 0xFFFFFFFFFL)
+                  }
+                  pos += len; blocks += 1
+                }
+              }
+            }
+            if (status == null)
+              (id, "ok", Some(blocks), rate, ch, bps, tot, Some((n - pos).toLong), n)
+            else (id, status, noneI, rate, ch, bps, tot, none, n)
+          }
+        }
+      }
+      .toDF("doc_id", "status", "n_blocks", "sample_rate", "channels",
+        "bits_per_sample", "total_samples", "audio_bytes", "n_bytes")
+  }
+
   def imageDims(spark: SparkSession, payloads: DataFrame): DataFrame = {
     import spark.implicits._
     payloads.select(col("doc_id"), col("payload"))

@@ -3241,6 +3241,62 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set("ok", "not_parquet", "truncated", "malformed", "corrupt_footer")))
   }
 
+  test("flac blocks: bit unpack, family split, streaminfo-only, max fields, header cut, totality") {
+    val sp = spark; import sp.implicits._
+    def run(rows: Seq[(Long, Array[Byte])]) =
+      TrainingOps.flacBlocks(sp, rows.toDF("doc_id", "payload")).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1),
+          if (r.isNullAt(2)) -1 else r.getInt(2), if (r.isNullAt(3)) -1 else r.getInt(3),
+          if (r.isNullAt(4)) -1 else r.getInt(4), if (r.isNullAt(5)) -1 else r.getInt(5),
+          if (r.isNullAt(6)) -1L else r.getLong(6), if (r.isNullAt(7)) -1L else r.getLong(7),
+          r.getInt(8)))).toMap
+    val out = run((0L to 4L).map(id => (id, TrainingOps.syntheticFlacPayload(id))))
+    // id 0: rate 8000, ch 1, bps 16, total 44100; v=10 p=5 a=20 -> n 85
+    assert(out(0L) == (("ok", 3, 8000, 1, 16, 44100L, 20L, 85)))
+    assert(out(1L)._1 == "not_flac")
+    // truncated mid-vorbis: STREAMINFO fields survive (id 2: rate 16000,
+    // ch 3, bps 16, total 44102), counts withheld
+    assert(out(2L) == (("truncated", -1, 16000, 3, 16, 44102L, -1L, 49)))
+    // first block not STREAMINFO: the spec's hard MUST
+    assert(out(3L) == (("missing_streaminfo", -1, -1, -1, -1, -1L, -1L, 16)))
+    // STREAMINFO wrong length (20 != 34)
+    assert(out(4L) == (("malformed", -1, -1, -1, -1, -1L, -1L, 28)))
+    // hand-built: STREAMINFO as the ONLY block (last flag set on it),
+    // zero audio; fields at their bit-width maxima prove no cross-field
+    // bleed: rate 2^20-1, 8 channels, 32 bps, total 2^36-1
+    def mini(): Array[Byte] = {
+      val bb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      bb ++= "fLaC".getBytes("US-ASCII")
+      bb += 0x80.toByte; bb += 0; bb += 0; bb += 34
+      (0 until 10).foreach(_ => bb += 0)
+      val packed = (1048575L << 44) | (7L << 41) | (31L << 36) | ((1L << 36) - 1)
+      (7 to 0 by -1).foreach(i => bb += ((packed >> (8 * i)) & 0xff).toByte)
+      (0 until 16).foreach(_ => bb += 0)
+      bb.toArray
+    }
+    val hb = run(Seq(90L -> mini(),
+      // cut inside a block HEADER (2 of 4 bytes): truncated, no fields
+      91L -> ("fLaC".getBytes("US-ASCII") ++ Array[Byte](0, 0))))
+    assert(hb(90L) == (("ok", 1, 1048575, 8, 32, (1L << 36) - 1, 0L, 42)))
+    assert(hb(91L) == (("truncated", -1, -1, -1, -1, -1L, -1L, 6)))
+    val rnd = new scala.util.Random(5151)
+    val fuzz = (0 until 150).map { i =>
+      val base =
+        if (i % 2 == 0) Array.fill(rnd.nextInt(90))(rnd.nextInt(256).toByte)
+        else {
+          val v = TrainingOps.syntheticFlacPayload(rnd.nextInt(60).toLong)
+          if (v.nonEmpty) v(rnd.nextInt(v.length)) =
+            (v(rnd.nextInt(v.length)) ^ (1 << rnd.nextInt(8))).toByte
+          v.take(if (rnd.nextBoolean()) v.length else rnd.nextInt(v.length + 1))
+        }
+      (1000L + i, base)
+    }
+    val statuses = TrainingOps.flacBlocks(sp, fuzz.toDF("doc_id", "payload"))
+      .select("status").distinct().collect().map(_.getString(0)).toSet
+    assert(statuses.subsetOf(Set("ok", "not_flac", "truncated",
+      "missing_streaminfo", "malformed")))
+  }
+
   test("gif blocks: family split, zero-data frame, 255 sub-block, trailer tail, mid-chain cut, totality") {
     val sp = spark; import sp.implicits._
     def run(rows: Seq[(Long, Array[Byte])]) =

@@ -474,6 +474,9 @@ object PlanCheck {
     println("==== 140. p17 partition evolution: metadata-plane bounded explode + map-side-combined day rollup ====")
     SparkEntry.queries("p17_partition_evolution")(spark, sf).explain("formatted")
 
+    println("==== 141. m25 flac blocks: typed mapPartitions u24be/bitfield walker in the scan stage, zero exchange ====")
+    SparkEntry.queries("m25_flac_blocks")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
