@@ -1099,6 +1099,10 @@ object SparkEntry {
     // corpus-curation signal (weight/filter documents by host authority).
     "e23_host_rank" -> ((s, dir) =>
       graft.datapipe.GraphOps.hostRank(hostEdges(s, dir))),
+    // host-level link reciprocity over the e23 edge base: the
+    // link-exchange fingerprint — out-neighbors that link back
+    "e60_reciprocity" -> ((s, dir) =>
+      graft.datapipe.GraphOps.reciprocity(hostEdges(s, dir))),
     // BFS crawl-depth from a hash-deterministic seed set over the e23
     // host graph: min-hops label propagation, NULL = beyond the
     // 3-hop horizon (unreached-from-seeds is itself the signal)
@@ -2584,6 +2588,19 @@ object SparkEntry {
       "e23_host_rank" ->
         (s"WITH ${hostRankCtes(htmlKinds)} " +
           "SELECT h AS host, CAST(r AS BIGINT) AS rank FROM r3"),
+      // e60 oracle: same edge base as e23, distinct de-self-looped
+      // pairs, reversal self-join on the full (src,dst) key, floor-div
+      // ppm — a MATCH pins dedup-before-reciprocity and the pair join
+      "e60_reciprocity" ->
+        (s"WITH ${hostEdgeCtes(htmlKinds)}, " +
+          "eg AS MATERIALIZED (SELECT DISTINCT src, dst FROM w WHERE src <> dst), " +
+          "rc AS (SELECT e.src, count(*) AS nr FROM eg e " +
+          "JOIN eg r ON e.src = r.dst AND e.dst = r.src GROUP BY 1), " +
+          "oc AS (SELECT src, count(*) AS no FROM eg GROUP BY 1) " +
+          "SELECT oc.src AS host, CAST(no AS BIGINT) AS n_out, " +
+          "CAST(coalesce(nr, 0) AS BIGINT) AS n_reciprocal, " +
+          "CAST((1000000 * coalesce(nr, 0)) // no AS BIGINT) AS recip_ppm " +
+          "FROM oc LEFT JOIN rc ON rc.src = oc.src"),
       // e46 oracle: same edge base as e23, seeds by the same md5 hash,
       // three unrolled min-merge rounds with depth = d(src)+1
       "e46_crawl_depth" ->

@@ -934,6 +934,43 @@ object GraphOps {
     res
   }
 
+  /** Host-level link reciprocity — the LINK-EXCHANGE fingerprint, the
+    * sixth classic host-graph curation signal beside [[hostRank]],
+    * [[hits]], [[crawlDepth]], [[connectedComponents]] and
+    * [[triangles]]: organic linking is strongly asymmetric (pages cite
+    * authorities; authorities rarely cite back), so a host whose
+    * out-neighbors overwhelmingly link BACK (`recip_ppm` near 1e6) is
+    * the signature of paid link exchanges and mutual-promotion rings —
+    * PageRank alone rewards them (the ring recycles rank), reciprocity
+    * exposes them. Per host with at least one distinct non-self
+    * out-neighbor: `n_out` (distinct out-neighbors), `n_reciprocal`
+    * (those that link back), `recip_ppm = 1e6 * n_reciprocal div
+    * n_out`. Self-loops and edge multiplicity are discarded first —
+    * reciprocity is a property of the host PAIR, not the link volume.
+    *
+    * Scale shape: ONE distinct over (host, host) string pairs
+    * (persisted — both sides of the reversal join and the out-degree
+    * rollup read it), ONE equi-join of the edge set against its own
+    * reversal on the full (src, dst) key — the e56 hreflang-reciprocity
+    * shape lifted to the host graph — then map-side-combined rollups.
+    * Never touches documents.
+    */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val eg = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct().persist()
+    val rec = eg.join(
+      eg.select(col("dst").as("src"), col("src").as("dst")), Seq("src", "dst"))
+      .groupBy(col("src").as("host")).agg(count(lit(1)).as("n_reciprocal"))
+    val out = eg.groupBy(col("src").as("host")).agg(count(lit(1)).as("n_out"))
+      .join(rec, Seq("host"), "left")
+      .select(col("host"), col("n_out"),
+        coalesce(col("n_reciprocal"), lit(0L)).as("n_reciprocal"))
+      .withColumn("recip_ppm", expr("1000000 * n_reciprocal div n_out"))
+    val res = out.localCheckpoint()
+    eg.unpersist(blocking = false)
+    res
+  }
+
   /** Sitemap-vs-crawl coverage reconciliation — the audit that closes
     * the crawl-discovery loop: sitemaps ([[graft.core.Sitemaps]], e37)
     * declare what a host SAYS it has; the crawl log records what was

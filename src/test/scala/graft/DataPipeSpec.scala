@@ -707,6 +707,30 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { TrainingOps.spanCorruption(docs, spanLen = 0) }
   }
 
+  test("reciprocity: pair dedup, self-loop drop, one-way zero, corpus ppm bounds") {
+    val sp = spark; import sp.implicits._
+    val edges = Seq(
+      ("a", "b"), ("a", "b"), // duplicate edge: reciprocity is per PAIR
+      ("b", "a"),             // closes the a<->b exchange
+      ("a", "c"),             // one-way
+      ("c", "b"),             // one-way (b never links c)
+      ("d", "d"))             // self-loop: discarded, d vanishes
+    val out = graft.datapipe.GraphOps.reciprocity(edges.toDF("src", "dst"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set("a", "b", "c"))
+    assert(out("a") == ((2L, 1L, 500000L)))
+    assert(out("b") == ((1L, 1L, 1000000L)))
+    assert(out("c") == ((1L, 0L, 0L)))
+    // corpus: every ppm in [0, 1e6], reciprocal <= out
+    val corp = SparkEntry.queries("e60_reciprocity")(sp, sfDir).collect()
+    assert(corp.nonEmpty)
+    corp.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
+    }
+  }
+
   test("partition evolution: move/rewrite split, boundary day, whole-byte attribution, error families") {
     val sp = spark; import sp.implicits._
     val day = 86400L

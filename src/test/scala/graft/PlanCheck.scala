@@ -477,6 +477,9 @@ object PlanCheck {
     println("==== 141. m25 flac blocks: typed mapPartitions u24be/bitfield walker in the scan stage, zero exchange ====")
     SparkEntry.queries("m25_flac_blocks")(spark, sf).explain("formatted")
 
+    println("==== 142. e60 reciprocity: persisted distinct host pairs + reversal equi-join + map-side rollups ====")
+    SparkEntry.queries("e60_reciprocity")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
