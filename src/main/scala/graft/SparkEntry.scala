@@ -730,6 +730,10 @@ object SparkEntry {
     "d6_ann_lsh_buckets" -> ((s, dir) => TrainingOps.annLshBuckets(embs(s, dir))),
     "d8_dedup_embedding" -> ((s, dir) => TrainingOps.embCosinePairs(embs(s, dir))),
     "d9_ann_ivf_topk" -> ((s, dir) => TrainingOps.annIvfTopK(embs(s, dir))),
+    // IVF cell-balance audit over d9's 16-cell assignment: dense cell
+    // spine (empties must appear), load ppm, empty/hot/cold/balanced
+    "d33_ivf_balance" -> ((s, dir) =>
+      TrainingOps.ivfBalance(embs(s, dir), nCells = 16)),
     // k-means training (2 Lloyd iterations, 8 cells) in pure integer
     // arithmetic after ppm quantization — bit-reproducible across
     // partitionings AND unrollable in the DuckDB oracle; output is the
@@ -3841,6 +3845,27 @@ object SparkEntry {
       // IVF-cell ANN: nearest-of-16 deterministic centroids (argmin as
       // array_min of [dist2, cell] — identical left-fold arithmetic on
       // both engines), probes search only their own cell
+      // d33 oracle: d9's exact cell-assignment CTE, per-cell counts
+      // over the dense 16-row spine, floor-div ppms and the
+      // empty/hot/cold/balanced ladder re-derived in SQL
+      "d33_ivf_balance" ->
+        ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+          "cells AS (SELECT vec_id, CAST(list_min(list_transform(range(16), j -> " +
+          "[list_sum(list_transform(range(len(v)), i -> " +
+          "((('0x' || substr(md5('c:' || j || ':' || i),1,15))::BIGINT / pow(2,59) - 1.0 - v[i+1]) * " +
+          "(('0x' || substr(md5('c:' || j || ':' || i),1,15))::BIGINT / pow(2,59) - 1.0 - v[i+1])))), " +
+          "j::DOUBLE]))[2] AS INT) AS cell FROM e), " +
+          "cc AS (SELECT cell, count(*) AS nv FROM cells GROUP BY 1), " +
+          "sp AS (SELECT CAST(range AS INT) AS cell FROM range(16)), " +
+          "t AS (SELECT sum(nv) AS tot FROM cc), " +
+          "g AS (SELECT sp.cell, coalesce(nv, 0) AS nv, tot FROM sp LEFT JOIN cc USING (cell), t) " +
+          "SELECT cell, CAST(nv AS BIGINT) AS n_vectors, " +
+          "CAST(1000000 * nv // tot AS BIGINT) AS load_ppm, " +
+          "CAST(1000000 * nv * 16 // tot AS BIGINT) AS x_ideal_ppm, " +
+          "CASE WHEN nv = 0 THEN 'empty' " +
+          "WHEN 1000000 * nv * 16 // tot >= 2000000 THEN 'hot' " +
+          "WHEN 1000000 * nv * 16 // tot <= 500000 THEN 'cold' " +
+          "ELSE 'balanced' END AS verdict FROM g"),
       "d9_ann_ivf_topk" ->
         ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
           "cells AS (SELECT vec_id, v, CAST(list_min(list_transform(range(16), j -> " +

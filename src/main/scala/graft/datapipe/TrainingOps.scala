@@ -911,6 +911,51 @@ object TrainingOps extends Serializable {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** IVF cell-balance audit — the index-HEALTH diagnostic the serving
+    * side of the ANN family (d9 search, d28 train, d29 multi-probe,
+    * d21 recall) assumes but never checks: IVF's cost model is
+    * O(n/nCells) per probe, which holds only when cells are BALANCED —
+    * a hot cell (here >= 2x the ideal load) is the tail latency of
+    * every query routed to it, a cold or empty cell is wasted fan-out
+    * for every multi-probe query that ranks it. Per cell over a dense
+    * 0..nCells-1 spine (empty cells must APPEAR — absence is the
+    * finding): vector count, absolute load_ppm, x_ideal_ppm (load as
+    * ppm of the perfect 1/nCells share), and the verdict ladder
+    * empty / hot (>= 2e6 of ideal) / cold (<= 5e5) / balanced. The
+    * operational response: hot cells -> retrain or split (d28's job),
+    * many empties -> nCells oversized for the data's intrinsic
+    * clustering.
+    *
+    * Scale shape: the shared persisted [[ivfCells]] assignment (inlined
+    * centroids, map-only argmin), ONE map-side-combined int-key count,
+    * an nCells-row spine join and a 1-row total broadcast-cross —
+    * vectors stream once, nothing vector-sized shuffles.
+    */
+  def ivfBalance(emb: DataFrame, nCells: Int = 8,
+                 dimOpt: Option[Int] = None): DataFrame = {
+    require(nCells >= 1, "nCells must be >= 1")
+    val cells = ivfCells(emb, nCells, dimOpt)
+    val counts = cells.groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+    val spine = emb.sparkSession.range(nCells)
+      .select(col("id").cast("int").as("cell"))
+    val tot = counts.agg(sum("n_vectors").as("tot"))
+    val out = spine.join(counts, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n_vectors"), lit(0L)).as("n_vectors"))
+      .crossJoin(tot)
+      .select(col("cell"), col("n_vectors"),
+        when(col("tot") > 0, expr("1000000 * n_vectors div tot")).as("load_ppm"),
+        when(col("tot") > 0,
+          expr(s"1000000 * n_vectors * $nCells div tot")).as("x_ideal_ppm"))
+      .withColumn("verdict",
+        when(col("n_vectors") === 0, lit("empty"))
+          .when(col("x_ideal_ppm") >= 2000000L, lit("hot"))
+          .when(col("x_ideal_ppm") <= 500000L, lit("cold"))
+          .otherwise(lit("balanced")))
+    val res = out.localCheckpoint()
+    cells.unpersist(blocking = false)
+    res
+  }
+
   /** Random-projection (Johnson–Lindenstrauss) dimensionality reduction
     * — the fourth leg of the ANN family beside hyperplane-LSH buckets
     * (d6), IVF cells (d9) and PQ codes (d16): project each embedding

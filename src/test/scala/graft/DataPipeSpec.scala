@@ -707,6 +707,30 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { TrainingOps.spanCorruption(docs, spanLen = 0) }
   }
 
+  test("ivf balance: spine completeness, conservation, verdict consistency, determinism") {
+    val sp = spark
+    val out = TrainingOps.ivfBalance(embs, nCells = 16).collect()
+    assert(out.length == 16, "dense spine: every cell appears")
+    assert(out.map(_.getInt(0)).toSet == (0 until 16).toSet)
+    val nVecs = embs.count()
+    assert(out.map(_.getLong(1)).sum == nVecs, "vector conservation")
+    val tot = nVecs
+    out.foreach { r =>
+      val (nv, load, xi, v) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+      assert(load == 1000000L * nv / tot, s"cell ${r.getInt(0)} load_ppm")
+      assert(xi == 1000000L * nv * 16 / tot, s"cell ${r.getInt(0)} x_ideal_ppm")
+      val exp = if (nv == 0) "empty" else if (xi >= 2000000) "hot"
+        else if (xi <= 500000) "cold" else "balanced"
+      assert(v == exp, s"cell ${r.getInt(0)} verdict")
+    }
+    // assignment (and therefore the audit) is partitioning-invariant
+    val b = TrainingOps.ivfBalance(embs.repartition(7), nCells = 16)
+      .collect().map(_.toString).sorted.toSeq
+    assert(out.map(_.toString).sorted.toSeq == b)
+    intercept[IllegalArgumentException] { TrainingOps.ivfBalance(embs, nCells = 0) }
+  }
+
   test("reciprocity: pair dedup, self-loop drop, one-way zero, corpus ppm bounds") {
     val sp = spark; import sp.implicits._
     val edges = Seq(

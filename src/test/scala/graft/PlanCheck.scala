@@ -480,6 +480,9 @@ object PlanCheck {
     println("==== 142. e60 reciprocity: persisted distinct host pairs + reversal equi-join + map-side rollups ====")
     SparkEntry.queries("e60_reciprocity")(spark, sf).explain("formatted")
 
+    println("==== 143. d33 ivf balance: shared persisted cell assignment + int-key count + 16-row spine ====")
+    SparkEntry.queries("d33_ivf_balance")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
