@@ -2264,6 +2264,15 @@ object SparkEntry {
     }),
     // Parquet container sniff: end-anchored (PAR1 head+tail, u32le
     // footer_len from the tail, footer must fit inside n-12)
+    // protobuf field walk: MSB-continuation varints, four live wire
+    // types, no magic / no framing (m22's TFRecord is the container)
+    "m26_proto_fields" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = docs(s, dir).select(col("doc_id")).as[Long]
+        .map(id => (id, TrainingOps.syntheticProtoPayload(id)))
+        .toDF("doc_id", "payload")
+      TrainingOps.protoFields(s, payloads)
+    }),
     // FLAC metadata-block walk: u24 big-endian lengths, in-header
     // last-flag bit termination, bit-packed STREAMINFO fields
     "m25_flac_blocks" -> ((s, dir) => {
@@ -4624,6 +4633,23 @@ object SparkEntry {
           "UNION ALL SELECT doc_id, 'free_bitrate', 0, 0, 'frame', br, sr, p0, bs + p0, crc FROM c WHERE f = 5)"),
       // m23 oracle: container geometry arithmetic (n = 12+p+fl for the
       // valid family; footer_off = 4+p), verdicts per family
+      // m26 oracle: family arithmetic — the ok message is 26+v bytes
+      // (2-byte varint value, 1-byte tags/lengths at these magnitudes),
+      // empty message ok with 0 fields and NULL max_field_no, the
+      // truncated families all-null, the group-type family keeps its
+      // one pre-fault varint field
+      "m26_proto_fields" ->
+        ("WITH c AS (SELECT doc_id, doc_id % 5 AS f, " +
+          "CAST(26 + doc_id % 20 AS INT) AS nb FROM documents) " +
+          "SELECT doc_id, status, n_fields, n_varint, n_len, n_fixed32, " +
+          "n_fixed64, max_field_no, n_bytes FROM ( " +
+          "SELECT doc_id, 'ok' AS status, 5 AS n_fields, 2 AS n_varint, " +
+          "1 AS n_len, 1 AS n_fixed32, 1 AS n_fixed64, " +
+          "CAST(5 AS BIGINT) AS max_field_no, nb AS n_bytes FROM c WHERE f = 0 " +
+          "UNION ALL SELECT doc_id, 'ok', 0, 0, 0, 0, 0, NULL, 0 FROM c WHERE f = 1 " +
+          "UNION ALL SELECT doc_id, 'truncated', NULL, NULL, NULL, NULL, NULL, NULL, 5 FROM c WHERE f = 2 " +
+          "UNION ALL SELECT doc_id, 'malformed', 1, 1, 0, 0, 0, 1, 5 FROM c WHERE f = 3 " +
+          "UNION ALL SELECT doc_id, 'truncated', NULL, NULL, NULL, NULL, NULL, NULL, 4 FROM c WHERE f = 4)"),
       // m25 oracle: family arithmetic — ok geometry n = 50+v+p+a with
       // v/p/a from the id formulas, STREAMINFO fields re-derived from
       // the generator's parameters (the walker unpacks them from the

@@ -6170,6 +6170,131 @@ object TrainingOps extends Serializable {
     bb.toArray
   }
 
+  /** Synthetic protobuf payloads for [[protoFields]] — five families
+    * keyed by doc_id % 5 (v = 5+id%20 delimited bytes): 0 a valid
+    * 5-field message exercising all four live wire types; 1 the EMPTY
+    * message (zero bytes is valid protobuf — pinned); 2 a
+    * length-delimited field declaring more bytes than remain;
+    * 3 a deprecated group wire type (3) after one good field;
+    * 4 a varint whose continuation bit never clears before EOF.
+    */
+  def syntheticProtoPayload(id: Long): Array[Byte] = {
+    val bb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def vint(x: Long): Unit = {
+      var v = x
+      while ((v & ~0x7fL) != 0) { bb += ((v & 0x7f) | 0x80).toByte; v >>>= 7 }
+      bb += v.toByte
+    }
+    val v = (5 + id % 20).toInt
+    def fill(k: Int): Unit = (0 until k).foreach(i => bb += ((i * 5 + 1) & 0x7f).toByte)
+    (id % 5) match {
+      case 0 =>
+        bb += 0x08; vint(150 + id % 1000) // field 1 varint, 2-byte value
+        bb += 0x12; vint(v); fill(v) // field 2 length-delimited
+        bb += 0x1d; fill(4) // field 3 fixed32
+        bb += 0x21; fill(8) // field 4 fixed64
+        bb += 0x28; vint(id % 128) // field 5 varint, 1-byte value
+      case 1 => // empty
+      case 2 => bb += 0x12; vint(100); fill(3)
+      case 3 => bb += 0x08; vint(id % 100); bb += 0x13; fill(2)
+      case _ => bb += 0x08; bb += 0x80.toByte; bb += 0x80.toByte; bb += 0x80.toByte
+    }
+    bb.toArray
+  }
+
+  /** Protobuf wire-format field walk — the MSB-CONTINUATION member of
+    * the walker series and the seventh length mechanism it catalogues:
+    * a varint is LSB-first 7-bit groups whose high bit says "more"
+    * (EBML's m20 VINT is the mirror-image scheme — length announced by
+    * leading-zero count, big-endian; protobuf announces nothing and
+    * streams until a clear bit), and the format has NO magic, NO
+    * framing, and NO terminator — an empty byte string is a valid
+    * message (pinned), and m22's TFRecord is the container that gives
+    * these payloads boundaries. Fields are (tag varint = field_no<<3 |
+    * wire_type) then payload by type: 0 varint, 1 fixed64, 2
+    * varint-length-delimited, 5 fixed32; types 3/4 (deprecated groups)
+    * and 6/7 (reserved) are `malformed`, as is field number 0 (the
+    * spec's explicit invalid) and an 11-byte varint (64 bits fit in
+    * 10 — the overlong-encoding guard every real parser carries).
+    * Truncation (EOF mid-varint, mid-payload, or a delimited length
+    * overrunning the remainder) withholds tallies; malformation keeps
+    * the pre-fault tallies — the m24 policy split. Tallies: total
+    * fields, per-wire-type counts, max field number (NULL for the
+    * empty message — no fields is not field 0).
+    *
+    * Scale shape: per-row typed map in the scan stage, zero exchange.
+    */
+  def protoFields(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, raw) =>
+          val b = if (raw == null) Array.emptyByteArray else raw
+          val n = b.length
+          var pos = 0
+          var verr = 0 // 0 ok, 1 truncated, 2 overlong
+          def varint(): Long = {
+            var shift = 0; var v = 0L; var i = 0; verr = 0
+            while (true) {
+              if (pos >= n) { verr = 1; return 0L }
+              val c = b(pos) & 0xff; pos += 1; i += 1
+              if (i > 10) { verr = 2; return 0L }
+              v |= (c & 0x7fL) << shift; shift += 7
+              if ((c & 0x80) == 0) return v
+            }
+            v
+          }
+          var nf = 0; var nv = 0; var nl = 0; var n32 = 0; var n64 = 0
+          var maxF = 0L
+          var status: String = null
+          while (status == null && pos < n) {
+            val tag = varint()
+            if (verr == 1) status = "truncated"
+            else if (verr == 2) status = "malformed"
+            else {
+              val wt = (tag & 7).toInt; val fno = tag >>> 3
+              if (fno == 0) status = "malformed"
+              else {
+                var fieldOk = false
+                wt match {
+                  case 0 =>
+                    varint()
+                    if (verr == 1) status = "truncated"
+                    else if (verr == 2) status = "malformed"
+                    else { nv += 1; fieldOk = true }
+                  case 1 =>
+                    if (pos + 8 > n) status = "truncated"
+                    else { pos += 8; n64 += 1; fieldOk = true }
+                  case 2 =>
+                    val l = varint()
+                    if (verr == 1) status = "truncated"
+                    else if (verr == 2) status = "malformed"
+                    else if (l < 0 || l > n - pos) status = "truncated"
+                    else { pos += l.toInt; nl += 1; fieldOk = true }
+                  case 5 =>
+                    if (pos + 4 > n) status = "truncated"
+                    else { pos += 4; n32 += 1; fieldOk = true }
+                  case _ => status = "malformed"
+                }
+                if (fieldOk) { nf += 1; if (fno > maxF) maxF = fno }
+              }
+            }
+          }
+          if (status == null) status = "ok"
+          val noneI = None: Option[Int]
+          val noneL = None: Option[Long]
+          if (status == "truncated")
+            (id, status, noneI, noneI, noneI, noneI, noneI, noneL, n)
+          else
+            (id, status, Some(nf), Some(nv), Some(nl), Some(n32), Some(n64),
+              if (nf == 0) noneL else Some(maxF), n)
+        }
+      }
+      .toDF("doc_id", "status", "n_fields", "n_varint", "n_len",
+        "n_fixed32", "n_fixed64", "max_field_no", "n_bytes")
+  }
+
   /** GIF block walk — the SUB-BLOCK-CHAIN member of the walker series
     * and a fourth length mechanism beside ZIP's end-anchored directory
     * (m13), Ogg's 255-run lacing (m21), and TFRecord's checksummed

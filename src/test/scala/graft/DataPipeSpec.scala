@@ -3289,6 +3289,58 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set("ok", "not_parquet", "truncated", "malformed", "corrupt_footer")))
   }
 
+  test("proto fields: varint walk, empty message, field zero, overlong, max varint, totality") {
+    val sp = spark; import sp.implicits._
+    def run(rows: Seq[(Long, Array[Byte])]) =
+      TrainingOps.protoFields(sp, rows.toDF("doc_id", "payload")).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1),
+          if (r.isNullAt(2)) -1 else r.getInt(2), if (r.isNullAt(3)) -1 else r.getInt(3),
+          if (r.isNullAt(4)) -1 else r.getInt(4), if (r.isNullAt(5)) -1 else r.getInt(5),
+          if (r.isNullAt(6)) -1 else r.getInt(6),
+          if (r.isNullAt(7)) -1L else r.getLong(7), r.getInt(8)))).toMap
+    val out = run((0L to 4L).map(id => (id, TrainingOps.syntheticProtoPayload(id))))
+    // id 0: v=5 -> n=26; 5 fields over the four live wire types
+    assert(out(0L) == (("ok", 5, 2, 1, 1, 1, 5L, 26)))
+    // the EMPTY byte string is a valid message; no fields is NULL, not 0
+    assert(out(1L) == (("ok", 0, 0, 0, 0, 0, -1L, 0)))
+    assert(out(2L) == (("truncated", -1, -1, -1, -1, -1, -1L, 5)))
+    // deprecated group type after one good field: pre-fault tally kept
+    assert(out(3L) == (("malformed", 1, 1, 0, 0, 0, 1L, 5)))
+    assert(out(4L) == (("truncated", -1, -1, -1, -1, -1, -1L, 4)))
+    // hand-built pins
+    val hb = run(Seq(
+      // field number 0 is the spec's explicit invalid
+      90L -> Array[Byte](0x00),
+      // 11 continuation bytes: overlong (64 bits fit in 10)
+      91L -> (Array[Byte](0x08) ++ Array.fill(11)(0x80.toByte)),
+      // maximal legal varint: nine 0xff + 0x01 = 10 bytes, value -1
+      92L -> (Array[Byte](0x08) ++ Array.fill(9)(0xff.toByte) ++ Array[Byte](0x01)),
+      // zero-length delimited field is legal
+      93L -> Array[Byte](0x12, 0x00),
+      // fixed32 cut after 2 of 4 bytes
+      94L -> Array[Byte](0x1d, 0x01, 0x02)))
+    assert(hb(90L)._1 == "malformed" && hb(90L)._2 == 0)
+    assert(hb(91L)._1 == "malformed")
+    assert(hb(92L) == (("ok", 1, 1, 0, 0, 0, 1L, 11)))
+    assert(hb(93L) == (("ok", 1, 0, 1, 0, 0, 2L, 2)))
+    assert(hb(94L)._1 == "truncated")
+    val rnd = new scala.util.Random(6363)
+    val fuzz = (0 until 150).map { i =>
+      val base =
+        if (i % 2 == 0) Array.fill(rnd.nextInt(60))(rnd.nextInt(256).toByte)
+        else {
+          val v = TrainingOps.syntheticProtoPayload(rnd.nextInt(60).toLong)
+          if (v.nonEmpty) v(rnd.nextInt(v.length)) =
+            (v(rnd.nextInt(v.length)) ^ (1 << rnd.nextInt(8))).toByte
+          v.take(if (rnd.nextBoolean()) v.length else rnd.nextInt(v.length + 1))
+        }
+      (1000L + i, base)
+    }
+    val statuses = TrainingOps.protoFields(sp, fuzz.toDF("doc_id", "payload"))
+      .select("status").distinct().collect().map(_.getString(0)).toSet
+    assert(statuses.subsetOf(Set("ok", "truncated", "malformed")))
+  }
+
   test("flac blocks: bit unpack, family split, streaminfo-only, max fields, header cut, totality") {
     val sp = spark; import sp.implicits._
     def run(rows: Seq[(Long, Array[Byte])]) =

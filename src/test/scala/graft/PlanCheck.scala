@@ -483,6 +483,9 @@ object PlanCheck {
     println("==== 143. d33 ivf balance: shared persisted cell assignment + int-key count + 16-row spine ====")
     SparkEntry.queries("d33_ivf_balance")(spark, sf).explain("formatted")
 
+    println("==== 144. m26 proto fields: typed mapPartitions varint walker in the scan stage, zero exchange ====")
+    SparkEntry.queries("m26_proto_fields")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
