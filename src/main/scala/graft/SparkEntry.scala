@@ -632,6 +632,15 @@ object SparkEntry {
     // document-local draws; labels = original words at selected
     // positions (NULL when none)
     "t51_mlm_mask" -> ((s, dir) => TrainingOps.mlmMask(docs(s, dir))),
+    // casing profile over a case-decorated corpus (the dirtyAug
+    // pattern): %4 families — untouched / fully uppercased /
+    // capitalized prefix / ALL-CAPS injection
+    "t52_casing_profile" -> ((s, dir) =>
+      TrainingOps.casingProfile(docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 4 === 1, upper(col("text")))
+          .when(col("doc_id") % 4 === 2, concat(lit("Sentence Start here. "), col("text")))
+          .when(col("doc_id") % 4 === 3, concat(lit("BREAKING NEWS NOW "), col("text")))
+          .otherwise(col("text")).as("text")))),
     // fill-in-the-middle transform: 50% of eligible docs (n>=3) get a
     // hash-chosen middle span moved behind sentinel tokens, alternating
     // psm/spm segment orders; the rest pass through as plain LM samples
@@ -4093,6 +4102,29 @@ object SparkEntry {
           "coalesce(a.inputs, '') AS inputs, " +
           "CASE WHEN coalesce(a.ns, 0) > 0 THEN a.tg || ' <extra_id_' || a.ns || '>' END AS targets " +
           "FROM base b LEFT JOIN agg a USING (doc_id)"),
+      // t52 oracle: same %4 case decoration, ASCII-only regex classes
+      // (full-match anchors for all-caps words), floor-div ppm with
+      // NULL on letterless text, the >= 30% / >= 5 words shouting gate
+      "t52_casing_profile" ->
+        ("WITH a AS (SELECT doc_id, CASE WHEN doc_id % 4 = 1 THEN upper(text) " +
+          "WHEN doc_id % 4 = 2 THEN 'Sentence Start here. ' || text " +
+          "WHEN doc_id % 4 = 3 THEN 'BREAKING NEWS NOW ' || text " +
+          "ELSE text END AS t FROM documents), " +
+          "b AS (SELECT doc_id, list_filter(regexp_split_to_array(coalesce(t, ''), " +
+          "'[ \\t\\n\\r\\f\\x0B]+'), x -> x <> '') AS w, " +
+          "length(regexp_replace(coalesce(t, ''), '[^A-Z]', '', 'g')) AS uc, " +
+          "length(regexp_replace(coalesce(t, ''), '[^A-Za-z]', '', 'g')) AS lc FROM a), " +
+          "c AS (SELECT doc_id, len(w) AS n_words, " +
+          "len(list_filter(w, x -> regexp_matches(x, '^[A-Z]{2,}$'))) AS n_allcaps, " +
+          "len(list_filter(w, x -> regexp_matches(x, '^[A-Z]'))) AS n_capitalized, " +
+          "uc, lc FROM b) " +
+          "SELECT doc_id, CAST(n_words AS INT) AS n_words, " +
+          "CAST(n_allcaps AS INT) AS n_allcaps, " +
+          "CAST(n_capitalized AS INT) AS n_capitalized, " +
+          "CAST(uc AS BIGINT) AS n_upper_chars, CAST(lc AS BIGINT) AS n_letter_chars, " +
+          "CASE WHEN lc > 0 THEN CAST((1000000 * uc) // lc AS BIGINT) END AS upper_ppm, " +
+          "coalesce(lc > 0 AND (1000000 * uc) // lc >= 300000 AND n_words >= 5, false) AS shouting " +
+          "FROM c"),
       // t51 oracle: re-derives selection (mlm: hash < 15), the action
       // decile (mlma:), and the document-local replacement index
       // (mlmr: mod n, 1-based list pick) per position, rebuilds

@@ -1722,6 +1722,43 @@ object TrainingOps extends Serializable {
           !col("has_lorem") && !col("has_brace"))
   }
 
+  /** Casing profile — the quality axis t14's Gopher rules skip: HOW
+    * text is capitalized. ALL-CAPS flooding is the shouting/spam tell
+    * (listing sites, SEO keyword walls), a near-zero capitalized-word
+    * rate on long text is the lowercased-scrape tell (case-folded
+    * pipelines leak into crawls and poison case-sensitive training),
+    * and both are invisible to alpha-ratio checks because caps ARE
+    * alpha. Per doc: word count, ALL-CAPS words (>= 2 letters, fully
+    * [A-Z] — single letters like 'I' and 'A' are legitimate English),
+    * capitalized-start words, uppercase and total ASCII letter chars,
+    * `upper_ppm` (floor-div, NULL when no letters — no fake 0% on
+    * digit-only text), and the `shouting` flag (>= 30% uppercase
+    * letters over >= 5 words). ASCII-only classes by design: Unicode
+    * case ratios would hinge on locale tables the two engines don't
+    * share bit-for-bit.
+    *
+    * Scale shape: pure per-row codegen'd regex counting, zero
+    * exchange, rides the scan.
+    */
+  def casingProfile(docs: DataFrame): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    val w = filter(split(t, wsClass + "+"), x => length(x) > 0)
+    val upperChars = length(regexp_replace(t, "[^A-Z]", ""))
+    val letterChars = length(regexp_replace(t, "[^A-Za-z]", ""))
+    docs.select(
+      col("doc_id"),
+      size(w).as("n_words"),
+      size(filter(w, x => x.rlike("^[A-Z]{2,}$"))).as("n_allcaps"),
+      size(filter(w, x => x.rlike("^[A-Z]"))).as("n_capitalized"),
+      upperChars.cast("long").as("n_upper_chars"),
+      letterChars.cast("long").as("n_letter_chars"))
+      .withColumn("upper_ppm",
+        when(col("n_letter_chars") > 0,
+          expr("1000000 * n_upper_chars div n_letter_chars")))
+      .withColumn("shouting",
+        coalesce(col("upper_ppm") >= 300000 && col("n_words") >= 5, lit(false)))
+  }
+
   /** Token counting: whitespace tokens and a BPE-ish regex tokenization
     * (alnum runs + single non-alnum marks) — the token-budget accounting
     * column of a corpus pipeline.

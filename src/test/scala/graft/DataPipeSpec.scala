@@ -707,6 +707,31 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { TrainingOps.spanCorruption(docs, spanLen = 0) }
   }
 
+  test("casing profile: allcaps gate, single-letter exemption, null ppm, shouting flag") {
+    val sp = spark; import sp.implicits._
+    val rows = Seq(
+      (1L, "THIS IS ALL CAPS TEXT"),            // 5 words, all >= 2 letters caps
+      (2L, "normal lower case words here"),
+      (3L, "I bought A thing"),                  // 'I'/'A' capitalized but NOT allcaps
+      (4L, "MIXED Case SHOUT low caps HERE ok"), // partial caps
+      (5L, "12345 678"),                         // no letters: NULL ppm, not shouting
+      (6L, ""),
+      (7L, "SHORT YELL"))                        // 100% caps but only 2 words
+    val out = TrainingOps.casingProfile(rows.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) -1L else r.getLong(6), r.getBoolean(7)))).toMap
+    assert(out(1L) == ((5, 5, 5, 17L, 17L, 1000000L, true)))
+    assert(out(2L)._7 == false && out(2L)._2 == 0 && out(2L)._6 == 0L)
+    // single capital letters are capitalized words, never ALL-CAPS words
+    assert(out(3L)._2 == 0 && out(3L)._3 == 2)
+    assert(out(4L)._2 == 3 && out(4L)._7 == true) // MIXED SHOUT HERE; 15/27 caps
+    assert(out(5L) == ((2, 0, 0, 0L, 0L, -1L, false)))
+    assert(out(6L) == ((0, 0, 0, 0L, 0L, -1L, false)))
+    // shouting needs volume: 2 words of pure caps stay unflagged
+    assert(out(7L)._6 == 1000000L && out(7L)._7 == false)
+  }
+
   test("ivf balance: spine completeness, conservation, verdict consistency, determinism") {
     val sp = spark
     val out = TrainingOps.ivfBalance(embs, nCells = 16).collect()

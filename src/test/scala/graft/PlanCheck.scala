@@ -486,6 +486,9 @@ object PlanCheck {
     println("==== 144. m26 proto fields: typed mapPartitions varint walker in the scan stage, zero exchange ====")
     SparkEntry.queries("m26_proto_fields")(spark, sf).explain("formatted")
 
+    println("==== 145. t52 casing profile: pure per-row codegen'd regex counting, zero exchange ====")
+    SparkEntry.queries("t52_casing_profile")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
