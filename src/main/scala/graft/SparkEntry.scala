@@ -717,6 +717,26 @@ object SparkEntry {
         docs(s, dir).select(url.as("url"), status.as("http_status"), body.as("body")))
     }),
     "d4_dedup_jaccard" -> ((s, dir) => TrainingOps.jaccardVerify(docs(s, dir))),
+    // extraction-yield (content-to-markup) ratio per family-A page:
+    // extracted text bytes vs raw payload bytes through the REAL
+    // kernel — the template-weight signal quality filters read
+    "e61_extract_yield" -> ((s, dir) => {
+      import s.implicits._
+      val sizes = pagesOf(s, onlyKind(docs(s, dir), "html_a"))
+        .map(p => (p.url, p.html.length))
+        .toDF("url", "payload_bytes").dropDuplicates("url")
+      extracted(s, dir, "html_a").toDF()
+        .filter(col("status") === "ok")
+        .select(col("url"), octet_length(col("text")).cast("long").as("text_bytes"))
+        .join(sizes, "url")
+        .select(col("url"), col("text_bytes"),
+          col("payload_bytes").cast("long").as("payload_bytes"))
+        .withColumn("yield_ppm", expr("1000000 * text_bytes div payload_bytes"))
+        .withColumn("verdict",
+          when(col("yield_ppm") < 100000, lit("template_heavy"))
+            .when(col("yield_ppm") >= 500000, lit("content_dense"))
+            .otherwise(lit("normal")))
+    }),
     // cross-host mirror detection: exact dedup crossed with the host
     // dimension — cross_host (mirror farm / syndication) vs intra_host
     // (CMS aliasing) verdict per duplicated-content cluster
@@ -2409,6 +2429,19 @@ object SparkEntry {
       "e1_extract_html" ->
         (s"WITH d AS (SELECT doc_id, $words AS w FROM documents WHERE $htmlKindsA) " +
           s"SELECT $urlExpr AS url, ${chunked(40)} AS text FROM d"),
+      // e61 oracle: payload bytes from the shared byte-for-byte
+      // HtmlGen reconstruction (e8's expression), text bytes from the
+      // e1 expected-extraction string, floor-div ppm + the verdict
+      // ladder — a MATCH pins kernel yield against generator arithmetic
+      "e61_extract_yield" ->
+        (s"WITH d AS (SELECT doc_id, lang, text, $words AS w FROM documents WHERE $htmlKindsA), " +
+          s"h AS (SELECT doc_id, octet_length(encode($htmlAPayloadExpr)) AS pb, " +
+          s"octet_length(encode(${chunked(40)})) AS tb FROM d), " +
+          "g AS (SELECT doc_id, tb, pb, (1000000 * tb) // pb AS yp FROM h) " +
+          s"SELECT $urlExpr AS url, CAST(tb AS BIGINT) AS text_bytes, " +
+          "CAST(pb AS BIGINT) AS payload_bytes, CAST(yp AS BIGINT) AS yield_ppm, " +
+          "CASE WHEN yp < 100000 THEN 'template_heavy' " +
+          "WHEN yp >= 500000 THEN 'content_dense' ELSE 'normal' END AS verdict FROM g"),
       "e2_extract_pdf" ->
         (s"WITH d AS (SELECT doc_id, $words AS w FROM documents WHERE $pdfKinds) " +
           s"SELECT $urlExpr AS url, ${chunked(60)} AS text, " +
@@ -3167,7 +3200,12 @@ object SparkEntry {
     * PDF payloads are excluded (Deflate output length is not computable
     * in SQL); the Spark query applies the same non-pdf filter.
     */
-  private def e8Oracle: String = {
+  /** DuckDB expression rebuilding the family-A HtmlGen payload string
+    * byte-for-byte from (doc_id, lang, w) — every literal mirrors a
+    * line of gen/HtmlGen.render(). Shared by the e8 size histogram and
+    * the e61 extraction-yield oracle.
+    */
+  private def htmlAPayloadExpr: String = {
     val charset =
       """CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN '<meta charset="utf-8">' WHEN 1 THEN '<meta charset=UTF-8>' WHEN 2 THEN '<meta http-equiv="Content-Type" content="text/html; charset=utf-8">' ELSE e'<meta charset=\'utf-8\'>' END"""
     val nav =
@@ -3186,6 +3224,11 @@ object SparkEntry {
         """ || e'    </article>\n  </main>\n  <aside>\n    <ul>\n' || """ + rel +
         """ || e'\n    </ul>\n  </aside>\n  <footer><p>&copy; 2026 Example Corp &middot; <a href="/imprint">Impressum</a> &#8211; id&nbsp;' || doc_id || """ +
         """e'</p></footer>\n</body>\n</html>\n'"""
+    htmlStr
+  }
+
+  private def e8Oracle: String = {
+    val htmlStr = htmlAPayloadExpr
     "WITH d AS (SELECT doc_id, lang, text, regexp_split_to_array(trim(text), '\\s+') AS w, " +
       "CASE WHEN doc_id % 37 = 0 THEN 'junk' WHEN doc_id % 41 = 0 THEN 'oversize' ELSE 'html' END AS kind, " +
       "CASE WHEN doc_id % 20 = 3 THEN 2 ELSE 1 END AS copies " +

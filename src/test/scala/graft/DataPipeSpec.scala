@@ -707,6 +707,25 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { TrainingOps.spanCorruption(docs, spanLen = 0) }
   }
 
+  test("extract yield: ratio arithmetic, verdict ladder, one row per url, kernel-vs-payload sanity") {
+    val sp = spark
+    val out = SparkEntry.queries("e61_extract_yield")(sp, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getString(0)).distinct.length == out.length, "one row per url")
+    out.foreach { r =>
+      val (tb, pb, yp, v) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+      assert(pb > 0 && tb >= 0 && tb < pb, s"${r.getString(0)} byte sanity")
+      assert(yp == 1000000L * tb / pb, s"${r.getString(0)} ppm arithmetic")
+      val exp = if (yp < 100000) "template_heavy"
+        else if (yp >= 500000) "content_dense" else "normal"
+      assert(v == exp, s"${r.getString(0)} verdict")
+      // family-A template is ~1.5 KB of fixed chrome: a page can never
+      // be 100% content
+      assert(yp < 1000000L)
+    }
+  }
+
   test("casing profile: allcaps gate, single-letter exemption, null ppm, shouting flag") {
     val sp = spark; import sp.implicits._
     val rows = Seq(

@@ -489,6 +489,9 @@ object PlanCheck {
     println("==== 145. t52 casing profile: pure per-row codegen'd regex counting, zero exchange ====")
     SparkEntry.queries("t52_casing_profile")(spark, sf).explain("formatted")
 
+    println("==== 146. e61 extract yield: kernel in the scan stage + ONE url-keyed join of two length columns ====")
+    SparkEntry.queries("e61_extract_yield")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
