@@ -763,6 +763,10 @@ object SparkEntry {
     // spine (empties must appear), load ppm, empty/hot/cold/balanced
     "d33_ivf_balance" -> ((s, dir) =>
       TrainingOps.ivfBalance(embs(s, dir), nCells = 16)),
+    // per-vector assignment margin (d_own/d_second of d9's argmin):
+    // core/interior/boundary — the recall-risk map behind d29's nProbe
+    "d34_ivf_margins" -> ((s, dir) =>
+      TrainingOps.ivfMargins(embs(s, dir), nCells = 16)),
     // k-means training (2 Lloyd iterations, 8 cells) in pure integer
     // arithmetic after ppm quantization — bit-reproducible across
     // partitionings AND unrollable in the DuckDB oracle; output is the
@@ -3906,6 +3910,23 @@ object SparkEntry {
       // IVF-cell ANN: nearest-of-16 deterministic centroids (argmin as
       // array_min of [dist2, cell] — identical left-fold arithmetic on
       // both engines), probes search only their own cell
+      // d34 oracle: the full sorted (dist, cell) pair list — head is
+      // d9's assignment, runner-up gives the margin; same left-fold
+      // double arithmetic, floor to ppm
+      "d34_ivf_margins" ->
+        ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+          "s AS (SELECT vec_id, list_sort(list_transform(range(16), j -> " +
+          "[list_sum(list_transform(range(len(v)), i -> " +
+          "((('0x' || substr(md5('c:' || j || ':' || i),1,15))::BIGINT / pow(2,59) - 1.0 - v[i+1]) * " +
+          "(('0x' || substr(md5('c:' || j || ':' || i),1,15))::BIGINT / pow(2,59) - 1.0 - v[i+1])))), " +
+          "j::DOUBLE])) AS ds FROM e), " +
+          "m AS (SELECT vec_id, CAST(ds[1][2] AS INT) AS cell, " +
+          "CASE WHEN ds[2][1] > 0 THEN CAST(floor(1000000 * ds[1][1] / ds[2][1]) AS BIGINT) END AS margin_ppm FROM s) " +
+          "SELECT vec_id, cell, margin_ppm, " +
+          "CASE WHEN margin_ppm IS NULL THEN 'degenerate' " +
+          "WHEN margin_ppm < 250000 THEN 'core' " +
+          "WHEN margin_ppm >= 750000 THEN 'boundary' " +
+          "ELSE 'interior' END AS verdict FROM m"),
       // d33 oracle: d9's exact cell-assignment CTE, per-cell counts
       // over the dense 16-row spine, floor-div ppms and the
       // empty/hot/cold/balanced ladder re-derived in SQL

@@ -888,12 +888,11 @@ object TrainingOps extends Serializable {
   /** [[ivfCells]] over an already-prepared (vec_id, v double-array)
     * frame — [[semDedup]] feeds it post-pre-pass representatives.
     */
-  private def ivfCellsOf(e: DataFrame, nCells: Int, dimOpt: Option[Int]): DataFrame = {
-    val dim = dimOpt.getOrElse {
-      val h = e.select(size(col("v"))).head(1)
-      if (h.isEmpty) 1 else math.max(1, h(0).getInt(0))
-    }
-    val cents: Seq[Seq[Double]] = (0 until nCells).map { c =>
+  /** The deterministic md5-derived IVF centroid matrix shared by
+    * [[ivfCellsOf]] and [[ivfMargins]].
+    */
+  private def ivfCents(nCells: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nCells).map { c =>
       (0 until dim).map { i =>
         val hex = java.security.MessageDigest.getInstance("MD5")
           .digest(s"c:$c:$i".getBytes("UTF-8"))
@@ -901,6 +900,16 @@ object TrainingOps extends Serializable {
         java.lang.Long.parseLong(hex, 16).toDouble / math.pow(2, 59) - 1.0
       }
     }
+
+  private def embDim(e: DataFrame, dimOpt: Option[Int]): Int =
+    dimOpt.getOrElse {
+      val h = e.select(size(col("v"))).head(1)
+      if (h.isEmpty) 1 else math.max(1, h(0).getInt(0))
+    }
+
+  private def ivfCellsOf(e: DataFrame, nCells: Int, dimOpt: Option[Int]): DataFrame = {
+    val dim = embDim(e, dimOpt)
+    val cents: Seq[Seq[Double]] = ivfCents(nCells, dim)
     val cellExpr = expr(
       s"""CAST(element_at(array_min(transform(sequence(0,${nCells - 1}), j ->
          |  array(aggregate(zip_with(element_at(cents, j + 1), v, (p, x) -> (p - x) * (p - x)),
@@ -954,6 +963,53 @@ object TrainingOps extends Serializable {
     val res = out.localCheckpoint()
     cells.unpersist(blocking = false)
     res
+  }
+
+  /** IVF assignment-margin audit — [[ivfBalance]]'s per-VECTOR
+    * sibling and the recall-risk map that motivates d29's multi-probe:
+    * a vector's `margin_ppm = 1e6 * d_own / d_second` (squared
+    * distance to its own centroid over the runner-up's) says how
+    * decisively it was assigned — near 0 is a `core` vector single-cell
+    * search will always find, near 1e6 is a `boundary` vector sitting
+    * between cells, exactly the one a true neighbor query loses when
+    * nProbe = 1 (IVF's documented recall cliff lives entirely in this
+    * population, which is why the d29 dial exists). The per-cell
+    * boundary fraction is the principled way to CHOOSE nProbe;
+    * verdicts: core (< 25% of runner-up distance), boundary (>= 75%),
+    * interior between. Ties and the argmin share [[ivfCellsOf]]'s
+    * lexicographic (dist, cell) order — sorting the same pair array
+    * whose head IS d9's assignment, so the audit cannot disagree with
+    * the index it audits.
+    *
+    * Scale shape: inlined-centroid map-only arithmetic (the same
+    * left-fold double convention as the d9 oracle contract), zero
+    * exchange, rides the scan.
+    */
+  def ivfMargins(emb: DataFrame, nCells: Int = 8,
+                 dimOpt: Option[Int] = None): DataFrame = {
+    require(nCells >= 2, "nCells must be >= 2")
+    val e = emb.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val dim = embDim(e, dimOpt)
+    val cents: Seq[Seq[Double]] = ivfCents(nCells, dim)
+    val dsExpr = expr(
+      s"""array_sort(transform(sequence(0,${nCells - 1}), j ->
+         |  array(aggregate(zip_with(element_at(cents, j + 1), v, (p, x) -> (p - x) * (p - x)),
+         |                  cast(0 as double), (s, x) -> s + x),
+         |        cast(j as double))))""".stripMargin)
+    e.withColumn("cents", typedLit(cents))
+      .select(col("vec_id"), dsExpr.as("ds"))
+      .select(col("vec_id"),
+        element_at(element_at(col("ds"), 1), 2).cast("int").as("cell"),
+        when(element_at(element_at(col("ds"), 2), 1) > 0,
+          floor(lit(1000000d) * element_at(element_at(col("ds"), 1), 1) /
+            element_at(element_at(col("ds"), 2), 1)).cast("long"))
+          .as("margin_ppm"))
+      .withColumn("verdict",
+        when(col("margin_ppm").isNull, lit("degenerate"))
+          .when(col("margin_ppm") < 250000L, lit("core"))
+          .when(col("margin_ppm") >= 750000L, lit("boundary"))
+          .otherwise(lit("interior")))
   }
 
   /** Random-projection (Johnson–Lindenstrauss) dimensionality reduction

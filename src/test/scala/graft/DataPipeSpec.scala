@@ -707,6 +707,30 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { TrainingOps.spanCorruption(docs, spanLen = 0) }
   }
 
+  test("ivf margins: agrees with the live assignment, bounds, verdicts, determinism") {
+    val sp = spark
+    val out = TrainingOps.ivfMargins(embs, nCells = 16).collect()
+    assert(out.length == embs.count())
+    // the audit's cell MUST equal d9's assignment vector-for-vector:
+    // sorting the same (dist, cell) pairs whose min is the assignment
+    val viaBalance = TrainingOps.ivfBalance(embs, nCells = 16)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val marginCells = out.groupBy(_.getInt(1)).map { case (c, rs) => c -> rs.length.toLong }
+    marginCells.foreach { case (c, n) =>
+      assert(viaBalance(c) == n, s"cell $c population disagrees with ivfBalance") }
+    out.foreach { r =>
+      assert(!r.isNullAt(2), "distinct centroids: no degenerate rows expected")
+      val m = r.getLong(2)
+      assert(m >= 0 && m <= 1000000L, s"vec ${r.getLong(0)} margin out of range")
+      val exp = if (m < 250000) "core" else if (m >= 750000) "boundary" else "interior"
+      assert(r.getString(3) == exp)
+    }
+    val b = TrainingOps.ivfMargins(embs.repartition(5), nCells = 16)
+      .collect().map(_.toString).sorted.toSeq
+    assert(out.map(_.toString).sorted.toSeq == b)
+    intercept[IllegalArgumentException] { TrainingOps.ivfMargins(embs, nCells = 1) }
+  }
+
   test("extract yield: ratio arithmetic, verdict ladder, one row per url, kernel-vs-payload sanity") {
     val sp = spark
     val out = SparkEntry.queries("e61_extract_yield")(sp, sfDir).collect()

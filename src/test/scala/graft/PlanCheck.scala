@@ -492,6 +492,9 @@ object PlanCheck {
     println("==== 146. e61 extract yield: kernel in the scan stage + ONE url-keyed join of two length columns ====")
     SparkEntry.queries("e61_extract_yield")(spark, sf).explain("formatted")
 
+    println("==== 147. d34 ivf margins: inlined-centroid map-only sorted distance pairs, zero exchange ====")
+    SparkEntry.queries("d34_ivf_margins")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
