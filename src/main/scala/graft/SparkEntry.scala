@@ -669,6 +669,24 @@ object SparkEntry {
     "d23_lsh_curve" -> ((s, dir) => TrainingOps.lshCurve(s)),
     // crawler-trap detection over a synthesized fetch log: digit runs
     // collapse to one template; a family past minUrls is a trap
+    // query-parameter facet profile over synthesized parameterized
+    // urls: per-(host, param) value cardinality with the
+    // tracking/facet_trap/facet/constant ladder
+    "e62_param_profile" -> ((s, dir) => {
+      val id = col("doc_id")
+      val url = when(id % 4 === 0,
+        concat(lit("https://site"), id % 5, lit(".example.com/a/"), id))
+        .when(id % 4 === 1,
+          concat(lit("https://site"), id % 5, lit(".example.com/a/"), id % 50,
+            lit("?utm_source=s"), id % 3, lit("&utm_campaign=c"), id % 7))
+        .when(id % 4 === 2,
+          concat(lit("https://site"), id % 5, lit(".example.com/list?color=c"), id % 29,
+            lit("&size=s"), id % 2, lit("&view=grid")))
+        .otherwise(
+          concat(lit("https://site"), id % 5, lit(".example.com/p/"), id % 20,
+            lit("?sid="), id))
+      graft.datapipe.GraphOps.paramProfile(docs(s, dir).select(url.as("url")))
+    }),
     "e38_trap_detection" -> ((s, dir) => {
       val id = col("doc_id")
       val url = when(id % 2 === 0,
@@ -3548,6 +3566,28 @@ object SparkEntry {
           "FROM range(1, 10) t(j)"),
       // e38 oracle: same template collapse in SQL — trap families count
       // one url per doc, page families one per (host, page-slot) doc set
+      // e62 oracle: same url synthesis, query-string split, ''-not-NULL
+      // values, (host,param) distinct-value rollup, and the ladder with
+      // tracking-before-cardinality precedence (sid would otherwise
+      // profile as a trap — the fix differs, so the verdict must)
+      "e62_param_profile" ->
+        ("WITH u AS (SELECT CASE " +
+          "WHEN doc_id % 4 = 0 THEN 'https://site' || (doc_id % 5) || '.example.com/a/' || doc_id " +
+          "WHEN doc_id % 4 = 1 THEN 'https://site' || (doc_id % 5) || '.example.com/a/' || (doc_id % 50) || " +
+          "'?utm_source=s' || (doc_id % 3) || '&utm_campaign=c' || (doc_id % 7) " +
+          "WHEN doc_id % 4 = 2 THEN 'https://site' || (doc_id % 5) || '.example.com/list?color=c' || (doc_id % 29) || " +
+          "'&size=s' || (doc_id % 2) || '&view=grid' " +
+          "ELSE 'https://site' || (doc_id % 5) || '.example.com/p/' || (doc_id % 20) || '?sid=' || doc_id END AS url " +
+          "FROM documents), " +
+          "q AS (SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS host, " +
+          "regexp_extract(url, '\\?(.*)$', 1) AS qs FROM u), " +
+          "p AS (SELECT host, unnest(string_split(qs, '&')) AS kv FROM q WHERE qs <> ''), " +
+          "k AS (SELECT host, string_split(kv, '=')[1] AS param, " +
+          "coalesce(string_split(kv, '=')[2], '') AS value FROM p), " +
+          "g AS (SELECT host, param, count(*) AS nu, count(DISTINCT value) AS nv FROM k GROUP BY 1, 2) " +
+          "SELECT host, param, CAST(nu AS BIGINT) AS n_urls, CAST(nv AS BIGINT) AS n_values, " +
+          "CASE WHEN starts_with(param, 'utm_') OR param IN ('sid','gclid','fbclid','sessionid') THEN 'tracking' " +
+          "WHEN nv >= 16 THEN 'facet_trap' WHEN nv >= 2 THEN 'facet' ELSE 'constant' END AS verdict FROM g"),
       "e38_trap_detection" ->
         ("WITH u AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN " +
           "'https://trap' || (doc_id % 3) || '.example.com/cal/2026/' || doc_id " +

@@ -1004,6 +1004,43 @@ object GraphOps {
         when(col("n_declared") > 0, expr("1000000 * n_both div n_declared")))
   }
 
+  /** URL query-parameter facet profile — the structural companion to
+    * [[trapDetection]]'s path heuristics: faceted navigation and
+    * session tokens multiply URLs without multiplying content, and the
+    * dimension a crawler drowns in is visible as a PARAMETER whose
+    * value cardinality keeps growing. Per (host, parameter): URL count,
+    * distinct value count, and a verdict ladder — `tracking`
+    * (name-based: utm_* and the session/click-id set; checked FIRST,
+    * because session ids also have huge cardinality and the fix differs
+    * — strip them at canonicalization, e32's job), `facet_trap`
+    * (>= 16 distinct values — a crawl dimension to cap), `facet`
+    * (2-15 — legitimate navigation), `constant` (1 — usually vestigial).
+    * Valueless params ("?flag") profile as '' values, not NULL.
+    *
+    * Scale shape: map-side query-string parse + explode bounded by
+    * params-per-url, then ONE (host, param) rollup with Spark's
+    * two-phase distinct-value aggregation — URLs shuffle as short
+    * (host, param, value) triples, never as full strings.
+    */
+  def paramProfile(urls: DataFrame): DataFrame = {
+    val qs = regexp_extract(col("url"), "\\?(.*)$", 1)
+    val host = regexp_extract(col("url"), "https?://([^/]+)", 1)
+    val kvs = urls.select(host.as("host"), explode(split(qs, "&")).as("kv"))
+      .filter(col("kv") =!= "")
+      .select(col("host"),
+        element_at(split(col("kv"), "=", 2), 1).as("param"),
+        coalesce(try_element_at(split(col("kv"), "=", 2), lit(2)), lit("")).as("value"))
+    kvs.groupBy("host", "param")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("value")).as("n_values"))
+      .withColumn("verdict",
+        when(col("param").startsWith("utm_") ||
+          col("param").isin("sid", "gclid", "fbclid", "sessionid"), lit("tracking"))
+          .when(col("n_values") >= 16, lit("facet_trap"))
+          .when(col("n_values") >= 2, lit("facet"))
+          .otherwise(lit("constant")))
+  }
+
   def crawlFrontier(edges: DataFrame, crawled: DataFrame): DataFrame = {
     val agg = edges.groupBy("to_url").agg(
       count(lit(1)).as("n_refs"),

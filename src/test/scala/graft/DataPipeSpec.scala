@@ -707,6 +707,34 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { TrainingOps.spanCorruption(docs, spanLen = 0) }
   }
 
+  test("param profile: kv parse, valueless flag, tracking precedence, cardinality ladder") {
+    val sp = spark; import sp.implicits._
+    val urls = Seq(
+      "https://a.com/x?color=red&size=s",
+      "https://a.com/x?color=blue&size=s",
+      "https://a.com/x?color=green&size=s",
+      "https://a.com/p?sid=1", "https://a.com/p?sid=2", "https://a.com/p?sid=3",
+      "https://a.com/q?flag",          // valueless: '' value, not NULL
+      "https://a.com/q?flag",
+      "https://b.com/y?utm_source=mail", // name-based even with 1 value
+      "https://a.com/plain")           // no query: contributes nothing
+    val out = graft.datapipe.GraphOps.paramProfile(urls.toDF("url")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out.keySet == Set(("a.com", "color"), ("a.com", "size"),
+      ("a.com", "sid"), ("a.com", "flag"), ("b.com", "utm_source")))
+    assert(out(("a.com", "color")) == ((3L, 3L, "facet")))
+    assert(out(("a.com", "size")) == ((3L, 1L, "constant")))
+    // sid: 3 distinct values but tracking wins over cardinality
+    assert(out(("a.com", "sid")) == ((3L, 3L, "tracking")))
+    assert(out(("a.com", "flag")) == ((2L, 1L, "constant")))
+    assert(out(("b.com", "utm_source")) == ((1L, 1L, "tracking")))
+    // 16-value param crosses into facet_trap
+    val trap = graft.datapipe.GraphOps.paramProfile(
+      (0 until 16).map(i => s"https://c.com/l?f=$i").toDF("url")).collect()
+    assert(trap.length == 1 && trap(0).getString(4) == "facet_trap")
+  }
+
   test("ivf margins: agrees with the live assignment, bounds, verdicts, determinism") {
     val sp = spark
     val out = TrainingOps.ivfMargins(embs, nCells = 16).collect()

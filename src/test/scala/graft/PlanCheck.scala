@@ -495,6 +495,9 @@ object PlanCheck {
     println("==== 147. d34 ivf margins: inlined-centroid map-only sorted distance pairs, zero exchange ====")
     SparkEntry.queries("d34_ivf_margins")(spark, sf).explain("formatted")
 
+    println("==== 148. e62 param profile: map-side query parse + ONE (host,param) rollup with two-phase distinct ====")
+    SparkEntry.queries("e62_param_profile")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
