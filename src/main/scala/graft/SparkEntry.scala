@@ -632,6 +632,15 @@ object SparkEntry {
     // document-local draws; labels = original words at selected
     // positions (NULL when none)
     "t51_mlm_mask" -> ((s, dir) => TrainingOps.mlmMask(docs(s, dir))),
+    // entity-residue audit over an entity-decorated corpus: named /
+    // decimal / hex syntaxes plus non-entity ampersand decoys
+    "t53_entity_residue" -> ((s, dir) =>
+      TrainingOps.entityResidue(docs(s, dir).select(col("doc_id"), concat(
+        coalesce(col("text"), lit("")),
+        when(col("doc_id") % 3 === 0, lit(" &amp; &quot;q&quot;")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 1, lit(" &#8211; and &#x27;s")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 2, lit(" AT&T snack&shop &broken")).otherwise(lit(""))
+      ).as("text")))),
     // casing profile over a case-decorated corpus (the dirtyAug
     // pattern): %4 families — untouched / fully uppercased /
     // capitalized prefix / ALL-CAPS injection
@@ -4206,6 +4215,29 @@ object SparkEntry {
           "coalesce(a.inputs, '') AS inputs, " +
           "CASE WHEN coalesce(a.ns, 0) > 0 THEN a.tg || ' <extra_id_' || a.ns || '>' END AS targets " +
           "FROM base b LEFT JOIN agg a USING (doc_id)"),
+      // t53 oracle: same entity decoration (decoys stay uncounted —
+      // no terminator, no entity), three syntax counts, entity-char
+      // sum via joined match strings, floor-div ppm
+      "t53_entity_residue" ->
+        ("WITH a AS (SELECT doc_id, coalesce(text, '') || " +
+          "CASE WHEN doc_id % 3 = 0 THEN ' &amp; &quot;q&quot;' ELSE '' END || " +
+          "CASE WHEN doc_id % 5 = 1 THEN ' &#8211; and &#x27;s' ELSE '' END || " +
+          "CASE WHEN doc_id % 7 = 2 THEN ' AT&T snack&shop &broken' ELSE '' END AS t FROM documents), " +
+          "b AS (SELECT doc_id, length(t) AS nc, " +
+          "regexp_extract_all(t, '&[a-zA-Z][a-zA-Z0-9]{1,31};') AS nm, " +
+          "regexp_extract_all(t, '&#[0-9]{1,7};') AS dc, " +
+          "regexp_extract_all(t, '&#[xX][0-9a-fA-F]{1,6};') AS hx FROM a), " +
+          "c AS (SELECT doc_id, nc, len(nm) AS n_named, len(dc) AS n_decimal, " +
+          // array_to_string([]) is NULL in DuckDB (Spark concat_ws
+          // gives '') — coalesce each term
+          "len(hx) AS n_hex, coalesce(length(array_to_string(nm, '')), 0) + " +
+          "coalesce(length(array_to_string(dc, '')), 0) + " +
+          "coalesce(length(array_to_string(hx, '')), 0) AS ec FROM b) " +
+          "SELECT doc_id, CAST(nc AS BIGINT) AS n_chars, CAST(n_named AS INT) AS n_named, " +
+          "CAST(n_decimal AS INT) AS n_decimal, CAST(n_hex AS INT) AS n_hex, " +
+          "CAST(ec AS BIGINT) AS ent_chars, " +
+          "CASE WHEN nc > 0 THEN CAST((1000000 * ec) // nc AS BIGINT) END AS residue_ppm, " +
+          "n_named + n_decimal + n_hex > 0 AS has_residue FROM c"),
       // t52 oracle: same %4 case decoration, ASCII-only regex classes
       // (full-match anchors for all-caps words), floor-div ppm with
       // NULL on letterless text, the >= 30% / >= 5 words shouting gate

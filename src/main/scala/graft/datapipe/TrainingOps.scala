@@ -1778,6 +1778,46 @@ object TrainingOps extends Serializable {
           !col("has_lorem") && !col("has_brace"))
   }
 
+  /** HTML-entity residue audit — the post-extraction integrity check
+    * beside t44's mojibake score: `&amp;`, `&#8211;`, `&#x27;` in
+    * EXTRACTED text mean an upstream stage escaped twice or a kernel
+    * skipped entity decoding, and entity-laden text poisons both
+    * tokenizers (one semantic char becomes 5-8 tokens) and dedup
+    * (escaped and decoded variants of the same sentence never match).
+    * Counts the three entity syntaxes separately — named
+    * (`&name;`, 2-32 alnum), decimal (`&#123;`), hex (`&#x2f;`) —
+    * because which one leaks fingerprints the buggy stage (named =
+    * sanitizers, numeric = serializers). A bare `&` or a
+    * semicolon-less `&shop` is NOT residue (pinned): ampersands are
+    * legal prose, the terminator is what makes an entity.
+    * `residue_ppm` is chars-inside-entities per million chars — length
+    * matters, a 100-entity table row and one stray `&amp;` are
+    * different findings.
+    *
+    * Scale shape: pure per-row codegen'd regex counting, zero
+    * exchange, rides the scan.
+    */
+  def entityResidue(docs: DataFrame): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    val namedRe = "&[a-zA-Z][a-zA-Z0-9]{1,31};"
+    val decRe = "&#[0-9]{1,7};"
+    val hexRe = "&#[xX][0-9a-fA-F]{1,6};"
+    def hits(re: String) = regexp_extract_all(t, lit(re), lit(0))
+    docs.select(
+      col("doc_id"),
+      length(t).cast("long").as("n_chars"),
+      size(hits(namedRe)).as("n_named"),
+      size(hits(decRe)).as("n_decimal"),
+      size(hits(hexRe)).as("n_hex"),
+      (length(concat_ws("", hits(namedRe))) +
+        length(concat_ws("", hits(decRe))) +
+        length(concat_ws("", hits(hexRe)))).cast("long").as("ent_chars"))
+      .withColumn("residue_ppm",
+        when(col("n_chars") > 0, expr("1000000 * ent_chars div n_chars")))
+      .withColumn("has_residue",
+        col("n_named") + col("n_decimal") + col("n_hex") > 0)
+  }
+
   /** Casing profile — the quality axis t14's Gopher rules skip: HOW
     * text is capitalized. ALL-CAPS flooding is the shouting/spam tell
     * (listing sites, SEO keyword walls), a near-zero capitalized-word

@@ -707,6 +707,28 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { TrainingOps.spanCorruption(docs, spanLen = 0) }
   }
 
+  test("entity residue: three syntaxes, decoy ampersands, char accounting, null ppm") {
+    val sp = spark; import sp.implicits._
+    val rows = Seq(
+      (1L, "clean prose with no escapes at all"),
+      (2L, "a &amp; b &quot;c&quot;"),          // 3 named, 17 entity chars
+      (3L, "dash &#8211; quote &#x27; end"),    // 1 decimal + 1 hex
+      (4L, "AT&T snack&shop &broken & alone"),  // decoys only: no terminator
+      (5L, "&lt;&gt;"),                          // adjacent entities both count
+      (6L, ""))
+    val out = TrainingOps.entityResidue(rows.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getLong(5),
+        if (r.isNullAt(6)) -1L else r.getLong(6), r.getBoolean(7)))).toMap
+    assert(out(1L)._2 == 0 && out(1L)._7 == false && out(1L)._5 == 0L)
+    assert(out(2L)._2 == 3 && out(2L)._5 == 17L && out(2L)._7 == true)
+    assert(out(3L)._3 == 1 && out(3L)._4 == 1 && out(3L)._5 == 13L)
+    // bare & and semicolon-less names are prose, not residue
+    assert(out(4L) == ((31L, 0, 0, 0, 0L, 0L, false)))
+    assert(out(5L) == ((8L, 2, 0, 0, 8L, 1000000L, true)))
+    assert(out(6L) == ((0L, 0, 0, 0, 0L, -1L, false)))
+  }
+
   test("param profile: kv parse, valueless flag, tracking precedence, cardinality ladder") {
     val sp = spark; import sp.implicits._
     val urls = Seq(

@@ -498,6 +498,9 @@ object PlanCheck {
     println("==== 148. e62 param profile: map-side query parse + ONE (host,param) rollup with two-phase distinct ====")
     SparkEntry.queries("e62_param_profile")(spark, sf).explain("formatted")
 
+    println("==== 149. t53 entity residue: pure per-row codegen'd regex counting, zero exchange ====")
+    SparkEntry.queries("t53_entity_residue")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
