@@ -1338,6 +1338,37 @@ object SparkEntry {
     // in-page crawl directives over synthesized html: first
     // link[rel~=canonical] href + first meta[name=robots] content with
     // noindex/nofollow flags; decoys pin comment + raw-text immunity
+    // robots.txt vs meta-robots reconciliation through BOTH real
+    // parsers: the four-way effective-policy verdict, including the
+    // classic trap — a noindex the engine can never see because
+    // robots.txt blocks the fetch
+    "e63_policy_reconcile" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id")).as[Long].map { id =>
+        val path = s"/p${id % 4}/doc$id"
+        val robotsBody =
+          "User-agent: *\nDisallow: /p0/\nDisallow: /p1/\nAllow: /p1/doc\n"
+        val html = (id % 3) match {
+          case 0 => s"""<html><head><META NAME="ROBOTS" CONTENT="NOINDEX, nofollow"></head><body>d$id</body></html>"""
+          case 1 => s"<html><head><meta name=robots content=none></head><body>d$id</body></html>"
+          case _ => s"""<html><head><meta name=robots content="index, follow"></head><body>d$id</body></html>"""
+        }
+        val pol = graft.core.Robots.parse(robotsBody, "graftbot")
+        val matching = pol.rules.filter(r => path.startsWith(r.prefix))
+        // longest-prefix wins, allow beats disallow on equal length,
+        // no match defaults to allow (the e28 decision rule)
+        val allowed = matching.isEmpty ||
+          matching.maxBy(r => (r.prefix.length, r.allow)).allow
+        val noindex =
+          graft.core.Directives.directives(html.getBytes("UTF-8")).noindex
+        val verdict =
+          if (!allowed && noindex) "blocked_hidden_noindex"
+          else if (!allowed) "blocked"
+          else if (noindex) "crawl_noindex"
+          else "indexable"
+        (id, path, allowed, noindex, verdict)
+      }.toDF("doc_id", "path", "fetch_allowed", "meta_noindex", "verdict")
+    }),
     "e35_page_directives" -> ((s, dir) => {
       import s.implicits._
       val id = col("doc_id")
@@ -3575,6 +3606,19 @@ object SparkEntry {
           "FROM range(1, 10) t(j)"),
       // e38 oracle: same template collapse in SQL — trap families count
       // one url per doc, page families one per (host, page-slot) doc set
+      // e63 oracle: the effective-policy truth table re-derived
+      // arithmetically — path family %4 (p0 blocked, p1 rescued by the
+      // longer Allow rule, p2/p3 unruled default-allow), meta family %3
+      // (uppercase NOINDEX / the none alias / index,follow) — a MATCH
+      // pins both parsers AND the longest-prefix decision rule
+      "e63_policy_reconcile" ->
+        ("WITH c AS (SELECT doc_id, doc_id % 4 AS pf, doc_id % 3 AS mf FROM documents), " +
+          "d AS (SELECT doc_id, '/p' || pf || '/doc' || doc_id AS path, " +
+          "pf <> 0 AS fetch_allowed, mf IN (0, 1) AS meta_noindex FROM c) " +
+          "SELECT doc_id, path, fetch_allowed, meta_noindex, " +
+          "CASE WHEN NOT fetch_allowed AND meta_noindex THEN 'blocked_hidden_noindex' " +
+          "WHEN NOT fetch_allowed THEN 'blocked' " +
+          "WHEN meta_noindex THEN 'crawl_noindex' ELSE 'indexable' END AS verdict FROM d"),
       // e62 oracle: same url synthesis, query-string split, ''-not-NULL
       // values, (host,param) distinct-value rollup, and the ladder with
       // tracking-before-cardinality precedence (sid would otherwise

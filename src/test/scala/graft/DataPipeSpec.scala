@@ -707,6 +707,29 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { TrainingOps.spanCorruption(docs, spanLen = 0) }
   }
 
+  test("policy reconcile: truth table, allow-rescue, hidden-noindex trap, full verdict coverage") {
+    val sp = spark
+    val out = SparkEntry.queries("e63_policy_reconcile")(sp, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (allowed, noindex, v) =
+        (r.getBoolean(2), r.getBoolean(3), r.getString(4))
+      // p0 is the only blocked path family; p1 is RESCUED by the
+      // longer Allow rule despite its Disallow
+      assert(allowed == (id % 4 != 0), s"doc $id fetch_allowed")
+      assert(noindex == (id % 3 != 2), s"doc $id meta_noindex")
+      val exp =
+        if (!allowed && noindex) "blocked_hidden_noindex"
+        else if (!allowed) "blocked"
+        else if (noindex) "crawl_noindex" else "indexable"
+      assert(v == exp, s"doc $id verdict")
+    }
+    // the corpus at 50 docs already exercises all four verdicts
+    assert(out.map(_.getString(4)).toSet == Set("blocked_hidden_noindex",
+      "blocked", "crawl_noindex", "indexable"))
+  }
+
   test("entity residue: three syntaxes, decoy ampersands, char accounting, null ppm") {
     val sp = spark; import sp.implicits._
     val rows = Seq(

@@ -501,6 +501,9 @@ object PlanCheck {
     println("==== 149. t53 entity residue: pure per-row codegen'd regex counting, zero exchange ====")
     SparkEntry.queries("t53_entity_residue")(spark, sf).explain("formatted")
 
+    println("==== 150. e63 policy reconcile: typed map running both parsers per row, zero exchange ====")
+    SparkEntry.queries("e63_policy_reconcile")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
