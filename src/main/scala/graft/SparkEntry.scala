@@ -2355,6 +2355,15 @@ object SparkEntry {
     }),
     // Parquet container sniff: end-anchored (PAR1 head+tail, u32le
     // footer_len from the tail, footer must fit inside n-12)
+    // WebP chunk walk: RIFF grammar + three dimension codecs selected
+    // by the first chunk's fourcc (u16le / packed 14-bit / u24le-1)
+    "m27_webp_chunks" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = docs(s, dir).select(col("doc_id")).as[Long]
+        .map(id => (id, TrainingOps.syntheticWebpPayload(id)))
+        .toDF("doc_id", "payload")
+      TrainingOps.webpChunks(s, payloads)
+    }),
     // protobuf field walk: MSB-continuation varints, four live wire
     // types, no magic / no framing (m22's TFRecord is the container)
     "m26_proto_fields" -> ((s, dir) => {
@@ -4845,6 +4854,23 @@ object SparkEntry {
           "UNION ALL SELECT doc_id, 'free_bitrate', 0, 0, 'frame', br, sr, p0, bs + p0, crc FROM c WHERE f = 5)"),
       // m23 oracle: container geometry arithmetic (n = 12+p+fl for the
       // valid family; footer_off = 4+p), verdicts per family
+      // m27 oracle: per-family geometry (chunk = 8 + len + len%2 pad)
+      // and the shared w/h formulas across all three codecs — a MATCH
+      // pins the u16le, packed-14-bit, and u24le-minus-one decoders
+      // against one another
+      "m27_webp_chunks" ->
+        ("WITH c AS (SELECT doc_id, doc_id % 6 AS f, " +
+          "CAST(160 + doc_id % 100 AS INT) AS w, CAST(120 + doc_id % 80 AS INT) AS h, " +
+          "doc_id % 13 AS jj, doc_id % 7 AS ee, " +
+          "CAST(length('plain text payload ' || doc_id) AS INT) AS pl FROM documents) " +
+          "SELECT doc_id, status, format, width, height, n_chunks, n_bytes FROM ( " +
+          "SELECT doc_id, 'ok' AS status, 'lossy' AS format, w AS width, h AS height, " +
+          "1 AS n_chunks, CAST(40 + jj + jj % 2 AS INT) AS n_bytes FROM c WHERE f = 0 " +
+          "UNION ALL SELECT doc_id, 'ok', 'lossless', w, h, 1, CAST(35 + jj + (jj + 1) % 2 AS INT) FROM c WHERE f = 1 " +
+          "UNION ALL SELECT doc_id, 'ok', 'extended', w, h, 2, CAST(43 + ee + (ee + 1) % 2 AS INT) FROM c WHERE f = 2 " +
+          "UNION ALL SELECT doc_id, 'not_webp', NULL, NULL, NULL, NULL, pl FROM c WHERE f = 3 " +
+          "UNION ALL SELECT doc_id, 'truncated', NULL, NULL, NULL, NULL, 24 FROM c WHERE f = 4 " +
+          "UNION ALL SELECT doc_id, 'malformed', NULL, NULL, NULL, NULL, CAST(40 + jj + jj % 2 AS INT) FROM c WHERE f = 5)"),
       // m26 oracle: family arithmetic — the ok message is 26+v bytes
       // (2-byte varint value, 1-byte tags/lengths at these magnitudes),
       // empty message ok with 0 fields and NULL max_field_no, the

@@ -6516,6 +6516,155 @@ object TrainingOps extends Serializable {
         "subblocks", "n_bytes")
   }
 
+  /** Synthetic WebP payloads for [[webpChunks]] — six families keyed by
+    * doc_id % 6 (j = 10+id%13 lossy/lossless tail bytes, e = 5+id%7
+    * EXIF bytes, w = 160+id%100, h = 120+id%80): 0 lossy VP8 with the
+    * 9d 01 2a sync; 1 lossless VP8L with the 14+14-bit packed dims;
+    * 2 extended VP8X canvas + a second EXIF chunk; 3 not WebP;
+    * 4 truncated mid-chunk-data; 5 RIFF size field off by 3.
+    */
+  def syntheticWebpPayload(id: Long): Array[Byte] = {
+    val bb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def le(v: Long, k: Int): Unit =
+      (0 until k).foreach(i => bb += ((v >> (8 * i)) & 0xff).toByte)
+    def tag(s: String): Unit = bb ++= s.getBytes("US-ASCII")
+    def fill(k: Int): Unit = (0 until k).foreach(i => bb += ((i * 11 + 3) & 0x7f).toByte)
+    val w = (160 + id % 100).toInt; val h = (120 + id % 80).toInt
+    val j = (10 + id % 13).toInt; val e = (5 + id % 7).toInt
+    def chunk(cc: String, data: => Unit): Unit = {
+      val mark = bb.length
+      tag(cc); le(0, 4) // len patched below
+      val start = bb.length
+      data
+      val len = bb.length - start
+      (0 until 4).foreach(i => bb(mark + 4 + i) = ((len >> (8 * i)) & 0xff).toByte)
+      if (len % 2 == 1) bb += 0 // RIFF odd pad
+    }
+    def riff(body: => Unit): Unit = {
+      tag("RIFF"); le(0, 4); tag("WEBP")
+      body
+      val sz = bb.length - 8
+      (0 until 4).foreach(i => bb(4 + i) = ((sz >> (8 * i)) & 0xff).toByte)
+    }
+    def vp8(): Unit = chunk("VP8 ", {
+      fill(3); bb += 0x9d.toByte; bb += 0x01; bb += 0x2a
+      le(w.toLong, 2); le(h.toLong, 2); fill(j)
+    })
+    (id % 6) match {
+      case 0 => riff(vp8())
+      case 1 => riff(chunk("VP8L", {
+        bb += 0x2f
+        le(((w - 1).toLong | ((h - 1).toLong << 14)), 4); fill(j)
+      }))
+      case 2 => riff({
+        chunk("VP8X", { le(0, 4); le((w - 1).toLong, 3); le((h - 1).toLong, 3) })
+        chunk("EXIF", fill(e))
+      })
+      case 3 => bb ++= s"plain text payload $id".getBytes("US-ASCII")
+      case 4 =>
+        tag("RIFF"); le(16, 4); tag("WEBP"); tag("VP8 "); le(20, 4); fill(4)
+      case _ =>
+        riff(vp8())
+        val sz = bb.length - 8 + 3 // off by 3: the concat/truncate tell
+        (0 until 4).foreach(i => bb(4 + i) = ((sz >> (8 * i)) & 0xff).toByte)
+    }
+    bb.toArray
+  }
+
+  /** WebP chunk walk — the THREE-CODEC member of the walker series: one
+    * RIFF container (m8's chunk grammar: fourcc + u32le length + odd
+    * pad) whose first chunk's fourcc selects among three different
+    * dimension encodings — `VP8 ` lossy (dims as u16le behind the
+    * 9d 01 2a sync code), `VP8L` lossless (width-1 and height-1 packed
+    * as adjacent 14-bit fields of one u32le — a sub-byte split like
+    * m25's STREAMINFO but little-endian), `VP8X` extended (u24le
+    * minus-one canvas dims) — so one format exercises three of the
+    * series' length/field mechanisms at once. The RIFF size field must
+    * equal file size - 8 (checked FIRST; a mismatch is the
+    * concatenated/truncated-then-appended tell, m23's lesson), the
+    * first chunk must be a VP8* bitstream, and sync/signature bytes
+    * are verified. Verdicts: not_webp / truncated / malformed / ok
+    * with format, dims, chunk count; only ok rows carry fields (WebP
+    * is one image — partial tallies carry no signal, unlike m24's
+    * multi-frame GIFs; documented simplification).
+    *
+    * Scale shape: per-row typed map in the scan stage, zero exchange.
+    */
+  def webpChunks(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, raw) =>
+          val b = if (raw == null) Array.emptyByteArray else raw
+          val n = b.length
+          def le(i: Int, k: Int): Long = {
+            var v = 0L; var z = k - 1
+            while (z >= 0) { v = (v << 8) | (b(i + z) & 0xffL); z -= 1 }
+            v
+          }
+          def tagAt(i: Int, s: String): Boolean =
+            s.indices.forall(k => b(i + k) == s.charAt(k).toByte)
+          val noneI = None: Option[Int]
+          if (n < 12 || !tagAt(0, "RIFF") || !tagAt(8, "WEBP"))
+            (id, "not_webp", None: Option[String], noneI, noneI, noneI, n)
+          else if (le(4, 4) != n - 8)
+            (id, "malformed", None, noneI, noneI, noneI, n)
+          else {
+            var pos = 12
+            var status: String = null
+            var format: Option[String] = None
+            var wd = noneI; var ht = noneI
+            var chunks = 0
+            while (status == null && pos < n) {
+              if (pos + 8 > n) status = "truncated"
+              else {
+                val cc = new String(b, pos, 4, "US-ASCII")
+                val len = le(pos + 4, 4)
+                val pad = len % 2
+                if (pos + 8 + len + pad > n) status = "truncated"
+                else {
+                  val d = pos + 8
+                  if (chunks == 0) cc match {
+                    case "VP8 " =>
+                      if (len < 10 || b(d + 3) != 0x9d.toByte ||
+                        b(d + 4) != 0x01 || b(d + 5) != 0x2a)
+                        status = "malformed"
+                      else {
+                        format = Some("lossy")
+                        wd = Some((le(d + 6, 2) & 0x3fff).toInt)
+                        ht = Some((le(d + 8, 2) & 0x3fff).toInt)
+                      }
+                    case "VP8L" =>
+                      if (len < 5 || b(d) != 0x2f) status = "malformed"
+                      else {
+                        format = Some("lossless")
+                        val bits = le(d + 1, 4)
+                        wd = Some((bits & 0x3fff).toInt + 1)
+                        ht = Some(((bits >> 14) & 0x3fff).toInt + 1)
+                      }
+                    case "VP8X" =>
+                      if (len < 10) status = "malformed"
+                      else {
+                        format = Some("extended")
+                        wd = Some(le(d + 4, 3).toInt + 1)
+                        ht = Some(le(d + 7, 3).toInt + 1)
+                      }
+                    case _ => status = "malformed"
+                  }
+                  if (status == null) { chunks += 1; pos = d + len.toInt + pad.toInt }
+                }
+              }
+            }
+            if (status == null)
+              (id, "ok", format, wd, ht, Some(chunks), n)
+            else (id, status, None, noneI, noneI, noneI, n)
+          }
+        }
+      }
+      .toDF("doc_id", "status", "format", "width", "height", "n_chunks", "n_bytes")
+  }
+
   /** Synthetic FLAC payloads for [[flacBlocks]] — five families keyed
     * by doc_id % 5 (v = 10+id%20 vorbis bytes, p = 5+id%9 padding,
     * a = 20+id%30 audio bytes): 0 valid fLaC with STREAMINFO + vorbis

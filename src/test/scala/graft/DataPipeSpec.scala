@@ -3430,6 +3430,57 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set("ok", "not_parquet", "truncated", "malformed", "corrupt_footer")))
   }
 
+  test("webp chunks: three codecs agree, size gate, bad sync, dim maxima, totality") {
+    val sp = spark; import sp.implicits._
+    def run(rows: Seq[(Long, Array[Byte])]) =
+      TrainingOps.webpChunks(sp, rows.toDF("doc_id", "payload")).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1),
+          if (r.isNullAt(2)) "-" else r.getString(2),
+          if (r.isNullAt(3)) -1 else r.getInt(3), if (r.isNullAt(4)) -1 else r.getInt(4),
+          if (r.isNullAt(5)) -1 else r.getInt(5), r.getInt(6)))).toMap
+    val out = run((0L to 5L).map(id => (id, TrainingOps.syntheticWebpPayload(id))))
+    // all three codecs decode the same (w,h) formulas: ids 0/1/2
+    assert(out(0L) == (("ok", "lossy", 160, 120, 1, 40)))
+    assert(out(1L) == (("ok", "lossless", 161, 121, 1, 36)))
+    assert(out(2L) == (("ok", "extended", 162, 122, 2, 46)))
+    assert(out(3L)._1 == "not_webp")
+    assert(out(4L) == (("truncated", "-", -1, -1, -1, 24)))
+    // RIFF size off by 3: the concat/truncate tell, checked FIRST
+    assert(out(5L)._1 == "malformed")
+    // hand-built: VP8 sync bytes wrong -> malformed; VP8L at the
+    // 14-bit maximum (16384 x 16384) -> no cross-field bleed
+    val bad = TrainingOps.syntheticWebpPayload(0L).clone()
+    bad(12 + 8 + 3) = 0x11 // corrupt the 9d sync byte; RIFF size intact
+    def vp8lMax(): Array[Byte] = {
+      val bb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      bb ++= "RIFF".getBytes("US-ASCII"); bb ++= Array[Byte](18, 0, 0, 0)
+      bb ++= "WEBP".getBytes("US-ASCII"); bb ++= "VP8L".getBytes("US-ASCII")
+      bb ++= Array[Byte](5, 0, 0, 0); bb += 0x2f
+      val bits = 16383L | (16383L << 14)
+      (0 until 4).foreach(i => bb += ((bits >> (8 * i)) & 0xff).toByte)
+      bb += 0 // odd pad
+      bb.toArray
+    }
+    val hb = run(Seq(90L -> bad, 91L -> vp8lMax()))
+    assert(hb(90L)._1 == "malformed")
+    assert(hb(91L) == (("ok", "lossless", 16384, 16384, 1, 26)))
+    val rnd = new scala.util.Random(2727)
+    val fuzz = (0 until 150).map { i =>
+      val base =
+        if (i % 2 == 0) Array.fill(rnd.nextInt(70))(rnd.nextInt(256).toByte)
+        else {
+          val v = TrainingOps.syntheticWebpPayload(rnd.nextInt(60).toLong)
+          if (v.nonEmpty) v(rnd.nextInt(v.length)) =
+            (v(rnd.nextInt(v.length)) ^ (1 << rnd.nextInt(8))).toByte
+          v.take(if (rnd.nextBoolean()) v.length else rnd.nextInt(v.length + 1))
+        }
+      (1000L + i, base)
+    }
+    val statuses = TrainingOps.webpChunks(sp, fuzz.toDF("doc_id", "payload"))
+      .select("status").distinct().collect().map(_.getString(0)).toSet
+    assert(statuses.subsetOf(Set("ok", "not_webp", "truncated", "malformed")))
+  }
+
   test("proto fields: varint walk, empty message, field zero, overlong, max varint, totality") {
     val sp = spark; import sp.implicits._
     def run(rows: Seq[(Long, Array[Byte])]) =

@@ -504,6 +504,9 @@ object PlanCheck {
     println("==== 150. e63 policy reconcile: typed map running both parsers per row, zero exchange ====")
     SparkEntry.queries("e63_policy_reconcile")(spark, sf).explain("formatted")
 
+    println("==== 151. m27 webp chunks: typed mapPartitions RIFF walker with three dim codecs, zero exchange ====")
+    SparkEntry.queries("m27_webp_chunks")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
