@@ -1955,6 +1955,21 @@ object SparkEntry {
     // shard-compaction plan over a synthesized file manifest (16 shards
     // per source, bytes = sum of text lengths): streaming-coalesce bins
     // at a 4 KiB target — contiguous merges, skip-labeled overshoots
+    // backfill layering over a synthesized 40-table lineage DAG
+    // (heap-numbered tree i div 2 -> i) plus a 2-cycle and its
+    // downstream blast radius
+    "p18_backfill_layers" -> ((s, dir) => {
+      import s.implicits._
+      val t = docs(s, dir)
+        .select(pmod(col("doc_id"), lit(40L)).cast("int").as("i")).distinct()
+      val nodes = t.select(concat(lit("t"), col("i")).as("tbl"))
+      val tree = t.filter(col("i") >= 1)
+        .select(concat(lit("t"), expr("i div 2")).as("src"),
+          concat(lit("t"), col("i")).as("dst"))
+      val extra = Seq(("t38", "t37"), ("t37", "t38"), ("t38", "t39"))
+        .toDF("src", "dst")
+      TrainingOps.backfillLayers(nodes, tree.unionByName(extra))
+    }),
     // partition-evolution rewrite plan over a synthesized manifest:
     // per-file (min_ts, max_ts) spans against a daily grain — move vs
     // rewrite workload per target day, invalid/overspan as data
@@ -5292,6 +5307,17 @@ object SparkEntry {
       // 16-shard manifest from a (source, doc_id%16) rollup, cumulative
       // bytes-before via a ROWS window ordered by shard_id, bin label =
       // cum_before // target, bin stats re-joined for bin_bytes/fill_ppm
+      // p18 oracle: the heap-numbered tree's longest-path layer is
+      // closed-form bit_length(i) (the t24 length(bin) trick), the
+      // cycle pair and its downstream table come back blocked — a
+      // MATCH pins the iterative fixpoint against pure arithmetic
+      "p18_backfill_layers" ->
+        ("WITH t AS (SELECT DISTINCT doc_id % 40 AS i FROM documents) " +
+          "SELECT 't' || i AS tbl, " +
+          "CASE WHEN i IN (37, 38, 39) THEN NULL WHEN i = 0 THEN 0 " +
+          "ELSE length(bin(i)) END AS layer, " +
+          "CASE WHEN i IN (37, 38, 39) THEN 'blocked' ELSE 'ready' END AS status " +
+          "FROM t"),
       // p17 oracle: same manifest synthesis (invalid %23 wins over
       // overspan %29 by CASE order), floor-div day bins, the m/r/i/o
       // family ladder, generate_series fan-out for ok files, NULL-part

@@ -3399,6 +3399,53 @@ object TrainingOps extends Serializable {
     * Two same-keyed windows + one map-side-combined rollup over that
     * manifest; the data plane never moves until the plan is executed.
     */
+  /** Backfill layering — the topological PLAN of a derived-table DAG:
+    * which tables can rebuild in parallel (one layer) and in what
+    * order (layer index), the schedule every lakehouse backfill /
+    * full-recompute runs. Layer = 1 + MAX over upstream layers, and a
+    * table is placed only when ALL upstreams are placed — the
+    * longest-path fixpoint, deliberately the opposite aggregator from
+    * e46's min-hop BFS: readiness is about the SLOWEST dependency, not
+    * the nearest seed. Tables never placed within `maxRounds` come
+    * back with a NULL layer and status `blocked` — cycle members (a
+    * backfill cannot start anywhere inside a cycle), everything
+    * downstream of one (the blast radius, pinned), or depth beyond the
+    * horizon (the e46 convention: unplaced IS the signal).
+    *
+    * Scale shape: METADATA-PLANE — rows are tables/edges of a lineage
+    * graph (thousands at most); per round ONE src-keyed join + ONE
+    * dst-keyed all-upstreams-placed count against in-degree; lineage
+    * truncated per round (localCheckpoint, the d10 pattern).
+    */
+  def backfillLayers(nodes: DataFrame, deps: DataFrame,
+      maxRounds: Int = 8): DataFrame = {
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val d = deps.select(col("src"), col("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val indeg = d.groupBy("dst").agg(count(lit(1)).as("indeg"))
+    var layers = nodes.join(d.select(col("dst").as("tbl")).distinct(),
+        Seq("tbl"), "left_anti")
+      .select(col("tbl"), lit(0L).as("layer")).localCheckpoint()
+    var r = 0
+    while (r < maxRounds) {
+      val cand = d.join(layers.select(col("tbl").as("src"), col("layer")), "src")
+        .groupBy("dst").agg(count(lit(1)).as("nl"), max("layer").as("mx"))
+        .join(indeg, "dst")
+        .filter(col("nl") === col("indeg"))
+        .select(col("dst").as("tbl"), (col("mx") + 1).as("layer"))
+      layers = layers.unionByName(
+        cand.join(layers.select("tbl"), Seq("tbl"), "left_anti"))
+        .localCheckpoint()
+      r += 1
+    }
+    val out = nodes.join(layers, Seq("tbl"), "left")
+      .select(col("tbl"), col("layer"),
+        when(col("layer").isNull, lit("blocked")).otherwise(lit("ready")).as("status"))
+    val res = out.localCheckpoint()
+    d.unpersist(blocking = false)
+    res
+  }
+
   /** Partition-evolution rewrite planning — the PLAN step of changing a
     * table's partition spec (what Iceberg's partition evolution +
     * rewriteDataFiles decide file-by-file, as an inspectable table): a

@@ -896,6 +896,34 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("backfill layers: diamond max-path, cycle block, blast radius, horizon, roots") {
+    val sp = spark; import sp.implicits._
+    def run(nodes: Seq[String], deps: Seq[(String, String)], rounds: Int = 8) =
+      TrainingOps.backfillLayers(nodes.toDF("tbl"), deps.toDF("src", "dst"), rounds)
+        .collect().map(r => r.getString(0) ->
+          ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getString(2))).toMap
+    // diamond: d waits for BOTH arms; layer = 1 + MAX, not min-hop
+    val dia = run(Seq("a", "b", "c", "d", "iso"),
+      Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("b", "c")))
+    assert(dia("a") == ((0L, "ready")) && dia("iso") == ((0L, "ready")))
+    assert(dia("b") == ((1L, "ready")))
+    assert(dia("c") == ((2L, "ready"))) // c waits for b too
+    assert(dia("d") == ((3L, "ready"))) // 1 + max(1, 2)
+    // cycle: neither member can start; their consumer is blast radius
+    val cyc = run(Seq("x", "y", "z", "w"),
+      Seq(("x", "y"), ("y", "x"), ("y", "z"), ("w", "z")))
+    assert(cyc("x") == ((-1L, "blocked")) && cyc("y") == ((-1L, "blocked")))
+    assert(cyc("z") == ((-1L, "blocked"))) // one placed upstream is not all
+    assert(cyc("w") == ((0L, "ready")))
+    // horizon: a 5-chain with 3 rounds places layers 0..3 only
+    val chain = run(Seq("c0", "c1", "c2", "c3", "c4"),
+      (0 until 4).map(i => (s"c$i", s"c${i + 1}")), rounds = 3)
+    assert(chain("c3") == ((3L, "ready")) && chain("c4") == ((-1L, "blocked")))
+    intercept[IllegalArgumentException] {
+      TrainingOps.backfillLayers(Seq("a").toDF("tbl"),
+        Seq(("a", "a")).toDF("src", "dst"), maxRounds = 0) }
+  }
+
   test("partition evolution: move/rewrite split, boundary day, whole-byte attribution, error families") {
     val sp = spark; import sp.implicits._
     val day = 86400L

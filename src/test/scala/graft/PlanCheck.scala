@@ -507,6 +507,9 @@ object PlanCheck {
     println("==== 151. m27 webp chunks: typed mapPartitions RIFF walker with three dim codecs, zero exchange ====")
     SparkEntry.queries("m27_webp_chunks")(spark, sf).explain("formatted")
 
+    println("==== 152. p18 backfill layers: metadata-plane iterative all-upstreams-placed joins, lineage truncated per round ====")
+    SparkEntry.queries("p18_backfill_layers")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
