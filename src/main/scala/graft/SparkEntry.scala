@@ -774,6 +774,9 @@ object SparkEntry {
     // misses; input corpus gains prefix children (containAug)
     "d32_containment" -> ((s, dir) =>
       TrainingOps.containmentVerify(containAug(docs(s, dir)))),
+    // b-bit (last-nibble) minhash estimate with the 2^-b collision
+    // floor subtracted, measured against exact Jaccard per pair
+    "d35_bbit_minhash" -> ((s, dir) => TrainingOps.bbitMinhash(docs(s, dir))),
     // banded (Ukkonen) edit-distance verify over the d2 candidates;
     // maxDist=5 splits this corpus's pairs (d=4 within, d=8 capped) so
     // both the in-band and capped-at-k+1 branches are oracle-pinned
@@ -3747,6 +3750,22 @@ object SparkEntry {
       },
       // d22 oracle: the shared minhashBands CTEs (sig has the 12-slot g
       // list, sh the shingle sets), agreement + exact Jaccard in ppm
+      // d35 oracle: last-hex-nibble agreement per component, the
+      // (r - 2^-b)/(1 - 2^-b) correction in exact ppm with the 0
+      // clamp (which also absorbs the floor-vs-truncate division
+      // difference on the negative branch), exact Jaccard alongside
+      "d35_bbit_minhash" ->
+        (minhashBands + ", bb AS (SELECT p.a, p.b, " +
+          "len(list_filter(range(12), i -> substr(ga.g[CAST(i+1 AS INT)], 32, 1) = " +
+          "substr(gb.g[CAST(i+1 AS INT)], 32, 1))) AS nc, " +
+          "(1000000 * len(list_intersect(sa.s, sb.s))) // len(list_distinct(sa.s || sb.s)) AS jp " +
+          "FROM pairs p JOIN sig ga ON ga.doc_id = p.a JOIN sig gb ON gb.doc_id = p.b " +
+          "JOIN sh sa ON sa.doc_id = p.a JOIN sh sb ON sb.doc_id = p.b), " +
+          "c2 AS (SELECT a, b, nc, (1000000 * nc) // 12 AS rp, jp FROM bb) " +
+          "SELECT a, b, CAST(nc AS BIGINT) AS n_coll, CAST(rp AS BIGINT) AS raw_ppm, " +
+          "CAST(greatest(0, ((rp - 62500) * 16) // 15) AS BIGINT) AS est_ppm, " +
+          "CAST(jp AS BIGINT) AS jaccard_ppm, " +
+          "CAST(abs(greatest(0, ((rp - 62500) * 16) // 15) - jp) AS BIGINT) AS abs_err_ppm FROM c2"),
       "d22_minhash_calibration" ->
         (minhashBands + " SELECT p.a, p.b, " +
           "CAST((1000000 * len(list_filter(range(12), i -> ga.g[CAST(i+1 AS INT)] = gb.g[CAST(i+1 AS INT)]))) // 12 AS BIGINT) AS est_ppm, " +

@@ -264,6 +264,51 @@ object TrainingOps extends Serializable {
       .withColumn("abs_err_ppm", abs(col("est_ppm") - col("jaccard_ppm")))
   }
 
+  /** b-bit MinHash calibration — d22's storage-compression sequel
+    * (Li & König 2010): store only the LOW 4 BITS of each minhash
+    * component (here the signature's last hex nibble) and the 16-byte
+    * md5 component shrinks 32x — the lever that decides whether a
+    * 10^12-document signature matrix fits in memory. Equal nibbles no
+    * longer mean equal minhashes: unrelated components collide with
+    * probability 2^-b, so the raw agreement rate r estimates
+    * J + (1-J)/2^b and the estimator must SUBTRACT the accidental
+    * floor: est = (r - 2^-b) / (1 - 2^-b), here in exact integer ppm
+    * ((raw_ppm - 62500) * 16 div 15, clamped at 0 — a pair can land
+    * under the floor by sampling noise and a similarity of -3% is not
+    * a thing). Emitted per LSH candidate pair beside the exact
+    * shingle Jaccard and the absolute error, so the b-bit loss is
+    * MEASURED against d22's full-width estimator, not assumed.
+    *
+    * Scale shape: identical to d22 — persisted shingle sets feed
+    * signatures and the exact verify; joins key doc_id; candidates
+    * only. (The negative-branch subtlety: DuckDB floors, Spark
+    * truncates integer division, but every disagreeing value is
+    * negative and the clamp maps both to 0.)
+    */
+  def bbitMinhash(docs: DataFrame, maxBandBucket: Int = MaxBandBucket): DataFrame = {
+    val sets = repSets(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (pairs, _) = bandedPairsCached(sets, maxBandBucket)
+    val sg = sigTable(sets)
+    pairs
+      .join(sg.select(col("doc_id").as("a"), col("sig").as("sa")), "a")
+      .join(sg.select(col("doc_id").as("b"), col("sig").as("sb")), "b")
+      .join(sets.select(col("doc_id").as("a"), col("s").as("ssa")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("s").as("ssb")), "b")
+      .select(col("a"), col("b"),
+        expr("cast(size(filter(zip_with(sa, sb, (x, y) -> " +
+          "substring(x, 32, 1) = substring(y, 32, 1)), p -> p)) as bigint)")
+          .as("n_coll"),
+        expr("(1000000 * cast(size(array_intersect(ssa, ssb)) as bigint)) " +
+          "div size(array_union(ssa, ssb))").as("jaccard_ppm"))
+      .withColumn("raw_ppm", expr("(1000000 * n_coll) div 12"))
+      .withColumn("est_ppm",
+        greatest(lit(0L), expr("((raw_ppm - 62500) * 16) div 15")))
+      .withColumn("abs_err_ppm", abs(col("est_ppm") - col("jaccard_ppm")))
+      .select("a", "b", "n_coll", "raw_ppm", "est_ppm", "jaccard_ppm",
+        "abs_err_ppm")
+  }
+
   /** MinHash+LSH near-duplicate candidate pairs over DISTINCT texts
     * (shingle -> minhash -> band -> capped bucket-join). Pairs are between
     * exact-dedup representatives (min doc_id per distinct text); exact

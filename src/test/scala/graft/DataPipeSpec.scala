@@ -896,6 +896,30 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bbit minhash: collision floor correction, exact-dup saturation, laws vs d22") {
+    val sp = spark
+    val out = SparkEntry.queries("d35_bbit_minhash")(sp, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nc, raw, est) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nc >= 0 && nc <= 12)
+      assert(raw == 1000000L * nc / 12)
+      // correction law: clamp at 0, saturate at 1e6 when all 12 collide
+      val exp = math.max(0L, (raw - 62500L) * 16 / 15)
+      assert(est == exp, s"pair ${r.getLong(0)}-${r.getLong(1)} correction")
+      if (nc == 12) assert(est == 1000000L)
+    }
+    // b-bit collisions are a SUPERSET of full-width matches: the b-bit
+    // raw rate can never be below d22's full-signature estimate
+    val d22 = SparkEntry.queries("d22_minhash_calibration")(sp, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    out.foreach { r =>
+      val full = d22((r.getLong(0), r.getLong(1)))
+      assert(r.getLong(3) >= full,
+        s"pair ${r.getLong(0)}-${r.getLong(1)}: b-bit raw below full-width")
+    }
+  }
+
   test("backfill layers: diamond max-path, cycle block, blast radius, horizon, roots") {
     val sp = spark; import sp.implicits._
     def run(nodes: Seq[String], deps: Seq[(String, String)], rounds: Int = 8) =

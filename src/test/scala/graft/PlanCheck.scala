@@ -510,6 +510,9 @@ object PlanCheck {
     println("==== 152. p18 backfill layers: metadata-plane iterative all-upstreams-placed joins, lineage truncated per round ====")
     SparkEntry.queries("p18_backfill_layers")(spark, sf).explain("formatted")
 
+    println("==== 153. d35 bbit minhash: shared persisted sets/bands, doc_id-keyed candidate joins only ====")
+    SparkEntry.queries("d35_bbit_minhash")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
