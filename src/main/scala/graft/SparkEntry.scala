@@ -1341,6 +1341,28 @@ object SparkEntry {
     // in-page crawl directives over synthesized html: first
     // link[rel~=canonical] href + first meta[name=robots] content with
     // noindex/nofollow flags; decoys pin comment + raw-text immunity
+    // alt-text coverage through the real <img> scanner: caption-pair
+    // yield + accessibility audit (absent vs empty alt distinguished)
+    "e64_alt_coverage" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id")).as[Long].map { id =>
+        val html = (id % 5) match {
+          case 0 =>
+            s"""<html><body><img src="/i/${id % 9}.jpg" alt="Photo of item ${id % 7}"><p>t</p><img src=/j/${id % 4}.png alt=''></body></html>"""
+          case 1 => s"""<html><body><img src="/k/${id % 5}.gif"></body></html>"""
+          case 2 =>
+            s"""<html><body><script>var x = '<img src=/fake.png>';</script><img src="/m/${id % 3}.webp" alt="chart ${id % 11}"></body></html>"""
+          case 3 => s"<html><body><p>no images $id</p></body></html>"
+          case _ => s"""<html><body><IMG SRC=/u/${id % 6} ALT=banner /></body></html>"""
+        }
+        val imgs = graft.core.Links.images(html.getBytes("UTF-8"))
+        val withAlt = imgs.count(_.hasAlt)
+        val dec = imgs.count(im => im.hasAlt && im.alt.isEmpty)
+        (id, imgs.length, withAlt, imgs.length - withAlt, dec,
+          imgs.filter(_.hasAlt).map(_.alt.length).sum.toLong)
+      }.toDF("doc_id", "n_imgs", "n_with_alt", "n_missing_alt",
+        "n_decorative", "alt_chars")
+    }),
     // robots.txt vs meta-robots reconciliation through BOTH real
     // parsers: the four-way effective-policy verdict, including the
     // classic trap — a noindex the engine can never see because
@@ -3633,6 +3655,21 @@ object SparkEntry {
           "FROM range(1, 10) t(j)"),
       // e38 oracle: same template collapse in SQL — trap families count
       // one url per doc, page families one per (host, page-slot) doc set
+      // e64 oracle: family arithmetic — alt_chars re-derived from the
+      // literal alt strings ('Photo of item N' = 14 + digits,
+      // 'chart N' = 6 + digits, 'banner' = 6); the script-string decoy
+      // family contributes exactly ONE image, pinning RAWTEXT skipping
+      "e64_alt_coverage" ->
+        ("WITH c AS (SELECT doc_id, doc_id % 5 AS f, " +
+          "length((doc_id % 7)::VARCHAR) AS d7, " +
+          "length((doc_id % 11)::VARCHAR) AS d11 FROM documents) " +
+          "SELECT doc_id, n_imgs, n_with_alt, n_missing_alt, n_decorative, alt_chars FROM ( " +
+          "SELECT doc_id, 2 AS n_imgs, 2 AS n_with_alt, 0 AS n_missing_alt, " +
+          "1 AS n_decorative, CAST(14 + d7 AS BIGINT) AS alt_chars FROM c WHERE f = 0 " +
+          "UNION ALL SELECT doc_id, 1, 0, 1, 0, 0 FROM c WHERE f = 1 " +
+          "UNION ALL SELECT doc_id, 1, 1, 0, 0, CAST(6 + d11 AS BIGINT) FROM c WHERE f = 2 " +
+          "UNION ALL SELECT doc_id, 0, 0, 0, 0, 0 FROM c WHERE f = 3 " +
+          "UNION ALL SELECT doc_id, 1, 1, 0, 0, 6 FROM c WHERE f = 4)"),
       // e63 oracle: the effective-policy truth table re-derived
       // arithmetically — path family %4 (p0 blocked, p1 rescued by the
       // longer Allow rule, p2/p3 unruled default-allow), meta family %3

@@ -166,4 +166,122 @@ object Links {
     emit()
     out.result()
   }
+
+  /** One harvested `<img>`: src, the alt VALUE, and whether alt was
+    * present at all — `alt=""` (hasAlt, empty) is the spec's
+    * decorative-image marker while a MISSING alt is an accessibility
+    * defect and a lost caption; the two must stay distinguishable.
+    */
+  final case class Img(src: String, alt: String, hasAlt: Boolean)
+
+  def images(html: Array[Byte],
+      deadline: Html.Deadline = Html.Deadline.unlimited): Vector[Img] =
+    imagesOf(Html.decode(html), deadline)
+
+  /** `<img>` harvest — the caption-mining scanner (alt text is the
+    * cheapest image-caption pair source on the web) sharing
+    * [[outlinksOf]]'s tag discipline: comments/CDATA skipped whole,
+    * script/style/textarea/noscript bodies are RAWTEXT (an `<img` inside
+    * a script string is NOT an image — pinned), attribute values quoted
+    * or unquoted, names ASCII-case-insensitive, entities decoded,
+    * first-wins per attribute. `img` is a void element, so self-closing
+    * and plain forms are identical.
+    */
+  def imagesOf(s: String,
+      deadline: Html.Deadline = Html.Deadline.unlimited): Vector[Img] = {
+    val n = s.length
+    val out = Vector.newBuilder[Img]
+    var i = 0
+    def isNameStart(c: Char) = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+    def isNameChar(c: Char) =
+      isNameStart(c) || (c >= '0' && c <= '9') || c == '-' || c == ':' || c == '_'
+    while (i < n) {
+      if (deadline.expired()) throw new Html.TimeoutException
+      val lt = s.indexOf('<', i)
+      if (lt < 0) i = n
+      else {
+        i = lt
+        var j = i + 1
+        if (j >= n) i = n
+        else if (s.charAt(j) == '!') {
+          if (s.startsWith("<!--", i)) {
+            val end = s.indexOf("-->", i + 4); i = if (end < 0) n else end + 3
+          } else if (s.regionMatches(true, i, "<![CDATA[", 0, 9)) {
+            val end = s.indexOf("]]>", i + 9); i = if (end < 0) n else end + 3
+          } else {
+            val end = s.indexOf('>', i + 1); i = if (end < 0) n else end + 1
+          }
+        } else if (s.charAt(j) == '?') {
+          val end = s.indexOf('>', i + 1); i = if (end < 0) n else end + 1
+        } else {
+          if (s.charAt(j) == '/') j += 1
+          if (!isNameStart(s.charAt(j))) i = j
+          else {
+            val nameStart = j
+            while (j < n && isNameChar(s.charAt(j))) j += 1
+            val name = s.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
+            // parse attrs (capture src/alt when this is an img)
+            var src: String = null; var alt: String = null; var hasAlt = false
+            var done = false
+            while (!done) {
+              while (j < n && Character.isWhitespace(s.charAt(j))) j += 1
+              if (j >= n) done = true
+              else {
+                val ch = s.charAt(j)
+                if (ch == '>') { j += 1; done = true }
+                else if (ch == '/' && j + 1 < n && s.charAt(j + 1) == '>') {
+                  j += 2; done = true
+                } else if (isNameStart(ch)) {
+                  val aStart = j
+                  while (j < n && isNameChar(s.charAt(j))) j += 1
+                  val aName = s.substring(aStart, j)
+                    .toLowerCase(java.util.Locale.ROOT)
+                  var k = j
+                  while (k < n && Character.isWhitespace(s.charAt(k))) k += 1
+                  var vStart = -1; var vEnd = -1
+                  if (k < n && s.charAt(k) == '=') {
+                    k += 1
+                    while (k < n && Character.isWhitespace(s.charAt(k))) k += 1
+                    if (k < n && (s.charAt(k) == '"' || s.charAt(k) == '\'')) {
+                      val q = s.charAt(k); vStart = k + 1
+                      val close = s.indexOf(q, k + 1)
+                      vEnd = if (close < 0) n else close
+                      k = if (close < 0) n else close + 1
+                    } else {
+                      vStart = k
+                      while (k < n && !Character.isWhitespace(s.charAt(k)) &&
+                        s.charAt(k) != '>') k += 1
+                      vEnd = k
+                    }
+                  } else vStart = -2 // attribute without a value
+                  if (name == "img") {
+                    val v = if (vStart >= 0)
+                      Html.decodeEntities(s.substring(vStart, vEnd)) else ""
+                    if (aName == "src" && src == null) src = v
+                    else if (aName == "alt" && !hasAlt) { hasAlt = true; alt = v }
+                  }
+                  j = k
+                } else j += 1
+              }
+            }
+            i = j
+            if (name == "img")
+              out += Img(if (src == null) "" else src,
+                if (alt == null) "" else alt, hasAlt)
+            else if (name == "script" || name == "style" ||
+              name == "textarea" || name == "noscript") {
+              val close = "</" + name
+              val k = Html.indexOfIgnoreCase(s, close, i)
+              if (k < 0) i = n
+              else {
+                val gt = s.indexOf('>', k + close.length)
+                i = if (gt < 0) n else gt + 1
+              }
+            }
+          }
+        }
+      }
+    }
+    out.result()
+  }
 }

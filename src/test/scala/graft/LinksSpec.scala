@@ -390,4 +390,27 @@ class LinksSpec extends AnyFunSuite {
       "g").rules.isEmpty)
     assert(Robots.parse("", "g") == Robots.Policy(Vector.empty, None, Vector.empty))
   }
+
+  test("images: absent vs empty alt, rawtext decoy, case/quote forms, entities, first-wins") {
+    import Links.Img
+    def imgs(h: String) = Links.imagesOf(h)
+    // absent alt != empty alt: the decorative marker must survive
+    assert(imgs("""<img src="/a.jpg">""") == Vector(Img("/a.jpg", "", false)))
+    assert(imgs("""<img src="/a.jpg" alt="">""") == Vector(Img("/a.jpg", "", true)))
+    // uppercase tag/attrs, unquoted values, self-closing void form
+    assert(imgs("""<IMG SRC=/u/1 ALT=banner />""") == Vector(Img("/u/1", "banner", true)))
+    // an <img inside a script string is RAWTEXT, not an image
+    assert(imgs("""<script>var x = '<img src=/fake.png>';</script><img src=/real.png alt=ok>""") ==
+      Vector(Img("/real.png", "ok", true)))
+    // entity decode + single quotes + first-wins on duplicate alt
+    assert(imgs("""<img src='/e.png' alt='Tom &amp; Jerry' alt='second'>""") ==
+      Vector(Img("/e.png", "Tom & Jerry", true)))
+    // img with no src still counts (a broken tag is still an img)
+    assert(imgs("""<img alt="x">""") == Vector(Img("", "x", true)))
+    // comments and CDATA skipped whole; boolean attrs tolerated
+    assert(imgs("""<!-- <img src=/c.png> --><img src="/d.png" ismap alt="m">""") ==
+      Vector(Img("/d.png", "m", true)))
+    // totality on junk
+    assert(imgs("<< < <img <img src=") .forall(_.src == ""))
+  }
 }

@@ -513,6 +513,9 @@ object PlanCheck {
     println("==== 153. d35 bbit minhash: shared persisted sets/bands, doc_id-keyed candidate joins only ====")
     SparkEntry.queries("d35_bbit_minhash")(spark, sf).explain("formatted")
 
+    println("==== 154. e64 alt coverage: typed map running the img scanner per row, zero exchange ====")
+    SparkEntry.queries("e64_alt_coverage")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
