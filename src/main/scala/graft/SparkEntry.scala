@@ -632,6 +632,21 @@ object SparkEntry {
     // document-local draws; labels = original words at selected
     // positions (NULL when none)
     "t51_mlm_mask" -> ((s, dir) => TrainingOps.mlmMask(docs(s, dir))),
+    // sentence-length burstiness over synthesized sentence structures
+    // with closed-form moments: constant-k / mixed / spiky / blank
+    "t54_burstiness" -> ((s, dir) => {
+      val id = col("doc_id")
+      val text = when(id % 4 === 0,
+        expr("repeat(concat(repeat('w ', cast(4 + doc_id % 5 as int)), '. '), 5)"))
+        .when(id % 4 === 1,
+          lit("w w w . w w w w w w w w w . w w w w w . w w w w w w w w w w w w . w w w w w w w . "))
+        .when(id % 4 === 2,
+          expr("concat('w . ', repeat('w ', cast(30 + doc_id % 10 as int)), " +
+            "'. ', 'w . ', repeat('w ', 25), '. ', 'w w . ')"))
+        .otherwise(lit("   "))
+      TrainingOps.sentenceBurstiness(
+        docs(s, dir).select(col("doc_id"), text.as("text")))
+    }),
     // entity-residue audit over an entity-decorated corpus: named /
     // decimal / hex syntaxes plus non-entity ampersand decoys
     "t53_entity_residue" -> ((s, dir) =>
@@ -4339,6 +4354,25 @@ object SparkEntry {
           "coalesce(a.inputs, '') AS inputs, " +
           "CASE WHEN coalesce(a.ns, 0) > 0 THEN a.tg || ' <extra_id_' || a.ns || '>' END AS targets " +
           "FROM base b LEFT JOIN agg a USING (doc_id)"),
+      // t54 oracle: the four families' moments in closed form — the
+      // constant-k family's VMR is identically 0, the mixed literal's
+      // constants are hand-derived (W=36, Q=308 -> 1355 milli), the
+      // spiky family's VMR is the exact integer formula in m — so a
+      // MATCH pins the whole split/trim/count pipeline against
+      // arithmetic with no string processing on the oracle side
+      "t54_burstiness" ->
+        ("WITH c AS (SELECT doc_id, doc_id % 4 AS f, " +
+          "CAST(4 + doc_id % 5 AS BIGINT) AS k, " +
+          "CAST(30 + doc_id % 10 AS BIGINT) AS m FROM documents) " +
+          "SELECT doc_id, n_sents, n_words, mean_milli, vmr_milli, verdict FROM ( " +
+          "SELECT doc_id, CAST(5 AS BIGINT) AS n_sents, 5 * k AS n_words, " +
+          "1000 * k AS mean_milli, CAST(0 AS BIGINT) AS vmr_milli, " +
+          "'uniform' AS verdict FROM c WHERE f = 0 " +
+          "UNION ALL SELECT doc_id, 5, 36, 7200, 1355, 'normal' FROM c WHERE f = 1 " +
+          "UNION ALL SELECT doc_id, 5, 29 + m, 200 * (29 + m), " +
+          "(1000 * (5 * (631 + m * m) - (29 + m) * (29 + m))) // (5 * (29 + m)), " +
+          "'bursty' FROM c WHERE f = 2 " +
+          "UNION ALL SELECT doc_id, NULL, NULL, NULL, NULL, 'empty' FROM c WHERE f = 3)"),
       // t53 oracle: same entity decoration (decoys stay uncounted —
       // no terminator, no entity), three syntax counts, entity-char
       // sum via joined match strings, floor-div ppm

@@ -1823,6 +1823,53 @@ object TrainingOps extends Serializable {
           !col("has_lorem") && !col("has_brace"))
   }
 
+  /** Sentence-length burstiness — the rhythm feature of document
+    * quality: human prose alternates long and short sentences
+    * (variance-to-mean ratio of sentence word counts well above a
+    * Poisson-ish floor), while templated listings, machine
+    * translation, and LM-generated filler run suspiciously UNIFORM —
+    * so a near-zero VMR on multi-sentence text is a synthetic-text
+    * tell, and an extreme VMR marks concatenation artifacts (a 200-word
+    * run-on glued to one-word fragments). Sentences split on [.!?]+
+    * runs (t41's convention), and all moments are EXACT integers:
+    * mean_milli = 1000*W div n and vmr_milli = 1000*(n*Q - W^2) div
+    * (n*W) with W = sum of lengths, Q = sum of squares — the
+    * population variance-to-mean ratio with no float in sight.
+    * Sentence-free docs come back NULL with verdict `empty` (no
+    * rhythm is not uniform rhythm); ladder: uniform (< 500 milli) /
+    * normal / bursty (> 5000 milli).
+    *
+    * Scale shape: pure per-row split/transform/aggregate expressions,
+    * zero exchange, rides the scan.
+    */
+  def sentenceBurstiness(docs: DataFrame): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    // per segment, count NONEMPTY words (a trim guard would miss tabs —
+    // column trim strips only spaces, the t51 lesson); a segment with
+    // zero words is not a sentence
+    val wc = filter(
+      transform(split(t, "[.!?]+"), x =>
+        size(filter(split(x, wsClass + "+"), w => length(w) > 0)).cast("long")),
+      c => c > 0)
+    val n = size(wc).cast("long")
+    val w = aggregate(wc, lit(0L), (acc, x) => acc + x)
+    val q = aggregate(wc, lit(0L), (acc, x) => acc + x * x)
+    docs.select(col("doc_id"), n.as("n_sents"), w.as("n_words"), q.as("sq"))
+      .select(col("doc_id"),
+        when(col("n_sents") > 0, col("n_sents")).as("n_sents"),
+        when(col("n_sents") > 0, col("n_words")).as("n_words"),
+        when(col("n_sents") > 0,
+          expr("1000 * n_words div n_sents")).as("mean_milli"),
+        when(col("n_sents") > 0,
+          expr("1000 * (n_sents * sq - n_words * n_words) div (n_sents * n_words)"))
+          .as("vmr_milli"))
+      .withColumn("verdict",
+        when(col("n_sents").isNull, lit("empty"))
+          .when(col("vmr_milli") < 500, lit("uniform"))
+          .when(col("vmr_milli") > 5000, lit("bursty"))
+          .otherwise(lit("normal")))
+  }
+
   /** HTML-entity residue audit — the post-extraction integrity check
     * beside t44's mojibake score: `&amp;`, `&#8211;`, `&#x27;` in
     * EXTRACTED text mean an upstream stage escaped twice or a kernel

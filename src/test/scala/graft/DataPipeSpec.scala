@@ -896,6 +896,29 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("burstiness: exact moments, verdict ladder, single sentence, empty doc") {
+    val sp = spark; import sp.implicits._
+    val rows = Seq(
+      (1L, "a b c. a b c. a b c."),        // 3x3 words: VMR exactly 0
+      (2L, "a. a b c d e f g h i j k!"),   // lengths 1, 11
+      (3L, "one two three four five"),     // no terminator: ONE sentence
+      (4L, "  \t "),                       // whitespace only
+      (5L, "x? y y y. z z!"))              // 1, 3, 2
+    val out = TrainingOps.sentenceBurstiness(rows.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> ((
+        if (r.isNullAt(1)) -1L else r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4),
+        r.getString(5)))).toMap
+    assert(out(1L) == ((3L, 9L, 3000L, 0L, "uniform")))
+    // n=2, W=12, Q=122: vmr = 1000*(244-144)/(2*12) = 4166 -> normal
+    assert(out(2L) == ((2L, 12L, 6000L, 4166L, "normal")))
+    // a single sentence has zero variance by definition
+    assert(out(3L) == ((1L, 5L, 5000L, 0L, "uniform")))
+    assert(out(4L) == ((-1L, -1L, -1L, -1L, "empty")))
+    // n=3, W=6, Q=14: vmr = 1000*(42-36)/(3*6) = 333 -> uniform
+    assert(out(5L) == ((3L, 6L, 2000L, 333L, "uniform")))
+  }
+
   test("bbit minhash: collision floor correction, exact-dup saturation, laws vs d22") {
     val sp = spark
     val out = SparkEntry.queries("d35_bbit_minhash")(sp, sfDir).collect()

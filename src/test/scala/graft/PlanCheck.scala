@@ -516,6 +516,9 @@ object PlanCheck {
     println("==== 154. e64 alt coverage: typed map running the img scanner per row, zero exchange ====")
     SparkEntry.queries("e64_alt_coverage")(spark, sf).explain("formatted")
 
+    println("==== 155. t54 burstiness: pure per-row split/aggregate integer moments, zero exchange ====")
+    SparkEntry.queries("t54_burstiness")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
