@@ -792,6 +792,9 @@ object SparkEntry {
     // b-bit (last-nibble) minhash estimate with the 2^-b collision
     // floor subtracted, measured against exact Jaccard per pair
     "d35_bbit_minhash" -> ((s, dir) => TrainingOps.bbitMinhash(docs(s, dir))),
+    // LSH design table: collision S-curves for every (r, b) split of a
+    // 24-signature budget, fold-product doubles (no pow)
+    "d36_lsh_planner" -> ((s, _) => TrainingOps.lshPlanner(s)),
     // banded (Ukkonen) edit-distance verify over the d2 candidates;
     // maxDist=5 splits this corpus's pairs (d=4 within, d=8 capped) so
     // both the in-band and capped-at-k+1 branches are oracle-pinned
@@ -3802,6 +3805,18 @@ object SparkEntry {
       },
       // d22 oracle: the shared minhashBands CTEs (sig has the 12-slot g
       // list, sh the shingle sets), agreement + exact Jaccard in ppm
+      // d36 oracle: the same design grid (divisors of 24 x the 5..95
+      // Jaccard grid) with the same LEFT-FOLD products via list_reduce
+      // — identical fold order over identical doubles is bit-exact
+      // where pow() would drift in the last ulp
+      "d36_lsh_planner" ->
+        ("WITH rs AS (SELECT unnest([1, 2, 3, 4, 6, 8, 12, 24]) AS r), " +
+          "js AS (SELECT 5 * (1 + unnest(range(19))) AS j), " +
+          "g AS (SELECT r, 24 // r AS b, j FROM rs, js) " +
+          "SELECT CAST(r AS INT) AS r, CAST(b AS INT) AS b, CAST(j AS INT) AS j_pct, " +
+          "CAST(floor(1000000 * (1 - list_reduce(list_transform(range(b), x -> " +
+          "1 - list_reduce(list_transform(range(r), y -> j / 100.0), (a, z) -> a * z)), " +
+          "(a, z) -> a * z))) AS BIGINT) AS p_ppm FROM g"),
       // d35 oracle: last-hex-nibble agreement per component, the
       // (r - 2^-b)/(1 - 2^-b) correction in exact ppm with the 0
       // clamp (which also absorbs the floor-vs-truncate division

@@ -264,6 +264,37 @@ object TrainingOps extends Serializable {
       .withColumn("abs_err_ppm", abs(col("est_ppm") - col("jaccard_ppm")))
   }
 
+  /** LSH parameter planner — the DESIGN-TIME table behind the d2/d23
+    * family: for every (rows-per-band r, bands b = budget/r) split of a
+    * fixed signature budget, the candidate-collision probability
+    * 1 - (1 - J^r)^b across the Jaccard grid — the S-curves whose knee
+    * placement IS the bands/rows decision (d23 plots the ONE deployed
+    * config; this enumerates the alternatives so the 4x3 choice is an
+    * argmax over a table, not folklore). Probabilities are computed by
+    * EXPLICIT left-fold products, not pow(): the two engines' pow
+    * implementations are not bit-identical in the last ulp, but an
+    * identical fold order over identical doubles is — the same
+    * discipline that keeps the d9 distance oracle exact.
+    *
+    * Scale shape: a constant (divisors x 19)-row design table built
+    * driver-side — no data read at all; the op exists for its oracle-
+    * pinned arithmetic, and composes with d22/d35 (measured estimator
+    * error) to close the planning loop.
+    */
+  def lshPlanner(spark: SparkSession, sigBudget: Int = 24): DataFrame = {
+    require(sigBudget >= 1, "sigBudget must be >= 1")
+    import spark.implicits._
+    val grid = for {
+      r <- (1 to sigBudget).filter(sigBudget % _ == 0)
+      j <- 5 to 95 by 5
+    } yield (r, sigBudget / r, j)
+    grid.toDF("r", "b", "j_pct")
+      .withColumn("p_ppm", expr(
+        "cast(floor(1000000 * (1 - aggregate(sequence(1, b), cast(1 as double), " +
+          "(acc, x) -> acc * (1 - aggregate(sequence(1, r), cast(1 as double), " +
+          "(a2, y) -> a2 * (j_pct / 100.0d)))))) as bigint)"))
+  }
+
   /** b-bit MinHash calibration — d22's storage-compression sequel
     * (Li & König 2010): store only the LOW 4 BITS of each minhash
     * component (here the signature's last hex nibble) and the 16-byte

@@ -896,6 +896,30 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("lsh planner: grid shape, fold arithmetic, monotone laws, degenerate configs") {
+    val sp = spark
+    val out = TrainingOps.lshPlanner(sp).collect()
+      .map(r => (r.getInt(0), r.getInt(2)) -> ((r.getInt(1), r.getLong(3)))).toMap
+    assert(out.size == 8 * 19) // divisors of 24 x the 5..95 grid
+    // independent Scala rederivation with the same left-fold order
+    def expect(r: Int, b: Int, j: Int): Long = {
+      var jr = 1.0d; (1 to r).foreach(_ => jr *= j / 100.0d)
+      var qb = 1.0d; (1 to b).foreach(_ => qb *= (1 - jr))
+      math.floor(1000000 * (1 - qb)).toLong
+    }
+    out.foreach { case ((r, j), (b, p)) =>
+      assert(b == 24 / r)
+      assert(p == expect(r, b, j), s"config r=$r j=$j")
+    }
+    // laws: p monotone nondecreasing in J per config; the r=1 (pure OR)
+    // config dominates every other at every J; r=24 is the pure AND
+    for (r <- Seq(1, 2, 3, 4, 6, 8, 12, 24); j <- 10 to 95 by 5)
+      assert(out((r, j))._2 >= out((r, j - 5))._2, s"monotone r=$r j=$j")
+    for (r <- Seq(2, 3, 4, 6, 8, 12, 24); j <- 5 to 95 by 5)
+      assert(out((1, j))._2 >= out((r, j))._2, s"OR dominance r=$r j=$j")
+    intercept[IllegalArgumentException] { TrainingOps.lshPlanner(sp, sigBudget = 0) }
+  }
+
   test("burstiness: exact moments, verdict ladder, single sentence, empty doc") {
     val sp = spark; import sp.implicits._
     val rows = Seq(

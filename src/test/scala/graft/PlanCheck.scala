@@ -519,6 +519,9 @@ object PlanCheck {
     println("==== 155. t54 burstiness: pure per-row split/aggregate integer moments, zero exchange ====")
     SparkEntry.queries("t54_burstiness")(spark, sf).explain("formatted")
 
+    println("==== 156. d36 lsh planner: constant driver-side design table, fold-product doubles, no data read ====")
+    SparkEntry.queries("d36_lsh_planner")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
