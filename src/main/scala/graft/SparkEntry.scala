@@ -1188,6 +1188,10 @@ object SparkEntry {
     // link-exchange fingerprint — out-neighbors that link back
     "e60_reciprocity" -> ((s, dir) =>
       graft.datapipe.GraphOps.reciprocity(hostEdges(s, dir))),
+    // host curation scorecard: rank x reciprocity x degree with the
+    // ring-before-authority verdict precedence
+    "e65_host_scorecard" -> ((s, dir) =>
+      graft.datapipe.GraphOps.hostScorecard(hostEdges(s, dir))),
     // BFS crawl-depth from a hash-deterministic seed set over the e23
     // host graph: min-hops label propagation, NULL = beyond the
     // 3-hop horizon (unreached-from-seeds is itself the signal)
@@ -2772,6 +2776,23 @@ object SparkEntry {
       "e23_host_rank" ->
         (s"WITH ${hostRankCtes(htmlKinds)} " +
           "SELECT h AS host, CAST(r AS BIGINT) AS rank FROM r3"),
+      // e65 oracle: e23's three unrolled rank iterations + e60's
+      // reciprocity CTEs on the same edge base, host-keyed left join,
+      // NULL-not-0 for in-link-only hosts, ring-before-authority CASE
+      "e65_host_scorecard" ->
+        (s"WITH ${hostRankCtes(htmlKinds)}, " +
+          "eg AS MATERIALIZED (SELECT DISTINCT src, dst FROM w WHERE src <> dst), " +
+          "rc AS (SELECT e.src, count(*) AS nr FROM eg e " +
+          "JOIN eg r2x ON e.src = r2x.dst AND e.dst = r2x.src GROUP BY 1), " +
+          "oc AS (SELECT src, count(*) AS no FROM eg GROUP BY 1) " +
+          "SELECT r3.h AS host, CAST(r3.r AS BIGINT) AS rank, " +
+          "CAST(no AS BIGINT) AS n_out, " +
+          "CASE WHEN no IS NOT NULL THEN CAST(coalesce(nr, 0) AS BIGINT) END AS n_reciprocal, " +
+          "CASE WHEN no IS NOT NULL THEN CAST((1000000 * coalesce(nr, 0)) // no AS BIGINT) END AS recip_ppm, " +
+          "CASE WHEN no IS NOT NULL AND (1000000 * coalesce(nr, 0)) // no >= 500000 AND no >= 2 THEN 'ring_suspect' " +
+          "WHEN r3.r >= 2 * (1000000000000 // (SELECT n FROM p)) THEN 'authority' " +
+          "WHEN no IS NULL THEN 'leaf' ELSE 'normal' END AS verdict " +
+          "FROM r3 LEFT JOIN oc ON oc.src = r3.h LEFT JOIN rc ON rc.src = r3.h"),
       // e60 oracle: same edge base as e23, distinct de-self-looped
       // pairs, reversal self-join on the full (src,dst) key, floor-div
       // ppm — a MATCH pins dedup-before-reciprocity and the pair join

@@ -971,6 +971,36 @@ object GraphOps {
     res
   }
 
+  /** Host curation scorecard — the composition the individual signals
+    * exist FOR: one row per host joining link authority ([[hostRank]])
+    * with the link-exchange fingerprint ([[reciprocity]]) and
+    * out-degree into the verdict a corpus-curation pass actually
+    * branches on. Precedence is the point: `ring_suspect`
+    * (recip_ppm >= 5e5 over >= 2 out-neighbors) is checked BEFORE
+    * `authority` (rank >= 2x the uniform share), because a link ring's
+    * whole purpose is to manufacture authority — rank alone would
+    * promote exactly the hosts this table exists to demote. `leaf`
+    * marks hosts with only in-links (no reciprocity signal exists for
+    * them — NULL, not 0); everything else is `normal`.
+    *
+    * Scale shape: both inputs are the persisted host-graph ops
+    * (pointer-sized rows); ONE host-keyed left join + a 1-row node
+    * count broadcast-cross. Documents are never touched.
+    */
+  def hostScorecard(edges: DataFrame): DataFrame = {
+    val ranks = hostRank(edges)
+    val rec = reciprocity(edges)
+    val n = ranks.agg(count(lit(1)).as("n"))
+    ranks.join(rec, Seq("host"), "left")
+      .crossJoin(n)
+      .withColumn("verdict",
+        when(col("recip_ppm") >= 500000 && col("n_out") >= 2, lit("ring_suspect"))
+          .when(col("rank") >= expr("2 * (1000000000000 div n)"), lit("authority"))
+          .when(col("n_out").isNull, lit("leaf"))
+          .otherwise(lit("normal")))
+      .select("host", "rank", "n_out", "n_reciprocal", "recip_ppm", "verdict")
+  }
+
   /** Sitemap-vs-crawl coverage reconciliation — the audit that closes
     * the crawl-discovery loop: sitemaps ([[graft.core.Sitemaps]], e37)
     * declare what a host SAYS it has; the crawl log records what was

@@ -896,6 +896,36 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("host scorecard: agrees with rank and reciprocity, verdict precedence, leaf NULLs") {
+    val sp = spark
+    val out = SparkEntry.queries("e65_host_scorecard")(sp, sfDir).collect()
+    assert(out.nonEmpty)
+    val ranks = SparkEntry.queries("e23_host_rank")(sp, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rec = SparkEntry.queries("e60_reciprocity")(sp, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val n = out.length
+    out.foreach { r =>
+      val host = r.getString(0)
+      assert(r.getLong(1) == ranks(host), s"$host rank disagrees with e23")
+      rec.get(host) match {
+        case Some((no, nr, ppm)) =>
+          assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((no, nr, ppm)),
+            s"$host reciprocity disagrees with e60")
+        case None =>
+          assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4),
+            s"$host leaf must carry NULLs, not zeros")
+      }
+      val exp =
+        if (!r.isNullAt(4) && r.getLong(4) >= 500000 && r.getLong(2) >= 2) "ring_suspect"
+        else if (r.getLong(1) >= 2L * (1000000000000L / n)) "authority"
+        else if (r.isNullAt(2)) "leaf" else "normal"
+      assert(r.getString(5) == exp, s"$host verdict")
+    }
+    assert(out.map(_.getString(5)).toSet.subsetOf(
+      Set("ring_suspect", "authority", "leaf", "normal")))
+  }
+
   test("lsh planner: grid shape, fold arithmetic, monotone laws, degenerate configs") {
     val sp = spark
     val out = TrainingOps.lshPlanner(sp).collect()

@@ -522,6 +522,9 @@ object PlanCheck {
     println("==== 156. d36 lsh planner: constant driver-side design table, fold-product doubles, no data read ====")
     SparkEntry.queries("d36_lsh_planner")(spark, sf).explain("formatted")
 
+    println("==== 157. e65 host scorecard: two persisted host-graph ops + ONE host-keyed join + 1-row count cross ====")
+    SparkEntry.queries("e65_host_scorecard")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
