@@ -632,6 +632,10 @@ object SparkEntry {
     // document-local draws; labels = original words at selected
     // positions (NULL when none)
     "t51_mlm_mask" -> ((s, dir) => TrainingOps.mlmMask(docs(s, dir))),
+    // declared-vs-predicted language agreement: the metadata-trust
+    // audit over the corpus lang column vs t1's stopword argmax
+    "t55_lang_agreement" -> ((s, dir) =>
+      TrainingOps.langAgreement(docs(s, dir))),
     // sentence-length burstiness over synthesized sentence structures
     // with closed-form moments: constant-k / mixed / spiky / blank
     "t54_burstiness" -> ((s, dir) => {
@@ -4295,6 +4299,26 @@ object SparkEntry {
           "round(list_max(list_transform(list_distinct(w), x -> len(list_filter(w, y -> y = x))))::DOUBLE / n, 4) AS top_word_frac, " +
           "round(CASE WHEN len(g3) >= 1 THEN (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3) ELSE 0.0 END, 4) AS dup_3gram_frac, " +
           "round((len(pp) - len(list_distinct(pp)))::DOUBLE / len(pp), 4) AS dup_para_frac FROM g"),
+      // t55 oracle: t1's exact stop lists and tie precedence beside the
+      // declared column, weak_signal gate FIRST (argmax over zeros is a
+      // coin flip, not a mismatch)
+      "t55_lang_agreement" ->
+        (s"WITH f AS (SELECT doc_id, lang, $w AS w FROM documents WHERE len($w) >= 1), " +
+          "sc AS (SELECT doc_id, lang, " +
+          s"len(list_filter(w, x -> x IN $stopEn)) AS s_en, " +
+          "len(list_filter(w, x -> x IN ('der','die','das','und','ist','ein','zu','den'))) AS s_de, " +
+          "len(list_filter(w, x -> x IN ('el','la','los','las','una','es','y','que'))) AS s_es, " +
+          "len(list_filter(w, x -> x IN ('le','les','des','une','est','et','dans','pour'))) AS s_fr, " +
+          "len(list_filter(w, x -> x IN ('的','是','了','在','我','有','和','不'))) AS s_zh FROM f), " +
+          "p AS (SELECT doc_id, lang AS declared, CASE " +
+          "WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en' " +
+          "WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de' " +
+          "WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es' " +
+          "WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS predicted, " +
+          "CAST(greatest(s_en, s_de, s_es, s_fr, s_zh) AS INT) AS n_stop FROM sc) " +
+          "SELECT doc_id, declared, predicted, n_stop, " +
+          "CASE WHEN n_stop = 0 THEN 'weak_signal' " +
+          "WHEN declared = predicted THEN 'agree' ELSE 'mismatch' END AS verdict FROM p"),
       "t1_lang_id" ->
         (s"WITH f AS (SELECT doc_id, $w AS w FROM documents WHERE len($w) >= 1), " +
           "sc AS (SELECT doc_id, CAST(len(w) AS INT) AS n_words, " +

@@ -1626,6 +1626,37 @@ object TrainingOps extends Serializable {
       greatest(langOrder.map(l => col(s"s_$l")): _*).as("n_stop"), col("n_words"))
   }
 
+  /** Declared-vs-predicted language agreement — the metadata-TRUST
+    * audit: crawled pages carry a declared language (the html lang
+    * attribute / HTTP header, here the corpus `lang` column) and it
+    * lies constantly on the real web (template defaults, CMS installs
+    * left on en) — every multilingual corpus pipeline routes on
+    * PREDICTED language and keeps this table to quantify how far the
+    * metadata can be trusted per source. Runs [[langId]]'s exact
+    * stopword-argmax inline (same lists, same tie precedence) beside
+    * the declared value; verdict `weak_signal` when ZERO stopwords hit
+    * (an argmax over zeros is a coin flip, and reporting it as a
+    * mismatch would slander the metadata — checked FIRST), else
+    * agree / mismatch. Word-less docs drop (the t1 contract).
+    *
+    * Scale shape: pure per-row expression work, zero exchange, no
+    * join — the declared column rides the same row.
+    */
+  def langAgreement(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("lang").as("declared"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 1)
+      .select(Seq(col("doc_id"), col("declared")) ++
+        langOrder.map(l => stopCount(l).as(s"s_$l")): _*)
+    base.select(col("doc_id"), col("declared"),
+      langArgmax.as("predicted"),
+      greatest(langOrder.map(l => col(s"s_$l")): _*).cast("int").as("n_stop"))
+      .withColumn("verdict",
+        when(col("n_stop") === 0, lit("weak_signal"))
+          .when(col("declared") === col("predicted"), lit("agree"))
+          .otherwise(lit("mismatch")))
+  }
+
   /** Paragraph-level language-mix detection — the curation upgrade of
     * [[langId]]: a document whose paragraphs vote for different
     * languages is usually template chrome around translated content, or

@@ -896,6 +896,31 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("lang agreement: reconciles with t1, weak-signal gate, verdict rules") {
+    val sp = spark; import sp.implicits._
+    val rows = Seq(
+      (1L, "the cat and the dog is in the house", "en"), // en hits, declared en
+      (2L, "the cat and the dog is in the house", "de"), // en hits, declared de
+      (3L, "zz qq ww ee rr tt", "en"),                   // zero stopwords anywhere
+      (4L, "der hund und die katze ist ein tier", "de"))
+    val out = TrainingOps.langAgreement(rows.toDF("doc_id", "text", "lang"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getInt(3), r.getString(4)))).toMap
+    assert(out(1L)._2 == "en" && out(1L)._4 == "agree")
+    assert(out(2L) == (("de", "en", out(2L)._3, "mismatch")))
+    // zero stopword hits: argmax over zeros is a coin flip, NOT a
+    // mismatch — even though declared 'en' equals the tie-broken argmax
+    assert(out(3L) == (("en", "en", 0, "weak_signal")))
+    assert(out(4L)._2 == "de" && out(4L)._4 == "agree")
+    // corpus: prediction column must equal t1's row-for-row
+    val t1 = SparkEntry.queries("t1_lang_id")(sp, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val corp = SparkEntry.queries("t55_lang_agreement")(sp, sfDir).collect()
+    assert(corp.nonEmpty && corp.length == t1.size)
+    corp.foreach(r => assert(r.getString(2) == t1(r.getLong(0)),
+      s"doc ${r.getLong(0)} disagrees with t1"))
+  }
+
   test("host scorecard: agrees with rank and reciprocity, verdict precedence, leaf NULLs") {
     val sp = spark
     val out = SparkEntry.queries("e65_host_scorecard")(sp, sfDir).collect()

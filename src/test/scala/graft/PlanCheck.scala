@@ -525,6 +525,9 @@ object PlanCheck {
     println("==== 157. e65 host scorecard: two persisted host-graph ops + ONE host-keyed join + 1-row count cross ====")
     SparkEntry.queries("e65_host_scorecard")(spark, sf).explain("formatted")
 
+    println("==== 158. t55 lang agreement: pure per-row stopword argmax beside the declared column, zero exchange ====")
+    SparkEntry.queries("t55_lang_agreement")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
