@@ -705,14 +705,19 @@ object SparkEntry {
       val url = when(id % 4 === 0,
         concat(lit("https://site"), id % 5, lit(".example.com/a/"), id))
         .when(id % 4 === 1,
+          // #sec fragment after the params — must NOT leak into the
+          // last param's value (the fragment-strip pin)
           concat(lit("https://site"), id % 5, lit(".example.com/a/"), id % 50,
-            lit("?utm_source=s"), id % 3, lit("&utm_campaign=c"), id % 7))
+            lit("?utm_source=s"), id % 3, lit("&utm_campaign=c"), id % 7,
+            lit("#sec")))
         .when(id % 4 === 2,
           concat(lit("https://site"), id % 5, lit(".example.com/list?color=c"), id % 29,
             lit("&size=s"), id % 2, lit("&view=grid")))
         .otherwise(
+          // sid value carries an embedded '=' (base64-padding shape) —
+          // the limit-2 split must keep it in the VALUE
           concat(lit("https://site"), id % 5, lit(".example.com/p/"), id % 20,
-            lit("?sid="), id))
+            lit("?sid=tok="), id))
       graft.datapipe.GraphOps.paramProfile(docs(s, dir).select(url.as("url")))
     }),
     "e38_trap_detection" -> ((s, dir) => {
@@ -924,8 +929,14 @@ object SparkEntry {
     // identical to t15's plain formulation — same oracle
     "t21_cms_heavy_hitters" -> ((s, dir) => TrainingOps.cmsHeavyHitters(docs(s, dir))),
     // bounded-posting-list inverted index: salted two-stage min-cap
-    // champion lists + exact df joined back word-keyed
-    "t22_inverted_index" -> ((s, dir) => TrainingOps.invertedIndex(docs(s, dir))),
+    // champion lists + exact df joined back word-keyed. Postings emit as
+    // a comma-joined string (not ARRAY<BIGINT>): the driver compare
+    // canonicalizes by sorting/hashing column values and cannot digest
+    // array cells, so the champion list crosses the gate as scalar text
+    // — the array-valued API stays on TrainingOps.invertedIndex itself.
+    "t22_inverted_index" -> ((s, dir) =>
+      TrainingOps.invertedIndex(docs(s, dir))
+        .withColumn("postings", array_join(col("postings"), ","))),
     // per-doc TF-IDF keywords (linear integer idf — the t12
     // transcendental-free rule; ties break by word asc)
     "t16_tfidf_keywords" -> ((s, dir) => TrainingOps.tfidfKeywords(docs(s, dir))),
@@ -1122,6 +1133,24 @@ object SparkEntry {
           .select(col("event_id").as("win_id"), col("ts").as("win_start"),
             (col("ts") + expr("INTERVAL 15 MINUTES")).as("win_end")),
         leftTs = "ts", start = "win_start", end = "win_end")
+    }),
+    // stream-stream interval join, BATCH formulation: each click joins
+    // the same user's errors in [ts, ts + 30 min]. withWatermark is a
+    // no-op on batch frames, so this runs the EXACT code path
+    // StreamingSpec drives as a stream (batch == streaming by
+    // construction) — and the oracle is DuckDB's own interval-predicate
+    // join, algorithm-independent of Spark's
+    "e66_stream_interval_join" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      RelationalOps.streamIntervalJoin(
+        ev.filter(col("event_type") === "click")
+          .select("event_id", "ts", "user_id", "value"),
+        ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("err_event_id"), col("ts").as("err_ts"),
+            col("user_id").as("err_user_id"), col("value").as("err_value")),
+        key = "user_id", rightKey = "err_user_id",
+        leftTs = "ts", rightTs = "err_ts",
+        within = "30 minutes", watermark = "10 minutes")
     }),
     // sessionization: per-user activity sessions at a 4-hour inactivity
     // gap (built-in session_window aggregation — the streaming-identical
@@ -2025,7 +2054,12 @@ object SparkEntry {
     // per-file (min_ts, max_ts) spans against a daily grain — move vs
     // rewrite workload per target day, invalid/overspan as data
     "p17_partition_evolution" -> ((s, dir) => {
-      val mn = lit(1700000000L) + (col("doc_id") % 40) * 30000
+      // %31 branch: NEGATIVE epoch seconds (pre-1970 archival scans) —
+      // pins the floor-division binning (trunc-toward-zero would merge
+      // partitions -1 and 0 and flip move/rewrite families)
+      val mn = when(col("doc_id") % 31 === 5,
+        lit(-100L) - (col("doc_id") % 40) * 30000)
+        .otherwise(lit(1700000000L) + (col("doc_id") % 40) * 30000)
       val f = docs(s, dir).select(col("doc_id").as("shard_id"),
         (lit(500L) + col("doc_id") % 2000).as("bytes"),
         mn.as("min_ts"),
@@ -2634,6 +2668,14 @@ object SparkEntry {
           "FROM events WHERE event_type = 'purchase') " +
           "SELECT l.event_id, l.ts, l.user_id, l.value, r.win_id, r.win_start, r.win_end " +
           "FROM l JOIN r ON l.ts >= r.win_start AND l.ts < r.win_end"),
+      // stream interval join oracle: plain interval predicate, inclusive
+      // both ends ([ts, ts+within] — Spark's >= / <= condition verbatim)
+      "e66_stream_interval_join" ->
+        ("WITH l AS (SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'click'), " +
+          "r AS (SELECT event_id AS err_event_id, ts AS err_ts, user_id AS err_user_id, value AS err_value " +
+          "FROM events WHERE event_type = 'error') " +
+          "SELECT l.event_id, l.ts, l.user_id, l.value, r.err_event_id, r.err_ts, r.err_user_id, r.err_value " +
+          "FROM l JOIN r ON l.user_id = r.err_user_id AND r.err_ts >= l.ts AND r.err_ts <= l.ts + INTERVAL 30 MINUTE"),
       // sessionization oracle: gaps-and-islands (lag + running break sum)
       // — an algorithm-independent formulation of the session_window
       // merging exec. Boundary pinned at > gap -> new session (Spark
@@ -3734,16 +3776,19 @@ object SparkEntry {
         ("WITH u AS (SELECT CASE " +
           "WHEN doc_id % 4 = 0 THEN 'https://site' || (doc_id % 5) || '.example.com/a/' || doc_id " +
           "WHEN doc_id % 4 = 1 THEN 'https://site' || (doc_id % 5) || '.example.com/a/' || (doc_id % 50) || " +
-          "'?utm_source=s' || (doc_id % 3) || '&utm_campaign=c' || (doc_id % 7) " +
+          "'?utm_source=s' || (doc_id % 3) || '&utm_campaign=c' || (doc_id % 7) || '#sec' " +
           "WHEN doc_id % 4 = 2 THEN 'https://site' || (doc_id % 5) || '.example.com/list?color=c' || (doc_id % 29) || " +
           "'&size=s' || (doc_id % 2) || '&view=grid' " +
-          "ELSE 'https://site' || (doc_id % 5) || '.example.com/p/' || (doc_id % 20) || '?sid=' || doc_id END AS url " +
+          "ELSE 'https://site' || (doc_id % 5) || '.example.com/p/' || (doc_id % 20) || '?sid=tok=' || doc_id END AS url " +
           "FROM documents), " +
+          // fragment stripped ([^#]*) and limit-2 '=' semantics (value
+          // keeps embedded '='; regexp_extract yields '' when no '='),
+          // matching the Spark side exactly
           "q AS (SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS host, " +
-          "regexp_extract(url, '\\?(.*)$', 1) AS qs FROM u), " +
+          "regexp_extract(url, '\\?([^#]*)', 1) AS qs FROM u), " +
           "p AS (SELECT host, unnest(string_split(qs, '&')) AS kv FROM q WHERE qs <> ''), " +
-          "k AS (SELECT host, string_split(kv, '=')[1] AS param, " +
-          "coalesce(string_split(kv, '=')[2], '') AS value FROM p), " +
+          "k AS (SELECT host, regexp_extract(kv, '^([^=]*)', 1) AS param, " +
+          "regexp_extract(kv, '=(.*)$', 1) AS value FROM p), " +
           "g AS (SELECT host, param, count(*) AS nu, count(DISTINCT value) AS nv FROM k GROUP BY 1, 2) " +
           "SELECT host, param, CAST(nu AS BIGINT) AS n_urls, CAST(nv AS BIGINT) AS n_values, " +
           "CASE WHEN starts_with(param, 'utm_') OR param IN ('sid','gclid','fbclid','sessionid') THEN 'tracking' " +
@@ -5473,13 +5518,19 @@ object SparkEntry {
       // family ladder, generate_series fan-out for ok files, NULL-part
       // rows for the error families, identical rollup
       "p17_partition_evolution" ->
-        ("WITH f AS (SELECT CAST(500 + doc_id % 2000 AS BIGINT) AS bytes, " +
-          "CAST(1700000000 + (doc_id % 40) * 30000 AS BIGINT) AS mn, " +
-          "CAST(1700000000 + (doc_id % 40) * 30000 + " +
-          "CASE WHEN doc_id % 23 = 3 THEN -999999 " +
+        ("WITH f0 AS (SELECT doc_id, CAST(CASE WHEN doc_id % 31 = 5 " +
+          "THEN -100 - (doc_id % 40) * 30000 " +
+          "ELSE 1700000000 + (doc_id % 40) * 30000 END AS BIGINT) AS mn FROM documents), " +
+          "f AS (SELECT CAST(500 + doc_id % 2000 AS BIGINT) AS bytes, mn, " +
+          "mn + CAST(CASE WHEN doc_id % 23 = 3 THEN -999999 " +
           "WHEN doc_id % 29 = 6 THEN 86400 * 10000 " +
-          "ELSE (doc_id % 4) * 50000 END AS BIGINT) AS mx FROM documents), " +
-          "c AS (SELECT bytes, mn // 86400 AS lo, mx // 86400 AS hi, mx >= mn AS valid FROM f), " +
+          "ELSE (doc_id % 4) * 50000 END AS BIGINT) AS mx FROM f0), " +
+          // integer `//` truncates toward zero in DuckDB too, so the
+          // FLOOR binning (pre-1970 spans) is spelled out on both sides
+          "c AS (SELECT bytes, " +
+          "mn // 86400 - CASE WHEN mn % 86400 < 0 THEN 1 ELSE 0 END AS lo, " +
+          "mx // 86400 - CASE WHEN mx % 86400 < 0 THEN 1 ELSE 0 END AS hi, " +
+          "mx >= mn AS valid FROM f), " +
           "d AS (SELECT bytes, lo, hi, " +
           "CASE WHEN NOT valid THEN 'i' WHEN hi - lo + 1 > 4096 THEN 'o' " +
           "WHEN hi = lo THEN 'm' ELSE 'r' END AS fam FROM c), " +
@@ -5539,11 +5590,12 @@ object SparkEntry {
       // exact count removes false positives) — same oracle
       "t21_cms_heavy_hitters" -> freqNgramOracle,
       // inverted-index oracle: plain one-stage formulation — exact df,
-      // postings = first `cap` doc_ids ascending (list slice)
+      // postings = first `cap` doc_ids ascending, comma-joined to a
+      // scalar string so the compare harness can sort/hash the column
       "t22_inverted_index" ->
         (s"WITH p AS (SELECT DISTINCT doc_id, unnest($w) AS word FROM documents WHERE length(text) >= 1) " +
           "SELECT word, CAST(count(*) AS BIGINT) AS df, " +
-          "(list(doc_id ORDER BY doc_id))[1:32] AS postings FROM p GROUP BY word"),
+          "array_to_string((list(doc_id ORDER BY doc_id))[1:32], ',') AS postings FROM p GROUP BY word"),
       // language-mix oracle: t6's /8 paragraph windows, t1's stopword
       // argmax per window, majority by (count desc, lang asc)
       "t17_lang_mix" ->

@@ -214,14 +214,23 @@ object Links {
         } else if (s.charAt(j) == '?') {
           val end = s.indexOf('>', i + 1); i = if (end < 0) n else end + 1
         } else {
-          if (s.charAt(j) == '/') j += 1
-          if (!isNameStart(s.charAt(j))) i = j
-          else {
+          // end tags (</x>) share outlinksOf's discipline: skip to '>',
+          // never emit an Img, never enter rawtext mode — a stray
+          // `</img>` or `</script>` in crawled HTML must not fabricate a
+          // phantom image or swallow everything to the next closer.
+          val closing = s.charAt(j) == '/'
+          if (closing) j += 1
+          if (j >= n || !isNameStart(s.charAt(j))) i = j
+          else if (closing) {
+            val end = s.indexOf('>', j)
+            i = if (end < 0) n else end + 1
+          } else {
             val nameStart = j
             while (j < n && isNameChar(s.charAt(j))) j += 1
             val name = s.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
             // parse attrs (capture src/alt when this is an img)
             var src: String = null; var alt: String = null; var hasAlt = false
+            var selfClosed = false
             var done = false
             while (!done) {
               while (j < n && Character.isWhitespace(s.charAt(j))) j += 1
@@ -230,7 +239,7 @@ object Links {
                 val ch = s.charAt(j)
                 if (ch == '>') { j += 1; done = true }
                 else if (ch == '/' && j + 1 < n && s.charAt(j + 1) == '>') {
-                  j += 2; done = true
+                  j += 2; done = true; selfClosed = true
                 } else if (isNameStart(ch)) {
                   val aStart = j
                   while (j < n && isNameChar(s.charAt(j))) j += 1
@@ -268,8 +277,8 @@ object Links {
             if (name == "img")
               out += Img(if (src == null) "" else src,
                 if (alt == null) "" else alt, hasAlt)
-            else if (name == "script" || name == "style" ||
-              name == "textarea" || name == "noscript") {
+            else if (!selfClosed && (name == "script" || name == "style" ||
+              name == "textarea" || name == "noscript")) {
               val close = "</" + name
               val k = Html.indexOfIgnoreCase(s, close, i)
               if (k < 0) i = n

@@ -1053,7 +1053,11 @@ object GraphOps {
     * (host, param, value) triples, never as full strings.
     */
   def paramProfile(urls: DataFrame): DataFrame = {
-    val qs = regexp_extract(col("url"), "\\?(.*)$", 1)
+    // [^#]* not .*$ — the fragment is NOT part of the query string
+    // (?page=2#results must profile page=2, not page=2#results), and
+    // split(kv, "=", 2) keeps embedded '=' in the VALUE (base64 padding,
+    // nested URLs) — only the first '=' separates name from value.
+    val qs = regexp_extract(col("url"), "\\?([^#]*)", 1)
     val host = regexp_extract(col("url"), "https?://([^/]+)", 1)
     val kvs = urls.select(host.as("host"), explode(split(qs, "&")).as("kv"))
       .filter(col("kv") =!= "")

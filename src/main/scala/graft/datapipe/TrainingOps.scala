@@ -2617,12 +2617,31 @@ object TrainingOps extends Serializable {
     * Output per doc: n_tokens, global token_start, shard. The oracle is
     * the single unpartitioned window cumsum — exactly what this shape
     * replaces.
+    *
+    * `bucketWidth = 0` (the default) DERIVES the width from a cheap
+    * column-pruned `max(doc_id)` scan so that numBuckets <= ~10^5
+    * regardless of corpus size: at 10^12 docs the derived width is
+    * ~10^7 and the driver collect stays ~10^5 rows / low MBs, where a
+    * fixed width of 64 would collect ~10^10 rows and inline an
+    * offsets-map of the same size into the plan. Results are
+    * width-invariant (pinned by spec), so the derivation only moves
+    * cost, never values. An explicit positive width is honored as-is.
     */
   def tokenShards(docs: DataFrame, budget: Long = 4096L,
-      bucketWidth: Long = 64L): DataFrame = {
-    require(budget > 0 && bucketWidth > 0, "budget and bucketWidth must be positive")
+      bucketWidth: Long = 0L): DataFrame = {
+    require(budget > 0 && bucketWidth >= 0,
+      "budget must be positive, bucketWidth nonnegative (0 = derive)")
+    val width: Long =
+      if (bucketWidth > 0) bucketWidth
+      else {
+        val maxId = docs.agg(max(col("doc_id"))).collect()(0) match {
+          case r if r.isNullAt(0) => 0L
+          case r => math.max(r.getLong(0), 0L)
+        }
+        math.max(64L, maxId / 100000L + 1L)
+      }
     val base = docs.filter(length(col("text")) >= 1)
-      .select(col("doc_id"), expr(s"doc_id div $bucketWidth").as("bucket"),
+      .select(col("doc_id"), expr(s"doc_id div $width").as("bucket"),
         size(words(col("text"))).cast("long").as("n_tokens"))
     val totals: Array[(Long, Long)] = base.groupBy("bucket")
       .agg(sum(col("n_tokens")).as("t"))
@@ -3628,8 +3647,16 @@ object TrainingOps extends Serializable {
       maxFanOut: Long = 4096L): DataFrame = {
     require(partSeconds >= 1, s"partSeconds must be positive, got $partSeconds")
     require(maxFanOut >= 1, s"maxFanOut must be positive, got $maxFanOut")
-    val lo = expr(s"min_ts div ${partSeconds}L")
-    val hi = expr(s"max_ts div ${partSeconds}L")
+    // FLOOR division, not `div` (which truncates toward zero): a
+    // pre-1970 timestamp (negative epoch seconds) must bin to the
+    // partition BELOW zero, keeping the half-open [lo, hi) contract.
+    // (DuckDB's integer `//` ALSO truncates, so the oracle spells out
+    // the same remainder correction.) partSeconds > 0 by the require,
+    // so floordiv = div - 1 exactly when the remainder is negative.
+    def floorDiv(c: String) =
+      expr(s"$c div ${partSeconds}L - (case when $c % ${partSeconds}L < 0 then 1 else 0 end)")
+    val lo = floorDiv("min_ts")
+    val hi = floorDiv("max_ts")
     val valid = col("max_ts") >= col("min_ts")
     val np = hi - lo + 1
     val fam = when(!valid, lit("i"))
@@ -4144,8 +4171,18 @@ object TrainingOps extends Serializable {
     * rows, built driver-side from the K argmax rows.
     */
   def bpeMerges(docs: DataFrame, nMerges: Int = 4): DataFrame = {
-    require(nMerges >= 1 && nMerges <= 64, "nMerges must be in [1, 64]")
+    require(nMerges >= 1 && nMerges <= 65536, "nMerges must be in [1, 65536]")
     val spark = docs.sparkSession
+    // Lineage checkpoint interval: each merge iteration appends a
+    // replace() projection to the vocab plan, and without truncation a
+    // realistic 32k-merge vocabulary gives O(k) plan depth RE-ANALYZED
+    // per iteration (O(k^2) total Catalyst work). Every `ckptEvery`
+    // merges the accumulated chain is materialized via localCheckpoint
+    // (the d10/e23 power-iteration pattern) so plan depth is bounded by
+    // the interval while results stay bit-identical — the vocab table
+    // is Heaps-law small (distinct words, not docs), so the
+    // materialization is cheap relative to the per-iteration argmax.
+    val ckptEvery = 32
     val vocab = docs.filter(length(col("text")) >= 1)
       .select(explode(words(col("text"))).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
@@ -4154,6 +4191,7 @@ object TrainingOps extends Serializable {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var cur = vocab
+    var lastCkpt: DataFrame = null
     var k = 1
     var exhausted = false
     while (k <= nMerges && !exhausted) {
@@ -4176,9 +4214,16 @@ object TrainingOps extends Serializable {
         // map-only merge application; symbols are [a-z]+ so the literal is safe
         cur = cur.select(
           expr(s"replace(s, '($l)($r)', '($l$r)')").as("s"), col("cnt"))
+        if (k % ckptEvery == 0) {
+          val next = cur.localCheckpoint() // eager: truncates the replace chain
+          if (lastCkpt != null) lastCkpt.unpersist(blocking = false)
+          lastCkpt = next
+          cur = next
+        }
         k += 1
       }
     }
+    if (lastCkpt != null) lastCkpt.unpersist(blocking = false)
     vocab.unpersist(blocking = false)
     import spark.implicits._
     merges.result().toDF("rank", "lhs", "rhs", "pair_count")

@@ -1509,7 +1509,10 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
       var a = 0L
       byId.map { case (id, n) => val st = a; a += n; id -> ((n, st, st / 4096L)) }.toMap
     }
-    for (bw <- Seq(7L, 64L, 100000L)) {
+    // 0L = the auto-derived width (max(doc_id)-based, numBuckets <= 1e5)
+    // — the default a 10^12-doc caller gets; must agree with every
+    // explicit width
+    for (bw <- Seq(0L, 7L, 64L, 100000L)) {
       val got = TrainingOps.tokenShards(docs, budget = 4096L, bucketWidth = bw).collect()
         .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
       assert(got == want, s"bucketWidth=$bw diverges from the sequential cumsum")
@@ -4680,6 +4683,62 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val tok = TrainingOps.bpeTokenize(d, nMerges = 3).orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(tok.toSeq == Seq((1L, 2, 4L), (2L, 3, 9L)))
+  }
+
+  test("bpe merges: 256-merge vocabulary matches a pure-Scala reference (bounded lineage)") {
+    val s = spark; import s.implicits._
+    // A realistic merge count (256 = 8 localCheckpoint truncations of
+    // the replace chain) against an independent driver-side greedy BPE
+    // over the same weighted vocabulary — rank-for-rank equality pins
+    // that lineage truncation never perturbs a single argmax.
+    def toWord(seed: Long): String = {
+      var x = seed; val sb = new StringBuilder
+      var i = 0
+      while (i < 6 + (seed % 5).toInt) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        sb.append(('a' + math.floorMod(x >>> 33, 26L).toInt).toChar)
+        i += 1
+      }
+      sb.result()
+    }
+    val vocab = (0 until 400).map(i => (toWord(i.toLong), (i % 7 + 1).toLong))
+    val text = vocab.flatMap { case (w, c) => Seq.fill(c.toInt)(w) }.mkString(" ")
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val got = TrainingOps.bpeMerges(d, nMerges = 256).orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+
+    // reference: symbol lists, weighted pair counts, argmax by
+    // (count desc, l asc, r asc), greedy left-to-right non-overlapping
+    var words = vocab.groupBy(_._1).map { case (w, xs) =>
+      (w.map(_.toString).toVector, xs.map(_._2).sum)
+    }.toVector
+    val ref = Vector.newBuilder[(Int, String, String, Long)]
+    var k = 1
+    var break = false
+    while (k <= 256 && !break) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, c) <- words; j <- 0 until syms.length - 1)
+        counts((syms(j), syms(j + 1))) = counts.getOrElse((syms(j), syms(j + 1)), 0L) + c
+      if (counts.isEmpty) break = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        ref += ((k, l, r, c))
+        words = words.map { case (syms, cnt) =>
+          val out = Vector.newBuilder[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j + 1 < syms.length && syms(j) == l && syms(j + 1) == r) {
+              out += (l + r); j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          (out.result(), cnt)
+        }
+        k += 1
+      }
+    }
+    val expect = ref.result()
+    assert(got.length == expect.length, s"merge count ${got.length} vs ${expect.length}")
+    got.zip(expect).foreach { case (g, e) => assert(g == e, s"rank ${e._1}: $g != $e") }
   }
 
   test("sentence split: every constructed boundary recovered, traps never split, digit-led sentences split") {

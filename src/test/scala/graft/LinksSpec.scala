@@ -413,4 +413,24 @@ class LinksSpec extends AnyFunSuite {
     // totality on junk
     assert(imgs("<< < <img <img src=") .forall(_.src == ""))
   }
+
+  test("images: stray closers and self-closing rawtext openers (real-web armor)") {
+    import Links.Img
+    def imgs(h: String) = Links.imagesOf(h)
+    // </img> is a no-op closer, not a phantom Img: exactly one image
+    assert(imgs("""<img src=/x.png></img>""") == Vector(Img("/x.png", "", false)))
+    // a stray </script> with no opener must not swallow subsequent images
+    assert(imgs("""</script><img src=/after.png alt=a>""") ==
+      Vector(Img("/after.png", "a", true)))
+    assert(imgs("""<img src=/one.png></style><img src=/two.png>""") ==
+      Vector(Img("/one.png", "", false), Img("/two.png", "", false)))
+    // a SELF-CLOSING <script/> has no rawtext body — the next tag is live
+    assert(imgs("""<script src="/s.js"/><img src=/live.png>""") ==
+      Vector(Img("/live.png", "", false)))
+    // but a real opener still swallows its body to the matching closer
+    assert(imgs("""<script>'<img src=/fake.png>'</script><img src=/real.png>""") ==
+      Vector(Img("/real.png", "", false)))
+    // closer-at-EOF totality: `</img` with no '>' terminates cleanly
+    assert(imgs("""<img src=/z.png></img""") == Vector(Img("/z.png", "", false)))
+  }
 }

@@ -480,4 +480,57 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getString(0)).sorted.sameElements(Array("html", "pdf")))
     rows.foreach(r => assert(r.getString(3).contains(":")))
   }
+
+  test("lakehouse protocol against a SECOND FileSystem scheme (mockfs://): commit, crash-resume, time travel, compaction") {
+    implicit val s: SparkSession = spark
+    // The full ledger/resume/time-travel/compaction cycle against a
+    // FileSystem registered under a non-default scheme. Plain /tmp paths
+    // resolve through LocalFileSystem and an OS-path shortcut would go
+    // unnoticed; mockfs:// only works if every filesystem touch —
+    // LakehouseIO's own metadata ops AND Spark's parquet writer/reader
+    // underneath — flows through Hadoop FileSystem.get(uri, conf)
+    // resolution. This is the sandbox's closest analog to pointing the
+    // layer at hdfs:// or s3a:// (same resolution path, different impl).
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.mockfs.impl", classOf[MockSchemeFileSystem].getName)
+    val root = "mockfs://" + tmpDir("mockfs")
+    val ds = spark.createDataset(results.toSeq)(org.apache.spark.sql.Encoders.product[ResultRow])
+      .repartition(24) // several part files per bucket => compaction has work
+    intercept[RuntimeException] {
+      LakehouseIO.writeCommitted(ds, root, "m1", sfDir, failAfterBuckets = Some(3))
+    }
+    val wave1 = LakehouseIO.bucketLedgers(root)
+    assert(wave1.size == 3, "crash should leave exactly 3 committed buckets")
+    val t1 = wave1.map(_.committedAtMs).max
+    Thread.sleep(5)
+    LakehouseIO.writeCommitted(
+      LakehouseIO.resumeFilter(ds.toDF(), root)
+        .as[ResultRow](org.apache.spark.sql.Encoders.product[ResultRow]),
+      root, "m2", sfDir)
+    assert(LakehouseIO.readResults(root).count() == results.length)
+    val asOf1 = LakehouseIO.readAsOf(root, t1)
+    val w1b = wave1.map(_.bucket).toSet
+    assert(asOf1.select("bucket").distinct().collect().map(_.getInt(0)).toSet == w1b)
+    val after = LakehouseIO.readIncremental(root, t1, System.currentTimeMillis())
+    assert(after.count() == results.length - results.count(r => w1b.contains(r.bucket)))
+    // compaction through the same scheme
+    val before = LakehouseIO.readResults(root).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(5))).sortBy(_._1)
+    assert(LakehouseIO.compact(root) > 0, "expected at least one multi-file bucket")
+    val post = LakehouseIO.readResults(root).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(5))).sortBy(_._1)
+    assert(post.sameElements(before), "compaction changed contents under mockfs://")
+    // and the paths the layer reports really carry the scheme
+    assert(LakehouseIO.dataDir(root).toUri.getScheme == "mockfs")
+  }
+}
+
+/** A [[org.apache.hadoop.fs.RawLocalFileSystem]] re-registered under the
+  * `mockfs://` scheme — the second-FileSystem contract double for the
+  * PipelineSpec matrix (instantiated reflectively by Hadoop via
+  * `fs.mockfs.impl`, hence top-level with a no-arg constructor).
+  */
+class MockSchemeFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("mockfs:///")
+  override def getScheme: String = "mockfs"
 }

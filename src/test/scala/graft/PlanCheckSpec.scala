@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MACHINE-ASSERTED plan pins — the enforcement side of the `PlanCheck
+  * #N` claims cited throughout the library's docstrings (PlanCheck.scala
+  * prints the same plans for eyeball review; this suite FAILS when a
+  * pinned shape regresses). Every oracle in CORRECTNESS_r*.json stays
+  * green at sf0.01 whether or not a broadcast flips to sort-merge, a
+  * Window loses its partitionBy, or a filter stops reaching the scan —
+  * those regressions only surface at 100× scale, so the plan SHAPE is
+  * asserted here, statically (AQE off: the pins are about what the
+  * optimizer emits, and AQE's runtime rewrites only ever upgrade the
+  * asserted shapes — a plan that is broadcast/partitioned/shuffle-free
+  * statically stays so adaptively).
+  */
+class PlanCheckSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("plan-check-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Build a driver query's physical plan WITHOUT executing it (ops
+    * whose construction runs a driver-side prepass — vocab collects,
+    * bucket totals, power iterations — still run that part).
+    */
+  private def planOf(name: String): SparkPlan = {
+    val p = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+    spark.catalog.clearCache()
+    p
+  }
+  private def shuffles(p: SparkPlan) = p.collect { case e: ShuffleExchangeExec => e }
+  private def broadcastJoins(p: SparkPlan) = p.collect { case j: BroadcastHashJoinExec => j }
+  private def cartesians(p: SparkPlan) = p.collect {
+    case c: CartesianProductExec => c: SparkPlan
+    case b: BroadcastNestedLoopJoinExec => b: SparkPlan
+  }
+  private def windows(p: SparkPlan) = p.collect { case w: WindowExec => w }
+
+  // Pin applied to EVERY query this suite touches: an unpartitioned
+  // Window (one task sorts everything) is never acceptable.
+  private def assertWindowsPartitioned(name: String, p: SparkPlan): Unit =
+    windows(p).foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"$name: Window without partitionBy (single-task global sort):\n$w"))
+
+  test("checker sanity: an unpartitioned window IS detected") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(10).withColumn("r",
+      row_number().over(Window.orderBy(col("id"))))
+    val ws = windows(df.queryExecution.executedPlan)
+    assert(ws.nonEmpty && ws.exists(_.partitionSpec.isEmpty),
+      "control: the global-window plan should contain an unpartitioned WindowExec")
+  }
+
+  test("map-only family: ZERO exchange, zero joins of any kind") {
+    // Per-row transform queries — parse/normalize/classify work that at
+    // 10^12 docs must stay embarrassingly parallel. A shuffle appearing
+    // in any of these is a plan regression no sf0.01 oracle would catch.
+    val mapOnly = Seq(
+      "e32_url_canonical",    // PlanCheck #44
+      "t23_normalize",        // PlanCheck #33
+      "t14_quality_rules",    // PlanCheck #18
+      "t8_stratified_sample", // hash-gate filter, map-only
+      "m4_image_dims",        // PlanCheck #49
+      "m5_charset",           // PlanCheck #52
+      "m6_http_responses",    // PlanCheck #53
+      "e35_page_directives",  // PlanCheck #56
+      "t29_script_mix",       // PlanCheck #57
+      "e36_hreflang_alternates", // PlanCheck #59
+      "e37_sitemap_entries",  // PlanCheck #60
+      "d16_pq_codes",         // PlanCheck #34 (codebooks inlined)
+      "t26_split",            // group-hash gate — no window, no shuffle
+      "t48_overlap_chunks")   // bounded explode — no window, no shuffle
+    for (name <- mapOnly) {
+      val p = planOf(name)
+      assert(shuffles(p).isEmpty, s"$name: map-only query grew a shuffle:\n$p")
+      assert(cartesians(p).isEmpty, s"$name: cartesian in a map-only query:\n$p")
+      assertWindowsPartitioned(name, p)
+    }
+  }
+
+  test("claimed broadcast joins ARE broadcast (no sort-merge flip, no cartesian)") {
+    // Small-side-broadcast claims: eval/dim tables inlined against the
+    // corpus. A silent flip to SortMergeJoin keeps every oracle green
+    // and full-shuffles the corpus at scale.
+    val broadcastClaims = Seq(
+      "d9_ann_ivf_topk",         // PlanCheck: cell-restricted broadcast join
+      "d12_decontaminate",       // PlanCheck #12: eval grams broadcast
+      "t30_contamination_report",
+      "t25_host_boilerplate",    // PlanCheck #43: strip join broadcast
+      "d15_fuzzy_decontaminate") // PlanCheck #26: eval bands broadcast
+    for (name <- broadcastClaims) {
+      val p = planOf(name)
+      assert(broadcastJoins(p).nonEmpty,
+        s"$name: claimed broadcast join is not a BroadcastHashJoin:\n$p")
+      assert(cartesians(p).isEmpty, s"$name: cartesian product appeared:\n$p")
+      assertWindowsPartitioned(name, p)
+    }
+    // d17's probe join is deliberately NON-equi (vec_id != q_id), so its
+    // broadcast plans as BroadcastNestedLoopJoin — the probes side must
+    // still be the broadcast one, and no unbroadcast CartesianProduct
+    // may appear (PlanCheck #35: the DF-bounded probe sample is the
+    // scale argument).
+    val p17 = planOf("d17_adc_topk")
+    val bnl = p17.collect { case b: BroadcastNestedLoopJoinExec => b }
+    assert(bnl.nonEmpty, s"d17_adc_topk: probes join lost its broadcast:\n$p17")
+    assert(p17.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"d17_adc_topk: unbroadcast cartesian appeared:\n$p17")
+    assertWindowsPartitioned("d17_adc_topk", p17)
+  }
+
+  test("window consumers: every Window carries a partitionBy") {
+    // The prefix-sum / packing / capping family — each uses windows that
+    // MUST stay partitioned (t31's two-phase design exists precisely to
+    // avoid the unpartitioned global cumsum).
+    val windowed = Seq("t31_token_shards", "t13_source_cap",
+      "t10_sequence_pack", "e29_politeness_schedule")
+    for (name <- windowed) {
+      val p = planOf(name)
+      assert(windows(p).nonEmpty, s"$name: expected Window operators in:\n$p")
+      assertWindowsPartitioned(name, p)
+      assert(cartesians(p).isEmpty, s"$name: cartesian product appeared:\n$p")
+    }
+  }
+
+  test("exchange budget: keyed aggregates shuffle exactly as documented") {
+    // Exact exchange counts for ops whose docstrings promise a shuffle
+    // budget — a new exchange here is a second pass over the corpus.
+    val budget = Map(
+      "d1_dedup_exact" -> 1,   // one 16-byte-key shuffle
+      // t24: ONE corpus-sized exchange (lang,bucket,rho registers) +
+      // one register-sized exchange for the final per-lang estimate;
+      // the '*' merge branch reads the persisted register cache
+      "t24_hll_distinct" -> 2,
+      "t22_inverted_index" -> 2) // (doc,word) distinct + word agg
+    for ((name, n) <- budget) {
+      val p = planOf(name)
+      val got = shuffles(p).length
+      assert(got == n, s"$name: expected $n exchanges, found $got:\n$p")
+      assertWindowsPartitioned(name, p)
+    }
+  }
+
+  test("t22 bounded postings use the object-hash TypedImperativeAggregate path") {
+    val p = planOf("t22_inverted_index")
+    val oha = p.collect {
+      case o: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => o
+    }
+    assert(oha.nonEmpty,
+      s"min_k_longs should plan as ObjectHashAggregate (map-side combined heaps):\n$p")
+  }
+
+  test("results read-back: column pruning and predicate pushdown reach the scan") {
+    // PlanCheck #2: a metrics pass over the committed results table must
+    // read ONLY the grouping columns and push its status filter into the
+    // parquet scan — at 100 TB this is the difference between scanning
+    // two dictionary-encoded columns and scanning the text corpus.
+    val dir = java.nio.file.Files.createTempDirectory("plan-prune").toString
+    spark.range(64).select(
+      col("id").as("doc_id"),
+      concat(lit("u"), col("id")).as("url"),
+      when(col("id") % 2 === 0, "html").otherwise("pdf").as("engine"),
+      when(col("id") % 8 === 0, "error_timeout").otherwise("ok").as("status"),
+      concat(lit("body "), col("id")).as("text"))
+      .write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .filter(col("status") === "ok")
+      .groupBy("engine").count()
+    val scans = q.queryExecution.executedPlan.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    val readCols = scan.requiredSchema.fieldNames.toSet
+    assert(readCols.subsetOf(Set("engine", "status")),
+      s"scan reads $readCols — text/url must be pruned")
+    assert(scan.metadata("PushedFilters").contains("EqualTo(status,ok)"),
+      s"status filter not pushed: ${scan.metadata("PushedFilters")}")
+  }
+}
