@@ -444,6 +444,12 @@ object SparkEntry {
     "e2_extract_pdf" -> ((s, dir) => {
       extracted(s, dir, "pdf").toDF().select("url", "text", "pages")
     }),
+    // OCR-need routing over the extracted PDF spine: text-layer density
+    // (chars div pages, integer) against the searchable-vs-raster
+    // threshold — the reference's per-request engine pick as a
+    // corpus-level routing table
+    "e69_ocr_routing" -> ((s, dir) =>
+      graft.spark.ExtractPipeline.ocrRouting(extracted(s, dir, "pdf").toDF())),
     // par 2.2 items 6-8 + par 2.6 item 33: gates + status taxonomy as data
     "e3_status_taxonomy" -> ((s, dir) => {
       extracted(s, dir, "all").toDF().select("url", "engine", "status", "error_code")
@@ -720,6 +726,26 @@ object SparkEntry {
             lit("?sid=tok="), id))
       graft.datapipe.GraphOps.paramProfile(docs(s, dir).select(url.as("url")))
     }),
+    // host-quality ranking by Wilson lower bound (z=2) over synthesized
+    // per-host ok flags: per-host ok-rate (h+1)/(h+2) varies by host,
+    // %997 singletons exercise the low_sample flag; the double-precision
+    // formula is mirrored operation-for-operation in the oracle (IEEE
+    // ops are correctly rounded, so identical order = identical bits)
+    "e67_host_wilson" -> ((s, dir) => {
+      val id = col("doc_id")
+      val host = when(id % 997 === 0, concat(lit("tiny"), id))
+        .otherwise(concat(lit("site"), id % 17, lit(".example.com")))
+      val ok = (id % ((id % 17) + 2)) =!= 0
+      graft.datapipe.GraphOps.hostWilson(
+        docs(s, dir).select(host.as("host"), ok.as("ok")))
+    }),
+    // per-host fetch-burst windows over the events log (user_id % 7 as
+    // the host shard): 10-min buckets, all-integer 3x-own-average flag
+    "e68_burst_windows" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.datapipe.GraphOps.burstWindows(
+        ev.select(concat(lit("host"), col("user_id") % 7).as("host"), col("ts")))
+    }),
     "e38_trap_detection" -> ((s, dir) => {
       val id = col("doc_id")
       val url = when(id % 2 === 0,
@@ -809,6 +835,9 @@ object SparkEntry {
     // both the in-band and capped-at-k+1 branches are oracle-pinned
     "d27_edit_verify" -> ((s, dir) => TrainingOps.editVerify(docs(s, dir), maxDist = 5)),
     "d5_ann_cosine_topk" -> ((s, dir) => TrainingOps.annCosineTopK(embs(s, dir))),
+    // mutual-kNN edges among the d5 seed subset: broadcast all-pairs
+    // among seeds only, round-6 cosine ranks, reciprocity filter
+    "d37_mutual_knn" -> ((s, dir) => TrainingOps.mutualKnnSeeds(embs(s, dir))),
     "d7_ann_topk_scalable" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       TrainingOps.annCosineTopKScalable(embs(s, dir))
@@ -940,6 +969,16 @@ object SparkEntry {
     // per-doc TF-IDF keywords (linear integer idf — the t12
     // transcendental-free rule; ties break by word asc)
     "t16_tfidf_keywords" -> ((s, dir) => TrainingOps.tfidfKeywords(docs(s, dir))),
+    // BM25 top-k retrieval for a literal query-term set: map-side tf,
+    // broadcast df, exact-integer Okapi arithmetic (k1=6/5, b=3/4),
+    // TakeOrderedAndProject global top-k — never a full sort
+    "t56_bm25_topk" -> ((s, dir) =>
+      TrainingOps.bm25TopK(docs(s, dir), Seq("spark", "merge", "window"))),
+    // exact corpus length percentiles from the value histogram: one
+    // (length, count) shuffle bounded by DISTINCT lengths, driver-side
+    // prefix scan (t31 convention), type-1/quantile_disc semantics
+    "t57_length_percentiles" -> ((s, dir) =>
+      TrainingOps.lengthPercentiles(docs(s, dir))),
     // paragraph-level language-mix detection (majority vote + mixed
     // flag over the /8 paragraph windows)
     "t17_lang_mix" -> ((s, dir) => TrainingOps.langMix(docs(s, dir))),
@@ -2617,6 +2656,17 @@ object SparkEntry {
         (s"WITH d AS (SELECT doc_id, $words AS w FROM documents WHERE $pdfKinds) " +
           s"SELECT $urlExpr AS url, ${chunked(60)} AS text, " +
           "GREATEST(1, CAST(ceil(len(w)/120.0) AS INT)) AS pages FROM d"),
+      // e69 oracle: e2's reconstructed text/pages fed through the same
+      // integer density ladder — a MATCH pins kernel char yield AND the
+      // routing boundary against generator arithmetic
+      "e69_ocr_routing" ->
+        (s"WITH d AS (SELECT doc_id, $words AS w FROM documents WHERE $pdfKinds), " +
+          s"t AS (SELECT $urlExpr AS url, length(${chunked(60)}) AS chars, " +
+          "GREATEST(1, CAST(ceil(len(w)/120.0) AS INT)) AS pages FROM d) " +
+          "SELECT url, pages, CAST(chars AS BIGINT) AS chars, " +
+          "CAST(chars // pages AS BIGINT) AS chars_per_page, " +
+          "CASE WHEN chars = 0 THEN 'empty' WHEN chars // pages < 120 THEN 'needs_ocr' " +
+          "ELSE 'text_layer' END AS verdict FROM t"),
       "e3_status_taxonomy" ->
         (s"WITH d AS (SELECT doc_id, $kindCase AS kind FROM documents) " +
           s"SELECT $urlExpr AS url, " +
@@ -2668,6 +2718,33 @@ object SparkEntry {
           "FROM events WHERE event_type = 'purchase') " +
           "SELECT l.event_id, l.ts, l.user_id, l.value, r.win_id, r.win_start, r.win_end " +
           "FROM l JOIN r ON l.ts >= r.win_start AND l.ts < r.win_end"),
+      // Wilson oracle: identical double-precision operation order —
+      // note 1.0/(CAST(n AS DOUBLE)*n), which multiplies DOUBLES like
+      // the Spark side (integer n*n then one cast could differ past
+      // 2^53)
+      "e67_host_wilson" ->
+        ("WITH u AS (SELECT CASE WHEN doc_id % 997 = 0 THEN 'tiny' || doc_id " +
+          "ELSE 'site' || (doc_id % 17) || '.example.com' END AS host, " +
+          "(doc_id % ((doc_id % 17) + 2)) <> 0 AS ok FROM documents), " +
+          "g AS (SELECT host, CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS ok FROM u GROUP BY 1), " +
+          "w AS (SELECT host, n, ok, " +
+          "(CAST(ok AS DOUBLE)/n + 2.0/n - 2.0*sqrt((CAST(ok AS DOUBLE)/n)*(1.0 - CAST(ok AS DOUBLE)/n)/n " +
+          "+ 1.0/(CAST(n AS DOUBLE)*n))) / (1.0 + 4.0/n) AS wilson_lower FROM g) " +
+          "SELECT host, n, ok, wilson_lower, " +
+          "CASE WHEN n < 8 THEN 'low_sample' WHEN wilson_lower >= 0.5 THEN 'trusted' " +
+          "ELSE 'suspect' END AS verdict FROM w"),
+      // burst oracle: same integer bucketing ((es//600)*600 on positive
+      // epochs) and the left-assoc 1e6*ne*nw//total ratio
+      "e68_burst_windows" ->
+        ("WITH l AS (SELECT 'host' || (user_id % 7) AS host, " +
+          "CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events), " +
+          "w AS (SELECT host, es // 600 * 600 AS win_start, CAST(count(*) AS BIGINT) AS n_events FROM l GROUP BY 1, 2), " +
+          "h AS (SELECT host, CAST(sum(n_events) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_windows FROM w GROUP BY 1) " +
+          "SELECT w.host, CAST(win_start AS BIGINT) AS win_start, n_events, " +
+          "CAST(1000000 * n_events * n_windows // total AS BIGINT) AS ratio_ppm, " +
+          "(1000000 * n_events * n_windows // total) > 3000000 AS burst " +
+          "FROM w JOIN h USING (host)"),
       // stream interval join oracle: plain interval predicate, inclusive
       // both ends ([ts, ts+within] — Spark's >= / <= condition verbatim)
       "e66_stream_interval_join" ->
@@ -4067,6 +4144,22 @@ object SparkEntry {
           "r AS (SELECT q_id, vec_id, score, row_number() OVER " +
           "(PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk FROM s) " +
           "SELECT q_id, CAST(rk AS INT) AS rank, vec_id, score FROM r WHERE rk <= 5"),
+      // mutual-kNN oracle: the same round-6 cosine ranks restricted to
+      // the seed subset, reciprocity via a both-directions self-join
+      "d37_mutual_knn" ->
+        ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 50 = 0), " +
+          "s AS (SELECT a.vec_id AS q_id, b.vec_id AS vec_id, round(" +
+          "list_sum(list_transform(range(len(a.v)), i -> a.v[i+1]*b.v[i+1])) / " +
+          "(sqrt(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1]*a.v[i+1]))) * " +
+          "sqrt(list_sum(list_transform(range(len(b.v)), i -> b.v[i+1]*b.v[i+1])))), 6) AS score " +
+          "FROM e a JOIN e b ON a.vec_id <> b.vec_id), " +
+          "r AS (SELECT q_id, vec_id, score, row_number() OVER " +
+          "(PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk FROM s WHERE TRUE " +
+          "QUALIFY rk <= 3) " +
+          "SELECT f.q_id AS a, f.vec_id AS b, f.score, CAST(f.rk AS INT) AS rank_ab, " +
+          "CAST(g.rk AS INT) AS rank_ba " +
+          "FROM r f JOIN r g ON f.q_id = g.vec_id AND f.vec_id = g.q_id " +
+          "WHERE f.q_id < f.vec_id"),
       // the scalable per-partition-heap variant must produce the exact
       // same rows as the brute-force baseline — same oracle
       "d7_ann_topk_scalable" ->
@@ -5755,6 +5848,40 @@ object SparkEntry {
           "SELECT doc_id, CAST(rk AS INT) AS rk, word, CAST(tf AS BIGINT) AS tf, CAST(score AS BIGINT) AS score FROM (" +
           "SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rk FROM sc) " +
           "WHERE rk <= 3"),
+      // BM25 oracle: plain one-stage formulation of the same exact
+      // integer arithmetic — avgdl = sum(dl)//n (all-positive, so
+      // DuckDB's truncating // == Spark's div), idf_pm linear, contrib
+      // left-assoc (idf * 44*tf*av) // denom, top-10 by
+      // (score desc, doc_id)
+      "t56_bm25_topk" ->
+        (s"WITH f AS (SELECT doc_id, $w AS w FROM documents WHERE length(text) >= 1), " +
+          "b AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM f), " +
+          "s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) // count(*) AS BIGINT) AS av FROM b), " +
+          "t AS (SELECT doc_id, dl, term, CAST(len(list_filter(w, x -> x = term)) AS BIGINT) AS tf " +
+          "FROM b CROSS JOIN (SELECT unnest(['spark', 'merge', 'window']) AS term)), " +
+          "tt AS (SELECT * FROM t WHERE tf >= 1), " +
+          "df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tt GROUP BY 1), " +
+          "c AS (SELECT tt.doc_id, tt.dl, " +
+          "((1000 * ((SELECT n FROM s) - df.df + 1)) // (df.df + 1)) * (44 * tt.tf * (SELECT av FROM s)) " +
+          "// (20 * tt.tf * (SELECT av FROM s) + 6 * (SELECT av FROM s) + 18 * tt.dl) AS contrib " +
+          "FROM tt JOIN df USING (term)), " +
+          "sc AS (SELECT doc_id, max(dl) AS n_tokens, sum(contrib) AS score, count(*) AS n_terms FROM c GROUP BY doc_id), " +
+          "r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM sc) " +
+          "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, CAST(score AS BIGINT) AS score, " +
+          "CAST(n_terms AS BIGINT) AS n_terms FROM r WHERE rk <= 10"),
+      // percentile oracle: single window cumsum over the value histogram
+      // (fine oracle-side at sf0.01; the Spark op's driver prefix scan
+      // replaces exactly this), ceil rank = (pm*n+999)//1000
+      "t57_length_percentiles" ->
+        (s"WITH f AS (SELECT doc_id, $w AS w FROM documents WHERE length(text) >= 1), " +
+          "h AS (SELECT CAST(len(w) AS BIGINT) AS v, count(*) AS c FROM f GROUP BY 1), " +
+          "cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cc FROM h), " +
+          "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f), " +
+          "p AS (SELECT unnest([500, 900, 990, 999]) AS pm) " +
+          "SELECT CAST(pm AS INT) AS permille, " +
+          "CAST((pm * (SELECT n FROM n) + 999) // 1000 AS BIGINT) AS target_rank, " +
+          "(SELECT min(v) FROM cum WHERE cc >= (pm * (SELECT n FROM n) + 999) // 1000) AS value " +
+          "FROM p"),
       // per-source cap oracle: the plain one-stage window formulation —
       // algorithm-independent of sourceCap's salted two-stage plan
       "t13_source_cap" ->

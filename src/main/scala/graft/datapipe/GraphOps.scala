@@ -1075,6 +1075,75 @@ object GraphOps {
           .otherwise(lit("constant")))
   }
 
+  /** Host-quality ranking by WILSON LOWER BOUND — the statistic a
+    * curation pass should rank hosts by instead of the raw ok-rate: a
+    * host with 2/2 extractions ok has rate 1.0 but proves nothing, while
+    * 180/200 proves a lot; the Wilson score interval's lower bound
+    * (z = 2, ~95.45%) discounts small samples exactly enough that
+    * sorting by it never promotes a lucky tiny host over a proven large
+    * one. Formula (za = 2, phat = ok/n):
+    *   (phat + 2/n - 2*sqrt(phat*(1-phat)/n + 1/n^2)) / (1 + 4/n)
+    * evaluated in IEEE doubles with THIS exact operation order on both
+    * engines — every step (divide, multiply, sqrt) is correctly rounded,
+    * so identical order means bit-identical output and the oracle gate
+    * works on floating point for once. Verdict ladder: `low_sample`
+    * first (n below `minN` — the bound is mathematically fine there but
+    * curation wants the explicit flag), then `trusted` at lower bound
+    * >= 0.5, else `suspect`.
+    *
+    * Scale shape: ONE map-side-combined (host, n, ok) rollup; the Wilson
+    * arithmetic is per-host scalar work on the aggregate rows.
+    */
+  def hostWilson(pages: DataFrame, minN: Long = 8L): DataFrame = {
+    require(minN >= 1, "minN must be >= 1")
+    val agg = pages.groupBy("host").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("ok"), 1L).otherwise(0L)).as("ok"))
+    val nD = col("n").cast("double")
+    val p = col("ok").cast("double") / nD
+    val lower = (p + lit(2.0) / nD -
+      lit(2.0) * sqrt(p * (lit(1.0) - p) / nD + lit(1.0) / (nD * nD))) /
+      (lit(1.0) + lit(4.0) / nD)
+    agg.select(col("host"), col("n"), col("ok"), lower.as("wilson_lower"))
+      .withColumn("verdict",
+        when(col("n") < minN, lit("low_sample"))
+          .when(col("wilson_lower") >= 0.5, lit("trusted"))
+          .otherwise(lit("suspect")))
+  }
+
+  /** Per-key fetch-burst detection over fixed time windows — the
+    * anomaly signal a crawl scheduler watches (a host suddenly serving
+    * 10x its usual rate usually means a trap sprung, a misconfigured
+    * frontier, or a politeness bug): bucket events into
+    * `windowSeconds` windows, then flag windows whose event count
+    * exceeds `spikePpm` of the host's UNIFORM share (total/n_windows,
+    * over the host's observed windows). All-integer: ratio_ppm =
+    * 1e6 * count * n_windows div total, burst = ratio_ppm > spikePpm —
+    * at the default 3e6, a window runs at 3x the host's own average.
+    *
+    * Scale shape: one (host, window) map-combined count, one host-level
+    * rollup of those counts (window-cardinality rows, not events), one
+    * broadcast-sized join back on host. No event row ever shuffles
+    * twice; no windows-over-time-sorted-events anywhere.
+    */
+  def burstWindows(log: DataFrame, windowSeconds: Long = 600L,
+      spikePpm: Long = 3000000L): DataFrame = {
+    require(windowSeconds >= 1, "windowSeconds must be positive")
+    // cast handles TIMESTAMP_NTZ inputs (the rangeJoin convention): the
+    // session runs UTC, so the cast is an identity relabel
+    val perWin = log
+      .select(col("host"),
+        expr(s"unix_seconds(cast(ts as timestamp)) div $windowSeconds * $windowSeconds")
+          .as("win_start"))
+      .groupBy("host", "win_start").agg(count(lit(1)).as("n_events"))
+    val perHost = perWin.groupBy("host").agg(
+      sum(col("n_events")).as("total"), count(lit(1)).as("n_windows"))
+    perWin.join(broadcast(perHost), "host")
+      .select(col("host"), col("win_start"), col("n_events"),
+        expr("1000000L * n_events * n_windows div total").as("ratio_ppm"))
+      .withColumn("burst", col("ratio_ppm") > spikePpm)
+  }
+
   def crawlFrontier(edges: DataFrame, crawled: DataFrame): DataFrame = {
     val agg = edges.groupBy("to_url").agg(
       count(lit(1)).as("n_refs"),

@@ -824,6 +824,49 @@ object TrainingOps extends Serializable {
       .select(col("q_id"), col("rank"), col("vec_id"), col("score"))
   }
 
+  /** Mutual-kNN graph over the probe SEED SET — the edge input of
+    * density-based dedup clustering (SemDeDup-style cluster refinement,
+    * graph-community curation): an undirected edge (a, b) exists iff a
+    * lists b in its top-k AND b lists a — the standard mutual filter
+    * that strips hub-induced asymmetric edges (a near-centroid vector is
+    * in everyone's top-k, but reciprocity demands it return the favor,
+    * which a hub cannot do k+1 times).
+    *
+    * Seeds are the d5 probe subset (vec_id % 50 == 0 — documented
+    * sample; at scale the seed list is the cluster-representative table,
+    * DF-bounded by construction). All-pairs run among SEEDS ONLY via a
+    * broadcast self-join (|seeds|^2 pairs, never |corpus|^2); scores are
+    * the round-6 cosines of the d5 convention (rounding makes the
+    * Spark fold and any re-ordered sum agree bit-for-bit, so rank and
+    * the mutual test are engine-independent). Edge rows emit once with
+    * a < b plus both directed ranks.
+    */
+  def mutualKnnSeeds(emb: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val e = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val q = e.select(col("vec_id").as("q_id"), col("v").as("q"))
+    val dot = expr("aggregate(zip_with(q, v, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)")
+    val nq = sqrt(expr("aggregate(zip_with(q, q, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"))
+    val nv = sqrt(expr("aggregate(zip_with(v, v, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"))
+    val ranked = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), round(dot / (nq * nv), 6).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fwd = ranked.filter(col("q_id") < col("vec_id"))
+      .select(col("q_id").as("a"), col("vec_id").as("b"),
+        col("score"), col("rank").as("rank_ab"))
+    val rev = ranked.filter(col("q_id") > col("vec_id"))
+      .select(col("vec_id").as("a"), col("q_id").as("b"), col("rank").as("rank_ba"))
+    fwd.join(rev, Seq("a", "b"))
+      .select(col("a"), col("b"), col("score"),
+        col("rank_ab").cast("int").as("rank_ab"),
+        col("rank_ba").cast("int").as("rank_ba"))
+  }
+
   /** The scale path for exact top-k: PROBE CHUNKING x per-partition
     * bounded heaps x tiny final merge.
     *
@@ -2414,6 +2457,108 @@ object TrainingOps extends Serializable {
       .filter(col("rk") <= k)
       .select(col("doc_id"), col("rk").cast("int").as("rk"), col("word"),
         col("tf"), col("score"))
+  }
+
+  /** BM25 retrieval over the corpus for a fixed query-term set — the
+    * serving-side consumer of [[invertedIndex]]'s statistics (search over
+    * the crawl, contamination triage, seed selection for targeted
+    * re-crawls): score every matching document with the Okapi BM25
+    * formula at k1 = 6/5, b = 3/4 and return the global top `k`.
+    *
+    * Arithmetic is EXACT-INTEGER throughout (the t16/t12 house rule: no
+    * log, no float — oracle-reproducible bit-for-bit). With avgdl
+    * `AV = total_tokens div n_docs` and per-(doc,term) count tf, the
+    * BM25 denominator tf + k1*(1 - b + b*dl/AV) becomes the integer
+    * rational (20*tf*AV + 6*AV + 18*dl) / (20*AV), so each term
+    * contributes
+    *   idf_pm * (44*tf*AV) div (20*tf*AV + 6*AV + 18*dl)
+    * with the linear integer idf_pm = (1000*(n - df + 1)) div (df + 1)
+    * (Robertson-shaped: rare terms -> ~1000*n/df, ubiquitous terms -> ~0;
+    * strictly positive so scores are monotone in tf). Long-overflow
+    * bound: idf_pm <= 1000*(n+1) and 44*tf*AV <= 44*dl*AV, so the product
+    * stays under 2^63 for any corpus with n * dl * AV < 2*10^14 — beyond
+    * that, scale idf to per-cent. Ties break by doc_id ascending.
+    *
+    * Scale shape: the query terms are a LITERAL ARRAY, so per-doc tf is
+    * computed MAP-SIDE (`size(filter(w, _ == term))` per term — the
+    * corpus text never shuffles); only (doc_id, term, tf, dl) rows for
+    * tf >= 1 survive. df is a |terms|-row aggregate joined back
+    * BROADCAST; n and AV are one scalar action; the global top-k is
+    * `orderBy.limit(k)` = TakeOrderedAndProject (per-partition k-heaps +
+    * driver merge of partitions*k rows — never a full sort).
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "terms must be nonempty")
+    require(k >= 1, "k must be >= 1")
+    val base = docs.filter(length(col("text")) >= 1)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
+    val scalars = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot")).head()
+    val n = scalars.getLong(0)
+    val av = math.max(1L, if (n > 0) scalars.getLong(1) / n else 1L)
+    val termStructs = array(terms.map(t =>
+      struct(lit(t).as("term"),
+        size(filter(col("w"), x => x === lit(t))).cast("long").as("tf"))): _*)
+    val hits = base
+      .select(col("doc_id"), col("dl"), explode(termStructs).as("h"))
+      .select(col("doc_id"), col("dl"), col("h.term").as("term"), col("h.tf").as("tf"))
+      .filter(col("tf") >= 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfT = hits.groupBy("term").agg(count(lit(1)).as("df"))
+    // one expr so the arithmetic is visibly ALL integer `div` — a
+    // Column `/` here would silently flip to IEEE double division
+    val contrib = hits.join(broadcast(dfT), "term")
+      .select(col("doc_id"), col("dl"),
+        expr(s"((1000L * (${n}L - df + 1)) div (df + 1)) * (44L * tf * ${av}L) " +
+          s"div (20L * tf * ${av}L + ${6 * av}L + 18L * dl)").as("contrib"))
+    val out = contrib.groupBy("doc_id")
+      .agg(max(col("dl")).as("n_tokens"), sum(col("contrib")).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+    out
+  }
+
+  /** Exact corpus length percentiles WITHOUT a global sort — the
+    * distribution summary every curation decision reads (truncation
+    * budgets, the t14 length gates, packing seqLen choice): for each
+    * requested per-mille point, the smallest token count v whose
+    * cumulative document count reaches ceil(pm * n / 1000).
+    *
+    * Scale shape: the corpus reduces to a VALUE HISTOGRAM — one
+    * map-side-combined groupBy(n_tokens) shuffle carrying (length,
+    * count) pairs, bounded by the DISTINCT LENGTH COUNT (metadata-plane:
+    * <= max document length, independent of corpus size — a 10^12-doc
+    * corpus with docs under 10^6 tokens collects <= 10^6 rows). The
+    * histogram's exclusive prefix scan runs driver-side (the t31
+    * convention), so no unpartitioned window ever touches anything.
+    * Exactness: rank arithmetic is pure integers — target_rank =
+    * (pm*n + 999) div 1000 — and the answer is a real data value, not an
+    * interpolation (type-1/`quantile_disc` semantics).
+    */
+  def lengthPercentiles(docs: DataFrame,
+      permilles: Seq[Int] = Seq(500, 900, 990, 999)): DataFrame = {
+    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
+      "permilles must be in [1, 1000]")
+    val spark = docs.sparkSession
+    val hist = docs.filter(length(col("text")) >= 1)
+      .select(size(words(col("text"))).cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = hist.map(_._2).sum
+    import spark.implicits._
+    if (n == 0) return Seq.empty[(Int, Long, Long)].toDF("permille", "target_rank", "value")
+    val rows = permilles.sorted.map { pm =>
+      val target = (pm.toLong * n + 999L) / 1000L
+      var acc = 0L
+      var v = hist.last._1
+      var found = false
+      hist.foreach { case (value, c) =>
+        if (!found) { acc += c; if (acc >= target) { v = value; found = true } }
+      }
+      (pm, target, v)
+    }
+    rows.toDF("permille", "target_rank", "value")
   }
 
   /** Corpus-level frequent n-gram mining — the CCNet/C4-style

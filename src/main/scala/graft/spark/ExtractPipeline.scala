@@ -216,4 +216,34 @@ object ExtractPipeline {
       .toSeq
       .toDF("name", "version", "supported_formats", "params")
   }
+
+  /** OCR-need routing over extracted PDF results — the searchable-PDF
+    * vs raster-PDF decision the reference makes per request when it
+    * picks a raster OCR engine over a text-layer extractor
+    * (/root/reference/src/api/routes/v2/dynamic_routes.py:231-234), as
+    * a corpus-level TABLE a batch pipeline routes on: a PDF whose text
+    * layer yields fewer than `minCharsPerPage` characters per page is a
+    * scan wearing a PDF container — its text came from nowhere, and the
+    * doc belongs on the (expensive, GPU-bound) OCR path; a dense text
+    * layer means the cheap parse already got everything. The split is
+    * THE cost gate of any OCR fleet: routing a searchable PDF to OCR
+    * burns GPU for identical output, routing a scan to the text parser
+    * silently emits an empty document.
+    *
+    * Ladder (first hit wins): `empty` (zero chars — no text layer at
+    * all), `needs_ocr` (chars div pages < threshold), `text_layer`.
+    * Integer division so the oracle reproduces the boundary exactly.
+    * Pure per-row projection over the results table — map-only, zero
+    * shuffle at any scale.
+    */
+  def ocrRouting(results: DataFrame, minCharsPerPage: Long = 120L): DataFrame = {
+    require(minCharsPerPage >= 1, "minCharsPerPage must be positive")
+    results.select(col("url"), col("pages"),
+      length(col("text")).cast("long").as("chars"))
+      .withColumn("chars_per_page", expr("chars div pages"))
+      .withColumn("verdict",
+        when(col("chars") === 0, lit("empty"))
+          .when(col("chars_per_page") < minCharsPerPage, lit("needs_ocr"))
+          .otherwise(lit("text_layer")))
+  }
 }

@@ -4741,6 +4741,165 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     got.zip(expect).foreach { case (g, e) => assert(g == e, s"rank ${e._1}: $g != $e") }
   }
 
+  test("ocr routing: density ladder with exact integer boundary, empty text layer") {
+    val s = spark; import s.implicits._
+    // pages * 120 chars is the boundary: exactly AT threshold stays on
+    // the text layer (chars div pages < 120 is the needs_ocr test)
+    val rows = Seq(
+      ("u1", "x" * 240, 2),  // 120/page -> text_layer (boundary)
+      ("u2", "x" * 239, 2),  // 119/page -> needs_ocr
+      ("u3", "", 3),         // 0 chars  -> empty (not needs_ocr)
+      ("u4", "x" * 600, 1))  // dense    -> text_layer
+    val out = graft.spark.ExtractPipeline.ocrRouting(rows.toDF("url", "text", "pages"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out("u1") == ((2, 240L, 120L, "text_layer")))
+    assert(out("u2") == ((2, 239L, 119L, "needs_ocr")))
+    assert(out("u3") == ((3, 0L, 0L, "empty")))
+    assert(out("u4") == ((1, 600L, 600L, "text_layer")))
+  }
+
+  test("mutual knn: reciprocity strips hub-induced asymmetric edges") {
+    val s = spark; import s.implicits._
+    // seeds are vec_id % 50 == 0; three seeds A(0), B(50), C(100):
+    //   A=(1,0), B=(0.99,0.14), C=(0.7,0.7)
+    //   top-1 of A is B, of B is A (cos .99), of C is B (cos .79)
+    // => with k=1 the ONLY mutual edge is (A,B); C->B is asymmetric
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (50L, Seq(0.99f, 0.14f), 0),
+      (100L, Seq(0.7f, 0.7f), 0),
+      (7L, Seq(-1.0f, 0.0f), 0)) // non-seed: must be ignored entirely
+      .toDF("vec_id", "embedding", "label")
+    val out = TrainingOps.mutualKnnSeeds(emb, k = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3), r.getInt(4)))
+    assert(out.toSeq == Seq((0L, 50L, 1, 1)), s"got ${out.toSeq}")
+    // k=2: C's list is {B, A}; B's is {A, C}; A's is {B, C} => all three
+    // edges are mutual now — reciprocity is about LIST MEMBERSHIP, not rank
+    val out2 = TrainingOps.mutualKnnSeeds(emb, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out2 == Set((0L, 50L), (0L, 100L), (50L, 100L)))
+  }
+
+  test("host wilson: discounts small samples, never promotes lucky tiny hosts, verdict ladder") {
+    val s = spark; import s.implicits._
+    import graft.datapipe.GraphOps
+    // lucky-tiny vs proven-large: 2/2 perfect vs 180/200
+    val rows = Seq.fill(2)(("tiny", true)) ++
+      Seq.fill(180)(("big", true)) ++ Seq.fill(20)(("big", false)) ++
+      Seq.fill(10)(("half", true)) ++ Seq.fill(10)(("half", false))
+    val out = GraphOps.hostWilson(rows.toDF("host", "ok")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4))))
+      .toMap
+    def wilson(ok: Long, n: Long): Double = {
+      val nd = n.toDouble; val p = ok.toDouble / nd
+      (p + 2.0 / nd - 2.0 * math.sqrt(p * (1.0 - p) / nd + 1.0 / (nd * nd))) / (1.0 + 4.0 / nd)
+    }
+    // bit-exact against the same scala-side IEEE evaluation order
+    assert(out("big")._3 == wilson(180, 200))
+    assert(out("tiny")._3 == wilson(2, 2))
+    // THE motivating property: raw rate 1.0 > 0.9, but the bound inverts
+    assert(out("tiny")._3 < out("big")._3,
+      "2/2 must rank below 180/200 by the lower bound")
+    // bound is always below the raw rate, and monotone in n at fixed rate
+    assert(out("half")._3 < 0.5)
+    assert(wilson(20, 40) > wilson(10, 20))
+    assert(wilson(2, 4) < wilson(200, 400))
+    // verdicts: n<8 flags low_sample regardless of rate
+    assert(out("tiny")._4 == "low_sample")
+    assert(out("big")._4 == "trusted")
+    assert(out("half")._4 == "suspect")
+  }
+
+  test("burst windows: 3x-own-average flag, exact integer ratio, boundary events, uniform host quiet") {
+    val s = spark; import s.implicits._
+    import graft.datapipe.GraphOps
+    val base = 1767225600L // epoch seconds, divisible by 600
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // host a: 4 uniform windows of 5 events; host b: 3 windows of 2 + one
+    // spike window of 30 (avg 9, ratio 30/9 = 3.33x > 3x)
+    val a = (0 until 4).flatMap(wi => (0 until 5).map(j => ("a", ts(base + wi * 600 + j))))
+    val b = (0 until 3).flatMap(wi => (0 until 2).map(j => ("b", ts(base + wi * 600 + j)))) ++
+      (0 until 30).map(j => ("b", ts(base + 3 * 600 + j)))
+    // boundary: an event at exactly base+600 belongs to window 2, not 1
+    val out = GraphOps.burstWindows((a ++ b).toDF("host", "ts")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    val byKey = out.map(t => (t._1, t._2) -> ((t._3, t._4, t._5))).toMap
+    // host a: every window exactly at its average => ratio 1e6, no burst
+    (0 until 4).foreach { wi =>
+      assert(byKey(("a", base + wi * 600)) == ((5L, 1000000L, false)), s"a w$wi")
+    }
+    // host b: total 36 over 4 windows; quiet = 2*4e6/36 = 222222; spike =
+    // 30*4e6/36 = 3333333 > 3e6 => burst
+    (0 until 3).foreach { wi =>
+      assert(byKey(("b", base + wi * 600)) == ((2L, 222222L, false)), s"b w$wi")
+    }
+    assert(byKey(("b", base + 3 * 600)) == ((30L, 3333333L, true)))
+    // boundary pin: one event at base+600 exactly
+    val o2 = GraphOps.burstWindows(
+      Seq(("c", ts(base)), ("c", ts(base + 599)), ("c", ts(base + 600)))
+        .toDF("host", "ts")).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(o2.toSeq == Seq((base, 2L), (base + 600, 1L)))
+  }
+
+  test("bm25: exact integer formula, rarity and tf monotone, non-matching docs excluded, doc_id tie-break") {
+    val s = spark; import s.implicits._
+    // corpus: "rare" df=1, "common" df=4; doc 5 has no query term
+    val d = Seq(
+      (1L, "rare common pad pad"),          // tf(rare)=1, tf(common)=1, dl=4
+      (2L, "pad is filler common common"),  // tf(common)=2, dl=5
+      (3L, "common pad pad pad"),           // tf(common)=1, dl=4
+      (4L, "common pad pad pad"),           // identical to 3 => tie on score
+      (5L, "pad pad pad pad")).toDF("doc_id", "text")
+    val got = TrainingOps.bm25TopK(d, Seq("rare", "common"), k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // reference: n=5, tot=21, av=21/5=4
+    val n = 5L; val av = 4L
+    def contrib(tf: Long, dl: Long, df: Long): Long =
+      ((1000 * (n - df + 1)) / (df + 1)) * (44 * tf * av) /
+        (20 * tf * av + 6 * av + 18 * dl)
+    val want = Map(
+      1L -> (4L, contrib(1, 4, 1) + contrib(1, 4, 4), 2L),
+      2L -> (5L, contrib(2, 5, 4), 1L),
+      3L -> (4L, contrib(1, 4, 4), 1L),
+      4L -> (4L, contrib(1, 4, 4), 1L))
+    assert(got.length == 4, "doc 5 (no query term) must be absent")
+    got.foreach { case (id, dl, score, nt) => assert(want(id) == ((dl, score, nt)), s"doc $id") }
+    // rarity: the df=1 term outscores the df=4 term at equal tf/dl
+    assert(contrib(1, 4, 1) > contrib(1, 4, 4))
+    // tf monotone at fixed dl/df
+    assert(contrib(2, 4, 4) > contrib(1, 4, 4))
+    // k truncation: docs 3 and 4 tie on score; ascending doc_id means
+    // doc 3 takes the last slot and doc 4 is cut
+    val top3 = TrainingOps.bm25TopK(d, Seq("rare", "common"), k = 3).collect()
+      .map(_.getLong(0)).toSet
+    assert(top3 == Set(1L, 2L, 3L), s"expected {1,2,3}, got $top3")
+  }
+
+  test("length percentiles: ceil-rank semantics, extremes, and histogram exactness") {
+    val s = spark; import s.implicits._
+    // 10 docs with token counts 1..10 (text = k copies of 'x')
+    val d = (1 to 10).map(k => (k.toLong, Seq.fill(k)("x").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TrainingOps.lengthPercentiles(d, Seq(1, 500, 900, 1000)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // n=10: pm=1 -> rank ceil(10/1000)=1 -> value 1; pm=500 -> rank 5 -> 5;
+    // pm=900 -> rank 9 -> 9; pm=1000 -> rank 10 -> 10
+    assert(got.toSeq == Seq((1, 1L, 1L), (500, 5L, 5L), (900, 9L, 9L), (1000, 10L, 10L)))
+    // duplicate-heavy distribution: the answer is a REAL data value
+    val dup = (1 to 9).map(i => (i.toLong, "x x x")) :+ ((10L, "x " * 99 + "x"))
+    val g2 = TrainingOps.lengthPercentiles(dup.toDF("doc_id", "text"), Seq(500, 999))
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+    assert(g2(500) == 3L, "median of 9x3-token + 1x100-token docs is 3")
+    assert(g2(999) == 100L, "p99.9 lands on the outlier")
+    // empty corpus -> empty frame with the right columns
+    val empty = TrainingOps.lengthPercentiles(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    assert(empty.count() == 0 && empty.columns.toSeq ==
+      Seq("permille", "target_rank", "value"))
+  }
+
   test("sentence split: every constructed boundary recovered, traps never split, digit-led sentences split") {
     val ws = "[ \\t\\n\\r\\f\\x0B]+"
     val out = SparkEntry.queries("t35_sentences")(spark, sfDir).collect()
