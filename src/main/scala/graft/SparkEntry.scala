@@ -838,6 +838,15 @@ object SparkEntry {
     // mutual-kNN edges among the d5 seed subset: broadcast all-pairs
     // among seeds only, round-6 cosine ranks, reciprocity filter
     "d37_mutual_knn" -> ((s, dir) => TrainingOps.mutualKnnSeeds(embs(s, dir))),
+    // semantic cluster labels: hash-min components over the d37 mutual
+    // edge set (the SemDeDup-style cluster step on honest reciprocal
+    // edges) — composition of two existing ops, numeric min labels
+    "d38_knn_components" -> ((s, dir) => {
+      val edges = TrainingOps.mutualKnnSeeds(embs(s, dir))
+        .select(col("a").as("src"), col("b").as("dst"))
+      graft.datapipe.GraphOps.connectedComponents(edges)
+        .select(col("host").as("vec_id"), col("comp"), col("comp_size"))
+    }),
     "d7_ann_topk_scalable" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       TrainingOps.annCosineTopKScalable(embs(s, dir))
@@ -979,6 +988,11 @@ object SparkEntry {
     // prefix scan (t31 convention), type-1/quantile_disc semantics
     "t57_length_percentiles" -> ((s, dir) =>
       TrainingOps.lengthPercentiles(docs(s, dir))),
+    // vocabulary coverage curve from the count-VALUE histogram (t57's
+    // trick on the frequency axis): smallest frequency-ranked vocab
+    // covering each per-mille of tokens, exact within-class cut
+    "t58_vocab_coverage" -> ((s, dir) =>
+      TrainingOps.vocabCoverage(docs(s, dir))),
     // paragraph-level language-mix detection (majority vote + mixed
     // flag over the /8 paragraph windows)
     "t17_lang_mix" -> ((s, dir) => TrainingOps.langMix(docs(s, dir))),
@@ -4160,6 +4174,35 @@ object SparkEntry {
           "CAST(g.rk AS INT) AS rank_ba " +
           "FROM r f JOIN r g ON f.q_id = g.vec_id AND f.vec_id = g.q_id " +
           "WHERE f.q_id < f.vec_id"),
+      // d38 oracle: the d37 mutual edges fed through the e48 4-round
+      // hash-min unroll, numeric labels; isolated seeds (no mutual
+      // edge) are absent on both sides by the same nodes-from-edges rule
+      "d38_knn_components" ->
+        ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 50 = 0), " +
+          "s AS (SELECT a.vec_id AS q_id, b.vec_id AS vec_id, round(" +
+          "list_sum(list_transform(range(len(a.v)), i -> a.v[i+1]*b.v[i+1])) / " +
+          "(sqrt(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1]*a.v[i+1]))) * " +
+          "sqrt(list_sum(list_transform(range(len(b.v)), i -> b.v[i+1]*b.v[i+1])))), 6) AS score " +
+          "FROM e a JOIN e b ON a.vec_id <> b.vec_id), " +
+          "r AS (SELECT q_id, vec_id, row_number() OVER " +
+          "(PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk FROM s WHERE TRUE QUALIFY rk <= 3), " +
+          "m AS (SELECT f.q_id AS a, f.vec_id AS b FROM r f " +
+          "JOIN r g ON f.q_id = g.vec_id AND f.vec_id = g.q_id WHERE f.q_id < f.vec_id), " +
+          "eg AS MATERIALIZED (SELECT DISTINCT src, dst FROM " +
+          "(SELECT a AS src, b AS dst FROM m UNION ALL SELECT b, a FROM m) WHERE src <> dst), " +
+          "nodes AS (SELECT DISTINCT v FROM (SELECT a AS v FROM m UNION ALL SELECT b FROM m)), " +
+          "l0 AS MATERIALIZED (SELECT v AS host, v AS c FROM nodes), " +
+          "l1 AS MATERIALIZED (SELECT host, min(c) AS c FROM (SELECT host, c FROM l0 " +
+          "UNION ALL SELECT eg.dst, l0.c FROM eg JOIN l0 ON eg.src = l0.host) GROUP BY 1), " +
+          "l2 AS MATERIALIZED (SELECT host, min(c) AS c FROM (SELECT host, c FROM l1 " +
+          "UNION ALL SELECT eg.dst, l1.c FROM eg JOIN l1 ON eg.src = l1.host) GROUP BY 1), " +
+          "l3 AS MATERIALIZED (SELECT host, min(c) AS c FROM (SELECT host, c FROM l2 " +
+          "UNION ALL SELECT eg.dst, l2.c FROM eg JOIN l2 ON eg.src = l2.host) GROUP BY 1), " +
+          "l4 AS MATERIALIZED (SELECT host, min(c) AS c FROM (SELECT host, c FROM l3 " +
+          "UNION ALL SELECT eg.dst, l3.c FROM eg JOIN l3 ON eg.src = l3.host) GROUP BY 1), " +
+          "sz AS (SELECT c, count(*) AS n FROM l4 GROUP BY 1) " +
+          "SELECT l4.host AS vec_id, l4.c AS comp, CAST(sz.n AS BIGINT) AS comp_size " +
+          "FROM l4 JOIN sz ON l4.c = sz.c"),
       // the scalable per-partition-heap variant must produce the exact
       // same rows as the brute-force baseline — same oracle
       "d7_ann_topk_scalable" ->
@@ -5881,6 +5924,22 @@ object SparkEntry {
           "SELECT CAST(pm AS INT) AS permille, " +
           "CAST((pm * (SELECT n FROM n) + 999) // 1000 AS BIGINT) AS target_rank, " +
           "(SELECT min(v) FROM cum WHERE cc >= (pm * (SELECT n FROM n) + 999) // 1000) AS value " +
+          "FROM p"),
+      // coverage oracle: word-level ranked cumsum (ORDER BY count DESC,
+      // word — unique keys, so RANGE peers don't merge) — lands on the
+      // histogram method's numbers because within a count class every
+      // word contributes the same c
+      "t58_vocab_coverage" ->
+        (s"WITH f AS (SELECT doc_id, $w AS w FROM documents WHERE length(text) >= 1), " +
+          "wc AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM (SELECT unnest(w) AS word FROM f) GROUP BY 1), " +
+          "o AS (SELECT c, row_number() OVER (ORDER BY c DESC, word) AS rn, " +
+          "CAST(sum(c) OVER (ORDER BY c DESC, word) AS BIGINT) AS cum FROM wc), " +
+          "tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM wc), " +
+          "p AS (SELECT unnest([500, 900, 990]) AS pm) " +
+          "SELECT CAST(pm AS INT) AS permille, " +
+          "CAST((pm * (SELECT t FROM tot) + 999) // 1000 AS BIGINT) AS target_tokens, " +
+          "(SELECT min(rn) FROM o WHERE cum >= (pm * (SELECT t FROM tot) + 999) // 1000) AS vocab_needed, " +
+          "(SELECT min(cum) FROM o WHERE cum >= (pm * (SELECT t FROM tot) + 999) // 1000) AS tokens_covered " +
           "FROM p"),
       // per-source cap oracle: the plain one-stage window formulation —
       // algorithm-independent of sourceCap's salted two-stage plan

@@ -124,6 +124,21 @@ object TrainingOps extends Serializable {
     * family's distinct sets) and [[hllDistinct]] (which sketches the raw
     * stream — a sketch needs no dedup, that is its point).
     */
+  /** Round-6 exact cosine between columns `q` and `v` via the FUSED
+    * codegen expression [[graft.functions.CosineSim]] — bit-identical to
+    * the three `aggregate(zip_with(...))` folds it replaced (same index
+    * order, same dot/(sqrt*sqrt) operation order — the contract pinned
+    * in FunctionsSpec), but one allocation-free array pass inside
+    * whole-stage codegen instead of three interpreted lambda chains per
+    * candidate pair. Registers the SQL surface on the frame's session
+    * (ops cannot assume the caller's session was built with
+    * GraftExtensions).
+    */
+  private def cos6(frame: DataFrame): Column = {
+    graft.functions.GraftFunctions.ensureRegistered(frame.sparkSession)
+    round(expr("cosine_sim(q, v)"), 6)
+  }
+
   private def shingleStream3(w: Column): Column =
     transform(sequence(lit(0), size(w) - 3),
       i => concat_ws(" ", slice(w, i + 1, lit(3))))
@@ -811,12 +826,9 @@ object TrainingOps extends Serializable {
     val e = emb.select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
     val p = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("q"))
-    val dot = expr("aggregate(zip_with(q, v, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)")
-    val nq = sqrt(expr("aggregate(zip_with(q, q, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"))
-    val nv = sqrt(expr("aggregate(zip_with(v, v, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"))
     val scored = e.crossJoin(broadcast(p))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), round(dot / (nq * nv), 6).as("score"))
+      .select(col("q_id"), col("vec_id"), cos6(emb).as("score"))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))))
@@ -846,12 +858,9 @@ object TrainingOps extends Serializable {
     val e = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
     val q = e.select(col("vec_id").as("q_id"), col("v").as("q"))
-    val dot = expr("aggregate(zip_with(q, v, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)")
-    val nq = sqrt(expr("aggregate(zip_with(q, q, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"))
-    val nv = sqrt(expr("aggregate(zip_with(v, v, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"))
     val ranked = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), round(dot / (nq * nv), 6).as("score"))
+      .select(col("q_id"), col("vec_id"), cos6(emb).as("score"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))))
       .filter(col("rank") <= k)
@@ -890,16 +899,13 @@ object TrainingOps extends Serializable {
   def annCosineTopKScalable(emb: DataFrame, k: Int = 5, probeChunks: Int = 4)(implicit spark: SparkSession): DataFrame = {
     require(probeChunks > 0, "probeChunks must be positive")
     val e = emb.select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-    val dot = expr("aggregate(zip_with(q, v, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)")
-    val nq = sqrt(expr("aggregate(zip_with(q, q, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"))
-    val nv = sqrt(expr("aggregate(zip_with(v, v, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"))
     val partials = (0 until probeChunks).map { c =>
       val p = e.filter(col("vec_id") % 50 === 0 &&
           pmod(expr("vec_id div 50"), lit(probeChunks)) === c)
         .select(col("vec_id").as("q_id"), col("v").as("q"))
       val scored = e.crossJoin(broadcast(p))
         .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"), round(dot / (nq * nv), 6).as("score"))
+        .select(col("q_id"), col("vec_id"), cos6(emb).as("score"))
       partialTopK(scored, k)
     }.reduce(_ union _)
     partials
@@ -1384,12 +1390,9 @@ object TrainingOps extends Serializable {
     val cells = ivfCells(emb, nCells, dimOpt)
     val p = cells.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("q"), col("cell"))
-    val dot = expr("aggregate(zip_with(q, v, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)")
-    val nq = sqrt(expr("aggregate(zip_with(q, q, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"))
-    val nv = sqrt(expr("aggregate(zip_with(v, v, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"))
     cells.join(broadcast(p), "cell")
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), round(dot / (nq * nv), 6).as("score"))
+      .select(col("q_id"), col("vec_id"), cos6(emb).as("score"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))))
       .filter(col("rank") <= k)
@@ -1447,12 +1450,9 @@ object TrainingOps extends Serializable {
         Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cell"))))
       .filter(col("rn") <= nProbe)
       .select(col("q_id"), col("q"), col("cell"))
-    val dot = expr("aggregate(zip_with(q, v, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)")
-    val nq = sqrt(expr("aggregate(zip_with(q, q, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"))
-    val nv = sqrt(expr("aggregate(zip_with(v, v, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"))
     cells.join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), round(dot / (nq * nv), 6).as("score"))
+      .select(col("q_id"), col("vec_id"), cos6(emb).as("score"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))))
       .filter(col("rank") <= k)
@@ -1525,12 +1525,9 @@ object TrainingOps extends Serializable {
       .select(col("vec_id"), col("v"))
     val cells = ivfCellsOf(reps, nCells, dimOpt)
     val r = cells.select(col("vec_id").as("r_id"), col("v").as("q"), col("cell"))
-    val dot = expr("aggregate(zip_with(q, v, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)")
-    val nq = sqrt(expr("aggregate(zip_with(q, q, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"))
-    val nv = sqrt(expr("aggregate(zip_with(v, v, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"))
     val dups = cells.join(r, "cell")
       .filter(col("r_id") < col("vec_id"))
-      .filter(round(dot / (nq * nv), 6) > tau)
+      .filter(cos6(emb) > tau)
       .select(col("vec_id")).distinct()
     val repVerdict = cells.join(dups.withColumn("d", lit(true)), Seq("vec_id"), "left")
       .select(col("v"), col("vec_id").as("rep"), col("cell"),
@@ -1574,12 +1571,9 @@ object TrainingOps extends Serializable {
       .select(col("vec_id"), col("v"))
     val cells = ivfCellsOf(reps, nCells, dimOpt)
     val r = cells.select(col("vec_id").as("r_id"), col("v").as("q"), col("cell"))
-    val dot = expr("aggregate(zip_with(q, v, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)")
-    val nq = sqrt(expr("aggregate(zip_with(q, q, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"))
-    val nv = sqrt(expr("aggregate(zip_with(v, v, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"))
     val repMax = cells.join(r, "cell")
       .filter(col("r_id") < col("vec_id"))
-      .select(col("vec_id"), round(dot / (nq * nv), 6).as("c"))
+      .select(col("vec_id"), cos6(emb).as("c"))
       .groupBy("vec_id").agg(max(col("c")).as("mc"))
     val tot = e.agg(count(lit(1)).as("n_total"))
     val nreps = reps.agg(count(lit(1)).as("n_reps"))
@@ -2517,6 +2511,59 @@ object TrainingOps extends Serializable {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
     out
+  }
+
+  /** Vocabulary coverage curve — the tokenizer-design statistic behind
+    * every vocab-size decision (how many word types does a vocabulary
+    * need to cover X per-mille of corpus TOKENS?): for each requested
+    * per-mille point, the smallest frequency-ranked vocabulary whose
+    * summed counts reach ceil(pm * total / 1000), plus the tokens it
+    * actually covers.
+    *
+    * Scale shape — the t57 histogram trick applied to the FREQUENCY
+    * axis: the corpus reduces to (word, count), then to the COUNT-VALUE
+    * histogram (count c, n_words at c, tokens c*n) — bounded by DISTINCT
+    * count values (O(sqrt(total)) under any Zipf-ish law: counts above
+    * sqrt(T) number fewer than sqrt(T), and distinct values below
+    * sqrt(T) number at most sqrt(T)), so the driver prefix scan reads
+    * thousands of rows where the word table would be billions. The
+    * within-class cut is exact WITHOUT any word ordering: every word of
+    * a count class contributes the same c, so needing m more words of
+    * the boundary class is m = ceil((target - cum) / c) regardless of
+    * which m — which is also why the oracle's word-level ranked cumsum
+    * (ORDER BY count DESC, word) lands on identical numbers.
+    */
+  def vocabCoverage(docs: DataFrame,
+      permilles: Seq[Int] = Seq(500, 900, 990)): DataFrame = {
+    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
+      "permilles must be in [1, 1000]")
+    val spark = docs.sparkSession
+    val hist = docs.filter(length(col("text")) >= 1)
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("nw"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    val total = hist.map { case (c, nw) => c * nw }.sum
+    import spark.implicits._
+    if (total == 0)
+      return Seq.empty[(Int, Long, Long, Long)]
+        .toDF("permille", "target_tokens", "vocab_needed", "tokens_covered")
+    val rows = permilles.sorted.map { pm =>
+      val target = (pm.toLong * total + 999L) / 1000L
+      var cumTok = 0L
+      var cumWords = 0L
+      var out: (Int, Long, Long, Long) = null
+      hist.foreach { case (c, nw) =>
+        if (out == null) {
+          if (cumTok + c * nw >= target) {
+            val m = (target - cumTok + c - 1L) / c
+            out = (pm, target, cumWords + m, cumTok + m * c)
+          } else { cumTok += c * nw; cumWords += nw }
+        }
+      }
+      out
+    }
+    rows.toDF("permille", "target_tokens", "vocab_needed", "tokens_covered")
   }
 
   /** Exact corpus length percentiles WITHOUT a global sort — the

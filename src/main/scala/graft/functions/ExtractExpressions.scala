@@ -139,7 +139,13 @@ object GraftFunctions {
       (children: Seq[Expression]) => ExtractPages(children.head)),
     (new FunctionIdentifier("min_k_longs"),
       new ExpressionInfo(classOf[MinKLongs].getName, "min_k_longs"),
-      minKBuilder _))
+      minKBuilder _),
+    (new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "cosine_sim(a, b) takes exactly 2 arguments")
+        CosineSim(children(0), children(1))
+      }))
 
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -4741,6 +4741,55 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     got.zip(expect).foreach { case (g, e) => assert(g == e, s"rank ${e._1}: $g != $e") }
   }
 
+  test("vocab coverage: histogram-class cut equals hand-derived ranked cumsum") {
+    val s = spark; import s.implicits._
+    // counts: a=10, b=5, c=5, d=1 -> total 21
+    val text = (Seq.fill(10)("a") ++ Seq.fill(5)("b") ++ Seq.fill(5)("c") ++ Seq("d"))
+      .mkString(" ")
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val got = TrainingOps.vocabCoverage(d, Seq(500, 715, 1000)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    // pm=500: target ceil(10.5)=11 -> a(10) + ONE word of the 5-class = 2 words, 15 tokens
+    // pm=715: target ceil(15.015)=16 -> a + both 5-class words = 3 words, 20 tokens
+    // pm=1000: target 21 -> all 4 words
+    assert(got.toSeq == Seq(
+      (500, 11L, 2L, 15L), (715, 16L, 3L, 20L), (1000, 21L, 4L, 21L)))
+    // empty corpus
+    assert(TrainingOps.vocabCoverage(
+      Seq.empty[(Long, String)].toDF("doc_id", "text")).count() == 0)
+  }
+
+  test("knn components: labels agree with a driver-side 4-round hash-min over the mutual edges") {
+    val s = spark; import s.implicits._
+    val edges = TrainingOps.mutualKnnSeeds(embs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty, "sf0.001 seed graph should have mutual edges")
+    val got = SparkEntry.queries("d38_knn_components")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // reference: the op's DOCUMENTED k-round hash-min semantics (labels
+    // after exactly 4 min-over-neighbors rounds — NOT full union-find
+    // convergence; a chain farther than 4 hops from its min keeps a
+    // provisional label, the crawlDepth horizon convention the oracle
+    // also pins)
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val und = (edges ++ edges.map(e => (e._2, e._1))).distinct
+    var lab = nodes.map(v => v -> v).toMap
+    (1 to 4).foreach { _ =>
+      val next = scala.collection.mutable.Map.empty[Long, Long] ++ lab
+      und.foreach { case (a, b) =>
+        if (lab(a) < next(b)) next(b) = lab(a)
+      }
+      lab = next.toMap
+    }
+    val byLabel = nodes.groupBy(lab)
+    assert(got.map(_._1).sorted.toSeq == nodes.sorted.toSeq,
+      "component rows must cover exactly the edge-touched seeds")
+    got.foreach { case (v, comp, size) =>
+      assert(comp == lab(v), s"seed $v label")
+      assert(size == byLabel(lab(v)).length, s"seed $v size")
+    }
+  }
+
   test("ocr routing: density ladder with exact integer boundary, empty text layer") {
     val s = spark; import s.implicits._
     // pages * 120 chars is the boundary: exactly AT threshold stays on

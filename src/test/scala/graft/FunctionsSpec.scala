@@ -116,4 +116,54 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!exec.toString.contains("CodegenFallback"), s"fell back to interpretation:\n$exec")
     assert(df.collect().forall(_.getInt(0) > 0))
   }
+
+  test("cosine_sim: bit-identical to the aggregate(zip_with) folds, null/NaN contract, codegen") {
+    val s = spark; import s.implicits._
+    // adversarial doubles: denormal-ish, huge, negative, non-associative
+    // magnitudes — if the kernel's fold order differed from the lambda
+    // chain's, one of these pairs would differ in the last ulp
+    val vecs = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(1e-300, 1e300, -1.0), Seq(1e300, 1e-300, 1.0)),
+      (Seq(0.1, 0.2, 0.3), Seq(0.3, 0.2, 0.1)),
+      (Seq(1e16, 1.0, -1e16), Seq(1.0, 1.0, 1.0)),
+      (Seq(-0.5, 0.25, 0.125), Seq(0.125, -0.25, 0.5)))
+    val df = vecs.toDF("a", "b")
+    val fused = df.selectExpr("cosine_sim(a, b) AS c").collect().map(_.getDouble(0))
+    val folds = df.selectExpr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x) / " +
+        "(sqrt(aggregate(zip_with(a, a, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)) * " +
+        "sqrt(aggregate(zip_with(b, b, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x))) AS c")
+      .collect().map(_.getDouble(0))
+    fused.zip(folds).zipWithIndex.foreach { case ((f, g), i) =>
+      assert(java.lang.Double.doubleToRawLongBits(f) == java.lang.Double.doubleToRawLongBits(g),
+        s"pair $i: fused $f != folds $g (bit-level)")
+    }
+    // length mismatch and null element -> SQL NULL (zip_with poisoning)
+    val edge = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 2.0d), array(1.0d)) AS short, " +
+        "cosine_sim(array(1.0d, cast(null as double)), array(1.0d, 2.0d)) AS ne, " +
+        "cosine_sim(cast(null as array<double>), array(1.0d)) AS na, " +
+        "cosine_sim(array(0.0d, 0.0d), array(1.0d, 2.0d)) AS zero").head()
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2))
+    assert(edge.getDouble(3).isNaN, "zero vector must yield NaN (0/0), as the folds do")
+    // stays inside whole-stage codegen, no fallback — input comes from a
+    // parquet scan (a local relation would constant-fold; a transform()
+    // lambda in the same projection is itself CodegenFallback and would
+    // mask the assertion)
+    val dir = java.nio.file.Files.createTempDirectory("cos-codegen").toString
+    spark.range(100).selectExpr(
+      "transform(sequence(0, 15), i -> cast(i * id + 1 as double)) AS a",
+      "transform(sequence(0, 15), i -> cast(i + id as double)) AS b")
+      .write.mode("overwrite").parquet(dir)
+    val plan = spark.read.parquet(dir).selectExpr("cosine_sim(a, b) AS c")
+    plan.collect()
+    val exec = plan.queryExecution.executedPlan
+    val spans = exec.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(spans.exists(_.toString.contains("cosine_sim")),
+      s"cosine_sim projection not inside a WholeStageCodegen span:\n$exec")
+    assert(!exec.toString.contains("CodegenFallback"), s"fell back:\n$exec")
+  }
 }
