@@ -161,6 +161,40 @@ class PlanCheckSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("round-3 additions: BM25/wilson/burst/mutual-knn plan shapes") {
+    // t56: df joins back BROADCAST (a |terms|-row table), the global
+    // top-k is TakeOrderedAndProject (per-partition heaps), and the
+    // corpus-sized side never cartesians
+    val bm25 = planOf("t56_bm25_topk")
+    assert(broadcastJoins(bm25).nonEmpty, s"t56: df join lost its broadcast:\n$bm25")
+    assert(bm25.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, s"t56: top-k is not TakeOrderedAndProject (full sort?):\n$bm25")
+    assert(cartesians(bm25).isEmpty)
+    // e67: ONE map-side-combined host rollup — exactly one exchange,
+    // Wilson arithmetic is per-aggregate-row scalar work
+    val wilson = planOf("e67_host_wilson")
+    assert(shuffles(wilson).length == 1,
+      s"e67: expected exactly 1 exchange, got ${shuffles(wilson).length}:\n$wilson")
+    assert(cartesians(wilson).isEmpty)
+    // e68: (host,window) count + host rollup = two exchanges; the
+    // rollup joins back BROADCAST (window-cardinality rows)
+    val burst = planOf("e68_burst_windows")
+    assert(shuffles(burst).length == 2,
+      s"e68: expected exactly 2 exchanges, got ${shuffles(burst).length}:\n$burst")
+    assert(broadcastJoins(burst).nonEmpty, s"e68: per-host totals join lost its broadcast:\n$burst")
+    // d37: the ranked frame is PERSISTED (its broadcast nested loop
+    // lives inside the cached plan — the reciprocity self-join must
+    // read the cache twice, not recompute the all-pairs pass), and no
+    // unbroadcast cartesian appears anywhere in the outer plan
+    val knn = planOf("d37_mutual_knn")
+    assert(knn.collect {
+      case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => i
+    }.length >= 2, s"d37: reciprocity join must read the persisted ranked frame twice:\n$knn")
+    assert(knn.collect { case c: CartesianProductExec => c }.isEmpty)
+    assertWindowsPartitioned("d37_mutual_knn", knn)
+  }
+
   test("t22 bounded postings use the object-hash TypedImperativeAggregate path") {
     val p = planOf("t22_inverted_index")
     val oha = p.collect {
