@@ -1187,6 +1187,22 @@ object SparkEntry {
             (col("ts") + expr("INTERVAL 15 MINUTES")).as("win_end")),
         leftTs = "ts", start = "win_start", end = "win_end")
     }),
+    // relational spine over the standard TPC-H-shaped tables: the
+    // lakehouse's analytics half is ordinary star-schema SQL, and these
+    // three pin that the engine's planning + the integer-cents oracle
+    // convention hold there too
+    "q1_pricing_summary" -> ((s, dir) =>
+      RelationalOps.pricingSummary(s.read.parquet(s"$dir/lineitem.parquet"))),
+    "q3_shipping_priority" -> ((s, dir) =>
+      RelationalOps.shippingPriority(
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/lineitem.parquet"))),
+    "q18_large_orders" -> ((s, dir) =>
+      RelationalOps.largeOrders(
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/lineitem.parquet"))),
     // stream-stream interval join, BATCH formulation: each click joins
     // the same user's errors in [ts, ts + 30 min]. withWatermark is a
     // no-op on batch frames, so this runs the EXACT code path
@@ -2732,6 +2748,41 @@ object SparkEntry {
           "FROM events WHERE event_type = 'purchase') " +
           "SELECT l.event_id, l.ts, l.user_id, l.value, r.win_id, r.win_start, r.win_end " +
           "FROM l JOIN r ON l.ts >= r.win_start AND l.ts < r.win_end"),
+      // TPC-H spine oracles: the same centi-integerization (exact cents
+      // from 2-decimal doubles) so every aggregate is an
+      // order-independent integer sum on both engines
+      "q1_pricing_summary" ->
+        ("WITH l AS (SELECT l_returnflag, l_linestatus, " +
+          "CAST(floor(l_quantity*100 + 0.5) AS BIGINT) AS qty_c, " +
+          "CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS price_c, " +
+          "CAST(floor(l_discount*100 + 0.5) AS BIGINT) AS disc_c, " +
+          "CAST(floor(l_tax*100 + 0.5) AS BIGINT) AS tax_c " +
+          "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-01-01 00:00:00') " +
+          "SELECT l_returnflag, l_linestatus, " +
+          "CAST(sum(qty_c) AS BIGINT) AS sum_qty_c, " +
+          "CAST(sum(price_c) AS BIGINT) AS sum_base_price_c, " +
+          "CAST(sum(price_c*(100-disc_c)) AS BIGINT) AS sum_disc_price_c4, " +
+          "CAST(sum(price_c*(100-disc_c)*(100+tax_c)) AS BIGINT) AS sum_charge_c6, " +
+          "CAST(sum(qty_c) // count(*) AS BIGINT) AS avg_qty_c, " +
+          "CAST(sum(price_c) // count(*) AS BIGINT) AS avg_price_c, " +
+          "count(*) AS count_order FROM l GROUP BY 1, 2"),
+      "q3_shipping_priority" ->
+        ("WITH c AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'), " +
+          "o AS (SELECT o_orderkey, o_custkey, o_orderdate, o_orderpriority FROM orders " +
+          "WHERE o_orderdate < TIMESTAMP '1998-06-01 00:00:00'), " +
+          "l AS (SELECT l_orderkey, CAST(floor(l_extendedprice*100+0.5) AS BIGINT) * " +
+          "(100 - CAST(floor(l_discount*100+0.5) AS BIGINT)) AS rev FROM lineitem " +
+          "WHERE l_shipdate > TIMESTAMP '1998-06-01 00:00:00') " +
+          "SELECT l_orderkey, o_orderdate, o_orderpriority, CAST(sum(rev) AS BIGINT) AS revenue_c4 " +
+          "FROM l JOIN o ON l.l_orderkey = o.o_orderkey JOIN c ON o.o_custkey = c.c_custkey " +
+          "GROUP BY 1, 2, 3 ORDER BY revenue_c4 DESC, o_orderdate, l_orderkey LIMIT 10"),
+      "q18_large_orders" ->
+        ("WITH h AS (SELECT l_orderkey, CAST(sum(CAST(floor(l_quantity*100+0.5) AS BIGINT)) AS BIGINT) AS total_qty_c " +
+          "FROM lineitem GROUP BY 1 HAVING total_qty_c > 15000) " +
+          "SELECT c_name, c_custkey, o_orderkey, o_orderdate, " +
+          "CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS total_price_c, total_qty_c " +
+          "FROM h JOIN orders ON l_orderkey = o_orderkey " +
+          "JOIN customer ON o_custkey = c_custkey"),
       // Wilson oracle: identical double-precision operation order —
       // note 1.0/(CAST(n AS DOUBLE)*n), which multiplies DOUBLES like
       // the Spark side (integer n*n then one cast could differ past

@@ -204,6 +204,96 @@ object RelationalOps {
     * `unconditional`). Pure per-row Catalyst expressions (regexp
     * extract + CASE ladder), MAP-ONLY, zero shuffle at any scale.
     */
+  /** Centi-integerization of the TPC-H money/quantity doubles: the
+    * source doubles carry exactly two decimals, so floor(x*100 + 0.5)
+    * recovers the exact integer cents on both engines and every
+    * downstream aggregate is an ORDER-INDEPENDENT integer sum — a
+    * double sum would differ between Spark's partial-aggregation tree
+    * and DuckDB's single pass in the last ulps and break the oracle
+    * hash (the e20 value_milli convention).
+    */
+  private def cents(c: String): Column =
+    expr(s"cast(floor($c * 100 + 0.5) as bigint)")
+
+  /** TPC-H Q1-shaped pricing summary — the relational-spine sanity row
+    * over the standard tables (the analytics half of a corpus lakehouse
+    * is ordinary star-schema SQL; this pins that the engine's planning
+    * and the oracle conventions hold there too). All sums are exact
+    * integer cents (x100), disc_price in 1e-4 dollars (cents x (100-d)),
+    * charge in 1e-6 dollars — overflow bound ~1e11 per row, safe to
+    * ~10^7 rows per group at Long range; averages are integer `div`.
+    * One map-side-combined groupBy on a 2-value key — a single exchange
+    * of (flag, status, 6 longs) rows at any scale.
+    */
+  def pricingSummary(lineitem: DataFrame, shipBefore: String = "1999-01-01"): DataFrame =
+    lineitem
+      .filter(expr(s"cast(l_shipdate as timestamp) <= timestamp'$shipBefore 00:00:00'"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        cents("l_quantity").as("qty_c"),
+        cents("l_extendedprice").as("price_c"),
+        cents("l_discount").as("disc_c"),
+        cents("l_tax").as("tax_c"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("qty_c").as("sum_qty_c"),
+        sum("price_c").as("sum_base_price_c"),
+        sum(expr("price_c * (100 - disc_c)")).as("sum_disc_price_c4"),
+        sum(expr("price_c * (100 - disc_c) * (100 + tax_c)")).as("sum_charge_c6"),
+        count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("sum_qty_c"), col("sum_base_price_c"),
+        col("sum_disc_price_c4"), col("sum_charge_c6"),
+        expr("sum_qty_c div count_order").as("avg_qty_c"),
+        expr("sum_base_price_c div count_order").as("avg_price_c"),
+        col("count_order"))
+
+  /** TPC-H Q3-shaped shipping priority — the star join: a SMALL
+    * dimension (segment-filtered customers — broadcast), the orders
+    * fact filtered by date, lineitem revenue aggregated per order.
+    * Revenue is exact integer 1e-4 dollars; top `k` by (revenue desc,
+    * o_orderdate asc, l_orderkey asc) via orderBy+limit =
+    * TakeOrderedAndProject. At 100 TB the customer side is the
+    * classic broadcast dim and the orders-lineitem join shuffles on
+    * the shared orderkey.
+    */
+  def shippingPriority(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      segment: String = "BUILDING", date: String = "1998-06-01", k: Int = 10): DataFrame = {
+    val cust = customer.filter(col("c_mktsegment") === segment).select("c_custkey")
+    val ord = orders
+      .filter(expr(s"cast(o_orderdate as timestamp) < timestamp'$date 00:00:00'"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    val li = lineitem
+      .filter(expr(s"cast(l_shipdate as timestamp) > timestamp'$date 00:00:00'"))
+      .select(col("l_orderkey"),
+        (cents("l_extendedprice") * (lit(100L) - cents("l_discount"))).as("rev_c4"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum("rev_c4").as("revenue_c4"))
+      .orderBy(col("revenue_c4").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(k)
+  }
+
+  /** TPC-H Q18-shaped large-order customers: orders whose total line
+    * quantity exceeds `minQtyC` cents of units, joined back to orders
+    * and customers. The HAVING prunes on the aggregate BEFORE the
+    * dimension joins — at scale the filter drops ~all orders, so the
+    * joins see only the heavy tail (both then broadcastable).
+    */
+  def largeOrders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      minQtyC: Long = 15000L): DataFrame = {
+    val heavy = lineitem.groupBy("l_orderkey")
+      .agg(sum(cents("l_quantity")).as("total_qty_c"))
+      .filter(col("total_qty_c") > minQtyC)
+    heavy
+      .join(orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_name"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), cents("o_totalprice").as("total_price_c"),
+        col("total_qty_c"))
+  }
+
   def revalidationPolicy(resp: DataFrame, defaultTtl: Long = 86400L,
                          minTtl: Long = 60L, maxTtl: Long = 2592000L): DataFrame = {
     require(minTtl >= 0 && minTtl <= maxTtl, "need 0 <= minTtl <= maxTtl")

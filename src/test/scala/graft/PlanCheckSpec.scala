@@ -195,6 +195,25 @@ class PlanCheckSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertWindowsPartitioned("d37_mutual_knn", knn)
   }
 
+  test("relational spine: q1 single exchange, q3 broadcast dim + TakeOrdered top-k") {
+    // q1: one map-side-combined exchange on the 2-value key — the
+    // canonical aggregate shape at any fact-table size
+    val q1 = planOf("q1_pricing_summary")
+    assert(shuffles(q1).length == 1,
+      s"q1: expected exactly 1 exchange, got ${shuffles(q1).length}:\n$q1")
+    assert(cartesians(q1).isEmpty)
+    // q3: the segment-filtered customer dim is BROADCAST (the star-join
+    // contract), and the global top-10 is TakeOrderedAndProject
+    val q3 = planOf("q3_shipping_priority")
+    assert(broadcastJoins(q3).nonEmpty, s"q3: customer dim lost its broadcast:\n$q3")
+    assert(q3.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, s"q3: top-k is not TakeOrderedAndProject:\n$q3")
+    assert(cartesians(q3).isEmpty)
+    val q18 = planOf("q18_large_orders")
+    assert(cartesians(q18).isEmpty)
+  }
+
   test("t22 bounded postings use the object-hash TypedImperativeAggregate path") {
     val p = planOf("t22_inverted_index")
     val oha = p.collect {
