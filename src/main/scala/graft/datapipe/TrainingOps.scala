@@ -955,6 +955,7 @@ object TrainingOps extends Serializable {
     * candidates per probe.
     */
   private def lshBuckets(emb: DataFrame, nPlanes: Int, dimOpt: Option[Int] = None): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
     val e = emb.select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
     // plane length must equal the embedding dimension: zip_with null-pads
     // on mismatch, which would silently zero every bucket. Derive it from
@@ -973,8 +974,7 @@ object TrainingOps extends Serializable {
     }
     val bucket = expr(
       s"""aggregate(sequence(0,${nPlanes - 1}), 0, (s, j) ->
-         |  s + IF(aggregate(zip_with(element_at(planes, j + 1), v, (p, x) -> p * x),
-         |                   cast(0 as double), (d, x) -> d + x) > 0,
+         |  s + IF(dot_d(element_at(planes, j + 1), v) > 0,
          |         shiftleft(1, j), 0))""".stripMargin)
     e.withColumn("planes", typedLit(planes))
       .select(col("vec_id"),
@@ -1033,12 +1033,12 @@ object TrainingOps extends Serializable {
     }
 
   private def ivfCellsOf(e: DataFrame, nCells: Int, dimOpt: Option[Int]): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(e.sparkSession)
     val dim = embDim(e, dimOpt)
     val cents: Seq[Seq[Double]] = ivfCents(nCells, dim)
     val cellExpr = expr(
       s"""CAST(element_at(array_min(transform(sequence(0,${nCells - 1}), j ->
-         |  array(aggregate(zip_with(element_at(cents, j + 1), v, (p, x) -> (p - x) * (p - x)),
-         |                  cast(0 as double), (s, x) -> s + x),
+         |  array(l2_sq(element_at(cents, j + 1), v),
          |        cast(j as double)))), 2) AS INT)""".stripMargin)
     e.withColumn("cents", typedLit(cents))
       .select(col("vec_id"), col("v"), cellExpr.as("cell"))
@@ -1112,6 +1112,7 @@ object TrainingOps extends Serializable {
     */
   def ivfMargins(emb: DataFrame, nCells: Int = 8,
                  dimOpt: Option[Int] = None): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
     require(nCells >= 2, "nCells must be >= 2")
     val e = emb.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v"))
@@ -1119,8 +1120,7 @@ object TrainingOps extends Serializable {
     val cents: Seq[Seq[Double]] = ivfCents(nCells, dim)
     val dsExpr = expr(
       s"""array_sort(transform(sequence(0,${nCells - 1}), j ->
-         |  array(aggregate(zip_with(element_at(cents, j + 1), v, (p, x) -> (p - x) * (p - x)),
-         |                  cast(0 as double), (s, x) -> s + x),
+         |  array(l2_sq(element_at(cents, j + 1), v),
          |        cast(j as double))))""".stripMargin)
     e.withColumn("cents", typedLit(cents))
       .select(col("vec_id"), dsExpr.as("ds"))
@@ -1159,6 +1159,7 @@ object TrainingOps extends Serializable {
     */
   def rpProject(emb: DataFrame, outDim: Int = 16,
                 dimOpt: Option[Int] = None): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
     require(outDim >= 1, "outDim must be >= 1")
     val e = emb.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v"))
@@ -1171,8 +1172,7 @@ object TrainingOps extends Serializable {
     }
     val proj = expr(
       s"""transform(sequence(0, ${outDim - 1}), j ->
-         |  round(aggregate(zip_with(element_at(planes, j + 1), v, (p, x) -> p * x),
-         |                  cast(0 as double), (d, x) -> d + x), 6))""".stripMargin)
+         |  round(dot_d(element_at(planes, j + 1), v), 6))""".stripMargin)
     e.withColumn("planes", typedLit(planes))
       .select(col("vec_id"),
         when(size(col("v")) === dim, proj)
@@ -1216,6 +1216,7 @@ object TrainingOps extends Serializable {
     */
   def pqCodes(emb: DataFrame, m: Int = 4, nCents: Int = 16,
       dimOpt: Option[Int] = None): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
     require(m >= 1 && nCents >= 1, "m and nCents must be >= 1")
     val e = emb.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v"))
@@ -1229,10 +1230,7 @@ object TrainingOps extends Serializable {
       df.withColumn(s"cb$mm", typedLit(pqCodebook(mm, nCents, sub)))
         .withColumn(s"p$mm", expr(
           s"""array_min(transform(sequence(0,${nCents - 1}), j ->
-             |  array(aggregate(zip_with(element_at(cb$mm, j + 1),
-             |                           slice(v, ${mm * sub + 1}, $sub),
-             |                           (p, x) -> (p - x) * (p - x)),
-             |                  cast(0 as double), (s, x) -> s + x),
+             |  array(l2_sq(element_at(cb$mm, j + 1), slice(v, ${mm * sub + 1}, $sub)),
              |        cast(j as double))))""".stripMargin))
     }
     val codes = (0 until m).map(mm =>
@@ -1260,6 +1258,7 @@ object TrainingOps extends Serializable {
     */
   def adcTopK(emb: DataFrame, k: Int = 5, m: Int = 4, nCents: Int = 16,
       dimOpt: Option[Int] = None): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
     require(k >= 1, "k must be >= 1")
     val e = emb.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v"))
@@ -1281,10 +1280,7 @@ object TrainingOps extends Serializable {
       df.withColumn(s"cb$mm", typedLit(pqCodebook(mm, nCents, sub)))
     }
     val adc = round(expr((0 until m).map(mm =>
-      s"""aggregate(zip_with(element_at(cb$mm, code$mm + 1),
-         |                   slice(q, ${mm * sub + 1}, $sub),
-         |                   (p, x) -> (p - x) * (p - x)),
-         |          cast(0 as double), (s, x) -> s + x)""".stripMargin)
+      s"l2_sq(element_at(cb$mm, code$mm + 1), slice(q, ${mm * sub + 1}, $sub))")
       .mkString(" + ")), 6)
     joined.withColumn("adc", adc)
       .withColumn("rank", row_number().over(
@@ -1421,6 +1417,7 @@ object TrainingOps extends Serializable {
     */
   def annIvfMultiprobe(emb: DataFrame, k: Int = 5, nCells: Int = 16,
       nProbe: Int = 3, dimOpt: Option[Int] = None): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
     require(nProbe >= 1 && nProbe <= nCells, "nProbe must be in [1, nCells]")
     val cells = ivfCells(emb, nCells, dimOpt)
     val dim = dimOpt.getOrElse {
@@ -1440,8 +1437,7 @@ object TrainingOps extends Serializable {
       .withColumn("cents", typedLit(cents))
       .withColumn("dj", explode(expr(
         s"""transform(sequence(0, ${nCells - 1}), j ->
-           |  array(aggregate(zip_with(element_at(cents, j + 1), q, (p, x) -> (p - x) * (p - x)),
-           |                  cast(0 as double), (s, x) -> s + x),
+           |  array(l2_sq(element_at(cents, j + 1), q),
            |        cast(j as double)))""".stripMargin)))
       .select(col("q_id"), col("q"),
         expr("element_at(dj, 1)").as("d2"),
@@ -1602,6 +1598,7 @@ object TrainingOps extends Serializable {
     */
   def embCosinePairs(emb: DataFrame, nPlanes: Int = 8, minCos: Double = 0.1,
       maxBucket: Int = 4096): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
     val e = emb.select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
     val b = lshBuckets(emb, nPlanes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1612,13 +1609,10 @@ object TrainingOps extends Serializable {
     val pairs = pruned.as("x").join(pruned.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
-    val dot = expr("aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)")
-    val na = sqrt(expr("aggregate(zip_with(va, va, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"))
-    val nb = sqrt(expr("aggregate(zip_with(vb, vb, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"))
     pairs
       .join(e.select(col("vec_id").as("a"), col("v").as("va")), "a")
       .join(e.select(col("vec_id").as("b"), col("v").as("vb")), "b")
-      .select(col("a"), col("b"), round(dot / (na * nb), 6).as("cos"))
+      .select(col("a"), col("b"), round(expr("cosine_sim(va, vb)"), 6).as("cos"))
       .filter(col("cos") >= minCos)
   }
 

@@ -145,6 +145,18 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "cosine_sim(a, b) takes exactly 2 arguments")
         CosineSim(children(0), children(1))
+      }),
+    (new FunctionIdentifier("dot_d"),
+      new ExpressionInfo(classOf[DotD].getName, "dot_d"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "dot_d(a, b) takes exactly 2 arguments")
+        DotD(children(0), children(1))
+      }),
+    (new FunctionIdentifier("l2_sq"),
+      new ExpressionInfo(classOf[L2Sq].getName, "l2_sq"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "l2_sq(a, b) takes exactly 2 arguments")
+        L2Sq(children(0), children(1))
       }))
 
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {

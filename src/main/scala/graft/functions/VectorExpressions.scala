@@ -31,6 +31,40 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * allocates nothing, and stays inside whole-stage codegen.
   */
 object VectorKernel {
+  /** In-order dot product; NULL on length mismatch or a null element
+    * (the zip_with-pad poisoning semantics).
+    */
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  /** In-order squared-L2 distance, same fold/null contract: each step
+    * adds (a_i - b_i) * (a_i - b_i) exactly as the lambda
+    * `(p, x) -> (p - x) * (p - x)` does.
+    */
+  def l2sq(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getDouble(i) - b.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
   def cosine(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
@@ -49,6 +83,59 @@ object VectorKernel {
     }
     java.lang.Double.valueOf(dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb)))
   }
+}
+
+/** Shared shape of the fused vector expressions: ARRAY<DOUBLE> x 2 ->
+  * DOUBLE through one static kernel call (inside WholeStageCodegen).
+  */
+abstract class FusedVectorExpression extends BinaryExpression {
+  protected def kernelMethod: String // static method name on VectorKernel
+  protected def kernel(a: ArrayData, b: ArrayData): java.lang.Double
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<DOUBLE> inputs, got ${left.dataType} and ${right.dataType}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val d = kernel(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    if (d == null) null else d.doubleValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val boxed = ctx.freshName("vres")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |java.lang.Double $boxed = graft.functions.VectorKernel.$kernelMethod($a, $b);
+         |if ($boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = $boxed.doubleValue(); }
+       """.stripMargin)
+  }
+}
+
+/** `dot_d(a, b)` — fused in-order dot product. */
+case class DotD(left: Expression, right: Expression) extends FusedVectorExpression {
+  override def prettyName: String = "dot_d"
+  override protected def kernelMethod: String = "dot"
+  override protected def kernel(a: ArrayData, b: ArrayData): java.lang.Double =
+    VectorKernel.dot(a, b)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotD =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `l2_sq(a, b)` — fused in-order squared-L2 distance. */
+case class L2Sq(left: Expression, right: Expression) extends FusedVectorExpression {
+  override def prettyName: String = "l2_sq"
+  override protected def kernelMethod: String = "l2sq"
+  override protected def kernel(a: ArrayData, b: ArrayData): java.lang.Double =
+    VectorKernel.l2sq(a, b)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2Sq =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `cosine_sim(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) -> DOUBLE`: fused

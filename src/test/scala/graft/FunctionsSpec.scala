@@ -117,6 +117,39 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.collect().forall(_.getInt(0) > 0))
   }
 
+  test("dot_d / l2_sq: bit-identical to their aggregate(zip_with) folds, null contract") {
+    val s = spark; import s.implicits._
+    val vecs = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(1e-300, 1e300, -1.0), Seq(1e300, 1e-300, 1.0)),
+      (Seq(1e16, 1.0, -1e16), Seq(1.0, 1.0, 1.0)),
+      (Seq(-0.5, 0.25, 0.125), Seq(0.125, -0.25, 0.5)))
+    val df = vecs.toDF("a", "b")
+    val fused = df.selectExpr("dot_d(a, b) AS d", "l2_sq(a, b) AS l").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    val folds = df.selectExpr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x) AS d",
+      "aggregate(zip_with(a, b, (p, x) -> (p - x) * (p - x)), cast(0 as double), (s, x) -> s + x) AS l")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    fused.zip(folds).zipWithIndex.foreach { case (((fd, fl), (gd, gl)), i) =>
+      assert(java.lang.Double.doubleToRawLongBits(fd) == java.lang.Double.doubleToRawLongBits(gd),
+        s"dot pair $i: $fd != $gd")
+      assert(java.lang.Double.doubleToRawLongBits(fl) == java.lang.Double.doubleToRawLongBits(gl),
+        s"l2 pair $i: $fl != $gl")
+    }
+    // length-mismatch / null-element poisoning
+    val edge = spark.sql(
+      "SELECT dot_d(array(1.0d, 2.0d), array(1.0d)) AS a, " +
+        "l2_sq(array(1.0d), array(1.0d, 2.0d)) AS b, " +
+        "dot_d(array(1.0d, cast(null as double)), array(1.0d, 2.0d)) AS c").head()
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2))
+    // NOTE the l2 fold order in the lambda is (p - x): codebook/centroid
+    // element first, data element second — the kernel subtracts a - b in
+    // argument order, so callers pass (centroid, vector) exactly as the
+    // lambdas did. (x-y)^2 == (y-x)^2 makes the VALUE symmetric anyway;
+    // the pin is about the accumulation order.
+  }
+
   test("cosine_sim: bit-identical to the aggregate(zip_with) folds, null/NaN contract, codegen") {
     val s = spark; import s.implicits._
     // adversarial doubles: denormal-ish, huge, negative, non-associative
