@@ -2119,6 +2119,21 @@ object SparkEntry {
         .toDF("src", "dst")
       TrainingOps.backfillLayers(nodes, tree.unionByName(extra))
     }),
+    // manifest diff between two synthesized snapshots: %7 removes, %11
+    // adds, %5 rewrites (byte change) — added/removed/rewritten/
+    // unchanged as data over one metadata-plane full-outer join
+    "p19_manifest_diff" -> ((s, dir) => {
+      val ids = docs(s, dir)
+        .select(pmod(col("doc_id"), lit(60L)).as("id")).distinct()
+      val prev = ids.filter(col("id") % 7 =!= 3)
+        .select(concat(lit("f"), col("id")).as("path"),
+          (lit(1000L) + col("id") * 7).as("bytes"))
+      val cur = ids.filter(col("id") % 11 =!= 4)
+        .select(concat(lit("f"), col("id")).as("path"),
+          (lit(1000L) + col("id") * 7 +
+            when(col("id") % 5 === 0, 64L).otherwise(0L)).as("bytes"))
+      TrainingOps.manifestDiff(prev, cur)
+    }),
     // partition-evolution rewrite plan over a synthesized manifest:
     // per-file (min_ts, max_ts) spans against a daily grain — move vs
     // rewrite workload per target day, invalid/overspan as data
@@ -5700,6 +5715,17 @@ object SparkEntry {
           "ELSE length(bin(i)) END AS layer, " +
           "CASE WHEN i IN (37, 38, 39) THEN 'blocked' ELSE 'ready' END AS status " +
           "FROM t"),
+      // p19 oracle: same two synthesized manifests, full-outer join on
+      // path, the same CASE ladder; NULL sides preserved (absent != 0)
+      "p19_manifest_diff" ->
+        ("WITH ids AS (SELECT DISTINCT doc_id % 60 AS id FROM documents), " +
+          "p AS (SELECT 'f' || id AS path, CAST(1000 + id * 7 AS BIGINT) AS bytes_prev FROM ids WHERE id % 7 <> 3), " +
+          "c AS (SELECT 'f' || id AS path, CAST(1000 + id * 7 + CASE WHEN id % 5 = 0 THEN 64 ELSE 0 END AS BIGINT) AS bytes_cur FROM ids WHERE id % 11 <> 4) " +
+          "SELECT coalesce(p.path, c.path) AS path, bytes_prev, bytes_cur, " +
+          "CASE WHEN bytes_prev IS NULL THEN 'added' WHEN bytes_cur IS NULL THEN 'removed' " +
+          "WHEN bytes_prev <> bytes_cur THEN 'rewritten' ELSE 'unchanged' END AS status, " +
+          "CAST(coalesce(bytes_cur, 0) - coalesce(bytes_prev, 0) AS BIGINT) AS delta_bytes " +
+          "FROM p FULL OUTER JOIN c ON p.path = c.path"),
       // p17 oracle: same manifest synthesis (invalid %23 wins over
       // overspan %29 by CASE order), floor-div day bins, the m/r/i/o
       // family ladder, generate_series fan-out for ok files, NULL-part

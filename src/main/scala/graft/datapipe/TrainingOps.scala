@@ -3805,6 +3805,36 @@ object TrainingOps extends Serializable {
     res
   }
 
+  /** Manifest diff between two table snapshots — the audit every
+    * incremental consumer and compaction scheduler reads first (what
+    * Iceberg surfaces as snapshot summary + changed-files metadata, as
+    * an inspectable table): per file path, whether the file was `added`
+    * (current only), `removed` (previous only), `rewritten` (present in
+    * both with different bytes — compaction, upsert, schema rewrite) or
+    * `unchanged`, with both byte sizes and the signed delta. The
+    * downstream rollup (net growth, churn rate per source) is one
+    * groupBy away; the row-level table is the primitive.
+    *
+    * Scale shape: METADATA-PLANE — rows are manifest entries, never
+    * data. ONE full-outer join on the path key (hash-partitioned;
+    * manifests of a 10^12-doc table are ~10^7 rows, trivially
+    * shuffleable) and pure per-row CASE arithmetic after it. NULL byte
+    * columns mean absent-on-that-side, preserved as data (not zeroed —
+    * a zero-byte file and an absent file are different facts).
+    */
+  def manifestDiff(prev: DataFrame, cur: DataFrame): DataFrame = {
+    val p = prev.select(col("path"), col("bytes").cast("long").as("bytes_prev"))
+    val c = cur.select(col("path"), col("bytes").cast("long").as("bytes_cur"))
+    p.join(c, Seq("path"), "full_outer")
+      .withColumn("status",
+        when(col("bytes_prev").isNull, lit("added"))
+          .when(col("bytes_cur").isNull, lit("removed"))
+          .when(col("bytes_prev") =!= col("bytes_cur"), lit("rewritten"))
+          .otherwise(lit("unchanged")))
+      .withColumn("delta_bytes",
+        coalesce(col("bytes_cur"), lit(0L)) - coalesce(col("bytes_prev"), lit(0L)))
+  }
+
   /** Partition-evolution rewrite planning — the PLAN step of changing a
     * table's partition spec (what Iceberg's partition evolution +
     * rewriteDataFiles decide file-by-file, as an inspectable table): a

@@ -4741,6 +4741,22 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     got.zip(expect).foreach { case (g, e) => assert(g == e, s"rank ${e._1}: $g != $e") }
   }
 
+  test("manifest diff: status ladder, absent-vs-zero-byte distinction, signed deltas") {
+    val s = spark; import s.implicits._
+    val prev = Seq(("a", 100L), ("b", 200L), ("c", 0L)).toDF("path", "bytes")
+    val cur = Seq(("a", 100L), ("b", 260L), ("d", 50L)).toDF("path", "bytes")
+    val out = TrainingOps.manifestDiff(prev, cur).collect()
+      .map(r => r.getString(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), r.getString(3), r.getLong(4)))).toMap
+    assert(out("a") == ((Some(100L), Some(100L), "unchanged", 0L)))
+    assert(out("b") == ((Some(200L), Some(260L), "rewritten", 60L)))
+    // a ZERO-byte file that disappears is removed with bytes_prev = 0 —
+    // NOT confused with an absent side (NULL)
+    assert(out("c") == ((Some(0L), None, "removed", 0L)))
+    assert(out("d") == ((None, Some(50L), "added", 50L)))
+    assert(out.size == 4)
+  }
+
   test("vocab coverage: histogram-class cut equals hand-derived ranked cumsum") {
     val s = spark; import s.implicits._
     // counts: a=10, b=5, c=5, d=1 -> total 21

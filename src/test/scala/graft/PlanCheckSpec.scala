@@ -212,6 +212,25 @@ class PlanCheckSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cartesians(q3).isEmpty)
     val q18 = planOf("q18_large_orders")
     assert(cartesians(q18).isEmpty)
+    // pushdown: every q3 scan gets its filter INTO the parquet reader
+    // (the cast-to-timestamp on the NTZ column folds away) and reads
+    // only the referenced columns — at 100 TB this is partition/row-
+    // group pruning vs a full fact-table scan
+    val scans = q3.collect { case f: FileSourceScanExec => f }
+    assert(scans.length == 3, s"q3: expected 3 parquet scans:\n$q3")
+    val byTable = scans.map(f => f.metadata("Location") -> f).toMap
+    def scanOf(name: String) = byTable.collectFirst {
+      case (loc, f) if loc.contains(name) => f
+    }.getOrElse(fail(s"q3: no $name scan"))
+    assert(scanOf("lineitem").metadata("PushedFilters").contains("GreaterThan(l_shipdate"),
+      "l_shipdate filter not pushed")
+    assert(scanOf("orders").metadata("PushedFilters").contains("LessThan(o_orderdate"),
+      "o_orderdate filter not pushed")
+    assert(scanOf("customer").metadata("PushedFilters").contains("EqualTo(c_mktsegment,BUILDING)"),
+      "segment filter not pushed")
+    assert(!scanOf("lineitem").requiredSchema.fieldNames.contains("l_comment") &&
+      scanOf("lineitem").requiredSchema.fieldNames.length <= 4,
+      s"lineitem scan reads ${scanOf("lineitem").requiredSchema.fieldNames.mkString(",")}")
   }
 
   test("t22 bounded postings use the object-hash TypedImperativeAggregate path") {
