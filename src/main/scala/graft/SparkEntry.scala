@@ -880,6 +880,9 @@ object SparkEntry {
     // Johnson-Lindenstrauss random projection (Rademacher sign planes):
     // the 4th ANN leg — map-only, planes inlined, long-format output
     "d19_rp_project" -> ((s, dir) => TrainingOps.rpProject(embs(s, dir))),
+    // SQ8 scalar quantization: per-dim global ranges inlined, map-only
+    // byte encode + signed reconstruction residual, long format
+    "d39_sq8_encode" -> ((s, dir) => TrainingOps.sq8Encode(embs(s, dir))),
     // ADC search over the PQ code table: probes broadcast, distance =
     // per-subspace codebook-centroid lookup + fold (codes read, never
     // raw candidate floats)
@@ -4340,6 +4343,19 @@ object SparkEntry {
           "coalesce(pd.n_dup, 0) AS n_dup, " +
           "CASE WHEN len(b.w) >= 8 THEN (1000000 * coalesce(pd.n_dup, 0)) // (len(b.w) - 7) ELSE CAST(0 AS BIGINT) END AS dup_ppm " +
           "FROM b LEFT JOIN pd USING (doc_id)"),
+      // SQ8 oracle: same per-dim min/max, same mirrored float steps
+      // (255*(x-mn)/(mx-mn) rounded half-away — args nonnegative, so it
+      // equals Spark's HALF_UP), same residual op order, round(,6)
+      "d39_sq8_encode" ->
+        ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+          "s AS (SELECT vec_id, unnest(list_transform(range(len(v)), i -> {'i': i, 'x': v[i+1]})) AS u FROM e), " +
+          "x AS (SELECT vec_id, CAST(u.i AS INT) AS dim_idx, u.x AS x FROM s), " +
+          "st AS (SELECT dim_idx, min(x) AS mn, max(x) AS mx FROM x GROUP BY 1), " +
+          "c AS (SELECT x.vec_id, x.dim_idx, x.x, st.mn, st.mx, " +
+          "CASE WHEN st.mx > st.mn THEN CAST(round(255.0 * (x.x - st.mn) / (st.mx - st.mn)) AS INT) " +
+          "ELSE 0 END AS code FROM x JOIN st USING (dim_idx)) " +
+          "SELECT vec_id, dim_idx, code, " +
+          "round(x - (mn + code * (mx - mn) / 255.0), 6) + 0.0 AS err FROM c"),
       // JL random-projection oracle: identical md5 sign planes (the h01
       // convention), identical left-fold dot, round(,6), long format
       "d19_rp_project" ->

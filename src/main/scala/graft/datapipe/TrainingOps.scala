@@ -1157,6 +1157,47 @@ object TrainingOps extends Serializable {
     * round(,6)), zero shuffle; output is long-format (vec_id, dim_idx,
     * val) — array-free, so the driver compare is engine-neutral.
     */
+  /** SQ8 scalar quantization — the third leg of the vector-compression
+    * family next to PQ (d16: subspace codebooks) and JL projection
+    * (d19: dimensionality): per-DIMENSION global [min, max] ranges, each
+    * coordinate encoded as one byte code = round(255*(x-mn)/(mx-mn)),
+    * with the signed per-coordinate reconstruction residual alongside —
+    * the audit that tells an index operator whether 8 bits suffice
+    * before re-encoding a trillion vectors. A constant dimension
+    * (mx == mn) encodes 0 with zero residual (pinned).
+    *
+    * Scale shape: the range table is ONE map-side-combined per-dim
+    * min/max aggregate (dim-cardinality rows) collected and inlined as
+    * literal arrays (the broadcast pattern); encoding is then MAP-ONLY.
+    * All float steps are mirrored operation-for-operation in the oracle
+    * (IEEE correctly-rounded ops, positive rounding args so HALF_UP ==
+    * half-away), residuals round(,6). Long-format output — array-free,
+    * engine-neutral for the driver compare.
+    */
+  def sq8Encode(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val long = e.select(col("vec_id"),
+      posexplode(col("v")).as(Seq("dim_idx", "x")))
+    val stats = long.groupBy("dim_idx")
+      .agg(min("x").as("mn"), max("x").as("mx"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val mins = stats.map(_._2).toSeq
+    val maxs = stats.map(_._3).toSeq
+    long
+      .withColumn("mn", element_at(typedLit(mins), col("dim_idx") + 1))
+      .withColumn("mx", element_at(typedLit(maxs), col("dim_idx") + 1))
+      .withColumn("code",
+        when(col("mx") > col("mn"),
+          expr("cast(round(255.0 * (x - mn) / (mx - mn)) as int)"))
+          .otherwise(lit(0)))
+      .select(col("vec_id"), col("dim_idx"), col("code"),
+        // + 0.0 collapses IEEE -0.0 to +0.0 (a residual that rounds to
+        // zero keeps its sign otherwise, and the engines disagree on it)
+        (round(expr("x - (mn + code * (mx - mn) / 255.0)"), 6) + lit(0.0)).as("err"))
+  }
+
   def rpProject(emb: DataFrame, outDim: Int = 16,
                 dimOpt: Option[Int] = None): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)

@@ -4741,6 +4741,33 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     got.zip(expect).foreach { case (g, e) => assert(g == e, s"rank ${e._1}: $g != $e") }
   }
 
+  test("sq8: exact codes on a known grid, constant dims zero, residual within half a step") {
+    val s = spark; import s.implicits._
+    val emb = Seq(
+      (1L, Seq(0.0f, 5.0f, -1.0f), 0),
+      (2L, Seq(1.0f, 5.0f, 1.0f), 0),
+      (3L, Seq(2.0f, 5.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val out = TrainingOps.sq8Encode(emb).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getInt(2), r.getDouble(3)))).toMap
+    // dim 0 range [0,2]: 0 -> 0, 1 -> round(127.5) = 128 (HALF_UP), 2 -> 255
+    assert(out((1L, 0))._1 == 0 && out((2L, 0))._1 == 128 && out((3L, 0))._1 == 255)
+    // dim 1 constant: code 0, residual exactly +0.0
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(out((id, 1)) == ((0, 0.0)), s"constant dim for vec $id")
+      assert(java.lang.Double.doubleToRawLongBits(out((id, 1))._2) == 0L,
+        "constant-dim residual must be +0.0, not -0.0")
+    }
+    // dim 2 range [-1,1]: -1 -> 0, 0 -> 128, 1 -> 255
+    assert(out((1L, 2))._1 == 0 && out((3L, 2))._1 == 128 && out((2L, 2))._1 == 255)
+    // every residual within half a quantization step (+ round-6 slack)
+    val steps = Map(0 -> 2.0 / 255, 1 -> 0.0, 2 -> 2.0 / 255)
+    out.foreach { case ((id, d), (_, err)) =>
+      assert(math.abs(err) <= steps(d) / 2 + 1e-6, s"vec $id dim $d err $err")
+    }
+    // exact endpoints reconstruct exactly
+    assert(out((1L, 0))._2 == 0.0 && out((3L, 0))._2 == 0.0)
+  }
+
   test("manifest diff: status ladder, absent-vs-zero-byte distinction, signed deltas") {
     val s = spark; import s.implicits._
     val prev = Seq(("a", 100L), ("b", 200L), ("c", 0L)).toDF("path", "bytes")

@@ -90,7 +90,8 @@ class PlanCheckSpec extends AnyFunSuite with BeforeAndAfterAll {
       "e37_sitemap_entries",  // PlanCheck #60
       "d16_pq_codes",         // PlanCheck #34 (codebooks inlined)
       "t26_split",            // group-hash gate — no window, no shuffle
-      "t48_overlap_chunks")   // bounded explode — no window, no shuffle
+      "t48_overlap_chunks",   // bounded explode — no window, no shuffle
+      "d39_sq8_encode")       // ranges inlined — encode pass is map-only
     for (name <- mapOnly) {
       val p = planOf(name)
       assert(shuffles(p).isEmpty, s"$name: map-only query grew a shuffle:\n$p")
