@@ -55,7 +55,12 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "t31_token_shards", "t56_bm25_topk", "e20_sessionize", "e23_host_rank",
     "e29_politeness_schedule", "e44_hits", "e48_components",
     "e65_host_scorecard", "e67_host_wilson", "q1_pricing_summary",
-    "q3_shipping_priority", "p12_rendezvous_shards", "p16_epoch_order")
+    "q3_shipping_priority", "p12_rendezvous_shards", "p16_epoch_order",
+    // the north rule itself: BYTE-identical extracted text per url must
+    // not depend on how the pages happened to be partitioned — the
+    // kernel spine, the link scan, and the composed release pipeline
+    "e1_extract_html", "e2_extract_pdf", "e22_outlinks",
+    "d39_sq8_encode", "p8_corpus_release")
 
   test("risky queries are bit-identical across shuffle-partition settings (4 vs 7)") {
     risky.foreach { name =>
