@@ -1051,6 +1051,9 @@ object SparkEntry {
     // offsets + bounded per-bucket windows) — never an unpartitioned
     // Window.orderBy over the corpus
     "t31_token_shards" -> ((s, dir) => TrainingOps.tokenShards(docs(s, dir))),
+    // per-shard release receipts over t31's shards: doc/token counts,
+    // id range, and an order/partitioning-independent bit_xor checksum
+    "t59_shard_manifest" -> ((s, dir) => TrainingOps.shardManifest(docs(s, dir))),
     // daily-ingest incremental dedup over the dup-augmented corpus:
     // increment = doc_id % 10 >= 8, corpus = the rest
     "d13_incremental_dedup" -> ((s, dir) => {
@@ -6146,6 +6149,19 @@ object SparkEntry {
           "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
           "AS token_start FROM f) " +
           "SELECT doc_id, n_tokens, token_start, token_start // 4096 AS shard FROM o"),
+      // t59 oracle: t31's window cumsum + one shard rollup; checksum =
+      // bit_xor of the shared h60 convention over 'sm:'||doc_id
+      "t59_shard_manifest" ->
+        (s"WITH f AS (SELECT doc_id, CAST(len($w) AS BIGINT) AS n_tokens " +
+          "FROM documents WHERE length(text) >= 1), " +
+          "o AS (SELECT doc_id, n_tokens, CAST(coalesce(sum(n_tokens) OVER " +
+          "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
+          "AS token_start FROM f), " +
+          "sh AS (SELECT doc_id, n_tokens, token_start // 4096 AS shard FROM o) " +
+          "SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens, " +
+          "min(doc_id) AS first_doc, max(doc_id) AS last_doc, " +
+          "bit_xor(('0x' || substr(md5('sm:' || doc_id), 1, 15))::BIGINT) AS checksum " +
+          "FROM sh GROUP BY shard"),
       // incremental dedup over the dup-augmented corpus: increment rows
       // flagged as already-in-corpus / first-in-batch / keep — mirrors
       // incrementalDedup(dupAug % 10 >= 8, dupAug % 10 < 8); the bloom

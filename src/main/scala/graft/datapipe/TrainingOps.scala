@@ -2888,6 +2888,31 @@ object TrainingOps extends Serializable {
       .withColumn("shard", expr(s"token_start div $budget"))
   }
 
+  /** Per-shard manifest receipts — the reproducibility artifact written
+    * beside every released training shard (doc count, token total, id
+    * range, content checksum): a consumer re-deriving the shard from
+    * the source corpus must land on the SAME receipt, or the release is
+    * not the corpus it claims to be. The checksum is a bit_xor of
+    * per-doc 60-bit hashes — commutative and overflow-free, so it is
+    * independent of partitioning AND of row order within the shard
+    * (exactly the properties a distributed re-derivation needs; a sum
+    * would overflow Long at corpus scale under ANSI mode, a
+    * concatenation hash would impose an ordering).
+    *
+    * Scale shape: [[tokenShards]]' two-phase prefix sum (its one
+    * numBuckets-row driver action), then ONE map-side-combined rollup
+    * on the shard key.
+    */
+  def shardManifest(docs: DataFrame, budget: Long = 4096L): DataFrame =
+    tokenShards(docs, budget)
+      .withColumn("hh", h60(concat(lit("sm:"), col("doc_id").cast("string"))))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"),
+        expr("bit_xor(hh)").as("checksum"))
+
   /** Unigram-LM familiarity scoring — the shape of the CCNet/KenLM
     * perplexity filter: score each document by how typical its tokens
     * are of the corpus. Phase 1 builds the corpus unigram table (one

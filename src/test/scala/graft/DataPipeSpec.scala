@@ -4741,6 +4741,34 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     got.zip(expect).foreach { case (g, e) => assert(g == e, s"rank ${e._1}: $g != $e") }
   }
 
+  test("shard manifest: exact receipts, checksum invariant to partitioning and row order") {
+    val s = spark; import s.implicits._
+    // 6 docs x 2048 tokens at budget 4096 => shards of exactly 2 docs
+    val d = (1L to 6L).map(i => (i, Seq.fill(2048)("x").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TrainingOps.shardManifest(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(out.keySet == Set(0L, 1L, 2L))
+    Seq(0L, 1L, 2L).foreach { sh =>
+      val (n, t, lo, hi, _) = out(sh)
+      assert((n, t, lo, hi) == ((2L, 4096L, sh * 2 + 1, sh * 2 + 2)), s"shard $sh")
+    }
+    // checksum: xor of the two member hashes, order/partitioning-free
+    def h(x: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"sm:$x".getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    Seq(0L, 1L, 2L).foreach { sh =>
+      assert(out(sh)._5 == (h(sh * 2 + 1) ^ h(sh * 2 + 2)), s"shard $sh checksum")
+    }
+    val re = TrainingOps.shardManifest(d.repartition(5).sortWithinPartitions(col("doc_id").desc))
+      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(re == out.view.mapValues(_._5).toMap,
+      "checksums must survive repartition + reorder")
+  }
+
   test("sq8: exact codes on a known grid, constant dims zero, residual within half a step") {
     val s = spark; import s.implicits._
     val emb = Seq(
