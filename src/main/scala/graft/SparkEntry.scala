@@ -836,13 +836,19 @@ object SparkEntry {
     "d27_edit_verify" -> ((s, dir) => TrainingOps.editVerify(docs(s, dir), maxDist = 5)),
     "d5_ann_cosine_topk" -> ((s, dir) => TrainingOps.annCosineTopK(embs(s, dir))),
     // mutual-kNN edges among the d5 seed subset: broadcast all-pairs
-    // among seeds only, round-6 cosine ranks, reciprocity filter
-    "d37_mutual_knn" -> ((s, dir) => TrainingOps.mutualKnnSeeds(embs(s, dir))),
+    // among seeds only, round-6 cosine ranks, reciprocity filter. The
+    // % 50 sampling rule is THIS WIRING's demo choice — the op itself
+    // takes any caller-supplied DF-bounded seeds table (cluster reps)
+    "d37_mutual_knn" -> ((s, dir) => {
+      val e = embs(s, dir)
+      TrainingOps.mutualKnnSeeds(e, e.filter(col("vec_id") % 50 === 0))
+    }),
     // semantic cluster labels: hash-min components over the d37 mutual
     // edge set (the SemDeDup-style cluster step on honest reciprocal
     // edges) — composition of two existing ops, numeric min labels
     "d38_knn_components" -> ((s, dir) => {
-      val edges = TrainingOps.mutualKnnSeeds(embs(s, dir))
+      val e38 = embs(s, dir)
+      val edges = TrainingOps.mutualKnnSeeds(e38, e38.filter(col("vec_id") % 50 === 0))
         .select(col("a").as("src"), col("b").as("dst"))
       graft.datapipe.GraphOps.connectedComponents(edges)
         .select(col("host").as("vec_id"), col("comp"), col("comp_size"))
@@ -2715,8 +2721,9 @@ object SparkEntry {
           s"t AS (SELECT $urlExpr AS url, length(${chunked(60)}) AS chars, " +
           "GREATEST(1, CAST(ceil(len(w)/120.0) AS INT)) AS pages FROM d) " +
           "SELECT url, pages, CAST(chars AS BIGINT) AS chars, " +
-          "CAST(chars // pages AS BIGINT) AS chars_per_page, " +
-          "CASE WHEN chars = 0 THEN 'empty' WHEN chars // pages < 120 THEN 'needs_ocr' " +
+          "CASE WHEN pages IS NULL OR pages <= 0 THEN NULL ELSE CAST(chars // pages AS BIGINT) END AS chars_per_page, " +
+          "CASE WHEN pages IS NULL OR pages <= 0 THEN 'invalid' " +
+          "WHEN chars = 0 THEN 'empty' WHEN chars // pages < 120 THEN 'needs_ocr' " +
           "ELSE 'text_layer' END AS verdict FROM t"),
       "e3_status_taxonomy" ->
         (s"WITH d AS (SELECT doc_id, $kindCase AS kind FROM documents) " +
@@ -2820,12 +2827,14 @@ object SparkEntry {
           "SELECT host, n, ok, wilson_lower, " +
           "CASE WHEN n < 8 THEN 'low_sample' WHEN wilson_lower >= 0.5 THEN 'trusted' " +
           "ELSE 'suspect' END AS verdict FROM w"),
-      // burst oracle: same integer bucketing ((es//600)*600 on positive
-      // epochs) and the left-assoc 1e6*ne*nw//total ratio
+      // burst oracle: same FLOOR bucketing (es minus positive modulus —
+      // convention-independent across engines' // semantics, and the
+      // exact twin of the Spark side's floor formula) and the
+      // 1e6*ne*nw//total ratio (DuckDB auto-widens to HUGEINT)
       "e68_burst_windows" ->
         ("WITH l AS (SELECT 'host' || (user_id % 7) AS host, " +
           "CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events), " +
-          "w AS (SELECT host, es // 600 * 600 AS win_start, CAST(count(*) AS BIGINT) AS n_events FROM l GROUP BY 1, 2), " +
+          "w AS (SELECT host, es - ((es % 600 + 600) % 600) AS win_start, CAST(count(*) AS BIGINT) AS n_events FROM l GROUP BY 1, 2), " +
           "h AS (SELECT host, CAST(sum(n_events) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_windows FROM w GROUP BY 1) " +
           "SELECT w.host, CAST(win_start AS BIGINT) AS win_start, n_events, " +
           "CAST(1000000 * n_events * n_windows // total AS BIGINT) AS ratio_ppm, " +

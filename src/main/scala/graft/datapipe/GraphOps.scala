@@ -1130,17 +1130,29 @@ object GraphOps {
       spikePpm: Long = 3000000L): DataFrame = {
     require(windowSeconds >= 1, "windowSeconds must be positive")
     // cast handles TIMESTAMP_NTZ inputs (the rangeJoin convention): the
-    // session runs UTC, so the cast is an identity relabel
+    // session runs UTC, so the cast is an identity relabel. Window start
+    // is FLOOR division (es - positive-modulus), not truncating `div`:
+    // pre-1970 epochs in (-w, 0) must land in the [-w, 0) window, not
+    // collapse into window 0 — the same trunc-vs-floor convention as
+    // TrainingOps.partitionEvolutionPlan.
     val perWin = log
       .select(col("host"),
-        expr(s"unix_seconds(cast(ts as timestamp)) div $windowSeconds * $windowSeconds")
+        expr("unix_seconds(cast(ts as timestamp))").as("es"))
+      .select(col("host"),
+        expr(s"es - ((es % $windowSeconds + $windowSeconds) % $windowSeconds)")
           .as("win_start"))
       .groupBy("host", "win_start").agg(count(lit(1)).as("n_events"))
     val perHost = perWin.groupBy("host").agg(
       sum(col("n_events")).as("total"), count(lit(1)).as("n_windows"))
+    // ratio in DECIMAL(38,0): 1e6 * n_events * n_windows can pass 2^63
+    // for extreme hosts (e.g. 1e6-event windows x 1e7 observed windows)
+    // and would silently wrap as a Long; decimal holds any physically
+    // possible input (1e6 * 1e15 events * 5.3e6 ten-minute windows per
+    // century ~ 5e27 << 1e38) and div returns the same Long floor.
     perWin.join(broadcast(perHost), "host")
       .select(col("host"), col("win_start"), col("n_events"),
-        expr("1000000L * n_events * n_windows div total").as("ratio_ppm"))
+        expr("cast((cast(1000000 as decimal(38,0)) * n_events * n_windows) div total as bigint)")
+          .as("ratio_ppm"))
       .withColumn("burst", col("ratio_ppm") > spikePpm)
   }
 

@@ -844,18 +844,26 @@ object TrainingOps extends Serializable {
     * in everyone's top-k, but reciprocity demands it return the favor,
     * which a hub cannot do k+1 times).
     *
-    * Seeds are the d5 probe subset (vec_id % 50 == 0 — documented
-    * sample; at scale the seed list is the cluster-representative table,
-    * DF-bounded by construction). All-pairs run among SEEDS ONLY via a
-    * broadcast self-join (|seeds|^2 pairs, never |corpus|^2); scores are
-    * the round-6 cosines of the d5 convention (rounding makes the
-    * Spark fold and any re-ordered sum agree bit-for-bit, so rank and
-    * the mutual test are engine-independent). Edge rows emit once with
-    * a < b plus both directed ranks.
+    * Seeds are CALLER-SUPPLIED (`seeds`: any DF with a `vec_id`
+    * column) — at scale the caller passes a DF-bounded list such as the
+    * cluster-representative table (d24/d28), never a corpus-proportional
+    * sample: the all-pairs term below is |seeds|^2, so a seed rule that
+    * grows with the corpus is a quadratic time bomb (10^12/50 squared =
+    * 4x10^20 pairs). The library refuses to bake a sampling rule in;
+    * the demo wiring's vec_id % 50 sample lives in SparkEntry only.
+    * All-pairs run among SEEDS ONLY via a broadcast self-join
+    * (|seeds|^2 pairs, never |corpus|^2), and the seed membership join
+    * itself broadcasts the seed list (map-only over emb — the corpus
+    * never shuffles); scores are the round-6 cosines of the d5
+    * convention (rounding makes the Spark fold and any re-ordered sum
+    * agree bit-for-bit, so rank and the mutual test are
+    * engine-independent). Edge rows emit once with a < b plus both
+    * directed ranks.
     */
-  def mutualKnnSeeds(emb: DataFrame, k: Int = 3): DataFrame = {
+  def mutualKnnSeeds(emb: DataFrame, seeds: DataFrame, k: Int = 3): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val e = emb.filter(col("vec_id") % 50 === 0)
+    val e = emb
+      .join(broadcast(seeds.select(col("vec_id")).distinct()), Seq("vec_id"))
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
     val q = e.select(col("vec_id").as("q_id"), col("v").as("q"))
     val ranked = e.crossJoin(broadcast(q))
@@ -2861,7 +2869,10 @@ object TrainingOps extends Serializable {
     val width: Long =
       if (bucketWidth > 0) bucketWidth
       else {
-        val maxId = docs.agg(max(col("doc_id"))).collect()(0) match {
+        // cast INSIDE the aggregate: a caller's doc_id may be IntegerType
+        // (the explicit-width path tolerates it via SQL `div`), so read
+        // the scalar as long rather than getLong-ing a boxed Int
+        val maxId = docs.agg(max(col("doc_id")).cast("long")).collect()(0) match {
           case r if r.isNullAt(0) => 0L
           case r => math.max(r.getLong(0), 0L)
         }

@@ -230,19 +230,24 @@ object ExtractPipeline {
     * burns GPU for identical output, routing a scan to the text parser
     * silently emits an empty document.
     *
-    * Ladder (first hit wins): `empty` (zero chars — no text layer at
-    * all), `needs_ocr` (chars div pages < threshold), `text_layer`.
-    * Integer division so the oracle reproduces the boundary exactly.
-    * Pure per-row projection over the results table — map-only, zero
-    * shuffle at any scale.
+    * Ladder (first hit wins): `invalid` (pages NULL or <= 0 — a
+    * malformed row must not fall through a NULL chars_per_page into the
+    * cheap text_layer branch, and would throw under ANSI mode), `empty`
+    * (zero chars — no text layer at all), `needs_ocr` (chars div pages
+    * < threshold), `text_layer`. Integer division so the oracle
+    * reproduces the boundary exactly. Pure per-row projection over the
+    * results table — map-only, zero shuffle at any scale.
     */
   def ocrRouting(results: DataFrame, minCharsPerPage: Long = 120L): DataFrame = {
     require(minCharsPerPage >= 1, "minCharsPerPage must be positive")
+    val badPages = col("pages").isNull || col("pages") <= 0
     results.select(col("url"), col("pages"),
       length(col("text")).cast("long").as("chars"))
-      .withColumn("chars_per_page", expr("chars div pages"))
+      .withColumn("chars_per_page",
+        when(badPages, lit(null)).otherwise(expr("chars div pages")))
       .withColumn("verdict",
-        when(col("chars") === 0, lit("empty"))
+        when(badPages, lit("invalid"))
+          .when(col("chars") === 0, lit("empty"))
           .when(col("chars_per_page") < minCharsPerPage, lit("needs_ocr"))
           .otherwise(lit("text_layer")))
   }

@@ -1521,6 +1521,13 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val shards = byId.map { case (id, _) => want(id)._3 }
     assert(shards.head == 0L)
     assert(shards.zip(shards.tail).forall { case (x, y) => y >= x })
+    // the derived-width path must accept an IntegerType doc_id (the
+    // explicit-width path always did — ADVICE r3 parity fix)
+    val s = spark; import s.implicits._
+    val intDocs = Seq((1, "a b c"), (2, "d e"), (3, "f")).toDF("doc_id", "text")
+    val gi = TrainingOps.tokenShards(intDocs, budget = 4L).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._2)
+    assert(gi.toSeq == Seq((3L, 0L, 0L), (2L, 3L, 0L), (1L, 5L, 1L)), s"got ${gi.toSeq}")
   }
 
   test("embedding-cosine near-dup: bucketed candidates, exact scores, threshold monotone") {
@@ -4832,7 +4839,8 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("knn components: labels agree with a driver-side 4-round hash-min over the mutual edges") {
     val s = spark; import s.implicits._
-    val edges = TrainingOps.mutualKnnSeeds(embs, k = 3).collect()
+    val edges = TrainingOps.mutualKnnSeeds(
+      embs, embs.filter(col("vec_id") % 50 === 0), k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(edges.nonEmpty, "sf0.001 seed graph should have mutual edges")
     val got = SparkEntry.queries("d38_knn_components")(spark, sfDir).collect()
@@ -4879,9 +4887,27 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("u4") == ((1, 600L, 600L, "text_layer")))
   }
 
+  test("mutual knn: caller-supplied seeds table drives membership (cluster-reps path)") {
+    val s = spark; import s.implicits._
+    // the seeds argument is the API: a DF-bounded representative table
+    // (here an arbitrary 3-row list NOT matching any % rule, with a
+    // duplicate + an id absent from the corpus — both must be harmless)
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(0.99f, 0.14f), 0),
+      (3L, Seq(0.7f, 0.7f), 0),
+      (4L, Seq(-1.0f, 0.0f), 0)) // not in seeds: must be ignored
+      .toDF("vec_id", "embedding", "label")
+    val seeds = Seq(1L, 2L, 3L, 2L, 99L).toDF("vec_id")
+    val out = TrainingOps.mutualKnnSeeds(emb, seeds, k = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3), r.getInt(4)))
+    // top-1 of 1 is 2, of 2 is 1 (cos .99), of 3 is 2 -> only (1,2) mutual
+    assert(out.toSeq == Seq((1L, 2L, 1, 1)), s"got ${out.toSeq}")
+  }
+
   test("mutual knn: reciprocity strips hub-induced asymmetric edges") {
     val s = spark; import s.implicits._
-    // seeds are vec_id % 50 == 0; three seeds A(0), B(50), C(100):
+    // demo seeds vec_id % 50 == 0; three seeds A(0), B(50), C(100):
     //   A=(1,0), B=(0.99,0.14), C=(0.7,0.7)
     //   top-1 of A is B, of B is A (cos .99), of C is B (cos .79)
     // => with k=1 the ONLY mutual edge is (A,B); C->B is asymmetric
@@ -4891,12 +4917,13 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
       (100L, Seq(0.7f, 0.7f), 0),
       (7L, Seq(-1.0f, 0.0f), 0)) // non-seed: must be ignored entirely
       .toDF("vec_id", "embedding", "label")
-    val out = TrainingOps.mutualKnnSeeds(emb, k = 1).collect()
+    val demoSeeds = emb.filter(col("vec_id") % 50 === 0)
+    val out = TrainingOps.mutualKnnSeeds(emb, demoSeeds, k = 1).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(3), r.getInt(4)))
     assert(out.toSeq == Seq((0L, 50L, 1, 1)), s"got ${out.toSeq}")
     // k=2: C's list is {B, A}; B's is {A, C}; A's is {B, C} => all three
     // edges are mutual now — reciprocity is about LIST MEMBERSHIP, not rank
-    val out2 = TrainingOps.mutualKnnSeeds(emb, k = 2).collect()
+    val out2 = TrainingOps.mutualKnnSeeds(emb, demoSeeds, k = 2).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out2 == Set((0L, 50L), (0L, 100L), (50L, 100L)))
   }
@@ -4961,6 +4988,37 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
         .toDF("host", "ts")).collect()
       .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(o2.toSeq == Seq((base, 2L), (base + 600, 1L)))
+    // FLOOR convention on pre-1970 epochs: events at -1 s and -600 s both
+    // land in window -600, NOT in a truncation-collapsed window 0; an
+    // event at +1 s stays in window 0 (same fix as partitionEvolutionPlan)
+    val o3 = GraphOps.burstWindows(
+      Seq(("d", ts(-1L)), ("d", ts(-600L)), ("d", ts(1L)))
+        .toDF("host", "ts")).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(o3.toSeq == Seq((-600L, 2L), (0L, 1L)), s"got ${o3.toSeq}")
+  }
+
+  test("burst ratio arithmetic survives counts that would wrap a Long") {
+    val s = spark; import s.implicits._
+    // 1e6 * 5e9 * 4e9 = 2e25 wraps 2^63; the decimal(38,0) path stays exact
+    val r = Seq((5000000000L, 4000000000L, 6000000000L))
+      .toDF("n_events", "n_windows", "total")
+      .select(expr("cast((cast(1000000 as decimal(38,0)) * n_events * n_windows) div total as bigint)"))
+      .head.getLong(0)
+    assert(r == 3333333333333333L, s"got $r")
+  }
+
+  test("ocr routing: pages <= 0 or NULL routes to 'invalid', never the cheap text_layer branch") {
+    val s = spark; import s.implicits._
+    val rows = Seq(("u1", "x" * 500, Some(0)), ("u2", "x" * 500, None),
+      ("u3", "x" * 500, Some(-2)), ("u4", "x" * 500, Some(1)))
+    val out = graft.spark.ExtractPipeline.ocrRouting(rows.toDF("url", "text", "pages"))
+      .collect().map(r => r.getString(0) ->
+        ((if (r.isNullAt(3)) -1L else r.getLong(3), r.getString(4)))).toMap
+    assert(out("u1") == ((-1L, "invalid")))
+    assert(out("u2") == ((-1L, "invalid")))
+    assert(out("u3") == ((-1L, "invalid")))
+    assert(out("u4") == ((500L, "text_layer")))
   }
 
   test("bm25: exact integer formula, rarity and tf monotone, non-matching docs excluded, doc_id tie-break") {

@@ -189,10 +189,26 @@ class PlanCheckSpec extends AnyFunSuite with BeforeAndAfterAll {
     // read the cache twice, not recompute the all-pairs pass), and no
     // unbroadcast cartesian appears anywhere in the outer plan
     val knn = planOf("d37_mutual_knn")
-    assert(knn.collect {
+    val knnCaches = knn.collect {
       case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => i
-    }.length >= 2, s"d37: reciprocity join must read the persisted ranked frame twice:\n$knn")
+    }
+    assert(knnCaches.length >= 2,
+      s"d37: reciprocity join must read the persisted ranked frame twice:\n$knn")
     assert(knn.collect { case c: CartesianProductExec => c }.isEmpty)
+    // the SEED side is the broadcast side, twice: seed membership is a
+    // broadcast hash join (seed list ships to the corpus, the corpus
+    // never shuffles) and the all-pairs pass is a broadcast nested loop
+    // (|seeds| rows ship, not |corpus|) — both live inside the cached
+    // ranked plan
+    val knnInner = knnCaches.head.relation.cachedPlan
+    assert(knnInner.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }.nonEmpty, s"d37: seed-membership join lost its broadcast:\n$knnInner")
+    assert(knnInner.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.nonEmpty, s"d37: all-pairs pass must broadcast the seed side:\n$knnInner")
+    assert(knnInner.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"d37: unbroadcast cartesian inside the ranked plan:\n$knnInner")
     assertWindowsPartitioned("d37_mutual_knn", knn)
   }
 
