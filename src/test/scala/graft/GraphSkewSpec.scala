@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.datapipe.GraphOps
+
+/** Adversarial-skew armor for the host-graph family (e23/e44/e46/e48/
+  * e49/e65) — the graph twin of the dedup family's 10k-clone LSH test
+  * (DataPipeSpec "LSH skew armor"). The link-farm / mega-hub input is
+  * the exact shape these ops exist to survive (their docstrings cite
+  * it); small hand fixtures never exercise it, so this suite drives the
+  * family with:
+  *
+  *   - a STAR: one hub host fed by 100k distinct leaf hosts — the
+  *     organic mega-hub. The hub's name sorts lexicographically FIRST,
+  *     so a name-ordered wedge orientation in [[GraphOps.triangles]]
+  *     would enumerate ~100k^2/2 = 5x10^9 wedge pairs at the hub; the
+  *     degree-ordered (Schank-Wagner) orientation must keep it O(m).
+  *   - a RING: a 60-host bidirectional clique — the canonical link
+  *     farm. Dense closure (cc = 1), full reciprocity, its own
+  *     component.
+  *
+  * Each op must stay wall-bounded AND produce the hand-derivable
+  * values on this graph. Bounds are generous (shared host): the
+  * assertions exist to catch quadratic blow-ups (hours), not jitter.
+  */
+class GraphSkewSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var edges: DataFrame = _
+
+  private val leaves = 100000
+  private val ringN = 60
+  // hub sorts lexicographically BEFORE every leaf ("aaa..." < "leaf...")
+  // — the adversarial case for name-ordered wedge orientation
+  private val hub = "aaahub.example.com"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graph-skew-spec")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val star = spark.range(leaves).select(
+      concat(lit("leaf"), col("id"), lit(".example.com")).as("src"),
+      lit(hub).as("dst"))
+    val ring = spark.range(ringN.toLong * ringN)
+      .select((col("id") % ringN).as("a"), (col("id") / ringN).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(concat(lit("farm"), col("a"), lit(".example.com")).as("src"),
+        concat(lit("farm"), col("b"), lit(".example.com")).as("dst"))
+    edges = star.union(ring).repartition(8).persist()
+    edges.count()
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def timed[T](label: String, bound: Double)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < bound, f"$label took $sec%.1f s (bound $bound%.0f s) — blow-up")
+    r
+  }
+
+  test("e23 hostRank survives the 100k-leaf star and ranks hub first") {
+    val out = timed("hostRank", 120.0) {
+      GraphOps.hostRank(edges, iters = 2).collect()
+    }
+    assert(out.length == leaves + 1 + ringN)
+    val rank = out.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val leafRank = rank("leaf0.example.com")
+    // every leaf is identical by symmetry; the hub collects 100k
+    // contributions and must dominate every other host
+    assert(rank(hub) > 1000L * leafRank, s"hub=${rank(hub)} leaf=$leafRank")
+    assert(rank("leaf99999.example.com") == leafRank)
+    assert(rank("farm0.example.com") == rank(s"farm${ringN - 1}.example.com"),
+      "clique symmetry broken")
+    assert(rank.values.forall(_ >= 0L))
+  }
+
+  test("e44 HITS separates the star's hubs from its authority under skew") {
+    val out = timed("hits", 120.0) {
+      GraphOps.hits(edges, iters = 2).collect()
+    }
+    val byHost = out.map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val (hubHub, hubAuth) = byHost(hub)
+    val (leafHub, leafAuth) = byHost("leaf0.example.com")
+    // leaves point AT the hub: hub is the authority, leaves are hubs
+    assert(hubAuth > leafAuth, s"hub auth $hubAuth <= leaf auth $leafAuth")
+    assert(leafHub > hubHub, s"leaf hub $leafHub <= hub hub $hubHub")
+    // clique symmetry: every farm host scores identically
+    assert(byHost("farm0.example.com") == byHost(s"farm${ringN - 1}.example.com"))
+  }
+
+  test("e46 crawlDepth BFS reaches 100k hosts in one round table") {
+    val s = spark; import s.implicits._
+    val seeds = Seq(hub).toDF("host")
+    val out = timed("crawlDepth", 120.0) {
+      GraphOps.crawlDepth(edges, seeds, maxHops = 2).collect()
+    }
+    val depth = out.map(r => r.getString(0) ->
+      (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(depth(hub) == 0)
+    // star edges point leaf -> hub, so leaves are UNREACHABLE from the
+    // hub (NULL depth, reported not dropped) — the directed contract
+    assert(depth("leaf0.example.com") == -1)
+    assert(depth.count(_._2 == -1) == leaves + ringN)
+    // seeding a leaf reaches the hub at depth 1 and nothing else
+    val out2 = GraphOps.crawlDepth(edges, Seq("leaf7.example.com").toDF("host"),
+      maxHops = 2).collect()
+    val d2 = out2.map(r => r.getString(0) ->
+      (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(d2("leaf7.example.com") == 0 && d2(hub) == 1)
+    assert(d2("leaf8.example.com") == -1)
+  }
+
+  test("e48 components: the star collapses to one 100001-host component, the farm to its own") {
+    val out = timed("connectedComponents", 120.0) {
+      GraphOps.connectedComponents(edges, maxRounds = 4).collect()
+    }
+    val comp = out.map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // hub sorts first -> it is the star component's min-label; every
+    // leaf is 2 undirected hops from it, well inside 4 rounds
+    assert(comp(hub) == ((hub, leaves + 1L)))
+    assert(comp("leaf0.example.com") == ((hub, leaves + 1L)))
+    assert(comp("leaf99999.example.com") == ((hub, leaves + 1L)))
+    assert(comp("farm59.example.com") == (("farm0.example.com", ringN.toLong)))
+  }
+
+  test("e49 triangles: degree-ordered orientation keeps the lexicographically-first mega-hub O(m)") {
+    val out = timed("triangles", 180.0) {
+      GraphOps.triangles(edges).collect()
+    }
+    val byHost = out.map(r => (r.getString(0),
+      (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    // star closes no triangles: hub degree 100k, tri 0, cc 0
+    assert(byHost(hub) == ((leaves.toLong, 0L, 0L)))
+    assert(byHost("leaf0.example.com") == ((1L, 0L, -1L)), "leaf cc must be NULL (degree < 2)")
+    // clique: every farm host closes C(59,2) triangles, cc_ppm = 1e6
+    val triEach = (ringN - 1).toLong * (ringN - 2) / 2
+    assert(byHost("farm0.example.com") == (((ringN - 1).toLong, triEach, 1000000L)))
+    assert(byHost(s"farm${ringN - 1}.example.com") == (((ringN - 1).toLong, triEach, 1000000L)))
+  }
+
+  test("e65 hostScorecard: farm flagged ring_suspect, mega-hub flagged authority") {
+    val out = timed("hostScorecard", 120.0) {
+      GraphOps.hostScorecard(edges).collect()
+    }
+    val verdict = out.map(r => r.getString(0) -> r.getString(5)).toMap
+    // every clique host reciprocates 100% of its outlinks
+    assert(verdict("farm0.example.com") == "ring_suspect")
+    assert((1 until ringN).forall(i => verdict(s"farm$i.example.com") == "ring_suspect"),
+      "whole farm must be flagged")
+    // the hub's rank is ~0.85*total vs mean 1/n — far past the 2x bar
+    assert(verdict(hub) == "authority")
+    assert(verdict("leaf0.example.com") != "ring_suspect")
+  }
+}
