@@ -284,4 +284,78 @@ class PlanCheckSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scan.metadata("PushedFilters").contains("EqualTo(status,ok)"),
       s"status filter not pushed: ${scan.metadata("PushedFilters")}")
   }
+
+  test("iterative family: plan depth stays flat as rounds grow (localCheckpoint truncation)") {
+    // Every round-loop op promises lineage truncation per round; a
+    // regression re-growing the plan per round is invisible at sf0.01
+    // wall clock but fatal at scale (plan explodes, driver OOMs at
+    // analysis). Pin: executed-plan node count at 8 rounds must equal
+    // the count at 2 rounds (+tiny tolerance for post-loop constants).
+    import graft.datapipe.{GraphOps, TrainingOps}
+    val s2 = spark; import s2.implicits._
+    def nodeCount(df: DataFrame): Int =
+      df.queryExecution.executedPlan.collect { case p => p }.length
+    // a 12-host two-chain graph: deep enough that 8 rounds do real work
+    val edges = (0L until 11L).map(i => (s"h$i", s"h${i + 1}"))
+      .toDF("src", "dst")
+    val seeds = Seq("h0").toDF("host")
+    val docsFix = (0L until 12L)
+      .map(i => (i, (0 until 40).map(j => s"w${i / 2} t$j common").mkString(" ")))
+      .toDF("doc_id", "text")
+    val nodesFix = (0L until 12L).map(i => s"h$i").toDF("tbl")
+    val cases: Seq[(String, Int => DataFrame)] = Seq(
+      ("e23 hostRank", n => GraphOps.hostRank(edges, iters = n)),
+      ("e44 hits", n => GraphOps.hits(edges, iters = n)),
+      ("e46 crawlDepth", n => GraphOps.crawlDepth(edges, seeds, maxHops = n)),
+      ("e48 components", n => GraphOps.connectedComponents(edges, maxRounds = n)),
+      ("e34 resolveRedirects", n => GraphOps.resolveRedirects(edges, maxHops = n)),
+      ("p18 backfillLayers", n => TrainingOps.backfillLayers(nodesFix, edges, maxRounds = n)),
+      ("d10 dupClusters", n => TrainingOps.dupClusters(docsFix, maxIters = n)))
+    for ((name, op) <- cases) {
+      val low = nodeCount(op(2))
+      val high = nodeCount(op(8))
+      assert(high <= low + 2,
+        s"$name: plan grew with rounds ($low nodes @2 -> $high @8) — lineage re-grows per round")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("d2/d4 band join: equi-join on capped buckets, never a theta/nested-loop pair blow-up") {
+    // The LSH candidate self-join's scale contract: (a) the join is an
+    // EQUI join on (band, bv) — a regression to a theta-join plans as
+    // BNLJ/cartesian and enumerates |bucket|^2 cross-bucket pairs;
+    // (b) the bucket-size cap filter sits between the count and the
+    // join; (c) the exact-dup pre-pass (groupBy md5(text)) and the
+    // final pair distinct are aggregates, so duplicate swarms collapse
+    // before banding and pair multiplicity never leaves the stage.
+    // deep traversal: the rep pre-pass lives inside the persisted band
+    // table's InMemoryRelation, which plain collect does not enter
+    def deep(p: SparkPlan): Seq[SparkPlan] = p.collect { case n => n }.flatMap {
+      case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        (i: SparkPlan) +: deep(i.relation.cachedPlan)
+      case n => Seq(n)
+    }
+    for (name <- Seq("d2_dedup_minhash_lsh", "d4_dedup_jaccard")) {
+      val p = planOf(name)
+      val all = deep(p)
+      assert(all.collect {
+        case c: CartesianProductExec => c: SparkPlan
+        case b: BroadcastNestedLoopJoinExec => b: SparkPlan
+      }.isEmpty, s"$name: candidate join degenerated to nested-loop/cartesian:\n$p")
+      val aggs = all.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a: SparkPlan
+        case o: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => o: SparkPlan
+        case so: org.apache.spark.sql.execution.aggregate.SortAggregateExec => so: SparkPlan
+      }
+      // rep pre-pass + bucket count + pair distinct, each partial+final
+      assert(aggs.length >= 6,
+        s"$name: expected >= 6 aggregate nodes (pre-pass/cap-count/distinct), got ${aggs.length}:\n$p")
+      val capFilters = all.collect {
+        case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("bn") => f
+      }
+      assert(capFilters.nonEmpty, s"$name: band-bucket cap filter missing:\n$p")
+      assertWindowsPartitioned(name, p)
+    }
+  }
 }
