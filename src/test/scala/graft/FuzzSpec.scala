@@ -1,6 +1,7 @@
 package graft
 
 import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.propBoolean
 import org.scalatest.funsuite.AnyFunSuite
 import graft.core._
 
@@ -167,6 +168,99 @@ class FuzzSpec extends AnyFunSuite {
         .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
         .toLongArray().toSeq
       got == vals.sorted.take(k)
+    })
+  }
+
+  // --- attribute scanners (Links/Directives/Meta/Tables/Outline) ---
+  // The extraction kernel is fuzzed above; these are the ATTRIBUTE
+  // scanners (the one family that materializes attr values), which the
+  // r3 imagesOf bug (phantom `</img>` images) showed need the same
+  // adversarial-soup treatment: totality + determinism, no phantom
+  // emission (every emitted record is witnessed by a literal tag
+  // occurrence), and rawtext discipline (script/style/textarea content
+  // is never markup).
+
+  private val attrFragment: Gen[String] = Gen.oneOf(
+    fragment,
+    Gen.oneOf("<a href='x'>", "<a href=\"/y z\">lnk</a>", "<a href=un>", "<a>",
+      "</a>", "<A HREF='UP'>", "<a href='' rel=nofollow>", "<a href='#f'"),
+    Gen.oneOf("<img src='i.png'>", "<img src=j alt='k'>", "<img alt=only>",
+      "</img>", "<IMG SRC=c/>", "<img", "<imgx src=no>"),
+    Gen.oneOf("<link rel=canonical href='/c'>", "<link rel='alternate' hreflang=de href=/de>",
+      "<meta name=robots content='noindex, nofollow'>", "<meta property='og:title' content='t'>",
+      "<meta http-equiv=refresh content='5;url=/r'>", "<time datetime='2026-01-02'>"),
+    Gen.oneOf("<title>", "</title>", "<h1>", "</h1>", "<h2 id=s>", "</h2>",
+      "<h6>", "</h6>", "<h7>", "<table>", "</table>", "<tr>", "</tr>",
+      "<td>", "</td>", "<th scope=row>", "</th>", "<caption>"),
+    Gen.oneOf("<script>", "</script>", "<script type='application/ld+json'>",
+      "<style>", "</style>", "<textarea>", "</textarea>"))
+
+  private val attrSoup: Gen[String] =
+    Gen.chooseNum(0, 60).flatMap(n => Gen.listOfN(n, attrFragment).map(_.mkString))
+
+  private def countOcc(s: String, sub: String): Int = {
+    var c = 0; var i = s.indexOf(sub)
+    while (i >= 0) { c += 1; i = s.indexOf(sub, i + 1) }
+    c
+  }
+
+  test("attribute scanners: total and deterministic on arbitrary attr soup") {
+    check(Prop.forAll(attrSoup) { s =>
+      val dl = Html.Deadline.unlimited
+      Links.outlinksOf(s, dl) == Links.outlinksOf(s, dl) &&
+        Links.imagesOf(s, dl) == Links.imagesOf(s, dl) &&
+        Directives.scan(s, dl) == Directives.scan(s, dl) &&
+        Meta.scan(s, dl) == Meta.scan(s, dl) &&
+        Tables.extract(s, dl) == Tables.extract(s, dl) &&
+        Outline.extract(s, dl) == Outline.extract(s, dl)
+    })
+  }
+
+  test("attribute scanners: no phantom emission — every record is witnessed by a literal tag") {
+    check(Prop.forAll(attrSoup) { s =>
+      val dl = Html.Deadline.unlimited
+      val lower = s.toLowerCase(java.util.Locale.ROOT)
+      val links = Links.outlinksOf(s, dl)
+      val imgs = Links.imagesOf(s, dl)
+      val d = Directives.scan(s, dl)
+      val m = Meta.scan(s, dl)
+      val cells = Tables.extract(s, dl)
+      val secs = Outline.extract(s, dl)
+      // each emission consumes one real start tag ("<a"/"<img"/... is a
+      // prefix of every such tag, so emitted <= occurrences)
+      (links.length <= countOcc(lower, "<a")) :| "links exceed <a occurrences" &&
+        (imgs.length <= countOcc(lower, "<img")) :| "imgs exceed <img occurrences" &&
+        (links.isEmpty || lower.contains("<a")) :| "phantom link" &&
+        (imgs.isEmpty || lower.contains("<img")) :| "phantom img" &&
+        ((d.canonical == null) || lower.contains("<link")) :| "phantom canonical" &&
+        ((d.robots == null) || lower.contains("<meta")) :| "phantom robots" &&
+        (d.jsonld.isEmpty || lower.contains("<script")) :| "phantom jsonld" &&
+        (m.title.isEmpty || lower.contains("<title")) :| "phantom title" &&
+        (m.h1.isEmpty || lower.contains("<h1")) :| "phantom h1" &&
+        (cells.isEmpty || lower.contains("<table")) :| "cells without <table" &&
+        // a heading-less doc legally emits ONE level-0 preamble section;
+        // any level>0 section must be witnessed by a real heading tag
+        (secs.forall(_.level == 0) || (1 to 6).exists(l => lower.contains(s"<h$l"))) :| "leveled section without heading" &&
+        (secs.count(_.level == 0) <= 1) :| "multiple preambles"
+    })
+  }
+
+  test("attribute scanners: rawtext discipline — script/style/textarea content is never markup") {
+    check(Prop.forAll(attrSoup, Gen.oneOf("script", "style", "textarea")) { (s, tag) =>
+      // arbitrary soup sealed inside ONE rawtext element (its own closer
+      // stripped so the element really spans the whole document)
+      val inner = s.replaceAll("(?i)</" + tag, "")
+      val doc = s"<$tag>$inner</$tag>"
+      val dl = Html.Deadline.unlimited
+      val d = Directives.scan(doc, dl)
+      val m = Meta.scan(doc, dl)
+      Links.outlinksOf(doc, dl).isEmpty :| "link from rawtext" &&
+        Links.imagesOf(doc, dl).isEmpty :| "img from rawtext" &&
+        Tables.extract(doc, dl).isEmpty :| "cell from rawtext" &&
+        Outline.extract(doc, dl).isEmpty :| "section from rawtext" &&
+        (m.title.isEmpty && m.h1.isEmpty) :| "meta from rawtext" &&
+        (d.canonical == null && d.robots == null && d.refresh == null &&
+          d.alternates.isEmpty && d.og.isEmpty) :| "directive from rawtext"
     })
   }
 }
