@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.datapipe.{RelationalOps, TrainingOps}
 import graft.gen.PagesGen
 import graft.spark._
+import graft.spark.Caches.RegisteredFrame
 
 /** Driver contract — see /root/repo/SURVEY.md par 7 + the builder prompt.
   *
@@ -421,10 +422,10 @@ object SparkEntry {
         col("url"),
         regexp_extract(col("url"), "https?://([^/]+)", 1).as("host"),
         col("text"))
-      .persist()
+      .persist().registered
     val kept = ex.join(
       TrainingOps.qualityRules(ex).filter(col("keep")).select("doc_id"), "doc_id")
-      .persist()
+      .persist().registered
     val surv = kept.join(
       TrainingOps.dedupExact(kept).select(col("keeper").as("doc_id")), "doc_id")
     (ex, surv)
@@ -745,6 +746,17 @@ object SparkEntry {
       val ev = s.read.parquet(s"$dir/events.parquet")
       graft.datapipe.GraphOps.burstWindows(
         ev.select(concat(lit("host"), col("user_id") % 7).as("host"), col("ts")))
+    }),
+    // crawl-budget apportionment over a skewed host sharding (7 hot
+    // hosts carry the doc_id%3==0 third of the corpus, 29 cold hosts
+    // the rest); prime budget so remainders bite, low cap so the hot
+    // hosts cap out and report surplus
+    "e70_crawl_budget" -> ((s, dir) => {
+      val host = when(col("doc_id") % 3 === 0,
+          concat(lit("hot"), col("doc_id") % 7))
+        .otherwise(concat(lit("cold"), col("doc_id") % 29))
+      graft.datapipe.GraphOps.crawlBudget(
+        docs(s, dir).select(host.as("host")), budget = 997L, maxPerHost = 40L)
     }),
     "e38_trap_detection" -> ((s, dir) => {
       val id = col("doc_id")
@@ -1161,16 +1173,16 @@ object SparkEntry {
       val aug = docs(s, dir).select(col("doc_id"), col("lang"),
         when(col("doc_id") % 5 === 4,
           concat(lit("lorem canonical page " * 30), k17))
-          .otherwise(col("text")).as("text")).persist()
+          .otherwise(col("text")).as("text")).persist().registered
       val q = aug.join(TrainingOps.qualityScore(aug)
-        .filter(col("quality") >= 0.4).select("doc_id"), "doc_id").persist()
+        .filter(col("quality") >= 0.4).select("doc_id"), "doc_id").persist().registered
       val d = q.join(TrainingOps.dedupExact(q)
         .select(col("keeper").as("doc_id")), "doc_id")
       val a2 = d.select(col("doc_id"), col("lang"), concat(col("text"),
         lit(" evalmark a"), k23, lit(" b"), k23, lit(" c"), k23,
-        lit(" d"), k23, lit(" e"), k23).as("text")).persist()
+        lit(" d"), k23, lit(" e"), k23).as("text")).persist().registered
       val clean = a2.join(TrainingOps.decontaminate(a2, col("doc_id") % 61 === 7)
-        .filter(!col("contaminated")).select("doc_id"), "doc_id").persist()
+        .filter(!col("contaminated")).select("doc_id"), "doc_id").persist().registered
       val smp = clean.join(TrainingOps.stratifiedSample(clean)
         .select("doc_id"), "doc_id")
       TrainingOps.sequencePack(smp, seqLen = 512)
@@ -1403,7 +1415,7 @@ object SparkEntry {
       // kernel parse + frontier pipeline re-runs per consumer
       val targets = graft.datapipe.GraphOps.crawlFrontier(edges, crawled)
         .select("to_url")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).registered
       graft.datapipe.GraphOps.robotsFilter(targets, syntheticRobotsRules(s, targets))
     }),
     // per-host politeness fetch schedule over the allowed frontier:
@@ -1428,7 +1440,7 @@ object SparkEntry {
       val (edges, crawled) = linkGraphOf(s, dir)
       val frontier = graft.datapipe.GraphOps.crawlFrontier(edges, crawled)
         .filter(col("allowed"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).registered
       val targets = frontier.select("to_url")
       val rb = graft.datapipe.GraphOps
         .robotsFilter(targets, syntheticRobotsRules(s, targets))
@@ -2006,7 +2018,7 @@ object SparkEntry {
         .map(p => (p.url, graft.core.Links.outlinks(p.html)
           .filter(_.href.startsWith("https://")).map(l => (l.href, l.anchor))))
         .toDF("url", "links").dropDuplicates("url")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).registered
       val hostOf = (c: org.apache.spark.sql.Column) =>
         regexp_extract(c, "https://([^/]+)/", 1)
       val hostEdges = links
@@ -2261,7 +2273,7 @@ object SparkEntry {
           (p.url, m.title, hrefs)
         }
         .toDF("url", "title", "hrefs").dropDuplicates("url")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).registered
       val host = regexp_extract(col("url"), "https://([^/]+)/", 1)
       val edges = parsed.select(host.as("src"), explode(col("hrefs")).as("href"))
         .select(col("src"), regexp_extract(col("href"), "https://([^/]+)/", 1).as("dst"))
@@ -2604,6 +2616,16 @@ object SparkEntry {
         .toDF("doc_id", "payload")
       TrainingOps.tfrecordRecords(s, payloads)
     }),
+    // Avro OCF walk (the OTHER training-shard format next to m22):
+    // zigzag-varint framing, BOTH metadata-map count forms, codec
+    // harvest; sync-mismatch flags + continues, size-past-EOF halts
+    "m28_avro_blocks" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = docs(s, dir).select(col("doc_id")).as[Long]
+        .map(id => (id, TrainingOps.syntheticAvroPayload(id)))
+        .toDF("doc_id", "payload")
+      TrainingOps.avroBlocks(s, payloads)
+    }),
     // Ogg page walk (RFC 3533): body = sum of lacing values, packet
     // boundaries encoded IN the values (a 255-run continues, first
     // <255 ends), direct-polynomial CRC verified but never driving
@@ -2840,6 +2862,23 @@ object SparkEntry {
           "CAST(1000000 * n_events * n_windows // total AS BIGINT) AS ratio_ppm, " +
           "(1000000 * n_events * n_windows // total) > 3000000 AS burst " +
           "FROM w JOIN h USING (host)"),
+      // e70 oracle: the same Hamilton apportionment as a window rank —
+      // base floor shares, leftover units to the largest remainders
+      // (ties by host asc), cap truncation last
+      "e70_crawl_budget" ->
+        ("WITH p AS (SELECT CASE WHEN doc_id % 3 = 0 THEN 'hot' || (doc_id % 7) " +
+          "ELSE 'cold' || (doc_id % 29) END AS host FROM documents), " +
+          "w AS (SELECT host, count(*) AS n_pages FROM p GROUP BY 1), " +
+          "t AS (SELECT sum(n_pages) AS total FROM w), " +
+          "b AS (SELECT host, n_pages, (997 * n_pages) // total AS base, " +
+          "(997 * n_pages) % total AS rem FROM w, t), " +
+          "d AS (SELECT 997 - sum(base) AS deficit FROM b), " +
+          "r AS (SELECT host, row_number() OVER (ORDER BY rem DESC, host) AS rk FROM b) " +
+          "SELECT b.host, CAST(n_pages AS BIGINT) AS n_pages, " +
+          "CAST(least(40, base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END) AS BIGINT) AS quota, " +
+          "CAST(CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS INT) AS got_extra, " +
+          "base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END > 40 AS capped " +
+          "FROM b JOIN r USING (host) CROSS JOIN d"),
       // stream interval join oracle: plain interval predicate, inclusive
       // both ends ([ts, ts+within] — Spark's >= / <= condition verbatim)
       "e66_stream_interval_join" ->
@@ -5405,6 +5444,29 @@ object SparkEntry {
           "UNION ALL SELECT doc_id, 'corrupt_len', 0, 0, r1, 1, 1, md5(repeat('a', r1)) FROM c WHERE f = 2 " +
           "UNION ALL SELECT doc_id, 'truncated', 0, 0, r1, 1, 1, md5(repeat('a', r1)) FROM c WHERE f = 3 " +
           "UNION ALL SELECT doc_id, 'truncated', NULL, NULL, NULL, NULL, NULL, NULL FROM c WHERE f = 4)"),
+      // m28 oracle: block geometry from doc_id arithmetic — header is
+      // 58 bytes in the positive-count metadata form ('null' codec) and
+      // 62 in the negative-count form ('deflate'), each block advances
+      // 18+s (two 1-byte varints + payload + 16-byte sync); payload
+      // md5s re-derived in SQL; the sync-flip family pins flag+continue,
+      // the size-past-EOF family pins the halt
+      "m28_avro_blocks" ->
+        ("WITH c AS (SELECT doc_id, doc_id % 5 AS f, " +
+          "CAST(10 + doc_id % 50 AS BIGINT) AS s0, CAST(10 + (doc_id+1) % 50 AS BIGINT) AS s1, " +
+          "CAST(10 + (doc_id+2) % 50 AS BIGINT) AS s2, " +
+          "CAST(1 + doc_id % 7 AS BIGINT) AS o0, CAST(1 + (doc_id+1) % 7 AS BIGINT) AS o1, " +
+          "CAST(1 + (doc_id+2) % 7 AS BIGINT) AS o2 FROM documents) " +
+          "SELECT doc_id, status, codec, CAST(idx AS INT) AS idx, CAST(b_off AS BIGINT) AS b_off, " +
+          "CAST(no AS BIGINT) AS n_objects, CAST(nb AS BIGINT) AS n_bytes, " +
+          "CAST(so AS INT) AS sync_ok, h AS payload_md5 FROM ( " +
+          "SELECT doc_id, 'ok' AS status, 'null' AS codec, 0 AS idx, 58 AS b_off, o0 AS no, s0 AS nb, 1 AS so, md5(repeat('a', s0)) AS h FROM c WHERE f = 0 " +
+          "UNION ALL SELECT doc_id, 'ok', 'null', 1, 76 + s0, o1, s1, 1, md5(repeat('b', s1)) FROM c WHERE f = 0 " +
+          "UNION ALL SELECT doc_id, 'ok', 'deflate', 0, 62, o0, s0, 1, md5(repeat('a', s0)) FROM c WHERE f = 1 " +
+          "UNION ALL SELECT doc_id, 'ok', 'deflate', 1, 80 + s0, o1, s1, 0, md5(repeat('b', s1)) FROM c WHERE f = 1 " +
+          "UNION ALL SELECT doc_id, 'ok', 'deflate', 2, 98 + s0 + s1, o2, s2, 1, md5(repeat('c', s2)) FROM c WHERE f = 1 " +
+          "UNION ALL SELECT doc_id, 'not_avro', NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM c WHERE f = 2 " +
+          "UNION ALL SELECT doc_id, 'truncated', 'null', 0, 58, o0, s0, 1, md5(repeat('a', s0)) FROM c WHERE f = 3 " +
+          "UNION ALL SELECT doc_id, 'truncated', 'null', NULL, NULL, NULL, NULL, NULL, NULL FROM c WHERE f = 4)"),
       // m21 oracle: page geometry arithmetic from doc_id (offsets,
       // lacing sums, packet counts from the 255-run rule); crc_ok is 1
       // except the deliberately-corrupted family — a MATCH pins that

@@ -29,7 +29,10 @@ object Verify {
       // release each query's persisted frames (several ops cache
       // document-sized tables for intra-query branch reuse) — without
       // this the 60+-query session accumulates dead cached corpora in
-      // executor storage (the Bench.sweep convention)
+      // executor storage. Caches.drain() is the library's own lifecycle
+      // contract (every internal persist registers there); clearCache()
+      // stays as the harness belt-and-suspenders for anything else.
+      graft.spark.Caches.drain()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -2,6 +2,7 @@ package graft.datapipe
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.spark.Caches.RegisteredFrame
 
 /** Iterative graph analytics over edge tables — the web-graph curation
   * layer (host-level PageRank is a standard training-corpus quality
@@ -37,9 +38,9 @@ object GraphOps {
     require(iters >= 1, "iters must be >= 1")
     val w = edges.groupBy("src", "dst").agg(count(lit(1)).as("wt"))
     val od = w.groupBy("src").agg(sum("wt").as("outdeg"))
-    val wd = w.join(od, "src").persist()
+    val wd = w.join(od, "src").persist().registered
     val nodes = w.select(col("src").as("host"))
-      .union(w.select(col("dst"))).distinct().persist()
+      .union(w.select(col("dst"))).distinct().persist().registered
     val n = nodes.count()
     if (n == 0) { wd.unpersist(); return nodes.select(col("host"), lit(0L).as("rank")) }
     val base = scale * 15 / 100 / n
@@ -91,9 +92,9 @@ object GraphOps {
   def hits(edges: DataFrame, iters: Int = 3, scale: Long = 1000000000L,
            truncateLineage: Boolean = true): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    val w = edges.groupBy("src", "dst").agg(count(lit(1)).as("wt")).persist()
+    val w = edges.groupBy("src", "dst").agg(count(lit(1)).as("wt")).persist().registered
     val nodes = w.select(col("src").as("host"))
-      .union(w.select(col("dst"))).distinct().persist()
+      .union(w.select(col("dst"))).distinct().persist().registered
     val n = nodes.count()
     if (n == 0) {
       w.unpersist()
@@ -146,7 +147,7 @@ object GraphOps {
     * host-cardinality aggregates (AQE broadcasts the smaller side).
     */
   def anchorProfile(edges: DataFrame): DataFrame = {
-    val e = edges.persist()
+    val e = edges.persist().registered
     val perAnchor = e.groupBy("dst", "anchor").agg(count(lit(1)).as("cnt"))
     val top = perAnchor.groupBy("dst").agg(
       sum("cnt").as("inlinks"),
@@ -351,7 +352,7 @@ object GraphOps {
     // the build action NOW and the audit join later — without the persist
     // whatever pipeline produced it (here: the kernel parse) runs twice
     val cw = crawled.select(col("url"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).registered
     cw
       .select(explode(positions(col("url"))).as("p"))
       .select((col("p") / lit(64)).cast("int").as("wi"),
@@ -392,7 +393,7 @@ object GraphOps {
     * row per crawled page.
     */
   def hostTable(edges: DataFrame, pageHosts: DataFrame): DataFrame = {
-    val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).registered
     val rank = hostRank(e.select("src", "dst"))
     val anchors = anchorProfile(e)
     val pc = pageHosts.groupBy("host").agg(count(lit(1)).as("n_pages"))
@@ -511,7 +512,7 @@ object GraphOps {
   def resolveRedirects(edges: DataFrame, maxHops: Int = 4): DataFrame = {
     require(maxHops >= 1, "maxHops must be >= 1")
     val e = edges.select(col("src"), col("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).registered
     var state = e.select(col("src").as("origin"), col("dst").as("cur"),
       lit(1).as("hops"))
     for (_ <- 2 to maxHops) {
@@ -777,11 +778,11 @@ object GraphOps {
   def crawlDepth(edges: DataFrame, seeds: DataFrame, maxHops: Int = 3,
                  truncateLineage: Boolean = true): DataFrame = {
     require(maxHops >= 1 && maxHops <= 16, "maxHops must be in [1, 16]")
-    val all = edges.select(col("src"), col("dst")).persist()
-    val e = all.filter(col("src") =!= col("dst")).distinct().persist()
+    val all = edges.select(col("src"), col("dst")).persist().registered
+    val e = all.filter(col("src") =!= col("dst")).distinct().persist().registered
     val nodes = all.select(col("src").as("host"))
       .union(all.select(col("dst"))).union(seeds.select(col("host")))
-      .distinct().persist()
+      .distinct().persist().registered
     var dist = seeds.select(col("host")).distinct()
       .withColumn("depth", lit(0))
     for (_ <- 1 to maxHops) {
@@ -836,9 +837,9 @@ object GraphOps {
     require(maxRounds >= 1 && maxRounds <= 16, "maxRounds must be in [1, 16]")
     val raw = edges.select(col("src"), col("dst"))
     val und = raw.union(raw.select(col("dst"), col("src")))
-      .filter(col("src") =!= col("dst")).distinct().persist()
+      .filter(col("src") =!= col("dst")).distinct().persist().registered
     val nodes = raw.select(col("src").as("host"))
-      .union(raw.select(col("dst"))).distinct().persist()
+      .union(raw.select(col("dst"))).distinct().persist().registered
     var lab = nodes.withColumn("comp", col("host"))
     for (_ <- 1 to maxRounds) {
       val next = und.join(lab, und("src") === lab("host"))
@@ -896,11 +897,11 @@ object GraphOps {
     // convention): a self-loop-only host stays in the output with
     // degree 0 rather than silently vanishing
     val nodes = raw.select(col("src").as("host"))
-      .union(raw.select(col("dst"))).distinct().persist()
+      .union(raw.select(col("dst"))).distinct().persist().registered
     val und = raw.union(raw.select(col("dst"), col("src")))
-      .filter(col("src") =!= col("dst")).distinct().persist()
+      .filter(col("src") =!= col("dst")).distinct().persist().registered
     val deg = und.groupBy(col("src").as("host"))
-      .agg(count(lit(1)).as("degree")).persist()
+      .agg(count(lit(1)).as("degree")).persist().registered
     // orient low (degree, host) -> high; carry the dst key for the
     // wedge-pair ordering below
     val keyed = und
@@ -909,7 +910,7 @@ object GraphOps {
     val oriented = keyed.filter(
       (col("sdeg") < col("ddeg")) ||
         (col("sdeg") === col("ddeg") && col("src") < col("dst")))
-      .select(col("src"), col("dst"), col("ddeg")).persist()
+      .select(col("src"), col("dst"), col("ddeg")).persist().registered
     val e1 = oriented.select(col("src").as("apex"), col("dst").as("b"), col("ddeg").as("bdeg"))
     val e2 = oriented.select(col("src").as("apex"), col("dst").as("c"), col("ddeg").as("cdeg"))
     val wedges = e1.join(e2, Seq("apex"))
@@ -957,7 +958,7 @@ object GraphOps {
     */
   def reciprocity(edges: DataFrame): DataFrame = {
     val eg = edges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst")).distinct().persist()
+      .filter(col("src") =!= col("dst")).distinct().persist().registered
     val rec = eg.join(
       eg.select(col("dst").as("src"), col("src").as("dst")), Seq("src", "dst"))
       .groupBy(col("src").as("host")).agg(count(lit(1)).as("n_reciprocal"))
@@ -1154,6 +1155,53 @@ object GraphOps {
         expr("cast((cast(1000000 as decimal(38,0)) * n_events * n_windows) div total as bigint)")
           .as("ratio_ppm"))
       .withColumn("burst", col("ratio_ppm") > spikePpm)
+  }
+
+  /** Global fetch-budget allocation over hosts — the scheduling step
+    * between frontier scoring (e26) and the politeness schedule (e29):
+    * split a crawl round's total `budget` across hosts proportionally
+    * to their page counts, EXACTLY (largest-remainder / Hamilton
+    * method, the apportionment standard): base_i = floor(B*w_i/W),
+    * then the B - sum(base) leftover units go +1 each to the hosts
+    * with the largest remainders (B*w_i) mod W (ties by host asc,
+    * pinned). A per-host cap then truncates (politeness ceiling);
+    * capped hosts report `capped` so the scheduler can roll surplus
+    * into the next round rather than silently under-spending.
+    *
+    * All-integer (oracle-reproducible); products ride DECIMAL(38,0)
+    * (B * w_i overflows a Long at web scale — the e68 rule).
+    *
+    * Scale shape: ONE map-side-combined host rollup; scalars are two
+    * host-cardinality aggregates; the extras list is a global
+    * TakeOrdered top-deficit (per-partition heaps, never a full sort —
+    * deficit < #hosts by construction) joined back on host. Documents
+    * never shuffle.
+    */
+  def crawlBudget(pages: DataFrame, budget: Long = 100000L,
+      maxPerHost: Long = 1000L): DataFrame = {
+    require(budget >= 0, "budget must be nonnegative")
+    require(maxPerHost >= 1, "maxPerHost must be positive")
+    val w = pages.groupBy("host").agg(count(lit(1)).as("n_pages"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).registered
+    val totRow = w.agg(sum(col("n_pages"))).head()
+    if (totRow.isNullAt(0))
+      return w.select(col("host"), col("n_pages"), lit(0L).as("quota"),
+        lit(0).as("got_extra"), lit(false).as("capped"))
+    val total = totRow.getLong(0)
+    val base = w.select(col("host"), col("n_pages"),
+      expr(s"cast((cast($budget as decimal(38,0)) * n_pages) div $total as bigint)").as("base"),
+      expr(s"cast((cast($budget as decimal(38,0)) * n_pages) % $total as bigint)").as("rem"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).registered
+    val deficit = budget - base.agg(sum(col("base"))).head().getLong(0)
+    require(deficit >= 0 && deficit <= Int.MaxValue, s"deficit $deficit out of range")
+    val extras = base.orderBy(col("rem").desc, col("host")).limit(deficit.toInt)
+      .select(col("host"), lit(1).as("extra"))
+    base.join(extras, Seq("host"), "left")
+      .select(col("host"), col("n_pages"),
+        least(lit(maxPerHost),
+          col("base") + coalesce(col("extra"), lit(0))).as("quota"),
+        coalesce(col("extra"), lit(0)).as("got_extra"),
+        (col("base") + coalesce(col("extra"), lit(0)) > maxPerHost).as("capped"))
   }
 
   def crawlFrontier(edges: DataFrame, crawled: DataFrame): DataFrame = {

@@ -3,6 +3,7 @@ package graft.datapipe
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.spark.Caches.RegisteredFrame
 
 /** Training-data pipeline operators over the generic `documents` /
   * `embeddings` tables: the operations a large-scale pretraining-corpus
@@ -199,7 +200,7 @@ object TrainingOps extends Serializable {
     // and without the cache each consumer would re-run the whole
     // shingle+minhash pipeline upstream (measured 1.7x on the r2 bench)
     val banded = bandTable(sets, "doc_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).registered
     val surviving = banded.groupBy("band", "bv")
       .agg(count(lit(1)).as("bn"))
       .filter(col("bn") >= 2 && col("bn") <= maxBandBucket)
@@ -263,7 +264,7 @@ object TrainingOps extends Serializable {
   def minhashCalibration(docs: DataFrame,
       maxBandBucket: Int = MaxBandBucket): DataFrame = {
     val sets = repSets(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).registered
     val (pairs, _) = bandedPairsCached(sets, maxBandBucket)
     val sg = sigTable(sets)
     pairs
@@ -333,7 +334,7 @@ object TrainingOps extends Serializable {
     */
   def bbitMinhash(docs: DataFrame, maxBandBucket: Int = MaxBandBucket): DataFrame = {
     val sets = repSets(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).registered
     val (pairs, _) = bandedPairsCached(sets, maxBandBucket)
     val sg = sigTable(sets)
     pairs
@@ -456,7 +457,7 @@ object TrainingOps extends Serializable {
     val width = 60 / nBlocks
     val sigs = simhash(docs)
       .groupBy(col("simhash")).agg(min(col("doc_id")).as("rep"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).registered
     val blocks = sigs.select(col("rep"), col("simhash"),
         explode(sequence(lit(0), lit(nBlocks - 1))).as("blk"))
       .withColumn("bv",
@@ -495,7 +496,7 @@ object TrainingOps extends Serializable {
     * and want the caches released (see [[bandedPairsCached]]).
     */
   private def jaccardVerifyCached(docs: DataFrame, maxBandBucket: Int): (DataFrame, Seq[DataFrame]) = {
-    val sets = repSets(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = repSets(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).registered
     val (pairs, caches) = bandedPairsCached(sets, maxBandBucket)
     val out = pairs
       .join(sets.select(col("doc_id").as("a"), col("s").as("sa")), "a")
@@ -538,7 +539,7 @@ object TrainingOps extends Serializable {
     require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
     require(minContain > 0.0 && minContain <= 1.0,
       s"minContain must be in (0,1], got $minContain")
-    val sets = repSets(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = repSets(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).registered
     val ex = sets.select(col("doc_id"), explode(col("s")).as("g"))
       .select(col("doc_id"), md5(col("g")).as("hh"))
     val rareKeys = ex.groupBy("hh").agg(count(lit(1)).as("df"))
@@ -587,14 +588,14 @@ object TrainingOps extends Serializable {
       s"minJaccard must be in (0,1], got $minJaccard")
     val keyed = docs.select(col("doc_id"), col("text"), isEval.as("is_eval"))
       .withColumn("th", md5(col("text")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).registered
     val evalSets = keyed.filter(col("is_eval"))
       .groupBy("th").agg(min("doc_id").as("e_id"),
         min_by(col("text"), col("doc_id")).as("text"))
       .select(col("e_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("e_id"), shingles3(col("w")).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).registered
     val trainReps = keyed.filter(!col("is_eval"))
       .groupBy("th").agg(min("doc_id").as("rep"),
         min_by(col("text"), col("doc_id")).as("text"))
@@ -602,7 +603,7 @@ object TrainingOps extends Serializable {
       .select(col("rep"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("rep"), shingles3(col("w")).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).registered
     val cand = bandTable(tSets, "rep")
       .join(broadcast(bandTable(evalSets.select(col("e_id"), col("s")), "e_id")),
         Seq("band", "bv"))
@@ -788,7 +789,7 @@ object TrainingOps extends Serializable {
       .filter(size(col("w")) >= 1)
       .select(col("doc_id"), posexplode(paraChunks(col("w"), paraWords)).as(Seq("idx", "para")))
       .withColumn("ph", md5(col("para")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).registered
     val firsts = chunks.groupBy("ph")
       .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
     // every chunk's ph is in firsts by construction, so the inner join
@@ -872,7 +873,7 @@ object TrainingOps extends Serializable {
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))))
       .filter(col("rank") <= k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).registered
     val fwd = ranked.filter(col("q_id") < col("vec_id"))
       .select(col("q_id").as("a"), col("vec_id").as("b"),
         col("score"), col("rank").as("rank_ab"))
@@ -1050,7 +1051,7 @@ object TrainingOps extends Serializable {
          |        cast(j as double)))), 2) AS INT)""".stripMargin)
     e.withColumn("cents", typedLit(cents))
       .select(col("vec_id"), col("v"), cellExpr.as("cell"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).registered
   }
 
   /** IVF cell-balance audit — the index-HEALTH diagnostic the serving
@@ -1374,7 +1375,7 @@ object TrainingOps extends Serializable {
     val e = emb.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
         .as("q"))
-      .persist()
+      .persist().registered
     val dim = dimOpt.getOrElse {
       val h = e.select(size(col("q"))).head(1)
       if (h.isEmpty) 1 else math.max(1, h(0).getInt(0))
@@ -1523,7 +1524,7 @@ object TrainingOps extends Serializable {
     */
   def annRecall(emb: DataFrame, k: Int = 5, nCells: Int = 16): DataFrame = {
     val truth = annCosineTopK(emb, k).select(col("q_id"), col("vec_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).registered
     val approx = annIvfTopK(emb, k, nCells).select(col("q_id"), col("vec_id"))
     val hits = truth.join(approx, Seq("q_id", "vec_id"))
       .groupBy("q_id").agg(count(lit(1)).as("h"))
@@ -1558,7 +1559,7 @@ object TrainingOps extends Serializable {
     require(tau > -1.0 && tau < 1.0, s"tau must be in (-1,1), got $tau")
     val e = emb.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).registered
     // exact pre-pass (the d2 hardening): crawled corpora carry massive
     // EXACT-duplicate clusters (mirrors, boilerplate) which would all
     // land in one cell and blow the pairwise stage up quadratically.
@@ -1611,7 +1612,7 @@ object TrainingOps extends Serializable {
     import spark.implicits._
     val e = emb.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).registered
     val reps = e.groupBy("v").agg(min("vec_id").as("vec_id"))
       .select(col("vec_id"), col("v"))
     val cells = ivfCellsOf(reps, nCells, dimOpt)
@@ -1650,7 +1651,7 @@ object TrainingOps extends Serializable {
     graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
     val e = emb.select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
     val b = lshBuckets(emb, nPlanes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).registered
     val surviving = b.groupBy("bucket").agg(count(lit(1)).as("bn"))
       .filter(col("bn") >= 2 && col("bn") <= maxBucket)
       .select("bucket")
@@ -2257,7 +2258,7 @@ object TrainingOps extends Serializable {
   def contaminationReport(docs: DataFrame, isEval: Column, n: Int = 5): DataFrame = {
     require(n >= 2, "gram length must be >= 2")
     val evalG = docGrams(docs.filter(isEval), n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).registered
     val evalExploded = evalG
       .select(col("doc_id").as("e_id"), explode(col("g")).as("gh"))
     val matches = docGrams(docs.filter(!isEval), n)
@@ -2483,7 +2484,7 @@ object TrainingOps extends Serializable {
     val tf = docs.filter(length(col("text")) >= 1)
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).registered
     val n = tf.select(countDistinct(col("doc_id"))).head().getLong(0) // one scalar action
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "word")
@@ -2519,28 +2520,38 @@ object TrainingOps extends Serializable {
     * Scale shape: the query terms are a LITERAL ARRAY, so per-doc tf is
     * computed MAP-SIDE (`size(filter(w, _ == term))` per term — the
     * corpus text never shuffles); only (doc_id, term, tf, dl) rows for
-    * tf >= 1 survive. df is a |terms|-row aggregate joined back
-    * BROADCAST; n and AV are one scalar action; the global top-k is
-    * `orderBy.limit(k)` = TakeOrderedAndProject (per-partition k-heaps +
-    * driver merge of partitions*k rows — never a full sort).
+    * tf >= 1 survive, PLUS one sentinel row (term = "") per doc that
+    * carries the doc's existence and length into the same persisted
+    * frame — so the corpus scalars (n, avgdl) ride the hits pass as a
+    * cache-read aggregate instead of forcing a SECOND full corpus scan
+    * (the plan has exactly one FileScan; pinned in PlanCheckSpec). df
+    * is a |terms|-row aggregate joined back BROADCAST; the global
+    * top-k is `orderBy.limit(k)` = TakeOrderedAndProject
+    * (per-partition k-heaps + driver merge — never a full sort).
     */
   def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 10): DataFrame = {
-    require(terms.nonEmpty, "terms must be nonempty")
+    require(terms.nonEmpty && terms.forall(_.nonEmpty),
+      "terms must be nonempty strings")
     require(k >= 1, "k must be >= 1")
     val base = docs.filter(length(col("text")) >= 1)
       .select(col("doc_id"), words(col("text")).as("w"))
       .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
-    val scalars = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot")).head()
-    val n = scalars.getLong(0)
-    val av = math.max(1L, if (n > 0) scalars.getLong(1) / n else 1L)
-    val termStructs = array(terms.map(t =>
+    // "" cannot collide with a query term (required nonempty) or a real
+    // token (words() never emits empty strings)
+    val termStructs = terms.map(t =>
       struct(lit(t).as("term"),
-        size(filter(col("w"), x => x === lit(t))).cast("long").as("tf"))): _*)
-    val hits = base
-      .select(col("doc_id"), col("dl"), explode(termStructs).as("h"))
+        size(filter(col("w"), x => x === lit(t))).cast("long").as("tf"))) :+
+      struct(lit("").as("term"), lit(1L).as("tf"))
+    val ex = base
+      .select(col("doc_id"), col("dl"), explode(array(termStructs: _*)).as("h"))
       .select(col("doc_id"), col("dl"), col("h.term").as("term"), col("h.tf").as("tf"))
       .filter(col("tf") >= 1)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).registered
+    val scalars = ex.filter(col("term") === "")
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("tot")).head()
+    val n = scalars.getLong(0)
+    val av = math.max(1L, if (n > 0) scalars.getLong(1) / n else 1L)
+    val hits = ex.filter(col("term") =!= "")
     val dfT = hits.groupBy("term").agg(count(lit(1)).as("df"))
     // one expr so the arithmetic is visibly ALL integer `div` — a
     // Column `/` here would silently flip to IEEE double division
@@ -3075,7 +3086,7 @@ object TrainingOps extends Serializable {
           i => struct(element_at(col("w"), i + 1).as("l"),
             element_at(col("w"), i + 2).as("r")))).as("p"))
       .select(col("doc_id"), col("p.l").as("l"), col("p.r").as("r"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).registered
     val clr = pairs.groupBy("l", "r").agg(count(lit(1)).as("c_lr"))
     val cl = clr.groupBy("l").agg(sum("c_lr").as("c_l"))
     val model = clr.filter(col("c_lr") >= minCount).join(cl, "l")
@@ -3554,7 +3565,7 @@ object TrainingOps extends Serializable {
         it.map { case (id, h, fb) => (id, h, fb, bf.mightContainString(h)) }
       }
       .toDF("doc_id", "h", "first_in_batch", "bloom_hit")
-      .persist()
+      .persist().registered
     val confirmed = flagged.filter(col("bloom_hit"))
       .join(corpusH.distinct().withColumn("in_c", lit(true)), Seq("h"), "left")
       .select(col("doc_id"), col("first_in_batch"),
@@ -3857,7 +3868,7 @@ object TrainingOps extends Serializable {
       maxRounds: Int = 8): DataFrame = {
     require(maxRounds >= 1, "maxRounds must be >= 1")
     val d = deps.select(col("src"), col("dst")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).registered
     val indeg = d.groupBy("dst").agg(count(lit(1)).as("indeg"))
     var layers = nodes.join(d.select(col("dst").as("tbl")).distinct(),
         Seq("tbl"), "left_anti")
@@ -4199,7 +4210,7 @@ object TrainingOps extends Serializable {
     // corpus-sized shingle+hash pass runs twice (pinned by PlanCheck #41).
     // The table is tiny: ≤ m rows per lang.
     val rg = reg.groupBy("lang", "bucket").agg(max("rho").as("r"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).registered
     val merged = rg.groupBy("bucket").agg(max("r").as("r"))
       .select(lit("*").as("lang"), col("bucket"), col("r"))
     rg.select("lang", "bucket", "r").unionByName(merged)
@@ -4481,7 +4492,7 @@ object TrainingOps extends Serializable {
       .filter(col("word").rlike("^[a-z]+$"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .select(regexp_replace(col("word"), "(.)", "($1)").as("s"), col("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).registered
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var cur = vocab
     var lastCkpt: DataFrame = null
@@ -4568,7 +4579,7 @@ object TrainingOps extends Serializable {
     * shapes are one pass per signal over cached bytes, never a re-parse.
     */
   def corpusDatasheet(docs: DataFrame): DataFrame = {
-    val d = docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val d = docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).registered
     val cs = corpusStats(d).select("n_docs", "n_tokens", "vocab_size")
     val dup = dedupExact(d).agg(
       count(lit(1)).as("n_distinct"), sum("n_copies").as("n_total"))
@@ -6720,6 +6731,207 @@ object TrainingOps extends Serializable {
         "data_crc_ok", "payload_md5")
   }
 
+  /** Zigzag-varint append (Avro long encoding): zigzag fold then 7-bit
+    * little-endian groups with continuation bits.
+    */
+  private def avroZz(bb: scala.collection.mutable.ArrayBuffer[Byte], v: Long): Unit = {
+    var n = (v << 1) ^ (v >> 63)
+    while ((n & ~0x7fL) != 0) { bb += ((n & 0x7f) | 0x80).toByte; n >>>= 7 }
+    bb += n.toByte
+  }
+
+  /** Synthetic Avro Object-Container-File payloads for [[avroBlocks]] —
+    * five families keyed by doc_id % 5 (block i: s = 10+(id+i)%50 data
+    * bytes of chr('a'+i), o = 1+(id+i)%7 declared objects; sync marker
+    * byte j = (id*31+j) & 0xff):
+    *   0: clean 2-block file, codec null, positive-count metadata map;
+    *   1: clean 3-block file, codec deflate, metadata map written in
+    *      the NEGATIVE-count + byte-size form the spec allows (pins the
+    *      reader's other map branch), block 1's sync first byte flipped
+    *      — sync_ok=0 for that row, walk CONTINUES (the size field
+    *      already fixed the boundary; one bad marker must not discard
+    *      the shard's tail — the m22 data-crc policy);
+    *   2: not Avro (bad magic);
+    *   3: block 1 declares 1000+s bytes with 3 present (truncated;
+    *      block 0 kept);
+    *   4: EOF right after the metadata terminator, before the header
+    *      sync (truncated, codec already parsed).
+    */
+  def syntheticAvroPayload(id: Long): Array[Byte] = {
+    val bb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    val f = (id % 5).toInt
+    if (f == 2) return "NotAnAvroFile".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def wstr(s: String): Unit = {
+      avroZz(bb, s.length.toLong)
+      bb ++= s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
+    val codec = if (f == 1) "deflate" else "null"
+    val sync = Array.tabulate(16)(j => ((id * 31 + j) & 0xff).toByte)
+    bb ++= Array[Byte]('O', 'b', 'j', 1)
+    if (f == 1) {
+      // negative-count block: abs(count) entries preceded by their byte size
+      avroZz(bb, -2L)
+      avroZz(bb, (12 + 8 + 11 + 1 + codec.length).toLong) // 39 for "deflate"
+    } else avroZz(bb, 2L)
+    wstr("avro.schema"); wstr("\"bytes\"")
+    wstr("avro.codec"); wstr(codec)
+    avroZz(bb, 0L)
+    if (f == 4) return bb.toArray
+    bb ++= sync
+    val nBlocks = if (f == 1) 3 else 2
+    var i = 0
+    var halt = false
+    while (i < nBlocks && !halt) {
+      val s = (10 + (id + i) % 50).toInt
+      val o = (1 + (id + i) % 7).toLong
+      if (f == 3 && i == 1) {
+        avroZz(bb, o); avroZz(bb, (1000 + s).toLong)
+        bb ++= "xxx".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        halt = true
+      } else {
+        avroZz(bb, o); avroZz(bb, s.toLong)
+        (0 until s).foreach(_ => bb += ('a' + i).toByte)
+        val sy = sync.clone()
+        if (f == 1 && i == 1) sy(0) = (sy(0) ^ 0x01).toByte
+        bb ++= sy
+      }
+      i += 1
+    }
+    bb.toArray
+  }
+
+  /** Avro Object-Container-File block walk — the OTHER standard
+    * training-shard format next to TFRecord (m22): magic `Obj\x01`,
+    * metadata map (both count forms of the spec: positive count, or
+    * negative count + byte size), 16-byte sync marker, then data blocks
+    * of (object count, byte size, payload, sync). Harvests
+    * `avro.codec` from the map; one row per data block with offset,
+    * declared object count, payload size, payload md5, and the sync
+    * verdict. Policy mirrors m22's two-checksum split exactly: the SIZE
+    * field fixes the block boundary, so a MISMATCHED SYNC flags its row
+    * and the walk CONTINUES (one corrupt marker must not discard the
+    * shard's tail), while a size running past EOF HALTS as `truncated`
+    * (every later offset would be a guess). Status: ok / not_avro /
+    * truncated. NO resync-by-scanning-for-sync (that is a recovery
+    * tool, not a reader).
+    *
+    * Scale shape: typed mapPartitions in the scan stage, zero exchange;
+    * payload bytes feed only the digest.
+    */
+  def avroBlocks(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, raw) =>
+          val b = if (raw == null) Array.emptyByteArray else raw
+          val n = b.length
+          // zigzag varint at p: (value, nextPos), or null at EOF/overflow
+          def vint(p0: Int): (Long, Int) = {
+            var acc = 0L; var shift = 0; var p = p0
+            while (p < n && shift <= 63) {
+              val by = b(p); p += 1
+              acc |= (by & 0x7fL) << shift
+              if ((by & 0x80) == 0) return ((acc >>> 1) ^ -(acc & 1L), p)
+              shift += 7
+            }
+            null
+          }
+          var status: String = null
+          var codec: String = null
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Int, Long, Long, Long, Int, String)]
+          if (n < 4 || b(0) != 'O' || b(1) != 'b' || b(2) != 'j' || b(3) != 1)
+            status = "not_avro"
+          else {
+            var p = 4
+            // metadata map
+            var mapDone = false
+            while (status == null && !mapDone) {
+              val c = vint(p)
+              if (c == null) status = "truncated"
+              else {
+                p = c._2
+                var remaining = math.abs(c._1)
+                if (c._1 == 0) mapDone = true
+                else {
+                  if (c._1 < 0) {
+                    val sz = vint(p) // byte size of the entries; boundary hint only
+                    if (sz == null) { status = "truncated"; remaining = 0 }
+                    else p = sz._2
+                  }
+                  while (status == null && remaining > 0) {
+                    var key: String = null
+                    val kl = vint(p)
+                    if (kl == null || kl._1 < 0 || kl._2 + kl._1 > n) status = "truncated"
+                    else {
+                      key = new String(b, kl._2, kl._1.toInt,
+                        java.nio.charset.StandardCharsets.UTF_8)
+                      p = kl._2 + kl._1.toInt
+                      val vl = vint(p)
+                      if (vl == null || vl._1 < 0 || vl._2 + vl._1 > n) status = "truncated"
+                      else {
+                        if (key == "avro.codec")
+                          codec = new String(b, vl._2, vl._1.toInt,
+                            java.nio.charset.StandardCharsets.UTF_8)
+                        p = vl._2 + vl._1.toInt
+                      }
+                    }
+                    remaining -= 1
+                  }
+                }
+              }
+            }
+            // header sync
+            val sync = new Array[Byte](16)
+            if (status == null) {
+              if (p + 16 > n) status = "truncated"
+              else { System.arraycopy(b, p, sync, 0, 16); p += 16 }
+            }
+            // data blocks
+            var idx = 0
+            while (status == null) {
+              if (p == n) status = "ok"
+              else {
+                val off = p
+                val cnt = vint(p)
+                val sz = if (cnt == null) null else vint(cnt._2)
+                if (cnt == null || sz == null || cnt._1 < 0 || sz._1 < 0 ||
+                  sz._2 + sz._1 + 16 > n) status = "truncated"
+                else {
+                  val dataAt = sz._2
+                  val len = sz._1.toInt
+                  md.reset(); md.update(b, dataAt, len)
+                  val hex = md.digest().map("%02x".format(_)).mkString
+                  var ok = 1
+                  var j = 0
+                  while (j < 16) {
+                    if (b(dataAt + len + j) != sync(j)) ok = 0
+                    j += 1
+                  }
+                  out += ((idx, off.toLong, cnt._1, len.toLong, ok, hex))
+                  idx += 1
+                  p = dataAt + len + 16
+                }
+              }
+            }
+          }
+          val es = out.toList
+          if (es.isEmpty)
+            Seq((id, status, Option(codec), None: Option[Int], None: Option[Long],
+              None: Option[Long], None: Option[Long], None: Option[Int],
+              None: Option[String]))
+          else es.map { case (i2, off, o, s, ok, h) =>
+            (id, status, Option(codec), Some(i2), Some(off), Some(o), Some(s),
+              Some(ok), Some(h))
+          }
+        }
+      }
+      .toDF("doc_id", "status", "codec", "idx", "b_off", "n_objects",
+        "n_bytes", "sync_ok", "payload_md5")
+  }
+
   /** Synthetic Parquet-container payloads for [[parquetFooter]] — five
     * families keyed by doc_id % 5 (p = 30+id%40 data bytes,
     * fl = 20+id%50 footer bytes): 0 valid; 1 not parquet; 2 head magic
@@ -8673,9 +8885,9 @@ object TrainingOps extends Serializable {
           i => struct(element_at(col("w"), i + 1).as("l"),
             element_at(col("w"), i + 2).as("r")))).as("p"))
       .select(col("doc_id"), col("p.l").as("l"), col("p.r").as("r"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).registered
     val clr = pairs.groupBy("l", "r").agg(count(lit(1)).as("c_lr"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).registered
     // history table: c(l) and the distinct-successor count N1+(l·)
     val lTab = clr.groupBy("l")
       .agg(sum("c_lr").as("c_l"), count(lit(1)).as("n1p_l"))
@@ -8700,7 +8912,7 @@ object TrainingOps extends Serializable {
         count(when(col("pml_ppm").isNull, 1)).as("n_backoff"),
         sum(col("score_ppm")).as("sum_ppm"))
       .withColumn("kn_ppm", expr("sum_ppm div n_bigrams"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).registered
     // tercile cutoffs on the deterministic 1-in-10 sample; value at
     // ascending rank ceil(n/3) / ceil(2n/3) under (kn_ppm, doc_id)
     val sample = scored

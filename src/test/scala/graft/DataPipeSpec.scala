@@ -4998,6 +4998,86 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(o3.toSeq == Seq((-600L, 2L), (0L, 1L)), s"got ${o3.toSeq}")
   }
 
+  test("avro blocks: geometry, both map forms, sync flag-and-continue vs size halt") {
+    val s = spark; import s.implicits._
+    val payloads = (0L until 25L).map(id => (id, TrainingOps.syntheticAvroPayload(id)))
+      .toDF("doc_id", "payload")
+    val rows = TrainingOps.avroBlocks(spark, payloads).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(7)) -1 else r.getInt(7)))
+    val byDoc = rows.groupBy(_._1)
+    // id=0 (f0): s0=10, s1=11 — blocks at 58 and 76+10=86, codec null
+    assert(byDoc(0L).sortBy(_._4).toSeq == Seq(
+      (0L, "ok", "null", 0, 58L, 1), (0L, "ok", "null", 1, 86L, 1)))
+    // id=1 (f1): negative-count map form, header 62; s0=11 -> block1 at
+    // 80+11=91 with the FLIPPED sync (flag, continue), block2 emitted
+    val d1 = byDoc(1L).sortBy(_._4).toSeq
+    assert(d1.map(t => (t._2, t._3, t._4, t._6)) == Seq(
+      ("ok", "deflate", 0, 1), ("ok", "deflate", 1, 0), ("ok", "deflate", 2, 1)))
+    assert(d1(0)._5 == 62L && d1(1)._5 == 91L)
+    // id=2: not avro; id=3 (f3): block 0 kept, size-past-EOF halts;
+    // id=4 (f4): truncated before the header sync, codec still parsed
+    assert(byDoc(2L).toSeq == Seq((2L, "not_avro", null, -1, -1L, -1)))
+    assert(byDoc(3L).map(t => (t._2, t._4)).toSeq == Seq(("truncated", 0)))
+    assert(byDoc(4L).toSeq == Seq((4L, "truncated", "null", -1, -1L, -1)))
+    // junk + empty are total
+    val junk = Seq((100L, Array[Byte](1, 2)), (101L, Array.emptyByteArray))
+      .toDF("doc_id", "payload")
+    assert(TrainingOps.avroBlocks(spark, junk).collect()
+      .forall(_.getString(1) == "not_avro"))
+  }
+
+  test("crawl budget: Hamilton apportionment is exact, deterministic, cap reports surplus") {
+    val s = spark; import s.implicits._
+    import graft.datapipe.GraphOps
+    // counts 5/3/2, budget 7: bases 3/2/1 (sum 6), remainders 5/1/4 ->
+    // the one leftover unit goes to hostA (rem 5)
+    val pages = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))
+      .toDF("host")
+    val out = GraphOps.crawlBudget(pages, budget = 7L, maxPerHost = 100L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3), r.getBoolean(4))))
+      .toMap
+    assert(out("a") == ((5L, 4L, 1, false)))
+    assert(out("b") == ((3L, 2L, 0, false)))
+    assert(out("c") == ((2L, 1L, 0, false)))
+    // uncapped: the budget is spent EXACTLY
+    assert(out.values.map(_._2).sum == 7L)
+    // cap binds on the big host: quota truncates, surplus is reported
+    val capped = GraphOps.crawlBudget(pages, budget = 7L, maxPerHost = 3L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getBoolean(3 + 1)))).toMap
+    assert(capped("a") == ((3L, true)))
+    assert(capped("b") == ((2L, false)))
+    graft.spark.Caches.drain()
+  }
+
+  test("cache lifecycle: Caches.drain releases every internally persisted frame") {
+    val s = spark; import s.implicits._
+    def cacheEmpty: Boolean = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager.isEmpty
+    graft.spark.Caches.drain()
+    spark.catalog.clearCache()
+    assert(cacheEmpty, "precondition: suite cache not clean")
+    // representative ops across the persist-heavy families (LSH band
+    // tables, shingle sets, kNN ranked frames, BM25 hits) — a user
+    // composing these in one session must be able to release ALL
+    // internal caches with one drain(), no harness clearCache needed
+    val ops: Seq[(String, () => Long)] = Seq(
+      ("minhashPairs", () => TrainingOps.minhashPairs(docs).count()),
+      ("jaccardVerify", () => TrainingOps.jaccardVerify(docs).count()),
+      ("bm25TopK", () => TrainingOps.bm25TopK(docs, Seq("the", "lorem")).count()),
+      ("mutualKnnSeeds", () => TrainingOps.mutualKnnSeeds(
+        embs, embs.filter(col("vec_id") % 50 === 0)).count()),
+      ("containmentVerify", () => TrainingOps.containmentVerify(docs).count()))
+    for ((name, run) <- ops) {
+      run()
+      graft.spark.Caches.drain()
+      assert(cacheEmpty, s"$name left cached frames after drain()")
+      assert(graft.spark.Caches.tracked == 0)
+    }
+  }
+
   test("burst ratio arithmetic survives counts that would wrap a Long") {
     val s = spark; import s.implicits._
     // 1e6 * 5e9 * 4e9 = 2e25 wraps 2^63; the decimal(38,0) path stays exact

@@ -523,6 +523,98 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and the paths the layer reports really carry the scheme
     assert(LakehouseIO.dataDir(root).toUri.getScheme == "mockfs")
   }
+
+  test("iceberg metadata projection: v2 TableMetadata JSON validates against the spec shape") {
+    implicit val s: SparkSession = spark
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    val root = tmpDir("iceberg-md")
+    val ds = spark.createDataset(results.toSeq)(org.apache.spark.sql.Encoders.product[ResultRow])
+    LakehouseIO.writeCommitted(ds, root, "ice-run-1", sfDir)
+    Thread.sleep(5)
+    // second commit with fresh buckets -> second snapshot in the history
+    LakehouseIO.writeCommitted(
+      ds.withColumn("bucket", col("bucket") + conf.buckets)
+        .as[ResultRow](org.apache.spark.sql.Encoders.product[ResultRow]),
+      root, "ice-run-2", sfDir)
+    val mdir = Paths.get(root, "metadata")
+    // HadoopCatalog current-version convention
+    assert(Files.readString(mdir.resolve("version-hint.text")) == "2")
+    val m = new ObjectMapper()
+    val md: JsonNode = m.readTree(Files.readString(mdir.resolve("v2.metadata.json")))
+    // required TableMetadata fields, format-version 2 (Iceberg spec)
+    for (k <- Seq("format-version", "table-uuid", "location", "last-sequence-number",
+        "last-updated-ms", "last-column-id", "schemas", "current-schema-id",
+        "partition-specs", "default-spec-id", "last-partition-id", "sort-orders",
+        "default-sort-order-id", "current-snapshot-id", "snapshots", "snapshot-log"))
+      assert(md.has(k), s"metadata missing required field $k")
+    assert(md.get("format-version").asInt == 2)
+    assert(java.util.UUID.fromString(md.get("table-uuid").asText) != null)
+    // schema: struct with unique positive field ids; last-column-id = max
+    val schema = md.get("schemas").get(0)
+    assert(schema.get("schema-id").asInt == md.get("current-schema-id").asInt)
+    assert(schema.get("type").asText == "struct")
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def walkIds(n: JsonNode): Unit = {
+      if (n.has("id")) ids += n.get("id").asInt
+      for (k <- Seq("element-id", "key-id", "value-id") if n.has(k)) ids += n.get(k).asInt
+      n.elements().forEachRemaining(c => walkIds(c))
+    }
+    walkIds(schema)
+    assert(ids.nonEmpty && ids.forall(_ > 0) && ids.distinct.length == ids.length,
+      s"field ids not unique/positive: $ids")
+    assert(md.get("last-column-id").asInt == ids.max)
+    // partition spec: identity on the bucket column, source-id a real field id
+    val spec = md.get("partition-specs").get(0)
+    assert(spec.get("spec-id").asInt == md.get("default-spec-id").asInt)
+    val pf = spec.get("fields").get(0)
+    assert(pf.get("name").asText == "bucket" && pf.get("transform").asText == "identity")
+    assert(ids.contains(pf.get("source-id").asInt))
+    assert(pf.get("field-id").asInt >= 1000)
+    // snapshots: both runs, deterministic ids, monotone sequence numbers,
+    // current = latest, cumulative total-records, manifest lists resolve
+    val snaps = md.get("snapshots")
+    assert(snaps.size == 2)
+    val seqs = (0 until snaps.size).map(i => snaps.get(i).get("sequence-number").asLong)
+    assert(seqs == Seq(1L, 2L))
+    assert(md.get("last-sequence-number").asLong == 2L)
+    assert(snaps.get(1).get("snapshot-id").asLong == md.get("current-snapshot-id").asLong)
+    assert(snaps.get(0).get("snapshot-id").asLong == LakehouseIO.snapshotIdOf("ice-run-1"))
+    val t0 = snaps.get(0).get("summary").get("total-records").asText.toLong
+    val t1 = snaps.get(1).get("summary").get("total-records").asText.toLong
+    assert(t0 == results.length.toLong && t1 == 2L * results.length)
+    for (i <- 0 until snaps.size) {
+      val sn = snaps.get(i)
+      assert(sn.get("summary").get("operation").asText == "append")
+      val ml = new org.apache.hadoop.fs.Path(sn.get("manifest-list").asText)
+      val mlJson = m.readTree(Files.readString(Paths.get(ml.toUri.getPath)))
+      assert(mlJson.isArray && mlJson.size > 0, s"empty manifest list $ml")
+      mlJson.elements().forEachRemaining { e =>
+        assert(e.get("added_snapshot_id").asLong == sn.get("snapshot-id").asLong)
+        val mp = new org.apache.hadoop.fs.Path(e.get("manifest_path").asText)
+        assert(Files.exists(Paths.get(mp.toUri.getPath)), s"manifest target missing: $mp")
+      }
+    }
+    // snapshot-log mirrors history in time order
+    val log = md.get("snapshot-log")
+    assert(log.size == 2)
+    assert(log.get(0).get("timestamp-ms").asLong <= log.get(1).get("timestamp-ms").asLong)
+    // v1 exists too (written by the first commit) and already validated
+    // format-version 2
+    assert(m.readTree(Files.readString(mdir.resolve("v1.metadata.json")))
+      .get("snapshots").size == 1)
+    // and the same projection works through a second FileSystem scheme
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.mockfs.impl", classOf[MockSchemeFileSystem].getName)
+    val mroot = "mockfs://" + tmpDir("iceberg-mockfs")
+    LakehouseIO.writeCommitted(ds, mroot, "ice-mock", sfDir)
+    val hint = new org.apache.hadoop.fs.Path(mroot + "/metadata/version-hint.text")
+    val fs2 = hint.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs2.exists(hint))
+    val mmd = m.readTree(Files.readString(
+      Paths.get(new org.apache.hadoop.fs.Path(mroot + "/metadata/v1.metadata.json").toUri.getPath)))
+    assert(mmd.get("format-version").asInt == 2 &&
+      mmd.get("location").asText.startsWith("mockfs://"))
+  }
 }
 
 /** A [[org.apache.hadoop.fs.RawLocalFileSystem]] re-registered under the

@@ -172,6 +172,11 @@ class PlanCheckSpec extends AnyFunSuite with BeforeAndAfterAll {
       case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
     }.nonEmpty, s"t56: top-k is not TakeOrderedAndProject (full sort?):\n$bm25")
     assert(cartesians(bm25).isEmpty)
+    // single-pass contract: the corpus is scanned ONCE into the persisted
+    // hits+sentinel frame (scalars, df, and scoring all read the cache) —
+    // the outer plan must contain no FileScan of its own
+    assert(bm25.collect { case f: FileSourceScanExec => f }.isEmpty,
+      s"t56: corpus scanned outside the persisted pass (two-scan regression):\n$bm25")
     // e67: ONE map-side-combined host rollup — exactly one exchange,
     // Wilson arithmetic is per-aggregate-row scalar work
     val wilson = planOf("e67_host_wilson")
