@@ -1127,6 +1127,10 @@ object SparkEntry {
     // one-row total broadcast; the floor chain mirrored by the oracle
     "t39_pmi_collocations" -> ((s, dir) =>
       TrainingOps.pmiCollocations(docs(s, dir))),
+    // skip-gram pair table (±2 window): map-side slice fanout, one
+    // pair-keyed count — the word2vec training-pair extraction
+    "t60_skipgram_pairs" -> ((s, dir) =>
+      TrainingOps.skipgramPairs(docs(s, dir))),
     // the flagship COMPOSED pipeline: quality filter -> exact dedup ->
     // decontaminate -> stratified sample -> sequence pack, all public
     // TrainingOps chained by doc_id semi-joins. Every stage that feeds
@@ -6362,6 +6366,19 @@ object SparkEntry {
           "SELECT l, r, CAST(n_pair AS BIGINT) AS n_pair, CAST(n_left AS BIGINT) AS n_left, " +
           "CAST(n_right AS BIGINT) AS n_right, CAST(lift_ppm AS BIGINT) AS lift_ppm " +
           "FROM j WHERE lift_ppm > 1000000"),
+      // t60 oracle: the two window distances as UNION legs over the
+      // same token arrays, canonical least/greatest pair order — a
+      // MATCH pins the map-side slice fanout against a positional
+      // re-derivation
+      "t60_skipgram_pairs" ->
+        (s"WITH f AS (SELECT $w AS w FROM documents WHERE length(trim(text)) >= 1), " +
+          "g AS (SELECT w FROM f WHERE len(w) >= 2), " +
+          "p AS (SELECT unnest(list_transform(range(len(w)-1), i -> " +
+          "struct_pack(a := least(w[i+1], w[i+2]), b := greatest(w[i+1], w[i+2])))) AS p1 FROM g " +
+          "UNION ALL SELECT unnest(list_transform(range(len(w)-2), i -> " +
+          "struct_pack(a := least(w[i+1], w[i+3]), b := greatest(w[i+1], w[i+3])))) FROM g WHERE len(w) >= 3) " +
+          "SELECT p1.a AS a, p1.b AS b, count(*) AS n_pairs FROM p " +
+          "GROUP BY 1, 2 HAVING count(*) >= 3"),
       // Kneser-Ney oracle: the same half-count discount, continuation
       // normalization, two-step ppm rounding, pruned-model left join,
       // and sample-tercile cutoffs — a MATCH pins every rounding step

@@ -3126,6 +3126,41 @@ object TrainingOps extends Serializable {
     * total-token scalar joins as a one-row broadcast cross join, never
     * collected.
     */
+  /** Skip-gram co-occurrence counts within a ±`window` token
+    * neighborhood — the (center, context) pair table word2vec-class
+    * embedding training consumes, and the wider-window complement of
+    * [[pmiCollocations]]' adjacent bigrams. With a symmetric window the
+    * directed count (a→b) equals (b→a), so pairs emit once in
+    * canonical (a <= b) order; `minCount` prunes the hapax tail (the
+    * word2vec min-count convention).
+    *
+    * Scale shape: pair generation is PURE MAP-SIDE — per position, the
+    * forward window is a `slice` of the already-materialized token
+    * array (fanout <= window per token, no self-join, no shuffle of
+    * positions); the only exchange is ONE map-side-combined count on
+    * the (a, b) pair key. The naive positions-table self-join this
+    * replaces shuffles |corpus| position rows and rejoins them —
+    * strictly worse at any scale.
+    */
+  def skipgramPairs(docs: DataFrame, window: Int = 2,
+      minCount: Long = 3): DataFrame = {
+    require(window >= 1 && window <= 16, s"window must be in [1,16], got $window")
+    require(minCount >= 1, "minCount must be >= 1")
+    val toks = docs.filter(length(trim(col("text"))) >= 1)
+      .select(words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+    val pairs = toks.select(explode(flatten(
+      transform(sequence(lit(0), size(col("w")) - 2), i =>
+        transform(slice(col("w"), i + 2, lit(window)), r => {
+          val l = element_at(col("w"), i + 1)
+          struct(when(l <= r, l).otherwise(r).as("a"),
+            when(l <= r, r).otherwise(l).as("b"))
+        })))).as("p"))
+    pairs.select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_pairs"))
+      .filter(col("n_pairs") >= minCount)
+  }
+
   def pmiCollocations(docs: DataFrame, minCount: Long = 3): DataFrame = {
     require(minCount >= 1, "minCount must be >= 1")
     val toks = docs.filter(length(trim(col("text"))) >= 1)

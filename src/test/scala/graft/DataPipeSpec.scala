@@ -4998,6 +4998,25 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(o3.toSeq == Seq((-600L, 2L), (0L, 1L)), s"got ${o3.toSeq}")
   }
 
+  test("skipgram pairs: window fanout, canonical order, self-pairs, minCount prune") {
+    val s = spark; import s.implicits._
+    // "z y x": d1 -> {y,z},{x,y}; d2 -> {x,z}. "w w w": three {w,w}
+    // pairs (2 adjacent + 1 skip). "solo": no pairs (len < 2).
+    val d = Seq((1L, "z y x"), (2L, "w w w"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TrainingOps.skipgramPairs(d, window = 2, minCount = 1).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq(("w", "w", 3L), ("x", "y", 1L), ("x", "z", 1L), ("y", "z", 1L)))
+    // minCount prunes
+    val pruned = TrainingOps.skipgramPairs(d, window = 2, minCount = 2).collect()
+    assert(pruned.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("w", "w", 3L)))
+    // window 1 degenerates to adjacent bigrams only
+    val w1 = TrainingOps.skipgramPairs(d, window = 1, minCount = 1).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(w1 == Set(("w", "w"), ("x", "y"), ("y", "z")))
+  }
+
   test("avro blocks: geometry, both map forms, sync flag-and-continue vs size halt") {
     val s = spark; import s.implicits._
     val payloads = (0L until 25L).map(id => (id, TrainingOps.syntheticAvroPayload(id)))
