@@ -1231,6 +1231,16 @@ object SparkEntry {
         s.read.parquet(s"$dir/customer.parquet"),
         s.read.parquet(s"$dir/orders.parquet"),
         s.read.parquet(s"$dir/lineitem.parquet"))),
+    // q5: the six-table join-depth leg of the spine — two fact
+    // shuffles, everything else broadcast through the region chain
+    "q5_local_supplier_volume" -> ((s, dir) =>
+      RelationalOps.localSupplierVolume(
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/supplier.parquet"),
+        s.read.parquet(s"$dir/nation.parquet"),
+        s.read.parquet(s"$dir/region.parquet"))),
     // stream-stream interval join, BATCH formulation: each click joins
     // the same user's errors in [ts, ts + 30 min]. withWatermark is a
     // no-op on batch frames, so this runs the EXACT code path
@@ -2620,6 +2630,16 @@ object SparkEntry {
         .toDF("doc_id", "payload")
       TrainingOps.tfrecordRecords(s, payloads)
     }),
+    // JSONL walk: newline framing independent of per-line validity
+    // (strict from-scratch RFC-8259 check), EOF terminates a line,
+    // blank lines counted but not records
+    "m29_jsonl_records" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = docs(s, dir).select(col("doc_id")).as[Long]
+        .map(id => (id, TrainingOps.syntheticJsonlPayload(id)))
+        .toDF("doc_id", "payload")
+      TrainingOps.jsonlRecords(s, payloads)
+    }),
     // Avro OCF walk (the OTHER training-shard format next to m22):
     // zigzag-varint framing, BOTH metadata-map count forms, codec
     // harvest; sync-mismatch flags + continues, size-past-EOF halts
@@ -2830,6 +2850,20 @@ object SparkEntry {
           "SELECT l_orderkey, o_orderdate, o_orderpriority, CAST(sum(rev) AS BIGINT) AS revenue_c4 " +
           "FROM l JOIN o ON l.l_orderkey = o.o_orderkey JOIN c ON o.o_custkey = c.c_custkey " +
           "GROUP BY 1, 2, 3 ORDER BY revenue_c4 DESC, o_orderdate, l_orderkey LIMIT 10"),
+      // q5 oracle: same six-table join with the integer-cents revenue
+      // convention and the local-nation equality
+      "q5_local_supplier_volume" ->
+        ("WITH nat AS (SELECT n_nationkey, n_name FROM nation JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'), " +
+          "c AS (SELECT c_custkey, c_nationkey FROM customer JOIN nat ON c_nationkey = n_nationkey), " +
+          "o AS (SELECT o_orderkey, c_nationkey FROM orders JOIN c ON o_custkey = c_custkey " +
+          "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'), " +
+          "s AS (SELECT s_suppkey, s_nationkey, n_name FROM supplier JOIN nat ON s_nationkey = n_nationkey), " +
+          "l AS (SELECT l_orderkey, l_suppkey, CAST(floor(l_extendedprice*100+0.5) AS BIGINT) * " +
+          "(100 - CAST(floor(l_discount*100+0.5) AS BIGINT)) AS rev FROM lineitem) " +
+          "SELECT n_name, CAST(sum(rev) AS BIGINT) AS revenue_c4 " +
+          "FROM l JOIN o ON l_orderkey = o_orderkey " +
+          "JOIN s ON l_suppkey = s_suppkey AND o.c_nationkey = s.s_nationkey " +
+          "GROUP BY 1"),
       "q18_large_orders" ->
         ("WITH h AS (SELECT l_orderkey, CAST(sum(CAST(floor(l_quantity*100+0.5) AS BIGINT)) AS BIGINT) AS total_qty_c " +
           "FROM lineitem GROUP BY 1 HAVING total_qty_c > 15000) " +
@@ -5448,6 +5482,32 @@ object SparkEntry {
           "UNION ALL SELECT doc_id, 'corrupt_len', 0, 0, r1, 1, 1, md5(repeat('a', r1)) FROM c WHERE f = 2 " +
           "UNION ALL SELECT doc_id, 'truncated', 0, 0, r1, 1, 1, md5(repeat('a', r1)) FROM c WHERE f = 3 " +
           "UNION ALL SELECT doc_id, 'truncated', NULL, NULL, NULL, NULL, NULL, NULL FROM c WHERE f = 4)"),
+      // m29 oracle: line geometry from doc_id arithmetic (line i is
+      // 17 + len(str(id)) + k_i bytes), payload md5s rebuilt from the
+      // exact line strings in SQL — the truncated family's md5 is the
+      // md5 of the CHOPPED line, so a MATCH pins byte-exact framing;
+      // kinds/valid pin the validator's verdicts per family
+      "m29_jsonl_records" ->
+        ("""WITH c AS (SELECT doc_id, doc_id % 5 AS f, CAST(length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS sl, """ +
+          """CAST(5 + doc_id % 20 AS BIGINT) AS k0, CAST(5 + (doc_id+1) % 20 AS BIGINT) AS k1, CAST(5 + (doc_id+2) % 20 AS BIGINT) AS k2 FROM documents), """ +
+          """b AS (SELECT doc_id, f, k0, k1, k2, 17 + sl + k0 AS l0, 17 + sl + k1 AS l1, 17 + sl + k2 AS l2, """ +
+          """'{"id":' || doc_id || ',"text":"' AS pre FROM c), """ +
+          """fy AS (SELECT '{"k":"a\"b\\c","l":[1,-2.5e3,{"m":null},true,false],"u":"A"}' AS fancy) """ +
+          """SELECT doc_id, CAST(idx AS INT) AS idx, CAST(o AS BIGINT) AS l_off, CAST(ln AS BIGINT) AS l_len, """ +
+          """kind, CAST(v AS INT) AS valid, h AS payload_md5 FROM ( """ +
+          """SELECT doc_id, 0 AS idx, 0 AS o, l0 AS ln, 'object' AS kind, 1 AS v, md5(pre || repeat('a', k0) || '"}') AS h FROM b WHERE f = 0 """ +
+          """UNION ALL SELECT doc_id, 1, l0 + 1, l1, 'object', 1, md5(pre || repeat('b', k1) || '"}') FROM b WHERE f = 0 """ +
+          """UNION ALL SELECT doc_id, 2, l0 + l1 + 2, l2, 'object', 1, md5(pre || repeat('c', k2) || '"}') FROM b WHERE f = 0 """ +
+          """UNION ALL SELECT doc_id, 0, 0, l0, 'object', 1, md5(pre || repeat('a', k0) || '"}') FROM b WHERE f = 1 """ +
+          """UNION ALL SELECT doc_id, 1, l0 + 1, l1 - 2, 'object', 0, md5(pre || repeat('b', k1)) FROM b WHERE f = 1 """ +
+          """UNION ALL SELECT doc_id, 2, l0 + l1, l2, 'object', 1, md5(pre || repeat('c', k2) || '"}') FROM b WHERE f = 1 """ +
+          """UNION ALL SELECT doc_id, 0, 0, l0, 'object', 1, md5(pre || repeat('a', k0) || '"}') FROM b WHERE f = 2 """ +
+          """UNION ALL SELECT doc_id, 1, l0 + 1, l1, 'object', 1, md5(pre || repeat('b', k1) || '"}') FROM b WHERE f = 2 """ +
+          """UNION ALL SELECT doc_id, 0, 0, length(fancy), 'object', 1, md5(fancy) FROM b, fy WHERE f = 3 """ +
+          """UNION ALL SELECT doc_id, 1, length(fancy) + 1, 7, 'array', 1, md5('[1,2,3]') FROM b, fy WHERE f = 3 """ +
+          """UNION ALL SELECT doc_id, 0, 0, l0, 'object', 1, md5(pre || repeat('a', k0) || '"}') FROM b WHERE f = 4 """ +
+          """UNION ALL SELECT doc_id, 1, l0 + 1, 0, 'blank', 0, md5('') FROM b WHERE f = 4 """ +
+          """UNION ALL SELECT doc_id, 2, l0 + 2, l2, 'object', 1, md5(pre || repeat('c', k2) || '"}') FROM b WHERE f = 4)"""),
       // m28 oracle: block geometry from doc_id arithmetic — header is
       // 58 bytes in the positive-count metadata form ('null' codec) and
       // 62 in the negative-count form ('deflate'), each block advances

@@ -274,6 +274,51 @@ object RelationalOps {
       .limit(k)
   }
 
+  /** TPC-H Q5-shaped local-supplier volume — the join-depth stress of
+    * the relational spine (q1 = pure aggregate, q3 = one star join,
+    * q5 = six tables): revenue per nation for orders where customer
+    * and supplier share the nation ("local" commerce), region-filtered
+    * and date-windowed. Revenue in exact integer 1e-4 dollars (the
+    * house cents convention).
+    *
+    * Scale shape: the region->nation chain collapses to a HANDFUL of
+    * rows broadcast everywhere; customers/suppliers semi-filter
+    * against it broadcast; the two REAL shuffles are orders x customer
+    * on custkey and lineitem x orders on orderkey (fact-fact, key-
+    * partitioned); the supplier side re-enters BROADCAST with the
+    * local-nation equality folded into the join condition, so the
+    * six-table query costs two exchanges + one aggregate at any scale.
+    */
+  def localSupplierVolume(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, supplier: DataFrame, nation: DataFrame,
+      region: DataFrame, regionName: String = "ASIA",
+      from: String = "1996-01-01", until: String = "1997-01-01"): DataFrame = {
+    val nat = nation
+      .join(broadcast(region.filter(col("r_name") === regionName)
+        .select("r_regionkey")), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cust = customer.select("c_custkey", "c_nationkey")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_nationkey")
+    val ord = orders
+      .filter(expr(s"cast(o_orderdate as timestamp) >= timestamp'$from 00:00:00'") &&
+        expr(s"cast(o_orderdate as timestamp) < timestamp'$until 00:00:00'"))
+      .select("o_orderkey", "o_custkey")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_nationkey")
+    val supp = supplier.select("s_suppkey", "s_nationkey")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_nationkey", "n_name")
+    lineitem
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (cents("l_extendedprice") * (lit(100L) - cents("l_discount"))).as("rev_c4"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name").agg(sum("rev_c4").as("revenue_c4"))
+      .orderBy(col("revenue_c4").desc, col("n_name"))
+  }
+
   /** TPC-H Q18-shaped large-order customers: orders whose total line
     * quantity exceeds `minQtyC` cents of units, joined back to orders
     * and customers. The HAVING prunes on the aggregate BEFORE the

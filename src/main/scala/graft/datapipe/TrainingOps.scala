@@ -6766,6 +6766,190 @@ object TrainingOps extends Serializable {
         "data_crc_ok", "payload_md5")
   }
 
+  /** Strict RFC-8259 JSON validity check, from scratch (no library
+    * parse on the executor hot path): full grammar — nested
+    * objects/arrays (depth capped at 64), string escapes incl \\uXXXX,
+    * the complete number shape, true/false/null — and the WHOLE input
+    * must be one value (trailing garbage invalidates). ASCII-digit
+    * strict (Character.isDigit would admit Unicode digits JSON
+    * forbids).
+    */
+  def jsonValid(s: String): Boolean = {
+    val n = s.length
+    var p = 0
+    def dig(c: Char) = c >= '0' && c <= '9'
+    def ws(): Unit = while (p < n && {
+      val c = s.charAt(p); c == ' ' || c == '\t' || c == '\r'
+    }) p += 1
+    def lit(t: String): Boolean =
+      p + t.length <= n && s.regionMatches(p, t, 0, t.length) && { p += t.length; true }
+    def hex(c: Char) = dig(c) || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+    def str(): Boolean = {
+      if (p >= n || s.charAt(p) != '"') return false
+      p += 1
+      while (p < n && s.charAt(p) != '"') {
+        val c = s.charAt(p)
+        if (c == '\\') {
+          if (p + 1 >= n) return false
+          val e = s.charAt(p + 1)
+          if ("\"\\/bfnrt".indexOf(e.toInt) >= 0) p += 2
+          else if (e == 'u' && p + 6 <= n && (2 to 5).forall(k => hex(s.charAt(p + k)))) p += 6
+          else return false
+        } else if (c < ' ') return false
+        else p += 1
+      }
+      p < n && { p += 1; true }
+    }
+    def num(): Boolean = {
+      if (p < n && s.charAt(p) == '-') p += 1
+      if (p >= n || !dig(s.charAt(p))) return false
+      if (s.charAt(p) == '0') p += 1
+      else while (p < n && dig(s.charAt(p))) p += 1
+      if (p < n && s.charAt(p) == '.') {
+        p += 1
+        if (p >= n || !dig(s.charAt(p))) return false
+        while (p < n && dig(s.charAt(p))) p += 1
+      }
+      if (p < n && (s.charAt(p) == 'e' || s.charAt(p) == 'E')) {
+        p += 1
+        if (p < n && (s.charAt(p) == '+' || s.charAt(p) == '-')) p += 1
+        if (p >= n || !dig(s.charAt(p))) return false
+        while (p < n && dig(s.charAt(p))) p += 1
+      }
+      true
+    }
+    def value(d: Int): Boolean = {
+      if (d > 64 || p >= n) return false
+      s.charAt(p) match {
+        case '{' =>
+          p += 1; ws()
+          if (p < n && s.charAt(p) == '}') { p += 1; true }
+          else {
+            var good = true; var open = true
+            while (good && open) {
+              ws(); good = str(); ws()
+              good = good && p < n && s.charAt(p) == ':' && { p += 1; ws(); value(d + 1) }
+              ws()
+              if (good) {
+                if (p < n && s.charAt(p) == ',') p += 1
+                else if (p < n && s.charAt(p) == '}') { p += 1; open = false }
+                else good = false
+              }
+            }
+            good
+          }
+        case '[' =>
+          p += 1; ws()
+          if (p < n && s.charAt(p) == ']') { p += 1; true }
+          else {
+            var good = true; var open = true
+            while (good && open) {
+              ws(); good = value(d + 1); ws()
+              if (good) {
+                if (p < n && s.charAt(p) == ',') p += 1
+                else if (p < n && s.charAt(p) == ']') { p += 1; open = false }
+                else good = false
+              }
+            }
+            good
+          }
+        case '"' => str()
+        case 't' => lit("true")
+        case 'f' => lit("false")
+        case 'n' => lit("null")
+        case c if c == '-' || dig(c) => num()
+        case _ => false
+      }
+    }
+    ws()
+    val v = p < n && value(0)
+    ws()
+    v && p == n
+  }
+
+  /** Synthetic JSONL payloads for [[jsonlRecords]] — five families
+    * keyed by doc_id % 5 (line i: `{"id":<id>,"text":"<chr('a'+i) x
+    * (5+(id+i)%20)>"}`):
+    *   0: three clean object lines;
+    *   1: line 1 truncated before its closing quote+brace (invalid;
+    *      newline framing is independent of content, lines 0/2 fine);
+    *   2: two lines, NO trailing newline on the last (EOF terminates a
+    *      line — the common hand-edited-shard case);
+    *   3: an escape-heavy object (\" \\ \\uXXXX, nested array/object,
+    *      negative scientific number) + a top-level ARRAY line;
+    *   4: a blank line between two objects (not a record — flagged
+    *      blank, never json-validated).
+    */
+  def syntheticJsonlPayload(id: Long): Array[Byte] = {
+    val f = (id % 5).toInt
+    def obj(i: Int): String = {
+      val k = (5 + (id + i) % 20).toInt
+      s"""{"id":$id,"text":"${("" + ('a' + i).toChar) * k}"}"""
+    }
+    val fancy = """{"k":"a\"b\\c","l":[1,-2.5e3,{"m":null},true,false],"u":"A"}"""
+    val lines: Seq[String] = f match {
+      case 0 => Seq(obj(0), obj(1), obj(2))
+      case 1 => Seq(obj(0), obj(1).dropRight(2), obj(2))
+      case 2 => Seq(obj(0), obj(1))
+      case 3 => Seq(fancy, "[1,2,3]")
+      case _ => Seq(obj(0), "", obj(2))
+    }
+    val s = if (f == 2) lines.mkString("\n") else lines.mkString("", "\n", "\n")
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** JSONL record walk — THE interchange format of LLM training data
+    * (one JSON document per newline-framed line): per line, offset,
+    * byte length, structural kind (object / array / scalar / blank),
+    * a STRICT from-scratch RFC-8259 validity verdict, and the line's
+    * md5. Framing and validity are independent by design: a corrupt
+    * line flags and the walk CONTINUES (newlines still frame it — one
+    * bad record must not discard the shard's tail, the m22/m28
+    * policy); a final line without trailing newline is a line (EOF
+    * terminates); blank lines are counted but are not records. Total:
+    * any byte stream yields rows, never a throw.
+    *
+    * Scale shape: typed mapPartitions in the scan stage, zero
+    * exchange; line bytes feed only the validator and digest.
+    */
+  def jsonlRecords(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, raw) =>
+          val b = if (raw == null) Array.emptyByteArray else raw
+          val n = b.length
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Int, Long, Long, String, Int, String)]
+          var p = 0; var idx = 0
+          while (p < n) {
+            var e = p
+            while (e < n && b(e) != '\n') e += 1
+            val len = e - p
+            val line = new String(b, p, len, java.nio.charset.StandardCharsets.UTF_8)
+            md.reset(); md.update(b, p, len)
+            val hex = md.digest().map("%02x".format(_)).mkString
+            val t = line.trim
+            val kind =
+              if (t.isEmpty) "blank"
+              else t.charAt(0) match {
+                case '{' => "object"
+                case '[' => "array"
+                case _ => "scalar"
+              }
+            val valid = if (t.nonEmpty && jsonValid(line)) 1 else 0
+            out += ((id, idx, p.toLong, len.toLong, kind, valid, hex))
+            idx += 1
+            p = e + 1
+          }
+          out
+        }
+      }
+      .toDF("doc_id", "idx", "l_off", "l_len", "kind", "valid", "payload_md5")
+  }
+
   /** Zigzag-varint append (Avro long encoding): zigzag fold then 7-bit
     * little-endian groups with continuation bits.
     */

@@ -5017,6 +5017,50 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(w1 == Set(("w", "w"), ("x", "y"), ("y", "z")))
   }
 
+  test("json validator: full grammar, strictness, whole-input rule") {
+    import TrainingOps.jsonValid
+    // valid: every value type, nesting, escapes incl \uXXXX, numbers
+    for (s <- Seq("{}", "[]", "null", "true", "false", "0", "-0.5", "1e9",
+        "-2.5E-3", "\"\"", "\"a\\\"b\\\\c\\u0041\\n\"", "[1,[2,[3]]]",
+        "{\"a\":{\"b\":[null,{\"c\":false}]}}", "  {\"x\" : 1 }\t"))
+      assert(jsonValid(s), s"should be valid: $s")
+    // invalid: truncation, trailing garbage, bad escapes/numbers,
+    // unquoted keys, unicode digits, control chars in strings
+    for (s <- Seq("", "{", "[1,", "{\"a\":}", "{a:1}", "01", "1.", ".5",
+        "1e", "+1", "\"\\x\"", "\"\\u12\"", "\"ab", "nul", "tru", "{} {}",
+        "[1] x", "\"a\nb\"", "\u0661")) // U+0661 ARABIC-INDIC ONE
+      assert(!jsonValid(s), s"should be invalid: $s")
+  }
+
+  test("jsonl records: framing independent of validity, EOF line, blanks counted") {
+    val s = spark; import s.implicits._
+    val payloads = (0L until 25L).map(id => (id, TrainingOps.syntheticJsonlPayload(id)))
+      .toDF("doc_id", "payload")
+    val rows = TrainingOps.jsonlRecords(spark, payloads).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getInt(5)))
+    val byDoc = rows.groupBy(_._1)
+    // id=0 (f0): sl=1, k0=5,k1=6,k2=7 -> lens 23,24,25; offs 0,24,49
+    assert(byDoc(0L).sortBy(_._2).map(t => (t._3, t._4, t._5, t._6)).toSeq ==
+      Seq((0L, 23L, "object", 1), (24L, 24L, "object", 1), (49L, 25L, "object", 1)))
+    // id=1 (f1): middle line truncated -> invalid, framing continues
+    val d1 = byDoc(1L).sortBy(_._2).map(t => (t._5, t._6)).toSeq
+    assert(d1 == Seq(("object", 1), ("object", 0), ("object", 1)))
+    // id=2 (f2): final line has no trailing newline, still a line
+    assert(byDoc(2L).length == 2 && byDoc(2L).forall(_._6 == 1))
+    // id=3 (f3): escape-heavy object + array line, both valid
+    assert(byDoc(3L).sortBy(_._2).map(t => (t._5, t._6)).toSeq ==
+      Seq(("object", 1), ("array", 1)))
+    // id=4 (f4): blank line counted, not a record
+    assert(byDoc(4L).sortBy(_._2).map(t => (t._5, t._6)).toSeq ==
+      Seq(("object", 1), ("blank", 0), ("object", 1)))
+    // totality on junk
+    val junk = Seq((9L, "not\njson {at\u0000all\n\n".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val jr = TrainingOps.jsonlRecords(spark, junk).collect()
+    assert(jr.length == 3 && jr.forall(_.getInt(5) == 0))
+  }
+
   test("avro blocks: geometry, both map forms, sync flag-and-continue vs size halt") {
     val s = spark; import s.implicits._
     val payloads = (0L until 25L).map(id => (id, TrainingOps.syntheticAvroPayload(id)))

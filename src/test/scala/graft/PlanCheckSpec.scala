@@ -234,6 +234,13 @@ class PlanCheckSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cartesians(q3).isEmpty)
     val q18 = planOf("q18_large_orders")
     assert(cartesians(q18).isEmpty)
+    // q5: six tables, no cartesian anywhere, and the dimension chain
+    // (region->nation, its customer/supplier semi-filters) broadcasts —
+    // the fact-fact joins are the only shuffled ones
+    val q5 = planOf("q5_local_supplier_volume")
+    assert(cartesians(q5).isEmpty, s"q5: nested-loop/cartesian appeared:\n$q5")
+    assert(broadcastJoins(q5).length >= 3,
+      s"q5: dimension chain lost its broadcasts (${broadcastJoins(q5).length}):\n$q5")
     // pushdown: every q3 scan gets its filter INTO the parquet reader
     // (the cast-to-timestamp on the NTZ column folds away) and reads
     // only the referenced columns — at 100 TB this is partition/row-
