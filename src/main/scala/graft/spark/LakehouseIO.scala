@@ -177,8 +177,13 @@ object LakehouseIO {
     val wallMs = System.currentTimeMillis() - t0
     val ls = ledgers.result()
     val totalRows = ls.map(_.rows).sum
+    // data sequence number, PERSISTED in the receipt (not derived from
+    // list position): snapshot expiry deletes old receipts, and Iceberg
+    // semantics require the survivors to KEEP their sequence numbers —
+    // a position-derived number would silently renumber history
+    val seqNum = (snapshotHistory(root).map(_.seq) :+ 0L).max + 1
     val snapshot =
-      s"""{"run_id":${q(runId)},"input":${q(inputPath)},""" +
+      s"""{"run_id":${q(runId)},"input":${q(inputPath)},"seq":$seqNum,""" +
         s""""app_id":${q(spark.sparkContext.applicationId)},""" +
         s""""committed_buckets":[${ls.map(_.bucket).mkString(",")}],""" +
         s""""previously_committed":[${already.toSeq.sorted.mkString(",")}],""" +
@@ -381,7 +386,18 @@ object LakehouseIO {
     if (fs.isDirectory(snaps)) {
       fs.listStatus(snaps).foreach { st =>
         if (nowMs - st.getModificationTime > ttlMs && !st.isSymlink) {
-          if (fs.delete(st.getPath, false)) n += 1
+          if (fs.delete(st.getPath, false)) {
+            n += 1
+            // the receipt IS the snapshot's truth: drop its (now
+            // orphaned) Iceberg manifest list too. Surviving snapshots
+            // keep their PERSISTED sequence numbers, so the metadata
+            // re-derived at the next commit shows the expiry exactly as
+            // Iceberg's expire_snapshots would (gaps in the sequence,
+            // not a renumbering)
+            val runId = st.getPath.getName.stripSuffix(".json")
+            fs.delete(new Path(metadataDir(root),
+              s"snap-${snapshotIdOf(runId)}-manifest-list.json"), false)
+          }
         }
       }
     }
@@ -467,7 +483,7 @@ object LakehouseIO {
   }
 
   private final case class SnapRec(runId: String, rows: Long, okRows: Long,
-      tsMs: Long, buckets: Seq[Int])
+      tsMs: Long, buckets: Seq[Int], seq: Long)
 
   /** Committed-run history, parsed from the `_snapshots/` receipts the
     * commit protocol writes (the same minimal-extractor style as
@@ -493,9 +509,21 @@ object LakehouseIO {
         .group(1).replace("\\\"", "\"").replace("\\\\", "\\")
       val buckets = "\"committed_buckets\":\\[([0-9,]*)\\]".r
         .findFirstMatchIn(content).map(_.group(1)).getOrElse("")
+      val seq = "\"seq\":(\\d+)".r.findFirstMatchIn(content)
+        .map(_.group(1).toLong).getOrElse(-1L)
       SnapRec(runId, num("rows"), num("ok_rows"), num("committed_at_ms"),
-        if (buckets.isEmpty) Seq.empty else buckets.split(",").map(_.trim.toInt).toSeq)
-    }.sortBy(r => (r.tsMs, r.runId))
+        if (buckets.isEmpty) Seq.empty else buckets.split(",").map(_.trim.toInt).toSeq,
+        seq)
+    }.sortBy(r => (r.tsMs, r.runId)) match {
+      // receipts written before the seq field (or hand-placed) get
+      // positional numbers filled monotonically AFTER the persisted ones
+      case recs =>
+        var nextSeq = (recs.map(_.seq) :+ 0L).max
+        recs.map { r =>
+          if (r.seq > 0) r
+          else { nextSeq += 1; r.copy(seq = nextSeq) }
+        }.sortBy(_.seq)
+    }
   }
 
   /** Re-derive the Iceberg metadata files from the commit history: one
@@ -515,13 +543,13 @@ object LakehouseIO {
     val fs = fsOf(mdir)
     fs.mkdirs(mdir)
     // manifest lists (one per snapshot; skip ones already written)
-    history.zipWithIndex.foreach { case (sn, i) =>
+    history.foreach { sn =>
       val sid = snapshotIdOf(sn.runId)
       val p = new Path(mdir, s"snap-$sid-manifest-list.json")
       if (!fs.exists(p)) {
         val entries = sn.buckets.map { b =>
           s"""{"manifest_path":${q(new Path(ledgerDir(root), s"bucket-$b.json").toString)},""" +
-            s""""partition_spec_id":0,"content":0,"sequence_number":${i + 1},""" +
+            s""""partition_spec_id":0,"content":0,"sequence_number":${sn.seq},""" +
             s""""added_snapshot_id":$sid,""" +
             s""""partitions":[{"contains_null":false,"lower_bound":$b,"upper_bound":$b}]}"""
         }
@@ -563,7 +591,7 @@ object LakehouseIO {
     val snapsJson = history.zipWithIndex.map { case (sn, i) =>
       val sid = snapshotIdOf(sn.runId)
       val total = history.take(i + 1).map(_.rows).sum
-      s"""{"snapshot-id":$sid,"sequence-number":${i + 1},""" +
+      s"""{"snapshot-id":$sid,"sequence-number":${sn.seq},""" +
         s""""timestamp-ms":${sn.tsMs},"schema-id":0,""" +
         s""""manifest-list":${q(new Path(mdir, s"snap-$sid-manifest-list.json").toString)},""" +
         s""""summary":{"operation":"append",""" +
@@ -577,7 +605,7 @@ object LakehouseIO {
     val md =
       s"""{"format-version":2,"table-uuid":${q(uuid)},""" +
         s""""location":${q(root)},""" +
-        s""""last-sequence-number":${history.length},""" +
+        s""""last-sequence-number":${history.map(_.seq).max},""" +
         s""""last-updated-ms":${history.last.tsMs},""" +
         s""""last-column-id":$lastColumnId,""" +
         s""""schemas":[$schemaJson],"current-schema-id":0,""" +
@@ -590,9 +618,10 @@ object LakehouseIO {
         s""""snapshots":[${snapsJson.mkString(",")}],""" +
         s""""snapshot-log":[${logJson.mkString(",")}],""" +
         s""""metadata-log":[]}"""
-    val out = new Path(mdir, s"v${history.length}.metadata.json")
+    val version = history.map(_.seq).max
+    val out = new Path(mdir, s"v$version.metadata.json")
     atomicWrite(out, md)
-    atomicWrite(new Path(mdir, "version-hint.text"), history.length.toString)
+    atomicWrite(new Path(mdir, "version-hint.text"), version.toString)
     out
   }
 

@@ -602,6 +602,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // format-version 2
     assert(m.readTree(Files.readString(mdir.resolve("v1.metadata.json")))
       .get("snapshots").size == 1)
+    // expiry: survivors KEEP their persisted sequence numbers (a gap in
+    // the sequence, not a renumbering — iceberg expire_snapshots
+    // semantics), and the expired snapshot's manifest list goes with
+    // its receipt
+    val sdir = Paths.get(root, "_snapshots")
+    val m1t = Files.getLastModifiedTime(sdir.resolve("ice-run-1.json")).toMillis
+    val m2t = Files.getLastModifiedTime(sdir.resolve("ice-run-2.json")).toMillis
+    assert(m2t > m1t, "receipts must have distinct mtimes for the cut")
+    val cut = (m1t + m2t) / 2
+    assert(LakehouseIO.expire(root, ttlMs = System.currentTimeMillis() - cut) >= 1)
+    LakehouseIO.writeCommitted(
+      ds.withColumn("bucket", col("bucket") + 2 * conf.buckets)
+        .as[ResultRow](org.apache.spark.sql.Encoders.product[ResultRow]),
+      root, "ice-run-3", sfDir)
+    assert(Files.readString(mdir.resolve("version-hint.text")) == "3")
+    val md3 = m.readTree(Files.readString(mdir.resolve("v3.metadata.json")))
+    val snaps3 = md3.get("snapshots")
+    assert(snaps3.size == 2, "expired snapshot must leave the metadata")
+    assert((0 until 2).map(i => snaps3.get(i).get("sequence-number").asLong) == Seq(2L, 3L),
+      "survivors renumbered — sequence numbers must persist through expiry")
+    assert(md3.get("last-sequence-number").asLong == 3L)
+    assert(!Files.exists(mdir.resolve(
+      s"snap-${LakehouseIO.snapshotIdOf("ice-run-1")}-manifest-list.json")),
+      "expired manifest list must be deleted")
+    assert(Files.exists(mdir.resolve(
+      s"snap-${LakehouseIO.snapshotIdOf("ice-run-2")}-manifest-list.json")))
     // and the same projection works through a second FileSystem scheme
     spark.sparkContext.hadoopConfiguration.set(
       "fs.mockfs.impl", classOf[MockSchemeFileSystem].getName)
