@@ -4887,6 +4887,25 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("u4") == ((1, 600L, 600L, "text_layer")))
   }
 
+  test("mutual knn: the d24 cluster-representatives table IS a valid seeds argument") {
+    // the documented at-scale wiring: dedup cluster reps (DF-bounded by
+    // construction) as the kNN seed set — rep ids live in the same id
+    // space as vec_id, so the rep table plugs in directly
+    val seeds = TrainingOps.clusterRepresentatives(docs)
+      .select(col("rep_id").as("vec_id"))
+    val seedSet = seeds.collect().map(_.getLong(0)).toSet
+    assert(seedSet.size >= 10, "sf0.001 should yield a real rep table")
+    val out = TrainingOps.mutualKnnSeeds(embs, seeds, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.nonEmpty, "rep-seeded graph should have mutual edges")
+    out.foreach { case (a, b) =>
+      assert(a < b, "canonical order")
+      assert(seedSet.contains(a) && seedSet.contains(b),
+        s"edge ($a,$b) leaves the seed set")
+    }
+    graft.spark.Caches.drain()
+  }
+
   test("mutual knn: caller-supplied seeds table drives membership (cluster-reps path)") {
     val s = spark; import s.implicits._
     // the seeds argument is the API: a DF-bounded representative table
