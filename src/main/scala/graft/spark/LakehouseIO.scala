@@ -267,6 +267,91 @@ object LakehouseIO {
         .option("basePath", dataDir(root).toString)
         .parquet(picked.map(b => new Path(dataDir(root), s"bucket=$b").toString): _*)
 
+  /** Row-level UPSERT + DELETE via copy-on-write bucket rewrite — the
+    * merge-on-write half of the table layer (Iceberg v2's
+    * MERGE INTO/DELETE FROM analog at bucket granularity): re-extracted
+    * pages replace their previous rows by url, takedown/expired urls
+    * disappear, untouched buckets are never read or written.
+    *
+    * Protocol: affected buckets = distinct buckets across both change
+    * sets (bucket-cardinality, a driver scalar); ONE Spark job reads
+    * exactly those bucket directories, anti-joins the change keys by
+    * url, unions the upsert rows, and stages the rewritten buckets;
+    * then per bucket an atomic rename swaps the directory and the
+    * ledger record is rewritten under this `runId` (a bucket whose rows
+    * all died is deleted and its ledger records rows=0). A snapshot
+    * receipt with op=`overwrite` joins the history, so the Iceberg
+    * metadata projection reports the operation exactly as
+    * `expire_snapshots`-era readers expect. Re-running the same change
+    * set is idempotent (upsert-by-key + delete-by-key).
+    *
+    * Documented trade (sandbox stand-in): copy-on-write REPLACES the
+    * bucket files, so [[readAsOf]] time travel no longer reproduces a
+    * rewritten bucket's pre-change state — real Iceberg retains the old
+    * files until snapshot expiry; that restoration is part of the
+    * `format("iceberg")` reader swap, not this layer's contract.
+    *
+    * Scale shape: cost is O(affected buckets), never O(table); the
+    * anti-join keys are (url) pairs hash-joined inside the affected
+    * slice; with url-hash bucketing a change set touching k urls
+    * rewrites at most k buckets.
+    */
+  def applyChanges(root: String, upserts: Dataset[ResultRow],
+      deleteUrls: DataFrame, runId: String)
+      (implicit spark: SparkSession): Seq[Int] = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+    val t0 = System.currentTimeMillis()
+    val fs = fsOf(new Path(root))
+    val up = upserts.toDF()
+    val affected: Seq[Int] =
+      up.select(col("bucket").cast("int"))
+        .union(deleteUrls.select(col("bucket").cast("int")))
+        .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    if (affected.isEmpty) return Seq.empty
+    val committed = committedBuckets(root)
+    require(affected.forall(committed.contains),
+      s"applyChanges targets uncommitted buckets: ${affected.filterNot(committed.contains).mkString(",")}" +
+        " — route inserts to new buckets through writeCommitted")
+    val staging = stagingDir(root, runId)
+    fs.mkdirs(staging)
+    val current = readBuckets(root, affected)
+    val changeKeys = up.select(col("url"))
+      .union(deleteUrls.select(col("url"))).distinct()
+    val next = current.join(changeKeys, Seq("url"), "left_anti")
+      .unionByName(up.select(current.columns.map(col).toIndexedSeq: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    next.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
+    val stats: Map[Int, (Long, Long)] = next.groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("status") === graft.core.Status.Ok, 1L).otherwise(0L)).as("ok"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    next.unpersist(blocking = false)
+    affected.foreach { b =>
+      val src = new Path(staging, s"bucket=$b")
+      val dst = new Path(dataDir(root), s"bucket=$b")
+      if (fs.exists(dst)) fs.delete(dst, true)
+      if (fs.exists(src)) {
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"rewrite rename failed: $src -> $dst")
+      } // else: every row of the bucket died — directory stays deleted
+      val (rows, ok) = stats.getOrElse(b, (0L, 0L))
+      atomicWrite(new Path(ledgerDir(root), s"bucket-$b.json"),
+        s"""{"bucket":$b,"run_id":${q(runId)},"rows":$rows,""" +
+          s""""ok_rows":$ok,"committed_at_ms":${System.currentTimeMillis()}}""")
+    }
+    val seqNum = (snapshotHistory(root).map(_.seq) :+ 0L).max + 1
+    val rows = stats.values.map(_._1).sum
+    atomicWrite(new Path(snapshotsDir(root), s"$runId.json"),
+      s"""{"run_id":${q(runId)},"input":${q("applyChanges")},"seq":$seqNum,"op":"overwrite",""" +
+        s""""committed_buckets":[${affected.mkString(",")}],""" +
+        s""""rows":$rows,"ok_rows":${stats.values.map(_._2).sum},""" +
+        s""""wall_ms":${System.currentTimeMillis() - t0},"docs_per_sec":0.0,""" +
+        s""""committed_at_ms":${System.currentTimeMillis()}}""")
+    commitIcebergMetadata(root, upserts.schema)
+    fs.delete(staging, true)
+    affected
+  }
+
   /** Incremental read — rows in buckets committed AFTER `sinceMs` and at
     * or before `untilMs`: the Iceberg incremental-scan analog, and the
     * consumption pattern every DOWNSTREAM job wants against a long-lived
@@ -483,7 +568,7 @@ object LakehouseIO {
   }
 
   private final case class SnapRec(runId: String, rows: Long, okRows: Long,
-      tsMs: Long, buckets: Seq[Int], seq: Long)
+      tsMs: Long, buckets: Seq[Int], seq: Long, op: String)
 
   /** Committed-run history, parsed from the `_snapshots/` receipts the
     * commit protocol writes (the same minimal-extractor style as
@@ -511,9 +596,11 @@ object LakehouseIO {
         .findFirstMatchIn(content).map(_.group(1)).getOrElse("")
       val seq = "\"seq\":(\\d+)".r.findFirstMatchIn(content)
         .map(_.group(1).toLong).getOrElse(-1L)
+      val op = "\"op\":\"(\\w+)\"".r.findFirstMatchIn(content)
+        .map(_.group(1)).getOrElse("append")
       SnapRec(runId, num("rows"), num("ok_rows"), num("committed_at_ms"),
         if (buckets.isEmpty) Seq.empty else buckets.split(",").map(_.trim.toInt).toSeq,
-        seq)
+        seq, op)
     }.sortBy(r => (r.tsMs, r.runId)) match {
       // receipts written before the seq field (or hand-placed) get
       // positional numbers filled monotonically AFTER the persisted ones
@@ -594,7 +681,7 @@ object LakehouseIO {
       s"""{"snapshot-id":$sid,"sequence-number":${sn.seq},""" +
         s""""timestamp-ms":${sn.tsMs},"schema-id":0,""" +
         s""""manifest-list":${q(new Path(mdir, s"snap-$sid-manifest-list.json").toString)},""" +
-        s""""summary":{"operation":"append",""" +
+        s""""summary":{"operation":"${sn.op}",""" +
         s""""added-data-files":${q(sn.buckets.length.toString)},""" +
         s""""added-records":${q(sn.rows.toString)},""" +
         s""""total-records":${q(total.toString)}}}"""

@@ -524,6 +524,64 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(LakehouseIO.dataDir(root).toUri.getScheme == "mockfs")
   }
 
+  test("applyChanges: copy-on-write upsert/delete, bucket-scoped rewrite, overwrite snapshot") {
+    implicit val s: SparkSession = spark
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val root = tmpDir("apply-changes")
+    val enc = org.apache.spark.sql.Encoders.product[ResultRow]
+    val ds = spark.createDataset(results.toSeq)(enc)
+    LakehouseIO.writeCommitted(ds, root, "base", sfDir)
+    val before = LakehouseIO.readResults(root).count()
+    val some = results.filter(_.status == core.Status.Ok).take(3)
+    val upd = some(0).copy(text = "REWRITTEN BODY")
+    val ins = some(1).copy(url = "https://new.example.com/fresh", text = "INSERTED")
+    val del = some(2)
+    val sq = spark; import sq.implicits._
+    def changes(run: String) = LakehouseIO.applyChanges(root,
+      spark.createDataset(Seq(upd, ins))(enc),
+      Seq((del.url, del.bucket)).toDF("url", "bucket"), run)
+    val affected = changes("chg1")
+    assert(affected.toSet == Set(upd.bucket, ins.bucket, del.bucket))
+    val after = LakehouseIO.readResults(root)
+    assert(after.count() == before, "one insert and one delete must cancel")
+    val byUrl = after.filter(col("url").isin(upd.url, ins.url, del.url))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byUrl(upd.url) == "REWRITTEN BODY", "upsert must replace by url")
+    assert(byUrl(ins.url) == "INSERTED", "new url must appear")
+    assert(!byUrl.contains(del.url), "deleted url must vanish")
+    // affected buckets re-ledger under the change run; others untouched
+    val lg = LakehouseIO.bucketLedgers(root).map(l => l.bucket -> l.runId).toMap
+    affected.foreach(b => assert(lg(b) == "chg1"))
+    assert(lg.count(_._2 == "base") == lg.size - affected.size)
+    // the metadata projection reports the overwrite operation at seq 2
+    val m = new ObjectMapper()
+    val md = m.readTree(Files.readString(Paths.get(root, "metadata", "v2.metadata.json")))
+    val snap2 = md.get("snapshots").get(1)
+    assert(snap2.get("sequence-number").asLong == 2L)
+    assert(snap2.get("summary").get("operation").asText == "overwrite")
+    // idempotent: re-applying the same change set is a no-op on content
+    changes("chg2")
+    assert(LakehouseIO.readResults(root).count() == before)
+    assert(LakehouseIO.readResults(root).filter(col("url") === upd.url)
+      .head.getString(1) == "REWRITTEN BODY")
+    // whole-bucket death: deleting every row of a bucket removes its
+    // directory and records rows=0
+    val victim = affected.head
+    val victimUrls = LakehouseIO.readResults(root)
+      .filter(col("bucket") === victim).select("url").as[String].collect()
+    assert(victimUrls.nonEmpty)
+    LakehouseIO.applyChanges(root, spark.emptyDataset[ResultRow](enc),
+      victimUrls.toSeq.map(u => (u, victim)).toDF("url", "bucket"), "chg3")
+    assert(LakehouseIO.bucketLedgers(root).find(_.bucket == victim).get.rows == 0L)
+    assert(LakehouseIO.readResults(root)
+      .filter(col("bucket") === victim).count() == 0L)
+    // targeting an uncommitted bucket is a contract violation
+    intercept[IllegalArgumentException] {
+      LakehouseIO.applyChanges(root, spark.emptyDataset[ResultRow](enc),
+        Seq(("u", 99999)).toDF("url", "bucket"), "chg4")
+    }
+  }
+
   test("iceberg metadata projection: v2 TableMetadata JSON validates against the spec shape") {
     implicit val s: SparkSession = spark
     import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
