@@ -91,7 +91,9 @@ class PlanCheckSpec extends AnyFunSuite with BeforeAndAfterAll {
       "d16_pq_codes",         // PlanCheck #34 (codebooks inlined)
       "t26_split",            // group-hash gate — no window, no shuffle
       "t48_overlap_chunks",   // bounded explode — no window, no shuffle
-      "d39_sq8_encode")       // ranges inlined — encode pass is map-only
+      "d39_sq8_encode",       // ranges inlined — encode pass is map-only
+      "m28_avro_blocks",      // r4: byte walker in the scan stage
+      "m29_jsonl_records")    // r4: byte walker in the scan stage
     for (name <- mapOnly) {
       val p = planOf(name)
       assert(shuffles(p).isEmpty, s"$name: map-only query grew a shuffle:\n$p")
@@ -177,6 +179,21 @@ class PlanCheckSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the outer plan must contain no FileScan of its own
     assert(bm25.collect { case f: FileSourceScanExec => f }.isEmpty,
       s"t56: corpus scanned outside the persisted pass (two-scan regression):\n$bm25")
+    // t60 (r4): map-side pair fanout + ONE pair-keyed exchange — a
+    // positional self-join regression would add a join + second shuffle
+    val sg = planOf("t60_skipgram_pairs")
+    assert(shuffles(sg).length == 1,
+      s"t60: expected exactly 1 exchange, got ${shuffles(sg).length}:\n$sg")
+    assert(cartesians(sg).isEmpty && broadcastJoins(sg).isEmpty,
+      s"t60: pair generation grew a join:\n$sg")
+    // e70 (r4): host rollup + TakeOrdered extras + join back — never a
+    // cartesian, and the global extras pick is TakeOrderedAndProject
+    val cb = planOf("e70_crawl_budget")
+    assert(cartesians(cb).isEmpty, s"e70: cartesian appeared:\n$cb")
+    assert(cb.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, s"e70: extras pick is not TakeOrderedAndProject (full sort?):\n$cb")
+    assertWindowsPartitioned("e70_crawl_budget", cb)
     // e67: ONE map-side-combined host rollup — exactly one exchange,
     // Wilson arithmetic is per-aggregate-row scalar work
     val wilson = planOf("e67_host_wilson")
