@@ -1069,6 +1069,11 @@ object SparkEntry {
     // offsets + bounded per-bucket windows) — never an unpartitioned
     // Window.orderBy over the corpus
     "t31_token_shards" -> ((s, dir) => TrainingOps.tokenShards(docs(s, dir))),
+    // the WRITE side of the shard plan: per-shard JSONL payload bytes
+    // (t31 sharding x m29 format), doc_id-ordered lines + trailing
+    // newline, md5 over the exact bytes a data loader would read
+    "t61_jsonl_shard_payloads" -> ((s, dir) =>
+      TrainingOps.jsonlShardPayloads(docs(s, dir))),
     // per-shard release receipts over t31's shards: doc/token counts,
     // id range, and an order/partitioning-independent bit_xor checksum
     "t59_shard_manifest" -> ((s, dir) => TrainingOps.shardManifest(docs(s, dir))),
@@ -6284,6 +6289,22 @@ object SparkEntry {
           "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
           "AS token_start FROM f) " +
           "SELECT doc_id, n_tokens, token_start, token_start // 4096 AS shard FROM o"),
+      // t61 oracle: t31's cumsum sharding + the m29 line format rebuilt
+      // with the same literal-replace escape chain, lines string_agg'd
+      // in doc_id order + trailing newline — md5 over identical bytes
+      "t61_jsonl_shard_payloads" ->
+        (s"WITH f AS (SELECT doc_id, text, CAST(len($w) AS BIGINT) AS n_tokens " +
+          "FROM documents WHERE length(text) >= 1), " +
+          "o AS (SELECT doc_id, text, CAST(coalesce(sum(n_tokens) OVER " +
+          "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 4096 " +
+          "AS shard FROM f), " +
+          "l AS (SELECT shard, doc_id, '{\"id\":' || doc_id || ',\"text\":\"' || " +
+          "replace(replace(replace(replace(replace(text, '\\', '\\\\'), '\"', '\\\"'), " +
+          "chr(10), '\\n'), chr(13), '\\r'), chr(9), '\\t') || '\"}' AS line FROM o) " +
+          "SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(octet_length(encode(string_agg(line, chr(10) ORDER BY doc_id) || chr(10))) AS BIGINT) AS n_bytes, " +
+          "md5(string_agg(line, chr(10) ORDER BY doc_id) || chr(10)) AS payload_md5 " +
+          "FROM l GROUP BY shard"),
       // t59 oracle: t31's window cumsum + one shard rollup; checksum =
       // bit_xor of the shared h60 convention over 'sm:'||doc_id
       "t59_shard_manifest" ->

@@ -6950,6 +6950,42 @@ object TrainingOps extends Serializable {
       .toDF("doc_id", "idx", "l_off", "l_len", "kind", "valid", "payload_md5")
   }
 
+  /** JSONL shard payload assembly — the WRITE side of [[jsonlRecords]]
+    * and the materialization of [[tokenShards]]' plan: group documents
+    * into token-budgeted shards (t31's exact two-phase prefix sum),
+    * serialize each doc as one `{"id":N,"text":"..."}` line (minimal
+    * JSON escape set \\ \" \n \r \t — literal `replace` chains, NO
+    * regex, mirrored verbatim by the oracle), and emit per shard the
+    * doc count, payload byte length, and payload md5 — the exact
+    * artifact a trainer's data loader reads, checksummable against the
+    * t59 manifest receipts. Lines order by doc_id within a shard
+    * (deterministic across partitionings — `array_sort` on the
+    * (doc_id, line) struct), with the trailing newline of the JSONL
+    * convention.
+    *
+    * Scale shape: t31's bucketed prefix sum, one doc_id-keyed join, one
+    * shard-keyed aggregation whose state is bounded by the TOKEN BUDGET
+    * per shard (collect_list holds one shard's lines, never the
+    * corpus). For the real write path, swap the md5 projection for a
+    * partitionBy("shard") text sink — the assembly plan is identical.
+    */
+  def jsonlShardPayloads(docs: DataFrame, budget: Long = 4096L): DataFrame = {
+    val esc = Seq("\\" -> "\\\\", "\"" -> "\\\"", "\n" -> "\\n",
+      "\r" -> "\\r", "\t" -> "\\t")
+      .foldLeft(col("text")) { case (c, (a, b)) => replace(c, lit(a), lit(b)) }
+    val line = concat(lit("{\"id\":"), col("doc_id"),
+      lit(",\"text\":\""), esc, lit("\"}"))
+    docs.join(tokenShards(docs, budget).select("doc_id", "shard"), "doc_id")
+      .select(col("shard"), struct(col("doc_id"), line.as("line")).as("dl"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        concat(array_join(transform(array_sort(collect_list(col("dl"))),
+          x => x.getField("line")), "\n"), lit("\n")).as("payload"))
+      .select(col("shard"), col("n_docs"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("payload_md5"))
+  }
+
   /** Zigzag-varint append (Avro long encoding): zigzag fold then 7-bit
     * little-endian groups with continuation bits.
     */

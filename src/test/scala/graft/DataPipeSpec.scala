@@ -5036,6 +5036,30 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(w1 == Set(("w", "w"), ("x", "y"), ("y", "z")))
   }
 
+  test("jsonl shard payloads: escape chain, doc order, byte-exact reconstruction") {
+    val s = spark; import s.implicits._
+    val hostile = "a\"b\\c\nd\re\tf"
+    val d = Seq((1L, "plain words here"), (2L, hostile), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val out = TrainingOps.jsonlShardPayloads(d, budget = 1000000L).collect()
+    assert(out.length == 1, "one big budget -> one shard")
+    val r = out.head
+    def esc(t: String) = t.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+    val expected = Seq(1L -> "plain words here", 2L -> hostile, 3L -> "x y")
+      .map { case (i, t) => s"""{"id":$i,"text":"${esc(t)}"}""" }
+      .mkString("", "\n", "\n")
+    val mdRef = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getLong(1) == 3L)
+    assert(r.getLong(2) == expected.getBytes("UTF-8").length.toLong)
+    assert(r.getString(3) == mdRef, "payload bytes diverge from the reference serialization")
+    // every emitted line is valid JSON by the m29 validator
+    expected.stripSuffix("\n").split("\n", -1)
+      .foreach(l => assert(TrainingOps.jsonValid(l), s"invalid line: $l"))
+    graft.spark.Caches.drain()
+  }
+
   test("json validator: full grammar, strictness, whole-input rule") {
     import TrainingOps.jsonValid
     // valid: every value type, nesting, escapes incl \uXXXX, numbers
