@@ -307,6 +307,24 @@ object SparkEntry {
     "SELECT doc_id, CASE WHEN doc_id % 5 = 4 THEN 'canonical page ' || (doc_id % 17) " +
       "ELSE text END AS text FROM documents"
 
+  /** DuckDB twin of the full RFC-8259 string-escape chain — generated
+    * from the SAME `TrainingOps.jsonStringEscapes` table the Spark side
+    * folds, so the t61 oracle cannot drift from the implementation:
+    * each (literal, replacement) pair becomes one `replace(...)` layer
+    * (DuckDB single-quoted strings are escape-free, so the replacement
+    * text carries its backslashes literally; control-char literals ride
+    * `chr(n)`).
+    */
+  private def duckJsonEscape(expr: String): String =
+    graft.datapipe.TrainingOps.jsonStringEscapes.foldLeft(expr) {
+      case (e, (a, b)) =>
+        val find =
+          if (a == "\\") "'\\'"
+          else if (a.charAt(0) < ' ') s"chr(${a.charAt(0).toInt})"
+          else s"'$a'"
+        s"replace($e, $find, '$b')"
+    }
+
   /** e59's (doc_id, host, text) input: dupAug's cross-host families
     * (hosts follow the PagesGen.hostOf formula) plus one INTRA-host
     * family — doc_id % 101 == 9 pins both text AND host, because the
@@ -6299,8 +6317,7 @@ object SparkEntry {
           "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 4096 " +
           "AS shard FROM f), " +
           "l AS (SELECT shard, doc_id, '{\"id\":' || doc_id || ',\"text\":\"' || " +
-          "replace(replace(replace(replace(replace(text, '\\', '\\\\'), '\"', '\\\"'), " +
-          "chr(10), '\\n'), chr(13), '\\r'), chr(9), '\\t') || '\"}' AS line FROM o) " +
+          duckJsonEscape("text") + " || '\"}' AS line FROM o) " +
           "SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, " +
           "CAST(octet_length(encode(string_agg(line, chr(10) ORDER BY doc_id) || chr(10))) AS BIGINT) AS n_bytes, " +
           "md5(string_agg(line, chr(10) ORDER BY doc_id) || chr(10)) AS payload_md5 " +

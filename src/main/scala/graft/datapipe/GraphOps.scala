@@ -1172,10 +1172,32 @@ object GraphOps {
     * (B * w_i overflows a Long at web scale — the e68 rule).
     *
     * Scale shape: ONE map-side-combined host rollup; scalars are two
-    * host-cardinality aggregates; the extras list is a global
-    * TakeOrdered top-deficit (per-partition heaps, never a full sort —
-    * deficit < #hosts by construction) joined back on host. Documents
-    * never shuffle.
+    * host-cardinality aggregates; the extras set is picked by REMAINDER
+    * THRESHOLD, never a global top-k — no TakeOrdered, no join, no
+    * driver structure that grows with host cardinality:
+    *
+    *  1. remainder-value histogram `groupBy(rem).count` collected to
+    *     the driver. rem is a function of n_pages alone, so the
+    *     histogram has one row per DISTINCT page-count — the t57
+    *     bound: k distinct positive counts sum to >= k(k+1)/2, so
+    *     distinct values <= sqrt(2T) (~1.4e6 rows at T=1e12 pages,
+    *     constant-bounded in practice by the count distribution).
+    *  2. a driver prefix scan over the descending histogram finds the
+    *     boundary remainder class: every host with rem STRICTLY above
+    *     it gets +1 via a map-only filter.
+    *  3. the boundary class (hosts sharing one exact remainder — i.e.
+    *     one exact page count) is resolved by host-asc prefix descent:
+    *     per-next-character class counts (<= alphabet-size rows per
+    *     level, collected), whole prefix-classes taken by a map-only
+    *     `substring < boundary-char` predicate, recursing only into
+    *     the single boundary prefix-class until it fits a 4096-host
+    *     literal pick. Every driver structure is alphabet- or
+    *     4096-bounded; descent depth is bounded by host length and in
+    *     practice 0-2 levels.
+    *
+    * The selected set is EXACTLY the old `orderBy(rem desc, host)
+    * .limit(deficit)` set (ties by host asc, pinned) — the oracle is
+    * unchanged.
     */
   def crawlBudget(pages: DataFrame, budget: Long = 100000L,
       maxPerHost: Long = 1000L): DataFrame = {
@@ -1193,15 +1215,59 @@ object GraphOps {
       expr(s"cast((cast($budget as decimal(38,0)) * n_pages) % $total as bigint)").as("rem"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).registered
     val deficit = budget - base.agg(sum(col("base"))).head().getLong(0)
-    require(deficit >= 0 && deficit <= Int.MaxValue, s"deficit $deficit out of range")
-    val extras = base.orderBy(col("rem").desc, col("host")).limit(deficit.toInt)
-      .select(col("host"), lit(1).as("extra"))
-    base.join(extras, Seq("host"), "left")
-      .select(col("host"), col("n_pages"),
-        least(lit(maxPerHost),
-          col("base") + coalesce(col("extra"), lit(0))).as("quota"),
-        coalesce(col("extra"), lit(0)).as("got_extra"),
-        (col("base") + coalesce(col("extra"), lit(0)) > maxPerHost).as("capped"))
+    require(deficit >= 0, s"deficit $deficit out of range")
+    val extra = extrasPredicate(base, deficit)
+    base.select(col("host"), col("n_pages"),
+      least(lit(maxPerHost),
+        col("base") + when(extra, 1L).otherwise(0L)).as("quota"),
+      when(extra, 1).otherwise(0).as("got_extra"),
+      (col("base") + when(extra, 1L).otherwise(0L) > maxPerHost).as("capped"))
+  }
+
+  /** Membership predicate for [[crawlBudget]]'s largest-remainder extras
+    * (the `deficit` hosts first by (rem desc, host asc)) as a map-only
+    * Column — the threshold + boundary-class descent of the scaladoc
+    * above. `base` must carry (host, rem) and be persisted (each descent
+    * level runs one small aggregate against it).
+    */
+  private def extrasPredicate(base: DataFrame, deficit: Long): Column = {
+    if (deficit == 0L) return lit(false)
+    val hist = base.groupBy("rem").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    var above = 0L
+    var i = 0
+    while (i < hist.length && above + hist(i)._2 <= deficit) {
+      above += hist(i)._2; i += 1
+    }
+    if (above == deficit) return col("rem") >= hist(i - 1)._1
+    val (bRem, bCnt) = hist(i)
+    val need = deficit - above // 1 <= need < bCnt
+    val inClass = col("rem") === bRem
+
+    // host-asc prefix descent inside the boundary remainder class: take
+    // the `need` lexicographically-smallest hosts of a class of `cnt`
+    def pick(prefix: String, cnt: Long, need: Long): Column = {
+      val classPred = inClass && col("host").startsWith(prefix)
+      if (cnt <= 4096L) {
+        val hosts = base.filter(classPred).select(col("host"))
+          .collect().map(_.getString(0)).sorted.take(need.toInt)
+        col("host").isInCollection(hosts.toSeq)
+      } else {
+        val pos = prefix.length + 1
+        val cc = base.filter(classPred)
+          .groupBy(substring(col("host"), pos, 1).as("c"))
+          .agg(count(lit(1)).as("cnt"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+        var cum = 0L
+        var j = 0
+        while (j < cc.length && cum + cc(j)._2 <= need) { cum += cc(j)._2; j += 1 }
+        val taken = substring(col("host"), pos, 1) < cc(j)._1
+        if (cum == need) taken
+        else taken || (substring(col("host"), pos, 1) === cc(j)._1 &&
+          pick(prefix + cc(j)._1, cc(j)._2, need - cum))
+      }
+    }
+    (col("rem") > bRem) || (inClass && pick("", bCnt, need))
   }
 
   def crawlFrontier(edges: DataFrame, crawled: DataFrame): DataFrame = {

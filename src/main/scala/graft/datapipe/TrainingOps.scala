@@ -6778,8 +6778,12 @@ object TrainingOps extends Serializable {
     val n = s.length
     var p = 0
     def dig(c: Char) = c >= '0' && c <= '9'
+    // the full RFC-8259 ws set %x20/%x09/%x0A/%x0D — LF included even
+    // though JSONL framing means callers never feed one (the method is
+    // public and documented as the strict whole-grammar check, so
+    // pretty-printed values like "{\n}" must pass)
     def ws(): Unit = while (p < n && {
-      val c = s.charAt(p); c == ' ' || c == '\t' || c == '\r'
+      val c = s.charAt(p); c == ' ' || c == '\t' || c == '\r' || c == '\n'
     }) p += 1
     def lit(t: String): Boolean =
       p + t.length <= n && s.regionMatches(p, t, 0, t.length) && { p += t.length; true }
@@ -6953,9 +6957,13 @@ object TrainingOps extends Serializable {
   /** JSONL shard payload assembly — the WRITE side of [[jsonlRecords]]
     * and the materialization of [[tokenShards]]' plan: group documents
     * into token-budgeted shards (t31's exact two-phase prefix sum),
-    * serialize each doc as one `{"id":N,"text":"..."}` line (minimal
-    * JSON escape set \\ \" \n \r \t — literal `replace` chains, NO
-    * regex, mirrored verbatim by the oracle), and emit per shard the
+    * serialize each doc as one `{"id":N,"text":"..."}` line (the FULL
+    * RFC-8259 escape set: \\ \" plus every control char U+0000–U+001F —
+    * \b \t \n \f \r by their short forms, the rest as \u00XX — literal
+    * `replace` chains, NO regex, mirrored verbatim by the oracle; the
+    * emitted lines therefore parse valid under [[jsonValid]] for ANY
+    * input text, pinned by the t61→m29 round-trip law in
+    * DataPipeSpec), and emit per shard the
     * doc count, payload byte length, and payload md5 — the exact
     * artifact a trainer's data loader reads, checksummable against the
     * t59 manifest receipts. Lines order by doc_id within a shard
@@ -6969,9 +6977,20 @@ object TrainingOps extends Serializable {
     * corpus). For the real write path, swap the md5 projection for a
     * partitionBy("shard") text sink — the assembly plan is identical.
     */
-  def jsonlShardPayloads(docs: DataFrame, budget: Long = 4096L): DataFrame = {
-    val esc = Seq("\\" -> "\\\\", "\"" -> "\\\"", "\n" -> "\\n",
-      "\r" -> "\\r", "\t" -> "\\t")
+  def jsonlShardPayloads(docs: DataFrame, budget: Long = 4096L): DataFrame =
+    jsonlShardsAssembled(docs, budget)
+      .select(col("shard"), col("n_docs"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("payload_md5"))
+
+  /** The assembled (shard, n_docs, payload) frame behind
+    * [[jsonlShardPayloads]] — the exact bytes the real write path would
+    * sink per shard, exposed so the t61→m29 round-trip law (DataPipeSpec)
+    * can feed them back through [[jsonlRecords]] and pin the shared JSONL
+    * convention from both sides.
+    */
+  def jsonlShardsAssembled(docs: DataFrame, budget: Long = 4096L): DataFrame = {
+    val esc = jsonStringEscapes
       .foldLeft(col("text")) { case (c, (a, b)) => replace(c, lit(a), lit(b)) }
     val line = concat(lit("{\"id\":"), col("doc_id"),
       lit(",\"text\":\""), esc, lit("\"}"))
@@ -6981,10 +7000,20 @@ object TrainingOps extends Serializable {
       .agg(count(lit(1)).as("n_docs"),
         concat(array_join(transform(array_sort(collect_list(col("dl"))),
           x => x.getField("line")), "\n"), lit("\n")).as("payload"))
-      .select(col("shard"), col("n_docs"),
-        octet_length(col("payload")).cast("long").as("n_bytes"),
-        md5(col("payload")).as("payload_md5"))
   }
+
+  /** The RFC-8259 string escape table as ordered (literal, replacement)
+    * pairs — backslash FIRST (later replacements introduce backslashes
+    * that must not be re-escaped), then quote, the five short-form
+    * control escapes, and every remaining U+0000–U+001F as \u00XX
+    * (lowercase hex). Shared by [[jsonlShardPayloads]] and its oracle
+    * builder so the two chains cannot drift.
+    */
+  val jsonStringEscapes: Seq[(String, String)] =
+    Seq("\\" -> "\\\\", "\"" -> "\\\"", "\b" -> "\\b", "\t" -> "\\t",
+      "\n" -> "\\n", "\f" -> "\\f", "\r" -> "\\r") ++
+      (0 until 0x20).filterNot(Seq(0x08, 0x09, 0x0a, 0x0c, 0x0d).contains)
+        .map(c => c.toChar.toString -> f"\\u$c%04x")
 
   /** Zigzag-varint append (Avro long encoding): zigzag fold then 7-bit
     * little-endian groups with continuation bits.

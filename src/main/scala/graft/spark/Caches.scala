@@ -1,6 +1,6 @@
 package graft.spark
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{Dataset, SparkSession}
 
 /** Session-scoped registry of the frames the library persists
   * internally — the cache-lifecycle CONTRACT the ops could not express
@@ -18,31 +18,63 @@ import org.apache.spark.sql.Dataset
   *
   * `drain()` is what the harness (`graft.Verify`) runs between queries;
   * a user composing ops in one session calls it at their own batch
-  * boundaries. Unpersisting is idempotent, so ops that already release
-  * their caches eagerly (the graph family) may register them too — the
-  * drain is then a no-op for those frames. Thread-safe; registration
-  * order is preserved but irrelevant (unpersist is independent per
-  * frame and non-blocking).
+  * boundaries. The registry is keyed by the frame's OWNING
+  * `SparkSession`, so two sessions in one JVM (or a test harness
+  * driving several) never see each other's frames — session A's drain
+  * cannot unpersist a frame session B is still filling. Within one
+  * session, concurrent queries share the registry by design (persist /
+  * unpersist are storage-level hints, and the drain is the caller's
+  * own batch boundary). Unpersisting is idempotent, so ops that
+  * already release their caches eagerly (the graph family) may
+  * register them too — the drain is then a no-op for those frames.
+  * Thread-safe; registration order is preserved but irrelevant
+  * (unpersist is independent per frame and non-blocking).
   */
 object Caches {
 
-  private val frames =
-    new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+  private val bySession = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]]()
 
-  /** Track a persisted frame for the next [[drain]]. Returns the SAME
-    * dataset reference (attribute resolution via `df("col")` keeps
-    * working on the registered frame).
+  /** Track a persisted frame for the next [[drain]] of its session.
+    * Returns the SAME dataset reference (attribute resolution via
+    * `df("col")` keeps working on the registered frame).
     */
-  def register[T](ds: Dataset[T]): Dataset[T] = { frames.add(ds); ds }
-
-  /** Unpersist every registered frame (non-blocking) and forget them. */
-  def drain(): Unit = {
-    var d = frames.poll()
-    while (d != null) { d.unpersist(blocking = false); d = frames.poll() }
+  def register[T](ds: Dataset[T]): Dataset[T] = {
+    bySession
+      .computeIfAbsent(ds.sparkSession,
+        _ => new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]())
+      .add(ds)
+    ds
   }
 
-  /** Number of currently tracked frames (test/diagnostic surface). */
-  def tracked: Int = frames.size()
+  /** Unpersist every frame registered under `session` (non-blocking)
+    * and forget them.
+    */
+  def drain(session: SparkSession): Unit = {
+    val q = bySession.remove(session)
+    if (q != null) {
+      var d = q.poll()
+      while (d != null) { d.unpersist(blocking = false); d = q.poll() }
+    }
+  }
+
+  /** Drain the ACTIVE session's frames; with no active session (teardown
+    * paths), drain every session's — the conservative closing sweep.
+    */
+  def drain(): Unit = SparkSession.getActiveSession match {
+    case Some(s) => drain(s)
+    case None =>
+      bySession.keySet().forEach(s => drain(s))
+  }
+
+  /** Number of currently tracked frames across all sessions
+    * (test/diagnostic surface).
+    */
+  def tracked: Int = {
+    var n = 0
+    bySession.values().forEach(q => n += q.size())
+    n
+  }
 
   /** Postfix registration for persist chains:
     * `df.persist(...).registered`.

@@ -182,12 +182,18 @@ object LakehouseIO {
     // semantics require the survivors to KEEP their sequence numbers —
     // a position-derived number would silently renumber history
     val seqNum = (snapshotHistory(root).map(_.seq) :+ 0L).max + 1
+    // post-commit whole-table row count, PERSISTED: overwrite snapshots
+    // (applyChanges) report post-rewrite counts in `rows`, so the Iceberg
+    // summary's total-records cannot be a cumulative sum of `rows` across
+    // history — each receipt carries the ledger sum as of its commit
+    val tableRows = bucketLedgers(root).map(_.rows).sum
     val snapshot =
       s"""{"run_id":${q(runId)},"input":${q(inputPath)},"seq":$seqNum,""" +
         s""""app_id":${q(spark.sparkContext.applicationId)},""" +
         s""""committed_buckets":[${ls.map(_.bucket).mkString(",")}],""" +
         s""""previously_committed":[${already.toSeq.sorted.mkString(",")}],""" +
         s""""rows":$totalRows,"ok_rows":${ls.map(_.okRows).sum},""" +
+        s""""table_rows":$tableRows,""" +
         s""""wall_ms":$wallMs,""" +
         s""""docs_per_sec":${if (wallMs > 0) totalRows * 1000.0 / wallMs else 0.0},""" +
         s""""committed_at_ms":${System.currentTimeMillis()}}"""
@@ -255,17 +261,26 @@ object LakehouseIO {
   /** Structural-pruning read of an explicit bucket subset — the shared
     * tail of [[readAsOf]] and [[readIncremental]]: only the named bucket
     * directories are listed/read; an empty pick yields an empty frame of
-    * the results schema.
+    * the results schema. A picked bucket whose directory is absent is
+    * skipped, not an error: a committed bucket legitimately has no data
+    * dir after [[applyChanges]] deletes its every row (ledger rows=0) —
+    * an existence probe per picked bucket (O(picked) namenode RPCs, the
+    * same cost class as the listing the read does anyway) keeps the
+    * scan from throwing PATH_NOT_FOUND on that table state.
     */
   private def readBuckets(root: String, picked: Seq[Int])
-      (implicit spark: SparkSession): DataFrame =
-    if (picked.isEmpty) {
+      (implicit spark: SparkSession): DataFrame = {
+    val fs = fsOf(dataDir(root))
+    val present = picked.map(b => new Path(dataDir(root), s"bucket=$b"))
+      .filter(fs.exists)
+    if (present.isEmpty) {
       import spark.implicits._
       spark.emptyDataset[ResultRow].toDF()
     } else
       spark.read
         .option("basePath", dataDir(root).toString)
-        .parquet(picked.map(b => new Path(dataDir(root), s"bucket=$b").toString): _*)
+        .parquet(present.map(_.toString): _*)
+  }
 
   /** Row-level UPSERT + DELETE via copy-on-write bucket rewrite — the
     * merge-on-write half of the table layer (Iceberg v2's
@@ -277,13 +292,23 @@ object LakehouseIO {
     * sets (bucket-cardinality, a driver scalar); ONE Spark job reads
     * exactly those bucket directories, anti-joins the change keys by
     * url, unions the upsert rows, and stages the rewritten buckets;
-    * then per bucket an atomic rename swaps the directory and the
-    * ledger record is rewritten under this `runId` (a bucket whose rows
-    * all died is deleted and its ledger records rows=0). A snapshot
-    * receipt with op=`overwrite` joins the history, so the Iceberg
-    * metadata projection reports the operation exactly as
-    * `expire_snapshots`-era readers expect. Re-running the same change
-    * set is idempotent (upsert-by-key + delete-by-key).
+    * then per bucket the SAME move-aside two-rename swap as [[compact]]
+    * (old dir -> `_maintenance/trash-N`, staged dir in, delete trash)
+    * replaces the directory and the ledger record is rewritten under
+    * this `runId` (a bucket whose rows all died ends with no data dir
+    * and a rows=0 ledger; [[readBuckets]] skips the absent dir). A
+    * crash at ANY point is recoverable: before the move-aside the table
+    * is untouched; between the renames the committed data sits in
+    * trash-N, which [[repairCompaction]] — run first thing here and in
+    * [[compact]] — renames back; after the swap-in the bucket is the
+    * new data and only trash cleanup remains. A snapshot receipt with
+    * op=`overwrite` joins the history, so the Iceberg metadata
+    * projection reports the operation exactly as `expire_snapshots`-era
+    * readers expect. Re-running the same change set is idempotent
+    * (upsert-by-key + delete-by-key), including against a
+    * crash-interrupted previous attempt (mixed old/new buckets repair
+    * to a readable state first, and the change application converges on
+    * both).
     *
     * Documented trade (sandbox stand-in): copy-on-write REPLACES the
     * bucket files, so [[readAsOf]] time travel no longer reproduces a
@@ -297,11 +322,13 @@ object LakehouseIO {
     * rewrites at most k buckets.
     */
   def applyChanges(root: String, upserts: Dataset[ResultRow],
-      deleteUrls: DataFrame, runId: String)
+      deleteUrls: DataFrame, runId: String,
+      failDuringSwapOf: Option[Int] = None)
       (implicit spark: SparkSession): Seq[Int] = {
     import org.apache.spark.sql.functions.{col, count, lit, sum, when}
     val t0 = System.currentTimeMillis()
     val fs = fsOf(new Path(root))
+    repairCompaction(root) // self-heal a crashed swap before reading
     val up = upserts.toDF()
     val affected: Seq[Int] =
       up.select(col("bucket").cast("int"))
@@ -329,11 +356,25 @@ object LakehouseIO {
     affected.foreach { b =>
       val src = new Path(staging, s"bucket=$b")
       val dst = new Path(dataDir(root), s"bucket=$b")
-      if (fs.exists(dst)) fs.delete(dst, true)
+      val trash = new Path(maintenanceDir(root), s"trash-$b")
+      fs.mkdirs(maintenanceDir(root))
+      if (fs.exists(trash)) fs.delete(trash, true) // stale (repair already ran)
+      if (fs.exists(dst) && !fs.rename(dst, trash))
+        throw new java.io.IOException(s"rewrite move-aside failed for bucket $b")
+      failDuringSwapOf.foreach { fb =>
+        if (fb == b) throw new RuntimeException(
+          s"injected crash between the two renames of bucket $b")
+      }
       if (fs.exists(src)) {
-        if (!fs.rename(src, dst))
-          throw new java.io.IOException(s"rewrite rename failed: $src -> $dst")
-      } // else: every row of the bucket died — directory stays deleted
+        if (!fs.rename(src, dst)) {
+          if (fs.exists(trash) && !fs.rename(trash, dst)) // restore — unchanged
+            throw new java.io.IOException(
+              s"rewrite swap-in AND restore failed for bucket $b — data is in $trash; " +
+                "run repairCompaction")
+          throw new java.io.IOException(s"rewrite swap-in failed for bucket $b (restored)")
+        }
+      } // else: every row of the bucket died — directory stays absent
+      fs.delete(trash, true)
       val (rows, ok) = stats.getOrElse(b, (0L, 0L))
       atomicWrite(new Path(ledgerDir(root), s"bucket-$b.json"),
         s"""{"bucket":$b,"run_id":${q(runId)},"rows":$rows,""" +
@@ -341,10 +382,12 @@ object LakehouseIO {
     }
     val seqNum = (snapshotHistory(root).map(_.seq) :+ 0L).max + 1
     val rows = stats.values.map(_._1).sum
+    val tableRows = bucketLedgers(root).map(_.rows).sum
     atomicWrite(new Path(snapshotsDir(root), s"$runId.json"),
       s"""{"run_id":${q(runId)},"input":${q("applyChanges")},"seq":$seqNum,"op":"overwrite",""" +
         s""""committed_buckets":[${affected.mkString(",")}],""" +
         s""""rows":$rows,"ok_rows":${stats.values.map(_._2).sum},""" +
+        s""""table_rows":$tableRows,""" +
         s""""wall_ms":${System.currentTimeMillis() - t0},"docs_per_sec":0.0,""" +
         s""""committed_at_ms":${System.currentTimeMillis()}}""")
     commitIcebergMetadata(root, upserts.schema)
@@ -373,16 +416,18 @@ object LakehouseIO {
 
   def maintenanceDir(root: String): Path = new Path(root, "_maintenance")
 
-  /** Crash recovery for [[compact]]'s two-rename swap: restore any bucket
-    * whose move-aside survived but whose swap-in didn't, and sweep
-    * leftovers. `_maintenance/trash-N` with `data/bucket=N` absent means
-    * the crash hit between the renames — the trash IS the committed data,
-    * rename it back; with `data/bucket=N` present the swap completed and
-    * the trash is the superseded copy — delete it. Orphan `compact-N`
-    * rewrite dirs are garbage. Runs automatically at every [[compact]]
-    * entry, so the first maintenance pass after a crash self-heals; kept
-    * public as the operator's explicit recovery hook. Returns buckets
-    * restored.
+  /** Crash recovery for the move-aside two-rename swap shared by
+    * [[compact]] and [[applyChanges]]: restore any bucket whose
+    * move-aside survived but whose swap-in didn't, and sweep leftovers.
+    * `_maintenance/trash-N` with `data/bucket=N` absent means the crash
+    * hit between the renames — the trash IS the committed data, rename it
+    * back; with `data/bucket=N` present the swap completed and the trash
+    * is the superseded copy — delete it. Orphan `compact-N` rewrite dirs
+    * are garbage (an applyChanges staging dir is NOT: it lives under
+    * `_staging` and is TTL-swept by [[expire]] like any dead run's).
+    * Runs automatically at every [[compact]] and [[applyChanges]] entry,
+    * so the first maintenance pass after a crash self-heals; kept public
+    * as the operator's explicit recovery hook. Returns buckets restored.
     *
     * Lives under `_maintenance`, NOT `_staging`: [[expire]] TTL-sweeps
     * _staging, and TTL-deleting a not-yet-restored trash dir would make a
@@ -568,7 +613,7 @@ object LakehouseIO {
   }
 
   private final case class SnapRec(runId: String, rows: Long, okRows: Long,
-      tsMs: Long, buckets: Seq[Int], seq: Long, op: String)
+      tsMs: Long, buckets: Seq[Int], seq: Long, op: String, tableRows: Long)
 
   /** Committed-run history, parsed from the `_snapshots/` receipts the
     * commit protocol writes (the same minimal-extractor style as
@@ -598,9 +643,11 @@ object LakehouseIO {
         .map(_.group(1).toLong).getOrElse(-1L)
       val op = "\"op\":\"(\\w+)\"".r.findFirstMatchIn(content)
         .map(_.group(1)).getOrElse("append")
+      val tableRows = "\"table_rows\":(\\d+)".r.findFirstMatchIn(content)
+        .map(_.group(1).toLong).getOrElse(-1L) // pre-r5 receipts: unknown
       SnapRec(runId, num("rows"), num("ok_rows"), num("committed_at_ms"),
         if (buckets.isEmpty) Seq.empty else buckets.split(",").map(_.trim.toInt).toSeq,
-        seq, op)
+        seq, op, tableRows)
     }.sortBy(r => (r.tsMs, r.runId)) match {
       // receipts written before the seq field (or hand-placed) get
       // positional numbers filled monotonically AFTER the persisted ones
@@ -675,16 +722,29 @@ object LakehouseIO {
     val uuid = java.util.UUID.nameUUIDFromBytes(
       ("graft-table:" + new Path(root).toUri.getPath)
         .getBytes(StandardCharsets.UTF_8)).toString
-    val snapsJson = history.zipWithIndex.map { case (sn, i) =>
+    // running whole-table size: receipts carry the post-commit ledger sum
+    // (`table_rows`); pre-r5 receipts without it fall back to the
+    // append-cumulative estimate. An overwrite snapshot's `rows` is the
+    // post-rewrite count of its affected buckets — added-records (records
+    // in the files the snapshot added) is exactly that, and
+    // deleted-records (records in the files it removed) falls out of the
+    // running totals: prev + added - total.
+    var running = 0L
+    val snapsJson = history.map { sn =>
       val sid = snapshotIdOf(sn.runId)
-      val total = history.take(i + 1).map(_.rows).sum
+      val prev = running
+      running = if (sn.tableRows >= 0) sn.tableRows else running + sn.rows
+      val deleted =
+        if (sn.op == "overwrite" && sn.tableRows >= 0) prev + sn.rows - running
+        else 0L
       s"""{"snapshot-id":$sid,"sequence-number":${sn.seq},""" +
         s""""timestamp-ms":${sn.tsMs},"schema-id":0,""" +
         s""""manifest-list":${q(new Path(mdir, s"snap-$sid-manifest-list.json").toString)},""" +
         s""""summary":{"operation":"${sn.op}",""" +
         s""""added-data-files":${q(sn.buckets.length.toString)},""" +
         s""""added-records":${q(sn.rows.toString)},""" +
-        s""""total-records":${q(total.toString)}}}"""
+        (if (sn.op == "overwrite") s""""deleted-records":${q(deleted.toString)},""" else "") +
+        s""""total-records":${q(running.toString)}}}"""
     }
     val logJson = history.map(sn =>
       s"""{"timestamp-ms":${sn.tsMs},"snapshot-id":${snapshotIdOf(sn.runId)}}""")

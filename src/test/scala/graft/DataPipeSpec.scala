@@ -5038,14 +5038,15 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("jsonl shard payloads: escape chain, doc order, byte-exact reconstruction") {
     val s = spark; import s.implicits._
-    val hostile = "a\"b\\c\nd\re\tf"
+    val hostile = "a\"b\\c\nd\re\tf\b g\fh\u0001\u001f"
     val d = Seq((1L, "plain words here"), (2L, hostile), (3L, "x y"))
       .toDF("doc_id", "text")
     val out = TrainingOps.jsonlShardPayloads(d, budget = 1000000L).collect()
     assert(out.length == 1, "one big budget -> one shard")
     val r = out.head
-    def esc(t: String) = t.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+    def esc(t: String) = TrainingOps.jsonStringEscapes.foldLeft(t) {
+      case (x, (a, b)) => x.replace(a, b)
+    }
     val expected = Seq(1L -> "plain words here", 2L -> hostile, 3L -> "x y")
       .map { case (i, t) => s"""{"id":$i,"text":"${esc(t)}"}""" }
       .mkString("", "\n", "\n")
@@ -5057,6 +5058,62 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // every emitted line is valid JSON by the m29 validator
     expected.stripSuffix("\n").split("\n", -1)
       .foreach(l => assert(TrainingOps.jsonValid(l), s"invalid line: $l"))
+    graft.spark.Caches.drain()
+  }
+
+  test("t61 -> m29 round-trip law: emitted shards re-parse line-exact from the other side") {
+    // the two ops implement the JSONL convention from opposite sides
+    // (t61 writes, m29 reads); this law pins the shared convention —
+    // escaping, newline framing, trailing-newline — against drift, the
+    // same way the e16/e15 render/parse round-trip pins hOCR. Corpus
+    // includes EVERY control char, quote/backslash storms, and
+    // multi-byte unicode (astral included).
+    val s = spark; import s.implicits._
+    val allCtl = (0 until 0x20).map(_.toChar).mkString
+    val corpus = Seq(
+      (1L, "plain words here and more of them"),
+      (2L, "ctl " + allCtl + " end"),
+      (3L, "q\"q \\\\ tail\\"),
+      (4L, "unicode é 中文 😀 mix"),
+      (5L, "\\n literal backslash-n vs real\nnewline"),
+      (6L, "x"),
+    )
+    val d = corpus.toDF("doc_id", "text")
+    val assembled = TrainingOps.jsonlShardsAssembled(d, budget = 8L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(assembled.count() >= 2, "budget=8 must split this corpus into shards")
+    // feed the exact payload BYTES back through the read side
+    val records = TrainingOps.jsonlRecords(spark,
+      assembled.select(col("shard").as("doc_id"),
+        encode(col("payload"), "UTF-8").as("payload"))).collect()
+      .map(r => (r.getLong(0), r.getString(4), r.getInt(5), r.getString(6)))
+    // law 1: every emitted line is a VALID json object (no blanks, no
+    // truncations — the full-escape chain is what makes this hold for
+    // the control-char doc)
+    records.foreach { case (sh, kind, valid, _) =>
+      assert(kind == "object" && valid == 1, s"shard $sh emitted a bad line")
+    }
+    // law 2: per-shard record count == the shard's declared n_docs
+    val declared = assembled.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val counted = records.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(counted == declared, s"framing drift: declared=$declared counted=$counted")
+    // law 3: doc ids round-trip — the per-line md5s ARE the md5s of the
+    // locally re-serialized (shard, doc) lines, shard by shard
+    val shardOf = TrainingOps.tokenShards(d, budget = 8L)
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def esc(t: String) = TrainingOps.jsonStringEscapes.foldLeft(t) {
+      case (x, (a, b)) => x.replace(a, b)
+    }
+    val expByShard = corpus
+      .map { case (id, t) =>
+        shardOf(id) -> md5hex(s"""{"id":$id,"text":"${esc(t)}"}""")
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val gotByShard = records.groupBy(_._1).view
+      .mapValues(_.map(_._4).sorted.toSeq).toMap
+    assert(gotByShard == expByShard, "line payloads diverge from the reference serialization")
+    assembled.unpersist(blocking = false)
     graft.spark.Caches.drain()
   }
 

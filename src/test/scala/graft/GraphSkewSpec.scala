@@ -149,6 +149,83 @@ class GraphSkewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byHost(s"farm${ringN - 1}.example.com") == (((ringN - 1).toLong, triEach, 1000000L)))
   }
 
+  test("e70 crawlBudget: 50%-mega-host frontier apportions exactly; boundary-class descent; partitioning-independent") {
+    // the scheduling-family twin of the graph armor above: one host
+    // holds HALF the corpus, and the other half is a 100k-host boundary
+    // class sharing ONE remainder value — the exact shape that forces
+    // the r5 threshold pick through its host-prefix descent (all 100k
+    // leaves tie on rem; only the host-asc prefix of the class may win)
+    val s = spark; import s.implicits._
+    val pages = spark.range(leaves).select(lit(hub).as("host"))
+      .union(spark.range(leaves).select(
+        concat(lit("leaf"), col("id"), lit(".example.com")).as("host")))
+    val budget = 997L
+    val out = timed("crawlBudget", 120.0) {
+      GraphOps.crawlBudget(pages.repartition(8), budget = budget,
+        maxPerHost = 1000000L).collect()
+    }
+    // Hamilton exactness: uncapped quotas spend the budget to the unit
+    assert(out.map(_.getLong(2)).sum == budget)
+    // mega-host: base floor(997*1e5/2e5)=498, remainder 1e5 is the
+    // global max -> +1
+    val byHost = out.map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(byHost(hub) == 499L)
+    // boundary class: all 100k leaves share rem=997; exactly deficit-1
+    // = 498 of them — the host-asc prefix of the class — get the +1
+    val extras = out.filter(_.getInt(3) == 1).map(_.getString(0)).toSet
+    assert(extras.size == 499 && extras.contains(hub))
+    val expectedLeaves = (0 until leaves).map(i => s"leaf$i.example.com")
+      .sorted.take(498).toSet
+    assert((extras - hub) == expectedLeaves,
+      "boundary-class pick must be the lexicographic prefix of the tied class")
+    // partitioning independence: a host-hashed 3-partition layout lands
+    // on the identical table (the old TakeOrdered pick was already
+    // deterministic; the threshold pick must stay so)
+    val canon = (r: org.apache.spark.sql.Row) =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getBoolean(4))
+    val out2 = GraphOps.crawlBudget(pages.repartition(3, col("host")),
+      budget, 1000000L).collect().map(canon).sortBy(_._1)
+    assert(out.map(canon).sortBy(_._1).sameElements(out2))
+    graft.spark.Caches.drain()
+  }
+
+  test("e29/p5 politenessSchedule: mega-host frontier stays wall-bounded; kept rows are salt-independent") {
+    // W8's salted two-stage top-N claims a mega-host's frontier never
+    // pins one task AND that the salt never changes WHAT is kept — this
+    // drives both claims with a host owning 50% of the frontier
+    val s = spark; import s.implicits._
+    val mega = spark.range(leaves).select(
+      concat(lit(s"https://$hub/page/"), col("id")).as("to_url"),
+      (col("id") % 1000).as("n_refs"), lit(true).as("allowed"))
+    val rest = spark.range(leaves).select(
+      concat(lit("https://leaf"), col("id"), lit(".example.com/")).as("to_url"),
+      (col("id") % 7).as("n_refs"), lit(true).as("allowed"))
+    val frontier = mega.union(rest).repartition(8)
+    val run = (salt: Int) => timed(s"politenessSchedule(salt=$salt)", 120.0) {
+      GraphOps.politenessSchedule(frontier, budget = 4, salt = salt).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)))
+        .sortBy(t => (t._2, t._3))
+    }
+    val a = run(8)
+    // per-host cap holds everywhere; the mega-host emits exactly budget
+    val perHost = a.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(perHost.values.forall(_ <= 4))
+    assert(perHost(hub) == 4)
+    // the mega-host's kept rows are its true global top-4 by
+    // (n_refs desc, to_url asc) — the salted local stage must not have
+    // evicted a global winner
+    val expectTop = (0 until leaves)
+      .map(i => (s"https://$hub/page/$i", (i % 1000).toLong))
+      .sortBy { case (u, n) => (-n, u) }.take(4).map(_._1)
+    assert(a.filter(_._2 == hub).sortBy(_._3).map(_._1).toSeq == expectTop)
+    // slots are 0..3 with delay multiples — a zero-coordination fetch fan
+    assert(a.filter(_._2 == hub).map(t => (t._3, t._4)).sorted.toSeq ==
+      Seq((0, 0L), (1, 1000L), (2, 2000L), (3, 3000L)))
+    // salt-independence: a different fan-out width keeps the SAME rows
+    assert(a.sameElements(run(5)), "salt changed the kept set")
+    graft.spark.Caches.drain()
+  }
+
   test("e65 hostScorecard: farm flagged ring_suspect, mega-hub flagged authority") {
     val out = timed("hostScorecard", 120.0) {
       GraphOps.hostScorecard(edges).collect()

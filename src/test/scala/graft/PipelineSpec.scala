@@ -580,6 +580,138 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       LakehouseIO.applyChanges(root, spark.emptyDataset[ResultRow](enc),
         Seq(("u", 99999)).toDF("url", "bucket"), "chg4")
     }
+    // whole-bucket death leaves the table fully READABLE and the change
+    // set RE-RUNNABLE: the r4 delete-then-rename protocol threw
+    // PATH_NOT_FOUND from readBuckets here (ADVICE r4 item 1)
+    LakehouseIO.applyChanges(root, spark.emptyDataset[ResultRow](enc),
+      victimUrls.toSeq.map(u => (u, victim)).toDF("url", "bucket"), "chg5")
+    assert(LakehouseIO.readAsOf(root, System.currentTimeMillis())
+      .filter(col("bucket") === victim).count() == 0L)
+  }
+
+  test("applyChanges crash mid-swap: stranded bucket repairs byte-identical; rerun and self-heal converge") {
+    implicit val s: SparkSession = spark
+    val sq = spark; import sq.implicits._
+    val root = tmpDir("apply-crash")
+    val enc = org.apache.spark.sql.Encoders.product[ResultRow]
+    val ds = spark.createDataset(results.toSeq)(enc)
+    LakehouseIO.writeCommitted(ds, root, "base", sfDir)
+    def snap(): Array[(String, String)] = LakehouseIO.readResults(root)
+      .select("url", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    val before = snap()
+    val upd = results.filter(_.status == core.Status.Ok).head
+      .copy(text = "CRASH REWRITE")
+    val victim = upd.bucket
+    val noDeletes = Seq.empty[(String, Int)].toDF("url", "bucket")
+    // crash injected BETWEEN the move-aside and the swap-in of `victim`
+    intercept[RuntimeException] {
+      LakehouseIO.applyChanges(root, spark.createDataset(Seq(upd))(enc),
+        noDeletes, "crash1", failDuringSwapOf = Some(victim))
+    }
+    // mid-crash state: the bucket dir is ABSENT, its committed data
+    // stranded in _maintenance/trash-N — exactly the window the r4
+    // delete-then-rename protocol made unrecoverable
+    assert(!Files.exists(Paths.get(root, "data", s"bucket=$victim")))
+    assert(Files.exists(Paths.get(root, "_maintenance", s"trash-$victim")))
+    // explicit repair restores the pre-change table byte-identical
+    assert(LakehouseIO.repairCompaction(root) == 1)
+    assert(snap().sameElements(before), "repair must restore pre-change state")
+    // re-running the change set (fresh runId) converges to the new state
+    LakehouseIO.applyChanges(root, spark.createDataset(Seq(upd))(enc),
+      noDeletes, "crash2")
+    val after = snap()
+    assert(after.length == before.length)
+    assert(after.find(_._1 == upd.url).get._2 == "CRASH REWRITE")
+    // and the ENTRY repair self-heals: crash again, then re-run WITHOUT
+    // a manual repairCompaction call in between
+    val upd2 = upd.copy(text = "SECOND REWRITE")
+    intercept[RuntimeException] {
+      LakehouseIO.applyChanges(root, spark.createDataset(Seq(upd2))(enc),
+        noDeletes, "crash3", failDuringSwapOf = Some(victim))
+    }
+    LakehouseIO.applyChanges(root, spark.createDataset(Seq(upd2))(enc),
+      noDeletes, "crash4")
+    assert(snap().find(_._1 == upd.url).get._2 == "SECOND REWRITE")
+    assert(LakehouseIO.readResults(root).count() == before.length)
+  }
+
+  test("iceberg metadata lifecycle: append -> overwrite -> compact -> expire holds ledger<->metadata parity") {
+    implicit val s: SparkSession = spark
+    val sq = spark; import sq.implicits._
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    val root = tmpDir("ice-life")
+    val enc = org.apache.spark.sql.Encoders.product[ResultRow]
+    val ds = spark.createDataset(results.toSeq)(enc).repartition(8)
+    val m = new ObjectMapper()
+    def md(): JsonNode = {
+      val hint = Files.readString(Paths.get(root, "metadata", "version-hint.text"))
+      m.readTree(Files.readString(Paths.get(root, "metadata", s"v$hint.metadata.json")))
+    }
+    def ledgerSum(): Long = LakehouseIO.bucketLedgers(root).map(_.rows).sum
+    def currentSummary(): JsonNode = {
+      val n = md()
+      val cur = n.get("current-snapshot-id").asLong
+      var found: JsonNode = null
+      n.get("snapshots").elements().forEachRemaining { sn =>
+        if (sn.get("snapshot-id").asLong == cur) found = sn
+      }
+      assert(found != null, "current snapshot missing from history")
+      found.get("summary")
+    }
+    // 1. append: total-records == ledger sum == row count
+    LakehouseIO.writeCommitted(ds, root, "life-1", sfDir)
+    assert(currentSummary().get("total-records").asText.toLong == results.length.toLong)
+    assert(ledgerSum() == results.length.toLong)
+    Thread.sleep(5)
+    // 2. overwrite: delete 2 urls, rewrite 1 — total-records must FOLLOW
+    //   the table (r4 summed `rows` cumulatively and overstated it;
+    //   ADVICE r4 item 2), deleted-records must account the removal
+    val okRows = results.filter(_.status == core.Status.Ok).take(3)
+    LakehouseIO.applyChanges(root,
+      spark.createDataset(Seq(okRows(0).copy(text = "LIFECYCLE")))(enc),
+      okRows.drop(1).map(r => (r.url, r.bucket)).toSeq.toDF("url", "bucket"),
+      "life-2")
+    val afterChange = results.length.toLong - 2
+    assert(ledgerSum() == afterChange)
+    val ov = currentSummary()
+    assert(ov.get("operation").asText == "overwrite")
+    assert(ov.get("total-records").asText.toLong == afterChange,
+      s"overwrite total-records must equal the live table, got ${ov.get("total-records")}")
+    val added = ov.get("added-records").asText.toLong
+    val deleted = ov.get("deleted-records").asText.toLong
+    assert(added - deleted == -2L,
+      s"added-deleted must net the change: added=$added deleted=$deleted")
+    // 3. compact: maintenance, NOT a commit — ledger, metadata version,
+    //   and row count all unchanged
+    val mdVer = Files.readString(Paths.get(root, "metadata", "version-hint.text"))
+    LakehouseIO.compact(root)
+    assert(ledgerSum() == afterChange)
+    assert(Files.readString(Paths.get(root, "metadata", "version-hint.text")) == mdVer)
+    assert(LakehouseIO.readResults(root).count() == afterChange)
+    // 4. expire the append snapshot, then commit fresh buckets: survivors
+    //   keep sequence numbers (gap, not renumber) and total-records still
+    //   tracks the ledger exactly
+    val sdir = Paths.get(root, "_snapshots")
+    val cut = (Files.getLastModifiedTime(sdir.resolve("life-1.json")).toMillis +
+      Files.getLastModifiedTime(sdir.resolve("life-2.json")).toMillis) / 2
+    assert(LakehouseIO.expire(root, ttlMs = System.currentTimeMillis() - cut) >= 1)
+    LakehouseIO.writeCommitted(
+      ds.withColumn("bucket", col("bucket") + conf.buckets)
+        .as[ResultRow](enc),
+      root, "life-3", sfDir)
+    val n3 = md()
+    val seqs = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[Long]
+      n3.get("snapshots").elements().forEachRemaining(sn =>
+        b += sn.get("sequence-number").asLong)
+      b.toSeq
+    }
+    assert(seqs == Seq(2L, 3L), s"expiry must gap, never renumber: $seqs")
+    assert(currentSummary().get("total-records").asText.toLong == ledgerSum())
+    assert(ledgerSum() == afterChange + results.length.toLong)
+    assert(!Files.exists(Paths.get(root, "metadata",
+      s"snap-${LakehouseIO.snapshotIdOf("life-1")}-manifest-list.json")))
   }
 
   test("iceberg metadata projection: v2 TableMetadata JSON validates against the spec shape") {

@@ -186,13 +186,22 @@ class PlanCheckSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"t60: expected exactly 1 exchange, got ${shuffles(sg).length}:\n$sg")
     assert(cartesians(sg).isEmpty && broadcastJoins(sg).isEmpty,
       s"t60: pair generation grew a join:\n$sg")
-    // e70 (r4): host rollup + TakeOrdered extras + join back — never a
-    // cartesian, and the global extras pick is TakeOrderedAndProject
+    // e70 (r4, rewritten r5): host rollup + map-only remainder-threshold
+    // extras — never a cartesian, and NO ordering structure of any kind
+    // remains: no TakeOrderedAndProject with data-dependent k (the r4
+    // shape this replaces), no Sort, no join back (the extras membership
+    // is a filter predicate on the persisted base frame)
     val cb = planOf("e70_crawl_budget")
     assert(cartesians(cb).isEmpty, s"e70: cartesian appeared:\n$cb")
     assert(cb.collect {
       case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
-    }.nonEmpty, s"e70: extras pick is not TakeOrderedAndProject (full sort?):\n$cb")
+    }.isEmpty, s"e70: driver-side top-k reappeared:\n$cb")
+    assert(cb.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }.isEmpty, s"e70: global sort appeared:\n$cb")
+    assert(cb.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, s"e70: extras pick grew a join back:\n$cb")
     assertWindowsPartitioned("e70_crawl_budget", cb)
     // e67: ONE map-side-combined host rollup — exactly one exchange,
     // Wilson arithmetic is per-aggregate-row scalar work
