@@ -58,22 +58,43 @@ object Caches {
     }
   }
 
-  /** Drain the ACTIVE session's frames; with no active session (teardown
-    * paths), drain every session's — the conservative closing sweep.
+  /** Drop registry entries whose session's context has stopped — their
+    * frames are gone with the executors, and a long-lived JVM cycling
+    * sessions (a test harness, a notebook kernel) must not accumulate
+    * dead queues.
     */
-  def drain(): Unit = SparkSession.getActiveSession match {
-    case Some(s) => drain(s)
-    case None =>
-      bySession.keySet().forEach(s => drain(s))
+  private def purgeStopped(): Unit =
+    bySession.keySet().forEach { s =>
+      if (s.sparkContext.isStopped) bySession.remove(s)
+    }
+
+  /** Drain the calling thread's live session (active, else default);
+    * with neither (teardown paths), drain every session's — the
+    * conservative closing sweep.
+    */
+  def drain(): Unit = {
+    purgeStopped()
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
+      case Some(s) => drain(s)
+      case None => bySession.keySet().forEach(s => drain(s))
+    }
   }
 
-  /** Number of currently tracked frames across all sessions
-    * (test/diagnostic surface).
+  /** Number of currently tracked frames for the calling thread's live
+    * session — all live sessions when none is current
+    * (test/diagnostic surface; stopped sessions never count).
     */
   def tracked: Int = {
-    var n = 0
-    bySession.values().forEach(q => n += q.size())
-    n
+    purgeStopped()
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
+      case Some(s) =>
+        val q = bySession.get(s)
+        if (q == null) 0 else q.size()
+      case None =>
+        var n = 0
+        bySession.values().forEach(q => n += q.size())
+        n
+    }
   }
 
   /** Postfix registration for persist chains:

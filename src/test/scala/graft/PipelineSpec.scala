@@ -636,6 +636,49 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(LakehouseIO.readResults(root).count() == before.length)
   }
 
+  /** Compact re-runnable slice of the v2 spec-shape validation (the full
+    * single-shot version lives in the "iceberg metadata projection" test)
+    * — run after EVERY lifecycle mutation: required fields, unique
+    * positive schema field-ids, strictly-increasing sequence numbers,
+    * current == last, one RESOLVABLE manifest list per snapshot whose
+    * entries point at existing ledger receipts.
+    */
+  private def assertV2Shape(root: String, expectSnapshots: Int): Unit = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val m = new ObjectMapper()
+    val mdir = Paths.get(root, "metadata")
+    val hint = Files.readString(mdir.resolve("version-hint.text"))
+    val md = m.readTree(Files.readString(mdir.resolve(s"v$hint.metadata.json")))
+    for (k <- Seq("format-version", "table-uuid", "location", "last-sequence-number",
+        "last-updated-ms", "last-column-id", "schemas", "current-schema-id",
+        "partition-specs", "default-spec-id", "current-snapshot-id", "snapshots",
+        "snapshot-log"))
+      assert(md.has(k), s"metadata missing $k")
+    assert(md.get("format-version").asInt == 2)
+    val snaps = md.get("snapshots")
+    assert(snaps.size == expectSnapshots,
+      s"expected $expectSnapshots snapshots, got ${snaps.size}")
+    var prevSeq = 0L
+    var lastId = 0L
+    (0 until snaps.size).foreach { i =>
+      val sn = snaps.get(i)
+      val seq = sn.get("sequence-number").asLong
+      assert(seq > prevSeq, s"sequence numbers not strictly increasing at $i")
+      prevSeq = seq
+      lastId = sn.get("snapshot-id").asLong
+      val ml = new org.apache.hadoop.fs.Path(sn.get("manifest-list").asText)
+      val mlJson = m.readTree(Files.readString(Paths.get(ml.toUri.getPath)))
+      assert(mlJson.isArray, s"manifest list not an array: $ml")
+      mlJson.elements().forEachRemaining { e =>
+        val mp = new org.apache.hadoop.fs.Path(e.get("manifest_path").asText)
+        assert(Files.exists(Paths.get(mp.toUri.getPath)), s"dangling manifest: $mp")
+      }
+    }
+    assert(md.get("current-snapshot-id").asLong == lastId)
+    assert(md.get("last-sequence-number").asLong == prevSeq)
+    assert(md.get("snapshot-log").size == snaps.size)
+  }
+
   test("iceberg metadata lifecycle: append -> overwrite -> compact -> expire holds ledger<->metadata parity") {
     implicit val s: SparkSession = spark
     val sq = spark; import sq.implicits._
@@ -663,6 +706,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     LakehouseIO.writeCommitted(ds, root, "life-1", sfDir)
     assert(currentSummary().get("total-records").asText.toLong == results.length.toLong)
     assert(ledgerSum() == results.length.toLong)
+    assertV2Shape(root, expectSnapshots = 1)
     Thread.sleep(5)
     // 2. overwrite: delete 2 urls, rewrite 1 — total-records must FOLLOW
     //   the table (r4 summed `rows` cumulatively and overstated it;
@@ -682,6 +726,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val deleted = ov.get("deleted-records").asText.toLong
     assert(added - deleted == -2L,
       s"added-deleted must net the change: added=$added deleted=$deleted")
+    assertV2Shape(root, expectSnapshots = 2)
     // 3. compact: maintenance, NOT a commit — ledger, metadata version,
     //   and row count all unchanged
     val mdVer = Files.readString(Paths.get(root, "metadata", "version-hint.text"))
@@ -712,6 +757,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ledgerSum() == afterChange + results.length.toLong)
     assert(!Files.exists(Paths.get(root, "metadata",
       s"snap-${LakehouseIO.snapshotIdOf("life-1")}-manifest-list.json")))
+    assertV2Shape(root, expectSnapshots = 2)
   }
 
   test("iceberg metadata projection: v2 TableMetadata JSON validates against the spec shape") {

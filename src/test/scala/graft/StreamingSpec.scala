@@ -6,7 +6,7 @@ import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 import graft.gen.PagesGen
 import graft.spark._
-import graft.streaming.StreamingExtract
+import graft.streaming.{StreamingCc, StreamingExtract}
 
 /** Streaming-mode integration: AvailableNow drains the input, a second
   * wave of files appends through the same checkpoint, and the union of
@@ -100,6 +100,63 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     StreamingExtract.start(spark, in, table, conf,
       maxFilesPerTrigger = Some(1)).awaitTermination()
     assert(StreamingExtract.readAll(spark, table).count() == streamed.length)
+  }
+
+  test("streaming: CC segment ingest (m10) == batch walker across waves; replay commits nothing") {
+    // the ingest spine a resident pipeline actually runs continuously
+    // (r4 verdict item 7): .warc.gz segment batches arrive as files,
+    // AvailableNow drains them, every micro-batch commits atomically
+    // under batches/batch=<id>. Output must equal the batch walker on
+    // the same segments, wave by wave, and a drained restart (replayed
+    // source, same checkpoints) must commit nothing new.
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    import graft.datapipe.TrainingOps
+    spark.sparkContext.setLogLevel("WARN")
+    val in = tmpDir("cc-stream-in")
+    val table = tmpDir("cc-stream-table")
+    // synthetic segments: the m10 member families (valid WARC+HTTP,
+    // bare-HTTP 404, non-HTTP body, non-WARC member, FNAME headers,
+    // one truncated-gzip family) built driver-side
+    def rec(d: Long): Array[Byte] = {
+      val url = s"https://h${d % 97}.example.com/doc/$d"
+      val payload =
+        if (d % 3 == 0) s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html>doc $d</html>"
+        else if (d % 3 == 1) s"HTTP/1.0 404 Not Found\nContent-Type: text/plain\n\nmissing $d"
+        else s"not-http doc $d\r\n\r\nbody"
+      val r =
+        if (d % 13 == 6) "this member is not a warc record"
+        else s"WARC/1.0\r\nWARC-Target-URI: $url\r\nContent-Length: " +
+          s"${payload.getBytes("UTF-8").length}\r\n\r\n$payload\r\n\r\n"
+      TrainingOps.gzipMember(r.getBytes("UTF-8"), if (d % 11 == 3) s"d$d" else null)
+    }
+    val segs = (0L until 48L).map { sid =>
+      val all = (0L until 4L).flatMap(i => rec(sid * 4 + i)).toArray
+      (sid, if (sid % 7 == 5) all.dropRight(5) else all)
+    }
+    val (wave1, wave2) = segs.partition(_._1 % 2 == 0)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+
+    wave1.toDF("segment_id", "gz").write.mode("append").parquet(in)
+    StreamingCc.start(spark, in, table).awaitTermination()
+    assert(canon(StreamingCc.readAll(spark, table)) ==
+      canon(TrainingOps.ccReader(spark, wave1.toDF("segment_id", "gz"))),
+      "wave-1 streamed output diverges from the batch walker")
+
+    wave2.toDF("segment_id", "gz").write.mode("append").parquet(in)
+    StreamingCc.start(spark, in, table).awaitTermination()
+    val streamed = canon(StreamingCc.readAll(spark, table))
+    assert(streamed == canon(TrainingOps.ccReader(spark, segs.toDF("segment_id", "gz"))),
+      "two-wave streamed union diverges from the batch walker on all segments")
+
+    // replay idempotence: a drained restart adds no batch dir, no rows
+    val batchDirs = java.nio.file.Files.list(
+      java.nio.file.Paths.get(table, "batches")).count()
+    StreamingCc.start(spark, in, table).awaitTermination()
+    assert(java.nio.file.Files.list(
+      java.nio.file.Paths.get(table, "batches")).count() == batchDirs)
+    assert(canon(StreamingCc.readAll(spark, table)) == streamed)
   }
 
   test("streaming: cross-batch re-crawl dedups to one row via readAllDeduped") {
