@@ -1095,6 +1095,19 @@ object SparkEntry {
     // per-shard release receipts over t31's shards: doc/token counts,
     // id range, and an order/partitioning-independent bit_xor checksum
     "t59_shard_manifest" -> ((s, dir) => TrainingOps.shardManifest(docs(s, dir))),
+    // release-integrity audit over PERTURBED receipt twins (manifests
+    // lose shard%5==2 and overcount shard%7==3; payloads lose
+    // shard%3==1) so every verdict rung fires; budget 1024 gives the
+    // sf0.01 corpus enough shards to populate all four
+    "p20_release_audit" -> ((s, dir) => {
+      val mPert = TrainingOps.shardManifest(docs(s, dir), budget = 1024L)
+        .filter(col("shard") % 5 =!= 2)
+        .withColumn("n_docs",
+          col("n_docs") + when(col("shard") % 7 === 3, 1L).otherwise(0L))
+      val pPert = TrainingOps.jsonlShardPayloads(docs(s, dir), budget = 1024L)
+        .filter(col("shard") % 3 =!= 1)
+      TrainingOps.releaseAudit(mPert, pPert)
+    }),
     // daily-ingest incremental dedup over the dup-augmented corpus:
     // increment = doc_id % 10 >= 8, corpus = the rest
     "d13_incremental_dedup" -> ((s, dir) => {
@@ -1464,6 +1477,16 @@ object SparkEntry {
       val (edges, crawled) = linkGraphOf(s, dir)
       graft.datapipe.GraphOps.politenessSchedule(
         graft.datapipe.GraphOps.crawlFrontier(edges, crawled))
+    }),
+    // budget-composed fetch plan (e70 ∘ e29): Hamilton quotas over the
+    // allowed frontier's host mix truncate the politeness slots —
+    // prime budget 61 so remainders bite, maxPerHost 3 < slots 4 so
+    // the quota truncation is visible on every granted host
+    "e71_budgeted_schedule" -> ((s, dir) => {
+      val (edges, crawled) = linkGraphOf(s, dir)
+      graft.datapipe.GraphOps.budgetedSchedule(
+        graft.datapipe.GraphOps.crawlFrontier(edges, crawled),
+        budget = 61L, slots = 4, maxPerHost = 3L)
     }),
     // composed CRAWL-CYCLE pipeline (the crawl-side analog of p1/p2):
     // frontier construction -> heuristic URL rules -> RFC 9309 robots
@@ -3322,6 +3345,34 @@ object SparkEntry {
         "ORDER BY n_refs DESC, to_url) AS rn FROM f) " +
         "SELECT to_url, host, CAST(rn - 1 AS INT) AS slot, " +
         "CAST((rn - 1) * 1000 AS BIGINT) AS fetch_offset_ms FROM rk WHERE rn <= 4"),
+      // e71 oracle: e29's schedule window composed with e70's Hamilton
+      // apportionment over the SAME allowed-frontier host mix (window
+      // rank for extras — the algorithm-independent formulation), slots
+      // kept strictly below the granted quota
+      "e71_budgeted_schedule" -> (linksCte(htmlKindsA, famB, famC) +
+        s", r AS (SELECT $urlExpr AS src_url, " +
+        "CASE WHEN href LIKE 'https://%' THEN href ELSE 'https://' || " +
+        "CASE WHEN doc_id % 10 < 3 THEN 'big.example.com' ELSE 'h' || (doc_id % 97) || '.example.com' END " +
+        "|| href END AS to_url FROM u), " +
+        "g AS (SELECT to_url, count(*) AS n_refs FROM r GROUP BY 1), " +
+        s"cw AS (SELECT $urlExpr AS url FROM documents WHERE $htmlKinds), " +
+        "f AS (SELECT to_url, n_refs, regexp_extract(to_url, 'https?://([^/]+)', 1) AS host " +
+        "FROM g WHERE to_url NOT IN (SELECT url FROM cw) " +
+        "AND NOT (regexp_extract(to_url, 'https?://[^/]+(/.*)', 1) LIKE '/promo/%' " +
+        "OR regexp_extract(to_url, 'https?://[^/]+(/.*)', 1) LIKE '/pick/%' " +
+        "OR regexp_extract(to_url, 'https?://[^/]+(/.*)', 1) IN ('/privacy', '/imprint'))), " +
+        "hw AS (SELECT host, count(*) AS n_pages FROM f GROUP BY 1), " +
+        "ht AS (SELECT sum(n_pages) AS total FROM hw), " +
+        "hb AS (SELECT host, (61 * n_pages) // total AS base, (61 * n_pages) % total AS rem FROM hw, ht), " +
+        "hd AS (SELECT 61 - sum(base) AS deficit FROM hb), " +
+        "hx AS (SELECT host, row_number() OVER (ORDER BY rem DESC, host) AS xr FROM hb), " +
+        "hq AS (SELECT hb.host, least(3, base + CASE WHEN xr <= deficit THEN 1 ELSE 0 END) AS quota " +
+        "FROM hb JOIN hx USING (host) CROSS JOIN hd), " +
+        "rk AS (SELECT to_url, host, row_number() OVER (PARTITION BY host " +
+        "ORDER BY n_refs DESC, to_url) AS rn FROM f) " +
+        "SELECT to_url, rk.host, CAST(rn - 1 AS INT) AS slot, " +
+        "CAST((rn - 1) * 1000 AS BIGINT) AS fetch_offset_ms, CAST(quota AS BIGINT) AS quota " +
+        "FROM rk JOIN hq ON hq.host = rk.host WHERE rn <= 4 AND rn - 1 < quota"),
       // recrawl-delta oracle: the same twin snapshot CTEs, full-outer
       // joined on the key, verdict as the same CASE ladder
       "e30_recrawl_delta" ->
@@ -6322,6 +6373,35 @@ object SparkEntry {
           "CAST(octet_length(encode(string_agg(line, chr(10) ORDER BY doc_id) || chr(10))) AS BIGINT) AS n_bytes, " +
           "md5(string_agg(line, chr(10) ORDER BY doc_id) || chr(10)) AS payload_md5 " +
           "FROM l GROUP BY shard"),
+      // p20 oracle: the t59 + t61 receipt CTEs at budget 1024, each
+      // perturbed exactly as the wiring perturbs them, full-outer
+      // joined with the NULL-preserving verdict ladder
+      "p20_release_audit" ->
+        (s"WITH f AS (SELECT doc_id, text, CAST(len($w) AS BIGINT) AS n_tokens " +
+          "FROM documents WHERE length(text) >= 1), " +
+          "o AS (SELECT doc_id, text, n_tokens, CAST(coalesce(sum(n_tokens) OVER " +
+          "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
+          "AS token_start FROM f), " +
+          "sh AS (SELECT doc_id, text, n_tokens, token_start // 1024 AS shard FROM o), " +
+          "man0 AS (SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens " +
+          "FROM sh GROUP BY shard), " +
+          "man AS (SELECT shard, n_docs + CASE WHEN shard % 7 = 3 THEN 1 ELSE 0 END AS n_docs, " +
+          "n_tokens FROM man0 WHERE shard % 5 <> 2), " +
+          "l AS (SELECT shard, doc_id, '{\"id\":' || doc_id || ',\"text\":\"' || " +
+          duckJsonEscape("text") + " || '\"}' AS line FROM sh), " +
+          "pay0 AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(octet_length(encode(string_agg(line, chr(10) ORDER BY doc_id) || chr(10))) AS BIGINT) AS n_bytes, " +
+          "md5(string_agg(line, chr(10) ORDER BY doc_id) || chr(10)) AS payload_md5 " +
+          "FROM l GROUP BY shard), " +
+          "pay AS (SELECT * FROM pay0 WHERE shard % 3 <> 1) " +
+          "SELECT COALESCE(man.shard, pay.shard) AS shard, " +
+          "CAST(man.n_docs AS BIGINT) AS m_docs, pay.n_docs AS p_docs, " +
+          "man.n_tokens AS n_tokens, pay.n_bytes, pay.payload_md5, " +
+          "CASE WHEN man.n_docs IS NULL THEN 'missing_manifest' " +
+          "WHEN pay.n_docs IS NULL THEN 'missing_payload' " +
+          "WHEN man.n_docs <> pay.n_docs THEN 'doc_count_mismatch' " +
+          "ELSE 'consistent' END AS verdict " +
+          "FROM man FULL OUTER JOIN pay ON man.shard = pay.shard"),
       // t59 oracle: t31's window cumsum + one shard rollup; checksum =
       // bit_xor of the shared h60 convention over 'sm:'||doc_id
       "t59_shard_manifest" ->

@@ -1270,6 +1270,36 @@ object GraphOps {
     (col("rem") > bRem) || (inClass && pick("", bCnt, need))
   }
 
+  /** Budget-composed fetch schedule — [[crawlBudget]] ∘
+    * [[politenessSchedule]]: the fetch plan a crawl cycle actually
+    * executes. The politeness schedule offers each host up to `slots`
+    * ranked urls (salted two-stage top-N, skew-proof); the Hamilton
+    * budget grants each host an integer quota out of the cycle's global
+    * `budget`; the executed plan keeps a host's ranked slots strictly
+    * below its quota (a host granted 2 of 4 slots fetches its top-2,
+    * a zero-quota host fetches nothing). The granted quota rides along
+    * so the fetcher fleet can report under-spend per host.
+    *
+    * Scale shape: the schedule's own shuffles plus ONE host-keyed join
+    * against the quota table — host-cardinality rows, NOT url rows
+    * (the schedule already capped urls at `slots` per host). No forced
+    * broadcast: at web scale the quota side is 10^8 hosts and AQE
+    * picks the join side; both inputs are already host-keyed.
+    */
+  def budgetedSchedule(frontier: DataFrame, budget: Long = 100000L,
+      slots: Int = 4, maxPerHost: Long = 1000L, delayMs: Long = 1000L): DataFrame = {
+    val host = regexp_extract(col("to_url"), "https?://([^/]+)", 1)
+    val quotas = crawlBudget(
+      frontier.filter(col("allowed")).select(host.as("host")),
+      budget, maxPerHost)
+      .select(col("host"), col("quota"))
+    politenessSchedule(frontier, budget = slots, delayMs = delayMs)
+      .join(quotas, Seq("host"))
+      .filter(col("slot") < col("quota"))
+      .select(col("to_url"), col("host"), col("slot"),
+        col("fetch_offset_ms"), col("quota"))
+  }
+
   def crawlFrontier(edges: DataFrame, crawled: DataFrame): DataFrame = {
     val agg = edges.groupBy("to_url").agg(
       count(lit(1)).as("n_refs"),

@@ -7002,6 +7002,33 @@ object TrainingOps extends Serializable {
           x => x.getField("line")), "\n"), lit("\n")).as("payload"))
   }
 
+  /** Release-integrity audit over the receipt pair a corpus release
+    * ships: [[shardManifest]] rows (t59) vs [[jsonlShardPayloads]] rows
+    * (t61) full-outer joined on shard — the p19 NULL-side convention
+    * (absent ≠ zero). A manifest whose payload artifact is missing, a
+    * payload no manifest accounts for, and a doc-count disagreement
+    * each get their own verdict rung (precedence: missing_manifest >
+    * missing_payload > doc_count_mismatch > consistent), so a release
+    * gate can block on `verdict != 'consistent'` and a repair job can
+    * route by rung. This is the audit a trainer runs BEFORE pointing a
+    * data loader at a shard directory: both receipts are metadata-plane
+    * tables (shard-cardinality), so the audit costs one tiny join
+    * regardless of corpus size.
+    */
+  def releaseAudit(manifests: DataFrame, payloads: DataFrame): DataFrame = {
+    val m = manifests.select(col("shard"), col("n_docs").as("m_docs"),
+      col("n_tokens"), col("checksum"))
+    val p = payloads.select(col("shard"), col("n_docs").as("p_docs"),
+      col("n_bytes"), col("payload_md5"))
+    m.join(p, Seq("shard"), "full_outer")
+      .select(col("shard"), col("m_docs"), col("p_docs"), col("n_tokens"),
+        col("n_bytes"), col("payload_md5"),
+        when(col("m_docs").isNull, lit("missing_manifest"))
+          .when(col("p_docs").isNull, lit("missing_payload"))
+          .when(col("m_docs") =!= col("p_docs"), lit("doc_count_mismatch"))
+          .otherwise(lit("consistent")).as("verdict"))
+  }
+
   /** The RFC-8259 string escape table as ordered (literal, replacement)
     * pairs — backslash FIRST (later replacements introduce backslashes
     * that must not be re-escaped), then quote, the five short-form

@@ -5061,6 +5061,47 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.spark.Caches.drain()
   }
 
+  test("release audit: verdict ladder over the full-outer receipt join, NULL sides preserved") {
+    val s = spark; import s.implicits._
+    val man = Seq((0L, 5L, 100L, 11L), (1L, 3L, 50L, 12L), (3L, 7L, 70L, 13L))
+      .toDF("shard", "n_docs", "n_tokens", "checksum")
+    val pay = Seq((0L, 5L, 900L, "aa"), (1L, 4L, 400L, "bb"), (2L, 2L, 200L, "cc"))
+      .toDF("shard", "n_docs", "n_bytes", "payload_md5")
+    val rows = TrainingOps.releaseAudit(man, pay).collect()
+    val verdicts = rows.map(r => r.getLong(0) -> r.getString(6)).toMap
+    assert(verdicts == Map(0L -> "consistent", 1L -> "doc_count_mismatch",
+      2L -> "missing_manifest", 3L -> "missing_payload"))
+    // absent != zero: the missing side's columns stay NULL
+    val m3 = rows.find(_.getLong(0) == 3L).get
+    assert(m3.isNullAt(2) && m3.isNullAt(4) && m3.isNullAt(5))
+    val m2 = rows.find(_.getLong(0) == 2L).get
+    assert(m2.isNullAt(1) && m2.isNullAt(3))
+  }
+
+  test("budgeted schedule: quotas truncate politeness slots; zero-quota host drops out") {
+    val s = spark; import s.implicits._
+    val frontier = (
+      (1 to 6).map(i => (s"https://a.com/$i", (10 - i).toLong, true)) ++
+        (1 to 2).map(i => (s"https://b.com/$i", 1L, true)) ++
+        Seq(("https://c.com/1", 1L, true), ("https://d.com/x", 99L, false))
+    ).toDF("to_url", "n_refs", "allowed")
+    // budget 3 over host weights a:6 b:2 c:1 (d not allowed), total 9:
+    // base a=2/b=0/c=0, rems a=0/b=6/c=3, deficit 1 -> extra to b.
+    // quotas (cap 2): a=2, b=1, c=0
+    val out = graft.datapipe.GraphOps.budgetedSchedule(frontier, budget = 3L,
+      slots = 4, maxPerHost = 2L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(4)))
+    val byHost = out.groupBy(_._2)
+    assert(byHost("a.com").map(_._1).toSet ==
+      Set("https://a.com/1", "https://a.com/2"), "a keeps its top-2 by refs")
+    assert(byHost("b.com").map(_._1).toSeq == Seq("https://b.com/1"),
+      "b's single granted slot is its rank-1 url")
+    assert(!byHost.contains("c.com"), "zero-quota host fetches nothing")
+    assert(!byHost.contains("d.com"), "disallowed urls never scheduled")
+    assert(out.forall(t => t._3 < t._4), "every kept slot sits below its quota")
+    graft.spark.Caches.drain()
+  }
+
   test("t61 -> m29 round-trip law: emitted shards re-parse line-exact from the other side") {
     // the two ops implement the JSONL convention from opposite sides
     // (t61 writes, m29 reads); this law pins the shared convention —
