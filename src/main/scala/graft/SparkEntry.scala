@@ -2472,6 +2472,19 @@ object SparkEntry {
         .toDF("segment_id", "gz")
       TrainingOps.ccReader(s, segs)
     }),
+    // NumPy .npy header walk over synthesized tensor-shard payloads —
+    // the third tensor format beside TFRecord/Avro: v1 uint16 vs v2
+    // uint32 header-length branches, 0/1/2-dim shapes (incl. the ()
+    // scalar and (n,) forms), short-data and truncated-header families;
+    // oracle fully arithmetic from doc_id (header lengths re-derived
+    // from the same dict-literal text + 64-byte alignment rule)
+    "m30_npy_headers" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = docs(s, dir).select(col("doc_id")).as[Long]
+        .map(id => (id, TrainingOps.syntheticNpyPayload(id)))
+        .toDF("doc_id", "payload")
+      TrainingOps.npyHeaders(s, payloads)
+    }),
     // gzip member splitting over synthesized .warc.gz-style segments:
     // one member per record (an FNAME header on doc_id%11==3 members),
     // segments with segment_id%4==1 cut 5 bytes short; the oracle checks
@@ -5582,6 +5595,35 @@ object SparkEntry {
           """UNION ALL SELECT doc_id, 0, 0, l0, 'object', 1, md5(pre || repeat('a', k0) || '"}') FROM b WHERE f = 4 """ +
           """UNION ALL SELECT doc_id, 1, l0 + 1, 0, 'blank', 0, md5('') FROM b WHERE f = 4 """ +
           """UNION ALL SELECT doc_id, 2, l0 + 2, l2, 'object', 1, md5(pre || repeat('c', k2) || '"}') FROM b WHERE f = 4)"""),
+      // m30 oracle: every field re-derived arithmetically per family —
+      // header lengths from the SAME dict-literal text + the 64-byte
+      // alignment formula ((pre + len + 1 + 63) // 64)*64 - pre, so a
+      // MATCH pins the walker's length math, both version branches,
+      // all three shape arities, and the NULL ladder
+      "m30_npy_headers" ->
+        ("""WITH c AS (SELECT doc_id, doc_id % 6 AS f, """ +
+          """CAST(2 + doc_id % 7 AS BIGINT) AS k0, CAST(1 + doc_id % 5 AS BIGINT) AS k1 FROM documents), """ +
+          """d AS (SELECT *, """ +
+          """length('{''descr'': ''<f8'', ''fortran_order'': False, ''shape'': (' || k0 || ', ' || k1 || '), }') AS l0, """ +
+          """length('{''descr'': ''<i4'', ''fortran_order'': False, ''shape'': (' || k0 || ',), }') AS l1, """ +
+          """length('{''descr'': ''<f8'', ''fortran_order'': False, ''shape'': (' || (1000 + k0) || ',), }') AS l3, """ +
+          """length('{''descr'': ''<f8'', ''fortran_order'': False, ''shape'': (' || k0 || ',), }') AS l4, """ +
+          """length('{''descr'': ''|u1'', ''fortran_order'': False, ''shape'': (), }') AS l5 FROM c), """ +
+          """h AS (SELECT *, ((10 + l0 + 1 + 63) // 64) * 64 - 10 AS h0, """ +
+          """((12 + l1 + 1 + 63) // 64) * 64 - 12 AS h1, """ +
+          """((10 + l3 + 1 + 63) // 64) * 64 - 10 AS h3, """ +
+          """((10 + l4 + 1 + 63) // 64) * 64 - 10 AS h4, """ +
+          """((10 + l5 + 1 + 63) // 64) * 64 - 10 AS h5 FROM d) """ +
+          """SELECT doc_id, status, version, descr, fortran, CAST(n_dims AS INT) AS n_dims, """ +
+          """CAST(n_elems AS BIGINT) AS n_elems, CAST(item_size AS INT) AS item_size, """ +
+          """CAST(header_len AS BIGINT) AS header_len, CAST(data_len AS BIGINT) AS data_len FROM ( """ +
+          """SELECT doc_id, 'ok' AS status, '1.0' AS version, '<f8' AS descr, FALSE AS fortran, """ +
+          """2 AS n_dims, k0*k1 AS n_elems, 8 AS item_size, h0 AS header_len, 8*k0*k1 AS data_len FROM h WHERE f = 0 """ +
+          """UNION ALL SELECT doc_id, 'ok', '2.0', '<i4', FALSE, 1, k0, 4, h1, 4*k0 FROM h WHERE f = 1 """ +
+          """UNION ALL SELECT doc_id, 'not_npy', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM h WHERE f = 2 """ +
+          """UNION ALL SELECT doc_id, 'short_data', '1.0', '<f8', FALSE, 1, 1000+k0, 8, h3, 3 FROM h WHERE f = 3 """ +
+          """UNION ALL SELECT doc_id, 'truncated_header', '1.0', NULL, NULL, NULL, NULL, NULL, h4, NULL FROM h WHERE f = 4 """ +
+          """UNION ALL SELECT doc_id, 'ok', '1.0', '|u1', FALSE, 0, 1, 1, h5, 1 FROM h WHERE f = 5)"""),
       // m28 oracle: block geometry from doc_id arithmetic — header is
       // 58 bytes in the positive-count metadata form ('null' codec) and
       // 62 in the negative-count form ('deflate'), each block advances

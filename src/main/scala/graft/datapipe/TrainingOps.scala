@@ -7002,6 +7002,191 @@ object TrainingOps extends Serializable {
           x => x.getField("line")), "\n"), lit("\n")).as("payload"))
   }
 
+  /** NumPy `.npy` header walker — the THIRD tensor-shard format beside
+    * TFRecord (m22) and Avro OCF (m28): embedding tables and
+    * tokenized-corpus arrays routinely ship as `.npy`/`.npz` members,
+    * and an ingest that can audit them without NumPy on the executors
+    * needs exactly this walk. Parses the public format (numpy
+    * `lib/format.py` spec): `\x93NUMPY` magic, (major, minor) version,
+    * header length as uint16-LE (v1) or uint32-LE (v2/v3), then the
+    * ASCII dict literal `{'descr': …, 'fortran_order': …, 'shape': …}`
+    * — parsed by a from-scratch scanner (keys any order, int-tuple
+    * shapes incl. the 0-dim `()` and 1-dim `(n,)` forms, NO eval), item
+    * size taken from the descr's trailing digits. Status ladder (first
+    * failure wins): not_npy > bad_version > truncated_header >
+    * bad_header > short_data > ok; trailing bytes after the declared
+    * data extent are tolerated (concatenated-stream convention).
+    * Declared header_len is emitted as soon as it parses, so a
+    * truncated header still reports how long it claimed to be.
+    *
+    * Scale shape: mapPartitions in the scan stage, zero exchange — the
+    * m-family rule; only header-plane fields leave the executor, never
+    * tensor bytes.
+    */
+  def npyHeaders(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, raw) =>
+        val b = if (raw == null) Array.emptyByteArray else raw
+        val n = b.length
+        def fail(st: String, ver: Option[String] = None, hlen: Option[Long] = None):
+            (Long, String, Option[String], Option[String], Option[Boolean],
+              Option[Int], Option[Long], Option[Int], Option[Long], Option[Long]) =
+          (id, st, ver, None, None, None, None, None, hlen, None)
+        val magic = Array(0x93, 'N', 'U', 'M', 'P', 'Y').map(_.toByte)
+        if (n < 8 || !magic.indices.forall(i => b(i) == magic(i))) fail("not_npy")
+        else {
+          val maj = b(6) & 0xff
+          val min = b(7) & 0xff
+          val ver = Some(s"$maj.$min")
+          if (maj < 1 || maj > 3) fail("bad_version", ver)
+          else {
+            val pre = if (maj == 1) 10 else 12
+            if (n < pre) fail("truncated_header", ver)
+            else {
+              var hlen = 0L
+              (pre - 1) to 8 by -1 foreach { i => hlen = (hlen << 8) | (b(i) & 0xffL) }
+              val hdrEnd = pre + hlen
+              if (hdrEnd > n) fail("truncated_header", ver, Some(hlen))
+              else {
+                val hdr = new String(b, pre, hlen.toInt, "US-ASCII")
+                // from-scratch dict-literal scan
+                var p = 0
+                val m = scala.collection.mutable.HashMap.empty[String, Any]
+                def ws(): Unit = while (p < hdr.length &&
+                  (hdr(p) == ' ' || hdr(p) == '\n')) p += 1
+                var ok = hdr.nonEmpty && hdr.last == '\n'
+                ws()
+                if (!ok || p >= hdr.length || hdr(p) != '{') ok = false
+                else {
+                  p += 1
+                  var open = true
+                  while (ok && open) {
+                    ws()
+                    if (p < hdr.length && hdr(p) == '}') { p += 1; open = false }
+                    else if (p < hdr.length && hdr(p) == '\'') {
+                      val e = hdr.indexOf('\'', p + 1)
+                      if (e < 0) ok = false
+                      else {
+                        val key = hdr.substring(p + 1, e)
+                        p = e + 1; ws()
+                        if (p >= hdr.length || hdr(p) != ':') ok = false
+                        else {
+                          p += 1; ws()
+                          if (p < hdr.length && hdr(p) == '\'') {
+                            val e2 = hdr.indexOf('\'', p + 1)
+                            if (e2 < 0) ok = false
+                            else { m(key) = hdr.substring(p + 1, e2); p = e2 + 1 }
+                          } else if (hdr.startsWith("True", p)) { m(key) = true; p += 4 }
+                          else if (hdr.startsWith("False", p)) { m(key) = false; p += 5 }
+                          else if (p < hdr.length && hdr(p) == '(') {
+                            p += 1
+                            val dims = scala.collection.mutable.ArrayBuffer.empty[Long]
+                            var tup = true
+                            while (ok && tup) {
+                              ws()
+                              if (p < hdr.length && hdr(p) == ')') { p += 1; tup = false }
+                              else {
+                                val s0 = p
+                                while (p < hdr.length && hdr(p).isDigit) p += 1
+                                if (p == s0) ok = false
+                                else {
+                                  dims += hdr.substring(s0, p).toLong
+                                  ws()
+                                  if (p < hdr.length && hdr(p) == ',') p += 1
+                                  else if (p < hdr.length && hdr(p) == ')') ()
+                                  else ok = false
+                                }
+                              }
+                            }
+                            if (ok) m(key) = dims.toSeq
+                          } else ok = false
+                          if (ok) {
+                            ws()
+                            if (p < hdr.length && hdr(p) == ',') p += 1
+                          }
+                        }
+                      }
+                    } else ok = false
+                  }
+                }
+                val descr = m.get("descr").collect { case s: String => s }
+                val fortran = m.get("fortran_order").collect { case x: Boolean => x }
+                val shape = m.get("shape").collect { case s: Seq[_] =>
+                  s.collect { case l: Long => l } }
+                val itemSize = descr.flatMap { d =>
+                  val digits = d.reverse.takeWhile(_.isDigit).reverse
+                  if (digits.isEmpty) None else Some(digits.toInt)
+                }
+                if (!ok || descr.isEmpty || fortran.isEmpty || shape.isEmpty ||
+                  itemSize.isEmpty) fail("bad_header", ver, Some(hlen))
+                else {
+                  val nElems = shape.get.foldLeft(1L)(_ * _)
+                  val expected = itemSize.get * nElems
+                  val dataLen = n - hdrEnd
+                  val st = if (dataLen < expected) "short_data" else "ok"
+                  (id, st, ver, descr, fortran, Some(shape.get.length),
+                    Some(nElems), itemSize, Some(hlen), Some(dataLen))
+                }
+              }
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "status", "version", "descr", "fortran", "n_dims",
+        "n_elems", "item_size", "header_len", "data_len")
+  }
+
+  /** Deterministic synthetic `.npy` payloads for [[npyHeaders]] — six
+    * families by doc_id % 6 (k0 = 2+id%7, k1 = 1+id%5):
+    *   0: clean v1.0 `<f8` (k0, k1) matrix, exact data;
+    *   1: clean v2.0 `<i4` (k0,) vector — pins the uint32 header-length
+    *      branch and the 1-tuple shape form;
+    *   2: not npy (bad magic);
+    *   3: v1.0 declaring (1000+k0,) f8 with only 3 data bytes
+    *      (short_data);
+    *   4: v1.0 truncated INSIDE the padded header (truncated_header
+    *      with the declared length still reported);
+    *   5: v1.0 `|u1` 0-dim scalar `()` — n_elems 1, one data byte.
+    * Headers are 64-byte aligned with space padding + trailing newline,
+    * exactly the writer convention the spec prescribes.
+    */
+  def syntheticNpyPayload(id: Long): Array[Byte] = {
+    val f = (id % 6).toInt
+    if (f == 2) return "NOTNPYDATA".getBytes("US-ASCII")
+    val k0 = (2 + id % 7).toInt
+    val k1 = (1 + id % 5).toInt
+    val (verMaj, descr, shape) = f match {
+      case 0 => (1, "<f8", Seq(k0, k1))
+      case 1 => (2, "<i4", Seq(k0))
+      case 3 => (1, "<f8", Seq(1000 + k0))
+      case 4 => (1, "<f8", Seq(k0))
+      case _ => (1, "|u1", Seq.empty[Int])
+    }
+    val itemSize = descr.reverse.takeWhile(_.isDigit).reverse.toInt
+    val shapeStr = shape match {
+      case Seq() => "()"
+      case Seq(a) => s"($a,)"
+      case s => s.mkString("(", ", ", ")")
+    }
+    val dict = s"{'descr': '$descr', 'fortran_order': False, 'shape': $shapeStr, }"
+    val pre = if (verMaj == 1) 10 else 12
+    val hlen = ((pre + dict.length + 1 + 63) / 64) * 64 - pre
+    val bb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    bb += 0x93.toByte
+    bb ++= "NUMPY".getBytes("US-ASCII")
+    bb += verMaj.toByte
+    bb += 0.toByte
+    if (verMaj == 1) { bb += (hlen & 0xff).toByte; bb += ((hlen >> 8) & 0xff).toByte }
+    else (0 until 4).foreach(i => bb += ((hlen >> (8 * i)) & 0xff).toByte)
+    bb ++= (dict + " " * (hlen - dict.length - 1) + "\n").getBytes("US-ASCII")
+    if (f == 4) return bb.take(pre + 5).toArray
+    val nData = if (f == 3) 3 else itemSize * shape.foldLeft(1)(_ * _)
+    (0 until nData).foreach(i => bb += ((id + i) & 0xff).toByte)
+    bb.toArray
+  }
+
   /** Release-integrity audit over the receipt pair a corpus release
     * ships: [[shardManifest]] rows (t59) vs [[jsonlShardPayloads]] rows
     * (t61) full-outer joined on shard — the p19 NULL-side convention

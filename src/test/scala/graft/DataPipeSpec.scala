@@ -5061,6 +5061,58 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.spark.Caches.drain()
   }
 
+  test("npy headers: both length branches, shape arities, ladder, and hand-crafted edge forms") {
+    val s = spark; import s.implicits._
+    val payloads = (0L until 25L).map(id => (id, TrainingOps.syntheticNpyPayload(id)))
+      .toDF("doc_id", "payload")
+    val rows = TrainingOps.npyHeaders(spark, payloads).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // family 0: v1.0 f8 (k0,k1) ok — id 0: k0=2,k1=1
+    val r0 = rows(0L)
+    assert(r0.getString(1) == "ok" && r0.getString(2) == "1.0" &&
+      r0.getString(3) == "<f8" && !r0.getBoolean(4) && r0.getInt(5) == 2 &&
+      r0.getLong(6) == 2L && r0.getInt(7) == 8 && r0.getLong(9) == 16L)
+    // family 1: v2.0 uint32 length branch; family 5: 0-dim scalar
+    assert(rows(1L).getString(2) == "2.0" && rows(1L).getString(1) == "ok")
+    assert(rows(5L).getInt(5) == 0 && rows(5L).getLong(6) == 1L &&
+      rows(5L).getString(1) == "ok")
+    // ladder families
+    assert(rows(2L).getString(1) == "not_npy" && rows(2L).isNullAt(2))
+    assert(rows(3L).getString(1) == "short_data" && rows(3L).getLong(9) == 3L)
+    assert(rows(4L).getString(1) == "truncated_header" &&
+      !rows(4L).isNullAt(8) && rows(4L).isNullAt(3))
+    // hand-crafted: bad version, garbage header dict, missing key, and
+    // a NumPy-written header with keys in a different order (scanner
+    // must not assume canonical order)
+    val good = TrainingOps.syntheticNpyPayload(0L)
+    val badVer = good.clone(); badVer(6) = 9.toByte
+    val reordered = {
+      val dict = "{'shape': (3,), 'fortran_order': True, 'descr': '<i2', }"
+      val hlen = ((10 + dict.length + 1 + 63) / 64) * 64 - 10
+      val bb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      bb += 0x93.toByte; bb ++= "NUMPY".getBytes("US-ASCII")
+      bb += 1.toByte; bb += 0.toByte
+      bb += (hlen & 0xff).toByte; bb += ((hlen >> 8) & 0xff).toByte
+      bb ++= (dict + " " * (hlen - dict.length - 1) + "\n").getBytes("US-ASCII")
+      (0 until 6).foreach(_ => bb += 1.toByte)
+      bb.toArray
+    }
+    val garbage = {
+      val bb = good.clone()
+      bb(12) = '!'.toByte // corrupt the dict open brace region
+      bb
+    }
+    val extra = Seq((100L, badVer), (101L, reordered), (102L, garbage))
+      .toDF("doc_id", "payload")
+    val er = TrainingOps.npyHeaders(spark, extra).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(er(100L).getString(1) == "bad_version" && er(100L).getString(2) == "9.0")
+    val rr = er(101L)
+    assert(rr.getString(1) == "ok" && rr.getString(3) == "<i2" &&
+      rr.getBoolean(4) && rr.getLong(6) == 3L && rr.getLong(9) == 6L)
+    assert(er(102L).getString(1) == "bad_header")
+  }
+
   test("release audit: verdict ladder over the full-outer receipt join, NULL sides preserved") {
     val s = spark; import s.implicits._
     val man = Seq((0L, 5L, 100L, 11L), (1L, 3L, 50L, 12L), (3L, 7L, 70L, 13L))

@@ -203,6 +203,22 @@ class PlanCheckSpec extends AnyFunSuite with BeforeAndAfterAll {
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
     }.isEmpty, s"e70: extras pick grew a join back:\n$cb")
     assertWindowsPartitioned("e70_crawl_budget", cb)
+    // e71 (r5): schedule windows partitioned by host, quota side joins
+    // WITHOUT a cartesian; the budget sub-plan inherits e70's no-sort/
+    // no-TakeOrdered shape
+    val bs = planOf("e71_budgeted_schedule")
+    assert(cartesians(bs).isEmpty, s"e71: cartesian appeared:\n$bs")
+    assert(bs.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.isEmpty, s"e71: driver-side top-k appeared:\n$bs")
+    assertWindowsPartitioned("e71_budgeted_schedule", bs)
+    // p20 (r5): the audit itself is metadata-plane — its join of the two
+    // receipt tables must be a plain (non-cartesian) join on shard
+    val ra = planOf("p20_release_audit")
+    assert(cartesians(ra).isEmpty, s"p20: cartesian appeared:\n$ra")
+    assert(ra.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.nonEmpty, s"p20: receipt join vanished:\n$ra")
     // e67: ONE map-side-combined host rollup — exactly one exchange,
     // Wilson arithmetic is per-aggregate-row scalar work
     val wilson = planOf("e67_host_wilson")
