@@ -226,6 +226,40 @@ class GraphSkewSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.spark.Caches.drain()
   }
 
+  test("e71 budgetedSchedule: mega-host frontier — quota binds the mega-host, composition stays bounded") {
+    // the composed plan under the same 50% frontier concentration: the
+    // mega-host's quota comes out of the SHARED budget, so its slots
+    // must bind at min(quota, slots) while small hosts keep theirs
+    val s = spark; import s.implicits._
+    val mega = spark.range(leaves).select(
+      concat(lit(s"https://$hub/page/"), col("id")).as("to_url"),
+      (col("id") % 1000).as("n_refs"), lit(true).as("allowed"))
+    val rest = spark.range(2000).select(
+      concat(lit("https://leaf"), col("id"), lit(".example.com/")).as("to_url"),
+      lit(1L).as("n_refs"), lit(true).as("allowed"))
+    val frontier = mega.union(rest).repartition(8)
+    // weights: hub 100k, 2000 leaves x1; budget 1009 (prime):
+    // hub base = floor(1009*1e5/102000) = 989, each leaf base 0;
+    // deficit lands on the largest remainders
+    val out = timed("budgetedSchedule", 120.0) {
+      GraphOps.budgetedSchedule(frontier, budget = 1009L, slots = 4,
+        maxPerHost = 3L).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(4)))
+    }
+    val hubRows = out.filter(_._2 == hub)
+    // quota 3 (politeness cap maxPerHost=3 < slots=4) binds the mega-host
+    assert(hubRows.length == 3, s"hub kept ${hubRows.length} slots, want 3")
+    assert(hubRows.forall(_._4 == 3L))
+    // its kept urls are the global top-3 by (n_refs desc, url asc)
+    val expectTop = (0 until leaves)
+      .map(i => (s"https://$hub/page/$i", (i % 1000).toLong))
+      .sortBy { case (u, n) => (-n, u) }.take(3).map(_._1).toSet
+    assert(hubRows.map(_._1).toSet == expectTop)
+    // every kept row respects slot < quota; nothing exceeds the slots cap
+    assert(out.forall(t => t._3 < t._4 && t._3 < 4))
+    graft.spark.Caches.drain()
+  }
+
   test("e65 hostScorecard: farm flagged ring_suspect, mega-hub flagged authority") {
     val out = timed("hostScorecard", 120.0) {
       GraphOps.hostScorecard(edges).collect()
