@@ -1250,14 +1250,19 @@ object GraphOps {
       val classPred = inClass && col("host").startsWith(prefix)
       if (cnt <= 4096L) {
         val hosts = base.filter(classPred).select(col("host"))
-          .collect().map(_.getString(0)).sorted.take(need.toInt)
+          .collect().map(r => Option(r.getString(0)).getOrElse(""))
+          .sorted.take(need.toInt)
         col("host").isInCollection(hosts.toSeq)
       } else {
         val pos = prefix.length + 1
+        // Option-guard: a null host (out of contract, but a library must
+        // not NPE) lands in the "" class with the too-short hosts
         val cc = base.filter(classPred)
           .groupBy(substring(col("host"), pos, 1).as("c"))
           .agg(count(lit(1)).as("cnt"))
-          .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+          .collect()
+          .map(r => (Option(r.getString(0)).getOrElse(""), r.getLong(1)))
+          .sortBy(_._1)
         var cum = 0L
         var j = 0
         while (j < cc.length && cum + cc(j)._2 <= need) { cum += cc(j)._2; j += 1 }

@@ -7090,7 +7090,9 @@ object TrainingOps extends Serializable {
                               else {
                                 val s0 = p
                                 while (p < hdr.length && hdr(p).isDigit) p += 1
-                                if (p == s0) ok = false
+                                // 18-digit cap: fits a Long; a longer run
+                                // is garbage, not a tensor dimension
+                                if (p == s0 || p - s0 > 18) ok = false
                                 else {
                                   dims += hdr.substring(s0, p).toLong
                                   ws()
@@ -7117,7 +7119,9 @@ object TrainingOps extends Serializable {
                   s.collect { case l: Long => l } }
                 val itemSize = descr.flatMap { d =>
                   val digits = d.reverse.takeWhile(_.isDigit).reverse
-                  if (digits.isEmpty) None else Some(digits.toInt)
+                  // 9-digit cap: fits an Int; no real dtype is wider
+                  if (digits.isEmpty || digits.length > 9) None
+                  else Some(digits.toInt)
                 }
                 if (!ok || descr.isEmpty || fortran.isEmpty || shape.isEmpty ||
                   itemSize.isEmpty) fail("bad_header", ver, Some(hlen))

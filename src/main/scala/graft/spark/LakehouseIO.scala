@@ -185,7 +185,12 @@ object LakehouseIO {
     // post-commit whole-table row count, PERSISTED: overwrite snapshots
     // (applyChanges) report post-rewrite counts in `rows`, so the Iceberg
     // summary's total-records cannot be a cumulative sum of `rows` across
-    // history — each receipt carries the ledger sum as of its commit
+    // history — each receipt carries the ledger sum as of its commit.
+    // Cost: one O(#buckets) ledger sweep per commit — the same metadata
+    // plane readAsOf/readIncremental already walk (a crashed run leaves
+    // committed ledgers with NO snapshot receipt, so no receipt-delta
+    // shortcut is sound); beyond ~10^5 buckets the `format("iceberg")`
+    // swap's manifest lists are the intended path
     val tableRows = bucketLedgers(root).map(_.rows).sum
     val snapshot =
       s"""{"run_id":${q(runId)},"input":${q(inputPath)},"seq":$seqNum,""" +

@@ -5113,6 +5113,29 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(er(102L).getString(1) == "bad_header")
   }
 
+  test("npy headers: totality on random / magic-prefixed / bit-flipped payloads, taxonomy closed") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val cases = (0 until 500).map { i =>
+      val p = (i % 3: @unchecked) match {
+        case 0 => val b = new Array[Byte](rnd.nextInt(120)); rnd.nextBytes(b); b
+        case 1 =>
+          val b = new Array[Byte](rnd.nextInt(100)); rnd.nextBytes(b)
+          Array(0x93.toByte) ++ "NUMPY".getBytes("US-ASCII") ++ b
+        case 2 =>
+          val b = TrainingOps.syntheticNpyPayload(i.toLong).clone()
+          if (b.nonEmpty) b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+          b
+      }
+      (i.toLong, p)
+    }
+    val out = TrainingOps.npyHeaders(spark, cases.toDF("doc_id", "payload"))
+    assert(out.count() == 500, "walker must be total — one row per payload")
+    val sts = out.select("status").distinct().collect().map(_.getString(0)).toSet
+    assert(sts.subsetOf(Set("ok", "not_npy", "bad_version", "truncated_header",
+      "bad_header", "short_data")), s"taxonomy leaked: $sts")
+  }
+
   test("release audit: verdict ladder over the full-outer receipt join, NULL sides preserved") {
     val s = spark; import s.implicits._
     val man = Seq((0L, 5L, 100L, 11L), (1L, 3L, 50L, 12L), (3L, 7L, 70L, 13L))
