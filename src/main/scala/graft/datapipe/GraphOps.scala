@@ -1244,17 +1244,39 @@ object GraphOps {
     val need = deficit - above // 1 <= need < bCnt
     val inClass = col("rem") === bRem
 
+    // Driver-side orderings must match SPARK's string comparison —
+    // UTF8String binary order, i.e. UTF-8 byte order — not Java's
+    // UTF-16 code-unit order (they disagree where astral characters
+    // meet U+E000..U+FFFF). Everything ASCII (every real hostname) is
+    // identical under both; this keeps the exotic case correct too.
+    val u8 = new Ordering[String] {
+      def compare(a: String, b: String): Int = {
+        val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var k = 0
+        while (k < x.length && k < y.length) {
+          val d = (x(k) & 0xff) - (y(k) & 0xff)
+          if (d != 0) return d
+          k += 1
+        }
+        x.length - y.length
+      }
+    }
+
     // host-asc prefix descent inside the boundary remainder class: take
-    // the `need` lexicographically-smallest hosts of a class of `cnt`
-    def pick(prefix: String, cnt: Long, need: Long): Column = {
+    // the `need` lexicographically-smallest hosts of a class of `cnt`.
+    // `depth` counts CODE POINTS consumed so far (Spark's substring is
+    // code-point-indexed; prefix.length would miscount past an astral
+    // boundary char).
+    def pick(prefix: String, depth: Int, cnt: Long, need: Long): Column = {
       val classPred = inClass && col("host").startsWith(prefix)
       if (cnt <= 4096L) {
         val hosts = base.filter(classPred).select(col("host"))
           .collect().map(r => Option(r.getString(0)).getOrElse(""))
-          .sorted.take(need.toInt)
+          .sorted(u8).take(need.toInt)
         col("host").isInCollection(hosts.toSeq)
       } else {
-        val pos = prefix.length + 1
+        val pos = depth + 1
         // Option-guard: a null host (out of contract, but a library must
         // not NPE) lands in the "" class with the too-short hosts
         val cc = base.filter(classPred)
@@ -1262,17 +1284,17 @@ object GraphOps {
           .agg(count(lit(1)).as("cnt"))
           .collect()
           .map(r => (Option(r.getString(0)).getOrElse(""), r.getLong(1)))
-          .sortBy(_._1)
+          .sortBy(_._1)(u8)
         var cum = 0L
         var j = 0
         while (j < cc.length && cum + cc(j)._2 <= need) { cum += cc(j)._2; j += 1 }
         val taken = substring(col("host"), pos, 1) < cc(j)._1
         if (cum == need) taken
         else taken || (substring(col("host"), pos, 1) === cc(j)._1 &&
-          pick(prefix + cc(j)._1, cc(j)._2, need - cum))
+          pick(prefix + cc(j)._1, depth + 1, cc(j)._2, need - cum))
       }
     }
-    (col("rem") > bRem) || (inClass && pick("", bCnt, need))
+    (col("rem") > bRem) || (inClass && pick("", 0, bCnt, need))
   }
 
   /** Budget-composed fetch schedule — [[crawlBudget]] ∘

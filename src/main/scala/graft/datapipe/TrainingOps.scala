@@ -7012,7 +7012,9 @@ object TrainingOps extends Serializable {
     * ASCII dict literal `{'descr': …, 'fortran_order': …, 'shape': …}`
     * — parsed by a from-scratch scanner (keys any order, int-tuple
     * shapes incl. the 0-dim `()` and 1-dim `(n,)` forms, NO eval), item
-    * size taken from the descr's trailing digits. Status ladder (first
+    * size from the digits after the descr's type char (×4 for `U`
+    * UCS-4 strings; `[unit]` suffixes of datetime dtypes ignored, so
+    * `<M8[ns]` reads as 8 bytes). Status ladder (first
     * failure wins): not_npy > bad_version > truncated_header >
     * bad_header > short_data > ok; trailing bytes after the declared
     * data extent are tolerated (concatenated-stream convention).
@@ -7117,11 +7119,27 @@ object TrainingOps extends Serializable {
                 val fortran = m.get("fortran_order").collect { case x: Boolean => x }
                 val shape = m.get("shape").collect { case s: Seq[_] =>
                   s.collect { case l: Long => l } }
+                // numpy descr grammar: optional byte-order char, one type
+                // char, digits, optional [unit] suffix. Item size = the
+                // digits AFTER the type char (trailing-digit parsing would
+                // fail '<M8[ns]' datetimes entirely), times 4 for 'U'
+                // (UCS-4 code points, the one dtype whose digit count is
+                // not bytes). 9-digit cap fits an Int.
                 val itemSize = descr.flatMap { d =>
-                  val digits = d.reverse.takeWhile(_.isDigit).reverse
-                  // 9-digit cap: fits an Int; no real dtype is wider
-                  if (digits.isEmpty || digits.length > 9) None
-                  else Some(digits.toInt)
+                  var q = 0
+                  if (q < d.length && "<>|=".indexOf(d.charAt(q).toInt) >= 0) q += 1
+                  if (q >= d.length) None
+                  else {
+                    val tc = d.charAt(q)
+                    q += 1
+                    val s0 = q
+                    while (q < d.length && d.charAt(q).isDigit) q += 1
+                    if (q == s0 || q - s0 > 9) None
+                    else {
+                      val base = d.substring(s0, q).toInt
+                      Some(if (tc == 'U') 4 * base else base)
+                    }
+                  }
                 }
                 if (!ok || descr.isEmpty || fortran.isEmpty || shape.isEmpty ||
                   itemSize.isEmpty) fail("bad_header", ver, Some(hlen))

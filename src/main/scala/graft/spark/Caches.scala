@@ -71,6 +71,13 @@ object Caches {
   /** Drain the calling thread's live session (active, else default);
     * with neither (teardown paths), drain every session's — the
     * conservative closing sweep.
+    *
+    * Constraint for the `newSession()` pattern (many sessions sharing
+    * one SparkContext, never individually stopped): no-arg `drain()`
+    * only sees the caller's session, so a sibling session abandoned
+    * WITHOUT a `drain(session)` keeps its frames pinned until the
+    * context stops. Call `drain(session)` at each job's end, or
+    * [[drainAll]] at a global maintenance point.
     */
   def drain(): Unit = {
     purgeStopped()
@@ -79,6 +86,12 @@ object Caches {
       case None => bySession.keySet().forEach(s => drain(s))
     }
   }
+
+  /** Unpersist EVERY tracked frame across all sessions — the harness /
+    * global-maintenance sweep (and the escape hatch for shared-context
+    * sibling sessions abandoned without their own drain).
+    */
+  def drainAll(): Unit = bySession.keySet().forEach(s => drain(s))
 
   /** Number of currently tracked frames for the calling thread's live
     * session — all live sessions when none is current

@@ -266,25 +266,27 @@ object LakehouseIO {
   /** Structural-pruning read of an explicit bucket subset — the shared
     * tail of [[readAsOf]] and [[readIncremental]]: only the named bucket
     * directories are listed/read; an empty pick yields an empty frame of
-    * the results schema. A picked bucket whose directory is absent is
-    * skipped, not an error: a committed bucket legitimately has no data
-    * dir after [[applyChanges]] deletes its every row (ledger rows=0) —
-    * an existence probe per picked bucket (O(picked) namenode RPCs, the
-    * same cost class as the listing the read does anyway) keeps the
-    * scan from throwing PATH_NOT_FOUND on that table state.
+    * the results schema. A picked bucket is skipped ONLY when its ledger
+    * records rows=0 — the one state where a committed bucket legitimately
+    * has no data directory ([[applyChanges]] deleted its every row). A
+    * bucket whose ledger says rows>0 but whose directory is missing is a
+    * crash window awaiting [[repairCompaction]] or real data loss, and
+    * the read must throw LOUDLY (Spark's PATH_NOT_FOUND), never return a
+    * silently partial table. The distinction costs one O(#buckets)
+    * ledger sweep — the metadata plane readAsOf/readIncremental walk
+    * anyway.
     */
   private def readBuckets(root: String, picked: Seq[Int])
       (implicit spark: SparkSession): DataFrame = {
-    val fs = fsOf(dataDir(root))
-    val present = picked.map(b => new Path(dataDir(root), s"bucket=$b"))
-      .filter(fs.exists)
-    if (present.isEmpty) {
+    val zeroRows = bucketLedgers(root).filter(_.rows == 0L).map(_.bucket).toSet
+    val keep = picked.filterNot(zeroRows)
+    if (keep.isEmpty) {
       import spark.implicits._
       spark.emptyDataset[ResultRow].toDF()
     } else
       spark.read
         .option("basePath", dataDir(root).toString)
-        .parquet(present.map(_.toString): _*)
+        .parquet(keep.map(b => new Path(dataDir(root), s"bucket=$b").toString): _*)
   }
 
   /** Row-level UPSERT + DELETE via copy-on-write bucket rewrite — the
@@ -735,20 +737,25 @@ object LakehouseIO {
     // deleted-records (records in the files it removed) falls out of the
     // running totals: prev + added - total.
     var running = 0L
+    var havePrev = false // false until >=1 snapshot processed: expiry can
+    // delete a snapshot's predecessors, and without them the pre-image of
+    // the FIRST survivor is unknowable — deleted-records is then omitted
+    // (an optional summary field) rather than derived from a prev of 0,
+    // which would go negative for any surviving overwrite
     val snapsJson = history.map { sn =>
       val sid = snapshotIdOf(sn.runId)
       val prev = running
       running = if (sn.tableRows >= 0) sn.tableRows else running + sn.rows
-      val deleted =
-        if (sn.op == "overwrite" && sn.tableRows >= 0) prev + sn.rows - running
-        else 0L
+      val deleted = math.max(0L, prev + sn.rows - running)
+      val emitDeleted = sn.op == "overwrite" && sn.tableRows >= 0 && havePrev
+      havePrev = true
       s"""{"snapshot-id":$sid,"sequence-number":${sn.seq},""" +
         s""""timestamp-ms":${sn.tsMs},"schema-id":0,""" +
         s""""manifest-list":${q(new Path(mdir, s"snap-$sid-manifest-list.json").toString)},""" +
         s""""summary":{"operation":"${sn.op}",""" +
         s""""added-data-files":${q(sn.buckets.length.toString)},""" +
         s""""added-records":${q(sn.rows.toString)},""" +
-        (if (sn.op == "overwrite") s""""deleted-records":${q(deleted.toString)},""" else "") +
+        (if (emitDeleted) s""""deleted-records":${q(deleted.toString)},""" else "") +
         s""""total-records":${q(running.toString)}}}"""
     }
     val logJson = history.map(sn =>

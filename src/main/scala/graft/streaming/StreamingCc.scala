@@ -44,6 +44,11 @@ object StreamingCc {
       trigger: Trigger = Trigger.AvailableNow(),
       maxFilesPerTrigger: Option[Int] = None,
   ): StreamingQuery = {
+    // A lost/reset checkpoint restarts batch numbering at 0, and the
+    // dir-exists idempotence check CANNOT tell that id collision from a
+    // legitimate replay — new data would be silently skipped while the
+    // fresh checkpoint marks it processed. Refuse the combination loudly.
+    requireCheckpointMatchesTable(spark, tableRoot)
     val reader = spark.readStream.schema(segmentSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
     reader.parquet(inputDir)
@@ -65,6 +70,24 @@ object StreamingCc {
         ()
       }
       .start()
+  }
+
+  /** Fail fast when `tableRoot` carries committed batches but no stream
+    * checkpoint: restarting would renumber micro-batches from 0 and the
+    * per-batch idempotence check would misread the collision as a replay
+    * (shared by [[StreamingExtract]] — same commit convention).
+    */
+  private[streaming] def requireCheckpointMatchesTable(
+      spark: SparkSession, tableRoot: String): Unit = {
+    val batches = new Path(tableRoot, "batches")
+    val ckpt = new Path(tableRoot, "_stream_checkpoint")
+    val fs = batches.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val haveBatches = fs.isDirectory(batches) &&
+      fs.listStatus(batches).exists(_.getPath.getName.startsWith("batch="))
+    require(!haveBatches || fs.isDirectory(ckpt),
+      s"$tableRoot holds committed batches but no _stream_checkpoint — a " +
+        "restart would renumber batches from 0 and silently skip new data " +
+        "as 'replays'; restore the checkpoint or start a fresh tableRoot")
   }
 
   /** All committed records across micro-batches; an empty table yields

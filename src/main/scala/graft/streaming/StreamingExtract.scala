@@ -86,6 +86,9 @@ object StreamingExtract {
       maxFilesPerTrigger: Option[Int] = None,
   ): StreamingQuery = {
     implicit val s: SparkSession = spark
+    // lost-checkpoint guard (see StreamingCc): batch renumbering from 0
+    // would make the per-batch ledgers misread new data as replays
+    StreamingCc.requireCheckpointMatchesTable(spark, tableRoot)
     val reader = spark.readStream
       .schema(Encoders.product[PageRow].schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))

@@ -5102,7 +5102,23 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
       bb(12) = '!'.toByte // corrupt the dict open brace region
       bb
     }
-    val extra = Seq((100L, badVer), (101L, reordered), (102L, garbage))
+    // real-world dtypes where naive trailing-digit item sizes go wrong:
+    // '<U4' is 16 bytes/element (UCS-4), '<M8[ns]' is 8 (bracketed unit)
+    def handNpy(descr: String, dim: Int, dataBytes: Int): Array[Byte] = {
+      val dict = s"{'descr': '$descr', 'fortran_order': False, 'shape': ($dim,), }"
+      val hlen = ((10 + dict.length + 1 + 63) / 64) * 64 - 10
+      val bb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      bb += 0x93.toByte; bb ++= "NUMPY".getBytes("US-ASCII")
+      bb += 1.toByte; bb += 0.toByte
+      bb += (hlen & 0xff).toByte; bb += ((hlen >> 8) & 0xff).toByte
+      bb ++= (dict + " " * (hlen - dict.length - 1) + "\n").getBytes("US-ASCII")
+      (0 until dataBytes).foreach(_ => bb += 7.toByte)
+      bb.toArray
+    }
+    val extra = Seq((100L, badVer), (101L, reordered), (102L, garbage),
+      (103L, handNpy("<U4", 3, 48)), // 3 els x 16 B -> exact: ok
+      (104L, handNpy("<U4", 3, 12)), // the naive trailing-4 size: SHORT
+      (105L, handNpy("<M8[ns]", 5, 40))) // datetime64: 8 B after 'M'
       .toDF("doc_id", "payload")
     val er = TrainingOps.npyHeaders(spark, extra).collect()
       .map(r => r.getLong(0) -> r).toMap
@@ -5111,6 +5127,9 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rr.getString(1) == "ok" && rr.getString(3) == "<i2" &&
       rr.getBoolean(4) && rr.getLong(6) == 3L && rr.getLong(9) == 6L)
     assert(er(102L).getString(1) == "bad_header")
+    assert(er(103L).getString(1) == "ok" && er(103L).getInt(7) == 16)
+    assert(er(104L).getString(1) == "short_data")
+    assert(er(105L).getString(1) == "ok" && er(105L).getInt(7) == 8)
   }
 
   test("npy headers: totality on random / magic-prefixed / bit-flipped payloads, taxonomy closed") {

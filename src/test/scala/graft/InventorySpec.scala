@@ -14,10 +14,14 @@ class InventorySpec extends AnyFunSuite {
     java.nio.charset.StandardCharsets.UTF_8)
 
   test("every SparkEntry.queries key has a SURVEY.md inventory row") {
+    // anchored as a backticked code span (`key`), the form every
+    // inventory row uses — raw substring containment would let a key
+    // that happens to be a prefix/substring of another key's row slip
+    // through undocumented
     val missing = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(k => survey.contains(k))
+      .filterNot(k => survey.contains("`" + k + "`"))
     assert(missing.isEmpty,
-      s"SURVEY.md is missing inventory rows for: ${missing.mkString(", ")}")
+      s"SURVEY.md is missing backticked inventory rows for: ${missing.mkString(", ")}")
   }
 
   test("every query is oracle-gated: oracleSql keys == queries keys") {

@@ -157,6 +157,17 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(java.nio.file.Files.list(
       java.nio.file.Paths.get(table, "batches")).count() == batchDirs)
     assert(canon(StreamingCc.readAll(spark, table)) == streamed)
+
+    // lost-checkpoint guard: committed batches + no checkpoint means a
+    // restart would renumber micro-batches from 0 and misread the id
+    // collision as a replay — start() must refuse loudly, not skip data
+    val ckpt = java.nio.file.Paths.get(table, "_stream_checkpoint")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+    intercept[IllegalArgumentException] {
+      StreamingCc.start(spark, in, table)
+    }
   }
 
   test("streaming: cross-batch re-crawl dedups to one row via readAllDeduped") {
