@@ -1185,8 +1185,11 @@ object GraphOps {
     *  2. a driver prefix scan over the descending histogram finds the
     *     boundary remainder class: every host with rem STRICTLY above
     *     it gets +1 via a map-only filter.
-    *  3. the boundary class (hosts sharing one exact remainder — i.e.
-    *     one exact page count) is resolved by host-asc prefix descent:
+    *  3. the boundary class (hosts whose remainders TIE — distinct
+    *     page counts can collide on one remainder value, so the class
+    *     may span several counts; the t57 sqrt bound above is therefore
+    *     an UPPER bound on histogram rows, which is all the argument
+    *     needs) is resolved by host-asc prefix descent:
     *     per-next-character class counts (<= alphabet-size rows per
     *     level, collected), whole prefix-classes taken by a map-only
     *     `substring < boundary-char` predicate, recursing only into
@@ -1267,30 +1270,34 @@ object GraphOps {
     // the `need` lexicographically-smallest hosts of a class of `cnt`.
     // `depth` counts CODE POINTS consumed so far (Spark's substring is
     // code-point-indexed; prefix.length would miscount past an astral
-    // boundary char).
+    // boundary char). `h` null-coalesces the host ONCE so that an
+    // out-of-contract null host is counted and matched consistently in
+    // every stage (class counts, descent predicates, literal pick) —
+    // a null that counted toward `cnt` but vanished from a filter would
+    // desynchronize the prefix scan's cursor from the class sizes.
+    val h = coalesce(col("host"), lit(""))
     def pick(prefix: String, depth: Int, cnt: Long, need: Long): Column = {
-      val classPred = inClass && col("host").startsWith(prefix)
+      val classPred = inClass && h.startsWith(prefix)
       if (cnt <= 4096L) {
-        val hosts = base.filter(classPred).select(col("host"))
-          .collect().map(r => Option(r.getString(0)).getOrElse(""))
-          .sorted(u8).take(need.toInt)
-        col("host").isInCollection(hosts.toSeq)
+        val hosts = base.filter(classPred).select(h)
+          .collect().map(_.getString(0)).sorted(u8).take(need.toInt)
+        h.isInCollection(hosts.toSeq)
       } else {
         val pos = depth + 1
-        // Option-guard: a null host (out of contract, but a library must
-        // not NPE) lands in the "" class with the too-short hosts
         val cc = base.filter(classPred)
-          .groupBy(substring(col("host"), pos, 1).as("c"))
+          .groupBy(substring(h, pos, 1).as("c"))
           .agg(count(lit(1)).as("cnt"))
           .collect()
-          .map(r => (Option(r.getString(0)).getOrElse(""), r.getLong(1)))
+          .map(r => (r.getString(0), r.getLong(1)))
           .sortBy(_._1)(u8)
         var cum = 0L
         var j = 0
         while (j < cc.length && cum + cc(j)._2 <= need) { cum += cc(j)._2; j += 1 }
-        val taken = substring(col("host"), pos, 1) < cc(j)._1
+        require(j < cc.length,
+          s"descent cursor overran its class counts (cum=$cum need=$need)")
+        val taken = substring(h, pos, 1) < cc(j)._1
         if (cum == need) taken
-        else taken || (substring(col("host"), pos, 1) === cc(j)._1 &&
+        else taken || (substring(h, pos, 1) === cc(j)._1 &&
           pick(prefix + cc(j)._1, depth + 1, cc(j)._2, need - cum))
       }
     }
@@ -1311,16 +1318,20 @@ object GraphOps {
     * against the quota table — host-cardinality rows, NOT url rows
     * (the schedule already capped urls at `slots` per host). No forced
     * broadcast: at web scale the quota side is 10^8 hosts and AQE
-    * picks the join side; both inputs are already host-keyed.
+    * picks the join side; both inputs are already host-keyed. The
+    * allowed frontier feeds BOTH branches (quota weights and the
+    * schedule), so it persists at the branch point — the p1/p2/e28
+    * convention; without it a composed upstream (crawlFrontier's
+    * aggregation + anti-join) would execute twice.
     */
   def budgetedSchedule(frontier: DataFrame, budget: Long = 100000L,
       slots: Int = 4, maxPerHost: Long = 1000L, delayMs: Long = 1000L): DataFrame = {
     val host = regexp_extract(col("to_url"), "https?://([^/]+)", 1)
-    val quotas = crawlBudget(
-      frontier.filter(col("allowed")).select(host.as("host")),
-      budget, maxPerHost)
+    val fr = frontier.filter(col("allowed"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).registered
+    val quotas = crawlBudget(fr.select(host.as("host")), budget, maxPerHost)
       .select(col("host"), col("quota"))
-    politenessSchedule(frontier, budget = slots, delayMs = delayMs)
+    politenessSchedule(fr, budget = slots, delayMs = delayMs)
       .join(quotas, Seq("host"))
       .filter(col("slot") < col("quota"))
       .select(col("to_url"), col("host"), col("slot"),

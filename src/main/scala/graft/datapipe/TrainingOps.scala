@@ -7134,18 +7134,29 @@ object TrainingOps extends Serializable {
                     q += 1
                     val s0 = q
                     while (q < d.length && d.charAt(q).isDigit) q += 1
+                    // 1e8-element cap: 4x it still fits an Int, and no
+                    // physical dtype is 100 MB/element — a larger claim
+                    // is a corrupt header, not a tensor
                     if (q == s0 || q - s0 > 9) None
-                    else {
-                      val base = d.substring(s0, q).toInt
-                      Some(if (tc == 'U') 4 * base else base)
+                    else d.substring(s0, q).toInt match {
+                      case base if base > 100000000 => None
+                      case base => Some(if (tc == 'U') 4 * base else base)
                     }
                   }
                 }
-                if (!ok || descr.isEmpty || fortran.isEmpty || shape.isEmpty ||
-                  itemSize.isEmpty) fail("bad_header", ver, Some(hlen))
+                // overflow-checked extent: a crafted shape like
+                // (9e17, 9e17) must surface as bad_header, never wrap
+                // into a negative expected length that reads as 'ok'
+                val extent: Option[(Long, Long)] = // (nElems, expected)
+                  if (shape.isEmpty || itemSize.isEmpty) None
+                  else try {
+                    val ne = shape.get.foldLeft(1L)(Math.multiplyExact)
+                    Some((ne, Math.multiplyExact(itemSize.get.toLong, ne)))
+                  } catch { case _: ArithmeticException => None }
+                if (!ok || descr.isEmpty || fortran.isEmpty || extent.isEmpty)
+                  fail("bad_header", ver, Some(hlen))
                 else {
-                  val nElems = shape.get.foldLeft(1L)(_ * _)
-                  val expected = itemSize.get * nElems
+                  val (nElems, expected) = extent.get
                   val dataLen = n - hdrEnd
                   val st = if (dataLen < expected) "short_data" else "ok"
                   (id, st, ver, descr, fortran, Some(shape.get.length),

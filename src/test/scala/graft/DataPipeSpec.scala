@@ -5104,7 +5104,7 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     // real-world dtypes where naive trailing-digit item sizes go wrong:
     // '<U4' is 16 bytes/element (UCS-4), '<M8[ns]' is 8 (bracketed unit)
-    def handNpy(descr: String, dim: Int, dataBytes: Int): Array[Byte] = {
+    def handNpy(descr: String, dim: String, dataBytes: Int): Array[Byte] = {
       val dict = s"{'descr': '$descr', 'fortran_order': False, 'shape': ($dim,), }"
       val hlen = ((10 + dict.length + 1 + 63) / 64) * 64 - 10
       val bb = scala.collection.mutable.ArrayBuffer.empty[Byte]
@@ -5116,9 +5116,13 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
       bb.toArray
     }
     val extra = Seq((100L, badVer), (101L, reordered), (102L, garbage),
-      (103L, handNpy("<U4", 3, 48)), // 3 els x 16 B -> exact: ok
-      (104L, handNpy("<U4", 3, 12)), // the naive trailing-4 size: SHORT
-      (105L, handNpy("<M8[ns]", 5, 40))) // datetime64: 8 B after 'M'
+      (103L, handNpy("<U4", "3", 48)), // 3 els x 16 B -> exact: ok
+      (104L, handNpy("<U4", "3", 12)), // the naive trailing-4 size: SHORT
+      (105L, handNpy("<M8[ns]", "5", 40)), // datetime64: 8 B after 'M'
+      // overflow armor: a 100M+-byte dtype claim and a shape whose
+      // product wraps a Long must read bad_header, never a wrapped 'ok'
+      (106L, handNpy("<U999999999", "2", 10)),
+      (107L, handNpy("<f8", "999999999999999999, 999999999999999999", 10)))
       .toDF("doc_id", "payload")
     val er = TrainingOps.npyHeaders(spark, extra).collect()
       .map(r => r.getLong(0) -> r).toMap
@@ -5130,6 +5134,8 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(er(103L).getString(1) == "ok" && er(103L).getInt(7) == 16)
     assert(er(104L).getString(1) == "short_data")
     assert(er(105L).getString(1) == "ok" && er(105L).getInt(7) == 8)
+    assert(er(106L).getString(1) == "bad_header")
+    assert(er(107L).getString(1) == "bad_header")
   }
 
   test("npy headers: totality on random / magic-prefixed / bit-flipped payloads, taxonomy closed") {
