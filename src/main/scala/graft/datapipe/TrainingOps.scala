@@ -4132,6 +4132,14 @@ object TrainingOps extends Serializable {
     * path key after each side projects to (path[, ts]); the data plane
     * is never touched. The observed side arrives pre-distinct from a
     * storage listing; the referenced side dedups map-side.
+    *
+    * Precondition when the observed listing covers a [[graft.spark.LakehouseIO]]
+    * table root: run `repairCompaction` FIRST. A crash between a swap's
+    * two renames strands COMMITTED data in `_maintenance/trash-N` —
+    * old mtimes, no metadata reference — which this audit would verdict
+    * `orphan` and a sweep acting on the plan would delete; after repair
+    * the path either holds nothing or a superseded copy that is
+    * genuinely reclaimable.
     */
   def orphanPlan(observed: DataFrame, referenced: DataFrame,
                  graceTs: Long): DataFrame = {

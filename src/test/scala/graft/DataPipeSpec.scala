@@ -5202,6 +5202,25 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.spark.Caches.drain()
   }
 
+  test("crawl budget: boundary remainder class spanning DISTINCT page counts picks by host alone") {
+    // rem = (B*w) mod W collides across different page counts — with
+    // B=4, W=10, weights 1 and 6 both land rem=4. The threshold pick
+    // must resolve the tied class by host asc exactly as the old
+    // orderBy(rem desc, host) did, regardless of the colliding counts.
+    val s = spark; import s.implicits._
+    val pages = (
+      Seq.fill(1)("a.only") ++ Seq.fill(6)("b.heavy") ++ Seq.fill(3)("c.mid")
+    ).map(Tuple1(_)).toDF("host")
+    // base: a=0 (rem 4), b=2 (rem 4), c=1 (rem 2); deficit 1 -> the
+    // rem-4 class {a (1 page), b (6 pages)} ties; host asc -> a wins
+    val out = graft.datapipe.GraphOps.crawlBudget(pages, budget = 4L,
+      maxPerHost = 100L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getInt(3)))).toMap
+    assert(out == Map("a.only" -> ((1L, 1)), "b.heavy" -> ((2L, 0)),
+      "c.mid" -> ((1L, 0))), s"collision class mis-picked: $out")
+    graft.spark.Caches.drain()
+  }
+
   test("t61 -> m29 round-trip law: emitted shards re-parse line-exact from the other side") {
     // the two ops implement the JSONL convention from opposite sides
     // (t61 writes, m29 reads); this law pins the shared convention —
