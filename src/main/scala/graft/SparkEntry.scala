@@ -2485,6 +2485,20 @@ object SparkEntry {
         .toDF("doc_id", "payload")
       TrainingOps.npyHeaders(s, payloads)
     }),
+    // safetensors header walk over synthesized tensor-shard payloads —
+    // the fourth tensor format beside TFRecord/Avro/npy: u64-LE header
+    // length, from-scratch JSON-subset scan (tensor name -> dtype /
+    // shape / data_offsets, optional __metadata__), per-tensor rows in
+    // buffer order, contiguous-cover validation; oracle fully
+    // arithmetic from doc_id (header lengths re-derived from the SAME
+    // JSON text + the 8-byte alignment rule)
+    "m31_safetensors_headers" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = docs(s, dir).select(col("doc_id")).as[Long]
+        .map(id => (id, TrainingOps.syntheticSafetensorsPayload(id)))
+        .toDF("doc_id", "payload")
+      TrainingOps.safetensorsHeaders(s, payloads)
+    }),
     // gzip member splitting over synthesized .warc.gz-style segments:
     // one member per record (an FNAME header on doc_id%11==3 members),
     // segments with segment_id%4==1 cut 5 bytes short; the oracle checks
@@ -5624,6 +5638,36 @@ object SparkEntry {
           """UNION ALL SELECT doc_id, 'short_data', '1.0', '<f8', FALSE, 1, 1000+k0, 8, h3, 3 FROM h WHERE f = 3 """ +
           """UNION ALL SELECT doc_id, 'truncated_header', '1.0', NULL, NULL, NULL, NULL, NULL, h4, NULL FROM h WHERE f = 4 """ +
           """UNION ALL SELECT doc_id, 'ok', '1.0', '|u1', FALSE, 0, 1, 1, h5, 1 FROM h WHERE f = 5)"""),
+      // m31 oracle: every field re-derived arithmetically per family —
+      // header lengths from the SAME JSON text + the 8-byte alignment
+      // formula ((8 + len + 7) // 8)*8 - 8, so a MATCH pins the u64-LE
+      // length read, the JSON scan, per-tensor row order, the size
+      // arithmetic, and the NULL ladder
+      "m31_safetensors_headers" ->
+        ("""WITH c AS (SELECT doc_id, doc_id % 6 AS f, """ +
+          """CAST(2 + doc_id % 7 AS BIGINT) AS k0, CAST(1 + doc_id % 5 AS BIGINT) AS k1 FROM documents), """ +
+          """d AS (SELECT *, 4*k0*k1 AS e0, """ +
+          """length('{"emb":{"dtype":"F32","shape":[' || k0 || ',' || k1 || '],"data_offsets":[0,' || (4*k0*k1) || ']},"ids":{"dtype":"I64","shape":[' || k0 || '],"data_offsets":[' || (4*k0*k1) || ',' || (4*k0*k1 + 8*k0) || ']},"__metadata__":{"format":"graft"}}') AS l0, """ +
+          """length('{"w":{"dtype":"F16","shape":[' || k1 || '],"data_offsets":[0,' || (2*k1) || ']}}') AS l1, """ +
+          """length('{"w":{"dtype":"F32","shape":[') AS l3, """ +
+          """length('{"w":{"dtype":"F32","shape":[' || k0 || '],"data_offsets":[0,' || (4*k0 + 1) || ']}}') AS l4, """ +
+          """length('{"s":{"dtype":"F64","shape":[],"data_offsets":[0,8]}}') AS l5 FROM c), """ +
+          """h AS (SELECT *, ((8 + l0 + 7) // 8) * 8 - 8 AS h0, """ +
+          """((8 + l1 + 7) // 8) * 8 - 8 AS h1, """ +
+          """((8 + l4 + 7) // 8) * 8 - 8 AS h4, """ +
+          """((8 + l5 + 7) // 8) * 8 - 8 AS h5 FROM d) """ +
+          """SELECT doc_id, status, name, dtype, CAST(n_dims AS INT) AS n_dims, """ +
+          """CAST(n_elems AS BIGINT) AS n_elems, CAST(item_size AS INT) AS item_size, """ +
+          """CAST(off_begin AS BIGINT) AS off_begin, CAST(off_end AS BIGINT) AS off_end, """ +
+          """CAST(header_len AS BIGINT) AS header_len, CAST(data_len AS BIGINT) AS data_len FROM ( """ +
+          """SELECT doc_id, 'ok' AS status, 'emb' AS name, 'F32' AS dtype, 2 AS n_dims, """ +
+          """k0*k1 AS n_elems, 4 AS item_size, 0 AS off_begin, e0 AS off_end, h0 AS header_len, e0 + 8*k0 AS data_len FROM h WHERE f = 0 """ +
+          """UNION ALL SELECT doc_id, 'ok', 'ids', 'I64', 1, k0, 8, e0, e0 + 8*k0, h0, e0 + 8*k0 FROM h WHERE f = 0 """ +
+          """UNION ALL SELECT doc_id, 'ok', 'w', 'F16', 1, k1, 2, 0, 2*k1, h1, 2*k1 FROM h WHERE f = 1 """ +
+          """UNION ALL SELECT doc_id, 'bad_header_len', NULL, NULL, NULL, NULL, NULL, NULL, NULL, 1000 + k0, NULL FROM h WHERE f = 2 """ +
+          """UNION ALL SELECT doc_id, 'bad_json', NULL, NULL, NULL, NULL, NULL, NULL, NULL, l3, NULL FROM h WHERE f = 3 """ +
+          """UNION ALL SELECT doc_id, 'bad_schema', NULL, NULL, NULL, NULL, NULL, NULL, NULL, h4, NULL FROM h WHERE f = 4 """ +
+          """UNION ALL SELECT doc_id, 'short_data', 's', 'F64', 0, 1, 8, 0, 8, h5, 3 FROM h WHERE f = 5)"""),
       // m28 oracle: block geometry from doc_id arithmetic — header is
       // 58 bytes in the positive-count metadata form ('null' codec) and
       // 62 in the negative-count form ('deflate'), each block advances

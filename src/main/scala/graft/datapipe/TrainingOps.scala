@@ -7228,6 +7228,341 @@ object TrainingOps extends Serializable {
     bb.toArray
   }
 
+  /** safetensors header walker — the FOURTH tensor-shard format beside
+    * TFRecord (m22), Avro OCF (m28), and `.npy` (m30): model weights and
+    * pre-computed embedding shards overwhelmingly ship as safetensors,
+    * and an ingest auditing them needs only the header plane. Parses the
+    * public format (huggingface/safetensors README): an 8-byte uint64-LE
+    * header length N, then N bytes of UTF-8 JSON mapping tensor name →
+    * `{"dtype": …, "shape": [...], "data_offsets": [begin, end]}` (plus
+    * an optional `"__metadata__"` string→string object), then the byte
+    * buffer tensors index into with offsets relative to its start.
+    * Writers pad the JSON with trailing spaces so the buffer lands
+    * 8-aligned; the scanner tolerates any trailing JSON whitespace.
+    *
+    * Status ladder (first failure wins): too_short (no 8-byte length) >
+    * bad_header_len (N = 0, negative as int64, > 100 MB cap, or
+    * overruns the file — the declared N is still reported) > bad_json
+    * (header text fails the safetensors JSON grammar: top-level object,
+    * string keys, tensor objects of strings / unsigned-int arrays,
+    * string-valued metadata — parsed by a from-scratch scanner with full
+    * escape decoding, NO library) > bad_schema (grammar-valid but
+    * semantically wrong: unknown dtype, missing / duplicate / unknown
+    * tensor key, offsets arity ≠ 2 or begin > end, end−begin ≠
+    * prod(shape)·itemsize with multiplyExact overflow armor, duplicate
+    * tensor name, or a non-contiguous / overlapping offset cover — the
+    * spec requires tensors to tile the buffer from 0 gap-free) >
+    * short_data (buffer shorter than the declared cover; rows still
+    * emitted) > ok. A file with zero tensors (legal: `{}`) emits one
+    * `empty` row. Valid files emit ONE ROW PER TENSOR in buffer order
+    * with the file-level status on every row; trailing bytes past the
+    * cover are tolerated (concatenated-stream convention, as m30).
+    *
+    * Scale shape: map in the scan stage, zero exchange — the m-family
+    * rule; only name/dtype/shape/offset fields leave the executor,
+    * never tensor bytes.
+    */
+  def safetensorsHeaders(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    val dtypeSize = Map(
+      "BOOL" -> 1, "U8" -> 1, "I8" -> 1, "F8_E4M3" -> 1, "F8_E5M2" -> 1,
+      "U16" -> 2, "I16" -> 2, "F16" -> 2, "BF16" -> 2,
+      "U32" -> 4, "I32" -> 4, "F32" -> 4,
+      "U64" -> 8, "I64" -> 8, "F64" -> 8)
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, raw) =>
+        val b = if (raw == null) Array.emptyByteArray else raw
+        val n = b.length
+        def one(st: String, hlen: Option[Long] = None):
+            Seq[(Long, String, Option[String], Option[String], Option[Int],
+              Option[Long], Option[Int], Option[Long], Option[Long],
+              Option[Long], Option[Long])] =
+          Seq((id, st, None, None, None, None, None, None, None, hlen, None))
+        if (n < 8) one("too_short")
+        else {
+          var hlen = 0L
+          7 to 0 by -1 foreach { i => hlen = (hlen << 8) | (b(i) & 0xffL) }
+          if (hlen <= 0 || hlen > 100000000L || 8 + hlen > n)
+            one("bad_header_len", Some(hlen))
+          else {
+            val s = new String(b, 8, hlen.toInt, "UTF-8")
+            val nn = s.length
+            var p = 0
+            // from-scratch scanner over the safetensors JSON grammar
+            def ws(): Unit = while (p < nn && (s(p) == ' ' || s(p) == '\t' ||
+              s(p) == '\n' || s(p) == '\r')) p += 1
+            def str(): Option[String] = {
+              if (p >= nn || s(p) != '"') None
+              else {
+                p += 1
+                val sb = new StringBuilder
+                var bad = false
+                while (!bad && p < nn && s(p) != '"') {
+                  val c = s(p)
+                  if (c == '\\') {
+                    if (p + 1 >= nn) bad = true
+                    else s(p + 1) match {
+                      case '"' => sb += '"'; p += 2
+                      case '\\' => sb += '\\'; p += 2
+                      case '/' => sb += '/'; p += 2
+                      case 'b' => sb += '\b'; p += 2
+                      case 'f' => sb += '\f'; p += 2
+                      case 'n' => sb += '\n'; p += 2
+                      case 'r' => sb += '\r'; p += 2
+                      case 't' => sb += '\t'; p += 2
+                      case 'u' =>
+                        if (p + 6 > nn ||
+                          !(2 to 5).forall(i => Character.digit(s(p + i), 16) >= 0))
+                          bad = true
+                        else {
+                          sb += Integer.parseInt(s.substring(p + 2, p + 6), 16).toChar
+                          p += 6
+                        }
+                      case _ => bad = true
+                    }
+                  } else if (c < ' ') bad = true
+                  else { sb += c; p += 1 }
+                }
+                if (bad || p >= nn) None else { p += 1; Some(sb.toString) }
+              }
+            }
+            def uint(): Option[Long] = {
+              val s0 = p
+              while (p < nn && s(p).isDigit) p += 1
+              if (p == s0 || p - s0 > 18) None else Some(s.substring(s0, p).toLong)
+            }
+            def uintArray(): Option[Seq[Long]] = {
+              if (p >= nn || s(p) != '[') None
+              else {
+                p += 1; ws()
+                val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+                var bad = false
+                var open = p >= nn || s(p) != ']'
+                if (!open) p += 1
+                while (!bad && open) {
+                  uint() match {
+                    case None => bad = true
+                    case Some(v) =>
+                      out += v; ws()
+                      if (p < nn && s(p) == ',') { p += 1; ws() }
+                      else if (p < nn && s(p) == ']') { p += 1; open = false }
+                      else bad = true
+                  }
+                }
+                if (bad) None else Some(out.toSeq)
+              }
+            }
+            // parse: collect (name, dtype, shape, offsets) per tensor;
+            // grammar failure → bad_json, semantic failure → bad_schema
+            final case class T(name: String, dtype: String, shape: Seq[Long],
+              b0: Long, b1: Long)
+            val tensors = scala.collection.mutable.ArrayBuffer.empty[T]
+            var fail: String = null
+            def failJson(): Unit = if (fail == null) fail = "bad_json"
+            def failSchema(): Unit = if (fail == null) fail = "bad_schema"
+            ws()
+            if (p >= nn || s(p) != '{') failJson()
+            else {
+              p += 1
+              var open = true
+              while (fail == null && open) {
+                ws()
+                if (p < nn && s(p) == '}') { p += 1; open = false }
+                else str() match {
+                  case None => failJson()
+                  case Some(key) =>
+                    ws()
+                    if (p >= nn || s(p) != ':') failJson()
+                    else {
+                      p += 1; ws()
+                      if (key == "__metadata__") {
+                        // string → string object
+                        if (p >= nn || s(p) != '{') failJson()
+                        else {
+                          p += 1
+                          var mOpen = true
+                          while (fail == null && mOpen) {
+                            ws()
+                            if (p < nn && s(p) == '}') { p += 1; mOpen = false }
+                            else if (str().isEmpty) failJson()
+                            else {
+                              ws()
+                              if (p >= nn || s(p) != ':') failJson()
+                              else {
+                                p += 1; ws()
+                                if (str().isEmpty) failJson()
+                                else {
+                                  ws()
+                                  if (p < nn && s(p) == ',') p += 1
+                                }
+                              }
+                            }
+                          }
+                        }
+                      } else if (p >= nn || s(p) != '{') failJson()
+                      else {
+                        p += 1
+                        var dtype: Option[String] = None
+                        var shape: Option[Seq[Long]] = None
+                        var offs: Option[Seq[Long]] = None
+                        var tOpen = true
+                        while (fail == null && tOpen) {
+                          ws()
+                          if (p < nn && s(p) == '}') { p += 1; tOpen = false }
+                          else str() match {
+                            case None => failJson()
+                            case Some(tk) =>
+                              ws()
+                              if (p >= nn || s(p) != ':') failJson()
+                              else {
+                                p += 1; ws()
+                                tk match {
+                                  case "dtype" =>
+                                    if (dtype.nonEmpty) failSchema()
+                                    else str() match {
+                                      case None => failJson()
+                                      case d => dtype = d
+                                    }
+                                  case "shape" =>
+                                    if (shape.nonEmpty) failSchema()
+                                    else uintArray() match {
+                                      case None => failJson()
+                                      case sh => shape = sh
+                                    }
+                                  case "data_offsets" =>
+                                    if (offs.nonEmpty) failSchema()
+                                    else uintArray() match {
+                                      case None => failJson()
+                                      case o => offs = o
+                                    }
+                                  case _ => failSchema()
+                                }
+                                if (fail == null) {
+                                  ws()
+                                  if (p < nn && s(p) == ',') p += 1
+                                }
+                              }
+                          }
+                        }
+                        if (fail == null) {
+                          if (dtype.isEmpty || shape.isEmpty || offs.isEmpty ||
+                            offs.get.length != 2) failSchema()
+                          else tensors += T(key, dtype.get, shape.get,
+                            offs.get(0), offs.get(1))
+                        }
+                      }
+                      if (fail == null) {
+                        ws()
+                        if (p < nn && s(p) == ',') p += 1
+                      }
+                    }
+                }
+              }
+              if (fail == null) { ws(); if (p != nn) failJson() }
+            }
+            // semantic validation: dtype known, size arithmetic exact,
+            // names unique, offsets tile the buffer from 0 gap-free
+            val checked: Seq[(T, Long, Int)] =
+              if (fail != null) Seq.empty
+              else {
+                val out = scala.collection.mutable.ArrayBuffer.empty[(T, Long, Int)]
+                tensors.foreach { t =>
+                  if (fail == null) dtypeSize.get(t.dtype) match {
+                    case None => failSchema()
+                    case Some(isz) =>
+                      val ext = try {
+                        val ne = t.shape.foldLeft(1L)(Math.multiplyExact)
+                        Some((ne, Math.multiplyExact(isz.toLong, ne)))
+                      } catch { case _: ArithmeticException => None }
+                      if (ext.isEmpty || t.b0 > t.b1 ||
+                        t.b1 - t.b0 != ext.get._2) failSchema()
+                      else out += ((t, ext.get._1, isz))
+                  }
+                }
+                if (fail == null) {
+                  if (out.map(_._1.name).distinct.length != out.length) failSchema()
+                  else {
+                    val sorted = out.sortBy(x => (x._1.b0, x._1.name))
+                    var cursor = 0L
+                    sorted.foreach { case (t, _, _) =>
+                      if (fail == null && t.b0 != cursor) failSchema()
+                      cursor = t.b1
+                    }
+                    if (fail == null) { out.clear(); out ++= sorted }
+                  }
+                }
+                out.toSeq
+              }
+            if (fail != null) one(fail, Some(hlen))
+            else {
+              val dataLen = n - 8 - hlen
+              if (checked.isEmpty) Seq((id, "empty", None, None, None, None,
+                None, None, None, Some(hlen), Some(dataLen)))
+              else {
+                val cover = checked.map(_._1.b1).max
+                val st = if (dataLen < cover) "short_data" else "ok"
+                checked.map { case (t, ne, isz) =>
+                  (id, st, Some(t.name), Some(t.dtype), Some(t.shape.length),
+                    Some(ne), Some(isz), Some(t.b0), Some(t.b1),
+                    Some(hlen), Some(dataLen))
+                }
+              }
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "status", "name", "dtype", "n_dims", "n_elems",
+        "item_size", "off_begin", "off_end", "header_len", "data_len")
+  }
+
+  /** Deterministic synthetic safetensors payloads for
+    * [[safetensorsHeaders]] — six families by doc_id % 6
+    * (k0 = 2+id%7, k1 = 1+id%5):
+    *   0: clean two-tensor file — `emb` F32 (k0,k1) then `ids` I64 (k0,)
+    *      tiling the buffer, plus a `__metadata__` object;
+    *   1: clean one-tensor F16 (k1,) — pins the single-tensor path;
+    *   2: header length declares 1000+k0 over a 4-byte body
+    *      (bad_header_len, declared value still reported);
+    *   3: grammar-truncated JSON, unpadded exact length (bad_json);
+    *   4: data_offsets end exceeds prod(shape)·itemsize by 1
+    *      (bad_schema);
+    *   5: 0-dim F64 scalar `[]` declaring [0,8) with only 3 buffer
+    *      bytes (short_data).
+    * Valid-grammar headers are space-padded so the buffer lands
+    * 8-aligned — the writer convention the spec prescribes.
+    */
+  def syntheticSafetensorsPayload(id: Long): Array[Byte] = {
+    val f = (id % 6).toInt
+    val k0 = 2 + id % 7
+    val k1 = 1 + id % 5
+    val e0 = 4 * k0 * k1
+    val (json, declared, buf): (String, Option[Long], Int) = f match {
+      case 0 => (s"""{"emb":{"dtype":"F32","shape":[$k0,$k1],"data_offsets":[0,$e0]},"ids":{"dtype":"I64","shape":[$k0],"data_offsets":[$e0,${e0 + 8 * k0}]},"__metadata__":{"format":"graft"}}""",
+        None, (e0 + 8 * k0).toInt)
+      case 1 => (s"""{"w":{"dtype":"F16","shape":[$k1],"data_offsets":[0,${2 * k1}]}}""",
+        None, (2 * k1).toInt)
+      case 2 => ("{}  ", Some(1000L + k0), 0)
+      case 3 => ("""{"w":{"dtype":"F32","shape":[""", None, 0)
+      case 4 => (s"""{"w":{"dtype":"F32","shape":[$k0],"data_offsets":[0,${4 * k0 + 1}]}}""",
+        None, (4 * k0 + 1).toInt)
+      case _ => ("""{"s":{"dtype":"F64","shape":[],"data_offsets":[0,8]}}""",
+        None, 3)
+    }
+    val hlen: Long = f match {
+      case 2 => declared.get
+      case 3 => json.length.toLong
+      case _ => ((8L + json.length + 7) / 8) * 8 - 8
+    }
+    val bb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    (0 until 8).foreach(i => bb += ((hlen >> (8 * i)) & 0xff).toByte)
+    val padded = if (f == 2 || f == 3) json
+      else json + " " * (hlen.toInt - json.length)
+    bb ++= padded.getBytes("UTF-8")
+    (0 until buf).foreach(i => bb += ((id + i) & 0xff).toByte)
+    bb.toArray
+  }
+
   /** Release-integrity audit over the receipt pair a corpus release
     * ships: [[shardManifest]] rows (t59) vs [[jsonlShardPayloads]] rows
     * (t61) full-outer joined on shard — the p19 NULL-side convention

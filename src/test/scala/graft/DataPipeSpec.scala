@@ -5161,6 +5161,110 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "bad_header", "short_data")), s"taxonomy leaked: $sts")
   }
 
+  test("safetensors headers: families, per-tensor rows, ladder, and hand-crafted edge forms") {
+    val s = spark; import s.implicits._
+    val payloads = (0L until 25L).map(id => (id, TrainingOps.syntheticSafetensorsPayload(id)))
+      .toDF("doc_id", "payload")
+    val rows = TrainingOps.safetensorsHeaders(spark, payloads).collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.sortBy(r => Option(r.getAs[java.lang.Long]("off_begin")).map(_.toLong).getOrElse(-1L)) }
+    // family 0 (id 0: k0=2,k1=1): two tensors tiling the buffer
+    val f0 = rows(0L)
+    assert(f0.length == 2)
+    assert(f0(0).getString(1) == "ok" && f0(0).getString(2) == "emb" &&
+      f0(0).getString(3) == "F32" && f0(0).getInt(4) == 2 &&
+      f0(0).getLong(5) == 2L && f0(0).getInt(6) == 4 &&
+      f0(0).getLong(7) == 0L && f0(0).getLong(8) == 8L)
+    assert(f0(1).getString(2) == "ids" && f0(1).getString(3) == "I64" &&
+      f0(1).getLong(7) == 8L && f0(1).getLong(8) == 24L &&
+      f0(1).getLong(10) == 24L)
+    // ladder families
+    assert(rows(1L).head.getString(1) == "ok" && rows(1L).head.getString(3) == "F16")
+    assert(rows(2L).head.getString(1) == "bad_header_len" &&
+      rows(2L).head.getLong(9) == 1004L && rows(2L).head.isNullAt(2))
+    assert(rows(3L).head.getString(1) == "bad_json" && !rows(3L).head.isNullAt(9))
+    assert(rows(4L).head.getString(1) == "bad_schema")
+    assert(rows(5L).head.getString(1) == "short_data" &&
+      rows(5L).head.getInt(4) == 0 && rows(5L).head.getLong(5) == 1L &&
+      rows(5L).head.getLong(10) == 3L)
+    // hand-crafted forms the families don't reach
+    def hand(json: String, buf: Int, declared: Option[Long] = None): Array[Byte] = {
+      val hlen = declared.getOrElse(((8L + json.length + 7) / 8) * 8 - 8)
+      val bb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      (0 until 8).foreach(i => bb += ((hlen >> (8 * i)) & 0xff).toByte)
+      bb ++= (json + " " * (hlen.toInt - json.length).max(0)).getBytes("UTF-8")
+      (0 until buf).foreach(_ => bb += 7.toByte)
+      bb.toArray
+    }
+    val extra = Seq(
+      (100L, Array[Byte](1, 2, 3)), // no 8-byte length prefix
+      (101L, hand("{}", 0)), // zero tensors: legal, 'empty'
+      // \u-escaped name decodes; keys inside the tensor object reordered
+      (102L, hand("""{"wx":{"shape":[3],"data_offsets":[0,6],"dtype":"F16"}}""", 6)),
+      (103L, hand("""{"a":{"dtype":"Q7","shape":[1],"data_offsets":[0,1]}}""", 1)), // unknown dtype
+      // gap between tensors (cover must tile from 0)
+      (104L, hand("""{"a":{"dtype":"U8","shape":[2],"data_offsets":[0,2]},"b":{"dtype":"U8","shape":[2],"data_offsets":[3,5]}}""", 5)),
+      // overlapping tensors
+      (105L, hand("""{"a":{"dtype":"U8","shape":[4],"data_offsets":[0,4]},"b":{"dtype":"U8","shape":[4],"data_offsets":[2,6]}}""", 6)),
+      // duplicate tensor name
+      (106L, hand("""{"a":{"dtype":"U8","shape":[1],"data_offsets":[0,1]},"a":{"dtype":"U8","shape":[1],"data_offsets":[1,2]}}""", 2)),
+      // metadata value not a string -> grammar failure
+      (107L, hand("""{"__metadata__":{"k":5}}""", 0)),
+      // trailing content after the top-level object
+      (108L, hand("""{} {}""", 0)),
+      // 64-bit declared length with the high bit set reads negative
+      (109L, Array.fill[Byte](8)(0xff.toByte) ++ "{}".getBytes("UTF-8")),
+      // shape-product overflow must be bad_schema, never a wrapped ok
+      (110L, hand("""{"a":{"dtype":"F64","shape":[999999999999999999,999999999999999999],"data_offsets":[0,8]}}""", 8)),
+      // empty-shape tensors at both rungs: scalar exact is ok
+      (111L, hand("""{"a":{"dtype":"BF16","shape":[],"data_offsets":[0,2]}}""", 2)))
+      .toDF("doc_id", "payload")
+    val er = TrainingOps.safetensorsHeaders(spark, extra).collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v }
+    assert(er(100L).head.getString(1) == "too_short")
+    assert(er(101L).head.getString(1) == "empty" && er(101L).head.getLong(10) == 0L)
+    val wx = er(102L).head
+    assert(wx.getString(1) == "ok" && wx.getString(2) == "wx" &&
+      wx.getString(3) == "F16" && wx.getLong(5) == 3L)
+    assert(er(103L).head.getString(1) == "bad_schema")
+    assert(er(104L).head.getString(1) == "bad_schema")
+    assert(er(105L).head.getString(1) == "bad_schema")
+    assert(er(106L).head.getString(1) == "bad_schema")
+    assert(er(107L).head.getString(1) == "bad_json")
+    assert(er(108L).head.getString(1) == "bad_json")
+    assert(er(109L).head.getString(1) == "bad_header_len")
+    assert(er(110L).head.getString(1) == "bad_schema")
+    assert(er(111L).head.getString(1) == "ok" && er(111L).head.getInt(4) == 0)
+  }
+
+  test("safetensors headers: totality on random / length-prefixed / bit-flipped payloads, taxonomy closed") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val cases = (0 until 500).map { i =>
+      val p = (i % 3: @unchecked) match {
+        case 0 => val b = new Array[Byte](rnd.nextInt(120)); rnd.nextBytes(b); b
+        case 1 =>
+          // plausible length prefix over random bytes
+          val body = new Array[Byte](rnd.nextInt(100)); rnd.nextBytes(body)
+          val hlen = rnd.nextInt(120).toLong
+          val bb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+          (0 until 8).foreach(j => bb += ((hlen >> (8 * j)) & 0xff).toByte)
+          bb ++= body
+          bb.toArray
+        case 2 =>
+          val b = TrainingOps.syntheticSafetensorsPayload(i.toLong).clone()
+          if (b.nonEmpty) b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+          b
+      }
+      (i.toLong, p)
+    }
+    val out = TrainingOps.safetensorsHeaders(spark, cases.toDF("doc_id", "payload"))
+    assert(out.select("doc_id").distinct().count() == 500,
+      "walker must be total — at least one row per payload")
+    val sts = out.select("status").distinct().collect().map(_.getString(0)).toSet
+    assert(sts.subsetOf(Set("ok", "too_short", "bad_header_len", "bad_json",
+      "bad_schema", "short_data", "empty")), s"taxonomy leaked: $sts")
+  }
+
   test("release audit: verdict ladder over the full-outer receipt join, NULL sides preserved") {
     val s = spark; import s.implicits._
     val man = Seq((0L, 5L, 100L, 11L), (1L, 3L, 50L, 12L), (3L, 7L, 70L, 13L))

@@ -93,7 +93,9 @@ class PlanCheckSpec extends AnyFunSuite with BeforeAndAfterAll {
       "t48_overlap_chunks",   // bounded explode — no window, no shuffle
       "d39_sq8_encode",       // ranges inlined — encode pass is map-only
       "m28_avro_blocks",      // r4: byte walker in the scan stage
-      "m29_jsonl_records")    // r4: byte walker in the scan stage
+      "m29_jsonl_records",    // r4: byte walker in the scan stage
+      "m30_npy_headers",      // r5: byte walker in the scan stage
+      "m31_safetensors_headers") // r5: byte walker in the scan stage
     for (name <- mapOnly) {
       val p = planOf(name)
       assert(shuffles(p).isEmpty, s"$name: map-only query grew a shuffle:\n$p")
