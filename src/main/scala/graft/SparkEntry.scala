@@ -1108,6 +1108,47 @@ object SparkEntry {
         .filter(col("shard") % 3 =!= 1)
       TrainingOps.releaseAudit(mPert, pPert)
     }),
+    // tensor-shard audit (the model-plane p20): m31 safetensors headers
+    // vs an expected-manifest twin PERTURBED so every rung fires —
+    // f0 docs at %5==0 expect one extra element (shape_mismatch), a
+    // phantom tensor 'q' at f0 %7==0 and 'b' on every f1 shard
+    // (missing_tensor), f0's real 'ids' tensor is left out of the
+    // manifest (unexpected_tensor), every invalid-file family f>=2
+    // expects 'emb' (unreadable_shard), and f0 %11==0 shards are also
+    // expected at shard+10^7 where no file exists (missing_shard)
+    "p21_tensor_shard_audit" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = docs(s, dir).select(col("doc_id")).as[Long]
+        .map(id => (id, TrainingOps.syntheticSafetensorsPayload(id)))
+        .toDF("doc_id", "payload")
+      val headers = TrainingOps.safetensorsHeaders(s, payloads)
+      val d = docs(s, dir).select(col("doc_id"),
+        (col("doc_id") % 6).as("f"),
+        (lit(2) + col("doc_id") % 7).cast("long").as("k0"),
+        (lit(1) + col("doc_id") % 5).cast("long").as("k1"))
+      val sh = col("doc_id").as("shard")
+      val expected = d.filter(col("f") === 0)
+        .select(sh, lit("emb").as("name"), lit("F32").as("exp_dtype"),
+          when(col("doc_id") % 5 === 0, col("k0") * col("k1") + 1L)
+            .otherwise(col("k0") * col("k1")).as("exp_elems"))
+        .unionByName(d.filter(col("f") === 0 && col("doc_id") % 7 === 0)
+          .select(sh, lit("q").as("name"), lit("F32").as("exp_dtype"),
+            lit(7L).as("exp_elems")))
+        .unionByName(d.filter(col("f") === 1)
+          .select(sh, lit("w").as("name"), lit("F16").as("exp_dtype"),
+            col("k1").as("exp_elems")))
+        .unionByName(d.filter(col("f") === 1)
+          .select(sh, lit("b").as("name"), lit("F32").as("exp_dtype"),
+            lit(4L).as("exp_elems")))
+        .unionByName(d.filter(col("f") >= 2)
+          .select(sh, lit("emb").as("name"), lit("F32").as("exp_dtype"),
+            (col("k0") * col("k1")).as("exp_elems")))
+        .unionByName(d.filter(col("f") === 0 && col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 10000000L).as("shard"),
+            lit("emb").as("name"), lit("F32").as("exp_dtype"),
+            (col("k0") * col("k1")).as("exp_elems")))
+      TrainingOps.tensorShardAudit(headers, expected)
+    }),
     // daily-ingest incremental dedup over the dup-augmented corpus:
     // increment = doc_id % 10 >= 8, corpus = the rest
     "d13_incremental_dedup" -> ((s, dir) => {
@@ -6488,6 +6529,29 @@ object SparkEntry {
           "WHEN man.n_docs <> pay.n_docs THEN 'doc_count_mismatch' " +
           "ELSE 'consistent' END AS verdict " +
           "FROM man FULL OUTER JOIN pay ON man.shard = pay.shard"),
+      // p21 oracle: every (shard, tensor) row re-derived arithmetically
+      // from the m31 families x the wiring's manifest perturbations —
+      // a MATCH pins the full-outer pairing, the per-shard status
+      // reduction, and all six verdict rungs
+      "p21_tensor_shard_audit" ->
+        ("""WITH c AS (SELECT doc_id, doc_id % 6 AS f, """ +
+          """CAST(2 + doc_id % 7 AS BIGINT) AS k0, CAST(1 + doc_id % 5 AS BIGINT) AS k1 FROM documents) """ +
+          """SELECT CAST(shard AS BIGINT) AS shard, name, dtype, exp_dtype, """ +
+          """CAST(n_elems AS BIGINT) AS n_elems, CAST(exp_elems AS BIGINT) AS exp_elems, """ +
+          """status, verdict FROM ( """ +
+          """SELECT doc_id AS shard, 'emb' AS name, 'F32' AS dtype, 'F32' AS exp_dtype, """ +
+          """k0*k1 AS n_elems, CASE WHEN doc_id % 5 = 0 THEN k0*k1 + 1 ELSE k0*k1 END AS exp_elems, """ +
+          """'ok' AS status, CASE WHEN doc_id % 5 = 0 THEN 'shape_mismatch' ELSE 'consistent' END AS verdict """ +
+          """FROM c WHERE f = 0 """ +
+          """UNION ALL SELECT doc_id, 'ids', 'I64', NULL, k0, NULL, 'ok', 'unexpected_tensor' FROM c WHERE f = 0 """ +
+          """UNION ALL SELECT doc_id, 'q', NULL, 'F32', NULL, 7, 'ok', 'missing_tensor' FROM c WHERE f = 0 AND doc_id % 7 = 0 """ +
+          """UNION ALL SELECT doc_id, 'w', 'F16', 'F16', k1, k1, 'ok', 'consistent' FROM c WHERE f = 1 """ +
+          """UNION ALL SELECT doc_id, 'b', NULL, 'F32', NULL, 4, 'ok', 'missing_tensor' FROM c WHERE f = 1 """ +
+          """UNION ALL SELECT doc_id, 'emb', NULL, 'F32', NULL, k0*k1, """ +
+          """CASE WHEN f = 2 THEN 'bad_header_len' WHEN f = 3 THEN 'bad_json' """ +
+          """WHEN f = 4 THEN 'bad_schema' ELSE 'short_data' END, 'unreadable_shard' FROM c WHERE f >= 2 """ +
+          """UNION ALL SELECT doc_id + 10000000, 'emb', NULL, 'F32', NULL, k0*k1, NULL, 'missing_shard' """ +
+          """FROM c WHERE f = 0 AND doc_id % 11 = 0)"""),
       // t59 oracle: t31's window cumsum + one shard rollup; checksum =
       // bit_xor of the shared h60 convention over 'sm:'||doc_id
       "t59_shard_manifest" ->

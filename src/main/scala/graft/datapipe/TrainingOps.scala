@@ -7590,6 +7590,51 @@ object TrainingOps extends Serializable {
           .otherwise(lit("consistent")).as("verdict"))
   }
 
+  /** Tensor-shard integrity audit — the model-plane analog of
+    * [[releaseAudit]] (p20): where p20 reconciles a TEXT release's
+    * manifests against its payload receipts, this reconciles what a
+    * directory of safetensors shards actually DECLARES
+    * ([[safetensorsHeaders]] rows, m31) against what the embedding /
+    * weight store's manifest says each shard must contain — the gate a
+    * trainer runs before pointing a loader at the shard directory.
+    *
+    * `expected` carries one row per (shard, tensor name) with
+    * `exp_dtype` / `exp_elems`; headers are reduced to a per-shard file
+    * status (identical on every row of a shard by m31's construction —
+    * `min` is just the reduction) plus the ok-file tensor rows, then
+    * full-outer joined on (shard, name) with the p19/p20 NULL-side
+    * convention (absent ≠ zero). Verdict ladder (first match wins):
+    * missing_shard (manifest names a shard no file walk saw) >
+    * unreadable_shard (file present but its walk status ≠ ok — every
+    * expected tensor of that shard gets the rung, so a repair job sees
+    * the full blast radius) > missing_tensor > unexpected_tensor >
+    * shape_mismatch (dtype or element-count disagreement) > consistent.
+    *
+    * Scale shape: both sides are metadata-plane tables (shard × tensor
+    * cardinality — headers never carry tensor bytes), so the audit is
+    * two shard-keyed joins of tiny frames regardless of corpus size.
+    */
+  def tensorShardAudit(headers: DataFrame, expected: DataFrame): DataFrame = {
+    val status = headers.groupBy(col("doc_id").as("shard"))
+      .agg(min("status").as("status"))
+    val h = headers.filter(col("status") === "ok")
+      .select(col("doc_id").as("shard"), col("name"), col("dtype"),
+        col("n_elems"))
+    val e = expected.select(col("shard"), col("name"), col("exp_dtype"),
+      col("exp_elems"))
+    h.join(e, Seq("shard", "name"), "full_outer")
+      .join(status, Seq("shard"), "left")
+      .select(col("shard"), col("name"), col("dtype"), col("exp_dtype"),
+        col("n_elems"), col("exp_elems"), col("status"),
+        when(col("status").isNull, lit("missing_shard"))
+          .when(col("status") =!= "ok", lit("unreadable_shard"))
+          .when(col("dtype").isNull, lit("missing_tensor"))
+          .when(col("exp_dtype").isNull, lit("unexpected_tensor"))
+          .when(col("dtype") =!= col("exp_dtype") ||
+            col("n_elems") =!= col("exp_elems"), lit("shape_mismatch"))
+          .otherwise(lit("consistent")).as("verdict"))
+  }
+
   /** The RFC-8259 string escape table as ordered (literal, replacement)
     * pairs — backslash FIRST (later replacements introduce backslashes
     * that must not be re-escaped), then quote, the five short-form

@@ -5265,6 +5265,35 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "bad_schema", "short_data", "empty")), s"taxonomy leaked: $sts")
   }
 
+  test("tensor shard audit: all six rungs over the full-outer header/manifest join") {
+    val s = spark; import s.implicits._
+    // headers: shard 0 ok with tensors a,b; shard 1 bad_json; shard 2 ok
+    // with extra tensor x; shard 3 ok but dtype drifted
+    val headers = Seq(
+      (0L, "ok", Option("a"), Option("F32"), Option(6L)),
+      (0L, "ok", Option("b"), Option("I64"), Option(2L)),
+      (1L, "bad_json", None: Option[String], None: Option[String], None: Option[Long]),
+      (2L, "ok", Option("x"), Option("U8"), Option(4L)),
+      (3L, "ok", Option("a"), Option("F16"), Option(6L)))
+      .toDF("doc_id", "status", "name", "dtype", "n_elems")
+    // manifest: shard 0 expects a,b,c; shard 1 expects a; shard 3
+    // expects a as F32; shard 9 has no file at all
+    val expected = Seq(
+      (0L, "a", "F32", 6L), (0L, "b", "I64", 2L), (0L, "c", "F32", 1L),
+      (1L, "a", "F32", 6L), (3L, "a", "F32", 6L), (9L, "a", "F32", 6L))
+      .toDF("shard", "name", "exp_dtype", "exp_elems")
+    val out = TrainingOps.tensorShardAudit(headers, expected).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getString(7)).toMap
+    assert(out((0L, "a")) == "consistent")
+    assert(out((0L, "b")) == "consistent")
+    assert(out((0L, "c")) == "missing_tensor")
+    assert(out((1L, "a")) == "unreadable_shard")
+    assert(out((2L, "x")) == "unexpected_tensor")
+    assert(out((3L, "a")) == "shape_mismatch")
+    assert(out((9L, "a")) == "missing_shard")
+    assert(out.size == 7)
+  }
+
   test("release audit: verdict ladder over the full-outer receipt join, NULL sides preserved") {
     val s = spark; import s.implicits._
     val man = Seq((0L, 5L, 100L, 11L), (1L, 3L, 50L, 12L), (3L, 7L, 70L, 13L))
