@@ -1115,7 +1115,9 @@ object SparkEntry {
     // (missing_tensor), f0's real 'ids' tensor is left out of the
     // manifest (unexpected_tensor), every invalid-file family f>=2
     // expects 'emb' (unreadable_shard), and f0 %11==0 shards are also
-    // expected at shard+10^7 where no file exists (missing_shard)
+    // expected at -(shard+1) — negative ids are outside the doc_id
+    // domain at EVERY scale, so the phantom never collides with a real
+    // shard (missing_shard)
     "p21_tensor_shard_audit" -> ((s, dir) => {
       import s.implicits._
       val payloads = docs(s, dir).select(col("doc_id")).as[Long]
@@ -1144,7 +1146,7 @@ object SparkEntry {
           .select(sh, lit("emb").as("name"), lit("F32").as("exp_dtype"),
             (col("k0") * col("k1")).as("exp_elems")))
         .unionByName(d.filter(col("f") === 0 && col("doc_id") % 11 === 0)
-          .select((col("doc_id") + 10000000L).as("shard"),
+          .select((-col("doc_id") - 1L).as("shard"),
             lit("emb").as("name"), lit("F32").as("exp_dtype"),
             (col("k0") * col("k1")).as("exp_elems")))
       TrainingOps.tensorShardAudit(headers, expected)
@@ -6550,7 +6552,7 @@ object SparkEntry {
           """UNION ALL SELECT doc_id, 'emb', NULL, 'F32', NULL, k0*k1, """ +
           """CASE WHEN f = 2 THEN 'bad_header_len' WHEN f = 3 THEN 'bad_json' """ +
           """WHEN f = 4 THEN 'bad_schema' ELSE 'short_data' END, 'unreadable_shard' FROM c WHERE f >= 2 """ +
-          """UNION ALL SELECT doc_id + 10000000, 'emb', NULL, 'F32', NULL, k0*k1, NULL, 'missing_shard' """ +
+          """UNION ALL SELECT -doc_id - 1, 'emb', NULL, 'F32', NULL, k0*k1, NULL, 'missing_shard' """ +
           """FROM c WHERE f = 0 AND doc_id % 11 = 0)"""),
       // t59 oracle: t31's window cumsum + one shard rollup; checksum =
       // bit_xor of the shared h60 convention over 'sm:'||doc_id

@@ -7246,7 +7246,10 @@ object TrainingOps extends Serializable {
     * (header text fails the safetensors JSON grammar: top-level object,
     * string keys, tensor objects of strings / unsigned-int arrays,
     * string-valued metadata — parsed by a from-scratch scanner with full
-    * escape decoding, NO library) > bad_schema (grammar-valid but
+    * escape decoding, NO library; RFC-8259-strict on the edges lenient
+    * hand parsers miss: exactly one comma between members, no trailing
+    * commas, ASCII digits only with no leading zeros, ASCII hex in
+    * `\\uXXXX`) > bad_schema (grammar-valid but
     * semantically wrong: unknown dtype, missing / duplicate / unknown
     * tensor key, offsets arity ≠ 2 or begin > end, end−begin ≠
     * prod(shape)·itemsize with multiplyExact overflow armor, duplicate
@@ -7312,8 +7315,11 @@ object TrainingOps extends Serializable {
                       case 'r' => sb += '\r'; p += 2
                       case 't' => sb += '\t'; p += 2
                       case 'u' =>
-                        if (p + 6 > nn ||
-                          !(2 to 5).forall(i => Character.digit(s(p + i), 16) >= 0))
+                        // ASCII hex only — Character.digit would admit
+                        // full-width and other Unicode hex forms
+                        def hex(c: Char): Boolean = (c >= '0' && c <= '9') ||
+                          (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+                        if (p + 6 > nn || !(2 to 5).forall(i => hex(s(p + i))))
                           bad = true
                         else {
                           sb += Integer.parseInt(s.substring(p + 2, p + 6), 16).toChar
@@ -7328,9 +7334,13 @@ object TrainingOps extends Serializable {
               }
             }
             def uint(): Option[Long] = {
+              // ASCII digits only (isDigit admits Unicode numerals) and
+              // no leading zeros — the JSON number grammar
               val s0 = p
-              while (p < nn && s(p).isDigit) p += 1
-              if (p == s0 || p - s0 > 18) None else Some(s.substring(s0, p).toLong)
+              while (p < nn && s(p) >= '0' && s(p) <= '9') p += 1
+              if (p == s0 || p - s0 > 18 ||
+                (p - s0 > 1 && s(s0) == '0')) None
+              else Some(s.substring(s0, p).toLong)
             }
             def uintArray(): Option[Seq[Long]] = {
               if (p >= nn || s(p) != '[') None
@@ -7394,7 +7404,10 @@ object TrainingOps extends Serializable {
                                 if (str().isEmpty) failJson()
                                 else {
                                   ws()
-                                  if (p < nn && s(p) == ',') p += 1
+                                  if (p < nn && s(p) == ',') {
+                                    p += 1; ws()
+                                    if (p >= nn || s(p) != '"') failJson()
+                                  } else if (p >= nn || s(p) != '}') failJson()
                                 }
                               }
                             }
@@ -7440,7 +7453,10 @@ object TrainingOps extends Serializable {
                                 }
                                 if (fail == null) {
                                   ws()
-                                  if (p < nn && s(p) == ',') p += 1
+                                  if (p < nn && s(p) == ',') {
+                                    p += 1; ws()
+                                    if (p >= nn || s(p) != '"') failJson()
+                                  } else if (p >= nn || s(p) != '}') failJson()
                                 }
                               }
                           }
@@ -7454,7 +7470,12 @@ object TrainingOps extends Serializable {
                       }
                       if (fail == null) {
                         ws()
-                        if (p < nn && s(p) == ',') p += 1
+                        // members separated by EXACTLY one comma, no
+                        // trailing comma — RFC 8259 object grammar
+                        if (p < nn && s(p) == ',') {
+                          p += 1; ws()
+                          if (p >= nn || s(p) != '"') failJson()
+                        } else if (p >= nn || s(p) != '}') failJson()
                       }
                     }
                 }
@@ -7483,7 +7504,10 @@ object TrainingOps extends Serializable {
                 if (fail == null) {
                   if (out.map(_._1.name).distinct.length != out.length) failSchema()
                   else {
-                    val sorted = out.sortBy(x => (x._1.b0, x._1.name))
+                    // (b0, b1) tiebreak: a zero-size tensor [c, c) must
+                    // sort before the non-zero tensor starting at c, or
+                    // a spec-valid gap-free cover would be rejected
+                    val sorted = out.sortBy(x => (x._1.b0, x._1.b1))
                     var cursor = 0L
                     sorted.foreach { case (t, _, _) =>
                       if (fail == null && t.b0 != cursor) failSchema()
@@ -7605,9 +7629,11 @@ object TrainingOps extends Serializable {
     * full-outer joined on (shard, name) with the p19/p20 NULL-side
     * convention (absent ≠ zero). Verdict ladder (first match wins):
     * missing_shard (manifest names a shard no file walk saw) >
-    * unreadable_shard (file present but its walk status ≠ ok — every
-    * expected tensor of that shard gets the rung, so a repair job sees
-    * the full blast radius) > missing_tensor > unexpected_tensor >
+    * unreadable_shard (file present but its walk status is a failure —
+    * every expected tensor of that shard gets the rung, so a repair job
+    * sees the full blast radius; the legal zero-tensor `empty` file is
+    * READABLE and falls through to missing_tensor instead) >
+    * missing_tensor > unexpected_tensor >
     * shape_mismatch (dtype or element-count disagreement) > consistent.
     *
     * Scale shape: both sides are metadata-plane tables (shard × tensor
@@ -7615,9 +7641,14 @@ object TrainingOps extends Serializable {
     * two shard-keyed joins of tiny frames regardless of corpus size.
     */
   def tensorShardAudit(headers: DataFrame, expected: DataFrame): DataFrame = {
-    val status = headers.groupBy(col("doc_id").as("shard"))
+    // branch point: status reduction AND tensor rows both consume the
+    // header walk — without the persist the full safetensors parse of
+    // every shard executes twice in one job
+    val hdr = headers
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).registered
+    val status = hdr.groupBy(col("doc_id").as("shard"))
       .agg(min("status").as("status"))
-    val h = headers.filter(col("status") === "ok")
+    val h = hdr.filter(col("status") === "ok")
       .select(col("doc_id").as("shard"), col("name"), col("dtype"),
         col("n_elems"))
     val e = expected.select(col("shard"), col("name"), col("exp_dtype"),
@@ -7627,7 +7658,11 @@ object TrainingOps extends Serializable {
       .select(col("shard"), col("name"), col("dtype"), col("exp_dtype"),
         col("n_elems"), col("exp_elems"), col("status"),
         when(col("status").isNull, lit("missing_shard"))
-          .when(col("status") =!= "ok", lit("unreadable_shard"))
+          // 'empty' (the legal zero-tensor file) is READABLE — its
+          // expected tensors are missing, not unreadable; a repair job
+          // must not be told to quarantine a well-formed file
+          .when(col("status") =!= "ok" && col("status") =!= "empty",
+            lit("unreadable_shard"))
           .when(col("dtype").isNull, lit("missing_tensor"))
           .when(col("exp_dtype").isNull, lit("unexpected_tensor"))
           .when(col("dtype") =!= col("exp_dtype") ||

@@ -5198,8 +5198,9 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val extra = Seq(
       (100L, Array[Byte](1, 2, 3)), // no 8-byte length prefix
       (101L, hand("{}", 0)), // zero tensors: legal, 'empty'
-      // \u-escaped name decodes; keys inside the tensor object reordered
-      (102L, hand("""{"wx":{"shape":[3],"data_offsets":[0,6],"dtype":"F16"}}""", 6)),
+      // \u-escaped name decodes ("\u0077x" -> "wx"); keys inside the
+      // tensor object reordered
+      (102L, hand("{\"\\u0077x\":{\"shape\":[3],\"data_offsets\":[0,6],\"dtype\":\"F16\"}}", 6)),
       (103L, hand("""{"a":{"dtype":"Q7","shape":[1],"data_offsets":[0,1]}}""", 1)), // unknown dtype
       // gap between tensors (cover must tile from 0)
       (104L, hand("""{"a":{"dtype":"U8","shape":[2],"data_offsets":[0,2]},"b":{"dtype":"U8","shape":[2],"data_offsets":[3,5]}}""", 5)),
@@ -5216,7 +5217,17 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
       // shape-product overflow must be bad_schema, never a wrapped ok
       (110L, hand("""{"a":{"dtype":"F64","shape":[999999999999999999,999999999999999999],"data_offsets":[0,8]}}""", 8)),
       // empty-shape tensors at both rungs: scalar exact is ok
-      (111L, hand("""{"a":{"dtype":"BF16","shape":[],"data_offsets":[0,2]}}""", 2)))
+      (111L, hand("""{"a":{"dtype":"BF16","shape":[],"data_offsets":[0,2]}}""", 2)),
+      // RFC-8259 object grammar: missing member comma and trailing
+      // comma are both bad_json (the scanner must not be lenient)
+      (112L, hand("""{"a":{"dtype":"U8","shape":[1],"data_offsets":[0,1]} "b":{"dtype":"U8","shape":[1],"data_offsets":[1,2]}}""", 2)),
+      (113L, hand("""{"a":{"dtype":"U8","shape":[1],"data_offsets":[0,1]},}""", 1)),
+      // non-ASCII numerals (U+0663) and leading zeros are not JSON
+      (114L, hand("{\"a\":{\"dtype\":\"U8\",\"shape\":[٣],\"data_offsets\":[0,3]}}", 3)),
+      (115L, hand("""{"a":{"dtype":"U8","shape":[07],"data_offsets":[0,7]}}""", 7)),
+      // a zero-size tensor sharing its begin with a non-zero tensor is
+      // a spec-valid gap-free cover regardless of tensor names
+      (116L, hand("""{"a":{"dtype":"U8","shape":[4],"data_offsets":[0,4]},"z":{"dtype":"U8","shape":[0],"data_offsets":[4,4]},"b":{"dtype":"U8","shape":[4],"data_offsets":[4,8]}}""", 8)))
       .toDF("doc_id", "payload")
     val er = TrainingOps.safetensorsHeaders(spark, extra).collect()
       .groupBy(_.getLong(0)).map { case (k, v) => k -> v }
@@ -5234,6 +5245,11 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(er(109L).head.getString(1) == "bad_header_len")
     assert(er(110L).head.getString(1) == "bad_schema")
     assert(er(111L).head.getString(1) == "ok" && er(111L).head.getInt(4) == 0)
+    assert(er(112L).head.getString(1) == "bad_json")
+    assert(er(113L).head.getString(1) == "bad_json")
+    assert(er(114L).head.getString(1) == "bad_json")
+    assert(er(115L).head.getString(1) == "bad_json")
+    assert(er(116L).length == 3 && er(116L).forall(_.getString(1) == "ok"))
   }
 
   test("safetensors headers: totality on random / length-prefixed / bit-flipped payloads, taxonomy closed") {
@@ -5274,13 +5290,17 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0L, "ok", Option("b"), Option("I64"), Option(2L)),
       (1L, "bad_json", None: Option[String], None: Option[String], None: Option[Long]),
       (2L, "ok", Option("x"), Option("U8"), Option(4L)),
-      (3L, "ok", Option("a"), Option("F16"), Option(6L)))
+      (3L, "ok", Option("a"), Option("F16"), Option(6L)),
+      (4L, "empty", None: Option[String], None: Option[String], None: Option[Long]))
       .toDF("doc_id", "status", "name", "dtype", "n_elems")
     // manifest: shard 0 expects a,b,c; shard 1 expects a; shard 3
-    // expects a as F32; shard 9 has no file at all
+    // expects a as F32; shard 4 is the legal zero-tensor file (readable
+    // -> its expected tensor is MISSING, not unreadable); shard 9 has
+    // no file at all
     val expected = Seq(
       (0L, "a", "F32", 6L), (0L, "b", "I64", 2L), (0L, "c", "F32", 1L),
-      (1L, "a", "F32", 6L), (3L, "a", "F32", 6L), (9L, "a", "F32", 6L))
+      (1L, "a", "F32", 6L), (3L, "a", "F32", 6L), (4L, "a", "F32", 6L),
+      (9L, "a", "F32", 6L))
       .toDF("shard", "name", "exp_dtype", "exp_elems")
     val out = TrainingOps.tensorShardAudit(headers, expected).collect()
       .map(r => (r.getLong(0), r.getString(1)) -> r.getString(7)).toMap
@@ -5290,8 +5310,10 @@ class DataPipeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out((1L, "a")) == "unreadable_shard")
     assert(out((2L, "x")) == "unexpected_tensor")
     assert(out((3L, "a")) == "shape_mismatch")
+    assert(out((4L, "a")) == "missing_tensor")
     assert(out((9L, "a")) == "missing_shard")
-    assert(out.size == 7)
+    assert(out.size == 8)
+    graft.spark.Caches.drain()
   }
 
   test("release audit: verdict ladder over the full-outer receipt join, NULL sides preserved") {
